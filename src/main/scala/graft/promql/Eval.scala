@@ -1,0 +1,73 @@
+package graft.promql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.TimeSeriesModel
+
+/** Vector selection — the `Select` storage operator + PromQL's instant/range
+  * evaluation grid (SURVEY.md §2.3 J4, §2.5 W4).
+  *
+  * The reference materializes per-row-group row ranges and hands a SeriesSet
+  * to promql-engine, which evaluates an as-of ("lookback") semantics per grid
+  * step (`cmd/serve.go:102,217`: lookback 5m). Spark-first re-expression:
+  *
+  *  - instant vector at time t  →  `filter(ts ∈ (t−lookback, t])` then
+  *    `groupBy(series).agg(max_by(value, ts))` — one shuffle, map-side
+  *    partial agg, no window function needed.
+  *
+  *  - range grid (start, end, step) → **bounded fan-out, not a range join**:
+  *    each sample can serve at most ⌈lookback/step⌉ grid steps, so we
+  *    `explode(sequence(kmin, kmax))` per sample and aggregate
+  *    `max_by(value, ts)` per (series, step). At 100 TB the naive
+  *    `samples × steps` theta-join is quadratic and unshuffleable; this
+  *    fan-out is linear in samples with a small constant (lookback/step) and
+  *    aggregates with ordinary partial/final hash aggregation.
+  */
+object Eval {
+  val DefaultLookbackMs: Long = 300000L // 5m, ref cmd/serve.go:102
+
+  private val labelCols = TimeSeriesModel.labelNames.map(col)
+
+  /** Raw select: time-interval predicate (ref `internal/util/interval.go:8-21`)
+    * + matcher predicates; both push down to the Parquet scan. */
+  def select(samples: DataFrame, matchers: Seq[LabelMatcher],
+             mintMs: Long, maxtMs: Long): DataFrame =
+    samples.filter(col("ts_ms").between(mintMs, maxtMs) &&
+      Matchers.compile(samples, matchers))
+
+  /** Instant vector: last sample per series in (t−lookback, t]. */
+  def instantVector(samples: DataFrame, matchers: Seq[LabelMatcher],
+                    tMs: Long, lookbackMs: Long = DefaultLookbackMs): DataFrame =
+    samples
+      .filter(col("ts_ms") > tMs - lookbackMs && col("ts_ms") <= tMs &&
+        Matchers.compile(samples, matchers))
+      .groupBy(col("series_hash") +: labelCols: _*)
+      .agg(max_by(col("value"), col("ts_ms")).as("value"),
+           max(col("ts_ms")).as("ts_ms"))
+
+  /** floor division for possibly-negative numerators (Spark's integer division
+    * truncates toward zero; the grid index math needs floor semantics). */
+  private def floorDiv(a: org.apache.spark.sql.Column, b: Long) =
+    ((a - pmod(a, lit(b))) / b).cast("long")
+
+  /** Range query: instant-vector semantics evaluated at every grid step
+    * `start + k*step <= end`. Output: one row per (series, step) that has at
+    * least one sample in its lookback window. */
+  def rangeVectors(samples: DataFrame, matchers: Seq[LabelMatcher],
+                   startMs: Long, endMs: Long, stepMs: Long,
+                   lookbackMs: Long = DefaultLookbackMs): DataFrame = {
+    val nSteps = (endMs - startMs) / stepMs // max k
+    val base = samples.filter(
+      col("ts_ms") > startMs - lookbackMs && col("ts_ms") <= endMs &&
+        Matchers.compile(samples, matchers))
+    // sample at ts serves step s iff ts <= s < ts + lookback
+    val kMin = greatest(floorDiv(col("ts_ms") - startMs + stepMs - 1, stepMs), lit(0L))
+    val kMax = least(floorDiv(col("ts_ms") - startMs + lookbackMs - 1, stepMs), lit(nSteps))
+    base
+      .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
+        .otherwise(array().cast("array<long>"))))
+      .withColumn("step_ms", lit(startMs) + col("k") * stepMs)
+      .groupBy(col("series_hash") +: col("step_ms") +: labelCols: _*)
+      .agg(max_by(col("value"), col("ts_ms")).as("value"))
+  }
+}

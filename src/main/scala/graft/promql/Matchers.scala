@@ -1,0 +1,81 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PromQL label matchers compiled to Catalyst predicates.
+  *
+  * The reference compiles matchers to page-pruned Parquet constraints
+  * (`search/constraint.go:32-67`); on Spark the same matchers become `Column`
+  * predicates that Catalyst pushes into the vectorized Parquet scan
+  * (row-group + page-index + bloom + dictionary pruning are built in).
+  *
+  * Semantics preserved from the reference:
+  *  - missing label ≡ "" — a matcher on a NULL cell, or on a label column that
+  *    does not exist in the schema at all, evaluates against ""
+  *    (`search/constraint.go:133-138,177-182`, `search/search.go:106-113`);
+  *  - `=~` / `!~` are fully anchored (RE2 `^(?:re)$`) — we anchor explicitly;
+  *  - a regex that is a plain literal alternation `a|b|c` is rewritten to a
+  *    set match (`search/constraint.go:45-49`) → `isin(...)`, which Catalyst's
+  *    `OptimizeIn` and the Parquet reader can push down (plain `rlike` cannot
+  *    be pushed).
+  */
+sealed trait LabelMatcher {
+  def label: String
+  /** Compile to a Catalyst predicate over the given samples/series view. */
+  def toPredicate(df: DataFrame): Column
+}
+
+final case class MatchEq(label: String, value: String) extends LabelMatcher {
+  def toPredicate(df: DataFrame): Column = Matchers.labelValue(df, label) === value
+}
+
+final case class MatchNotEq(label: String, value: String) extends LabelMatcher {
+  def toPredicate(df: DataFrame): Column = Matchers.labelValue(df, label) =!= value
+}
+
+final case class MatchRe(label: String, pattern: String) extends LabelMatcher {
+  def toPredicate(df: DataFrame): Column =
+    Matchers.regexPredicate(df, label, pattern, negate = false)
+}
+
+final case class MatchNotRe(label: String, pattern: String) extends LabelMatcher {
+  def toPredicate(df: DataFrame): Column =
+    Matchers.regexPredicate(df, label, pattern, negate = true)
+}
+
+object Matchers {
+
+  /** Missing label ≡ NULL ≡ "": unknown columns fold to the constant "",
+    * which Catalyst then constant-folds through the whole predicate —
+    * the analog of the reference vetoing/consuming matchers on absent
+    * columns before the scan (`search/search.go:356-376`). */
+  def labelValue(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) coalesce(col(name), lit("")) else lit("")
+
+  /** Literal alternation detector: `a|b|c` with no other regex metacharacters.
+    * Mirrors the reference's set-match extraction (`search/constraint.go:45-49`,
+    * via Prometheus' `FastRegexMatcher.SetMatches`). */
+  private val meta = ".+*?()[]{}^$\\".toSet
+  def setMatches(pattern: String): Option[Seq[String]] = {
+    if (pattern.isEmpty) None
+    else if (pattern.forall(c => !meta.contains(c))) Some(pattern.split('|').toSeq)
+    else None
+  }
+
+  def regexPredicate(df: DataFrame, label: String, pattern: String,
+                     negate: Boolean): Column = {
+    val v = labelValue(df, label)
+    val pos = setMatches(pattern) match {
+      case Some(values) => v.isin(values: _*)                 // pushdown-friendly IN
+      case None         => v.rlike("^(?:" + pattern + ")$")   // anchored, RE2-style
+    }
+    if (negate) !pos else pos
+  }
+
+  /** AND of all matchers — the reference evaluates cheapest (sorted-column)
+    * constraints first (`search/constraint.go:78-104`); with Catalyst, filter
+    * ordering is the optimizer's job and data layout does the pruning. */
+  def compile(df: DataFrame, matchers: Seq[LabelMatcher]): Column =
+    matchers.map(_.toPredicate(df)).reduceOption(_ && _).getOrElse(lit(true))
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+import graft.sources.Tables
+
+/** Relational coverage queries over the TPC-H-ish fixtures: scans with
+  * predicate/projection pushdown (SURVEY.md §2.1-2.2), joins incl. broadcast
+  * of small dimensions (§2.3), hash aggregation (§2.4), window functions
+  * (§2.5), sort/limit (§2.6), semi/anti joins (§2.7).
+  *
+  * Every query ends in a deterministic ORDER BY so results hash stably.
+  * Additive double aggregates go through [[Det]] for order-independence.
+  */
+object Relational {
+
+  private val DSUM_DISC =
+    "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)"
+
+  def entries: Seq[Q] = Seq(
+    Q("q1_agg", q1Agg _, Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_qty, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_base_price, " +
+        s"$DSUM_DISC AS sum_disc_price, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_charge, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(l_quantity) AS avg_qty, " +
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice) AS avg_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+    Q("q3_join_topn", q3JoinTopN _, Some(
+      "SELECT o_orderkey, o_orderdate, " +
+        s"$DSUM_DISC AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+    Q("q_broadcast_dims", qBroadcastDims _, Some(
+      "SELECT r_name, n_name, " +
+        s"$DSUM_DISC AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+    Q("q_window_running", qWindowRunning _, Some(
+      "WITH x AS (SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "row_number() OVER w AS rn, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) OVER " +
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty " +
+        "FROM lineitem WHERE l_suppkey <= 5 " +
+        "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)) " +
+        "SELECT l_suppkey, l_orderkey, l_linenumber, rn, running_qty FROM x " +
+        "ORDER BY l_suppkey, rn")),
+    Q("q_sort_limit", qSortLimit _, Some(
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 15")),
+    Q("q_semi_join", qSemiJoin _, Some(
+      "SELECT o_orderstatus, count(*) AS n_orders, " +
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_price " +
+        "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_quantity >= 45) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+    Q("q_anti_join", qAntiJoin _, Some(
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"))
+  )
+
+  /** Pricing-summary aggregation (TPC-H Q1 shape): scan + pushed filter +
+    * 2-phase hash agg. */
+  def q1Agg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Shipping-priority top-N (TPC-H Q3 shape): 3-way join, agg, top-10.
+    * Join keys are the natural distribution keys; AQE picks the join strategy. */
+  def q3JoinTopN(t: Tables): DataFrame = {
+    val cutoff = lit("1996-06-30").cast("timestamp")
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join with explicitly broadcast small dimensions (region/nation/
+    * supplier fit in memory at any scale — at 100 TB the fact table streams,
+    * the dims broadcast; no fact-side shuffle before the agg). */
+  def qBroadcastDims(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Window function: per-supplier running revenue ordered by ship date.
+    * Shuffles once by supplier; sort within partition only. */
+  def qWindowRunning(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t.lineitem
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity").cast(Det.dec).as("qty_dec"))
+      .withColumn("running_qty",
+        sum(col("qty_dec")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("rn"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Global top-K by sort+limit — Spark plans TakeOrderedAndProject (per
+    * partition top-K, then K-way driver merge: no global sort at scale). */
+  def qSortLimit(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** EXISTS → left-semi join: orders having any high-quantity line. */
+  def qSemiJoin(t: Tables): DataFrame =
+    t.orders
+      .join(t.lineitem.filter(col("l_quantity") >= 45).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** NOT EXISTS → left-anti join: customers with no orders. */
+  def qAntiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+}

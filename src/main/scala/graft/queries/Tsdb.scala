@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+import graft.model.TimeSeriesModel
+import graft.promql._
+import graft.sources.Tables
+
+/** PromQL-surface queries over the events fixture mapped onto the TSDB model
+  * (SURVEY.md §2.2-2.8). Each entry demonstrates one reference operator as an
+  * idiomatic Spark plan, with a DuckDB oracle expressing identical semantics.
+  *
+  * Time constants: events span 2024-01 UTC; instants/grids below are chosen so
+  * every series has samples in window at all scale factors.
+  */
+object Tsdb {
+
+  private val DAY  = 86400000L
+  private val T0   = 1704067200000L            // 2024-01-01T00:00:00Z
+  private val TI   = T0 + 14 * DAY             // instant-query time
+  private val LB   = DAY                       // lookback for the sparse fixture
+
+  private def samples(t: Tables): DataFrame = TimeSeriesModel.samples(t.events)
+  private val labels = Seq(col("__name__"), col("uid"))
+
+  /** Instant vector at TI with 24h lookback, engine-internal cols dropped. */
+  private def instant(t: Tables, ms: Seq[LabelMatcher] = Nil): DataFrame =
+    Eval.instantVector(samples(t), ms, TI, LB)
+      .select(col("__name__"), col("uid"), col("value"), col("ts_ms"))
+
+  // ---- shared oracle fragments -------------------------------------------
+  private val S_CTE =
+    "s AS (SELECT event_type AS __name__, CAST(user_id AS VARCHAR) AS uid, " +
+      "epoch_ms(ts) AS ts_ms, value, event_id AS sample_id FROM events)"
+  private def vCte(tms: Long = TI, lb: Long = LB) =
+    s"v AS (SELECT __name__, uid, max_by(value, ts_ms) AS value, max(ts_ms) AS ts_ms " +
+      s"FROM s WHERE ts_ms > ${tms - lb} AND ts_ms <= $tms GROUP BY __name__, uid)"
+  private val DSUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)"
+
+  def entries: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------ P1/P2
+    Q("p1_matchers_select",
+      t => Eval.select(samples(t),
+          Seq(MatchEq("__name__", "purchase"), MatchNotEq("uid", "3")),
+          T0, T0 + 31 * DAY)
+        .select(col("sample_id"), col("__name__"), col("uid"), col("ts_ms"), col("value"))
+        .orderBy(col("sample_id")),
+      Some(s"WITH $S_CTE SELECT sample_id, __name__, uid, ts_ms, value FROM s " +
+        "WHERE __name__ = 'purchase' AND uid <> '3' " +
+        s"AND ts_ms BETWEEN $T0 AND ${T0 + 31 * DAY} ORDER BY sample_id")),
+
+    // missing label ≡ "": matchers on a nonexistent column are tautologies
+    Q("p2_missing_label_semantics",
+      t => samples(t)
+        .filter(Matchers.compile(samples(t), Seq(
+          MatchEq("env", ""), MatchNotEq("env", "prod"), MatchRe("uid", ".+"))))
+        .groupBy(col("__name__")).agg(count(lit(1)).as("n"))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE SELECT __name__, count(*) AS n FROM s " +
+        "WHERE regexp_full_match(uid, '.+') GROUP BY __name__ ORDER BY __name__")),
+
+    // ------------------------------------------------------------------ P3/P4
+    Q("p3_regex_anchored",
+      t => samples(t)
+        .filter(Matchers.compile(samples(t), Seq(MatchRe("__name__", "p.*|cl.*"))))
+        .groupBy(col("__name__")).agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM s " +
+        "WHERE regexp_full_match(__name__, 'p.*|cl.*') GROUP BY __name__ ORDER BY __name__")),
+
+    Q("p3_regex_setmatch",  // literal alternation → IN (pushdown-friendly)
+      t => samples(t)
+        .filter(Matchers.compile(samples(t), Seq(MatchRe("__name__", "click|view"))))
+        .groupBy(col("__name__")).agg(count(lit(1)).as("n"))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE SELECT __name__, count(*) AS n FROM s " +
+        "WHERE __name__ IN ('click','view') GROUP BY __name__ ORDER BY __name__")),
+
+    Q("p4_negated_matchers",
+      t => samples(t)
+        .filter(Matchers.compile(samples(t),
+          Seq(MatchNotRe("uid", "1.*"), MatchNotEq("__name__", "error"))))
+        .groupBy(col("__name__"), col("uid")).agg(count(lit(1)).as("n"))
+        .orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE SELECT __name__, uid, count(*) AS n FROM s " +
+        "WHERE NOT regexp_full_match(uid, '1.*') AND __name__ <> 'error' " +
+        "GROUP BY __name__, uid ORDER BY __name__, uid")),
+
+    // ------------------------------------------------------------------ P10
+    // external labels are per-stream constants: matcher is consumed
+    // (constant-folded) and the label re-attached to output
+    Q("p10_external_label_fold",
+      t => samples(t).withColumn("cluster", lit("us-east"))
+        .filter(col("cluster") === "us-east")
+        .groupBy(col("__name__"), col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE SELECT __name__, 'us-east' AS cluster, count(*) AS n " +
+        "FROM s WHERE 'us-east' = 'us-east' GROUP BY __name__ ORDER BY __name__")),
+
+    Q("p10_external_label_veto",  // non-matching external matcher vetoes scan
+      t => samples(t).withColumn("cluster", lit("us-east"))
+        .filter(col("cluster") === "eu-west")
+        .select(col("__name__"), col("uid"), col("value")),
+      Some(s"WITH $S_CTE SELECT __name__, uid, value FROM s WHERE 'us-east' = 'eu-west'")),
+
+    // ------------------------------------------------------------------ P7/P11
+    Q("p11_time_interval",
+      t => Eval.select(samples(t), Nil, T0 + 7 * DAY, T0 + 14 * DAY - 1)
+        .groupBy(labels: _*)
+        .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("min_ts"),
+          max(col("ts_ms")).as("max_ts"), Det.dsum(col("value")).as("sum_v"))
+        .orderBy(labels: _*),
+      Some(s"WITH $S_CTE SELECT __name__, uid, count(*) AS n, min(ts_ms) AS min_ts, " +
+        s"max(ts_ms) AS max_ts, $DSUM AS sum_v FROM s " +
+        s"WHERE ts_ms BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} " +
+        "GROUP BY __name__, uid ORDER BY __name__, uid")),
+
+    // ------------------------------------------------------------------ J1
+    // labels↔samples join on series_hash: the positional two-file join is an
+    // artifact of the reference layout; here it is a broadcast hash join
+    Q("j1_series_samples_join",
+      t => {
+        val se = TimeSeriesModel.series(t.events)
+        val sa = samples(t).select(col("series_hash"), col("value"))
+        broadcast(se).join(sa, "series_hash")
+          .groupBy(labels: _*)
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(labels: _*)
+      },
+      Some(s"WITH $S_CTE SELECT __name__, uid, count(*) AS n, $DSUM AS sum_v " +
+        "FROM s GROUP BY __name__, uid ORDER BY __name__, uid")),
+
+    // ------------------------------------------------------------------ J4/W4
+    Q("j4_instant_lookback",
+      t => instant(t).orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, uid, value, ts_ms FROM v " +
+        "ORDER BY __name__, uid")),
+
+    Q("w4_range_grid", {
+      val (start, end, step, lb) = (T0 + 9 * DAY, T0 + 19 * DAY, 21600000L, 43200000L)
+      (t: Tables) => Eval.rangeVectors(samples(t), Nil, start, end, step, lb)
+        .select(col("__name__"), col("uid"), col("step_ms"), col("value"))
+        .orderBy(col("__name__"), col("uid"), col("step_ms"))
+      },
+      Some {
+        val (start, end, step, lb) = (T0 + 9 * DAY, T0 + 19 * DAY, 21600000L, 43200000L)
+        s"WITH $S_CTE, g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms) " +
+          "SELECT s.__name__, s.uid, g.step_ms, max_by(s.value, s.ts_ms) AS value " +
+          s"FROM s JOIN g ON s.ts_ms > g.step_ms - $lb AND s.ts_ms <= g.step_ms " +
+          "GROUP BY s.__name__, s.uid, g.step_ms ORDER BY s.__name__, s.uid, g.step_ms"
+      }),
+
+    // ------------------------------------------------------------------ A7
+    Q("a7_rate_family",
+      t => RangeFunctions.rateFamily(samples(t), DAY)
+        .orderBy(col("__name__"), col("uid"), col("win_ms")),
+      Some(s"WITH $S_CTE, " +
+        "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM s " +
+        "WINDOW w AS (PARTITION BY __name__, uid ORDER BY ts_ms, sample_id)), " +
+        s"b AS (SELECT *, ts_ms - (ts_ms % $DAY) AS win_ms, " +
+        s"(prev_ts IS NOT NULL AND prev_ts - (prev_ts % $DAY) = ts_ms - (ts_ms % $DAY)) AS same_win FROM p), " +
+        "g AS (SELECT __name__, uid, win_ms, count(*) AS n_samples, " +
+        "min(ts_ms) AS first_ts, max(ts_ms) AS last_ts, " +
+        "min_by(value, ts_ms) AS first_val, max_by(value, ts_ms) AS last_val, " +
+        "CAST(CAST(SUM(CAST(CASE WHEN same_win AND value < prev_val THEN prev_val ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets, " +
+        "max_by(value - prev_val, ts_ms) FILTER (WHERE same_win) AS idelta " +
+        "FROM b GROUP BY __name__, uid, win_ms) " +
+        "SELECT __name__, uid, win_ms, n_samples, last_val - first_val AS delta, " +
+        "last_val - first_val + resets AS increase, " +
+        "CASE WHEN n_samples >= 2 THEN (last_val - first_val + resets) / (CAST(last_ts - first_ts AS DOUBLE) / 1000.0e0) END AS rate, " +
+        "idelta FROM g ORDER BY __name__, uid, win_ms")),
+
+    Q("a7_over_time",
+      t => RangeFunctions.overTime(samples(t), DAY)(
+          "n" -> RangeFunctions.countOverTime(col("value")),
+          "sum_v" -> RangeFunctions.sumOverTime(col("value")),
+          "avg_v" -> RangeFunctions.avgOverTime(col("value")),
+          "min_v" -> RangeFunctions.minOverTime(col("value")),
+          "max_v" -> RangeFunctions.maxOverTime(col("value")),
+          "stddev_v" -> RangeFunctions.stddevOverTime(col("value")),
+          "first_v" -> RangeFunctions.firstOverTime(col("value"), col("ts_ms")),
+          "last_v" -> RangeFunctions.lastOverTime(col("value"), col("ts_ms")))
+        .select(col("__name__"), col("uid"), col("win_ms"), col("n"), col("sum_v"),
+          col("avg_v"), col("min_v"), col("max_v"), col("stddev_v"),
+          col("first_v"), col("last_v"))
+        .orderBy(col("__name__"), col("uid"), col("win_ms")),
+      Some(s"WITH $S_CTE, b AS (SELECT *, ts_ms - (ts_ms % $DAY) AS win_ms FROM s) " +
+        "SELECT __name__, uid, win_ms, count(value) AS n, " +
+        s"$DSUM AS sum_v, $DSUM / count(value) AS avg_v, " +
+        "min(value) AS min_v, max(value) AS max_v, " +
+        "CASE WHEN count(value) > 0 THEN sqrt(greatest(0.0, " +
+        "(CAST(CAST(SUM(CAST(value*value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) " +
+        s"- $DSUM * $DSUM / count(value)) / count(value))) END AS stddev_v, " +
+        "min_by(value, ts_ms) AS first_v, max_by(value, ts_ms) AS last_v " +
+        "FROM b GROUP BY __name__, uid, win_ms ORDER BY __name__, uid, win_ms")),
+
+    // ------------------------------------------------------------------ A6
+    Q("a6_agg_by",
+      t => Aggregations.aggregate(instant(t), Seq(col("__name__")))(
+          "sum_v" -> Aggregations.sumAgg(col("value")),
+          "avg_v" -> Aggregations.avgAgg(col("value")),
+          "min_v" -> Aggregations.minAgg(col("value")),
+          "max_v" -> Aggregations.maxAgg(col("value")),
+          "n" -> Aggregations.countAgg(col("value")),
+          "stddev_v" -> Aggregations.stddevAgg(col("value")),
+          "stdvar_v" -> Aggregations.stdvarAgg(col("value")))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, $DSUM AS sum_v, " +
+        s"$DSUM / count(value) AS avg_v, min(value) AS min_v, max(value) AS max_v, " +
+        "count(value) AS n, " +
+        "CASE WHEN count(value) > 0 THEN sqrt(greatest(0.0, (CAST(CAST(SUM(CAST(value*value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) " +
+        s"- $DSUM * $DSUM / count(value)) / count(value))) END AS stddev_v, " +
+        "CASE WHEN count(value) > 0 THEN greatest(0.0, (CAST(CAST(SUM(CAST(value*value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) " +
+        s"- $DSUM * $DSUM / count(value)) / count(value)) END AS stdvar_v " +
+        "FROM v GROUP BY __name__ ORDER BY __name__")),
+
+    Q("a6_topk",
+      t => Aggregations.topk(instant(t).select(col("__name__"), col("uid"), col("value")),
+          3, Seq(col("__name__")), Seq(col("uid")))
+        .orderBy(col("__name__"), col("value").desc, col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, uid, value FROM v " +
+        "QUALIFY row_number() OVER (PARTITION BY __name__ ORDER BY value DESC, uid) <= 3 " +
+        "ORDER BY __name__, value DESC, uid")),
+
+    Q("a6_quantile",
+      t => Aggregations.quantile(instant(t).select(col("__name__"), col("value")),
+          0.9e0, Seq(col("__name__")))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE, ${vCte()}, r AS (SELECT __name__, value, " +
+        "row_number() OVER (PARTITION BY __name__ ORDER BY value) - 1 AS rn, " +
+        "count(*) OVER (PARTITION BY __name__) AS n FROM v) " +
+        "SELECT __name__, min_by(value, rn) + (0.9e0*(n-1) - floor(0.9e0*(n-1))) * " +
+        "(max_by(value, rn) - min_by(value, rn)) AS value FROM r " +
+        "WHERE rn = CAST(floor(0.9e0*(n-1)) AS BIGINT) OR rn = CAST(floor(0.9e0*(n-1)) AS BIGINT) + 1 " +
+        "GROUP BY __name__, n ORDER BY __name__")),
+
+    // ------------------------------------------------------------------ J3
+    Q("j3_binop_ratio",
+      t => BinaryOps.binop(
+          instant(t, Seq(MatchEq("__name__", "purchase"))).select(col("uid"), col("value")),
+          instant(t, Seq(MatchEq("__name__", "view"))).select(col("uid"), col("value")),
+          on = Seq("uid"))(_ / _)
+        .select(col("uid"), col("value"))
+        .orderBy(col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()}, " +
+        "p AS (SELECT uid, value FROM v WHERE __name__ = 'purchase'), " +
+        "w AS (SELECT uid, value FROM v WHERE __name__ = 'view') " +
+        "SELECT p.uid, p.value / w.value AS value FROM p JOIN w USING (uid) ORDER BY uid")),
+
+    // ------------------------------------------------------------------ U3
+    Q("u3_and",
+      t => BinaryOps.and(
+          instant(t, Seq(MatchEq("__name__", "purchase"))).select(col("uid"), col("value")),
+          instant(t, Seq(MatchEq("__name__", "error"))).select(col("uid")),
+          on = Seq("uid"))
+        .orderBy(col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT uid, value FROM v WHERE __name__ = 'purchase' " +
+        "AND uid IN (SELECT uid FROM v WHERE __name__ = 'error') ORDER BY uid")),
+
+    Q("u3_unless",
+      t => BinaryOps.unless(
+          instant(t, Seq(MatchEq("__name__", "purchase"))).select(col("uid"), col("value")),
+          instant(t, Seq(MatchEq("__name__", "error"))).select(col("uid")),
+          on = Seq("uid"))
+        .orderBy(col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT uid, value FROM v WHERE __name__ = 'purchase' " +
+        "AND uid NOT IN (SELECT uid FROM v WHERE __name__ = 'error') ORDER BY uid")),
+
+    Q("u3_or",
+      t => BinaryOps.or(
+          instant(t, Seq(MatchEq("__name__", "purchase"))).select(col("__name__"), col("uid"), col("value")),
+          instant(t, Seq(MatchEq("__name__", "error"))).select(col("__name__"), col("uid"), col("value")),
+          on = Seq("uid"))
+        .orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} " +
+        "SELECT __name__, uid, value FROM v WHERE __name__ = 'purchase' " +
+        "UNION ALL SELECT __name__, uid, value FROM v WHERE __name__ = 'error' " +
+        "AND uid NOT IN (SELECT uid FROM v WHERE __name__ = 'purchase') " +
+        "ORDER BY __name__, uid")),
+
+    // ------------------------------------------------------------------ U2/A1
+    Q("u2_union_matchsets",  // match[] = OR of matcher sets, dedup by sample id
+      t => {
+        val a = Eval.select(samples(t), Seq(MatchRe("__name__", "p.*")), T0, T0 + 31 * DAY)
+        val b = Eval.select(samples(t), Seq(MatchEq("uid", "3")), T0, T0 + 31 * DAY)
+        a.unionByName(b).dropDuplicates("sample_id")
+          .groupBy(col("__name__")).agg(count(lit(1)).as("n"))
+          .orderBy(col("__name__"))
+      },
+      Some(s"WITH $S_CTE SELECT __name__, count(*) AS n FROM s " +
+        "WHERE regexp_full_match(__name__, 'p.*') OR uid = '3' " +
+        "GROUP BY __name__ ORDER BY __name__")),
+
+    Q("a1_dedup_counts",
+      t => {
+        val nSamples = samples(t).dropDuplicates("series_hash", "ts_ms")
+          .agg(count(lit(1)).as("n_samples"))
+        val nSeries = TimeSeriesModel.series(t.events).agg(count(lit(1)).as("n_series"))
+        nSamples.crossJoin(nSeries)
+      },
+      Some("SELECT (SELECT count(*) FROM (SELECT DISTINCT event_type, user_id, epoch_ms(ts) FROM events) a) AS n_samples, " +
+        "(SELECT count(DISTINCT (event_type, user_id)) FROM events) AS n_series")),
+
+    // ------------------------------------------------------------------ A3/A4
+    Q("a3_label_values",
+      t => Eval.select(samples(t), Seq(MatchEq("__name__", "purchase")), T0, T0 + 31 * DAY)
+        .select(col("uid")).distinct().orderBy(col("uid")).limit(100),
+      Some("SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events " +
+        "WHERE event_type = 'purchase' ORDER BY uid LIMIT 100")),
+
+    Q("a4_label_names",
+      t => {
+        val m = samples(t).filter(Matchers.compile(samples(t), Seq(MatchEq("uid", "3"))))
+        m.agg(count(col("__name__")).as("c1"), count(col("uid")).as("c2"))
+          .select(explode(array(
+            struct(lit("__name__").as("label"), col("c1").as("c")),
+            struct(lit("uid").as("label"), col("c2").as("c")))).as("x"))
+          .select(col("x.label").as("label"), col("x.c").as("c"))
+          .filter(col("c") > 0).select(col("label")).orderBy(col("label"))
+      },
+      Some("SELECT label FROM (SELECT '__name__' AS label, count(event_type) AS c FROM events WHERE user_id = 3 " +
+        "UNION ALL SELECT 'uid', count(user_id) FROM events WHERE user_id = 3) t " +
+        "WHERE c > 0 ORDER BY label")),
+
+    // ------------------------------------------------------------------ O1-O4
+    Q("o3_series_limit",
+      t => TimeSeriesModel.series(t.events)
+        .select(col("__name__"), col("uid"))
+        .orderBy(col("__name__"), col("uid")).limit(20),
+      Some("SELECT DISTINCT event_type AS __name__, CAST(user_id AS VARCHAR) AS uid " +
+        "FROM events ORDER BY 1, 2 LIMIT 20")),
+
+    // ------------------------------------------------------------------ §2.8
+    Q("f_math_scalar",
+      t => instant(t)
+        .select(col("__name__"), col("uid"),
+          abs(col("value") - 100.0).as("abs_v"),
+          ceil(col("value")).as("ceil_v"),
+          floor(col("value")).as("floor_v"),
+          sqrt(col("value")).as("sqrt_v"),
+          least(greatest(col("value"), lit(10.0)), lit(100.0)).as("clamp_v"),
+          round(log(col("value") + 1.0), 4).as("ln_v"))
+        .orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, uid, abs(value - 100.0) AS abs_v, " +
+        "ceil(value) AS ceil_v, floor(value) AS floor_v, sqrt(value) AS sqrt_v, " +
+        "least(greatest(value, 10.0), 100.0) AS clamp_v, round(ln(value + 1.0), 4) AS ln_v " +
+        "FROM v ORDER BY __name__, uid")),
+
+    Q("f_label_replace_join",
+      t => instant(t)
+        .withColumn("tier",
+          when(col("uid").rlike("^(?:(\\d+))$"),
+            regexp_replace(col("uid"), "^(?:(\\d+))$", "t-$1")).otherwise(lit("")))
+        .withColumn("joined", concat_ws("/", col("__name__"), col("uid")))
+        .select(col("__name__"), col("uid"), col("tier"), col("joined"), col("value"))
+        .orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, uid, " +
+        "CASE WHEN regexp_full_match(uid, '(\\d+)') " +
+        "THEN regexp_replace(uid, '^(?:(\\d+))$', 't-\\1') ELSE '' END AS tier, " +
+        "__name__ || '/' || uid AS joined, value FROM v ORDER BY __name__, uid")),
+
+    Q("f_histogram_quantile", {
+      val les = Seq(50.0, 100.0, 200.0)
+      (t: Tables) => {
+        val leCol = explode(array((les.map(lit) :+ lit(Double.PositiveInfinity)): _*))
+        val buck = samples(t).select(col("__name__"), col("value"))
+          .withColumn("le", leCol)
+          .groupBy(col("__name__"), col("le"))
+          .agg(count(when(col("value") <= col("le"), 1)).as("cum"))
+        val w = Window.partitionBy(col("__name__")).orderBy(col("le"))
+        val b = buck
+          .withColumn("lo_le", lag(col("le"), 1, 0.0).over(w))
+          .withColumn("lo_cum", lag(col("cum"), 1, 0L).over(w))
+          .withColumn("total", max(col("cum")).over(Window.partitionBy(col("__name__"))))
+        b.filter(col("cum") >= lit(0.9e0) * col("total"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("__name__"),
+            when(col("le") === Double.PositiveInfinity, col("lo_le"))
+              .otherwise(col("lo_le") + (col("le") - col("lo_le")) *
+                (lit(0.9e0) * col("total") - col("lo_cum")) / (col("cum") - col("lo_cum")))
+              .as("value"))
+          .orderBy(col("__name__"))
+      }},
+      Some(s"WITH $S_CTE, " +
+        "buck AS (SELECT __name__, le, count(CASE WHEN value <= le THEN 1 END) AS cum " +
+        "FROM s CROSS JOIN (SELECT UNNEST([50.0, 100.0, 200.0, 'infinity'::DOUBLE]) AS le) l " +
+        "GROUP BY __name__, le), " +
+        "b AS (SELECT __name__, le, cum, " +
+        "lag(le, 1, 0.0) OVER (PARTITION BY __name__ ORDER BY le) AS lo_le, " +
+        "lag(cum, 1, 0) OVER (PARTITION BY __name__ ORDER BY le) AS lo_cum, " +
+        "max(cum) OVER (PARTITION BY __name__) AS total FROM buck), " +
+        "sel AS (SELECT *, row_number() OVER (PARTITION BY __name__ ORDER BY le) AS rk " +
+        "FROM b WHERE cum >= 0.9e0*total) " +
+        "SELECT __name__, CASE WHEN isinf(le) THEN lo_le ELSE lo_le + (le - lo_le) * " +
+        "(0.9e0*total - lo_cum) / (cum - lo_cum) END AS value FROM sel WHERE rk = 1 " +
+        "ORDER BY __name__")),
+
+    // ------------------------------------------------------------------ W1
+    Q("w1_8h_windows",
+      t => samples(t)
+        .withColumn("day", ((col("ts_ms") - pmod(col("ts_ms"), lit(DAY))) / DAY).cast("long"))
+        .withColumn("win8", floor(pmod(col("ts_ms"), lit(DAY)) / lit(28800000.0)).cast("long"))
+        .groupBy(col("__name__"), col("uid"), col("day"), col("win8"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+        .orderBy(col("__name__"), col("uid"), col("day"), col("win8")),
+      Some(s"WITH $S_CTE SELECT __name__, uid, " +
+        s"CAST((ts_ms - ts_ms % $DAY) / $DAY AS BIGINT) AS day, " +
+        s"CAST(floor((ts_ms % $DAY) / 28800000.0) AS BIGINT) AS win8, " +
+        s"count(*) AS n, $DSUM AS sum_v FROM s " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"))
+  )
+}
