@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -91,6 +93,170 @@ object Pipeline {
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, " +
         h48Sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))") + " AS fp " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    // -------------------------------------------------- dedup: MinHash + LSH
+    Q("dd_minhash_sig",
+      t => TextOps.minhashSignature(t.documents).orderBy(col("doc_id")),
+      Some(s"WITH ${TextOps.minhashSigSql} SELECT * FROM sig ORDER BY doc_id")),
+
+    Q("dd_minhash_lsh",  // band-bucket candidates, then exact-jaccard verify
+      t => {
+        val bands = TextOps.lshBands(TextOps.minhashSignature(t.documents))
+        val cands = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+        val sets = TextOps.shingleSets(t.documents).select(col("doc_id"), col("s"))
+        val j = TextOps.jaccard(col("s1"), col("s2"))
+        cands
+          .join(sets.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
+          .join(sets.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+          .withColumn("jacc", j).filter(col("jacc") >= 0.5e0)
+          .select(col("id1"), col("id2"), col("jacc"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"WITH ${TextOps.minhashSigSql}, ${TextOps.lshBandsSql()}, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        s"sets AS (SELECT doc_id, ${TextOps.SHINGLES_D} AS s FROM documents) " +
+        s"SELECT id1, id2, ${TextOps.jaccardSql("x.s", "y.s")} AS jacc " +
+        "FROM cand JOIN sets x ON x.doc_id = id1 JOIN sets y ON y.doc_id = id2 " +
+        s"WHERE ${TextOps.jaccardSql("x.s", "y.s")} >= 0.5e0 ORDER BY id1, id2")),
+
+    // ---------------------------------------- dedup: blocked n-gram Jaccard
+    Q("dd_ngram_jaccard",  // exact pairwise within (lang, source) blocks
+      t => {
+        val sets = TextOps.shingleSets(t.documents)
+        val a = sets.select(col("lang"), col("source"), col("doc_id").as("id1"), col("s").as("s1"))
+        val b = sets.select(col("lang"), col("source"), col("doc_id").as("id2"), col("s").as("s2"))
+        a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
+          .withColumn("jacc", TextOps.jaccard(col("s1"), col("s2")))
+          .filter(col("jacc") >= 0.5e0)
+          .select(col("id1"), col("id2"), col("jacc"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"WITH sets AS (SELECT doc_id, lang, source, ${TextOps.SHINGLES_D} AS s FROM documents) " +
+        s"SELECT a.doc_id AS id1, b.doc_id AS id2, ${TextOps.jaccardSql("a.s", "b.s")} AS jacc " +
+        "FROM sets a JOIN sets b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        s"WHERE ${TextOps.jaccardSql("a.s", "b.s")} >= 0.5e0 ORDER BY id1, id2")),
+
+    // -------------------------------------------------------- dedup: SimHash
+    Q("dd_simhash",
+      t => TextOps.simhash(t.documents).orderBy(col("doc_id")),
+      Some(s"WITH ${TextOps.simhashSql} SELECT doc_id, simhash FROM sim ORDER BY doc_id")),
+
+    Q("dd_simhash_pairs",  // blocked hamming-distance near-dup candidates
+      t => {
+        val sig = TextOps.simhash(t.documents)
+          .join(t.documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        val a = sig.select(col("lang"), col("source"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        val b = sig.select(col("lang"), col("source"), col("doc_id").as("id2"), col("simhash").as("h2"))
+        a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
+          .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
+          .filter(col("dist") <= 10)
+          .select(col("id1"), col("id2"), col("dist"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(s"WITH ${TextOps.simhashSql}, " +
+        "sg AS (SELECT d.doc_id, d.lang, d.source, sim.simhash FROM documents d JOIN sim ON d.doc_id = sim.doc_id) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.simhash, b.simhash)) AS dist " +
+        "FROM sg a JOIN sg b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10 ORDER BY id1, id2")),
+
+    // ------------------------------------------- dedup: embedding near-dup
+    Q("dd_embed_cosine",
+      t => {
+        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
+        a.join(b, col("id1") < col("id2"))
+          .withColumn("cos", VectorOps.cosine("va", "vb"))
+          .filter(col("cos") >= 0.35e0)
+          .select(col("id1"), col("id2"), col("cos"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        s"SELECT a.vec_id AS id1, b.vec_id AS id2, ${VectorOps.cosineSql("a.v", "b.v")} AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        s"WHERE ${VectorOps.cosineSql("a.v", "b.v")} >= 0.35e0 ORDER BY id1, id2")),
+
+    // ------------------------------------------------- similarity search
+    Q("ss_brute_topk",  // exact cosine top-5 for query set vec_id < 10
+      t => {
+        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("va"))
+        val n = e.select(col("vec_id").as("nid"), col("v").as("vb"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        broadcast(q).join(n, col("qid") =!= col("nid"))
+          .withColumn("cos", VectorOps.cosine("va", "vb"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"), col("rk"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        s"SELECT q.vec_id AS qid, n.vec_id AS nid, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${VectorOps.cosineSql("q.v", "n.v")} DESC, n.vec_id) AS rk, " +
+        s"${VectorOps.cosineSql("q.v", "n.v")} AS cos " +
+        "FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id " +
+        s"QUALIFY rk <= 5 ORDER BY qid, rk")),
+
+    Q("ss_lsh_topk",  // hyperplane-LSH bucketed ANN: join only within bucket
+      t => {
+        val e = t.embeddings
+          .select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+          .withColumn("bucket", VectorOps.lshBucket("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("va"), col("bucket"))
+        val n = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        broadcast(q).join(n, Seq("bucket")).filter(col("qid") =!= col("nid"))
+          .withColumn("cos", VectorOps.cosine("va", "vb"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"), col("rk"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+        s"${VectorOps.lshBucketSql("embedding::DOUBLE[]")} AS bucket FROM embeddings) " +
+        s"SELECT q.vec_id AS qid, n.vec_id AS nid, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${VectorOps.cosineSql("q.v", "n.v")} DESC, n.vec_id) AS rk, " +
+        s"${VectorOps.cosineSql("q.v", "n.v")} AS cos " +
+        "FROM e q JOIN e n ON q.vec_id < 10 AND n.bucket = q.bucket AND n.vec_id <> q.vec_id " +
+        s"QUALIFY rk <= 5 ORDER BY qid, rk")),
+
+    // ------------------------------------------------- multimodal plumbing
+    // Opaque binary column + typed metadata; the real decoder is a STUB
+    // (deterministic byte-level features) because no image/audio codec ships
+    // in this environment — the Spark-side schema/plumbing is real.
+    Q("mm_binary_meta",
+      t => t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
+        .select(
+          col("doc_id"),
+          length(col("img_bytes")).as("byte_len"),
+          md5(col("img_bytes")).as("fp"),                      // STUB "decode"
+          hex(substring(col("img_bytes"), 1, 16)).as("thumb_hex"),
+          (lit(1) + pmod(length(col("img_bytes")), lit(640))).as("width"),
+          (lit(1) + pmod(length(col("img_bytes")) * 7, lit(480))).as("height"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS fp, " +
+        "hex(encode(substring(text, 1, 16))) AS thumb_hex, " +
+        "1 + octet_length(encode(text)) % 640 AS width, " +
+        "1 + (octet_length(encode(text)) * 7) % 480 AS height " +
+        "FROM documents ORDER BY doc_id")),
+
+    Q("mm_frame_sample",  // frame-sampling plumbing: stride-64 byte windows
+      t => t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
+        .withColumn("frame_no", explode(sequence(lit(0L),
+          greatest(floor((length(col("img_bytes")) - 8) / lit(64.0)).cast("long"), lit(0L)))))
+        .select(col("doc_id"), col("frame_no"),
+          expr("hex(substring(img_bytes, CAST(frame_no * 64 + 1 AS INT), 8))").as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_no")),
+      Some("WITH f AS (SELECT doc_id, text, unnest(range(0, " +
+        "greatest(CAST(floor((octet_length(encode(text)) - 8) / 64.0e0) AS BIGINT), 0) + 1)) AS frame_no " +
+        "FROM documents) " +
+        "SELECT doc_id, frame_no, hex(encode(substring(text, CAST(frame_no * 64 + 1 AS INT), 8))) AS frame_hex " +
+        "FROM f ORDER BY doc_id, frame_no"))
   )
 }
