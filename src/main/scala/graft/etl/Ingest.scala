@@ -1,0 +1,110 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.TimeSeriesModel
+
+/** The `convert` ETL analog (SURVEY.md §3.3, ref `convert/convert.go`):
+  * source samples → UTC-day partitions → vertical dedup → sorted, bloom'd,
+  * zstd parquet, with JSON meta sidecars (meta.pb analog).
+  *
+  * Layout (ref `schema/block.go:159-184` mapped per SURVEY.md §1.4):
+  * {{{
+  *   <out>/samples/date=YYYY-MM-DD/part-*.parquet   (flattened chunks file)
+  *   <out>/series/date=YYYY-MM-DD/part-*.parquet    (labels file analog)
+  *   <out>/meta/YYYY-MM-DD.json                     (meta.pb analog)
+  * }}}
+  *
+  * Scale design: `repartition(date)` gives one writer group per day (at 100 TB
+  * swap for `repartitionByRange(date, __name__)` so each day splits into many
+  * ~row-group-sized sorted files); `sortWithinPartitions(__name__, …)` is the
+  * reference's sorted-writer (`convert/convert.go:623-632`) — sorted files +
+  * bloom(__name__) + zstd is what makes matcher pushdown prune pages.
+  * Dynamic partition overwrite = idempotent per-day re-conversion
+  * (re-running a planned day replaces exactly that day, ref upload-by-path
+  * idempotency `cmd/convert.go:551-557`).
+  */
+object Ingest {
+
+  final case class DayMeta(date: String, version: Int, mintMs: Long, maxtMs: Long,
+                           nSeries: Long, nSamples: Long)
+
+  /** Convert selected (or all) UTC days of an events table into the layout.
+    * Returns per-day meta (also written as JSON sidecars). */
+  def convert(spark: SparkSession, events: DataFrame, outDir: String,
+              days: Option[Seq[String]] = None): Seq[DayMeta] = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val all = TimeSeriesModel.samples(events)
+      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+    val picked = days.map(ds => all.filter(col("date").isin(ds: _*))).getOrElse(all)
+
+    // vertical merge: dedup identical (series, ts) across source blocks
+    // (ref convert/merge.go:15-121) — deterministic winner by sample_id
+    val dedup = picked
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series_hash"), col("ts_ms")).orderBy(col("sample_id"))))
+      .filter(col("rn") === 1).drop("rn")
+
+    dedup
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("__name__"), col("uid"), col("ts_ms"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#__name__", "true")
+      .option("maxRecordsPerFile", 1000000L) // row-group-count analog
+      .parquet(s"$outDir/samples")
+
+    dedup.select(col("date"), col("__name__"), col("uid"), col("series_hash")).distinct()
+      .repartition(col("date"))
+      .sortWithinPartitions(col("date"), col("__name__"), col("uid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#__name__", "true")
+      .parquet(s"$outDir/series")
+
+    val metas = dedup.groupBy(col("date")).agg(
+        min(col("ts_ms")).as("mint"), max(col("ts_ms")).as("maxt"),
+        count(lit(1)).as("n_samples"),
+        count_distinct(col("series_hash")).as("n_series"))
+      .collect()
+      .map(r => DayMeta(r.getString(0), version = 1, r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(3)))
+      .sortBy(_.date)
+    Files.createDirectories(Paths.get(s"$outDir/meta"))
+    metas.foreach { m =>
+      Files.writeString(Paths.get(s"$outDir/meta/${m.date}.json"),
+        s"""{"version":${m.version},"date":"${m.date}","mint":${m.mintMs},""" +
+          s""""maxt":${m.maxtMs},"n_series":${m.nSeries},"n_samples":${m.nSamples}}""")
+    }
+    metas.toSeq
+  }
+
+  /** Discovery analog (ref `locate/discover.go`): list converted days from
+    * the meta sidecars (driver-side catalog refresh). */
+  def discoverDays(outDir: String): Seq[String] = {
+    val meta = Paths.get(s"$outDir/meta")
+    if (!Files.isDirectory(meta)) Seq.empty
+    else {
+      val s = Files.list(meta)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.getFileName.toString).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Query-side open: partition-pruned reads over the converted layout. */
+  def openSamples(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/samples")
+  def openSeries(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/series")
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.examples
+
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.etl.{Ingest, Planner, Retention}
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** End-to-end ETL walkthrough over the sf0.001 fixture: convert → discover →
+  * partition-pruned query → plan → retention → streaming ingest.
+  * `runMain graft.examples.EtlDemo [sfDir]` — prints one DRIVE line per step. */
+object EtlDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-etl-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = Tables(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft-etl-demo").toString
+
+    val metas = Ingest.convert(spark, t.events, out)
+    println(s"DRIVE convert: ${metas.size} days, first=${metas.head}")
+    println(s"DRIVE discover: ${Ingest.discoverDays(out).size} days")
+
+    val back = Ingest.openSamples(spark, out)
+    println(s"DRIVE roundtrip rows: ${back.count()} vs ${t.events.count()}")
+    val pruned = back.filter(col("date") === metas.head.date)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    println("DRIVE pruning: " + planStr.linesIterator
+      .filter(_.contains("PartitionFilters")).take(1).mkString.trim.take(160))
+
+    val plan = Planner.planDays(metas.map(m => LocalDate.parse(m.date)).toSet,
+      Set(LocalDate.parse(metas.head.date)), LocalDate.of(2024, 2, 1))
+    println(s"DRIVE plan(newest-first, grace, max 2): ${plan.days}")
+
+    Retention.markExpired(out, Seq(metas.head.date), nowMs = 0L)
+    println(s"DRIVE retention deleted: ${Retention.deleteMarked(out, nowMs = 13L * 3600 * 1000)}")
+
+    val src = java.nio.file.Files.createTempDirectory("graft-etl-src").toString
+    t.table("events").write.parquet(s"$src/b0")
+    val q = EventsStream.runToMemory(
+      EventsStream.windowedCounts(EventsStream.source(spark, s"$src/*")), "demo_counts")
+    q.processAllAvailable(); q.stop()
+    println(s"DRIVE streaming windows emitted: ${spark.table("demo_counts").count()}")
+    spark.stop()
+  }
+}

@@ -399,6 +399,32 @@ object Tsdb {
         "(0.9e0*total - lo_cum) / (cum - lo_cum) END AS value FROM sel WHERE rk = 1 " +
         "ORDER BY __name__")),
 
+    // ------------------------------------------------------------------ T-ops
+    // sessionization: the batch/window form of stateful stream grouping
+    // (mapGroupsWithState analog, but shuffle-once and restart-free)
+    Q("t6_sessionize", {
+      val gapMs = 1800000L
+      (t: Tables) => {
+        val w = Window.partitionBy(col("uid")).orderBy(col("ts_ms"), col("sample_id"))
+        val sess = samples(t)
+          .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1).otherwise(0))
+          .withColumn("sess_no",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        sess.groupBy(col("uid"), col("sess_no"))
+          .agg(min(col("ts_ms")).as("sess_start"), max(col("ts_ms")).as("sess_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("uid"), col("sess_no"))
+      }},
+      Some(s"WITH $S_CTE, " +
+        "p AS (SELECT *, lag(ts_ms) OVER (PARTITION BY uid ORDER BY ts_ms, sample_id) AS prev_ts FROM s), " +
+        "n AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END AS new_sess FROM p), " +
+        "c AS (SELECT *, sum(new_sess) OVER (PARTITION BY uid ORDER BY ts_ms, sample_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM n) " +
+        "SELECT uid, sess_no, min(ts_ms) AS sess_start, max(ts_ms) AS sess_end, count(*) AS n_events " +
+        "FROM c GROUP BY uid, sess_no ORDER BY uid, sess_no")),
+
     // ------------------------------------------------------------------ W1
     Q("w1_8h_windows",
       t => samples(t)

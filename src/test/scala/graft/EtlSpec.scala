@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.etl.{Ingest, Planner, Retention}
+import graft.sources.Tables
+
+/** ETL convert/plan/retention (ref convert/convert_test.go, convert/plan_test.go,
+  * locate/deletion_test.go analogs). */
+class EtlSpec extends SparkSpec {
+
+  test("convert writes day-partitioned sorted layout with meta sidecars") {
+    val out = Files.createTempDirectory("graft-ingest").toString
+    val t = Tables(spark, sf())
+    val metas = Ingest.convert(spark, t.events, out)
+
+    // january days present, sidecars readable
+    assert(metas.nonEmpty && metas.forall(_.date.startsWith("2024-01")))
+    assert(Ingest.discoverDays(out) == metas.map(_.date))
+
+    // row counts survive the round trip (no dups in fixture → same count)
+    val back = Ingest.openSamples(spark, out)
+    assert(back.count() == t.events.count())
+
+    // partition pruning: a single-day read touches one partition directory
+    val oneDay = back.filter(col("date") === metas.head.date)
+    assert(oneDay.count() == metas.head.nSamples)
+
+    // sorted-within-file invariant (ref sorted writer convert/convert.go:623):
+    // within each parquet file, (__name__, uid, ts_ms) must be nondecreasing
+    val viol = back
+      .select(input_file_name().as("f"), col("__name__"), col("uid"), col("ts_ms"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+          .orderBy(monotonically_increasing_id())))
+      .withColumn("prev", lag(struct(col("__name__"), col("uid"), col("ts_ms")), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f")).orderBy(col("rn"))))
+      .filter(col("prev").isNotNull &&
+        struct(col("__name__"), col("uid"), col("ts_ms")) < col("prev"))
+    assert(viol.count() == 0)
+
+    // idempotent re-convert of a single day (dynamic partition overwrite)
+    val again = Ingest.convert(spark, t.events, out, Some(Seq(metas.head.date)))
+    assert(again.map(_.date) == Seq(metas.head.date))
+    assert(Ingest.openSamples(spark, out).count() == t.events.count())
+  }
+
+  test("planner: newest-first diff with grace and step limit") {
+    val d = (1 to 10).map(i => LocalDate.of(2024, 1, i)).toSet
+    val today = LocalDate.of(2024, 1, 11)
+    // grace 2 days → 9,10 unplannable; already have 1..3; max 2 steps
+    val plan = Planner.planDays(d, Set(LocalDate.of(2024, 1, 1),
+      LocalDate.of(2024, 1, 2), LocalDate.of(2024, 1, 3)), today,
+      graceDays = 2, maxDays = 2)
+    assert(plan.days == Seq(LocalDate.of(2024, 1, 8), LocalDate.of(2024, 1, 7)))
+    // nothing to do → empty plan
+    assert(Planner.planDays(d, d, today).isEmpty)
+  }
+
+  test("retention: mark then delete after consistency delay") {
+    val out = Files.createTempDirectory("graft-ret").toString
+    val t = Tables(spark, sf())
+    val metas = Ingest.convert(spark, t.events, out, Some(Seq("2024-01-01", "2024-01-02")))
+    assert(metas.map(_.date) == Seq("2024-01-01", "2024-01-02"))
+
+    val expired = Planner.expiredDays(metas.map(d => LocalDate.parse(d.date)).toSet,
+      retentionDays = 10, today = LocalDate.of(2024, 1, 12))
+    assert(expired == Seq(LocalDate.of(2024, 1, 1)))
+
+    Retention.markExpired(out, expired.map(_.toString), nowMs = 1000L)
+    // before the delay: nothing deleted
+    assert(Retention.deleteMarked(out, nowMs = 2000L).isEmpty)
+    // after: partition + sidecar dropped
+    assert(Retention.deleteMarked(out, nowMs = 1000L + 13L * 3600 * 1000) == Seq("2024-01-01"))
+    assert(!Files.isDirectory(Paths.get(s"$out/samples/date=2024-01-01")))
+    assert(Files.isDirectory(Paths.get(s"$out/samples/date=2024-01-02")))
+    assert(Ingest.discoverDays(out) == Seq("2024-01-02"))
+  }
+}

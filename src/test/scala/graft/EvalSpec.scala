@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.TimeSeriesModel
+import graft.promql._
+import graft.sources.Tables
+
+/** Instant/range evaluation: the bounded-fanout range grid must equal the
+  * naive (quadratic) range-join formulation; rate must handle counter resets. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DAY = 86400000L
+  private val T0 = 1704067200000L
+
+  test("rangeVectors equals naive range-join semantics on sf0.001") {
+    val t = Tables(spark, sf())
+    val samples = TimeSeriesModel.samples(t.events)
+    val (start, end, step, lb) = (T0 + 5 * DAY, T0 + 12 * DAY, 10800000L, 21600000L)
+
+    val fast = Eval.rangeVectors(samples, Nil, start, end, step, lb)
+      .select($"__name__", $"uid", $"step_ms", $"value")
+
+    val steps = spark.range(0, (end - start) / step + 1)
+      .select((lit(start) + col("id") * step).as("step_ms"))
+    val naive = samples.join(steps,
+        samples("ts_ms") > steps("step_ms") - lb && samples("ts_ms") <= steps("step_ms"))
+      .groupBy($"__name__", $"uid", $"step_ms")
+      .agg(max_by($"value", $"ts_ms").as("value"))
+
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0)
+  }
+
+  test("instantVector picks the latest sample within lookback only") {
+    val df = Seq(
+      ("m", "1", 1000L, 1.0, 1L), ("m", "1", 2000L, 2.0, 2L),
+      ("m", "1", 9000L, 9.0, 3L), // outside (2000-5000, 5000]
+      ("m", "2", 100L, 5.0, 4L)   // stale for t=5000, lb=5000 => in (0, 5000]
+    ).toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val got = Eval.instantVector(df, Nil, tMs = 5000L, lookbackMs = 5000L)
+      .select($"uid", $"value").as[(String, Double)].collect().toMap
+    assert(got == Map("1" -> 2.0, "2" -> 5.0))
+  }
+
+  test("rateFamily applies counter-reset correction within windows") {
+    // one series, one window [0, 10000): 10 -> 20 -> 5 (reset) -> 15
+    val df = Seq(
+      ("c", "1", 1000L, 10.0, 1L), ("c", "1", 2000L, 20.0, 2L),
+      ("c", "1", 3000L, 5.0, 3L), ("c", "1", 4000L, 15.0, 4L)
+    ).toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val r = RangeFunctions.rateFamily(df, windowMs = 10000L).collect()(0)
+    assert(r.getAs[Double]("delta") == 5.0)          // 15 - 10
+    assert(r.getAs[Double]("increase") == 25.0)      // 5 + reset(20)
+    assert(math.abs(r.getAs[Double]("rate") - 25.0 / 3.0) < 1e-12) // 3s span
+    assert(r.getAs[Double]("idelta") == 10.0)        // 15 - 5
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.promql._
+
+/** Matcher semantics (ref search/constraint_test.go analog): set-match
+  * extraction, anchoring, missing-label ≡ "". */
+class MatcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("set-match extraction mirrors reference FastRegexMatcher.SetMatches") {
+    assert(Matchers.setMatches("a|b|c").contains(Seq("a", "b", "c")))
+    assert(Matchers.setMatches("click|view").contains(Seq("click", "view")))
+    assert(Matchers.setMatches("a.*|b").isEmpty)
+    assert(Matchers.setMatches("").isEmpty)
+    assert(Matchers.setMatches("a+").isEmpty)
+  }
+
+  test("set-match property: literal alternations always extract") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(word)) { words =>
+      val pat = words.mkString("|")
+      Matchers.setMatches(pat).contains(pat.split('|').toSeq)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("missing label ≡ empty string: eq-empty matches null and absent columns") {
+    val df = Seq(("a", Some("x")), ("b", None), ("c", Some(""))).toDF("name", "lbl")
+    // null and "" both match lbl=""
+    val m = df.filter(MatchEq("lbl", "").toPredicate(df)).select("name").as[String].collect().toSet
+    assert(m == Set("b", "c"))
+    // a matcher on a column that does not exist matches everything for ""
+    val all = df.filter(MatchEq("nope", "").toPredicate(df)).count()
+    assert(all == 3)
+    // …and nothing for a non-empty value (query veto, ref search/search.go:356)
+    val none = df.filter(MatchEq("nope", "x").toPredicate(df)).count()
+    assert(none == 0)
+  }
+
+  test("regex is fully anchored (RE2 semantics)") {
+    val df = Seq("purchase", "purchases", "pur").toDF("lbl")
+    val got = df.filter(MatchRe("lbl", "purch.se").toPredicate(df)).as[String].collect().toSeq
+    assert(got == Seq("purchase"))
+    val neg = df.filter(MatchNotRe("lbl", "purch.se").toPredicate(df)).as[String].collect().toSet
+    assert(neg == Set("purchases", "pur"))
+  }
+}
