@@ -29,9 +29,16 @@ object TextOps {
   // -- whitespace tokens + word-3-gram shingles, Spark SQL + DuckDB SQL forms
   val TOKS_S = "split(lower(trim(text)), '\\\\s+')"
   val TOKS_D = "string_split_regex(lower(trim(text)), '\\s+')"
+  // Build 3-grams by zipping three shifted slices instead of indexing inside
+  // a lambda: `transform(seq, i -> …toks[i]…)` re-evaluates the split() per
+  // element (HOF lambdas are interpreted, and project-collapse inlines the
+  // split into the lambda body) — O(tokens²) per doc and the original bench
+  // bottleneck. Slices evaluate the split O(1) times per row.
   val SHINGLES_S: String =
-    s"CASE WHEN size($TOKS_S) >= 3 THEN array_distinct(transform(sequence(0, size($TOKS_S)-3), " +
-      s"i -> concat_ws(' ', $TOKS_S[i], $TOKS_S[i+1], $TOKS_S[i+2]))) " +
+    s"CASE WHEN size($TOKS_S) >= 3 THEN array_distinct(zip_with(" +
+      s"zip_with(slice($TOKS_S, 1, size($TOKS_S)-2), slice($TOKS_S, 2, size($TOKS_S)-2), " +
+      "(x, y) -> concat(x, ' ', y)), " +
+      s"slice($TOKS_S, 3, size($TOKS_S)-2), (x, y) -> concat(x, ' ', y))) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END"
   val SHINGLES_D: String =
     s"list_distinct(list_transform(range(1, len($TOKS_D)-1), " +

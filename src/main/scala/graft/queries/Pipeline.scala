@@ -125,21 +125,35 @@ object Pipeline {
         s"WHERE ${TextOps.jaccardSql("x.s", "y.s")} >= 0.5e0 ORDER BY id1, id2")),
 
     // ---------------------------------------- dedup: blocked n-gram Jaccard
-    Q("dd_ngram_jaccard",  // exact pairwise within (lang, source) blocks
+    // inverted-index formulation: explode shingles, join on shingle within
+    // (lang, source) blocks, count shared → jaccard. Linear in shared-shingle
+    // pairs, not quadratic in docs — the shape that survives 100 TB.
+    Q("dd_ngram_jaccard",
       t => {
-        val sets = TextOps.shingleSets(t.documents)
-        val a = sets.select(col("lang"), col("source"), col("doc_id").as("id1"), col("s").as("s1"))
-        val b = sets.select(col("lang"), col("source"), col("doc_id").as("id2"), col("s").as("s2"))
-        a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
-          .withColumn("jacc", TextOps.jaccard(col("s1"), col("s2")))
-          .filter(col("jacc") >= 0.5e0)
-          .select(col("id1"), col("id2"), col("jacc"))
+        val sets = TextOps.shingleSets(t.documents).withColumn("nsh", size(col("s")))
+        val inv = sets.select(col("lang"), col("source"), col("doc_id"), col("nsh"),
+            explode(col("s")).as("sh"))
+          .select(col("lang"), col("source"), col("doc_id"), col("nsh"),
+            TextOps.h48(col("sh")).as("shh")) // long join key: cheap shuffle
+        val shared = inv.as("a").join(inv.as("b"),
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+              col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id"), col("a.nsh"), col("b.nsh"))
+          .agg(count(lit(1)).as("inter"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            (col("inter").cast("double") /
+              (col("a.nsh") + col("b.nsh") - col("inter"))).as("jacc"))
+        shared.filter(col("jacc") >= 0.5e0)
           .orderBy(col("id1"), col("id2"))
       },
-      Some(s"WITH sets AS (SELECT doc_id, lang, source, ${TextOps.SHINGLES_D} AS s FROM documents) " +
-        s"SELECT a.doc_id AS id1, b.doc_id AS id2, ${TextOps.jaccardSql("a.s", "b.s")} AS jacc " +
-        "FROM sets a JOIN sets b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-        s"WHERE ${TextOps.jaccardSql("a.s", "b.s")} >= 0.5e0 ORDER BY id1, id2")),
+      Some(s"WITH sets AS (SELECT doc_id, lang, source, ${TextOps.SHINGLES_D} AS s FROM documents), " +
+        "inv0 AS (SELECT doc_id, lang, source, len(s) AS nsh, unnest(s) AS sh FROM sets), " +
+        s"inv AS (SELECT doc_id, lang, source, nsh, ${TextOps.h48Sql("sh")} AS shh FROM inv0), " +
+        "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nsh AS n1, b.nsh AS n2, count(*) AS inter " +
+        "FROM inv a JOIN inv b ON a.lang = b.lang AND a.source = b.source AND a.shh = b.shh " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
+        "SELECT id1, id2, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jacc FROM pairs " +
+        "WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5e0 ORDER BY id1, id2")),
 
     // -------------------------------------------------------- dedup: SimHash
     Q("dd_simhash",
@@ -165,62 +179,68 @@ object Pipeline {
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10 ORDER BY id1, id2")),
 
     // ------------------------------------------- dedup: embedding near-dup
+    // normalize once (linear), then each pair is ONE codegen'd dot product
     Q("dd_embed_cosine",
       t => {
-        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
-        val a = e.select(col("vec_id").as("id1"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("id2"), col("v").as("vb"))
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+        val a = e.select(col("vec_id").as("id1"), col("vn").as("va"))
+        val b = e.select(col("vec_id").as("id2"), col("vn").as("vb"))
         a.join(b, col("id1") < col("id2"))
-          .withColumn("cos", VectorOps.cosine("va", "vb"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
           .filter(col("cos") >= 0.35e0)
           .select(col("id1"), col("id2"), col("cos"))
           .orderBy(col("id1"), col("id2"))
       },
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
-        s"SELECT a.vec_id AS id1, b.vec_id AS id2, ${VectorOps.cosineSql("a.v", "b.v")} AS cos " +
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw) " +
+        s"SELECT a.vec_id AS id1, b.vec_id AS id2, ${VectorOps.dotSql("a.vn", "b.vn")} AS cos " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
-        s"WHERE ${VectorOps.cosineSql("a.v", "b.v")} >= 0.35e0 ORDER BY id1, id2")),
+        s"WHERE ${VectorOps.dotSql("a.vn", "b.vn")} >= 0.35e0 ORDER BY id1, id2")),
 
     // ------------------------------------------------- similarity search
     Q("ss_brute_topk",  // exact cosine top-5 for query set vec_id < 10
       t => {
-        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
-        val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("va"))
-        val n = e.select(col("vec_id").as("nid"), col("v").as("vb"))
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+        val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("vn").as("va"))
+        val n = e.select(col("vec_id").as("nid"), col("vn").as("vb"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         broadcast(q).join(n, col("qid") =!= col("nid"))
-          .withColumn("cos", VectorOps.cosine("va", "vb"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
           .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
           .select(col("qid"), col("nid"), col("rk"), col("cos"))
           .orderBy(col("qid"), col("rk"))
       },
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw) " +
         s"SELECT q.vec_id AS qid, n.vec_id AS nid, " +
-        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${VectorOps.cosineSql("q.v", "n.v")} DESC, n.vec_id) AS rk, " +
-        s"${VectorOps.cosineSql("q.v", "n.v")} AS cos " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${VectorOps.dotSql("q.vn", "n.vn")} DESC, n.vec_id) AS rk, " +
+        s"${VectorOps.dotSql("q.vn", "n.vn")} AS cos " +
         "FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id " +
         s"QUALIFY rk <= 5 ORDER BY qid, rk")),
 
     Q("ss_lsh_topk",  // hyperplane-LSH bucketed ANN: join only within bucket
       t => {
-        val e = t.embeddings
-          .select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
-          .withColumn("bucket", VectorOps.lshBucket("v"))
+        val e = VectorOps.withNormalized(
+            t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .withColumn("bucket", VectorOps.lshBucket(col("v")))
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("va"), col("bucket"))
-        val n = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("bucket"))
+          .select(col("vec_id").as("qid"), col("vn").as("va"), col("bucket"))
+        val n = e.select(col("vec_id").as("nid"), col("vn").as("vb"), col("bucket"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         broadcast(q).join(n, Seq("bucket")).filter(col("qid") =!= col("nid"))
-          .withColumn("cos", VectorOps.cosine("va", "vb"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
           .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
           .select(col("qid"), col("nid"), col("rk"), col("cos"))
           .orderBy(col("qid"), col("rk"))
       },
-      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
-        s"${VectorOps.lshBucketSql("embedding::DOUBLE[]")} AS bucket FROM embeddings) " +
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn, " +
+        s"${VectorOps.lshBucketSql("v")} AS bucket FROM raw) " +
         s"SELECT q.vec_id AS qid, n.vec_id AS nid, " +
-        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${VectorOps.cosineSql("q.v", "n.v")} DESC, n.vec_id) AS rk, " +
-        s"${VectorOps.cosineSql("q.v", "n.v")} AS cos " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${VectorOps.dotSql("q.vn", "n.vn")} DESC, n.vec_id) AS rk, " +
+        s"${VectorOps.dotSql("q.vn", "n.vn")} AS cos " +
         "FROM e q JOIN e n ON q.vec_id < 10 AND n.bucket = q.bucket AND n.vec_id <> q.vec_id " +
         s"QUALIFY rk <= 5 ORDER BY qid, rk")),
 

@@ -1,0 +1,24 @@
+package graft
+
+import graft.limits.{QueryGate, QuotaExceededException, Quotas}
+import graft.sources.Tables
+
+class QuotasSpec extends SparkSpec {
+
+  test("row quota trips on oversized selects, passes small ones") {
+    val ev = Tables(spark, sf()).events
+    assertThrows[QuotaExceededException](Quotas(maxRows = Some(10)).guard(ev))
+    assert(Quotas(maxRows = Some(10000)).guard(ev).count() == ev.count())
+    assert(Quotas().guard(ev).count() == ev.count()) // unlimited default
+  }
+
+  test("query gate bounds concurrency and times out when saturated") {
+    val gate = new QueryGate(maxConcurrent = 1)
+    val r = gate.run()(42)
+    assert(r == 42 && gate.available == 1)
+    gate.run() {
+      assertThrows[QuotaExceededException](gate.run(timeoutMs = 50)(0))
+    }
+    assert(gate.available == 1) // released after body
+  }
+}
