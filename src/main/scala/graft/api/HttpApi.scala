@@ -1,0 +1,170 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.limits.QueryGate
+import graft.promql.{LabelMatcher, Parser, ParseException}
+
+/** Prometheus-compatible HTTP API over the engine (ref `api/http/query.go`):
+  * `/api/v1/query`, `/api/v1/query_range`, `/api/v1/series`, `/api/v1/labels`,
+  * `/api/v1/label/<name>/values`, with the reference's response envelope
+  * `{status, data:{resultType,result}, warnings}` and limit-truncation
+  * warnings (`api/http/query.go:194-261,636-641`). JDK HttpServer — zero
+  * dependencies; Spark jobs run on the shared session per request, gated by
+  * the concurrency semaphore (ref 100 concurrent, `cmd/serve.go:111`). */
+final class HttpApi(engine: PromEngine, port: Int = 0,
+                    gate: QueryGate = new QueryGate(100)) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpApi = {
+    server.createContext("/api/v1/query_range", handler(queryRange))
+    server.createContext("/api/v1/query", handler(query))
+    server.createContext("/api/v1/series", handler(series))
+    server.createContext("/api/v1/labels", handler(labels))
+    server.createContext("/api/v1/label/", handler(labelValues))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    this
+  }
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------ handlers
+  private def query(p: Params): String = {
+    val t = p.time("time").getOrElse(System.currentTimeMillis())
+    val res = engine.instantQuery(p.required("query"), t)
+    val items = res.map { s =>
+      val (ts, v) = s.points.lastOption.getOrElse((t, Double.NaN))
+      s"""{"metric":${labelsJson(s.labels)},"value":[${tsStr(ts)},"${fmt(v)}"]}"""
+    }
+    envelope(s"""{"resultType":"vector","result":[${items.mkString(",")}]}""")
+  }
+
+  private def queryRange(p: Params): String = {
+    val start = p.time("start").getOrElse(fail("missing start"))
+    val end = p.time("end").getOrElse(fail("missing end"))
+    val step = (p.get("step").map(parseStep).getOrElse(fail("missing step"))).max(1L)
+    val res = engine.rangeQuery(p.required("query"), start, end, step)
+    val items = res.map { s =>
+      val vals = s.points.map { case (ts, v) => s"""[${tsStr(ts)},"${fmt(v)}"]""" }
+      s"""{"metric":${labelsJson(s.labels)},"values":[${vals.mkString(",")}]}"""
+    }
+    envelope(s"""{"resultType":"matrix","result":[${items.mkString(",")}]}""")
+  }
+
+  private def series(p: Params): String = {
+    val sets = p.all("match[]").map(parseMatchers)
+    if (sets.isEmpty) fail("no match[] argument")
+    val (rows, truncated) = engine.series(sets,
+      p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2),
+      p.get("limit").map(_.toInt).getOrElse(0))
+    envelopeRaw(s"[${rows.map(labelsJson).mkString(",")}]",
+      if (truncated) Seq("results truncated due to limit") else Seq.empty)
+  }
+
+  private def labels(p: Params): String = {
+    val ms = p.all("match[]").headOption.map(parseMatchers).getOrElse(Seq.empty)
+    val names = engine.labelNames(ms,
+      p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2))
+    envelopeRaw(s"[${names.map(jstr).mkString(",")}]", Seq.empty)
+  }
+
+  private def labelValues(p: Params): String = {
+    // path: /api/v1/label/<name>/values
+    val parts = p.path.split("/").filter(_.nonEmpty) // api, v1, label, <name>, values
+    if (parts.length != 5 || parts(4) != "values") fail(s"bad path ${p.path}")
+    val ms = p.all("match[]").headOption.map(parseMatchers).getOrElse(Seq.empty)
+    val (vals, truncated) = engine.labelValues(parts(3), ms,
+      p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2),
+      p.get("limit").map(_.toInt).getOrElse(0))
+    envelopeRaw(s"[${vals.map(jstr).mkString(",")}]",
+      if (truncated) Seq("results truncated due to limit") else Seq.empty)
+  }
+
+  // ------------------------------------------------------------ plumbing
+  private final case class Params(path: String, map: Map[String, Seq[String]]) {
+    def get(k: String): Option[String] = map.get(k).flatMap(_.headOption)
+    def all(k: String): Seq[String] = map.getOrElse(k, Seq.empty)
+    def required(k: String): String = get(k).getOrElse(fail(s"missing $k"))
+    /** unix seconds (float) or RFC3339 (ref api/http/query.go:279-327). */
+    def time(k: String): Option[Long] = get(k).map { s =>
+      try {
+        if (s.forall(c => c.isDigit || c == '.' || c == '-')) (s.toDouble * 1000).toLong
+        else java.time.Instant.parse(s).toEpochMilli
+      } catch { case _: Exception => fail(s"invalid time '$s'") }
+    }
+  }
+
+  private def parseStep(s: String): Long =
+    try { if (s.forall(c => c.isDigit || c == '.')) (s.toDouble * 1000).toLong
+          else Parser.parseDuration(s) }
+    catch { case _: Exception => fail(s"invalid step '$s'") }
+
+  private def parseMatchers(sel: String): Seq[LabelMatcher] =
+    Parser.parse(sel) match {
+      case graft.promql.Ast.Selector(name, ms, None) =>
+        name.map(n => graft.promql.MatchEq("__name__", n) +: ms).getOrElse(ms)
+      case _ => fail(s"match[] must be a series selector: $sel")
+    }
+
+  private final class BadRequest(val msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new BadRequest(msg)
+
+  private def handler(f: Params => String)(ex: HttpExchange): Unit = {
+    val resp =
+      try gate.run() { f(params(ex)) }
+      catch {
+        case e: BadRequest => errorJson("bad_data", e.msg)
+        case e: ParseException => errorJson("bad_data", e.getMessage)
+        case e: graft.limits.QuotaExceededException => errorJson("unavailable", e.getMessage)
+        case e: Exception => errorJson("internal", String.valueOf(e.getMessage))
+      }
+    val bytes = resp.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    val code = if (resp.startsWith("""{"status":"error"""")) 400 else 200
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def params(ex: HttpExchange): Params = {
+    val fromUrl = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val fromBody =
+      if (ex.getRequestMethod == "POST") new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      else ""
+    val raw = Seq(fromUrl, fromBody).filter(_.nonEmpty).mkString("&")
+    val pairs = raw.split("&").filter(_.contains("=")).toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+    }
+    Params(ex.getRequestURI.getPath, pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+  private def labelsJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+  /** epoch-millis → plain-decimal seconds (no scientific notation). */
+  private def tsStr(ms: Long): String =
+    if (ms % 1000 == 0) (ms / 1000).toString
+    else java.math.BigDecimal.valueOf(ms, 3).stripTrailingZeros.toPlainString
+  private def fmt(v: Double): String =
+    if (v.isNaN) "NaN" else if (v.isPosInfinity) "+Inf" else if (v.isNegInfinity) "-Inf"
+    else if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+  private def envelope(data: String): String =
+    s"""{"status":"success","data":$data}"""
+  private def envelopeRaw(data: String, warnings: Seq[String]): String =
+    if (warnings.isEmpty) s"""{"status":"success","data":$data}"""
+    else s"""{"status":"success","warnings":[${warnings.map(jstr).mkString(",")}],"data":$data}"""
+  private def errorJson(typ: String, msg: String): String =
+    s"""{"status":"error","errorType":${jstr(typ)},"error":${jstr(msg)}}"""
+}

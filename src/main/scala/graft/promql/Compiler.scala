@@ -1,0 +1,344 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+
+/** PromQL → DataFrame compiler (SURVEY.md §7.1 step 3 — the substitute for
+  * the embedded promql-engine, re-expressed as Catalyst plans).
+  *
+  * Every expression evaluates onto the query grid: a DataFrame with
+  * `step_ms` + zero or more label columns + `value`. Scalars are grids with
+  * no label columns. Catalyst then optimizes the composed plan as one tree —
+  * filters reach the parquet scan, aggregations get partial/final hash agg,
+  * vector matching becomes a hash join keyed on (labels, step).
+  *
+  * Range selection never materializes a `samples × steps` theta join: each
+  * sample explodes to the ≤⌈window/step⌉ grid steps it can serve (bounded
+  * fan-out, linear in samples — see [[Eval.rangeVectors]]).
+  */
+object Compiler {
+  import Ast._
+
+  final case class Ctx(samples: DataFrame, startMs: Long, endMs: Long,
+                       stepMs: Long, lookbackMs: Long = Eval.DefaultLookbackMs) {
+    def nSteps: Long = (endMs - startMs) / stepMs
+    lazy val spark = samples.sparkSession
+    /** grid of steps as a DataFrame (for scalar broadcasting). */
+    def grid: DataFrame = spark.range(0, nSteps + 1)
+      .select((lit(startMs) + col("id") * stepMs).as("step_ms"))
+  }
+
+  def labelCols(df: DataFrame): Seq[String] =
+    df.columns.filterNot(c => c == "step_ms" || c == "value").toSeq
+
+  def instant(ctx0: Ctx, expr: Expr): DataFrame = compile(expr, ctx0)
+
+  def compile(expr: Expr, ctx: Ctx): DataFrame = expr match {
+    case NumberLit(v) => ctx.grid.withColumn("value", lit(v))
+    case StringLit(_) => throw new ParseException("bare string is not a query")
+
+    case Selector(_, _, Some(_)) =>
+      throw new ParseException("range vector must be an argument of a range function")
+
+    case Selector(name, matchers, None) =>
+      val ms = name.map(n => MatchEq("__name__", n) +: matchers).getOrElse(matchers)
+      Eval.rangeVectors(ctx.samples, ms, ctx.startMs, ctx.endMs, ctx.stepMs, ctx.lookbackMs)
+        .drop("series_hash")
+
+    case Call(fn, args) => compileCall(fn, args, ctx)
+    case a: Agg          => compileAgg(a, ctx)
+    case b: BinOp        => compileBinOp(b, ctx)
+  }
+
+  // ---------------------------------------------------------------- range fns
+  private val overTimeFns = Set("sum_over_time", "avg_over_time", "min_over_time",
+    "max_over_time", "count_over_time", "stddev_over_time", "last_over_time",
+    "first_over_time", "rate", "increase", "delta", "idelta")
+
+  /** Expand samples (with per-series lag for counter resets) onto the grid:
+    * sample at ts serves step s iff s−window < ts ≤ s. One explode + one
+    * hash aggregation per (series, step). */
+  private def rangeEval(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
+    val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers).getOrElse(sel.matchers)
+    val base = ctx.samples.filter(
+      col("ts_ms") > ctx.startMs - windowMs && col("ts_ms") <= ctx.endMs &&
+        Matchers.compile(ctx.samples, ms))
+    val w = Window.partitionBy(col("series_hash")).orderBy(col("ts_ms"), col("sample_id"))
+    val withPrev = base
+      .withColumn("prev_val", lag(col("value"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+    def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
+    val kMin = greatest(floorDiv(col("ts_ms") - ctx.startMs + ctx.stepMs - 1, ctx.stepMs), lit(0L))
+    val kMax = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1, ctx.stepMs), lit(ctx.nSteps))
+    val lbls = labelColsOfSamples(ctx.samples)
+    withPrev
+      .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
+        .otherwise(array().cast("array<long>"))))
+      .withColumn("step_ms", lit(ctx.startMs) + col("k") * ctx.stepMs)
+      .withColumn("win_lo", col("step_ms") - windowMs) // prev in window ⇔ prev_ts > win_lo
+      .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
+      .agg(
+        count(col("value")).as("n_samples"),
+        min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"),
+        min_by(col("value"), col("ts_ms")).as("first_val"),
+        max_by(col("value"), col("ts_ms")).as("last_val"),
+        sum(col("value").cast(Det.dec)).cast("double").as("sum_val"),
+        (sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))).as("avg_val"),
+        min(col("value")).as("min_val"), max(col("value")).as("max_val"),
+        sqrt(greatest(lit(0.0),
+          (sum((col("value") * col("value")).cast(Det.dec)).cast("double") -
+            sum(col("value").cast(Det.dec)).cast("double") *
+              sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))) /
+            count(col("value")))).as("stddev_val"),
+        sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
+          col("value") < col("prev_val"), col("prev_val")).otherwise(lit(0.0)).cast(Det.dec))
+          .cast("double").as("resets"),
+        expr("max_by(value - prev_val, ts_ms) FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)")
+          .as("idelta_val"))
+      .drop("series_hash")
+  }
+
+  private def labelColsOfSamples(samples: DataFrame): Seq[String] =
+    samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+
+  private def compileCall(fn: String, args: Seq[Expr], ctx: Ctx): DataFrame = fn match {
+    case f if overTimeFns.contains(f) =>
+      val sel = args.lastOption match {
+        case Some(s @ Selector(_, _, Some(_))) => s
+        case _ => throw new ParseException(s"$f expects a range vector, e.g. m[5m]")
+      }
+      val g = rangeEval(sel, sel.rangeMs.get, ctx)
+      val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
+        "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
+        "stddev_val", "resets", "idelta_val", "win_lo"))
+      val value: Column = f match {
+        case "sum_over_time"    => col("sum_val")
+        case "avg_over_time"    => col("avg_val")
+        case "min_over_time"    => col("min_val")
+        case "max_over_time"    => col("max_val")
+        case "count_over_time"  => col("n_samples").cast("double")
+        case "stddev_over_time" => col("stddev_val")
+        case "last_over_time"   => col("last_val")
+        case "first_over_time"  => col("first_val")
+        case "delta"            => col("last_val") - col("first_val")
+        case "idelta"           => col("idelta_val")
+        case "increase"         => col("last_val") - col("first_val") + col("resets")
+        case "rate" =>
+          when(col("n_samples") >= 2,
+            (col("last_val") - col("first_val") + col("resets")) /
+              ((col("last_ts") - col("first_ts")).cast("double") / lit(1000.0)))
+      }
+      val out0 = g.withColumn("value", value)
+        .select((("step_ms" +: lbls).map(col) :+ col("value")): _*)
+      // range functions drop the metric name (PromQL: the value no longer IS
+      // the metric) — last_over_time is the one name-preserving exception
+      val out = if (f == "last_over_time") out0 else dropName(out0)
+      // rate/idelta need ≥2 samples → drop NULL values (absent points)
+      if (f == "rate" || f == "idelta") out.filter(col("value").isNotNull) else out
+
+    // scalar math over an instant vector (or scalar)
+    case "abs" | "ceil" | "floor" | "sqrt" | "exp" | "ln" | "log2" | "log10" | "sgn" =>
+      val v = compile(args.head, ctx)
+      val f: Column => Column = fn match {
+        case "abs" => abs; case "ceil" => c => ceil(c).cast("double")
+        case "floor" => c => floor(c).cast("double"); case "sqrt" => sqrt
+        case "exp" => exp; case "ln" => c => log(c); case "log2" => log2
+        case "log10" => log10; case "sgn" => c => signum(c)
+      }
+      dropName(v.withColumn("value", f(col("value"))))
+    case "round" =>
+      val v = compile(args.head, ctx)
+      dropName(v.withColumn("value", round(col("value"), 0).cast("double")))
+    case "clamp" =>
+      val v = compile(args.head, ctx)
+      val (lo, hi) = (scalarOf(args(1)), scalarOf(args(2)))
+      dropName(v.withColumn("value", least(greatest(col("value"), lit(lo)), lit(hi))))
+    case "clamp_min" =>
+      dropName(compile(args.head, ctx).withColumn("value",
+        greatest(col("value"), lit(scalarOf(args(1))))))
+    case "clamp_max" =>
+      dropName(compile(args.head, ctx).withColumn("value",
+        least(col("value"), lit(scalarOf(args(1))))))
+
+    case "label_replace" => // (v, dst, replacement, src, regex)
+      val v = compile(args.head, ctx)
+      val Seq(dst, repl, src, regex) = args.tail.map(strOf)
+      val anchored = "^(?:" + regex + ")$"
+      val srcCol = if (v.columns.contains(src)) coalesce(col(src), lit("")) else lit("")
+      val dstCur = if (v.columns.contains(dst)) coalesce(col(dst), lit("")) else lit("")
+      v.withColumn(dst,
+        when(srcCol.rlike(anchored), regexp_replace(srcCol, anchored, repl)).otherwise(dstCur))
+    case "label_join" => // (v, dst, sep, src...)
+      val v = compile(args.head, ctx)
+      val dst = strOf(args(1)); val sep = strOf(args(2))
+      val srcs = args.drop(3).map(strOf).map(s =>
+        if (v.columns.contains(s)) coalesce(col(s), lit("")) else lit(""))
+      v.withColumn(dst, concat_ws(sep, srcs: _*))
+
+    case "histogram_quantile" => // over a vector carrying an `le` label
+      val phi = scalarOf(args.head)
+      val v = compile(args(1), ctx)
+      if (!v.columns.contains("le"))
+        throw new ParseException("histogram_quantile needs an 'le' label")
+      val grp = ("step_ms" +: labelCols(v).filterNot(_ == "le")).map(col)
+      val leD = col("le").cast("double")
+      val w = Window.partitionBy(grp: _*).orderBy(leD)
+      val b = v
+        .withColumn("lo_le", lag(leD, 1, 0.0).over(w))
+        .withColumn("lo_cum", lag(col("value"), 1, 0.0).over(w))
+        .withColumn("total", max(col("value")).over(Window.partitionBy(grp: _*)))
+      b.filter(col("value") >= lit(phi) * col("total"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .withColumn("value",
+          when(leD === Double.PositiveInfinity, col("lo_le"))
+            .otherwise(col("lo_le") + (leD - col("lo_le")) *
+              (lit(phi) * col("total") - col("lo_cum")) / (col("value") - col("lo_cum"))))
+        .select((grp :+ col("value")): _*)
+
+    case "vector" => compile(args.head, ctx)
+    case "scalar" =>
+      val v = compile(args.head, ctx)
+      v.groupBy(col("step_ms")).agg(
+        when(count(lit(1)) === 1, first(col("value"))).as("value"))
+    case "time" => ctx.grid.withColumn("value", col("step_ms") / 1000.0)
+    case "timestamp" =>
+      dropName(compile(args.head, ctx).withColumn("value", col("step_ms") / 1000.0))
+    case other => throw new ParseException(s"unsupported function '$other'")
+  }
+
+  private def scalarOf(e: Expr): Double = e match {
+    case NumberLit(v) => v
+    case _ => throw new ParseException("scalar literal expected")
+  }
+  private def strOf(e: Expr): String = e match {
+    case StringLit(s) => s
+    case _ => throw new ParseException("string literal expected")
+  }
+  private def dropName(df: DataFrame): DataFrame =
+    if (df.columns.contains("__name__")) df.drop("__name__") else df
+
+  // ---------------------------------------------------------------- agg ops
+  private def compileAgg(a: Agg, ctx: Ctx): DataFrame = {
+    val child = compile(a.expr, ctx)
+    val lbls = labelCols(child)
+    val keep: Seq[String] = a.grouping match {
+      case By(ls)      => ls.filter(lbls.contains)
+      case Without(ls) => lbls.filterNot(ls.contains).filterNot(_ == "__name__")
+      case NoGrouping  => Seq.empty
+    }
+    val grp = ("step_ms" +: keep).map(col)
+    a.op match {
+      case "sum"    => child.groupBy(grp: _*).agg(Det.dsum(col("value")).as("value"))
+      case "avg"    => child.groupBy(grp: _*).agg(Det.davg(col("value")).as("value"))
+      case "min"    => child.groupBy(grp: _*).agg(min(col("value")).as("value"))
+      case "max"    => child.groupBy(grp: _*).agg(max(col("value")).as("value"))
+      case "count"  => child.groupBy(grp: _*).agg(count(col("value")).cast("double").as("value"))
+      case "stddev" => child.groupBy(grp: _*).agg(Det.dstddevPop(col("value")).as("value"))
+      case "stdvar" => child.groupBy(grp: _*).agg(Det.dvarPop(col("value")).as("value"))
+      case "topk" | "bottomk" =>
+        val k = scalarOf(a.param.getOrElse(throw new ParseException("topk needs k"))).toInt
+        val ordering = (if (a.op == "topk") col("value").desc else col("value").asc) +:
+          lbls.sorted.map(col(_).asc)
+        val w = Window.partitionBy(grp: _*).orderBy(ordering: _*)
+        child.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+      case "quantile" =>
+        val phi = scalarOf(a.param.getOrElse(throw new ParseException("quantile needs φ")))
+        val w = Window.partitionBy(grp: _*).orderBy(col("value"))
+        val ranked = child
+          .withColumn("rn", row_number().over(w) - 1)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+        val h = lit(phi) * (col("n") - 1)
+        val lo = floor(h).cast("long")
+        ranked.filter(col("rn") === lo || col("rn") === lo + 1)
+          .groupBy(grp: _*)
+          .agg(min_by(col("value"), col("rn")).as("v_lo"),
+            max_by(col("value"), col("rn")).as("v_hi"),
+            first(h - floor(h)).as("frac"))
+          .select((grp :+
+            (col("v_lo") + col("frac") * (col("v_hi") - col("v_lo"))).as("value")): _*)
+      case other => throw new ParseException(s"unsupported aggregation '$other'")
+    }
+  }
+
+  // ---------------------------------------------------------------- bin ops
+  private def arith(op: String)(l: Column, r: Column): Column = op match {
+    case "+" => l + r; case "-" => l - r; case "*" => l * r
+    case "/" => l / r; case "%" => pmod(l, r); case "^" => pow(l, r)
+    case "==" => l === r; case "!=" => l =!= r
+    case ">" => l > r; case "<" => l < r; case ">=" => l >= r; case "<=" => l <= r
+  }
+  private val compOps = Set("==", "!=", ">", "<", ">=", "<=")
+
+  private def compileBinOp(b: BinOp, ctx: Ctx): DataFrame = {
+    val setOp = Set("and", "or", "unless").contains(b.op)
+    val lhs = compile(b.lhs, ctx)
+    val rhs = compile(b.rhs, ctx)
+    val lLbls = labelCols(lhs); val rLbls = labelCols(rhs)
+
+    if (setOp) {
+      val on = "step_ms" +: matchKeys(b, lLbls, rLbls)
+      return b.op match {
+        case "and"    => lhs.join(rhs.select(on.map(col): _*).distinct(), on, "left_semi")
+        case "unless" => lhs.join(rhs.select(on.map(col): _*).distinct(), on, "left_anti")
+        case "or" => lhs.unionByName(
+          rhs.join(lhs.select(on.map(col): _*).distinct(), on, "left_anti"),
+          allowMissingColumns = true)
+      }
+    }
+
+    (lLbls.isEmpty, rLbls.isEmpty) match {
+      case (true, true) => // scalar op scalar
+        val r2 = rhs.withColumnRenamed("value", "rvalue")
+        lhs.join(r2, Seq("step_ms"))
+          .withColumn("value", toDouble(b.op, arith(b.op)(col("value"), col("rvalue")), b.bool))
+          .drop("rvalue")
+      case (false, true) => vectorScalar(lhs, rhs, b, flip = false)
+      case (true, false) => vectorScalar(rhs, lhs, b, flip = true)
+      case (false, false) =>
+        val on = "step_ms" +: matchKeys(b, lLbls, rLbls)
+        val keepL = if (compOps.contains(b.op) && !b.bool) lLbls else on.tail
+        val l2 = lhs.select((on.map(col) ++
+          (keepL.filterNot(on.contains)).map(col) :+ col("value")): _*)
+        val r2 = rhs.select((on.map(col) :+ col("value").as("rvalue")): _*)
+        val joined = l2.join(r2, on)
+        val result = joined.withColumn("out",
+          toDouble(b.op, arith(b.op)(col("value"), col("rvalue")), b.bool))
+        val filtered =
+          if (compOps.contains(b.op) && !b.bool)
+            result.filter(arith(b.op)(col("value"), col("rvalue")))
+              .withColumn("out", col("value"))
+          else result
+        filtered.drop("value", "rvalue").withColumnRenamed("out", "value")
+    }
+  }
+
+  private def vectorScalar(v: DataFrame, s: DataFrame, b: BinOp, flip: Boolean): DataFrame = {
+    val s2 = s.withColumnRenamed("value", "svalue")
+    val joined = v.join(s2, Seq("step_ms"))
+    val (l, r) = if (flip) (col("svalue"), col("value")) else (col("value"), col("svalue"))
+    val out = joined.withColumn("out", toDouble(b.op, arith(b.op)(l, r), b.bool))
+    val res =
+      if (compOps.contains(b.op) && !b.bool)
+        joined.filter(arith(b.op)(l, r)).withColumn("out", col("value"))
+      else out
+    dropName(res.drop("value", "svalue").withColumnRenamed("out", "value"))
+  }
+
+  private def toDouble(op: String, c: Column, bool: Boolean): Column =
+    if (compOps.contains(op)) (if (bool) when(c, 1.0).otherwise(0.0) else c.cast("double"))
+    else c
+
+  /** default 1:1 matching: all shared labels except __name__;
+    * on(...)/ignoring(...) refine. */
+  private def matchKeys(b: BinOp, lLbls: Seq[String], rLbls: Seq[String]): Seq[String] = {
+    val shared = lLbls.intersect(rLbls).filterNot(_ == "__name__")
+    b.matching match {
+      case Some(Matching(true, ls, _, _))  => ls
+      case Some(Matching(false, ls, _, _)) => shared.filterNot(ls.contains)
+      case None                            => shared
+    }
+  }
+}

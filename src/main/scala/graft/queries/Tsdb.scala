@@ -399,6 +399,59 @@ object Tsdb {
         "(0.9e0*total - lo_cum) / (cum - lo_cum) END AS value FROM sel WHERE rk = 1 " +
         "ORDER BY __name__")),
 
+    // --------------------------------------------------------- PromQL engine
+    // parser+compiler end-to-end under the oracle gate: the engine's answer
+    // for a PromQL string must hash-match the hand-written SQL semantics
+    Q("promql_sum_by",
+      t => Compiler.compile(Parser.parse("""sum by (__name__) ({uid!=""})"""),
+          Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+        .select(col("__name__"), col("value")).orderBy(col("__name__")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, $DSUM AS value FROM v " +
+        "GROUP BY __name__ ORDER BY __name__")),
+
+    Q("promql_binop_on",
+      t => Compiler.compile(
+          Parser.parse("""{__name__="purchase"} / on(uid) {__name__="view"}"""),
+          Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+        .select(col("uid"), col("value")).orderBy(col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()}, " +
+        "p AS (SELECT uid, value FROM v WHERE __name__ = 'purchase'), " +
+        "w AS (SELECT uid, value FROM v WHERE __name__ = 'view') " +
+        "SELECT p.uid, p.value / w.value AS value FROM p JOIN w USING (uid) ORDER BY uid")),
+
+    Q("promql_topk",
+      t => Compiler.compile(Parser.parse("""topk(3, {__name__=~".+"})"""),
+          Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+        .select(col("__name__"), col("uid"), col("value"))
+        .orderBy(col("value").desc, col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, uid, value FROM v " +
+        "QUALIFY row_number() OVER (ORDER BY value DESC, __name__, uid) <= 3 " +
+        "ORDER BY value DESC, __name__, uid")),
+
+    Q("promql_rate_range", {
+      val (start, end, step, rng) = (T0 + 9 * DAY, T0 + 19 * DAY, 21600000L, 21600000L)
+      (t: Tables) => Compiler.compile(Parser.parse("rate(purchase[6h])"),
+          Compiler.Ctx(samples(t), start, end, step, LB))
+        .select(col("uid"), col("step_ms"), col("value"))
+        .orderBy(col("uid"), col("step_ms"))
+      },
+      Some {
+        val (start, end, step, rng) = (T0 + 9 * DAY, T0 + 19 * DAY, 21600000L, 21600000L)
+        s"WITH $S_CTE, " +
+          "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
+          "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM sp " +
+          "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
+          s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
+          s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $rng AND p.ts_ms <= g.step_ms), " +
+          "a AS (SELECT uid, step_ms, count(*) AS n, min(ts_ms) AS ft, max(ts_ms) AS lt, " +
+          "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
+          "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
+          s"prev_ts > step_ms - $rng AND value < prev_val THEN prev_val ELSE 0 END " +
+          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2) " +
+          "SELECT uid, step_ms, (lv - fv + resets) / (CAST(lt - ft AS DOUBLE) / 1000.0e0) AS value " +
+          "FROM a WHERE n >= 2 ORDER BY uid, step_ms"
+      }),
+
     // ------------------------------------------------------------------ T-ops
     // sessionization: the batch/window form of stateful stream grouping
     // (mapGroupsWithState analog, but shuffle-once and restart-free)

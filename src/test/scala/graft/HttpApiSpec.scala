@@ -1,0 +1,67 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.api.{HttpApi, PromEngine}
+import graft.model.TimeSeriesModel
+import graft.sources.Tables
+
+/** End-to-end HTTP surface: Prometheus-compatible endpoints + envelope
+  * (ref api/http/query.go response shapes). */
+class HttpApiSpec extends SparkSpec {
+
+  private val DAY = 86400000L
+  private val TI = 1704067200000L + 14 * DAY
+
+  private lazy val api = new HttpApi(
+    new PromEngine(TimeSeriesModel.samples(Tables(spark, sf()).events), lookbackMs = DAY)).start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def get(pathAndQuery: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("instant query returns a vector envelope") {
+    val (code, body) = get(s"/api/v1/query?query=${enc("""sum by (__name__) ({uid!=""})""")}&time=${TI / 1000}")
+    assert(code == 200)
+    assert(body.startsWith("""{"status":"success","data":{"resultType":"vector""""))
+    assert(body.contains(""""__name__":"purchase""""))
+  }
+
+  test("range query returns a matrix with per-step values") {
+    val (code, body) = get(s"/api/v1/query_range?query=${enc("rate(purchase[1d])")}" +
+      s"&start=${(TI - 2 * DAY) / 1000}&end=${TI / 1000}&step=6h")
+    assert(code == 200)
+    assert(body.contains(""""resultType":"matrix""""))
+    assert(body.contains(""""values":[["""))
+  }
+
+  test("series endpoint unions match[] sets and respects limit+warning") {
+    val (code, body) = get(s"/api/v1/series?match[]=purchase&match[]=${enc("""{uid="3"}""")}")
+    assert(code == 200 && body.contains(""""uid":"3""""))
+    val (_, small) = get(s"/api/v1/series?match[]=${enc("""{uid!=""}""")}&limit=2")
+    assert(small.contains("truncated") && small.count(_ == '{') >= 3)
+  }
+
+  test("labels and label values endpoints") {
+    val (_, names) = get("/api/v1/labels")
+    assert(names.contains("__name__") && names.contains("uid"))
+    val (_, vals) = get("/api/v1/label/__name__/values")
+    assert(vals.contains("click") && vals.contains("purchase"))
+    val (_, none) = get("/api/v1/label/nope/values")
+    assert(none.contains(""""data":[]"""))
+  }
+
+  test("errors: bad promql and unknown params produce the error envelope") {
+    val (code, body) = get("/api/v1/query?query=sum((")
+    assert(code == 400 && body.startsWith("""{"status":"error""""))
+    val (code2, _) = get("/api/v1/query_range?query=up&start=1&end=2")
+    assert(code2 == 400) // missing step
+  }
+}
