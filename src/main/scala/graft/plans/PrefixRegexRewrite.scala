@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Expression, IsNotNull, Literal, RLike, StartsWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: anchored literal-prefix regexes → `StartsWith`.
+  *
+  * The matcher compiler emits `rlike("^(?:re)$")` for `=~`/`!~`
+  * ([[graft.promql.Matchers]]). Spark never pushes RLike into a Parquet scan,
+  * but `StartsWith` becomes a pushed `StringStartsWith` filter, which prunes
+  * row groups/pages via min/max stats on our `__name__`-sorted files — the
+  * Spark analog of the reference's sorted-page binary search for prefix
+  * regexes (`search/constraint.go:342-382`).
+  *
+  * `^(?:foo.*)$` ≡ startsWith("foo") up to one corner: regex `.` does not
+  * match `\n` (both in Java regex and the reference's RE2), so a label value
+  * like "foo\nbar" matches startsWith but not the regex. Label values with
+  * newlines don't occur in the TSDB model (Prometheus forbids them in metric
+  * names; they are pathological in labels), matching the reference's own
+  * prefix-extraction tradeoff.
+  *
+  * Register per session:
+  *  - `spark.experimental.extraOptimizations ++= Seq(PrefixRegexRewrite)`, or
+  *  - `SparkSession.builder().withExtensions(new GraftExtensions)` /
+  *    `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object PrefixRegexRewrite extends Rule[LogicalPlan] {
+
+  private val Anchored = "\\^\\(\\?:(.*)\\)\\$".r
+  private val meta = ".+*?()[]{}^$\\|".toSet
+
+  private def literalPrefix(inner: String): Option[String] =
+    if (inner.length > 2 && inner.endsWith(".*") &&
+      inner.dropRight(2).forall(c => !meta.contains(c)))
+      Some(inner.dropRight(2))
+    else None
+
+  /** Our matchers wrap labels as `coalesce(col, "")` (missing ≡ "").
+    * For a NON-empty prefix, `coalesce(col,'') startsWith p` ≡
+    * `col IS NOT NULL AND col startsWith p` — never NULL, so it stays correct
+    * under negation (`!~` must MATCH missing labels), and both conjuncts are
+    * expressions the Parquet pushdown translator accepts on a bare column. */
+  private def rewriteChild(child: Expression, p: String): Expression = {
+    val lit = Literal(UTF8String.fromString(p),
+      org.apache.spark.sql.types.StringType)
+    child match {
+      case Coalesce(Seq(a, Literal(s: UTF8String, _))) if s.toString.isEmpty =>
+        And(IsNotNull(a), StartsWith(a, lit))
+      case other => StartsWith(other, lit) // same NULL behavior as the RLike
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case rl @ RLike(child, Literal(pat: UTF8String, _)) =>
+      pat.toString match {
+        case Anchored(inner) =>
+          literalPrefix(inner).map(p => rewriteChild(child, p)).getOrElse(rl)
+        case _ => rl
+      }
+  }
+}
+
+/** `spark.sql.extensions`-compatible registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => PrefixRegexRewrite)
+}

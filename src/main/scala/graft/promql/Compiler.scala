@@ -39,13 +39,17 @@ object Compiler {
     case NumberLit(v) => ctx.grid.withColumn("value", lit(v))
     case StringLit(_) => throw new ParseException("bare string is not a query")
 
-    case Selector(_, _, Some(_)) =>
+    case Selector(_, _, Some(_), _) =>
       throw new ParseException("range vector must be an argument of a range function")
+    case _: Subquery =>
+      throw new ParseException("subquery must be an argument of a range function")
 
-    case Selector(name, matchers, None) =>
+    case Selector(name, matchers, None, offsetMs) =>
       val ms = name.map(n => MatchEq("__name__", n) +: matchers).getOrElse(matchers)
-      Eval.rangeVectors(ctx.samples, ms, ctx.startMs, ctx.endMs, ctx.stepMs, ctx.lookbackMs)
+      val df = Eval.rangeVectors(ctx.samples, ms, ctx.startMs - offsetMs,
+          ctx.endMs - offsetMs, ctx.stepMs, ctx.lookbackMs)
         .drop("series_hash")
+      if (offsetMs == 0) df else df.withColumn("step_ms", col("step_ms") + offsetMs)
 
     case Call(fn, args) => compileCall(fn, args, ctx)
     case a: Agg          => compileAgg(a, ctx)
@@ -57,22 +61,42 @@ object Compiler {
     "max_over_time", "count_over_time", "stddev_over_time", "last_over_time",
     "first_over_time", "rate", "increase", "delta", "idelta")
 
-  /** Expand samples (with per-series lag for counter resets) onto the grid:
-    * sample at ts serves step s iff s−window < ts ≤ s. One explode + one
-    * hash aggregation per (series, step). */
-  private def rangeEval(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
+  /** Points of a range selector: the matching raw samples. */
+  private def selectorPoints(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
     val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers).getOrElse(sel.matchers)
-    val base = ctx.samples.filter(
+    ctx.samples.filter(
       col("ts_ms") > ctx.startMs - windowMs && col("ts_ms") <= ctx.endMs &&
         Matchers.compile(ctx.samples, ms))
+  }
+
+  /** Points of a subquery `expr[range:res]`: the inner expression evaluated
+    * on a finer grid covering (start−range, end], its grid points becoming
+    * the "samples" the outer range function aggregates. */
+  private def subqueryPoints(sub: Subquery, ctx: Ctx): DataFrame = {
+    val innerCtx = ctx.copy(startMs = ctx.startMs - sub.rangeMs, endMs = ctx.endMs,
+      stepMs = sub.resolutionMs)
+    val inner = compile(sub.expr, innerCtx).filter(col("value").isNotNull)
+    val lbls = labelCols(inner)
+    inner.withColumnRenamed("step_ms", "ts_ms")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash",
+        if (lbls.nonEmpty) xxhash64(lbls.map(col): _*) else lit(0L))
+  }
+
+  /** Expand points (with per-series lag for counter resets) onto the grid:
+    * a point at ts serves step s iff s−window < ts ≤ s. One explode + one
+    * hash aggregation per (series, step). */
+  private def gridAgg(points: DataFrame, windowMs: Long, ctx: Ctx): DataFrame = {
     val w = Window.partitionBy(col("series_hash")).orderBy(col("ts_ms"), col("sample_id"))
-    val withPrev = base
+    val withPrev = points
       .withColumn("prev_val", lag(col("value"), 1).over(w))
       .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
     def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
     val kMin = greatest(floorDiv(col("ts_ms") - ctx.startMs + ctx.stepMs - 1, ctx.stepMs), lit(0L))
     val kMax = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1, ctx.stepMs), lit(ctx.nSteps))
-    val lbls = labelColsOfSamples(ctx.samples)
+    val lbls = points.columns
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "prev_val", "prev_ts"))
+      .toSeq
     withPrev
       .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
         .otherwise(array().cast("array<long>"))))
@@ -100,16 +124,42 @@ object Compiler {
       .drop("series_hash")
   }
 
-  private def labelColsOfSamples(samples: DataFrame): Seq[String] =
-    samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+  /** Prometheus' `extrapolatedRate` (promql/functions.go): extend the sampled
+    * interval toward the window bounds when the first/last samples sit close
+    * enough (≤1.1× the average sample spacing), clamp counters at the
+    * zero-crossing, then normalize by the window for `rate`. A fixed sequence
+    * of double arithmetic — deterministic and oracle-expressible. */
+  private def extrapolated(windowMs: Long, isCounter: Boolean, isRate: Boolean): Column = {
+    val rv = if (isCounter) col("last_val") - col("first_val") + col("resets")
+             else col("last_val") - col("first_val")
+    val ds0 = (col("first_ts") - (col("step_ms") - windowMs)).cast("double") / lit(1000.0)
+    val de0 = (col("step_ms") - col("last_ts")).cast("double") / lit(1000.0)
+    val si  = (col("last_ts") - col("first_ts")).cast("double") / lit(1000.0)
+    val ai  = si / (col("n_samples") - 1)
+    val thr = ai * lit(1.1)
+    val dz  = si * (col("first_val") / rv)
+    val dsA = if (isCounter)
+      when(rv > 0 && col("first_val") >= 0 && dz < ds0, dz).otherwise(ds0)
+    else ds0
+    val dsB = when(dsA >= thr, ai / lit(2.0)).otherwise(dsA)
+    val deB = when(de0 >= thr, ai / lit(2.0)).otherwise(de0)
+    val inc = rv * ((si + dsB + deB) / si)
+    val out = if (isRate) inc / lit(windowMs / 1000.0) else inc
+    when(col("n_samples") >= 2, out)
+  }
 
   private def compileCall(fn: String, args: Seq[Expr], ctx: Ctx): DataFrame = fn match {
     case f if overTimeFns.contains(f) =>
-      val sel = args.lastOption match {
-        case Some(s @ Selector(_, _, Some(_))) => s
+      val (windowMs, offsetMs, mkPoints) = args.lastOption match {
+        case Some(s @ Selector(_, _, Some(r), off)) =>
+          (r, off, (c: Ctx) => selectorPoints(s, r, c))
+        case Some(sub: Subquery) =>
+          (sub.rangeMs, sub.offsetMs, (c: Ctx) => subqueryPoints(sub, c))
         case _ => throw new ParseException(s"$f expects a range vector, e.g. m[5m]")
       }
-      val g = rangeEval(sel, sel.rangeMs.get, ctx)
+      // offset: evaluate on the shifted grid, report at the requested steps
+      val ectx = ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
+      val g = gridAgg(mkPoints(ectx), windowMs, ectx)
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
         "stddev_val", "resets", "idelta_val", "win_lo"))
@@ -122,21 +172,21 @@ object Compiler {
         case "stddev_over_time" => col("stddev_val")
         case "last_over_time"   => col("last_val")
         case "first_over_time"  => col("first_val")
-        case "delta"            => col("last_val") - col("first_val")
         case "idelta"           => col("idelta_val")
-        case "increase"         => col("last_val") - col("first_val") + col("resets")
-        case "rate" =>
-          when(col("n_samples") >= 2,
-            (col("last_val") - col("first_val") + col("resets")) /
-              ((col("last_ts") - col("first_ts")).cast("double") / lit(1000.0)))
+        case "delta"    => extrapolated(windowMs, isCounter = false, isRate = false)
+        case "increase" => extrapolated(windowMs, isCounter = true, isRate = false)
+        case "rate"     => extrapolated(windowMs, isCounter = true, isRate = true)
       }
       val out0 = g.withColumn("value", value)
         .select((("step_ms" +: lbls).map(col) :+ col("value")): _*)
       // range functions drop the metric name (PromQL: the value no longer IS
       // the metric) — last_over_time is the one name-preserving exception
-      val out = if (f == "last_over_time") out0 else dropName(out0)
-      // rate/idelta need ≥2 samples → drop NULL values (absent points)
-      if (f == "rate" || f == "idelta") out.filter(col("value").isNotNull) else out
+      val out1 = if (f == "last_over_time") out0 else dropName(out0)
+      // rate/increase/delta/idelta need ≥2 samples → drop NULL (absent) points
+      val out2 = if (Set("rate", "increase", "delta", "idelta").contains(f))
+        out1.filter(col("value").isNotNull) else out1
+      if (offsetMs == 0) out2
+      else out2.withColumn("step_ms", col("step_ms") + offsetMs)
 
     // scalar math over an instant vector (or scalar)
     case "abs" | "ceil" | "floor" | "sqrt" | "exp" | "ln" | "log2" | "log10" | "sgn" =>

@@ -436,6 +436,7 @@ object Tsdb {
         .orderBy(col("uid"), col("step_ms"))
       },
       Some {
+        // mirrors Compiler.extrapolated (Prometheus extrapolatedRate) exactly
         val (start, end, step, rng) = (T0 + 9 * DAY, T0 + 19 * DAY, 21600000L, 21600000L)
         s"WITH $S_CTE, " +
           "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
@@ -447,9 +448,18 @@ object Tsdb {
           "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
           "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
           s"prev_ts > step_ms - $rng AND value < prev_val THEN prev_val ELSE 0 END " +
-          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2) " +
-          "SELECT uid, step_ms, (lv - fv + resets) / (CAST(lt - ft AS DOUBLE) / 1000.0e0) AS value " +
-          "FROM a WHERE n >= 2 ORDER BY uid, step_ms"
+          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2), " +
+          "b AS (SELECT uid, step_ms, n, fv, lv - fv + resets AS rv, " +
+          s"CAST(ft - (step_ms - $rng) AS DOUBLE) / 1000.0e0 AS ds0, " +
+          "CAST(step_ms - lt AS DOUBLE) / 1000.0e0 AS de0, " +
+          "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
+          "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
+          "d AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
+          "e AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < ds0 THEN dz ELSE ds0 END AS dsa FROM d), " +
+          "f AS (SELECT *, CASE WHEN dsa >= thr THEN ai / 2.0e0 ELSE dsa END AS dsb, " +
+          "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e) " +
+          s"SELECT uid, step_ms, (rv * ((si + dsb + deb) / si)) / ${rng / 1000.0}e0 AS value " +
+          "FROM f ORDER BY uid, step_ms"
       }),
 
     // ------------------------------------------------------------------ T-ops

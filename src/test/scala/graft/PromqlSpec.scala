@@ -73,25 +73,49 @@ class PromqlSpec extends SparkSpec {
     assert(eval("""sum({uid!=""})""").count() == 1)
   }
 
-  test("rate over range vector matches manual computation") {
-    // single window (t-1d, t] per series: rate = (last-first+resets)/dt
-    val got = eval("rate(purchase[1d])").select($"uid", $"value")
-    val base = samples
-      .filter($"__name__" === "purchase" && $"ts_ms" > TI - DAY && $"ts_ms" <= TI)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"series_hash").orderBy($"ts_ms", $"sample_id")
-    // prev within the full window = prev within this filtered set
-    val want = base
-      .withColumn("prev", lag($"value", 1).over(w))
-      .groupBy($"uid")
-      .agg(count(lit(1)).as("n"), min($"ts_ms").as("ft"), max($"ts_ms").as("lt"),
-        min_by($"value", $"ts_ms").as("fv"), max_by($"value", $"ts_ms").as("lv"),
-        sum(when($"prev".isNotNull && $"value" < $"prev", $"prev").otherwise(0.0)
-          .cast(graft.functions.Det.dec)).cast("double").as("resets"))
-      .filter($"n" >= 2)
-      .select($"uid", (($"lv" - $"fv" + $"resets") / (($"lt" - $"ft").cast("double") / 1000.0)).as("value"))
-    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
-    assert(got.count() > 0)
+  test("rate/increase apply Prometheus extrapolation (hand-computed example)") {
+    // window (0, 10000]: samples 2000→0, 4000→10, 8000→20
+    // si=6s ai=3s thr=3.3s; ds0=2s but zero-crossing clamp (fv=0) → ds=0;
+    // de0=2s<thr → 2; factor=(6+0+2)/6; increase=20·8/6; rate=increase/10
+    val df = Seq(("c", "1", 2000L, 0.0, 1L), ("c", "1", 4000L, 10.0, 2L),
+        ("c", "1", 8000L, 20.0, 3L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    val rate = Compiler.compile(Parser.parse("rate(c[10s])"), ctx)
+      .select($"value").as[Double].head()
+    assert(math.abs(rate - 20.0 * (8.0 / 6.0) / 10.0) < 1e-12)
+    val inc = Compiler.compile(Parser.parse("increase(c[10s])"), ctx)
+      .select($"value").as[Double].head()
+    assert(math.abs(inc - 20.0 * (8.0 / 6.0)) < 1e-12)
+    // reset correction still applies: drop to 5 then 15 → rv includes +20
+    val df2 = Seq(("c", "1", 2000L, 10.0, 1L), ("c", "1", 4000L, 20.0, 2L),
+        ("c", "1", 6000L, 5.0, 3L), ("c", "1", 8000L, 15.0, 4L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val inc2 = Compiler.compile(Parser.parse("increase(c[10s])"),
+        Compiler.Ctx(df2, 10000L, 10000L, 1000L, DAY))
+      .select($"value").as[Double].head()
+    // rv = 15-10+20 = 25; si=6 ai=2 thr=2.2; ds0=2<2.2 keep (dz=10/25·6=2.4>2);
+    // de0=2<2.2 keep; factor=(6+2+2)/6
+    assert(math.abs(inc2 - 25.0 * (10.0 / 6.0)) < 1e-12)
+  }
+
+  test("offset shifts evaluation time; subquery feeds range functions") {
+    val off = eval("""{__name__="purchase"} offset 1d""").select($"uid", $"value")
+    val want = Eval.instantVector(samples, Seq(MatchEq("__name__", "purchase")), TI - DAY, DAY)
+      .select($"uid", $"value")
+    assert(off.exceptAll(want).isEmpty && want.exceptAll(off).isEmpty)
+    assert(off.count() > 0)
+
+    // sum_over_time(sum(m)[1d:6h]): inner total at 6h grid points, summed
+    val sq = eval("""sum_over_time(sum({uid!=""})[1d:6h])""")
+      .select($"value").as[Double].head()
+    val innerCtx = Compiler.Ctx(samples, TI - DAY, TI, 21600000L, DAY)
+    val innerSum = Compiler.compile(Parser.parse("""sum({uid!=""})"""), innerCtx)
+      .filter($"step_ms" > TI - DAY) // window is (t-range, t]
+      .agg(graft.functions.Det.dsum($"value")).head().getDouble(0)
+    assert(math.abs(sq - innerSum) < 1e-9)
   }
 
   test("vector binop with on(uid) matches manual join; scalar ops; comparisons") {
