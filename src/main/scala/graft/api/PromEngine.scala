@@ -51,7 +51,7 @@ final class PromEngine(samples: DataFrame,
     * `api/http/query.go:627-633`), dedup across sets. */
   def series(matchSets: Seq[Seq[LabelMatcher]], mintMs: Long, maxtMs: Long,
              limit: Int = 0): (Seq[Map[String, String]], Boolean) = {
-    val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+    val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
     val selected = matchSets
       .map(ms => Eval.select(samples, ms, mintMs, maxtMs).select(lbls.map(col): _*))
       .reduce(_ unionByName _)
@@ -63,7 +63,7 @@ final class PromEngine(samples: DataFrame,
   }
 
   def labelNames(matchers: Seq[LabelMatcher], mintMs: Long, maxtMs: Long): Seq[String] = {
-    val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+    val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
     if (matchers.isEmpty) lbls.sorted // schema-only path (ref search/search.go:294)
     else {
       val m = Eval.select(samples, matchers, mintMs, maxtMs)

@@ -22,7 +22,8 @@ object EtlDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, sfDir)
-    val out = java.nio.file.Files.createTempDirectory("graft-etl-demo").toString
+    val out = sys.env.getOrElse("GRAFT_DEMO_OUT",
+      java.nio.file.Files.createTempDirectory("graft-etl-demo").toString)
 
     val metas = Ingest.convert(spark, t.events, out)
     println(s"DRIVE convert: ${metas.size} days, first=${metas.head}")

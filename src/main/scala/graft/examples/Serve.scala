@@ -22,7 +22,11 @@ object Serve {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val samples = TimeSeriesModel.samples(Tables(spark, sfDir).events)
+    // accept either a raw fixture dir or a converted layout (<dir>/samples)
+    val samples =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$sfDir/samples")))
+        graft.etl.Ingest.openSamples(spark, sfDir)
+      else TimeSeriesModel.samples(Tables(spark, sfDir).events)
     val api = new HttpApi(new PromEngine(samples, lookback), port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed

@@ -65,7 +65,7 @@ object Compiler {
   private def selectorPoints(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
     val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers).getOrElse(sel.matchers)
     ctx.samples.filter(
-      col("ts_ms") > ctx.startMs - windowMs && col("ts_ms") <= ctx.endMs &&
+      Eval.timeBound(ctx.samples, ctx.startMs - windowMs + 1, ctx.endMs) &&
         Matchers.compile(ctx.samples, ms))
   }
 
@@ -95,7 +95,8 @@ object Compiler {
     val kMin = greatest(floorDiv(col("ts_ms") - ctx.startMs + ctx.stepMs - 1, ctx.stepMs), lit(0L))
     val kMax = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1, ctx.stepMs), lit(ctx.nSteps))
     val lbls = points.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "prev_val", "prev_ts"))
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "prev_val", "prev_ts",
+        "date")) // date = partition bookkeeping of the converted layout, not a label
       .toSeq
     withPrev
       .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
@@ -233,7 +234,9 @@ object Compiler {
       if (!v.columns.contains("le"))
         throw new ParseException("histogram_quantile needs an 'le' label")
       val grp = ("step_ms" +: labelCols(v).filterNot(_ == "le")).map(col)
-      val leD = col("le").cast("double")
+      // Prometheus le labels are strings; "+Inf" isn't castable directly
+      val leD = when(col("le").isin("+Inf", "Inf", "inf"),
+        lit(Double.PositiveInfinity)).otherwise(col("le").cast("double"))
       val w = Window.partitionBy(grp: _*).orderBy(leD)
       val b = v
         .withColumn("lo_le", lag(leD, 1, 0.0).over(w))

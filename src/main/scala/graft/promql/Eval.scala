@@ -2,7 +2,6 @@ package graft.promql
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.model.TimeSeriesModel
 
 /** Vector selection — the `Select` storage operator + PromQL's instant/range
   * evaluation grid (SURVEY.md §2.3 J4, §2.5 W4).
@@ -26,22 +25,46 @@ import graft.model.TimeSeriesModel
 object Eval {
   val DefaultLookbackMs: Long = 300000L // 5m, ref cmd/serve.go:102
 
-  private val labelCols = TimeSeriesModel.labelNames.map(col)
+  /** Label columns = everything that isn't engine bookkeeping — schema-driven
+    * so sources with extra labels (e.g. histogram `le`) work unchanged. */
+  def labelColsOf(samples: DataFrame): Seq[org.apache.spark.sql.Column] =
+    samples.columns
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date"))
+      .toSeq.map(col)
 
-  /** Raw select: time-interval predicate (ref `internal/util/interval.go:8-21`)
-    * + matcher predicates; both push down to the Parquet scan. */
+  /** Time-interval predicate (ref `internal/util/interval.go:8-21`). When the
+    * source is the converted layout (has a `date` partition column), also emit
+    * the equivalent date-range predicate so Catalyst prunes day partitions —
+    * the analog of the reference's block mint/maxt filter (`db/db.go:252-258`).
+    * yyyy-MM-dd strings compare lexicographically = chronologically. */
+  def timeBound(samples: DataFrame, mintMs: Long, maxtMs: Long): org.apache.spark.sql.Column = {
+    val ts = col("ts_ms").between(mintMs, maxtMs)
+    if (!samples.columns.contains("date")) ts
+    else {
+      val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+      // clamp to [epoch, year 9999]: partition discovery types `date` as DATE,
+      // and an unbounded query's ±Long.MaxValue/2 bound would format to a
+      // year no DATE literal can hold
+      val hi = 253402214400000L // 9999-01-01T00:00:00Z
+      def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(hi))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.format(fmt)
+      ts && col("date") >= day(mintMs) && col("date") <= day(maxtMs)
+    }
+  }
+
+  /** Raw select: time + matcher predicates; both push down to the scan. */
   def select(samples: DataFrame, matchers: Seq[LabelMatcher],
              mintMs: Long, maxtMs: Long): DataFrame =
-    samples.filter(col("ts_ms").between(mintMs, maxtMs) &&
+    samples.filter(timeBound(samples, mintMs, maxtMs) &&
       Matchers.compile(samples, matchers))
 
   /** Instant vector: last sample per series in (t−lookback, t]. */
   def instantVector(samples: DataFrame, matchers: Seq[LabelMatcher],
                     tMs: Long, lookbackMs: Long = DefaultLookbackMs): DataFrame =
     samples
-      .filter(col("ts_ms") > tMs - lookbackMs && col("ts_ms") <= tMs &&
+      .filter(timeBound(samples, tMs - lookbackMs + 1, tMs) &&
         Matchers.compile(samples, matchers))
-      .groupBy(col("series_hash") +: labelCols: _*)
+      .groupBy(col("series_hash") +: labelColsOf(samples): _*)
       .agg(max_by(col("value"), col("ts_ms")).as("value"),
            max(col("ts_ms")).as("ts_ms"))
 
@@ -58,7 +81,7 @@ object Eval {
                    lookbackMs: Long = DefaultLookbackMs): DataFrame = {
     val nSteps = (endMs - startMs) / stepMs // max k
     val base = samples.filter(
-      col("ts_ms") > startMs - lookbackMs && col("ts_ms") <= endMs &&
+      timeBound(samples, startMs - lookbackMs + 1, endMs) &&
         Matchers.compile(samples, matchers))
     // sample at ts serves step s iff ts <= s < ts + lookback
     val kMin = greatest(floorDiv(col("ts_ms") - startMs + stepMs - 1, stepMs), lit(0L))
@@ -67,7 +90,7 @@ object Eval {
       .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
         .otherwise(array().cast("array<long>"))))
       .withColumn("step_ms", lit(startMs) + col("k") * stepMs)
-      .groupBy(col("series_hash") +: col("step_ms") +: labelCols: _*)
+      .groupBy(col("series_hash") +: col("step_ms") +: labelColsOf(samples): _*)
       .agg(max_by(col("value"), col("ts_ms")).as("value"))
   }
 }

@@ -46,6 +46,29 @@ class EtlSpec extends SparkSpec {
     assert(Ingest.openSamples(spark, out).count() == t.events.count())
   }
 
+  test("PromQL engine over the converted layout matches raw source, with partition pruning") {
+    import graft.promql.{Compiler, Parser, Eval}
+    val out = Files.createTempDirectory("graft-layout").toString
+    val t = Tables(spark, sf())
+    Ingest.convert(spark, t.events, out)
+    val raw = graft.model.TimeSeriesModel.samples(t.events)
+    val layout = Ingest.openSamples(spark, out)
+
+    val TI = 1704067200000L + 14 * 86400000L
+    for (q <- Seq("""sum by (__name__) ({uid!=""})""", "rate(purchase[1d])")) {
+      val a = Compiler.compile(Parser.parse(q), Compiler.Ctx(raw, TI, TI, 1000L, 86400000L))
+      val b = Compiler.compile(Parser.parse(q), Compiler.Ctx(layout, TI, TI, 1000L, 86400000L))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, q)
+      assert(a.count() > 0)
+    }
+
+    // the date-range predicate reaches the scan as a partition filter
+    val plan = Eval.select(layout, Nil, TI - 86400000L, TI)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("date"), plan.take(2000))
+  }
+
   test("planner: newest-first diff with grace and step limit") {
     val d = (1 to 10).map(i => LocalDate.of(2024, 1, i)).toSet
     val today = LocalDate.of(2024, 1, 11)

@@ -157,6 +157,28 @@ class PromqlSpec extends SparkSpec {
     assert(lj.filter($"joined" === concat_ws("/", $"__name__", $"uid")).count() == lj.count())
   }
 
+  test("histogram_quantile over classic le-labeled bucket series") {
+    // cumulative buckets at one instant: 0.1→50, 0.5→80, 1→95, +Inf→100
+    // φ=0.9 → rank 90 lands in the le=1 bucket:
+    // 0.5 + (1−0.5)·(90−80)/(95−80) = 0.8333…
+    val t = TI - 1000L
+    val df = Seq(("0.1", 50.0), ("0.5", 80.0), ("1", 95.0), ("+Inf", 100.0))
+      .map { case (le, v) => ("lat_bucket", le, t, v, 1L) }
+      .toDF("__name__", "le", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"le"))
+    val got = Compiler.compile(
+        Parser.parse("""histogram_quantile(0.9, lat_bucket)"""),
+        Compiler.Ctx(df, TI, TI, 1000L, DAY))
+      .select($"value").as[Double].head()
+    assert(math.abs(got - (0.5 + 0.5 * 10.0 / 15.0)) < 1e-12)
+    // φ beyond the last finite bucket → highest finite le
+    val hi = Compiler.compile(
+        Parser.parse("""histogram_quantile(0.99, lat_bucket)"""),
+        Compiler.Ctx(df, TI, TI, 1000L, DAY))
+      .select($"value").as[Double].head()
+    assert(hi == 1.0)
+  }
+
   test("range query grid matches Eval.rangeVectors") {
     val (s, e, st) = (T0 + 9 * DAY, T0 + 11 * DAY, 21600000L)
     val ctx = Compiler.Ctx(samples, s, e, st, DAY)
