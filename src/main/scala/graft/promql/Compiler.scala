@@ -59,7 +59,7 @@ object Compiler {
   // ---------------------------------------------------------------- range fns
   private val overTimeFns = Set("sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "count_over_time", "stddev_over_time", "last_over_time",
-    "first_over_time", "rate", "increase", "delta", "idelta")
+    "first_over_time", "quantile_over_time", "rate", "increase", "delta", "idelta")
 
   /** Points of a range selector: the matching raw samples. */
   private def selectorPoints(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
@@ -86,7 +86,8 @@ object Compiler {
   /** Expand points (with per-series lag for counter resets) onto the grid:
     * a point at ts serves step s iff s−window < ts ≤ s. One explode + one
     * hash aggregation per (series, step). */
-  private def gridAgg(points: DataFrame, windowMs: Long, ctx: Ctx): DataFrame = {
+  private def gridAgg(points: DataFrame, windowMs: Long, ctx: Ctx,
+                      withDistribution: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("series_hash")).orderBy(col("ts_ms"), col("sample_id"))
     val withPrev = points
       .withColumn("prev_val", lag(col("value"), 1).over(w))
@@ -104,8 +105,7 @@ object Compiler {
       .withColumn("step_ms", lit(ctx.startMs) + col("k") * ctx.stepMs)
       .withColumn("win_lo", col("step_ms") - windowMs) // prev in window ⇔ prev_ts > win_lo
       .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
-      .agg(
-        count(col("value")).as("n_samples"),
+      .agg(count(col("value")).as("n_samples"), (Seq(
         min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"),
         min_by(col("value"), col("ts_ms")).as("first_val"),
         max_by(col("value"), col("ts_ms")).as("last_val"),
@@ -121,7 +121,10 @@ object Compiler {
           col("value") < col("prev_val"), col("prev_val")).otherwise(lit(0.0)).cast(Det.dec))
           .cast("double").as("resets"),
         expr("max_by(value - prev_val, ts_ms) FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)")
-          .as("idelta_val"))
+          .as("idelta_val")) ++
+        (if (withDistribution) // only quantile_over_time pays for the list
+          Seq(array_sort(collect_list(col("value"))).as("vals_sorted"))
+        else Seq.empty)): _*)
       .drop("series_hash")
   }
 
@@ -160,10 +163,11 @@ object Compiler {
       }
       // offset: evaluate on the shifted grid, report at the requested steps
       val ectx = ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
-      val g = gridAgg(mkPoints(ectx), windowMs, ectx)
+      val g = gridAgg(mkPoints(ectx), windowMs, ectx,
+        withDistribution = f == "quantile_over_time")
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
-        "stddev_val", "resets", "idelta_val", "win_lo"))
+        "stddev_val", "resets", "idelta_val", "win_lo", "vals_sorted"))
       val value: Column = f match {
         case "sum_over_time"    => col("sum_val")
         case "avg_over_time"    => col("avg_val")
@@ -174,6 +178,14 @@ object Compiler {
         case "last_over_time"   => col("last_val")
         case "first_over_time"  => col("first_val")
         case "idelta"           => col("idelta_val")
+        case "quantile_over_time" => // exact interpolated quantile of the window
+          val phi = scalarOf(args.head)
+          val h = lit(phi) * (size(col("vals_sorted")) - 1)
+          val lo = floor(h).cast("int")
+          val vLo = element_at(col("vals_sorted"), lo + 1) // lo+1 ≤ n always
+          // lo+2 may exceed n (φ=1 or single sample): try_ under ANSI mode
+          val vHi = coalesce(try_element_at(col("vals_sorted"), lo + 2), vLo)
+          vLo + (h - floor(h)) * (vHi - vLo)
         case "delta"    => extrapolated(windowMs, isCounter = false, isRate = false)
         case "increase" => extrapolated(windowMs, isCounter = true, isRate = false)
         case "rate"     => extrapolated(windowMs, isCounter = true, isRate = true)
@@ -251,6 +263,14 @@ object Compiler {
               (lit(phi) * col("total") - col("lo_cum")) / (col("value") - col("lo_cum"))))
         .select((grp :+ col("value")): _*)
 
+    case "absent" => // 1 at steps where the vector has no series at all
+      val v = compile(args.head, ctx)
+      ctx.grid.join(v.select(col("step_ms")).distinct(), Seq("step_ms"), "left_anti")
+        .withColumn("value", lit(1.0))
+    case "sort" | "sort_desc" => // presentational in PromQL; order at the edge
+      val v = compile(args.head, ctx)
+      v.orderBy(if (fn == "sort") col("value").asc else col("value").desc)
+
     case "vector" => compile(args.head, ctx)
     case "scalar" =>
       val v = compile(args.head, ctx)
@@ -312,6 +332,12 @@ object Compiler {
             first(h - floor(h)).as("frac"))
           .select((grp :+
             (col("v_lo") + col("frac") * (col("v_hi") - col("v_lo"))).as("value")): _*)
+      case "count_values" => // value string becomes a new label; count series
+        val lbl = strOf(a.param.getOrElse(throw new ParseException("count_values needs a label")))
+        child.groupBy((grp :+ col("value").cast("string").as(lbl)): _*)
+          .agg(count(lit(1)).cast("double").as("value"))
+      case "group" => // all values become 1 per output group
+        child.select(grp: _*).distinct().withColumn("value", lit(1.0))
       case other => throw new ParseException(s"unsupported aggregation '$other'")
     }
   }

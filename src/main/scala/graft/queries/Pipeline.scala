@@ -265,6 +265,25 @@ object Pipeline {
         "1 + (octet_length(encode(text)) * 7) % 480 AS height " +
         "FROM documents ORDER BY doc_id")),
 
+    Q("mm_batch_decode",  // mapPartitions batch decoder (mapInPandas analog)
+      t => {
+        val f = graft.ops.Multimodal.featuresOf(t.spark, t.documents)
+        f.select(col("doc_id"), col("media_type"), col("byte_len"),
+            col("width"), col("height"),
+            col("features")(0).as("f0"), col("features")(1).as("f1"),
+            col("features")(2).as("f2"), col("features")(3).as("f3"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, " +
+        "list_sum(list_transform(range(1, length(text)+1), i -> ord(substr(text, CAST(i AS INT), 1)))) AS s0, " +
+        "list_sum(list_transform(range(1, length(text)+1), i -> ord(substr(text, CAST(i AS INT), 1)) * ord(substr(text, CAST(i AS INT), 1)))) AS s1 " +
+        "FROM documents) " +
+        "SELECT doc_id, 'image/fake' AS media_type, n AS byte_len, " +
+        "1 + n % 640 AS width, 1 + (n * 7) % 480 AS height, " +
+        "CAST(n AS DOUBLE) AS f0, CAST(s0 AS DOUBLE) / n AS f1, CAST(s1 AS DOUBLE) / n AS f2, " +
+        "CAST(s1 AS DOUBLE) / n - (CAST(s0 AS DOUBLE) / n) * (CAST(s0 AS DOUBLE) / n) AS f3 " +
+        "FROM b ORDER BY doc_id")),
+
     Q("mm_frame_sample",  // frame-sampling plumbing: stride-64 byte windows
       t => t.documents
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))

@@ -157,6 +157,36 @@ class PromqlSpec extends SparkSpec {
     assert(lj.filter($"joined" === concat_ws("/", $"__name__", $"uid")).count() == lj.count())
   }
 
+  test("quantile_over_time, absent, count_values, group") {
+    // quantile_over_time(0.5, …) over 1,5,9 in one window → 5
+    val df = Seq(("m", "1", 2000L, 1.0, 1L), ("m", "1", 4000L, 9.0, 2L),
+        ("m", "1", 6000L, 5.0, 3L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val ctx10 = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    val med = Compiler.compile(Parser.parse("quantile_over_time(0.5, m[10s])"), ctx10)
+      .select($"value").as[Double].head()
+    assert(med == 5.0)
+    val q25 = Compiler.compile(Parser.parse("quantile_over_time(0.25, m[10s])"), ctx10)
+      .select($"value").as[Double].head()
+    assert(q25 == 3.0) // 1 + 0.5·(5−1)
+
+    // absent: nothing matches → 1; something matches → empty
+    assert(Compiler.compile(Parser.parse("""absent({__name__="nope"})"""), ctx10)
+      .select($"value").as[Double].collect().toSeq == Seq(1.0))
+    assert(eval("""absent({__name__="purchase"})""").count() == 0)
+
+    // count_values over the instant vector: Σ counts = Σ series
+    val cv = eval("""count_values("v", {uid!=""})""")
+    assert(cv.columns.contains("v"))
+    val nSeries = Eval.instantVector(samples, Nil, TI, DAY).count()
+    assert(cv.agg(sum($"value")).head().getDouble(0) == nSeries.toDouble)
+
+    // group: one row per group, value 1
+    val g = eval("""group by (__name__) ({uid!=""})""")
+    assert(g.count() == 5 && g.select($"value").distinct().as[Double].head() == 1.0)
+  }
+
   test("histogram_quantile over classic le-labeled bucket series") {
     // cumulative buckets at one instant: 0.1→50, 0.5→80, 1→95, +Inf→100
     // φ=0.9 → rank 90 lands in the le=1 bucket:
