@@ -378,10 +378,21 @@ object Compiler {
       case (true, false) => vectorScalar(rhs, lhs, b, flip = true)
       case (false, false) =>
         val on = "step_ms" +: matchKeys(b, lLbls, rLbls)
-        val keepL = if (compOps.contains(b.op) && !b.bool) lLbls else on.tail
+        val gl = b.matching.exists(_.groupLeft)
+        val gr = b.matching.exists(_.groupRight)
+        // label retention: comparisons (filter form) and group_left keep the
+        // lhs label set; group_right keeps the rhs set; plain 1:1 keeps the
+        // match keys only (PromQL drops non-matching labels and __name__)
+        val keepL =
+          if (compOps.contains(b.op) && !b.bool) lLbls
+          else if (gl) lLbls.filterNot(_ == "__name__")
+          else if (gr) Seq.empty
+          else on.tail
+        val keepR = if (gr) rLbls.filterNot(_ == "__name__") else Seq.empty
         val l2 = lhs.select((on.map(col) ++
           (keepL.filterNot(on.contains)).map(col) :+ col("value")): _*)
-        val r2 = rhs.select((on.map(col) :+ col("value").as("rvalue")): _*)
+        val r2 = rhs.select((on.map(col) ++
+          (keepR.filterNot(on.contains)).map(col) :+ col("value").as("rvalue")): _*)
         val joined = l2.join(r2, on)
         val result = joined.withColumn("out",
           toDouble(b.op, arith(b.op)(col("value"), col("rvalue")), b.bool))

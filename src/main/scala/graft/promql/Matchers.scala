@@ -27,11 +27,23 @@ sealed trait LabelMatcher {
 }
 
 final case class MatchEq(label: String, value: String) extends LabelMatcher {
-  def toPredicate(df: DataFrame): Column = Matchers.labelValue(df, label) === value
+  /** `coalesce(col,'') === v` is semantically right but the coalesce blocks
+    * Parquet filter pushdown. Emit the equivalent null-safe form from
+    * pushable primitives instead: the translated `IsNotNull + EqualTo` (or
+    * `IsNull OR EqualTo` for the empty string) reaches the scan and prunes
+    * row groups/pages/bloom on sorted label columns — the Spark analog of the
+    * reference's equal-constraint page pruning (search/constraint.go:122). */
+  def toPredicate(df: DataFrame): Column =
+    if (!df.columns.contains(label)) lit(value.isEmpty)
+    else if (value.isEmpty) col(label).isNull || col(label) === ""
+    else col(label).isNotNull && col(label) === value
 }
 
 final case class MatchNotEq(label: String, value: String) extends LabelMatcher {
-  def toPredicate(df: DataFrame): Column = Matchers.labelValue(df, label) =!= value
+  def toPredicate(df: DataFrame): Column =
+    if (!df.columns.contains(label)) lit(value.nonEmpty)
+    else if (value.isEmpty) col(label).isNotNull && col(label) =!= ""
+    else col(label).isNull || col(label) =!= value
 }
 
 final case class MatchRe(label: String, pattern: String) extends LabelMatcher {
@@ -65,11 +77,14 @@ object Matchers {
 
   def regexPredicate(df: DataFrame, label: String, pattern: String,
                      negate: Boolean): Column = {
-    val v = labelValue(df, label)
     val pos = setMatches(pattern) match {
-      case Some(values) => v.isin(values: _*)                 // pushdown-friendly IN
-      case None         => v.rlike("^(?:" + pattern + ")$")   // anchored, RE2-style
-    }
+      case Some(values) if df.columns.contains(label) =>
+        // null-safe IN from pushable primitives (see MatchEq)
+        if (values.contains("")) col(label).isNull || col(label).isin(values: _*)
+        else col(label).isNotNull && col(label).isin(values: _*)
+      case _ =>
+        labelValue(df, label).rlike("^(?:" + pattern + ")$") // anchored, RE2-style
+      }
     if (negate) !pos else pos
   }
 

@@ -139,6 +139,19 @@ class PromqlSpec extends SparkSpec {
     val gtBool = eval("""{__name__="purchase"} > bool 100""")
     assert(gtBool.agg(sum($"value")).head().getDouble(0) == gt.count().toDouble)
 
+    // group_left keeps the many-side's extra labels (minus __name__, which
+    // arithmetic always drops); group_right is the mirror
+    val glDf = eval("""label_replace({__name__="purchase"}, "tier", "gold", "uid", "(.*)")""" +
+      """ / on(uid) group_left {__name__="view"}""")
+    assert(glDf.columns.toSet == Set("step_ms", "uid", "tier", "value"))
+    assert(glDf.select($"tier").distinct().as[String].collect().toSeq == Seq("gold"))
+    val grDf = eval("""{__name__="purchase"} / on(uid) group_right """ +
+      """label_replace({__name__="view"}, "src", "web", "uid", "(.*)")""")
+    assert(grDf.columns.toSet == Set("step_ms", "uid", "src", "value"))
+    // values identical to plain on(uid) matching
+    assert(glDf.select($"uid", $"value").exceptAll(got).isEmpty)
+    assert(grDf.select($"uid", $"value").exceptAll(got).isEmpty)
+
     // and / unless partition the lhs
     val andC = eval("""{__name__="purchase"} and {__name__="error"}""").count()
     val unlessC = eval("""{__name__="purchase"} unless {__name__="error"}""").count()
