@@ -399,6 +399,24 @@ object Tsdb {
         "(0.9e0*total - lo_cum) / (cum - lo_cum) END AS value FROM sel WHERE rk = 1 " +
         "ORDER BY __name__")),
 
+    // ------------------------------------------------------------------ S5/S6
+    // the convert ETL under the gate: day-split + dedup + sorted dual-table
+    // write, then read back through the partitioned layout (also the
+    // BenchmarkConverter analog - bench times include the conversion)
+    Q("s5_convert_roundtrip",
+      t => {
+        val out = java.nio.file.Files.createTempDirectory("graft-conv").toString
+        graft.etl.Ingest.convert(t.spark, t.events, out)
+        graft.etl.Ingest.openSamples(t.spark, out)
+          .groupBy(col("date").cast("string").as("date"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
+            count_distinct(col("series_hash")).as("n_series"))
+          .orderBy(col("date"))
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS n, " +
+        DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics
