@@ -357,13 +357,24 @@ object Compiler {
     val rhs = compile(b.rhs, ctx)
     val lLbls = labelCols(lhs); val rLbls = labelCols(rhs)
 
+    // PromQL matches label SETS: an absent label equals an absent label, so
+    // all key comparisons must be null-safe (<=>) — plain equi-joins would
+    // silently drop series whose wide-schema label columns are NULL
+    def nullSafeJoin(l: DataFrame, r: DataFrame, on: Seq[String], how: String) = {
+      val (la, ra) = (l.alias("gl"), r.alias("gr"))
+      val cond = on.map(c => col(s"gl.$c") <=> col(s"gr.$c")).reduce(_ && _)
+      (la.join(ra, cond, how), la, ra)
+    }
+
     if (setOp) {
       val on = "step_ms" +: matchKeys(b, lLbls, rLbls)
       return b.op match {
-        case "and"    => lhs.join(rhs.select(on.map(col): _*).distinct(), on, "left_semi")
-        case "unless" => lhs.join(rhs.select(on.map(col): _*).distinct(), on, "left_anti")
+        case "and" =>
+          nullSafeJoin(lhs, rhs.select(on.map(col): _*).distinct(), on, "left_semi")._1
+        case "unless" =>
+          nullSafeJoin(lhs, rhs.select(on.map(col): _*).distinct(), on, "left_anti")._1
         case "or" => lhs.unionByName(
-          rhs.join(lhs.select(on.map(col): _*).distinct(), on, "left_anti"),
+          nullSafeJoin(rhs, lhs.select(on.map(col): _*).distinct(), on, "left_anti")._1,
           allowMissingColumns = true)
       }
     }
@@ -393,7 +404,12 @@ object Compiler {
           (keepL.filterNot(on.contains)).map(col) :+ col("value")): _*)
         val r2 = rhs.select((on.map(col) ++
           (keepR.filterNot(on.contains)).map(col) :+ col("value").as("rvalue")): _*)
-        val joined = l2.join(r2, on)
+        val (joined0, la, _) = nullSafeJoin(l2, r2, on, "inner")
+        // project the lhs copy of the key columns (they are <=>-equal)
+        val keyCols = on.map(c => la(c).as(c))
+        val extraCols = (keepL ++ keepR).filterNot(on.contains).distinct.map(col)
+        val joined = joined0.select((keyCols ++ extraCols :+
+          col("value") :+ col("rvalue")): _*)
         val result = joined.withColumn("out",
           toDouble(b.op, arith(b.op)(col("value"), col("rvalue")), b.bool))
         val filtered =

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.promql.{Compiler, Parser}
+
+/** Mini promqltest runner (the reference's primary correctness authority is
+  * Prometheus' upstream `.test` corpus, ref db/db_test.go:53-116; this is the
+  * same `load`/`eval instant` format, scoped to the features we implement).
+  *
+  * Series notation: `metric{l="v", …} 1+2x40` (start+step×count) or literal
+  * point lists incl. NaN. Labels are dynamic per series — the runner builds a
+  * wide nullable DataFrame like the reference's per-shard schemas.
+  */
+class PromqlGoldenSpec extends SparkSpec {
+
+  private val corpus =
+    """
+      |load 10s
+      |  metric{pod="nginx-1", a="foo"} 1+2x40
+      |  metric{pod="nginx-2", b="bar"} 10+10x40
+      |  http{job="api", code="404"} 0+3x40
+      |  http{job="api", code="200"} 0+5x40
+      |  data{test="nan"} NaN 1 NaN
+      |
+      |eval instant at 100s metric
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s metric{foo=""}
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s metric{pod=~"nginx-.*", a!="foo"}
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s sum(metric)
+      |  {} 131
+      |
+      |eval instant at 100s sum by (pod) (metric)
+      |  {pod="nginx-1"} 21
+      |  {pod="nginx-2"} 110
+      |
+      |eval instant at 100s avg without (code) (http)
+      |  {job="api"} 40
+      |
+      |eval instant at 100s count(metric)
+      |  {} 2
+      |
+      |eval instant at 100s topk(1, metric)
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s http{code="404"} / on(job) http{code="200"}
+      |  {job="api"} 0.6
+      |
+      |eval instant at 100s rate(http{code="404"}[50s])
+      |  {job="api", code="404"} 0.3
+      |
+      |eval instant at 100s sum_over_time(sum(http)[30s:10s])
+      |  {} 216
+      |
+      |eval instant at 20s data
+      |  {test="nan", __name__="data"} NaN
+      |
+      |eval instant at 100s metric{pod="nginx-1"} + metric{pod="nginx-1"}
+      |  {pod="nginx-1", a="foo"} 42
+      |""".stripMargin
+
+  // ----------------------------------------------------------- mini parser
+  private case class Loaded(labels: Map[String, String], points: Seq[(Long, Double)])
+  private case class EvalCase(atMs: Long, query: String,
+                              expected: Seq[(Map[String, String], Double)])
+
+  private def parseLabels(s: String): Map[String, String] =
+    if (s.trim.isEmpty) Map.empty
+    else s.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
+    }.toMap
+
+  private def parseSeries(line: String, stepMs: Long): Loaded = {
+    val (sel, vals) = line.splitAt(line.indexOf('}') + 1) match {
+      case ("", _) => (line.split("\\s+", 2)(0), line.split("\\s+", 2)(1))
+      case (a, b) => (a, b)
+    }
+    val (name, lblStr) =
+      if (sel.contains("{")) (sel.takeWhile(_ != '{'),
+        sel.dropWhile(_ != '{').stripPrefix("{").stripSuffix("}"))
+      else (sel, "")
+    val labels0 = parseLabels(lblStr)
+    val labels = if (name.trim.nonEmpty) labels0 + ("__name__" -> name.trim) else labels0
+    val expand = "([-0-9.]+)\\+([-0-9.]+)x(\\d+)".r
+    val points = vals.trim match {
+      case expand(a, b, n) =>
+        (0 to n.toInt).map(i => (i * stepMs, a.toDouble + i * b.toDouble))
+      case list => list.split("\\s+").toSeq.zipWithIndex.map { case (v, i) =>
+        (i * stepMs, if (v == "NaN") Double.NaN else v.toDouble)
+      }
+    }
+    Loaded(labels, points)
+  }
+
+  private def parseCorpus(text: String): (Seq[Loaded], Seq[EvalCase]) = {
+    val lines = text.linesIterator.map(_.stripTrailing()).filter(_.nonEmpty).toSeq
+    var stepMs = 10000L
+    val loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
+    val evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.startsWith("load ")) {
+        stepMs = Parser.parseDuration(l.stripPrefix("load ").trim)
+        i += 1
+        while (i < lines.length && lines(i).startsWith("  ")) {
+          loaded += parseSeries(lines(i).trim, stepMs)
+          i += 1
+        }
+      } else if (l.startsWith("eval instant at ")) {
+        val rest = l.stripPrefix("eval instant at ")
+        val at = Parser.parseDuration(rest.takeWhile(!_.isWhitespace))
+        val q = rest.dropWhile(!_.isWhitespace).trim
+        val exp = scala.collection.mutable.ArrayBuffer[(Map[String, String], Double)]()
+        i += 1
+        while (i < lines.length && lines(i).startsWith("  ")) {
+          val e = lines(i).trim
+          val lbl = parseLabels(e.substring(1, e.indexOf('}')))
+          val v = e.substring(e.indexOf('}') + 1).trim
+          exp += ((lbl, if (v == "NaN") Double.NaN else v.toDouble))
+          i += 1
+        }
+        evals += EvalCase(at, q, exp.toSeq)
+      } else i += 1
+    }
+    (loaded.toSeq, evals.toSeq)
+  }
+
+  private def toSamples(loaded: Seq[Loaded]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lblNames = loaded.flatMap(_.labels.keys).distinct.sorted
+    val dfs = loaded.zipWithIndex.map { case (s, si) =>
+      val base = s.points.toDF("ts_ms", "value")
+        .withColumn("sample_id", lit(si * 100000L) + monotonically_increasing_id())
+        .withColumn("series_hash", lit(si.toLong))
+      lblNames.foldLeft(base) { (df, l) =>
+        df.withColumn(l, s.labels.get(l).map(lit).getOrElse(lit(null).cast("string")))
+      }
+    }
+    dfs.reduce(_ unionByName _)
+  }
+
+  test("golden corpus: load/eval instant cases match") {
+    val (loaded, evals) = parseCorpus(corpus)
+    assert(loaded.size == 5 && evals.size == 13)
+    val samples = toSamples(loaded)
+    val failures = evals.flatMap { e =>
+      val df = Compiler.compile(Parser.parse(e.query),
+        Compiler.Ctx(samples, e.atMs, e.atMs, 1000L, lookbackMs = 300000L))
+      val lbls = Compiler.labelCols(df)
+      val got = df.collect().toSeq.map { r =>
+        (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
+          r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble })
+      }
+      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+      val ok = got.size == e.expected.size && e.expected.forall { case (lbl, v) =>
+        got.exists { case (gl, gv) => gl == lbl && eq(gv, v) }
+      }
+      if (ok) None else Some(s"QUERY ${e.query} @${e.atMs}\n  got      $got\n  expected ${e.expected}")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
