@@ -1,0 +1,110 @@
+package graft
+
+import scala.util.Random
+import graft.model.TimeSeriesModel
+import graft.promql.{Compiler, Parser}
+import graft.sources.Tables
+
+/** Differential fuzzing (ref `FuzzConverter`, db/db_test.go:1129-1205:
+  * promqlsmith-generated queries, parquet vs TSDB). Here: seeded random
+  * PromQL instant queries evaluated by the Catalyst compiler AND by an
+  * independent naive in-memory evaluator; results must agree within 1e-9.
+  * The naive evaluator shares no code with the engine — it folds over
+  * collected samples with plain Scala collections. */
+class PromqlFuzzSpec extends SparkSpec {
+
+  private val DAY = 86400000L
+  private val T0 = 1704067200000L
+
+  // in-memory copy of the fixture: (name, uid, ts, value)
+  private lazy val mem: Seq[(String, String, Long, Double)] = {
+    val t = Tables(spark, sf())
+    TimeSeriesModel.samples(t.events)
+      .collect().toSeq
+      .map(r => (r.getAs[String]("__name__"), r.getAs[String]("uid"),
+        r.getAs[Long]("ts_ms"), r.getAs[Double]("value")))
+  }
+  private lazy val samples = TimeSeriesModel.samples(Tables(spark, sf()).events)
+
+  // ---------------- naive reference evaluator (collections only)
+  private def naiveInstant(nameRe: Option[String], uidEq: Option[String],
+                           uidNotRe: Option[String], t: Long, lb: Long): Map[(String, String), Double] =
+    mem
+      .filter { case (n, u, ts, _) =>
+        ts > t - lb && ts <= t &&
+          nameRe.forall(re => n.matches("^(?:" + re + ")$")) &&
+          uidEq.forall(_ == u) &&
+          uidNotRe.forall(re => !u.matches("^(?:" + re + ")$"))
+      }
+      .groupBy(s => (s._1, s._2))
+      .map { case (k, ss) => k -> ss.maxBy(_._3)._4 }
+
+  private def naiveAgg(op: String, byName: Boolean,
+                       v: Map[(String, String), Double]): Map[String, Double] = {
+    val grouped = v.groupBy { case ((n, u), _) => if (byName) n else u }
+    grouped.map { case (k, m) =>
+      val xs = m.values.toSeq.sorted // deterministic fold order
+      k -> (op match {
+        case "sum"   => xs.sum
+        case "avg"   => xs.sum / xs.size
+        case "min"   => xs.min
+        case "max"   => xs.max
+        case "count" => xs.size.toDouble
+      })
+    }
+  }
+
+  test("50 seeded random aggregation queries agree with the naive evaluator") {
+    val rnd = new Random(42)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val failures = (1 to 50).flatMap { i =>
+      val op = Seq("sum", "avg", "min", "max", "count")(rnd.nextInt(5))
+      val byName = rnd.nextBoolean()
+      val nameRe = if (rnd.nextBoolean()) Some(names(rnd.nextInt(5)) + "|" + names(rnd.nextInt(5)))
+                   else Some(names(rnd.nextInt(5)).take(2) + ".*")
+      val uidEq = if (rnd.nextInt(4) == 0) Some(rnd.nextInt(15).toString) else None
+      val uidNotRe = if (uidEq.isEmpty && rnd.nextInt(3) == 0) Some("1.*") else None
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L
+      val lb = Seq(6L, 12L, 24L, 48L).map(_ * 3600000L)(rnd.nextInt(4))
+
+      val matchers = Seq(s"""__name__=~"${nameRe.get}"""") ++
+        uidEq.map(u => s"""uid="$u"""") ++ uidNotRe.map(re => s"""uid!~"$re"""")
+      val grouping = if (byName) "__name__" else "uid"
+      val q = s"$op by ($grouping) ({${matchers.mkString(", ")}})"
+
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, lb))
+        .collect().map(r => r.getAs[String](grouping) ->
+          (r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble }))
+        .toMap
+      val naive = naiveAgg(op, byName, naiveInstant(nameRe, uidEq, uidNotRe, t, lb))
+
+      val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        math.abs(engine(k) - v) <= 1e-9 * math.max(1.0, math.abs(v))
+      }
+      if (ok) None
+      else Some(s"#$i  $q @$t lb=$lb\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("random binop queries agree with naive division") {
+    val rnd = new Random(7)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val failures = (1 to 20).flatMap { i =>
+      val (a, b) = (names(rnd.nextInt(5)), names(rnd.nextInt(5)))
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY
+      val q = s"""{__name__="$a"} / on(uid) {__name__="$b"}"""
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, DAY))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+      val va = naiveInstant(Some(a), None, None, t, DAY).map { case ((_, u), v) => u -> v }
+      val vb = naiveInstant(Some(b), None, None, t, DAY).map { case ((_, u), v) => u -> v }
+      val naive = va.flatMap { case (u, x) => vb.get(u).map(y => u -> x / y) }
+      val ok = engine.keySet == naive.keySet &&
+        naive.forall { case (k, v) => math.abs(engine(k) - v) <= 1e-12 * math.max(1.0, math.abs(v)) }
+      if (ok) None else Some(s"#$i $q\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
