@@ -59,7 +59,8 @@ object Compiler {
   // ---------------------------------------------------------------- range fns
   private val overTimeFns = Set("sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "count_over_time", "stddev_over_time", "last_over_time",
-    "first_over_time", "quantile_over_time", "rate", "increase", "delta", "idelta")
+    "first_over_time", "quantile_over_time", "rate", "increase", "delta", "idelta",
+    "changes", "resets", "deriv", "predict_linear")
 
   /** Points of a range selector: the matching raw samples. */
   private def selectorPoints(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
@@ -120,6 +121,21 @@ object Compiler {
         sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
           col("value") < col("prev_val"), col("prev_val")).otherwise(lit(0.0)).cast(Det.dec))
           .cast("double").as("resets"),
+        // counts over consecutive in-window pairs (PromQL changes()/resets())
+        sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
+          col("value") < col("prev_val"), 1L).otherwise(0L)).as("n_resets"),
+        sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
+          !(col("value") <=> col("prev_val")), 1L).otherwise(0L)).as("n_changes"),
+        // least-squares moments for deriv/predict_linear, over window-relative
+        // seconds (re-centering avoids catastrophic cancellation on epoch
+        // magnitudes); decimal-exact sums keep the slope deterministic
+        sum(((col("ts_ms") - col("win_lo")) / lit(1000.0)).cast(Det.dec))
+          .cast("double").as("sum_t"),
+        sum((((col("ts_ms") - col("win_lo")) / lit(1000.0)) *
+          ((col("ts_ms") - col("win_lo")) / lit(1000.0))).cast(Det.dec))
+          .cast("double").as("sum_t2"),
+        sum((((col("ts_ms") - col("win_lo")) / lit(1000.0)) * col("value")).cast(Det.dec))
+          .cast("double").as("sum_tv"),
         expr("max_by(value - prev_val, ts_ms) FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)")
           .as("idelta_val")) ++
         (if (withDistribution) // only quantile_over_time pays for the list
@@ -154,7 +170,13 @@ object Compiler {
 
   private def compileCall(fn: String, args: Seq[Expr], ctx: Ctx): DataFrame = fn match {
     case f if overTimeFns.contains(f) =>
-      val (windowMs, offsetMs, mkPoints) = args.lastOption match {
+      // the range-vector arg is last for (quantile_over_time etc.) but first
+      // for predict_linear — find it positionally
+      val rangeArg: Option[Expr] = args.collectFirst {
+        case s @ Selector(_, _, Some(_), _) => s
+        case sub: Subquery => sub
+      }
+      val (windowMs, offsetMs, mkPoints) = rangeArg match {
         case Some(s @ Selector(_, _, Some(r), off)) =>
           (r, off, (c: Ctx) => selectorPoints(s, r, c))
         case Some(sub: Subquery) =>
@@ -167,7 +189,8 @@ object Compiler {
         withDistribution = f == "quantile_over_time")
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
-        "stddev_val", "resets", "idelta_val", "win_lo", "vals_sorted"))
+        "stddev_val", "resets", "idelta_val", "win_lo", "vals_sorted",
+        "n_resets", "n_changes", "sum_t", "sum_t2", "sum_tv"))
       val value: Column = f match {
         case "sum_over_time"    => col("sum_val")
         case "avg_over_time"    => col("avg_val")
@@ -178,6 +201,19 @@ object Compiler {
         case "last_over_time"   => col("last_val")
         case "first_over_time"  => col("first_val")
         case "idelta"           => col("idelta_val")
+        case "changes"          => col("n_changes").cast("double")
+        case "resets"           => col("n_resets").cast("double")
+        case "deriv" | "predict_linear" => // least-squares slope per second
+          val n = col("n_samples").cast("double")
+          val denom = n * col("sum_t2") - col("sum_t") * col("sum_t")
+          val slope = (n * col("sum_tv") - col("sum_t") * col("sum_val")) / denom
+          val v = if (f == "deriv") slope
+          else { // value extrapolated `ahead` seconds past the eval step
+            val ahead = scalarOf(args(1))
+            col("sum_val") / n + slope *
+              (lit(windowMs / 1000.0 + ahead) - col("sum_t") / n)
+          }
+          when(col("n_samples") >= 2, v)
         case "quantile_over_time" => // exact interpolated quantile of the window
           val phi = scalarOf(args.head)
           val h = lit(phi) * (size(col("vals_sorted")) - 1)
@@ -195,8 +231,9 @@ object Compiler {
       // range functions drop the metric name (PromQL: the value no longer IS
       // the metric) — last_over_time is the one name-preserving exception
       val out1 = if (f == "last_over_time") out0 else dropName(out0)
-      // rate/increase/delta/idelta need ≥2 samples → drop NULL (absent) points
-      val out2 = if (Set("rate", "increase", "delta", "idelta").contains(f))
+      // fns needing ≥2 samples yield NULL otherwise → drop those points
+      val out2 = if (Set("rate", "increase", "delta", "idelta",
+          "deriv", "predict_linear").contains(f))
         out1.filter(col("value").isNotNull) else out1
       if (offsetMs == 0) out2
       else out2.withColumn("step_ms", col("step_ms") + offsetMs)

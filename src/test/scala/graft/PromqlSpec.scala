@@ -200,6 +200,23 @@ class PromqlSpec extends SparkSpec {
     assert(g.count() == 5 && g.select($"value").distinct().as[Double].head() == 1.0)
   }
 
+  test("changes, resets, deriv, predict_linear") {
+    // window (0, 10000]: 2s→0, 4s→10, 6s→10, 8s→5
+    val df = Seq(("m", "1", 2000L, 0.0, 1L), ("m", "1", 4000L, 10.0, 2L),
+        ("m", "1", 6000L, 10.0, 3L), ("m", "1", 8000L, 5.0, 4L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    def one(q: String) = Compiler.compile(Parser.parse(q), ctx)
+      .select($"value").as[Double].head()
+    assert(one("changes(m[10s])") == 2.0) // 0→10, 10→5
+    assert(one("resets(m[10s])") == 1.0)  // 10→5
+    // least squares over t=(2,4,6,8)s v=(0,10,10,5): slope = 0.75, mean_v=6.25
+    assert(math.abs(one("deriv(m[10s])") - 0.75) < 1e-9)
+    // predict at window_end+10s = 20s rel: 6.25 + 0.75*(20-5) = 17.5
+    assert(math.abs(one("predict_linear(m[10s], 10)") - 17.5) < 1e-9)
+  }
+
   test("histogram_quantile over classic le-labeled bucket series") {
     // cumulative buckets at one instant: 0.1→50, 0.5→80, 1→95, +Inf→100
     // φ=0.9 → rank 90 lands in the le=1 bucket:
