@@ -314,6 +314,23 @@ object Compiler {
       v.groupBy(col("step_ms")).agg(
         when(count(lit(1)) === 1, first(col("value"))).as("value"))
     case "time" => ctx.grid.withColumn("value", col("step_ms") / 1000.0)
+    // calendar functions: input vector carries epoch-seconds values
+    // (defaulting to vector(time())), output the UTC component
+    case "minute" | "hour" | "day_of_week" | "day_of_month" | "month" | "year" |
+         "days_in_month" =>
+      val v = if (args.isEmpty) ctx.grid.withColumn("value", col("step_ms") / 1000.0)
+              else compile(args.head, ctx)
+      val t = timestamp_seconds(col("value"))
+      val out = fn match {
+        case "minute"        => minute(t)
+        case "hour"          => hour(t)
+        case "day_of_week"   => dayofweek(t) - 1 // PromQL: 0=Sunday
+        case "day_of_month"  => dayofmonth(t)
+        case "month"         => month(t)
+        case "year"          => year(t)
+        case "days_in_month" => dayofmonth(last_day(t))
+      }
+      dropName(v.withColumn("value", out.cast("double")))
     case "timestamp" =>
       dropName(compile(args.head, ctx).withColumn("value", col("step_ms") / 1000.0))
     case other => throw new ParseException(s"unsupported function '$other'")

@@ -200,6 +200,20 @@ class PromqlSpec extends SparkSpec {
     assert(g.count() == 5 && g.select($"value").distinct().as[Double].head() == 1.0)
   }
 
+  test("calendar functions over the eval timestamp") {
+    // TI = 2024-01-15T00:00:00Z, a Monday
+    def one(q: String) = eval(q).select($"value").as[Double].head()
+    assert(one("hour()") == 0.0)
+    assert(one("minute()") == 0.0)
+    assert(one("day_of_week()") == 1.0) // 0=Sunday
+    assert(one("day_of_month()") == 15.0)
+    assert(one("month()") == 1.0)
+    assert(one("year()") == 2024.0)
+    assert(one("days_in_month()") == 31.0)
+    // over an explicit vector: timestamps shifted half a day
+    assert(one("hour(vector(1705276800 + 43200))") == 12.0)
+  }
+
   test("changes, resets, deriv, predict_linear") {
     // window (0, 10000]: 2s→0, 4s→10, 6s→10, 8s→5
     val df = Seq(("m", "1", 2000L, 0.0, 1L), ("m", "1", 4000L, 10.0, 2L),
