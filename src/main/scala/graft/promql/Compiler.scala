@@ -60,7 +60,8 @@ object Compiler {
   private val overTimeFns = Set("sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "count_over_time", "stddev_over_time", "last_over_time",
     "first_over_time", "quantile_over_time", "rate", "increase", "delta", "idelta",
-    "changes", "resets", "deriv", "predict_linear")
+    "changes", "resets", "deriv", "predict_linear",
+    "holt_winters", "double_exponential_smoothing")
 
   /** Points of a range selector: the matching raw samples. */
   private def selectorPoints(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
@@ -88,7 +89,8 @@ object Compiler {
     * a point at ts serves step s iff s−window < ts ≤ s. One explode + one
     * hash aggregation per (series, step). */
   private def gridAgg(points: DataFrame, windowMs: Long, ctx: Ctx,
-                      withDistribution: Boolean = false): DataFrame = {
+                      withDistribution: Boolean = false,
+                      withSeriesList: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("series_hash")).orderBy(col("ts_ms"), col("sample_id"))
     val withPrev = points
       .withColumn("prev_val", lag(col("value"), 1).over(w))
@@ -140,6 +142,10 @@ object Compiler {
           .as("idelta_val")) ++
         (if (withDistribution) // only quantile_over_time pays for the list
           Seq(array_sort(collect_list(col("value"))).as("vals_sorted"))
+        else Seq.empty) ++
+        (if (withSeriesList) // ts-ordered values for sequential smoothers
+          Seq(sort_array(collect_list(struct(col("ts_ms"), col("sample_id"),
+            col("value")))).as("pts_sorted"))
         else Seq.empty)): _*)
       .drop("series_hash")
   }
@@ -185,12 +191,14 @@ object Compiler {
       }
       // offset: evaluate on the shifted grid, report at the requested steps
       val ectx = ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
+      val smoother = f == "holt_winters" || f == "double_exponential_smoothing"
       val g = gridAgg(mkPoints(ectx), windowMs, ectx,
-        withDistribution = f == "quantile_over_time")
+        withDistribution = f == "quantile_over_time",
+        withSeriesList = smoother)
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
         "stddev_val", "resets", "idelta_val", "win_lo", "vals_sorted",
-        "n_resets", "n_changes", "sum_t", "sum_t2", "sum_tv"))
+        "pts_sorted", "n_resets", "n_changes", "sum_t", "sum_t2", "sum_tv"))
       val value: Column = f match {
         case "sum_over_time"    => col("sum_val")
         case "avg_over_time"    => col("avg_val")
@@ -214,6 +222,24 @@ object Compiler {
               (lit(windowMs / 1000.0 + ahead) - col("sum_t") / n)
           }
           when(col("n_samples") >= 2, v)
+        case "holt_winters" | "double_exponential_smoothing" =>
+          // Prometheus funcDoubleExponentialSmoothing: sequential recursion
+          // over the window's ts-ordered samples, expressed as a HOF fold
+          // (per-(series,step) work, deterministic order)
+          val sf = scalarOf(args(1)); val tf = scalarOf(args(2))
+          val vs = "transform(pts_sorted, p -> p.value)"
+          val bNew = s"IF(acc.i = 0, acc.b, $tf * (acc.s1 - acc.s0) + (1 - $tf) * acc.b)"
+          when(col("n_samples") >= 2, expr(
+            s"""aggregate(
+               |  slice($vs, 2, size($vs) - 1),
+               |  named_struct('s0', CAST(0.0 AS DOUBLE), 's1', $vs[0],
+               |               'b', $vs[1] - $vs[0], 'i', 0),
+               |  (acc, v) -> named_struct(
+               |    's0', acc.s1,
+               |    's1', $sf * v + (1 - $sf) * (acc.s1 + $bNew),
+               |    'b',  $bNew,
+               |    'i',  acc.i + 1),
+               |  acc -> acc.s1)""".stripMargin))
         case "quantile_over_time" => // exact interpolated quantile of the window
           val phi = scalarOf(args.head)
           val h = lit(phi) * (size(col("vals_sorted")) - 1)

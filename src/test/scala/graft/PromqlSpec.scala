@@ -231,6 +231,21 @@ class PromqlSpec extends SparkSpec {
     assert(math.abs(one("predict_linear(m[10s], 10)") - 17.5) < 1e-9)
   }
 
+  test("holt_winters double exponential smoothing") {
+    // v=[10,12,14] sf=0.5 tf=0.3: linear data smooths exactly to the last
+    // value (s1 carries the trend): expect 14; v=[10,12,11] → 12.5
+    def series(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => ("m", "1", 2000L * (i + 1), v, (i + 1).toLong) }
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    def hw(vs: Seq[Double]) = Compiler.compile(
+        Parser.parse("holt_winters(m[10s], 0.5, 0.3)"),
+        Compiler.Ctx(series(vs), 10000L, 10000L, 1000L, DAY))
+      .select($"value").as[Double].head()
+    assert(hw(Seq(10.0, 12.0, 14.0)) == 14.0)
+    assert(hw(Seq(10.0, 12.0, 11.0)) == 12.5)
+  }
+
   test("histogram_quantile over classic le-labeled bucket series") {
     // cumulative buckets at one instant: 0.1→50, 0.5→80, 1→95, +Inf→100
     // φ=0.9 → rank 90 lands in the le=1 bucket:
