@@ -115,17 +115,19 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
   private def fail(msg: String): Nothing = throw new BadRequest(msg)
 
   private def handler(f: Params => String)(ex: HttpExchange): Unit = {
-    val resp =
-      try gate.run() { f(params(ex)) }
+    // Prometheus status mapping: bad_data→400, unavailable→503, internal→500
+    // (prometheus web/api/v1 respondError; ref api/http/query.go).
+    val (code, resp) =
+      try (200, gate.run() { f(params(ex)) })
       catch {
-        case e: BadRequest => errorJson("bad_data", e.msg)
-        case e: ParseException => errorJson("bad_data", e.getMessage)
-        case e: graft.limits.QuotaExceededException => errorJson("unavailable", e.getMessage)
-        case e: Exception => errorJson("internal", String.valueOf(e.getMessage))
+        case e: BadRequest => (400, errorJson("bad_data", e.msg))
+        case e: ParseException => (400, errorJson("bad_data", e.getMessage))
+        case e: graft.limits.QuotaExceededException =>
+          (503, errorJson("unavailable", e.getMessage))
+        case e: Exception => (500, errorJson("internal", String.valueOf(e.getMessage)))
       }
     val bytes = resp.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    val code = if (resp.startsWith("""{"status":"error"""")) 400 else 200
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

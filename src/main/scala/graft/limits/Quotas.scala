@@ -25,7 +25,7 @@ final case class Quotas(maxRows: Option[Long] = None,
         throw new QuotaExceededException(s"scan touches $parts partitions > quota $mp")
     }
     maxRows.foreach { mr =>
-      val probe = df.limit((mr + 1).toInt).count()
+      val probe = df.limit(math.min(mr + 1, Int.MaxValue.toLong).toInt).count()
       if (probe > mr)
         throw new QuotaExceededException(s"select yields > $mr rows")
     }

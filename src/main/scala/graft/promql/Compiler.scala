@@ -447,14 +447,31 @@ object Compiler {
     }
 
     if (setOp) {
-      val on = "step_ms" +: matchKeys(b, lLbls, rLbls)
+      // Set ops compare FULL label sets (minus __name__), not just the labels
+      // both sides happen to carry: match on the UNION of label columns, with
+      // a column absent on one side joining as NULL (<=> treats NULL = NULL,
+      // i.e. absent == absent — PromQL label-set equality).
+      val unionLbls = (lLbls ++ rLbls).distinct.filterNot(_ == "__name__")
+      val keys = b.matching match {
+        case Some(Matching(true, ls, _, _))  => ls
+        case Some(Matching(false, ls, _, _)) => unionLbls.filterNot(ls.contains)
+        case None                            => unionLbls
+      }
+      val on = "step_ms" +: keys
+      def widen(df: DataFrame): DataFrame =
+        keys.filterNot(df.columns.contains).foldLeft(df)(
+          (d, c) => d.withColumn(c, lit(null).cast("string")))
+      val (l2, r2) = (widen(lhs), widen(rhs))
       return b.op match {
         case "and" =>
-          nullSafeJoin(lhs, rhs.select(on.map(col): _*).distinct(), on, "left_semi")._1
+          nullSafeJoin(l2, r2.select(on.map(col): _*).distinct(), on, "left_semi")
+            ._1.select(lhs.columns.map(col): _*)
         case "unless" =>
-          nullSafeJoin(lhs, rhs.select(on.map(col): _*).distinct(), on, "left_anti")._1
+          nullSafeJoin(l2, r2.select(on.map(col): _*).distinct(), on, "left_anti")
+            ._1.select(lhs.columns.map(col): _*)
         case "or" => lhs.unionByName(
-          nullSafeJoin(rhs, lhs.select(on.map(col): _*).distinct(), on, "left_anti")._1,
+          nullSafeJoin(r2, l2.select(on.map(col): _*).distinct(), on, "left_anti")
+            ._1.select(rhs.columns.map(col): _*),
           allowMissingColumns = true)
       }
     }

@@ -37,9 +37,10 @@ object Pipeline {
     Q("tx_tokens",
       t => t.documents.select(
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).as("n_ws"),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).as("n_re"),
-          length(col("text")).as("len_chars"))
+          // casts: Spark size()/length() are INT, DuckDB len()/length() BIGINT
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("long").as("n_re"),
+          length(col("text")).cast("long").as("len_chars"))
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_ws, " +
         "len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_re, " +
@@ -54,7 +55,7 @@ object Pipeline {
         val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
         t.documents.select(
             col("doc_id"),
-            nTok.as("n_tok"),
+            nTok.cast("long").as("n_tok"),
             (nStop.cast("double") / nTok).as("stop_ratio"),
             (nAlpha.cast("double") / length(col("text"))).as("alpha_ratio"))
           .withColumn("quality",
@@ -174,7 +175,7 @@ object Pipeline {
       },
       Some(s"WITH ${TextOps.simhashSql}, " +
         "sg AS (SELECT d.doc_id, d.lang, d.source, sim.simhash FROM documents d JOIN sim ON d.doc_id = sim.doc_id) " +
-        "SELECT a.doc_id AS id1, b.doc_id AS id2, bit_count(xor(a.simhash, b.simhash)) AS dist " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist " +
         "FROM sg a JOIN sg b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10 ORDER BY id1, id2")),
 
@@ -208,7 +209,7 @@ object Pipeline {
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         broadcast(q).join(n, col("qid") =!= col("nid"))
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
           .select(col("qid"), col("nid"), col("rk"), col("cos"))
           .orderBy(col("qid"), col("rk"))
       },
@@ -231,7 +232,7 @@ object Pipeline {
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         broadcast(q).join(n, Seq("bucket")).filter(col("qid") =!= col("nid"))
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
           .select(col("qid"), col("nid"), col("rk"), col("cos"))
           .orderBy(col("qid"), col("rk"))
       },
@@ -253,11 +254,11 @@ object Pipeline {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("img_bytes"))
         .select(
           col("doc_id"),
-          length(col("img_bytes")).as("byte_len"),
+          length(col("img_bytes")).cast("long").as("byte_len"),
           md5(col("img_bytes")).as("fp"),                      // STUB "decode"
           hex(substring(col("img_bytes"), 1, 16)).as("thumb_hex"),
-          (lit(1) + pmod(length(col("img_bytes")), lit(640))).as("width"),
-          (lit(1) + pmod(length(col("img_bytes")) * 7, lit(480))).as("height"))
+          (lit(1) + pmod(length(col("img_bytes")), lit(640))).cast("long").as("width"),
+          (lit(1) + pmod(length(col("img_bytes")) * 7, lit(480))).cast("long").as("height"))
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS fp, " +
         "hex(encode(substring(text, 1, 16))) AS thumb_hex, " +
@@ -268,8 +269,8 @@ object Pipeline {
     Q("mm_batch_decode",  // mapPartitions batch decoder (mapInPandas analog)
       t => {
         val f = graft.ops.Multimodal.featuresOf(t.spark, t.documents)
-        f.select(col("doc_id"), col("media_type"), col("byte_len"),
-            col("width"), col("height"),
+        f.select(col("doc_id"), col("media_type"), col("byte_len").cast("long").as("byte_len"),
+            col("width").cast("long").as("width"), col("height").cast("long").as("height"),
             col("features")(0).as("f0"), col("features")(1).as("f1"),
             col("features")(2).as("f2"), col("features")(3).as("f3"))
           .orderBy(col("doc_id"))

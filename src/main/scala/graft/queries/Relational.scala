@@ -126,7 +126,7 @@ object Relational {
         col("l_shipdate"), col("l_quantity").cast(Det.dec).as("qty_dec"))
       .withColumn("running_qty",
         sum(col("qty_dec")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("rn"), col("running_qty"))
       .orderBy(col("l_suppkey"), col("rn"))

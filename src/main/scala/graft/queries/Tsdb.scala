@@ -338,8 +338,10 @@ object Tsdb {
       t => instant(t)
         .select(col("__name__"), col("uid"),
           abs(col("value") - 100.0).as("abs_v"),
-          ceil(col("value")).as("ceil_v"),
-          floor(col("value")).as("floor_v"),
+          // Spark ceil/floor(double) yield BIGINT; DuckDB's yield DOUBLE —
+          // cast so the driver's type-sensitive hash agrees
+          ceil(col("value")).cast("double").as("ceil_v"),
+          floor(col("value")).cast("double").as("floor_v"),
           sqrt(col("value")).as("sqrt_v"),
           least(greatest(col("value"), lit(10.0)), lit(100.0)).as("clamp_v"),
           round(log(col("value") + 1.0), 4).as("ln_v"))
@@ -501,8 +503,9 @@ object Tsdb {
       Some(s"WITH $S_CTE, " +
         "p AS (SELECT *, lag(ts_ms) OVER (PARTITION BY uid ORDER BY ts_ms, sample_id) AS prev_ts FROM s), " +
         "n AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END AS new_sess FROM p), " +
-        "c AS (SELECT *, sum(new_sess) OVER (PARTITION BY uid ORDER BY ts_ms, sample_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM n) " +
+        // CAST: DuckDB integer window-sum yields HUGEINT, Spark yields BIGINT
+        "c AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY uid ORDER BY ts_ms, sample_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no FROM n) " +
         "SELECT uid, sess_no, min(ts_ms) AS sess_start, max(ts_ms) AS sess_end, count(*) AS n_events " +
         "FROM c GROUP BY uid, sess_no ORDER BY uid, sess_no")),
 

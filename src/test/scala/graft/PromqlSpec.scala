@@ -47,6 +47,44 @@ class PromqlSpec extends SparkSpec {
     assertThrows[ParseException](Parser.parse("up[bad]"))
   }
 
+  test("parser: unary +/- and malformed numbers") {
+    assert(Parser.parse("-2") == NumberLit(-2.0))
+    assert(Parser.parse("+2") == NumberLit(2.0))
+    // unary minus on a vector desugars to -1 * expr (name-dropping negation)
+    assert(Parser.parse("-up") ==
+      BinOp("*", NumberLit(-1.0), Selector(Some("up"), Nil, None), None, bool = false))
+    assert(Parser.parse("+up") == Selector(Some("up"), Nil, None))
+    // malformed numbers raise ParseException, not raw NumberFormatException
+    assertThrows[ParseException](Parser.parse("1.2.3"))
+    assertThrows[ParseException](Parser.parse("1e"))
+    // unary minus binds looser than ^-chains but tighter than */
+    val neg = eval("""-{__name__="purchase"}""").select($"uid", $"value")
+    val pos = eval("""{__name__="purchase"}""").select($"uid", ($"value" * -1).as("value"))
+    assert(neg.exceptAll(pos).isEmpty && pos.exceptAll(neg).isEmpty && neg.count() > 0)
+  }
+
+  test("set ops match full label sets (union of columns, absent==absent)") {
+    // differing label sets: {uid} vs {} — no element of rhs can match lhs
+    val lhsN = eval("""sum by (uid) ({__name__="purchase"})""").count()
+    val rhsN = eval("""sum by (__name__) ({__name__="view"})""").count()
+    assert(lhsN > 0 && rhsN > 0)
+    // `and` finds no label-set-equal pairs → empty (old intersection-matching
+    // bug: shared=[] joined on step only, keeping the whole lhs)
+    assert(eval(
+      """sum by (uid) ({__name__="purchase"}) and sum by (__name__) ({__name__="view"})""")
+      .count() == 0)
+    // `or` keeps both sides entirely
+    assert(eval(
+      """sum by (uid) ({__name__="purchase"}) or sum by (__name__) ({__name__="view"})""")
+      .count() == lhsN + rhsN)
+    // `unless` removes nothing
+    assert(eval(
+      """sum by (uid) ({__name__="purchase"}) unless sum by (__name__) ({__name__="view"})""")
+      .count() == lhsN)
+    // identical label sets still dedup on `or` (matching ignores __name__)
+    assert(eval("""{__name__="purchase"} or {__name__="purchase"}""").count() == lhsN)
+  }
+
   test("instant selector matches hand-built lookback eval") {
     val got = eval("""{__name__="purchase"}""")
       .select($"uid", $"value")

@@ -46,6 +46,16 @@ def main():
             print(f"FAIL {name}: schema spark={s_cols} duck={d_cols}")
             n_bad += 1
             continue
+        # column TYPES must agree too: the driver's hash is type-sensitive
+        # (e.g. BIGINT 5 vs DOUBLE 5.0, HUGEINT via arrow), while python value
+        # comparison (5 == 5.0) would mask the divergence
+        s_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        d_types = dict(zip(duck_rel.columns, map(str, duck_rel.types)))
+        tdiff = {c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: column types differ {tdiff}")
+            n_bad += 1
+            continue
         if len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             n_bad += 1
