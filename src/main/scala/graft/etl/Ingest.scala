@@ -40,12 +40,18 @@ object Ingest {
     val picked = days.map(ds => all.filter(col("date").isin(ds: _*))).getOrElse(all)
 
     // vertical merge: dedup identical (series, ts) across source blocks
-    // (ref convert/merge.go:15-121) — deterministic winner by sample_id
+    // (ref convert/merge.go:15-121) — deterministic winner = min sample_id.
+    // min_by hash-agg, not a row_number window: partial aggregation combines
+    // map-side, so the shuffle carries ~unique rows, and no per-partition sort
+    val pcols = picked.columns.toSeq
     val dedup = picked
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("series_hash"), col("ts_ms")).orderBy(col("sample_id"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(col("series_hash"), col("ts_ms"))
+      .agg(min_by(struct(pcols.map(col): _*), col("sample_id")).as("_r"))
+      .select(pcols.map(c => col(s"_r.$c")): _*)
+      // three consumers (two sinks + meta agg) — materialize the merge once,
+      // the Spark analog of the reference's single-pass dual-file writer (S5)
+      .persist()
+    try {
 
     dedup
       .repartition(col("date"))
@@ -79,6 +85,7 @@ object Ingest {
           s""""maxt":${m.maxtMs},"n_series":${m.nSeries},"n_samples":${m.nSamples}}""")
     }
     metas.toSeq
+    } finally dedup.unpersist(blocking = false)
   }
 
   /** Discovery analog (ref `locate/discover.go`): list converted days from

@@ -51,9 +51,14 @@ object TextOps {
   /** MinHash signature: K min-permutation values per doc. One explode + one
     * hash aggregation — shuffles once by doc_id; at 100 TB the explode is
     * map-side and the agg is partial/final. */
-  def minhashSignature(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), explode(expr(SHINGLES_S)).as("sh"))
+  def minhashSignature(docs: DataFrame): DataFrame =
+    minhashSignatureOf(shingleSets(docs))
+
+  /** Signature from an existing shingle-set frame (lets callers persist the
+    * shingling once and derive signature + verification sets from the cache). */
+  def minhashSignatureOf(sets: DataFrame): DataFrame = {
+    val hashed = sets
+      .select(col("doc_id"), explode(col("s")).as("sh"))
       .select(col("doc_id"), pmod(h48(col("sh")), lit(P)).as("xm"))
     val aggs = (0 until K).map(j =>
       min(pmod(lit(aCoef(j)) * col("xm") + lit(bCoef(j)), lit(P))).as(s"m$j"))

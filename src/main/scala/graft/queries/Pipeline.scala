@@ -103,12 +103,16 @@ object Pipeline {
 
     Q("dd_minhash_lsh",  // band-bucket candidates, then exact-jaccard verify
       t => {
-        val bands = TextOps.lshBands(TextOps.minhashSignature(t.documents))
+        // shingling (split + md5 per shingle) is the dominant cost and feeds
+        // FOUR plan branches (signature, two verify sides) — persist it once;
+        // same at 100 TB: checkpoint the shingle table, not recompute per use
+        val sets = TextOps.shingleSets(t.documents).select(col("doc_id"), col("s"))
+          .persist()
+        val bands = TextOps.lshBands(TextOps.minhashSignatureOf(sets)).persist()
         val cands = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
-        val sets = TextOps.shingleSets(t.documents).select(col("doc_id"), col("s"))
         val j = TextOps.jaccard(col("s1"), col("s2"))
         cands
           .join(sets.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
@@ -136,6 +140,7 @@ object Pipeline {
             explode(col("s")).as("sh"))
           .select(col("lang"), col("source"), col("doc_id"), col("nsh"),
             TextOps.h48(col("sh")).as("shh")) // long join key: cheap shuffle
+          .persist() // self-joined below: cache, don't re-shingle both sides
         val shared = inv.as("a").join(inv.as("b"),
             col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
               col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
@@ -165,6 +170,7 @@ object Pipeline {
       t => {
         val sig = TextOps.simhash(t.documents)
           .join(t.documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+          .persist() // both sides of the pair join below read this
         val a = sig.select(col("lang"), col("source"), col("doc_id").as("id1"), col("simhash").as("h1"))
         val b = sig.select(col("lang"), col("source"), col("doc_id").as("id2"), col("simhash").as("h2"))
         a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
@@ -185,6 +191,7 @@ object Pipeline {
       t => {
         val e = VectorOps.withNormalized(
           t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .persist() // normalize once, read from cache on both join sides
         val a = e.select(col("vec_id").as("id1"), col("vn").as("va"))
         val b = e.select(col("vec_id").as("id2"), col("vn").as("vb"))
         a.join(b, col("id1") < col("id2"))
@@ -204,6 +211,7 @@ object Pipeline {
       t => {
         val e = VectorOps.withNormalized(
           t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .persist()
         val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("vn").as("va"))
         val n = e.select(col("vec_id").as("nid"), col("vn").as("vb"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -226,6 +234,7 @@ object Pipeline {
         val e = VectorOps.withNormalized(
             t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
           .withColumn("bucket", VectorOps.lshBucket(col("v")))
+          .persist()
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("vn").as("va"), col("bucket"))
         val n = e.select(col("vec_id").as("nid"), col("vn").as("vb"), col("bucket"))
