@@ -58,9 +58,10 @@ object Compiler {
 
   // ---------------------------------------------------------------- range fns
   private val overTimeFns = Set("sum_over_time", "avg_over_time", "min_over_time",
-    "max_over_time", "count_over_time", "stddev_over_time", "last_over_time",
-    "first_over_time", "quantile_over_time", "rate", "increase", "delta", "idelta",
-    "changes", "resets", "deriv", "predict_linear",
+    "max_over_time", "count_over_time", "stddev_over_time", "stdvar_over_time",
+    "mad_over_time", "present_over_time", "absent_over_time", "last_over_time",
+    "first_over_time", "quantile_over_time", "rate", "irate", "increase",
+    "delta", "idelta", "changes", "resets", "deriv", "predict_linear",
     "holt_winters", "double_exponential_smoothing")
 
   /** Points of a range selector: the matching raw samples. */
@@ -115,11 +116,11 @@ object Compiler {
         sum(col("value").cast(Det.dec)).cast("double").as("sum_val"),
         (sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))).as("avg_val"),
         min(col("value")).as("min_val"), max(col("value")).as("max_val"),
-        sqrt(greatest(lit(0.0),
+        greatest(lit(0.0),
           (sum((col("value") * col("value")).cast(Det.dec)).cast("double") -
             sum(col("value").cast(Det.dec)).cast("double") *
               sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))) /
-            count(col("value")))).as("stddev_val"),
+            count(col("value"))).as("var_val"),
         sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
           col("value") < col("prev_val"), col("prev_val")).otherwise(lit(0.0)).cast(Det.dec))
           .cast("double").as("resets"),
@@ -139,7 +140,12 @@ object Compiler {
         sum((((col("ts_ms") - col("win_lo")) / lit(1000.0)) * col("value")).cast(Det.dec))
           .cast("double").as("sum_tv"),
         expr("max_by(value - prev_val, ts_ms) FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)")
-          .as("idelta_val")) ++
+          .as("idelta_val"),
+        // irate: last in-window pair — counter-reset corrected delta and dt
+        expr("max_by(IF(value < prev_val, value, value - prev_val), ts_ms) " +
+          "FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)").as("irate_dv"),
+        expr("max_by(ts_ms - prev_ts, ts_ms) " +
+          "FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)").as("irate_dt")) ++
         (if (withDistribution) // only quantile_over_time pays for the list
           Seq(array_sort(collect_list(col("value"))).as("vals_sorted"))
         else Seq.empty) ++
@@ -193,22 +199,35 @@ object Compiler {
       val ectx = ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
       val smoother = f == "holt_winters" || f == "double_exponential_smoothing"
       val g = gridAgg(mkPoints(ectx), windowMs, ectx,
-        withDistribution = f == "quantile_over_time",
+        withDistribution = f == "quantile_over_time" || f == "mad_over_time",
         withSeriesList = smoother)
+      if (f == "absent_over_time") { // 1 at steps where NO series has samples
+        val out = ectx.grid.join(g.select(col("step_ms")).distinct(),
+            Seq("step_ms"), "left_anti")
+          .withColumn("value", lit(1.0))
+        return if (offsetMs == 0) out
+               else out.withColumn("step_ms", col("step_ms") + offsetMs)
+      }
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
-        "stddev_val", "resets", "idelta_val", "win_lo", "vals_sorted",
-        "pts_sorted", "n_resets", "n_changes", "sum_t", "sum_t2", "sum_tv"))
+        "var_val", "resets", "idelta_val", "irate_dv", "irate_dt", "win_lo",
+        "vals_sorted", "pts_sorted", "n_resets", "n_changes",
+        "sum_t", "sum_t2", "sum_tv"))
       val value: Column = f match {
         case "sum_over_time"    => col("sum_val")
         case "avg_over_time"    => col("avg_val")
         case "min_over_time"    => col("min_val")
         case "max_over_time"    => col("max_val")
         case "count_over_time"  => col("n_samples").cast("double")
-        case "stddev_over_time" => col("stddev_val")
+        case "stddev_over_time" => sqrt(col("var_val"))
+        case "stdvar_over_time" => col("var_val")
+        case "present_over_time" => lit(1.0)
         case "last_over_time"   => col("last_val")
         case "first_over_time"  => col("first_val")
         case "idelta"           => col("idelta_val")
+        case "irate" => // per-second rate of the last in-window sample pair
+          when(col("irate_dt").isNotNull,
+            col("irate_dv") / (col("irate_dt") / lit(1000.0)))
         case "changes"          => col("n_changes").cast("double")
         case "resets"           => col("n_resets").cast("double")
         case "deriv" | "predict_linear" => // least-squares slope per second
@@ -241,13 +260,11 @@ object Compiler {
                |    'i',  acc.i + 1),
                |  acc -> acc.s1)""".stripMargin))
         case "quantile_over_time" => // exact interpolated quantile of the window
-          val phi = scalarOf(args.head)
-          val h = lit(phi) * (size(col("vals_sorted")) - 1)
-          val lo = floor(h).cast("int")
-          val vLo = element_at(col("vals_sorted"), lo + 1) // lo+1 ≤ n always
-          // lo+2 may exceed n (φ=1 or single sample): try_ under ANSI mode
-          val vHi = coalesce(try_element_at(col("vals_sorted"), lo + 2), vLo)
-          vLo + (h - floor(h)) * (vHi - vLo)
+          qOfSorted(col("vals_sorted"), lit(scalarOf(args.head)))
+        case "mad_over_time" => // median absolute deviation about the median
+          val med = qOfSorted(col("vals_sorted"), lit(0.5))
+          qOfSorted(array_sort(transform(col("vals_sorted"), x => abs(x - med))),
+            lit(0.5))
         case "delta"    => extrapolated(windowMs, isCounter = false, isRate = false)
         case "increase" => extrapolated(windowMs, isCounter = true, isRate = false)
         case "rate"     => extrapolated(windowMs, isCounter = true, isRate = true)
@@ -258,25 +275,45 @@ object Compiler {
       // the metric) — last_over_time is the one name-preserving exception
       val out1 = if (f == "last_over_time") out0 else dropName(out0)
       // fns needing ≥2 samples yield NULL otherwise → drop those points
-      val out2 = if (Set("rate", "increase", "delta", "idelta",
+      val out2 = if (Set("rate", "irate", "increase", "delta", "idelta",
           "deriv", "predict_linear").contains(f))
         out1.filter(col("value").isNotNull) else out1
       if (offsetMs == 0) out2
       else out2.withColumn("step_ms", col("step_ms") + offsetMs)
 
     // scalar math over an instant vector (or scalar)
-    case "abs" | "ceil" | "floor" | "sqrt" | "exp" | "ln" | "log2" | "log10" | "sgn" =>
+    case "abs" | "ceil" | "floor" | "sqrt" | "exp" | "ln" | "log2" | "log10" | "sgn" |
+         "sin" | "cos" | "tan" | "asin" | "acos" | "atan" |
+         "sinh" | "cosh" | "tanh" | "asinh" | "acosh" | "atanh" |
+         "deg" | "rad" =>
       val v = compile(args.head, ctx)
       val f: Column => Column = fn match {
         case "abs" => abs; case "ceil" => c => ceil(c).cast("double")
         case "floor" => c => floor(c).cast("double"); case "sqrt" => sqrt
         case "exp" => exp; case "ln" => c => log(c); case "log2" => log2
         case "log10" => log10; case "sgn" => c => signum(c)
+        case "sin" => sin; case "cos" => cos; case "tan" => tan
+        case "asin" => asin; case "acos" => acos; case "atan" => atan
+        case "sinh" => sinh; case "cosh" => cosh; case "tanh" => tanh
+        case "asinh" => c => call_function("asinh", c)
+        case "acosh" => c => call_function("acosh", c)
+        case "atanh" => c => call_function("atanh", c)
+        case "deg" => degrees; case "rad" => radians
       }
       dropName(v.withColumn("value", f(col("value"))))
+    case "pi" => ctx.grid.withColumn("value", lit(math.Pi))
     case "round" =>
+      // round to multiples of to_nearest (default 1), ties toward +Inf —
+      // Prometheus semantics (floor(v/n + ½)·n), not HALF_UP
       val v = compile(args.head, ctx)
-      dropName(v.withColumn("value", round(col("value"), 0).cast("double")))
+      val to = if (args.length > 1) scalarOf(args(1)) else 1.0
+      dropName(v.withColumn("value",
+        (floor(col("value") / to + 0.5) * to).cast("double")))
+    case "sort_by_label" | "sort_by_label_desc" => // presentational ordering
+      val v = compile(args.head, ctx)
+      val ord = args.tail.map(strOf).map(l =>
+        if (fn == "sort_by_label") col(l).asc_nulls_first else col(l).desc_nulls_last)
+      v.orderBy(ord: _*)
     case "clamp" =>
       val v = compile(args.head, ctx)
       val (lo, hi) = (scalarOf(args(1)), scalarOf(args(2)))
@@ -342,8 +379,8 @@ object Compiler {
     case "time" => ctx.grid.withColumn("value", col("step_ms") / 1000.0)
     // calendar functions: input vector carries epoch-seconds values
     // (defaulting to vector(time())), output the UTC component
-    case "minute" | "hour" | "day_of_week" | "day_of_month" | "month" | "year" |
-         "days_in_month" =>
+    case "minute" | "hour" | "day_of_week" | "day_of_month" | "day_of_year" |
+         "month" | "year" | "days_in_month" =>
       val v = if (args.isEmpty) ctx.grid.withColumn("value", col("step_ms") / 1000.0)
               else compile(args.head, ctx)
       val t = timestamp_seconds(col("value"))
@@ -352,6 +389,7 @@ object Compiler {
         case "hour"          => hour(t)
         case "day_of_week"   => dayofweek(t) - 1 // PromQL: 0=Sunday
         case "day_of_month"  => dayofmonth(t)
+        case "day_of_year"   => dayofyear(t)
         case "month"         => month(t)
         case "year"          => year(t)
         case "days_in_month" => dayofmonth(last_day(t))
@@ -360,6 +398,16 @@ object Compiler {
     case "timestamp" =>
       dropName(compile(args.head, ctx).withColumn("value", col("step_ms") / 1000.0))
     case other => throw new ParseException(s"unsupported function '$other'")
+  }
+
+  /** Prometheus-style interpolated quantile of a sorted values array. */
+  private def qOfSorted(arr: Column, phi: Column): Column = {
+    val h = phi * (size(arr) - 1)
+    val lo = floor(h).cast("int")
+    val vLo = element_at(arr, lo + 1) // lo+1 ≤ n always
+    // lo+2 may exceed n (φ=1 or single sample): try_ under ANSI mode
+    val vHi = coalesce(try_element_at(arr, lo + 2), vLo)
+    vLo + (h - floor(h)) * (vHi - vLo)
   }
 
   private def scalarOf(e: Expr): Double = e match {
@@ -426,6 +474,7 @@ object Compiler {
   private def arith(op: String)(l: Column, r: Column): Column = op match {
     case "+" => l + r; case "-" => l - r; case "*" => l * r
     case "/" => l / r; case "%" => pmod(l, r); case "^" => pow(l, r)
+    case "atan2" => atan2(l, r)
     case "==" => l === r; case "!=" => l =!= r
     case ">" => l > r; case "<" => l < r; case ">=" => l >= r; case "<=" => l <= r
   }

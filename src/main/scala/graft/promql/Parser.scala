@@ -283,7 +283,7 @@ object Parser {
     private val prec: Map[String, Int] = Map(
       "or" -> 1, "and" -> 2, "unless" -> 2,
       "==" -> 3, "!=" -> 3, ">" -> 3, "<" -> 3, ">=" -> 3, "<=" -> 3,
-      "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "^" -> 6)
+      "+" -> 4, "-" -> 4, "*" -> 5, "/" -> 5, "%" -> 5, "atan2" -> 5, "^" -> 6)
 
     def peekOp(): Option[String] = {
       skipWs()
@@ -291,7 +291,7 @@ object Parser {
       twoChar.find(in.startsWith(_, pos))
         .orElse(Seq("+", "-", "*", "/", "%", "^", ">", "<")
           .find(s => in.startsWith(s, pos)))
-        .orElse(Seq("and", "or", "unless").find(kw =>
+        .orElse(Seq("and", "or", "unless", "atan2").find(kw =>
           in.startsWith(kw, pos) &&
             (pos + kw.length >= in.length || !isIdent(in(pos + kw.length)))))
     }

@@ -254,6 +254,59 @@ object Pipeline {
         "FROM e q JOIN e n ON q.vec_id < 10 AND n.bucket = q.bucket AND n.vec_id <> q.vec_id " +
         s"QUALIFY rk <= 5 ORDER BY qid, rk")),
 
+    Q("ss_ivf_topk",  // IVF coarse quantizer: assign to cells, probe 4 nearest
+      // the classic billion-scale ANN layout: k centroids partition the
+      // corpus; a query scans only its nprobe closest cells. Here centroids
+      // are the first 16 vectors (deterministic stand-in for k-means — the
+      // assignment/probe/rank plumbing is what scales, not the seeds).
+      t => {
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .persist()
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("vn").as("vc"))
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("cid"))
+        val asg = e.crossJoin(broadcast(cent))
+          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
+          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vn").as("vq"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", VectorOps.dot(col("vq"), col("vc")))
+          .withColumn("prk", row_number().over(pw)).filter(col("prk") <= 4)
+          .select(col("qid"), col("cid"))
+        val cands = probe.join(asg, probe("cid") === asg("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid")).distinct()
+        val rw = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        cands
+          .join(e.select(col("vec_id").as("qid"), col("vn").as("vq")), "qid")
+          .join(e.select(col("vec_id").as("nid"), col("vn").as("vb")), "nid")
+          .withColumn("cos", VectorOps.dot(col("vq"), col("vb")))
+          .withColumn("rk", row_number().over(rw).cast("long")).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"), col("rk"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw), " +
+        "cent AS (SELECT vec_id AS cid, vn AS vc FROM e WHERE vec_id < 16), " +
+        "asg AS (SELECT e.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${VectorOps.dotSql("e.vn", "c.vc")} DESC, c.cid) AS ark " +
+        "FROM e CROSS JOIN cent c QUALIFY ark = 1), " +
+        "probe AS (SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id " +
+        s"ORDER BY ${VectorOps.dotSql("q.vn", "c.vc")} DESC, c.cid) AS prk " +
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 QUALIFY prk <= 4), " +
+        "cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid FROM probe p " +
+        "JOIN asg a ON a.cell = p.cid WHERE a.vec_id <> p.qid) " +
+        "SELECT qid, nid, row_number() OVER (PARTITION BY qid " +
+        s"ORDER BY ${VectorOps.dotSql("q.vn", "n.vn")} DESC, nid) AS rk, " +
+        s"${VectorOps.dotSql("q.vn", "n.vn")} AS cos " +
+        "FROM cand JOIN e q ON q.vec_id = qid JOIN e n ON n.vec_id = nid " +
+        "QUALIFY rk <= 5 ORDER BY qid, rk")),
+
     // ------------------------------------------------- multimodal plumbing
     // Opaque binary column + typed metadata; the real decoder is a STUB
     // (deterministic byte-level features) because no image/audio codec ships

@@ -351,6 +351,25 @@ object Tsdb {
         "least(greatest(value, 10.0), 100.0) AS clamp_v, round(ln(value + 1.0), 4) AS ln_v " +
         "FROM v ORDER BY __name__, uid")),
 
+    Q("f_trig",  // trig surface; 4dp rounding absorbs libm-vs-JVM last-ulp
+      t => instant(t)
+        .select(col("__name__"), col("uid"),
+          round(sin(col("value") / 100.0), 4).as("sin_v"),
+          round(cos(col("value") / 100.0), 4).as("cos_v"),
+          round(tan(col("value") / 1000.0), 4).as("tan_v"),
+          round(atan2(col("value"), lit(100.0)), 4).as("atan2_v"),
+          round(degrees(col("value") / 100.0), 4).as("deg_v"),
+          round(radians(col("value")), 4).as("rad_v"))
+        .orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, uid, " +
+        "round(sin(value / 100.0e0), 4) AS sin_v, " +
+        "round(cos(value / 100.0e0), 4) AS cos_v, " +
+        "round(tan(value / 1000.0e0), 4) AS tan_v, " +
+        "round(atan2(value, 100.0e0), 4) AS atan2_v, " +
+        "round(degrees(value / 100.0e0), 4) AS deg_v, " +
+        "round(radians(value), 4) AS rad_v " +
+        "FROM v ORDER BY __name__, uid")),
+
     Q("f_label_replace_join",
       t => instant(t)
         .withColumn("tier",
@@ -422,6 +441,36 @@ object Tsdb {
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics
+    Q("promql_irate",  // last-pair instant rate with counter-reset correction
+      t => Compiler.compile(Parser.parse("""irate({__name__="purchase"}[1d])"""),
+          Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+        .select(col("uid"), col("value")).orderBy(col("uid")),
+      Some(s"WITH $S_CTE, " +
+        s"w AS (SELECT * FROM s WHERE __name__ = 'purchase' AND ts_ms >= ${TI - DAY + 1} AND ts_ms <= $TI), " +
+        "p AS (SELECT *, lag(value) OVER win AS pv, lag(ts_ms) OVER win AS pt FROM w " +
+        "WINDOW win AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
+        "l AS (SELECT *, row_number() OVER (PARTITION BY uid ORDER BY ts_ms DESC, sample_id DESC) AS rn FROM p) " +
+        "SELECT uid, (CASE WHEN value < pv THEN value ELSE value - pv END) " +
+        "/ ((ts_ms - pt) / 1000.0e0) AS value " +
+        "FROM l WHERE rn = 1 AND pt IS NOT NULL ORDER BY uid")),
+
+    // `or` with differing label sets: full-label-set matching keeps both sides
+    Q("promql_or_labelsets",
+      t => Compiler.compile(Parser.parse(
+          """sum by (uid) ({__name__="purchase"}) or sum by (__name__) ({__name__="view"})"""),
+          Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+        .select(col("uid"), col("__name__"), col("value"))
+        .orderBy(col("uid"), col("__name__")),
+      Some(s"WITH $S_CTE, ${vCte()} " +
+        "SELECT uid, CAST(NULL AS VARCHAR) AS __name__, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS value " +
+        "FROM v WHERE __name__ = 'purchase' GROUP BY uid " +
+        "UNION ALL " +
+        "SELECT CAST(NULL AS VARCHAR) AS uid, __name__, " +
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS value " +
+        "FROM v WHERE __name__ = 'view' GROUP BY __name__ " +
+        "ORDER BY uid, __name__")),
+
     Q("promql_sum_by",
       t => Compiler.compile(Parser.parse("""sum by (__name__) ({uid!=""})"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))

@@ -284,6 +284,63 @@ class PromqlSpec extends SparkSpec {
     assert(hw(Seq(10.0, 12.0, 11.0)) == 12.5)
   }
 
+  test("trig/deg/rad/pi scalar functions and atan2 binop") {
+    def one(q: String) = eval(q).select($"value").as[Double].head()
+    assert(one("pi()") == math.Pi)
+    assert(math.abs(one("sin(vector(1))") - math.sin(1.0)) < 1e-15)
+    assert(math.abs(one("cos(vector(1))") - math.cos(1.0)) < 1e-15)
+    assert(math.abs(one("atan(vector(1))") - math.atan(1.0)) < 1e-15)
+    assert(math.abs(one("asinh(vector(2))") - 1.4436354751788103) < 1e-15)
+    assert(one("deg(vector(3.141592653589793))") == 180.0)
+    assert(one("rad(vector(180))") == math.Pi)
+    assert(math.abs(one("vector(1) atan2 vector(2)") - math.atan2(1.0, 2.0)) < 1e-15)
+    // precedence: atan2 binds like * (tighter than +)
+    assert(Parser.parse("1 + 2 atan2 3") ==
+      BinOp("+", NumberLit(1), BinOp("atan2", NumberLit(2), NumberLit(3), None, false), None, false))
+  }
+
+  test("round with to_nearest; day_of_year") {
+    def one(q: String) = eval(q).select($"value").as[Double].head()
+    assert(one("round(vector(2.4))") == 2.0)
+    assert(one("round(vector(2.5))") == 3.0)   // ties toward +Inf
+    assert(one("round(vector(-2.5))") == -2.0) // not HALF_UP
+    assert(one("round(vector(7), 5)") == 5.0)
+    assert(one("round(vector(8), 5)") == 10.0)
+    assert(one("day_of_year()") == 15.0) // TI = 2024-01-15
+  }
+
+  test("irate, stdvar/mad/present/absent_over_time") {
+    // window (0, 10000]: 2s→0, 4s→10, 6s→10, 8s→5
+    val df = Seq(("m", "1", 2000L, 0.0, 1L), ("m", "1", 4000L, 10.0, 2L),
+        ("m", "1", 6000L, 10.0, 3L), ("m", "1", 8000L, 5.0, 4L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    def one(q: String) = Compiler.compile(Parser.parse(q), ctx)
+      .select($"value").as[Double].head()
+    // last pair 10→5 is a counter reset: irate = 5 / 2s = 2.5
+    assert(one("irate(m[10s])") == 2.5)
+    // mean 6.25; var = ((0-6.25)²+(10-6.25)²·2+(5-6.25)²)/4 = 17.1875
+    assert(math.abs(one("stdvar_over_time(m[10s])") - 17.1875) < 1e-9)
+    assert(math.abs(one("stddev_over_time(m[10s])") - math.sqrt(17.1875)) < 1e-9)
+    // sorted [0,5,10,10]: median 7.5; |x-7.5| sorted [2.5,2.5,2.5,7.5] → mad 2.5
+    assert(one("mad_over_time(m[10s])") == 2.5)
+    assert(one("present_over_time(m[10s])") == 1.0)
+    // absent_over_time: nothing matched → 1; matched → empty
+    assert(Compiler.compile(Parser.parse("absent_over_time(nope[10s])"), ctx)
+      .select($"value").as[Double].collect().toSeq == Seq(1.0))
+    assert(Compiler.compile(Parser.parse("absent_over_time(m[10s])"), ctx).count() == 0)
+  }
+
+  test("sort_by_label orders output by the named labels") {
+    val rows = eval("""sort_by_label({uid!=""}, "__name__", "uid")""")
+      .select($"__name__", $"uid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == rows.toSeq.sorted)
+    val rowsD = eval("""sort_by_label_desc({uid!=""}, "__name__", "uid")""")
+      .select($"__name__", $"uid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rowsD.toSeq == rowsD.toSeq.sorted.reverse)
+  }
+
   test("histogram_quantile over classic le-labeled bucket series") {
     // cumulative buckets at one instant: 0.1→50, 0.5→80, 1→95, +Inf→100
     // φ=0.9 → rank 90 lands in the le=1 bucket:
