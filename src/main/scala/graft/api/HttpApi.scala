@@ -106,7 +106,7 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
 
   private def parseMatchers(sel: String): Seq[LabelMatcher] =
     Parser.parse(sel) match {
-      case graft.promql.Ast.Selector(name, ms, None, 0L) =>
+      case graft.promql.Ast.Selector(name, ms, None, 0L, None) =>
         name.map(n => graft.promql.MatchEq("__name__", n) +: ms).getOrElse(ms)
       case _ => fail(s"match[] must be a series selector: $sel")
     }

@@ -22,8 +22,16 @@ object Compiler {
   import Ast._
 
   final case class Ctx(samples: DataFrame, startMs: Long, endMs: Long,
-                       stepMs: Long, lookbackMs: Long = Eval.DefaultLookbackMs) {
+                       stepMs: Long, lookbackMs: Long = Eval.DefaultLookbackMs,
+                       anchorStartMs: Option[Long] = None,
+                       anchorEndMs: Option[Long] = None) {
     def nSteps: Long = (endMs - startMs) / stepMs
+    /** Top-level query bounds: what `@ start()` / `@ end()` resolve to —
+      * stable under the offset / subquery grid rewrites that shift
+      * startMs/endMs (Prometheus: the preprocessor substitutes the outermost
+      * query's timestamps, promql/parser/ast.go). */
+    def qStartMs: Long = anchorStartMs.getOrElse(startMs)
+    def qEndMs: Long = anchorEndMs.getOrElse(endMs)
     lazy val spark = samples.sparkSession
     /** grid of steps as a DataFrame (for scalar broadcasting). */
     def grid: DataFrame = spark.range(0, nSteps + 1)
@@ -39,17 +47,27 @@ object Compiler {
     case NumberLit(v) => ctx.grid.withColumn("value", lit(v))
     case StringLit(_) => throw new ParseException("bare string is not a query")
 
-    case Selector(_, _, Some(_), _) =>
+    case Selector(_, _, Some(_), _, _) =>
       throw new ParseException("range vector must be an argument of a range function")
     case _: Subquery =>
       throw new ParseException("subquery must be an argument of a range function")
 
-    case Selector(name, matchers, None, offsetMs) =>
+    case Selector(name, matchers, None, offsetMs, at) =>
       val ms = name.map(n => MatchEq("__name__", n) +: matchers).getOrElse(matchers)
-      val df = Eval.rangeVectors(ctx.samples, ms, ctx.startMs - offsetMs,
-          ctx.endMs - offsetMs, ctx.stepMs, ctx.lookbackMs)
-        .drop("series_hash")
-      if (offsetMs == 0) df else df.withColumn("step_ms", col("step_ms") + offsetMs)
+      at match {
+        case Some(spec) => // fixed-instant evaluation, broadcast to every step
+          val t = resolveAt(spec, ctx) - offsetMs
+          val one = Eval.rangeVectors(ctx.samples, ms, t, t, ctx.stepMs,
+              ctx.lookbackMs)
+            .drop("series_hash", "step_ms")
+          ctx.grid.crossJoin(one)
+        case None =>
+          val df = Eval.rangeVectors(ctx.samples, ms, ctx.startMs - offsetMs,
+              ctx.endMs - offsetMs, ctx.stepMs, ctx.lookbackMs)
+            .drop("series_hash")
+          if (offsetMs == 0) df
+          else df.withColumn("step_ms", col("step_ms") + offsetMs)
+      }
 
     case Call(fn, args) => compileCall(fn, args, ctx)
     case a: Agg          => compileAgg(a, ctx)
@@ -77,7 +95,8 @@ object Compiler {
     * the "samples" the outer range function aggregates. */
   private def subqueryPoints(sub: Subquery, ctx: Ctx): DataFrame = {
     val innerCtx = ctx.copy(startMs = ctx.startMs - sub.rangeMs, endMs = ctx.endMs,
-      stepMs = sub.resolutionMs)
+      stepMs = sub.resolutionMs,
+      anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
     val inner = compile(sub.expr, innerCtx).filter(col("value").isNotNull)
     val lbls = labelCols(inner)
     inner.withColumnRenamed("step_ms", "ts_ms")
@@ -185,18 +204,32 @@ object Compiler {
       // the range-vector arg is last for (quantile_over_time etc.) but first
       // for predict_linear — find it positionally
       val rangeArg: Option[Expr] = args.collectFirst {
-        case s @ Selector(_, _, Some(_), _) => s
+        case s @ Selector(_, _, Some(_), _, _) => s
         case sub: Subquery => sub
       }
-      val (windowMs, offsetMs, mkPoints) = rangeArg match {
-        case Some(s @ Selector(_, _, Some(r), off)) =>
-          (r, off, (c: Ctx) => selectorPoints(s, r, c))
+      val (windowMs, offsetMs, atOpt, mkPoints) = rangeArg match {
+        case Some(s @ Selector(_, _, Some(r), off, at)) =>
+          (r, off, at, (c: Ctx) => selectorPoints(s, r, c))
         case Some(sub: Subquery) =>
-          (sub.rangeMs, sub.offsetMs, (c: Ctx) => subqueryPoints(sub, c))
+          (sub.rangeMs, sub.offsetMs, sub.at, (c: Ctx) => subqueryPoints(sub, c))
         case _ => throw new ParseException(s"$f expects a range vector, e.g. m[5m]")
       }
-      // offset: evaluate on the shifted grid, report at the requested steps
-      val ectx = ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
+      // `@`: pin the evaluation instant; the single-step result is broadcast
+      // back onto the requested grid at the end. offset: evaluate on the
+      // shifted grid, report at the requested steps.
+      val ectx = atOpt match {
+        case Some(spec) =>
+          val t = resolveAt(spec, ctx) - offsetMs
+          ctx.copy(startMs = t, endMs = t,
+            anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
+        case None =>
+          ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
+      }
+      /** undo the grid rewrite: broadcast (@) or shift back (offset). */
+      def restore(df: DataFrame): DataFrame =
+        if (atOpt.nonEmpty) ctx.grid.crossJoin(df.drop("step_ms"))
+        else if (offsetMs == 0) df
+        else df.withColumn("step_ms", col("step_ms") + offsetMs)
       val smoother = f == "holt_winters" || f == "double_exponential_smoothing"
       val g = gridAgg(mkPoints(ectx), windowMs, ectx,
         withDistribution = f == "quantile_over_time" || f == "mad_over_time",
@@ -205,8 +238,7 @@ object Compiler {
         val out = ectx.grid.join(g.select(col("step_ms")).distinct(),
             Seq("step_ms"), "left_anti")
           .withColumn("value", lit(1.0))
-        return if (offsetMs == 0) out
-               else out.withColumn("step_ms", col("step_ms") + offsetMs)
+        return restore(out)
       }
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
@@ -278,8 +310,7 @@ object Compiler {
       val out2 = if (Set("rate", "irate", "increase", "delta", "idelta",
           "deriv", "predict_linear").contains(f))
         out1.filter(col("value").isNotNull) else out1
-      if (offsetMs == 0) out2
-      else out2.withColumn("step_ms", col("step_ms") + offsetMs)
+      restore(out2)
 
     // scalar math over an instant vector (or scalar)
     case "abs" | "ceil" | "floor" | "sqrt" | "exp" | "ln" | "log2" | "log10" | "sgn" |
@@ -410,6 +441,12 @@ object Compiler {
     vLo + (h - floor(h)) * (vHi - vLo)
   }
 
+  private def resolveAt(at: AtSpec, ctx: Ctx): Long = at match {
+    case AtTime(ms) => ms
+    case AtStart    => ctx.qStartMs
+    case AtEnd      => ctx.qEndMs
+  }
+
   private def scalarOf(e: Expr): Double = e match {
     case NumberLit(v) => v
     case _ => throw new ParseException("scalar literal expected")
@@ -466,6 +503,20 @@ object Compiler {
           .agg(count(lit(1)).cast("double").as("value"))
       case "group" => // all values become 1 per output group
         child.select(grp: _*).distinct().withColumn("value", lit(1.0))
+      case "limitk" => // k series per group, deterministic label-hash order
+        // (Prometheus's limitk keeps engine arrival order — implementation-
+        // defined; we pick by series-label hash so answers are stable)
+        val k = scalarOf(a.param.getOrElse(throw new ParseException("limitk needs k"))).toInt
+        val w = Window.partitionBy(grp: _*)
+          .orderBy(xxhash64(lbls.sorted.map(col): _*).asc +: lbls.sorted.map(col(_).asc): _*)
+        child.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+      case "limit_ratio" => // hash-based series sampling, Prometheus semantics:
+        // r ≥ 0 keeps series with u < r; r < 0 keeps the complement (u ≥ 1+r),
+        // where u is a per-series deterministic uniform from the label hash
+        val r = scalarOf(a.param.getOrElse(throw new ParseException("limit_ratio needs r")))
+        val u = xxhash64(lbls.sorted.map(col): _*).cast("double") /
+          lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
+        child.filter(if (r >= 0) u < lit(r) else u >= lit(1.0 + r))
       case other => throw new ParseException(s"unsupported aggregation '$other'")
     }
   }

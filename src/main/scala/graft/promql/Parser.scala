@@ -19,11 +19,18 @@ object Ast {
   sealed trait Expr
   final case class NumberLit(v: Double) extends Expr
   final case class StringLit(v: String) extends Expr
+  /** `@` modifier target: fixed epoch-ms, or the query range's start/end. */
+  sealed trait AtSpec
+  final case class AtTime(ms: Long) extends AtSpec
+  case object AtStart extends AtSpec
+  case object AtEnd extends AtSpec
   final case class Selector(name: Option[String], matchers: Seq[LabelMatcher],
-                            rangeMs: Option[Long], offsetMs: Long = 0L) extends Expr
+                            rangeMs: Option[Long], offsetMs: Long = 0L,
+                            at: Option[AtSpec] = None) extends Expr
   /** `expr[range:resolution]` — inner expr evaluated on a finer grid. */
   final case class Subquery(expr: Expr, rangeMs: Long, resolutionMs: Long,
-                            offsetMs: Long = 0L) extends Expr
+                            offsetMs: Long = 0L,
+                            at: Option[AtSpec] = None) extends Expr
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   sealed trait Grouping
   case object NoGrouping extends Grouping
@@ -43,7 +50,8 @@ object Parser {
   import Ast._
 
   private val aggOps = Set("sum", "avg", "min", "max", "count", "stddev",
-    "stdvar", "topk", "bottomk", "quantile", "count_values", "group")
+    "stdvar", "topk", "bottomk", "quantile", "count_values", "group",
+    "limitk", "limit_ratio")
 
   def parse(input: String): Expr = {
     val p = new Parser(input)
@@ -196,28 +204,50 @@ object Parser {
       }
     }
 
-    def maybeOffset(): Long = {
-      if (!tryKeyword("offset")) return 0L
-      skipWs()
-      val st = pos
-      while (!eof && (in(pos).isLetterOrDigit)) pos += 1
-      parseDuration(in.substring(st, pos))
+    /** `offset [-]dur` and `@ (ts | start() | end())`, each at most once, in
+      * either order — PromQL modifier grammar. */
+    def modifiers(): (Long, Option[AtSpec]) = {
+      var off = 0L
+      var at: Option[AtSpec] = None
+      var go = true
+      while (go) {
+        skipWs()
+        if (tryKeyword("offset")) {
+          skipWs()
+          val neg = tryConsume("-")
+          val st = pos
+          while (!eof && in(pos).isLetterOrDigit) pos += 1
+          val d = parseDuration(in.substring(st, pos))
+          off = if (neg) -d else d
+        } else if (tryConsume("@")) {
+          skipWs()
+          at = Some(
+            if (tryKeyword("start")) { expect('('); expect(')'); AtStart }
+            else if (tryKeyword("end")) { expect('('); expect(')'); AtEnd }
+            else AtTime(math.round(number() * 1000.0)))
+        } else go = false
+      }
+      (off, at)
     }
 
-    /** selector/postfix tail: range or subquery brackets, then offset. */
+    /** selector/postfix tail: range or subquery brackets, then modifiers. */
     def postfix(base: Expr): Expr = {
       maybeRange() match {
         case Some(Left(r)) =>
           base match {
-            case s: Selector => s.copy(rangeMs = Some(r), offsetMs = maybeOffset())
+            case s: Selector =>
+              val (off, at) = modifiers()
+              s.copy(rangeMs = Some(r), offsetMs = off, at = at)
             case _ => err("range selector on non-selector (use [range:resolution] for subqueries)")
           }
-        case Some(Right((r, res))) => Subquery(base, r, res, maybeOffset())
+        case Some(Right((r, res))) =>
+          val (off, at) = modifiers()
+          Subquery(base, r, res, off, at)
         case None =>
           base match {
             case s: Selector =>
-              val off = maybeOffset()
-              if (off != 0) s.copy(offsetMs = off) else s
+              val (off, at) = modifiers()
+              if (off != 0 || at.nonEmpty) s.copy(offsetMs = off, at = at) else s
             case other => other
           }
       }

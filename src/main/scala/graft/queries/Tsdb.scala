@@ -441,6 +441,20 @@ object Tsdb {
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics
+    Q("promql_at_modifier",  // @ pins the eval instant; broadcast to all steps
+      t => Compiler.compile(Parser.parse(
+          s"""last_over_time({__name__="purchase"}[1d] @ ${TI / 1000})"""),
+          Compiler.Ctx(samples(t), TI, TI + 2000L, 1000L, LB))
+        .select(col("step_ms"), col("__name__"), col("uid"), col("value"))
+        .orderBy(col("step_ms"), col("uid")),
+      Some(s"WITH $S_CTE, " +
+        "l AS (SELECT __name__, uid, max_by(value, ts_ms) AS value FROM s " +
+        s"WHERE __name__ = 'purchase' AND ts_ms > ${TI - DAY} AND ts_ms <= $TI " +
+        "GROUP BY __name__, uid), " +
+        s"g AS (SELECT UNNEST([$TI, ${TI + 1000L}, ${TI + 2000L}]) AS step_ms) " +
+        "SELECT g.step_ms, l.__name__, l.uid, l.value FROM g CROSS JOIN l " +
+        "ORDER BY step_ms, uid")),
+
     Q("promql_irate",  // last-pair instant rate with counter-reset correction
       t => Compiler.compile(Parser.parse("""irate({__name__="purchase"}[1d])"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))

@@ -332,6 +332,60 @@ class PromqlSpec extends SparkSpec {
     assert(Compiler.compile(Parser.parse("absent_over_time(m[10s])"), ctx).count() == 0)
   }
 
+  test("@ modifier: parse, fixed-instant broadcast, start()/end()") {
+    assert(Parser.parse("up @ 300") ==
+      Selector(Some("up"), Nil, None, 0L, Some(AtTime(300000L))))
+    assert(Parser.parse("up[5m] @ start() offset 5m") ==
+      Selector(Some("up"), Nil, Some(300000L), 300000L, Some(AtStart)))
+    assert(Parser.parse("up offset -5m") ==
+      Selector(Some("up"), Nil, None, -300000L))
+    // range query [TI, TI+4s] step 2s: `@ TI` pins every step to TI's answer
+    val rctx = Compiler.Ctx(samples, TI, TI + 4000L, 2000L, DAY)
+    val pinned = Compiler.compile(
+      Parser.parse(s"""{__name__="purchase"} @ ${TI / 1000}"""), rctx)
+      .select($"step_ms", $"uid", $"value").collect()
+    assert(pinned.map(_.getLong(0)).distinct.sorted.toSeq ==
+      Seq(TI, TI + 2000L, TI + 4000L))
+    val atTI = eval("""{__name__="purchase"}""")
+      .select($"uid", $"value").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    for (s <- Seq(TI, TI + 2000L, TI + 4000L))
+      assert(pinned.filter(_.getLong(0) == s)
+        .map(r => (r.getString(1), r.getDouble(2))).toSet == atTI)
+    // @ end() over the range ctx ≡ instant answer at endMs, on every step
+    val pinnedEnd = Compiler.compile(
+      Parser.parse("""sum(rate({__name__="purchase"}[1d] @ end()))"""), rctx)
+      .select($"step_ms", $"value").collect()
+    val rateEnd = Compiler.compile(
+      Parser.parse("""sum(rate({__name__="purchase"}[1d]))"""),
+      ctxAt(TI + 4000L)).select($"value").as[Double].head()
+    assert(pinnedEnd.length == 3 && pinnedEnd.forall(_.getDouble(1) == rateEnd))
+    // @ start() on an instant selector
+    val pinnedStart = Compiler.compile(
+      Parser.parse("""{__name__="purchase"} @ start()"""), rctx)
+      .select($"step_ms", $"uid", $"value").collect()
+    assert(pinnedStart.filter(_.getLong(0) == TI + 4000L)
+      .map(r => (r.getString(1), r.getDouble(2))).toSet == atTI)
+  }
+
+  test("limitk / limit_ratio: deterministic hash-based series sampling") {
+    val all = eval("""{uid!=""}""").count()
+    assert(eval("""limitk(3, {uid!=""})""").count() == math.min(3L, all))
+    // partition property: r and -(1-r) split the series set exactly
+    val keep = eval("""limit_ratio(0.4, {uid!=""})""").count()
+    val drop = eval("""limit_ratio(-0.6, {uid!=""})""").count()
+    assert(keep + drop == all)
+    // deterministic: same query twice → same series
+    val a = eval("""limit_ratio(0.4, {uid!=""})""")
+      .select($"__name__", $"uid").collect().toSet
+    val b = eval("""limit_ratio(0.4, {uid!=""})""")
+      .select($"__name__", $"uid").collect().toSet
+    assert(a == b)
+    // grouped limitk: at most k per group
+    val perG = eval("""limitk(2, {uid!=""}) by (__name__)""")
+      .groupBy($"__name__").count().select($"count").as[Long].collect()
+    assert(perG.forall(_ <= 2))
+  }
+
   test("sort_by_label orders output by the named labels") {
     val rows = eval("""sort_by_label({uid!=""}, "__name__", "uid")""")
       .select($"__name__", $"uid").collect().map(r => (r.getString(0), r.getString(1)))
