@@ -553,9 +553,9 @@ object Compiler {
       // i.e. absent == absent — PromQL label-set equality).
       val unionLbls = (lLbls ++ rLbls).distinct.filterNot(_ == "__name__")
       val keys = b.matching match {
-        case Some(Matching(true, ls, _, _))  => ls
-        case Some(Matching(false, ls, _, _)) => unionLbls.filterNot(ls.contains)
-        case None                            => unionLbls
+        case Some(Matching(true, ls, _, _, _))  => ls
+        case Some(Matching(false, ls, _, _, _)) => unionLbls.filterNot(ls.contains)
+        case None                               => unionLbls
       }
       val on = "step_ms" +: keys
       def widen(df: DataFrame): DataFrame =
@@ -591,12 +591,18 @@ object Compiler {
         // label retention: comparisons (filter form) and group_left keep the
         // lhs label set; group_right keeps the rhs set; plain 1:1 keeps the
         // match keys only (PromQL drops non-matching labels and __name__)
+        // group_left(inc)/group_right(inc): carry labels copied from the
+        // "one" side, overwriting the many side's version (PromQL semantics)
+        val inc = b.matching.map(_.include).getOrElse(Nil)
         val keepL =
           if (compOps.contains(b.op) && !b.bool) lLbls
-          else if (gl) lLbls.filterNot(_ == "__name__")
-          else if (gr) Seq.empty
+          else if (gl) lLbls.filterNot(_ == "__name__").filterNot(inc.contains)
+          else if (gr) inc.filter(lLbls.contains)
           else on.tail
-        val keepR = if (gr) rLbls.filterNot(_ == "__name__") else Seq.empty
+        val keepR =
+          if (gr) rLbls.filterNot(_ == "__name__").filterNot(inc.contains)
+          else if (gl) inc.filter(rLbls.contains)
+          else Seq.empty
         val l2 = lhs.select((on.map(col) ++
           (keepL.filterNot(on.contains)).map(col) :+ col("value")): _*)
         val r2 = rhs.select((on.map(col) ++
@@ -639,9 +645,9 @@ object Compiler {
   private def matchKeys(b: BinOp, lLbls: Seq[String], rLbls: Seq[String]): Seq[String] = {
     val shared = lLbls.intersect(rLbls).filterNot(_ == "__name__")
     b.matching match {
-      case Some(Matching(true, ls, _, _))  => ls
-      case Some(Matching(false, ls, _, _)) => shared.filterNot(ls.contains)
-      case None                            => shared
+      case Some(Matching(true, ls, _, _, _))  => ls
+      case Some(Matching(false, ls, _, _, _)) => shared.filterNot(ls.contains)
+      case None                               => shared
     }
   }
 }

@@ -39,7 +39,8 @@ object Ast {
   final case class Agg(op: String, grouping: Grouping, param: Option[Expr],
                        expr: Expr) extends Expr
   final case class Matching(on: Boolean, labels: Seq[String],
-                            groupLeft: Boolean, groupRight: Boolean)
+                            groupLeft: Boolean, groupRight: Boolean,
+                            include: Seq[String] = Nil)
   final case class BinOp(op: String, lhs: Expr, rhs: Expr,
                          matching: Option[Matching], bool: Boolean) extends Expr
 }
@@ -341,8 +342,10 @@ object Parser {
                 val labels = labelList()
                 val gl = tryKeyword("group_left")
                 val gr = !gl && tryKeyword("group_right")
-                if (gl || gr) { skipWs(); if (peek == '(') labelList() } // carry labels ignored in v1
-                Some(Matching(on, labels, gl, gr))
+                // group_left(lbls): carry labels copied from the "one" side
+                val inc = if ((gl || gr) && { skipWs(); peek == '(' }) labelList()
+                          else Seq.empty
+                Some(Matching(on, labels, gl, gr, inc))
               } else None
             }
             val rhs = parseExpr(prec(op) + 1) // left-assoc (^ right-assoc ignored in v1)

@@ -367,6 +367,32 @@ class PromqlSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getDouble(2))).toSet == atTI)
   }
 
+  test("group_left/group_right carry labels from the one side") {
+    val t = 5000L
+    val df = Seq(
+        ("m", "1", None: Option[String], t, 10.0, 1L),
+        ("m", "2", None: Option[String], t, 20.0, 2L),
+        ("info", "1", Some("gold"), t, 1.0, 3L),
+        ("info", "2", Some("silver"), t, 1.0, 4L))
+      .toDF("__name__", "uid", "tier", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid", $"tier"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    def run(q: String) = Compiler.compile(Parser.parse(q), ctx)
+    val gl = run("""{__name__="m"} * on(uid) group_left(tier) {__name__="info"}""")
+      .select($"uid", $"tier", $"value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gl == Set(("1", "gold", 10.0), ("2", "silver", 20.0)))
+    val gr = run("""{__name__="info"} * on(uid) group_right(tier) {__name__="m"}""")
+      .select($"uid", $"tier", $"value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gr == Set(("1", "gold", 10.0), ("2", "silver", 20.0)))
+    // parser keeps the include list
+    assert(Parser.parse("a * on(x) group_left(t1, t2) b") ==
+      BinOp("*", Selector(Some("a"), Nil, None), Selector(Some("b"), Nil, None),
+        Some(Matching(on = true, Seq("x"), groupLeft = true, groupRight = false,
+          include = Seq("t1", "t2"))), bool = false))
+  }
+
   test("limitk / limit_ratio: deterministic hash-based series sampling") {
     val all = eval("""{uid!=""}""").count()
     assert(eval("""limitk(3, {uid!=""})""").count() == math.min(3L, all))
