@@ -307,6 +307,72 @@ object Pipeline {
         "FROM cand JOIN e q ON q.vec_id = qid JOIN e n ON n.vec_id = nid " +
         "QUALIFY rk <= 5 ORDER BY qid, rk")),
 
+    // ------------------------------------- training-batch construction ops
+    Q("pk_pack",  // concat-and-chunk sequence packing into 2048-token windows
+      // the standard LLM pretraining batcher: docs are concatenated in a
+      // stable order and sliced into fixed context windows. Packing is
+      // per-`source` (the shard key) so the running sum never needs a global
+      // ordering — at 100 TB each shard packs independently in parallel.
+      t => {
+        val B = 2048L
+        val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t.documents
+          .select(col("source"), col("doc_id"), nTok.as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .select(col("source"), col("doc_id"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("start_off"),
+            floor((col("cum") - col("n_tok")) / B).cast("long").as("bin"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("WITH d AS (SELECT source, doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d) " +
+        "SELECT source, doc_id, n_tok, cum - n_tok AS start_off, " +
+        "CAST(floor((cum - n_tok) / 2048.0e0) AS BIGINT) AS bin " +
+        "FROM c ORDER BY source, doc_id")),
+
+    Q("tx_c4_filter",  // C4-style heuristic keep/drop over cheap text signals
+      t => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val nTok = size(toks).cast("long")
+        val nStop = size(expr(
+          s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN (${STOP.map(s => s"'$s'").mkString(", ")}))"))
+        val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
+        t.documents
+          .select(col("doc_id"), nTok.as("n_tok"),
+            (nStop.cast("double") / nTok).as("stop_ratio"),
+            meanWordLen.as("mean_wlen"))
+          .withColumn("keep",
+            col("n_tok") >= 10L && col("n_tok") <= 10000L &&
+              col("stop_ratio") >= 0.01e0 && col("mean_wlen") < 12.0e0)
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH d AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, " +
+        s"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopSqlList, x))) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS stop_ratio, " +
+        "CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS mean_wlen FROM documents) " +
+        "SELECT doc_id, n_tok, stop_ratio, mean_wlen, " +
+        "(n_tok >= 10 AND n_tok <= 10000 AND stop_ratio >= 0.01e0 AND mean_wlen < 12.0e0) AS keep " +
+        "FROM d ORDER BY doc_id")),
+
+    Q("smp_stratified",  // deterministic 10% hash-sample per (lang, source)
+      // map-side decision — no shuffle to sample at any scale; the groupBy
+      // here only audits per-stratum totals vs sampled counts
+      t => t.documents
+        .withColumn("picked", pmod(h48(col("doc_id").cast("string")), lit(100L)) < 10L)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("picked"), 1L).otherwise(0L)).as("n_sample"))
+        .orderBy(col("lang"), col("source")),
+      Some("SELECT lang, source, count(*) AS n_total, " +
+        s"CAST(sum(CASE WHEN ${h48Sql("doc_id::VARCHAR")} % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source")),
+
     // ------------------------------------------------- multimodal plumbing
     // Opaque binary column + typed metadata; the real decoder is a STUB
     // (deterministic byte-level features) because no image/audio codec ships
