@@ -38,6 +38,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) equals batch gap sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = Files.createTempDirectory("graft-sess").toString
+    val events = Tables(spark, sf()).table("events")
+    events.write.parquet(s"$root/src/b0")
+    val gap = 1800000L
+
+    val src = EventsStream.source(spark, s"$root/src/*")
+    val q = graft.streaming.Sessionize.sessions(src, gap).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .start()
+    q.processAllAvailable()
+
+    // a far-future sentinel event pushes the watermark past every real
+    // session, firing the EventTimeTimeout for each still-open one
+    val maxTsNs = events.agg(max(col("ts"))).head().getLong(0)
+    Seq((-1L, maxTsNs + 10L * 86400L * 1000000000L, -1L, "x", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$root/src/b1")
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sessions").filter($"uid" >= 0)
+      .select($"uid", $"sess_start", $"sess_end", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val batch = events
+      .select($"user_id", $"event_id", ($"ts" / 1000000L).cast("long").as("ts_ms"))
+      .withColumn("prev_ts", lag($"ts_ms", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull || $"ts_ms" - $"prev_ts" > gap, 1).otherwise(0))
+      .withColumn("sess_no",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess_no")
+      .agg(min($"ts_ms").as("s"), max($"ts_ms").as("e"), count(lit(1)).as("n"))
+      .select($"user_id", $"s", $"e", $"n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("incremental: second batch of files is picked up via checkpoint (T6 dedup)") {
     val root = Files.createTempDirectory("graft-stream-inc").toString
     val events = Tables(spark, sf()).table("events")
