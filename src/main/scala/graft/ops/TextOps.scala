@@ -44,22 +44,38 @@ object TextOps {
     s"list_distinct(list_transform(range(1, len($TOKS_D)-1), " +
       s"i -> $TOKS_D[i] || ' ' || $TOKS_D[i+1] || ' ' || $TOKS_D[i+2]))"
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + distinct word-3-gram shingle set. Uses the codegen'd
+    * [[graft.functions.WordNGrams]] expression — the `SHINGLES_S` HOF form is
+    * semantically identical but interpreted per element, and was the dominant
+    * cost of every shingle-based dedup query. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), col("source"), expr(SHINGLES_S).as("s"))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.WordNGrams(split(lower(trim(col("text"))), "\\s+"), 3).as("s"))
+
+  /** doc_id + distinct 48-bit md5 hashes of the word-3-gram shingles —
+    * shingling and the portable hash fused in one codegen'd pass
+    * ([[graft.functions.WordNGramHashes]]); downstream MinHash/LSH/Jaccard
+    * plans carry `array<long>`, never shingle strings. */
+  def shingleHashSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.WordNGramHashes(split(lower(trim(col("text"))), "\\s+"), 3).as("hs"))
+
+  /** Hashed shingle sets in DuckDB SQL (same 48-bit values). */
+  val SHINGLE_HASHES_D: String =
+    s"list_transform($SHINGLES_D, x -> ${h48Sql("x")})"
 
   /** MinHash signature: K min-permutation values per doc. One explode + one
     * hash aggregation — shuffles once by doc_id; at 100 TB the explode is
     * map-side and the agg is partial/final. */
   def minhashSignature(docs: DataFrame): DataFrame =
-    minhashSignatureOf(shingleSets(docs))
+    minhashSignatureOf(shingleHashSets(docs))
 
-  /** Signature from an existing shingle-set frame (lets callers persist the
-    * shingling once and derive signature + verification sets from the cache). */
+  /** Signature from an existing hashed-shingle frame (lets callers persist
+    * the shingling once and derive signature + verification sets from it). */
   def minhashSignatureOf(sets: DataFrame): DataFrame = {
     val hashed = sets
-      .select(col("doc_id"), explode(col("s")).as("sh"))
-      .select(col("doc_id"), pmod(h48(col("sh")), lit(P)).as("xm"))
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+      .select(col("doc_id"), pmod(col("sh"), lit(P)).as("xm"))
     val aggs = (0 until K).map(j =>
       min(pmod(lit(aCoef(j)) * col("xm") + lit(bCoef(j)), lit(P))).as(s"m$j"))
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)

@@ -103,10 +103,11 @@ object Pipeline {
 
     Q("dd_minhash_lsh",  // band-bucket candidates, then exact-jaccard verify
       t => {
-        // shingling (split + md5 per shingle) is the dominant cost and feeds
-        // FOUR plan branches (signature, two verify sides) — persist it once;
-        // same at 100 TB: checkpoint the shingle table, not recompute per use
-        val sets = TextOps.shingleSets(t.documents).select(col("doc_id"), col("s"))
+        // shingling is the dominant cost and feeds FOUR plan branches
+        // (signature, two verify sides) — persist the hashed shingle sets
+        // once (array<long>, never shingle strings); same at 100 TB:
+        // checkpoint the shingle table, not recompute per use
+        val sets = TextOps.shingleHashSets(t.documents).select(col("doc_id"), col("hs"))
           .persist()
         val bands = TextOps.lshBands(TextOps.minhashSignatureOf(sets)).persist()
         val cands = bands.as("a").join(bands.as("b"),
@@ -115,8 +116,8 @@ object Pipeline {
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
         val j = TextOps.jaccard(col("s1"), col("s2"))
         cands
-          .join(sets.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
-          .join(sets.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+          .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+          .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
           .withColumn("jacc", j).filter(col("jacc") >= 0.5e0)
           .select(col("id1"), col("id2"), col("jacc"))
           .orderBy(col("id1"), col("id2"))
@@ -124,7 +125,7 @@ object Pipeline {
       Some(s"WITH ${TextOps.minhashSigSql}, ${TextOps.lshBandsSql()}, " +
         "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
-        s"sets AS (SELECT doc_id, ${TextOps.SHINGLES_D} AS s FROM documents) " +
+        s"sets AS (SELECT doc_id, ${TextOps.SHINGLE_HASHES_D} AS s FROM documents) " +
         s"SELECT id1, id2, ${TextOps.jaccardSql("x.s", "y.s")} AS jacc " +
         "FROM cand JOIN sets x ON x.doc_id = id1 JOIN sets y ON y.doc_id = id2 " +
         s"WHERE ${TextOps.jaccardSql("x.s", "y.s")} >= 0.5e0 ORDER BY id1, id2")),
@@ -135,11 +136,9 @@ object Pipeline {
     // pairs, not quadratic in docs — the shape that survives 100 TB.
     Q("dd_ngram_jaccard",
       t => {
-        val sets = TextOps.shingleSets(t.documents).withColumn("nsh", size(col("s")))
+        val sets = TextOps.shingleHashSets(t.documents).withColumn("nsh", size(col("hs")))
         val inv = sets.select(col("lang"), col("source"), col("doc_id"), col("nsh"),
-            explode(col("s")).as("sh"))
-          .select(col("lang"), col("source"), col("doc_id"), col("nsh"),
-            TextOps.h48(col("sh")).as("shh")) // long join key: cheap shuffle
+            explode(col("hs")).as("shh")) // long join key: cheap shuffle
           .persist() // self-joined below: cache, don't re-shingle both sides
         val shared = inv.as("a").join(inv.as("b"),
             col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

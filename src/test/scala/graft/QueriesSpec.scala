@@ -25,6 +25,30 @@ class QueriesSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("WordNGrams/WordNGramHashes match the HOF + md5-conv SQL forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf()).documents.limit(200)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    // string shingles ≡ the zip_with/array_distinct HOF expression
+    val hof = docs.select(col("doc_id"), expr(graft.ops.TextOps.SHINGLES_S).as("s"))
+    val gen = docs.select(col("doc_id"), graft.functions.WordNGrams(toks, 3).as("s"))
+    assert(gen.exceptAll(hof).isEmpty && hof.exceptAll(gen).isEmpty)
+    // hashed shingles ≡ conv(substring(md5(shingle),1,12),16,10) per element
+    val viaSql = docs.select(col("doc_id"),
+        explode(graft.functions.WordNGrams(toks, 3)).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val viaGen = docs.select(col("doc_id"),
+        explode(graft.functions.WordNGramHashes(toks, 3)).as("h"))
+    assert(viaGen.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaGen).isEmpty)
+    // short inputs: under n tokens → empty, exactly n → one shingle
+    val tiny = Seq("one two", "one two three").toDF("text")
+      .select(graft.functions.WordNGramHashes(toks, 3).as("hs"))
+      .select(size(col("hs"))).as[Int].collect().sorted.toSeq
+    assert(tiny == Seq(0, 1))
+  }
+
   test("ops sanity: identical docs dedup to one group; near-dup found by LSH") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
