@@ -27,6 +27,7 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
     server.createContext("/api/v1/series", handler(series))
     server.createContext("/api/v1/labels", handler(labels))
     server.createContext("/api/v1/label/", handler(labelValues))
+    server.createContext("/metrics", metricsHandler(_))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     this
@@ -115,6 +116,7 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
   private def fail(msg: String): Nothing = throw new BadRequest(msg)
 
   private def handler(f: Params => String)(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
     // Prometheus status mapping: bad_data→400, unavailable→503, internal→500
     // (prometheus web/api/v1 respondError; ref api/http/query.go).
     val (code, resp) =
@@ -126,9 +128,25 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
           (503, errorJson("unavailable", e.getMessage))
         case e: Exception => (500, errorJson("internal", String.valueOf(e.getMessage)))
       }
+    metrics.record(code, ex.getRequestMethod, normalizePath(ex.getRequestURI.getPath),
+      (System.nanoTime() - t0) / 1e9)
     val bytes = resp.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** `/api/v1/label/<name>/values` → one instrument series, like the
+    * reference's route pattern (`api/http/query.go:179`). */
+  private def normalizePath(p: String): String =
+    if (p.startsWith("/api/v1/label/")) "/api/v1/label/:name/values" else p
+
+  private val metrics = new ApiMetrics
+  private def metricsHandler(ex: HttpExchange): Unit = {
+    val bytes = metrics.render().getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+    ex.sendResponseHeaders(200, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }

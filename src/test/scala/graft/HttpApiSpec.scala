@@ -64,4 +64,23 @@ class HttpApiSpec extends SparkSpec {
     val (code2, _) = get("/api/v1/query_range?query=up&start=1&end=2")
     assert(code2 == 400) // missing step
   }
+
+  test("/metrics exposes requests_total and requests_seconds instrumentation") {
+    get(s"/api/v1/query?query=${enc("vector(1)")}&time=${TI / 1000}")
+    get("/api/v1/query?query=sum((") // a 400, separate series
+    get("/api/v1/label/__name__/values")
+    val (code, body) = get("/metrics")
+    assert(code == 200)
+    assert(body.contains("# TYPE requests_total counter"))
+    assert(body.contains("# TYPE requests_seconds histogram"))
+    assert(body.contains("""requests_total{code="200",method="GET",path="/api/v1/query"}"""))
+    assert(body.contains("""requests_total{code="400",method="GET",path="/api/v1/query"}"""))
+    // label-values route is normalized to one series per the route pattern
+    assert(body.contains("""path="/api/v1/label/:name/values""""))
+    // histogram shape: 20 finite buckets + +Inf, sum and count per series
+    assert(body.contains("""le="0.1""""))
+    assert(body.contains("""le="30""""))
+    assert(body.contains("""le="+Inf""""))
+    assert(body.contains("requests_seconds_sum") && body.contains("requests_seconds_count"))
+  }
 }
