@@ -64,6 +64,34 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 100s metric{pod="nginx-1"} + metric{pod="nginx-1"}
       |  {pod="nginx-1", a="foo"} 42
+      |
+      |eval instant at 100s metric @ 50
+      |  {a="foo", pod="nginx-1", __name__="metric"} 11
+      |  {b="bar", pod="nginx-2", __name__="metric"} 60
+      |
+      |eval instant at 100s sum(metric @ start())
+      |  {} 131
+      |
+      |eval instant at 100s irate(http{code="404"}[30s])
+      |  {job="api", code="404"} 0.3
+      |
+      |eval instant at 100s limitk(2, metric)
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s http{code="404"} * on(job) group_left(code) http{code="200"}
+      |  {job="api", code="200"} 1500
+      |
+      |eval instant at 100s mad_over_time(http{code="404"}[30s])
+      |  {job="api", code="404"} 3
+      |
+      |eval instant at 100s round(metric, 5)
+      |  {a="foo", pod="nginx-1"} 20
+      |  {b="bar", pod="nginx-2"} 110
+      |
+      |eval instant at 100s metric atan2 metric
+      |  {a="foo", pod="nginx-1"} 0.7853981633974483
+      |  {b="bar", pod="nginx-2"} 0.7853981633974483
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -151,7 +179,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals) = parseCorpus(corpus)
-    assert(loaded.size == 5 && evals.size == 13)
+    assert(loaded.size == 5 && evals.size == 21)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
