@@ -54,10 +54,10 @@ class PromqlFuzzSpec extends SparkSpec {
     }
   }
 
-  test("50 seeded random aggregation queries agree with the naive evaluator") {
+  test("70 seeded random aggregation queries (incl offset/@) agree with the naive evaluator") {
     val rnd = new Random(42)
     val names = Seq("click", "view", "purchase", "signup", "error")
-    val failures = (1 to 50).flatMap { i =>
+    val failures = (1 to 70).flatMap { i =>
       val op = Seq("sum", "avg", "min", "max", "count")(rnd.nextInt(5))
       val byName = rnd.nextBoolean()
       val nameRe = if (rnd.nextBoolean()) Some(names(rnd.nextInt(5)) + "|" + names(rnd.nextInt(5)))
@@ -66,18 +66,25 @@ class PromqlFuzzSpec extends SparkSpec {
       val uidNotRe = if (uidEq.isEmpty && rnd.nextInt(3) == 0) Some("1.*") else None
       val t = T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L
       val lb = Seq(6L, 12L, 24L, 48L).map(_ * 3600000L)(rnd.nextInt(4))
+      // modifiers: the naive side just evaluates at the shifted instant
+      val offH = if (rnd.nextInt(3) == 0) Some(Seq(1L, 6L, 24L)(rnd.nextInt(3))) else None
+      val atT = if (rnd.nextInt(3) == 0)
+        Some(T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L) else None
 
       val matchers = Seq(s"""__name__=~"${nameRe.get}"""") ++
         uidEq.map(u => s"""uid="$u"""") ++ uidNotRe.map(re => s"""uid!~"$re"""")
       val grouping = if (byName) "__name__" else "uid"
-      val q = s"$op by ($grouping) ({${matchers.mkString(", ")}})"
+      val mods = offH.map(h => s" offset ${h}h").getOrElse("") +
+        atT.map(a => s" @ ${a / 1000}").getOrElse("")
+      val q = s"$op by ($grouping) ({${matchers.mkString(", ")}}$mods)"
+      val tEff = atT.getOrElse(t) - offH.getOrElse(0L) * 3600000L
 
       val engine = Compiler.compile(Parser.parse(q),
           Compiler.Ctx(samples, t, t, 1000L, lb))
         .collect().map(r => r.getAs[String](grouping) ->
           (r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble }))
         .toMap
-      val naive = naiveAgg(op, byName, naiveInstant(nameRe, uidEq, uidNotRe, t, lb))
+      val naive = naiveAgg(op, byName, naiveInstant(nameRe, uidEq, uidNotRe, tEff, lb))
 
       val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
         math.abs(engine(k) - v) <= 1e-9 * math.max(1.0, math.abs(v))
