@@ -82,12 +82,14 @@ object Compiler {
     "delta", "idelta", "changes", "resets", "deriv", "predict_linear",
     "holt_winters", "double_exponential_smoothing")
 
-  /** Points of a range selector: the matching raw samples. */
+  /** Points of a range selector: the matching raw samples. Staleness markers
+    * are not samples — range vectors skip them (Prometheus matrix selection). */
   private def selectorPoints(sel: Selector, windowMs: Long, ctx: Ctx): DataFrame = {
     val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers).getOrElse(sel.matchers)
     ctx.samples.filter(
       Eval.timeBound(ctx.samples, ctx.startMs - windowMs + 1, ctx.endMs) &&
-        Matchers.compile(ctx.samples, ms))
+        Matchers.compile(ctx.samples, ms) &&
+        !graft.functions.IsStale(col("value")))
   }
 
   /** Points of a subquery `expr[range:res]`: the inner expression evaluated

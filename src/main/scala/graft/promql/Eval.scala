@@ -58,7 +58,9 @@ object Eval {
     samples.filter(timeBound(samples, mintMs, maxtMs) &&
       Matchers.compile(samples, matchers))
 
-  /** Instant vector: last sample per series in (t−lookback, t]. */
+  /** Instant vector: last sample per series in (t−lookback, t]. A series
+    * whose most recent sample is the staleness marker is absent at t
+    * (Prometheus lookback-delta semantics; an ordinary NaN is a value). */
   def instantVector(samples: DataFrame, matchers: Seq[LabelMatcher],
                     tMs: Long, lookbackMs: Long = DefaultLookbackMs): DataFrame =
     samples
@@ -67,6 +69,7 @@ object Eval {
       .groupBy(col("series_hash") +: labelColsOf(samples): _*)
       .agg(max_by(col("value"), col("ts_ms")).as("value"),
            max(col("ts_ms")).as("ts_ms"))
+      .filter(!graft.functions.IsStale(col("value")))
 
   /** floor division for possibly-negative numerators (Spark's integer division
     * truncates toward zero; the grid index math needs floor semantics). */
@@ -92,5 +95,6 @@ object Eval {
       .withColumn("step_ms", lit(startMs) + col("k") * stepMs)
       .groupBy(col("series_hash") +: col("step_ms") +: labelColsOf(samples): _*)
       .agg(max_by(col("value"), col("ts_ms")).as("value"))
+      .filter(!graft.functions.IsStale(col("value"))) // stale at step ⇒ absent
   }
 }

@@ -44,6 +44,29 @@ class EvalSpec extends SparkSpec {
     assert(got == Map("1" -> 2.0, "2" -> 5.0))
   }
 
+  test("staleness markers: stale-latest series absent; plain NaN is a value") {
+    val stale = graft.functions.IsStale.StaleNaN
+    val df = Seq(
+        ("m", "1", 1000L, 7.0, 1L), ("m", "1", 2000L, stale, 2L), // ends stale
+        ("m", "2", 1000L, 5.0, 3L),                               // alive
+        ("m", "3", 2000L, Double.NaN, 4L))                        // NaN value
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val iv = Eval.instantVector(df, Nil, 5000L, 5000L)
+      .select($"uid", $"value").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(iv.map(_._1).sorted.toSeq == Seq("2", "3")) // uid 1 suppressed
+    assert(iv.toMap.apply("2") == 5.0 && iv.toMap.apply("3").isNaN)
+    // range selector skips the stale point: last_over_time sees 7.0, and the
+    // marker does not count as a sample for count_over_time
+    val ctx = Compiler.Ctx(df, 5000L, 5000L, 1000L, 5000L)
+    val last = Compiler.compile(Parser.parse("""last_over_time({uid="1"}[5s])"""), ctx)
+      .select($"value").as[Double].head()
+    assert(last == 7.0)
+    val cnt = Compiler.compile(Parser.parse("""count_over_time({uid="1"}[5s])"""), ctx)
+      .select($"value").as[Double].head()
+    assert(cnt == 1.0)
+  }
+
   test("rateFamily applies counter-reset correction within windows") {
     // one series, one window [0, 10000): 10 -> 20 -> 5 (reset) -> 15
     val df = Seq(
