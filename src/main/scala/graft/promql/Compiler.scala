@@ -225,7 +225,10 @@ object Compiler {
           ctx.copy(startMs = t, endMs = t,
             anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
         case None =>
-          ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs)
+          // pin the anchors so a nested `@ start()/end()` still resolves
+          // against the outermost query bounds, not the shifted grid
+          ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs,
+            anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
       }
       /** undo the grid rewrite: broadcast (@) or shift back (offset). */
       def restore(df: DataFrame): DataFrame =

@@ -270,18 +270,17 @@ object Parser {
       if (peek == '"' || peek == '\'') return StringLit(stringLit())
       if (peek.isDigit || peek == '.') return NumberLit(number())
       if (peek == '+' || peek == '-') {
-        // Unary +/-: a numeric literal if digits follow, otherwise applied to
-        // an expression (binds tighter than * /, looser than ^ — PromQL spec).
+        // Unary +/-: binds tighter than * /, looser than ^ (PromQL spec), so
+        // parse the operand at ^'s level — `-2^2` is -(2^2) = -4. Number
+        // literals constant-fold so downstream scalar detection still sees a
+        // NumberLit.
         val neg = peek == '-'
-        val signPos = pos
         pos += 1
-        skipWs()
-        if (!eof && (in(pos).isDigit || in(pos) == '.')) {
-          pos = signPos
-          return NumberLit(number())
-        }
         val e = parseExpr(prec("^"))
-        return if (neg) BinOp("*", NumberLit(-1.0), e, None, bool = false) else e
+        return if (!neg) e else e match {
+          case NumberLit(v) => NumberLit(-v)
+          case other => BinOp("*", NumberLit(-1.0), other, None, bool = false)
+        }
       }
       val id = ident()
       skipWs()

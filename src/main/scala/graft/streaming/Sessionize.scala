@@ -57,8 +57,13 @@ object Sessionize {
           }
           open.foreach { o =>
             val wm = state.getCurrentWatermarkMs()
-            if (o.end + gapMs <= wm) out += Session(uid, o.start, o.end, o.n)
-            else { state.update(o); state.setTimeoutTimestamp(o.end + gapMs) }
+            if (o.end + gapMs <= wm) {
+              // finalizing inline: clear any state (and its pending timeout)
+              // carried over from a previous batch, or the timed-out path
+              // would re-emit this session
+              if (state.exists) state.remove()
+              out += Session(uid, o.start, o.end, o.n)
+            } else { state.update(o); state.setTimeoutTimestamp(o.end + gapMs) }
           }
           out.iterator
         }
