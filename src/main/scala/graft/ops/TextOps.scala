@@ -20,11 +20,11 @@ object TextOps {
   def h48Sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 12) AS BIGINT)"
 
   /** Mersenne prime 2^31−1: universal-hash modulus. a*x+b stays < 2^62. */
-  val P: Long = 2147483647L
+  val P: Long = graft.functions.MinHashSig.P
   /** MinHash permutation count (4 bands × 4 rows). */
   val K: Int = 16
-  def aCoef(j: Int): Long = (1103515245L * (j + 1) + 12345L) % P
-  def bCoef(j: Int): Long = (69069L * (j + 1) + 1L) % P
+  def aCoef(j: Int): Long = graft.functions.MinHashSig.aCoef(j)
+  def bCoef(j: Int): Long = graft.functions.MinHashSig.bCoef(j)
 
   // -- whitespace tokens + word-3-gram shingles, Spark SQL + DuckDB SQL forms
   val TOKS_S = "split(lower(trim(text)), '\\\\s+')"
@@ -64,21 +64,21 @@ object TextOps {
   val SHINGLE_HASHES_D: String =
     s"list_transform($SHINGLES_D, x -> ${h48Sql("x")})"
 
-  /** MinHash signature: K min-permutation values per doc. One explode + one
-    * hash aggregation — shuffles once by doc_id; at 100 TB the explode is
-    * map-side and the agg is partial/final. */
+  /** MinHash signature: K min-permutation values per doc, computed map-side
+    * in one pass over the hashed-shingle array
+    * ([[graft.functions.MinHashSig]]) — no explode, no shuffle. A document
+    * with no shingles yields no row (matches the former explode→groupBy
+    * formulation and the oracle's unnest). */
   def minhashSignature(docs: DataFrame): DataFrame =
     minhashSignatureOf(shingleHashSets(docs))
 
   /** Signature from an existing hashed-shingle frame (lets callers persist
     * the shingling once and derive signature + verification sets from it). */
   def minhashSignatureOf(sets: DataFrame): DataFrame = {
-    val hashed = sets
-      .select(col("doc_id"), explode(col("hs")).as("sh"))
-      .select(col("doc_id"), pmod(col("sh"), lit(P)).as("xm"))
-    val aggs = (0 until K).map(j =>
-      min(pmod(lit(aCoef(j)) * col("xm") + lit(bCoef(j)), lit(P))).as(s"m$j"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = sets
+      .select(col("doc_id"), graft.functions.MinHashSig(col("hs"), K).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("doc_id") +: (0 until K).map(j => col("sig")(j).as(s"m$j")): _*)
   }
 
   /** The same signature in DuckDB SQL (oracle). */
@@ -117,19 +117,12 @@ object TextOps {
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
 
   /** 48-bit SimHash over unigram token hashes (multiplicity-weighted):
-    * bit j set iff Σ_tokens (±1 by bit j of h48(token)) > 0. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"), explode(expr(TOKS_S)).as("tok"))
-      .select(col("doc_id"), h48(col("tok")).as("h"))
-    val sums = (0 until 48).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
-    val agg = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val sig = (0 until 48)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash"))
-  }
+    * bit j set iff Σ_tokens (±1 by bit j of h48(token)) > 0. Computed
+    * map-side per row ([[graft.functions.SimHash48]]) — the former
+    * explode→48-conditional-sum aggregation shuffled every token. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
 
   def simhashSql: String = {
     val sums = (0 until 48)

@@ -167,8 +167,10 @@ object Pipeline {
 
     Q("dd_simhash_pairs",  // blocked hamming-distance near-dup candidates
       t => {
-        val sig = TextOps.simhash(t.documents)
-          .join(t.documents.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        // simhash is a map-side scalar now — carry the block keys in the same
+        // projection instead of joining back to documents
+        val sig = t.documents.select(col("doc_id"), col("lang"), col("source"),
+            graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
           .persist() // both sides of the pair join below read this
         val a = sig.select(col("lang"), col("source"), col("doc_id").as("id1"), col("simhash").as("h1"))
         val b = sig.select(col("lang"), col("source"), col("doc_id").as("id2"), col("simhash").as("h2"))

@@ -34,6 +34,6 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => raw
     }
   }
-  def documents: DataFrame  = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+  lazy val documents: DataFrame  = table("documents")
+  lazy val embeddings: DataFrame = table("embeddings")
 }
