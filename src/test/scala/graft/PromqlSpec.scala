@@ -61,6 +61,14 @@ class PromqlSpec extends SparkSpec {
     val neg = eval("""-{__name__="purchase"}""").select($"uid", $"value")
     val pos = eval("""{__name__="purchase"}""").select($"uid", ($"value" * -1).as("value"))
     assert(neg.exceptAll(pos).isEmpty && pos.exceptAll(neg).isEmpty && neg.count() > 0)
+    // -2^2 = -(2^2) = -4, NOT (-2)^2 = 4: unary minus desugars OUTSIDE the
+    // power chain (Prometheus precedence; regression for the parser fix)
+    assert(Parser.parse("-2^2") ==
+      BinOp("*", NumberLit(-1.0),
+        BinOp("^", NumberLit(2), NumberLit(2), None, bool = false), None, bool = false))
+    assert(eval("-2^2").select($"value").as[Double].head() == -4.0)
+    // …while an explicit parenthesized base keeps (-2)^2 = 4
+    assert(eval("(-2)^2").select($"value").as[Double].head() == 4.0)
   }
 
   test("set ops match full label sets (union of columns, absent==absent)") {
