@@ -80,6 +80,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("multi-batch sessionize: carried-over state emits each session exactly once") {
+    // ADVICE regression: open a session with a pending event-time timeout in
+    // batch 1, then in batch 2 let the watermark be far past end+gap while new
+    // events for the same user arrive. The carried session must be emitted
+    // exactly once (by the gap branch that closes it inline) and the stale
+    // batch-1 timeout must not re-fire it; the replacement session finalizes
+    // once via timeout when batch 3 advances the watermark.
+    //
+    // Note on reachability: FlatMapGroupsWithStateExec drops input rows older
+    // than the watermark, so a row behind the watermark (user 7 @ 8s below)
+    // never reaches the function — carried state therefore finalizes via the
+    // timeout or gap branch, and the foreach inline-finalize is a defensive
+    // guard. This test pins the exactly-once outcome across the interleaving
+    // either way.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gap = 10000L // 10s
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark, 1)
+    val q = graft.streaming.Sessionize.sessions(
+        in.toDF().toDF("user_id", "ts"), gap).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess_mb")
+      .start()
+    def ev(uid: Long, sec: Long) = (uid, new java.sql.Timestamp(sec * 1000L))
+
+    in.addData(ev(7, 5), ev(99, 1000)) // user 7 opens (timeout 15s); wm → 1000s
+    q.processAllAvailable()
+    // batch 2: user 7's pending timeout (15s) is long expired relative to the
+    // watermark (1000s); same batch delivers a late row (dropped) and a fresh
+    // event that closes the old session by gap and opens a new one
+    in.addData(ev(7, 8), ev(7, 2000), ev(99, 2001))
+    q.processAllAvailable()
+    in.addData(ev(99, 4000)) // wm → 4000s: finalizes (2000,2000); a stale
+    q.processAllAvailable(); q.stop() // batch-1 timeout would re-emit (5,5)
+
+    val u7 = spark.table("sess_mb").filter($"uid" === 7)
+      .select($"sess_start", $"sess_end", $"n_events")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(u7 == Seq((5000L, 5000L, 1L), (2000000L, 2000000L, 1L)).sorted,
+      s"expected each session exactly once, got $u7")
+  }
+
   test("incremental: second batch of files is picked up via checkpoint (T6 dedup)") {
     val root = Files.createTempDirectory("graft-stream-inc").toString
     val events = Tables(spark, sf()).table("events")
