@@ -16,9 +16,11 @@ import graft.model.TimeSeriesModel
   *   <out>/meta/YYYY-MM-DD.json                     (meta.pb analog)
   * }}}
   *
-  * Scale design: `repartition(date)` gives one writer group per day (at 100 TB
-  * swap for `repartitionByRange(date, __name__)` so each day splits into many
-  * ~row-group-sized sorted files); `sortWithinPartitions(__name__, …)` is the
+  * Scale design: `repartitionByRange(date, __name__, uid)` is the reference's
+  * shard cut (`convert/convert.go:500,519-534`) — each day splits into
+  * contiguous (__name__, uid) ranges, so one hot day parallelizes across the
+  * cluster instead of serializing into a single writer task, and every file
+  * covers a narrow label range; `sortWithinPartitions(__name__, …)` is the
   * reference's sorted-writer (`convert/convert.go:623-632`) — sorted files +
   * bloom(__name__) + zstd is what makes matcher pushdown prune pages.
   * Dynamic partition overwrite = idempotent per-day re-conversion
@@ -54,7 +56,7 @@ object Ingest {
     try {
 
     dedup
-      .repartition(col("date"))
+      .repartitionByRange(col("date"), col("__name__"), col("uid"))
       .sortWithinPartitions(col("date"), col("__name__"), col("uid"), col("ts_ms"))
       .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd")
@@ -63,7 +65,7 @@ object Ingest {
       .parquet(s"$outDir/samples")
 
     dedup.select(col("date"), col("__name__"), col("uid"), col("series_hash")).distinct()
-      .repartition(col("date"))
+      .repartitionByRange(col("date"), col("__name__"), col("uid"))
       .sortWithinPartitions(col("date"), col("__name__"), col("uid"))
       .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{GraphOps, TextOps, VectorOps}
 import graft.sources.Tables
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -96,6 +96,25 @@ object Pipeline {
         h48Sql("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))") + " AS fp " +
         "FROM documents ORDER BY doc_id")),
 
+    Q("tx_rolling_fp",  // Rabin–Karp rolling-hash fingerprint (min window hash)
+      t => {
+        val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+        t.documents.select(col("doc_id"),
+            graft.functions.RollingFingerprint(norm, 8).as("fp"),
+            when(length(norm) === 0, 0L)
+              .otherwise(greatest(length(norm).cast("long") - 7L, lit(1L))).as("n_win"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM documents) " +
+        "SELECT doc_id, CASE WHEN length(s) = 0 THEN 0 " +
+        "WHEN length(s) < 8 THEN list_reduce(list_transform(range(1, length(s)+1), " +
+        "i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT)), (a,b) -> (a*257+b) % 2147483647) " +
+        "ELSE list_min(list_transform(range(1, length(s)-8+2), " +
+        "i -> list_reduce(list_transform(range(0,8), j -> CAST(ord(substr(s, CAST(i+j AS INT), 1)) AS BIGINT)), " +
+        "(a,b) -> (a*257+b) % 2147483647))) END AS fp, " +
+        "CASE WHEN length(s) = 0 THEN 0 ELSE greatest(length(s)-7, 1) END AS n_win " +
+        "FROM n ORDER BY doc_id")),
+
     // -------------------------------------------------- dedup: MinHash + LSH
     Q("dd_minhash_sig",
       t => TextOps.minhashSignature(t.documents).orderBy(col("doc_id")),
@@ -185,6 +204,39 @@ object Pipeline {
         "SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist " +
         "FROM sg a JOIN sg b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10 ORDER BY id1, id2")),
+
+    // ----------------------------------- dedup: clusters → canonical docs
+    // near-dup dedup doesn't end at pairs: candidate edges are grouped into
+    // connected components and one canonical doc survives per cluster.
+    // Components via hash-min label propagation (GraphOps) — per round one
+    // join + min-agg, diameter-bounded rounds; the DuckDB oracle computes the
+    // same fixpoint with a recursive CTE.
+    Q("dd_cluster",
+      t => {
+        val sig = t.documents.select(col("doc_id"), col("lang"), col("source"),
+            graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
+          .persist()
+        val a = sig.select(col("lang"), col("source"), col("doc_id").as("src"), col("simhash").as("h1"))
+        val b = sig.select(col("lang"), col("source"), col("doc_id").as("dst"), col("simhash").as("h2"))
+        val pairs = a.join(b, Seq("lang", "source")).filter(col("src") < col("dst"))
+          .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 10)
+          .select(col("src"), col("dst"))
+        GraphOps.connectedComponents(
+            t.documents.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("root").as("cluster"))
+          .withColumn("is_canonical", col("doc_id") === col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH RECURSIVE ${TextOps.simhashSql}, " +
+        "sg AS (SELECT d.doc_id, d.lang, d.source, sim.simhash FROM documents d JOIN sim ON d.doc_id = sim.doc_id), " +
+        "pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sg a JOIN sg b " +
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10), " +
+        "ed AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS is_canonical " +
+        "FROM reach GROUP BY id ORDER BY doc_id")),
 
     // ------------------------------------------- dedup: embedding near-dup
     // normalize once (linear), then each pair is ONE codegen'd dot product

@@ -49,6 +49,43 @@ class QueriesSpec extends SparkSpec {
     assert(tiny == Seq(0, 1))
   }
 
+  test("RollingFingerprint matches the naive per-window fold; edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val P = graft.functions.RollingFingerprint.P
+    val B = graft.functions.RollingFingerprint.B
+    def naive(s: String, w: Int): Long = {
+      def h(win: Seq[Int]): Long = win.foldLeft(0L)((a, c) => (a * B + c) % P)
+      val cps = s.codePoints().toArray.toSeq
+      if (cps.isEmpty) 0L
+      else if (cps.length <= w) h(cps)
+      else cps.sliding(w).map(h).min
+    }
+    val rnd = new scala.util.Random(42)
+    val strs = Seq("", "ab", "exactly8", "a bit longer than the window") ++
+      (1 to 30).map(_ => rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    val got = strs.toDF("s")
+      .select(col("s"), graft.functions.RollingFingerprint(col("s"), 8).as("fp"))
+      .as[(String, Long)].collect().toMap
+    strs.foreach(s => assert(got(s) == naive(s, 8), s"mismatch for '$s'"))
+    // min-window locality: editing the tail far from the min window usually
+    // keeps the fingerprint — check at least that a shared min window does
+    val a = "zzzz stable prefix here AAAA tail one"
+    val b = "zzzz stable prefix here AAAA other ending"
+    assert(naive(a, 8) == naive(b, 8)) // min falls in the shared prefix
+  }
+
+  test("GraphOps.connectedComponents: hash-min fixpoint on a known graph") {
+    import spark.implicits._
+    // components {1,2,3,4} (a path, diameter 3), {5,6}, isolated {7}
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = graft.ops.GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("ops sanity: identical docs dedup to one group; near-dup found by LSH") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
