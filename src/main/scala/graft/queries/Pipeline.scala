@@ -360,6 +360,41 @@ object Pipeline {
         "FROM cand JOIN e q ON q.vec_id = qid JOIN e n ON n.vec_id = nid " +
         "QUALIFY rk <= 5 ORDER BY qid, rk")),
 
+    Q("km_mstep",  // one k-means E+M step: assign to nearest centroid, re-average
+      // the iterative-ML shape at corpus scale: E-step is a broadcast join +
+      // per-row argmax (no shuffle), M-step shuffles (cell, dim) partial sums
+      // — 16×64 groups regardless of corpus size, so the reduce side is
+      // constant and the whole step is one linear pass per iteration.
+      // Additive M-step sums route through DECIMAL (Det.dsum) so the new
+      // centroids are identical under any partitioning (and vs the oracle).
+      t => {
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .persist()
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("vn").as("vc"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
+        val asg = e.crossJoin(broadcast(cent))
+          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
+          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cid").as("cell"), col("vn"))
+        asg.select(col("cell"), posexplode(col("vn")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(graft.functions.Det.dsum(col("x")).as("sum_x"), count(lit(1)).as("n"))
+          .select(col("cell"), col("dim").cast("long").as("dim"),
+            (col("sum_x") / col("n")).as("c_new"), col("n"))
+          .orderBy(col("cell"), col("dim"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw), " +
+        "cent AS (SELECT vec_id AS cid, vn AS vc FROM e WHERE vec_id < 16), " +
+        "asg AS (SELECT e.vec_id, e.vn, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${VectorOps.dotSql("e.vn", "c.vc")} DESC, c.cid) AS ark " +
+        "FROM e CROSS JOIN cent c QUALIFY ark = 1), " +
+        "x AS (SELECT cell, r.dim, vn[CAST(r.dim AS INT) + 1] AS x FROM asg, range(0, 64) AS r(dim)) " +
+        "SELECT cell, dim, CAST(CAST(SUM(CAST(x AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) / count(*) AS c_new, " +
+        "count(*) AS n FROM x GROUP BY cell, dim ORDER BY cell, dim")),
+
     // ------------------------------------- training-batch construction ops
     Q("pk_pack",  // concat-and-chunk sequence packing into 2048-token windows
       // the standard LLM pretraining batcher: docs are concatenated in a
