@@ -8,20 +8,24 @@ import org.apache.spark.sql.functions._
   * per cluster). The reference has no graph ops; this is part of the
   * training-pipeline extension surface (BASELINE.json north star).
   *
-  * Hash-min label propagation: every node starts labeled with its own id and
-  * repeatedly takes the min label over itself and its neighbors, so each
-  * iteration is one shuffle-join + partial-aggregated `groupBy(min)` and the
-  * label set converges to min(component) in diameter(component) rounds.
-  * Near-dup clusters are shallow (a handful of mutually-similar docs), so
-  * rounds stay low at any data size; for adversarial high-diameter graphs
-  * swap the body for the large-star/small-star alternation (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14), which converges
-  * in O(log²) rounds with the same per-round shape.
+  * Min-contraction (hash-to-min style; Rastogi et al., "Finding Connected
+  * Components in Map-Reduce in Logarithmic Rounds", ICDE'13): each round
+  * every touched node merges into `min(self, min neighbor)` and the edge
+  * list is rewritten onto those representatives, dropping self-loops and
+  * duplicates. The loop therefore carries a *shrinking* edge set — unlike
+  * plain hash-min label propagation, which re-shuffles the full edge list
+  * every round — and terminates when no edges remain, which doubles as the
+  * convergence test. Near-dup similarity graphs are dense (similarity is
+  * near-transitive), so components collapse in a handful of rounds; for
+  * adversarial chain-shaped graphs swap in the large-star/small-star
+  * alternation (Kiveris et al., SoCC'14) for guaranteed O(log²) rounds.
   *
-  * Each round materializes through `localCheckpoint` — iterative self-joins
-  * otherwise stack lineage and replan the whole history every round (on a
-  * real cluster use `checkpoint` to a reliable store so recomputation after
-  * executor loss doesn't cascade).
+  * Per-round `localCheckpoint` keeps the iterative plan from stacking
+  * lineage (on a real cluster use `checkpoint` to a reliable store so
+  * recomputation after executor loss doesn't cascade). The per-round
+  * representative maps are tiny and composed into the final (id → root)
+  * labeling with one chain of joins at the end — no per-round label
+  * materialization.
   */
 object GraphOps {
 
@@ -29,28 +33,37 @@ object GraphOps {
     * @param edges columns `src`, `dst` (long), one row per undirected edge
     * @return frame (id, root): root = min node id in the component */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    try {
-      var labels = nodes.select(col("id"), col("id").as("root")).localCheckpoint()
-      var converged = false
-      var it = 0
-      while (!converged && it < maxIter) {
-        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("root")).as("nroot"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
-          .localCheckpoint()
-        // labels only ever decrease: any difference means another round
-        converged = next.join(labels.withColumnRenamed("root", "prev"), "id")
-          .filter(col("root") =!= col("prev")).isEmpty
-        labels = next
-        it += 1
-      }
-      labels
-    } finally sym.unpersist(blocking = false)
+                          maxIter: Int = 50): DataFrame = {
+    var g = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val assigns = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var it = 0
+    while (it < maxIter && !g.isEmpty) {
+      val sym = g.union(g.select(col("b").as("a"), col("a").as("b")))
+      // representative of every touched node: min of itself and its neighbors
+      val m = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("u"), least(col("a"), col("mb")).as("r"))
+      assigns += m // deterministic recompute from the checkpointed g
+      val ra = m.select(col("u").as("a"), col("r").as("ra"))
+      val rb = m.select(col("u").as("b"), col("r").as("rb"))
+      g = g.join(ra, "a").join(rb, "b")
+        .select(least(col("ra"), col("rb")).as("a"),
+          greatest(col("ra"), col("rb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round $it")
+    }
+    // compose the per-round representative maps over the full node set;
+    // untouched nodes are singletons (root = id)
+    var labels = nodes.select(col("id"), col("id").as("root"))
+    for (m <- assigns) {
+      labels = labels
+        .join(m.select(col("u").as("_n"), col("r").as("_r")),
+          col("root") === col("_n"), "left")
+        .select(col("id"), coalesce(col("_r"), col("root")).as("root"))
+    }
+    labels
   }
 }

@@ -208,9 +208,9 @@ object Pipeline {
     // ----------------------------------- dedup: clusters → canonical docs
     // near-dup dedup doesn't end at pairs: candidate edges are grouped into
     // connected components and one canonical doc survives per cluster.
-    // Components via hash-min label propagation (GraphOps) — per round one
-    // join + min-agg, diameter-bounded rounds; the DuckDB oracle computes the
-    // same fixpoint with a recursive CTE.
+    // Components via min-contraction (GraphOps) — the edge set shrinks every
+    // round and dense near-dup graphs collapse in a handful of rounds; the
+    // DuckDB oracle computes the same fixpoint with a recursive CTE.
     Q("dd_cluster",
       t => {
         val sig = t.documents.select(col("doc_id"), col("lang"), col("source"),

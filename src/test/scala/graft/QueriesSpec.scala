@@ -75,7 +75,7 @@ class QueriesSpec extends SparkSpec {
     assert(naive(a, 8) == naive(b, 8)) // min falls in the shared prefix
   }
 
-  test("GraphOps.connectedComponents: hash-min fixpoint on a known graph") {
+  test("GraphOps.connectedComponents: min-contraction fixpoint on known graphs") {
     import spark.implicits._
     // components {1,2,3,4} (a path, diameter 3), {5,6}, isolated {7}
     val nodes = (1L to 7L).toDF("id")
@@ -84,6 +84,14 @@ class QueriesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // worst case for contraction: a chain, ids ordered against the merge
+    // direction, plus duplicate/reversed edge rows
+    val n = 12L
+    val chain = (1L until n).map(i => (i + 1, i)) ++ Seq((2L, 3L), (5L, 4L))
+    val got2 = graft.ops.GraphOps.connectedComponents(
+        (1L to n).toDF("id"), chain.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == (1L to n).map(_ -> 1L).toMap)
   }
 
   test("ops sanity: identical docs dedup to one group; near-dup found by LSH") {
