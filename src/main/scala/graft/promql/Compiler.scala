@@ -201,6 +201,24 @@ object Compiler {
     when(col("n_samples") >= 2, out)
   }
 
+  /** Labels absent()/absent_over_time() stamp onto their synthetic series —
+    * Prometheus createLabelsForAbsentFunction (promql/functions.go): only for
+    * a plain (range-)selector argument; the first equality matcher per label
+    * wins, any other matcher on the same label (before or after) deletes it,
+    * `__name__` never copies. */
+  private def absentLabels(e: Expr): Seq[(String, String)] = e match {
+    case Selector(_, ms, _, _, _) =>
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val has = scala.collection.mutable.Set.empty[String]
+      ms.foreach {
+        case m if m.label == "__name__" => ()
+        case MatchEq(l, v) if !has(l) => out(l) = v; has += l
+        case m => out.remove(m.label)
+      }
+      out.toSeq
+    case _ => Seq.empty // sub-expressions (incl. subqueries) carry no labels
+  }
+
   private def compileCall(fn: String, args: Seq[Expr], ctx: Ctx): DataFrame = fn match {
     case f if overTimeFns.contains(f) =>
       // the range-vector arg is last for (quantile_over_time etc.) but first
@@ -243,7 +261,9 @@ object Compiler {
         val out = ectx.grid.join(g.select(col("step_ms")).distinct(),
             Seq("step_ms"), "left_anti")
           .withColumn("value", lit(1.0))
-        return restore(out)
+        return restore(rangeArg.toSeq.flatMap(absentLabels).foldLeft(out) {
+          case (df, (l, value)) => df.withColumn(l, lit(value))
+        })
       }
       val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
         "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
@@ -401,8 +421,15 @@ object Compiler {
 
     case "absent" => // 1 at steps where the vector has no series at all
       val v = compile(args.head, ctx)
-      ctx.grid.join(v.select(col("step_ms")).distinct(), Seq("step_ms"), "left_anti")
+      val out = ctx.grid
+        .join(v.select(col("step_ms")).distinct(), Seq("step_ms"), "left_anti")
         .withColumn("value", lit(1.0))
+      // Prometheus createLabelsForAbsentFunction: when the argument is a
+      // plain selector, equality-matcher labels (never __name__, never a
+      // label that appears in two matchers) are copied onto the result
+      absentLabels(args.head).foldLeft(out) {
+        case (df, (l, value)) => df.withColumn(l, lit(value))
+      }
     case "sort" | "sort_desc" => // presentational in PromQL; order at the edge
       val v = compile(args.head, ctx)
       v.orderBy(if (fn == "sort") col("value").asc else col("value").desc)

@@ -230,6 +230,12 @@ class PromqlSpec extends SparkSpec {
       .select($"value").as[Double].head()
     assert(q25 == 3.0) // 1 + 0.5·(5−1)
 
+    // absent copies equality-matcher labels (never __name__; a label with a
+    // second matcher of any kind is dropped — createLabelsForAbsentFunction)
+    val ab = Compiler.compile(Parser.parse(
+      """absent({__name__="nope", job="api", env=~"pr.*", dc="x", dc!="y"})"""), ctx10)
+    assert(ab.columns.toSet == Set("step_ms", "value", "job"))
+    assert(ab.select($"job").distinct().as[String].collect().toSeq == Seq("api"))
     // absent: nothing matches → 1; something matches → empty
     assert(Compiler.compile(Parser.parse("""absent({__name__="nope"})"""), ctx10)
       .select($"value").as[Double].collect().toSeq == Seq(1.0))
