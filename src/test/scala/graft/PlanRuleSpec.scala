@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.model.TimeSeriesModel
+import graft.queries.Registry
 import graft.plans.PrefixRegexRewrite
 import graft.promql.{Matchers, MatchRe, MatchNotRe}
 import graft.sources.Tables
@@ -46,6 +47,29 @@ class PlanRuleSpec extends SparkSpec {
       assert(plain == ruled)
       assert(plain > 0)
     }
+  }
+
+  test("plan audit: small sides broadcast, pushdown reaches the scan") {
+    val t = Tables(spark, sf())
+    // dimension joins: every dim side of q_broadcast_dims broadcasts —
+    // no shuffle of the lineitem fact table for join co-location
+    val dims = Registry.all.find(_.name == "q_broadcast_dims").get
+      .fn(spark, sf()).queryExecution.executedPlan.toString
+    assert(dims.contains("BroadcastHashJoin"), dims.take(2000))
+    assert(!dims.contains("SortMergeJoin"), dims.take(2000))
+    // ANN query sets broadcast against the corpus side
+    val ann = Registry.all.find(_.name == "ss_brute_topk").get
+      .fn(spark, sf()).queryExecution.executedPlan.toString
+    assert(ann.contains("BroadcastNestedLoopJoin") || ann.contains("BroadcastHashJoin"), ann.take(2000))
+    // projection pruning: a two-column query reads a two-column schema
+    val scan = t.documents.select(col("doc_id"), length(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), scan.take(2000))
+    // predicate pushdown: equality filters appear as PushedFilters
+    val filt = t.table("lineitem").filter(col("l_suppkey") === 5L)
+      .select(col("l_orderkey")).queryExecution.executedPlan.toString
+    assert(filt.contains("PushedFilters: [IsNotNull(l_suppkey), EqualTo(l_suppkey,5)]"),
+      filt.take(2000))
   }
 
   test("NULL labels keep PromQL semantics under the rule (negated prefix must match missing)") {
