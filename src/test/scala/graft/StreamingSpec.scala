@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSpec {
       s"expected each session exactly once, got $u7")
   }
 
+  test("streaming exact dedup: re-delivered keys within the watermark emit once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark, 1)
+    val q = graft.streaming.Dedup.exactOnce(
+        in.toDF().toDF("doc_key", "ts"), Seq("doc_key"), "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_s")
+      .start()
+    def ev(k: Long, sec: Long) = (k, new java.sql.Timestamp(sec * 1000L))
+
+    in.addData(ev(1, 10), ev(2, 20), ev(2, 25), ev(3, 30)) // in-batch dup of 2
+    q.processAllAvailable()
+    in.addData(ev(2, 40), ev(4, 50)) // cross-batch re-delivery of 2
+    q.processAllAvailable(); q.stop()
+
+    val keys = spark.table("dedup_s").select($"doc_key")
+      .as[Long].collect().toSeq
+    assert(keys.sorted == Seq(1L, 2L, 3L, 4L), s"got $keys")
+  }
+
   test("incremental: second batch of files is picked up via checkpoint (T6 dedup)") {
     val root = Files.createTempDirectory("graft-stream-inc").toString
     val events = Tables(spark, sf()).table("events")
