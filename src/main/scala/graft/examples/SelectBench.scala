@@ -1,0 +1,125 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.promql.{Eval, LabelMatcher, MatchEq, MatchNotRe, MatchRe}
+
+/** Port of the reference's `BenchmarkSelect` harness
+  * (`db/db_bench_test.go:55-135` workload A, `:155-281` workload B): the same
+  * synthetic series sets and the same matcher patterns, run against our
+  * sorted/bloom'd parquet layout through `Eval.select` with full
+  * materialization (count + sum forces every matched row through the scan,
+  * the analog of the reference's chunk-iterator drain).
+  *
+  * Usage: `runMain graft.examples.SelectBench [a|b|ab] [repeat]` — prints one
+  * JSON line per workload with min-of-repeat seconds and matched row counts.
+  * Workload A: 80k series (10k idx × 8 status_code), metric `foo`.
+  * Workload B: 1.5M series (5 metrics × 100 instances × 5 regions × 10 zones
+  * × 20 services × 3 envs).
+  */
+object SelectBench {
+
+  private def writeSorted(df: DataFrame, out: String, sortCols: Seq[String]): DataFrame = {
+    df.repartitionByRange(32, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#__name__", "true")
+      .parquet(out)
+    df.sparkSession.read.parquet(out)
+  }
+
+  private def run(name: String, samples: DataFrame, ms: Seq[LabelMatcher],
+                  repeat: Int): (String, Double, Long) = {
+    var rows = 0L
+    val secs = (1 to repeat).map { _ =>
+      val t0 = System.nanoTime()
+      // drain every matched sample (reference iterates all chunks)
+      rows = Eval.select(samples, ms, 0L, 120L)
+        .agg(count(lit(1)), sum(col("value"))).head().getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    (name, secs.min, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("ab")
+    val repeat = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-selectbench").toString
+
+    def report(wl: String, rs: Seq[(String, Double, Long)]): Unit = {
+      val qs = rs.map { case (n, s, _) => s""""$n":$s""" }.mkString("{", ",", "}")
+      val rows = rs.map { case (n, _, r) => s""""$n":$r""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"select_bench_$wl","unit":"sec","queries":$qs,"rows":$rows}""")
+    }
+
+    if (mode.contains("a")) { // ref db/db_bench_test.go:69-135
+      val codes = Seq("200", "202", "300", "404", "400", "429", "500", "503")
+      val gen = spark.range(10000).select(col("id"))
+        .crossJoin(spark.createDataset(codes)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("status_code"))
+        .select(lit("foo").as("__name__"), col("id").cast("string").as("idx"),
+          col("status_code"), lit(0L).as("ts_ms"), rand(42).as("value"),
+          xxhash64(col("id").cast("string"), col("status_code")).as("series_hash"))
+      val samples = writeSorted(gen, s"$tmp/a", Seq("__name__", "idx", "status_code"))
+      val queries = Seq(
+        "ShreddedByStatusCode" -> Seq(MatchEq("__name__", "foo"), MatchRe("status_code", "4..")),
+        "ShreddedByIdx"        -> Seq(MatchEq("__name__", "foo"), MatchRe("idx", ".*2")),
+        "AllSeries"            -> Seq(MatchEq("__name__", "foo")),
+        "SingleSeries"         -> Seq(MatchEq("idx", "500")),
+        "FirstAndLastSeries"   -> Seq(MatchRe("idx", "0|9999")))
+      report("80k", queries.map { case (n, ms) => run(n, samples, ms, repeat) })
+    }
+
+    if (mode.contains("b")) { // ref db/db_bench_test.go:155-281
+      val gen = spark.range(5).select(col("id").as("m"))
+        .crossJoin(spark.range(100).select(col("id").as("i")))
+        .crossJoin(spark.range(5).select(col("id").as("r")))
+        .crossJoin(spark.range(10).select(col("id").as("z")))
+        .crossJoin(spark.range(20).select(col("id").as("s")))
+        .crossJoin(spark.range(3).select(col("id").as("e")))
+        .select(
+          concat(lit("test_metric_"), col("m")).as("__name__"),
+          concat(lit("instance-"), col("i")).as("instance"),
+          concat(lit("region-"), col("r")).as("region"),
+          concat(lit("zone-"), col("z")).as("zone"),
+          concat(lit("service-"), col("s")).as("service"),
+          concat(lit("environment-"), col("e")).as("environment"),
+          lit(0L).as("ts_ms"), rand(42).as("value"))
+        .withColumn("series_hash", xxhash64(col("__name__"), col("instance"),
+          col("region"), col("zone"), col("service"), col("environment")))
+      val samples = writeSorted(gen, s"$tmp/b", Seq("__name__", "instance", "region"))
+      val queries = Seq(
+        "SingleMetricAllSeries" -> Seq(MatchEq("__name__", "test_metric_1")),
+        "SingleMetricReducedSeries" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchEq("instance", "instance-1")),
+        "SingleMetricOneSeries" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchEq("instance", "instance-2"), MatchEq("region", "region-1"),
+          MatchEq("zone", "zone-3"), MatchEq("service", "service-10"),
+          MatchEq("environment", "environment-1")),
+        "SingleMetricSparseSeries" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchEq("service", "service-1"), MatchEq("environment", "environment-0")),
+        "NonExistentSeries" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchEq("environment", "non-existent-environment")),
+        "MultipleMetricsRange" -> Seq(MatchRe("__name__", "test_metric_[1-5]")),
+        "MultipleMetricsSparse" -> Seq(MatchRe("__name__", "test_metric_(1|5|10|15|20)")),
+        "NegativeRegexSingleMetric" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchNotRe("instance", "(instance-1.*|instance-2.*)")),
+        "NegativeRegexMultipleMetrics" -> Seq(MatchRe("__name__", "test_metric_[1-3]"),
+          MatchNotRe("instance", "(instance-1.*|instance-2.*)")),
+        "ExpensiveRegexSingleMetric" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchRe("instance", "(container-1|instance-2|container-3|instance-4|container-5)")),
+        "ExpensiveRegexMultipleMetrics" -> Seq(MatchRe("__name__", "test_metric_[1-3]"),
+          MatchRe("instance", "(container-1|container-2|container-3|container-4|container-5)")))
+      report("1m5", queries.map { case (n, ms) => run(n, samples, ms, repeat) })
+    }
+    spark.stop()
+  }
+}
