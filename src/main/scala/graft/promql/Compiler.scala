@@ -255,7 +255,8 @@ object Compiler {
         else df.withColumn("step_ms", col("step_ms") + offsetMs)
       val smoother = f == "holt_winters" || f == "double_exponential_smoothing"
       val g = gridAgg(mkPoints(ectx), windowMs, ectx,
-        withDistribution = f == "quantile_over_time" || f == "mad_over_time",
+        withDistribution = Set("quantile_over_time", "mad_over_time",
+          "stddev_over_time", "stdvar_over_time").contains(f),
         withSeriesList = smoother)
       if (f == "absent_over_time") { // 1 at steps where NO series has samples
         val out = ectx.grid.join(g.select(col("step_ms")).distinct(),
@@ -270,14 +271,22 @@ object Compiler {
         "var_val", "resets", "idelta_val", "irate_dv", "irate_dt", "win_lo",
         "vals_sorted", "pts_sorted", "n_resets", "n_changes",
         "sum_t", "sum_t2", "sum_tv"))
+      lazy val twoPassVar: Column = expr(
+        "aggregate(vals_sorted, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + (x - avg_val) * (x - avg_val)) / n_samples")
       val value: Column = f match {
         case "sum_over_time"    => col("sum_val")
         case "avg_over_time"    => col("avg_val")
         case "min_over_time"    => col("min_val")
         case "max_over_time"    => col("max_val")
         case "count_over_time"  => col("n_samples").cast("double")
-        case "stddev_over_time" => sqrt(col("var_val"))
-        case "stdvar_over_time" => col("var_val")
+        // two-pass variance over the window's (small, bounded) value list:
+        // Σ(x−μ)²/n is exactly 0 for constant windows, like Prometheus'
+        // Welford accumulation — the decimal moment formula (var_val, kept
+        // for the unbounded group aggregations) leaves ~1e-6 cancellation
+        // noise that the differential fuzzer flagged
+        case "stddev_over_time" => sqrt(twoPassVar)
+        case "stdvar_over_time" => twoPassVar
         case "present_over_time" => lit(1.0)
         case "last_over_time"   => col("last_val")
         case "first_over_time"  => col("first_val")

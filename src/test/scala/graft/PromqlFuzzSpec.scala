@@ -95,6 +95,54 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("40 seeded random *_over_time window queries agree with the naive evaluator") {
+    val rnd = new Random(11)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val ops = Seq("sum", "avg", "min", "max", "count", "stddev", "first", "last")
+    val failures = (1 to 40).flatMap { i =>
+      val op = ops(rnd.nextInt(ops.length))
+      val name = names(rnd.nextInt(5))
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L
+      val wH = Seq(1L, 6L, 24L, 48L)(rnd.nextInt(4))
+      val offH = if (rnd.nextInt(3) == 0) Seq(1L, 12L)(rnd.nextInt(2)) else 0L
+      val off = if (offH == 0) "" else s" offset ${offH}h"
+      val q = s"""${op}_over_time({__name__="$name"}[${wH}h]$off)"""
+
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, DAY))
+        .collect().map(r => r.getAs[String]("uid") ->
+          r.getAs[Double]("value")).toMap
+
+      val tE = t - offH * 3600000L
+      val w = wH * 3600000L
+      val naive = mem
+        .filter { case (n, _, ts, _) => n == name && ts > tE - w && ts <= tE }
+        .groupBy(_._2)
+        .map { case (u, ss) =>
+          val sorted = ss.sortBy(_._3)
+          val xs = sorted.map(_._4).sorted // deterministic fold order
+          u -> (op match {
+            case "sum"    => xs.sum
+            case "avg"    => xs.sum / xs.size
+            case "min"    => xs.min
+            case "max"    => xs.max
+            case "count"  => xs.size.toDouble
+            case "stddev" => // population stddev about the window mean
+              val m = xs.sum / xs.size
+              math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+            case "first"  => sorted.head._4
+            case "last"   => sorted.last._4
+          })
+        }
+      val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        math.abs(engine(k) - v) <= 1e-9 * math.max(1.0, math.abs(v))
+      }
+      if (ok) None
+      else Some(s"#$i  $q @$t\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")
