@@ -191,10 +191,14 @@ object Compiler {
     val ai  = si / (col("n_samples") - 1)
     val thr = ai * lit(1.1)
     val dz  = si * (col("first_val") / rv)
-    val dsA = if (isCounter)
-      when(rv > 0 && col("first_val") >= 0 && dz < ds0, dz).otherwise(ds0)
-    else ds0
-    val dsB = when(dsA >= thr, ai / lit(2.0)).otherwise(dsA)
+    // Prometheus clamp order matters: boundary-extrapolation threshold FIRST,
+    // then the counter zero-crossing can only shorten the result (a dz
+    // between avg/2 and 1.1·avg must not survive the threshold clamp — the
+    // extrapolatedRate fuzz caught the reversed order)
+    val dsA = when(ds0 >= thr, ai / lit(2.0)).otherwise(ds0)
+    val dsB = if (isCounter)
+      when(rv > 0 && col("first_val") >= 0 && dz < dsA, dz).otherwise(dsA)
+    else dsA
     val deB = when(de0 >= thr, ai / lit(2.0)).otherwise(de0)
     val inc = rv * ((si + dsB + deB) / si)
     val out = if (isRate) inc / lit(windowMs / 1000.0) else inc

@@ -538,8 +538,8 @@ object Tsdb {
           "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
           "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
           "d AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
-          "e AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < ds0 THEN dz ELSE ds0 END AS dsa FROM d), " +
-          "f AS (SELECT *, CASE WHEN dsa >= thr THEN ai / 2.0e0 ELSE dsa END AS dsb, " +
+          "e AS (SELECT *, CASE WHEN ds0 >= thr THEN ai / 2.0e0 ELSE ds0 END AS dsa FROM d), " +
+          "f AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < dsa THEN dz ELSE dsa END AS dsb, " +
           "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e) " +
           s"SELECT uid, step_ms, (rv * ((si + dsb + deb) / si)) / ${rng / 1000.0}e0 AS value " +
           "FROM f ORDER BY uid, step_ms"

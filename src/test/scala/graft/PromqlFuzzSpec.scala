@@ -143,6 +143,67 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("30 seeded random rate/increase/delta queries agree with naive extrapolatedRate") {
+    // independent reimplementation of Prometheus extrapolatedRate
+    // (promql/functions.go) over plain collections — shares nothing with
+    // Compiler.extrapolated
+    def naiveExtrapolated(pts0: Seq[(Long, Double)], tMs: Long, wMs: Long,
+                          isCounter: Boolean, isRate: Boolean): Option[Double] = {
+      val pts = pts0.sortBy(_._1)
+      if (pts.length < 2) return None
+      val (firstT, firstV) = pts.head
+      val (lastT, lastV) = pts.last
+      var rf = lastV - firstV
+      if (isCounter) {
+        var prev = firstV
+        pts.tail.foreach { case (_, v) => if (v < prev) rf += prev; prev = v }
+      }
+      val rangeStart = (tMs - wMs).toDouble
+      var durToStart = firstT - rangeStart
+      var durToEnd = tMs.toDouble - lastT
+      val sampled = (lastT - firstT).toDouble
+      val avgBetween = sampled / (pts.length - 1)
+      val threshold = avgBetween * 1.1
+      if (durToStart >= threshold) durToStart = avgBetween / 2
+      if (isCounter && rf > 0 && firstV >= 0) {
+        val durToZero = sampled * (firstV / rf)
+        if (durToZero < durToStart) durToStart = durToZero
+      }
+      if (durToEnd >= threshold) durToEnd = avgBetween / 2
+      var factor = (sampled + durToStart + durToEnd) / sampled
+      if (isRate) factor /= wMs / 1000.0
+      Some(rf * factor)
+    }
+
+    val rnd = new Random(23)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val failures = (1 to 30).flatMap { i =>
+      val fn = Seq("rate", "increase", "delta")(rnd.nextInt(3))
+      val name = names(rnd.nextInt(5))
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L
+      val wH = Seq(6L, 12L, 24L, 48L)(rnd.nextInt(4))
+      val w = wH * 3600000L
+      val q = s"""$fn({__name__="$name"}[${wH}h])"""
+
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, DAY))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+      val naive = mem
+        .filter { case (n, _, ts, _) => n == name && ts > t - w && ts <= t }
+        .groupBy(_._2)
+        .flatMap { case (u, ss) =>
+          naiveExtrapolated(ss.map(s => (s._3, s._4)), t, w,
+            isCounter = fn != "delta", isRate = fn == "rate").map(u -> _)
+        }
+      val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        math.abs(engine(k) - v) <= 1e-9 * math.max(1.0, math.abs(v))
+      }
+      if (ok) None
+      else Some(s"#$i  $q @$t\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")
