@@ -96,7 +96,15 @@ object Compiler {
     * on a finer grid covering (start−range, end], its grid points becoming
     * the "samples" the outer range function aggregates. */
   private def subqueryPoints(sub: Subquery, ctx: Ctx): DataFrame = {
-    val innerCtx = ctx.copy(startMs = ctx.startMs - sub.rangeMs, endMs = ctx.endMs,
+    // Prometheus aligns subquery evaluation to ABSOLUTE multiples of the
+    // resolution (promql/eval.go bumps an unaligned inner start up to the
+    // next multiple) — without this, inner steps float with the query
+    // instant and every unaligned instant samples different points (caught
+    // by the subquery differential fuzz)
+    val rawStart = ctx.startMs - sub.rangeMs
+    val rem = java.lang.Math.floorMod(rawStart, sub.resolutionMs)
+    val alignedStart = if (rem == 0) rawStart else rawStart - rem + sub.resolutionMs
+    val innerCtx = ctx.copy(startMs = alignedStart, endMs = ctx.endMs,
       stepMs = sub.resolutionMs,
       anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
     val inner = compile(sub.expr, innerCtx).filter(col("value").isNotNull)

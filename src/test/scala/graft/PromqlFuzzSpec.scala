@@ -204,6 +204,55 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("25 seeded random subquery windows agree with the naive evaluator (step alignment)") {
+    // Prometheus evaluates subquery steps at absolute multiples of the
+    // resolution (promql/eval.go aligns the inner start timestamp), and the
+    // outer range selection is left-open: steps s ≡ 0 (mod res), t−R < s ≤ t.
+    val rnd = new Random(31)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val ops = Seq("sum", "count", "max", "last")
+    val failures = (1 to 25).flatMap { i =>
+      val op = ops(rnd.nextInt(ops.length))
+      val name = names(rnd.nextInt(5))
+      // deliberately unaligned t (second granularity, odd offsets)
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY + (rnd.nextInt(86400) * 1000L + 1000L)
+      val rH = Seq(6L, 12L, 24L)(rnd.nextInt(3))
+      val r = rH * 3600000L
+      val resS = Seq(300L, 420L, 600L)(rnd.nextInt(3)) // 5m / 7m / 10m
+      val res = resS * 1000L
+      val lb = DAY
+      val q = s"""${op}_over_time({__name__="$name"}[${rH}h:${resS}s])"""
+
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, lb))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+
+      // inner instant values at aligned steps, then the outer fold
+      val sLo = (t - r) / res * res // last multiple ≤ t−R; first step is the next
+      val steps = Iterator.iterate(sLo + res)(_ + res).takeWhile(_ <= t).toSeq
+        .filter(_ > t - r)
+      val naive = mem.filter(_._1 == name).groupBy(_._2).flatMap { case (u, ss) =>
+        val pts = steps.flatMap { s =>
+          val in = ss.filter(p => p._3 > s - lb && p._3 <= s)
+          if (in.isEmpty) None else Some(in.maxBy(_._3)._4)
+        }
+        if (pts.isEmpty) None
+        else Some(u -> (op match {
+          case "sum"   => pts.sorted.sum
+          case "count" => pts.size.toDouble
+          case "max"   => pts.max
+          case "last"  => pts.last
+        }))
+      }
+      val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        math.abs(engine(k) - v) <= 1e-9 * math.max(1.0, math.abs(v))
+      }
+      if (ok) None
+      else Some(s"#$i  $q @$t\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")
