@@ -577,7 +577,8 @@ object Compiler {
   // ---------------------------------------------------------------- bin ops
   private def arith(op: String)(l: Column, r: Column): Column = op match {
     case "+" => l + r; case "-" => l - r; case "*" => l * r
-    case "/" => l / r; case "%" => pmod(l, r); case "^" => pow(l, r)
+    // % is Go math.Mod (sign of the dividend), not Euclidean pmod
+    case "/" => l / r; case "%" => l % r; case "^" => pow(l, r)
     case "atan2" => atan2(l, r)
     case "==" => l === r; case "!=" => l =!= r
     case ">" => l > r; case "<" => l < r; case ">=" => l >= r; case "<=" => l <= r

@@ -253,6 +253,60 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("40 seeded random binop/set-op queries agree with the naive evaluator") {
+    val rnd = new Random(53)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val failures = (1 to 40).flatMap { i =>
+      val (a, b) = (names(rnd.nextInt(5)), names(rnd.nextInt(5)))
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L
+      val lb = DAY
+      val va = naiveInstant(Some(a), None, None, t, lb).map { case ((_, u), v) => u -> v }
+      val vb = naiveInstant(Some(b), None, None, t, lb).map { case ((_, u), v) => u -> v }
+
+      val kind = rnd.nextInt(4)
+      val (q, naive): (String, Map[String, Double]) = kind match {
+        case 0 => // arithmetic, matched on(uid)
+          val op = Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))
+          val f: (Double, Double) => Double = op match {
+            case "+" => _ + _; case "-" => _ - _; case "*" => _ * _
+            case "/" => _ / _
+            case "%" => (x, y) => x % y // IEEE remainder-with-sign-of-dividend
+          }
+          (s"""{__name__="$a"} $op on(uid) {__name__="$b"}""",
+            va.flatMap { case (u, x) => vb.get(u).map(y => u -> f(x, y)) })
+        case 1 => // comparison filter: keeps lhs value on matching series
+          val op = Seq(">", "<", ">=", "<=")(rnd.nextInt(4))
+          val f: (Double, Double) => Boolean = op match {
+            case ">" => _ > _; case "<" => _ < _; case ">=" => _ >= _; case "<=" => _ <= _
+          }
+          (s"""{__name__="$a"} $op on(uid) {__name__="$b"}""",
+            va.flatMap { case (u, x) => vb.get(u).filter(y => f(x, y)).map(_ => u -> x) })
+        case 2 => // comparison with bool: 0/1 on every matched pair
+          val op = Seq(">", "<=")(rnd.nextInt(2))
+          val f: (Double, Double) => Boolean =
+            if (op == ">") _ > _ else _ <= _
+          (s"""{__name__="$a"} $op bool on(uid) {__name__="$b"}""",
+            va.flatMap { case (u, x) =>
+              vb.get(u).map(y => u -> (if (f(x, y)) 1.0 else 0.0)) })
+        case 3 => // set ops on(uid): and keeps lhs ∩ rhs, unless keeps lhs ∖ rhs
+          val op = Seq("and", "unless")(rnd.nextInt(2))
+          (s"""{__name__="$a"} $op on(uid) {__name__="$b"}""",
+            if (op == "and") va.filter { case (u, _) => vb.contains(u) }
+            else va.filter { case (u, _) => !vb.contains(u) })
+      }
+
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, lb))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+      val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        math.abs(engine(k) - v) <= 1e-12 * math.max(1.0, math.abs(v))
+      }
+      if (ok) None
+      else Some(s"#$i  $q @$t\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")

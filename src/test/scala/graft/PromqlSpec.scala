@@ -69,6 +69,8 @@ class PromqlSpec extends SparkSpec {
     assert(eval("-2^2").select($"value").as[Double].head() == -4.0)
     // …while an explicit parenthesized base keeps (-2)^2 = 4
     assert(eval("(-2)^2").select($"value").as[Double].head() == 4.0)
+    // % follows Go math.Mod: sign of the dividend (pmod would give +1)
+    assert(eval("(0 - 5) % 3").select($"value").as[Double].head() == -2.0)
   }
 
   test("set ops match full label sets (union of columns, absent==absent)") {
