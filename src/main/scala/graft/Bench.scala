@@ -36,6 +36,7 @@ object Bench {
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          finally spark.catalog.clearCache() // drop per-query persist()s
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

@@ -39,7 +39,8 @@ object GraphOps {
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val assigns = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var it = 0
-    while (it < maxIter && !g.isEmpty) {
+    var done = g.isEmpty
+    while (it < maxIter && !done) {
       val sym = g.union(g.select(col("b").as("a"), col("a").as("b")))
       // representative of every touched node: min of itself and its neighbors
       val m = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
@@ -52,9 +53,18 @@ object GraphOps {
           greatest(col("ra"), col("rb")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint()
+      done = g.isEmpty
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round $it")
     }
+    // Convergence test: the loop only exits cleanly once the contracted edge
+    // set is empty. Hitting maxIter first would mean partially-merged labels
+    // — fail loudly rather than return a silently-wrong clustering.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(edges remain); raise maxIter or use star-contraction for " +
+          "chain-shaped graphs")
     // compose the per-round representative maps over the full node set;
     // untouched nodes are singletons (root = id)
     var labels = nodes.select(col("id"), col("id").as("root"))

@@ -41,6 +41,17 @@ object Compiler {
   def labelCols(df: DataFrame): Seq[String] =
     df.columns.filterNot(c => c == "step_ms" || c == "value").toSeq
 
+  /** Column names the engine owns internally — a PromQL label may legally be
+    * called `value` or `step_ms`, but copying one onto a result frame (e.g.
+    * via absent()'s label stamping) would clobber the engine's own columns. */
+  private val engineReserved: Set[String] = Set(
+    "step_ms", "value", "ts_ms", "sample_id", "series_hash", "uid",
+    "prev_val", "prev_ts", "win_lo", "k",
+    "n_samples", "first_ts", "last_ts", "first_val", "last_val",
+    "sum_val", "avg_val", "min_val", "max_val", "var_val", "resets",
+    "idelta_val", "irate_dv", "irate_dt", "vals_sorted", "pts_sorted",
+    "n_resets", "n_changes", "sum_t", "sum_t2", "sum_tv")
+
   def instant(ctx0: Ctx, expr: Expr): DataFrame = compile(expr, ctx0)
 
   def compile(expr: Expr, ctx: Ctx): DataFrame = expr match {
@@ -101,11 +112,15 @@ object Compiler {
     // next multiple) — without this, inner steps float with the query
     // instant and every unaligned instant samples different points (caught
     // by the subquery differential fuzz)
+    // resolutionMs == 0 is the parser's sentinel for an omitted resolution
+    // (`foo[30m:]`), which PromQL defaults to the evaluation interval
+    val resMs = if (sub.resolutionMs > 0) sub.resolutionMs else ctx.stepMs
+    require(resMs > 0, s"subquery resolution must be positive, got $resMs")
     val rawStart = ctx.startMs - sub.rangeMs
-    val rem = java.lang.Math.floorMod(rawStart, sub.resolutionMs)
-    val alignedStart = if (rem == 0) rawStart else rawStart - rem + sub.resolutionMs
+    val rem = java.lang.Math.floorMod(rawStart, resMs)
+    val alignedStart = if (rem == 0) rawStart else rawStart - rem + resMs
     val innerCtx = ctx.copy(startMs = alignedStart, endMs = ctx.endMs,
-      stepMs = sub.resolutionMs,
+      stepMs = resMs,
       anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
     val inner = compile(sub.expr, innerCtx).filter(col("value").isNotNull)
     val lbls = labelCols(inner)
@@ -175,7 +190,7 @@ object Compiler {
           "FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)").as("irate_dv"),
         expr("max_by(ts_ms - prev_ts, ts_ms) " +
           "FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)").as("irate_dt")) ++
-        (if (withDistribution) // only quantile_over_time pays for the list
+        (if (withDistribution) // quantile/mad/stddev/stdvar_over_time pay for the list
           Seq(array_sort(collect_list(col("value"))).as("vals_sorted"))
         else Seq.empty) ++
         (if (withSeriesList) // ts-ordered values for sequential smoothers
@@ -227,7 +242,9 @@ object Compiler {
         case MatchEq(l, v) if !has(l) => out(l) = v; has += l
         case m => out.remove(m.label)
       }
-      out.toSeq
+      // `value`, `step_ms`, … are valid PromQL label names but are the
+      // engine's internal columns — stamping them would corrupt the schema
+      out.toSeq.filterNot { case (l, _) => engineReserved(l) }
     case _ => Seq.empty // sub-expressions (incl. subqueries) carry no labels
   }
 

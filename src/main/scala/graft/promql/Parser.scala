@@ -201,6 +201,10 @@ object Parser {
       pos += 1
       d.split(":", 2) match {
         case Array(r) => Some(Left(parseDuration(r.trim)))
+        // `foo[30m:]` — resolution omitted — defaults to the evaluation
+        // interval; 0 is the sentinel the compiler resolves to ctx.stepMs
+        case Array(r, res) if res.trim.isEmpty =>
+          Some(Right((parseDuration(r.trim), 0L)))
         case Array(r, res) => Some(Right((parseDuration(r.trim), parseDuration(res.trim))))
       }
     }
