@@ -24,7 +24,13 @@ object Compiler {
   final case class Ctx(samples: DataFrame, startMs: Long, endMs: Long,
                        stepMs: Long, lookbackMs: Long = Eval.DefaultLookbackMs,
                        anchorStartMs: Option[Long] = None,
-                       anchorEndMs: Option[Long] = None) {
+                       anchorEndMs: Option[Long] = None,
+                       /** Interval for `foo[30m:]` subqueries with omitted
+                         * resolution. The reference pins this to a fixed 1m
+                         * (cmd/serve.go:213 NoStepSubqueryIntervalFn), NOT the
+                         * query step — an instant query (step 1s) must not
+                         * evaluate the inner expression on a 1s grid. */
+                       noStepSubqueryIntervalMs: Long = 60000L) {
     def nSteps: Long = (endMs - startMs) / stepMs
     /** Top-level query bounds: what `@ start()` / `@ end()` resolve to —
       * stable under the offset / subquery grid rewrites that shift
@@ -113,8 +119,10 @@ object Compiler {
     // instant and every unaligned instant samples different points (caught
     // by the subquery differential fuzz)
     // resolutionMs == 0 is the parser's sentinel for an omitted resolution
-    // (`foo[30m:]`), which PromQL defaults to the evaluation interval
-    val resMs = if (sub.resolutionMs > 0) sub.resolutionMs else ctx.stepMs
+    // (`foo[30m:]`), which resolves to the engine's fixed default interval
+    // (reference cmd/serve.go:213: NoStepSubqueryIntervalFn = 1m), not the
+    // outer query step
+    val resMs = if (sub.resolutionMs > 0) sub.resolutionMs else ctx.noStepSubqueryIntervalMs
     require(resMs > 0, s"subquery resolution must be positive, got $resMs")
     val rawStart = ctx.startMs - sub.rangeMs
     val rem = java.lang.Math.floorMod(rawStart, resMs)
