@@ -36,8 +36,9 @@ object Bench {
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          finally spark.catalog.clearCache() // drop per-query persist()s
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // drop per-query persist()s — NOT timed
+          dt
         }
         name -> times.min
       }

@@ -47,16 +47,15 @@ object Compiler {
   def labelCols(df: DataFrame): Seq[String] =
     df.columns.filterNot(c => c == "step_ms" || c == "value").toSeq
 
-  /** Column names the engine owns internally — a PromQL label may legally be
-    * called `value` or `step_ms`, but copying one onto a result frame (e.g.
-    * via absent()'s label stamping) would clobber the engine's own columns. */
-  private val engineReserved: Set[String] = Set(
-    "step_ms", "value", "ts_ms", "sample_id", "series_hash", "uid",
-    "prev_val", "prev_ts", "win_lo", "k",
-    "n_samples", "first_ts", "last_ts", "first_val", "last_val",
-    "sum_val", "avg_val", "min_val", "max_val", "var_val", "resets",
-    "idelta_val", "irate_dv", "irate_dt", "vals_sorted", "pts_sorted",
-    "n_resets", "n_changes", "sum_t", "sum_t2", "sum_tv")
+  /** Column names a result frame structurally owns — a PromQL label may
+    * legally be called `value` or `step_ms`, but stamping one onto a frame
+    * (absent()'s label copying) would clobber the frame's own columns. All
+    * other engine intermediates carry a `__graft_` prefix (gridAgg below), so
+    * data-borne labels named `k`/`n_samples`/… pass through untouched. */
+  private val frameReserved: Set[String] = Set("step_ms", "value")
+  /** sample-frame bookkeeping columns (the storage schema's own names). */
+  private val sampleReserved: Set[String] =
+    Set("ts_ms", "value", "sample_id", "series_hash")
 
   def instant(ctx0: Ctx, expr: Expr): DataFrame = compile(expr, ctx0)
 
