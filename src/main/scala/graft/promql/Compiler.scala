@@ -145,64 +145,64 @@ object Compiler {
                       withSeriesList: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("series_hash")).orderBy(col("ts_ms"), col("sample_id"))
     val withPrev = points
-      .withColumn("prev_val", lag(col("value"), 1).over(w))
-      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("__graft_prev_val", lag(col("value"), 1).over(w))
+      .withColumn("__graft_prev_ts", lag(col("ts_ms"), 1).over(w))
     def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
     val kMin = greatest(floorDiv(col("ts_ms") - ctx.startMs + ctx.stepMs - 1, ctx.stepMs), lit(0L))
     val kMax = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1, ctx.stepMs), lit(ctx.nSteps))
     val lbls = points.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "prev_val", "prev_ts",
-        "date")) // date = partition bookkeeping of the converted layout, not a label
+      .filterNot(c => sampleReserved(c) || c == "series_hash" || c == "date" ||
+        c.startsWith("__graft_")) // date = partition bookkeeping, not a label
       .toSeq
     withPrev
-      .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
+      .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
         .otherwise(array().cast("array<long>"))))
-      .withColumn("step_ms", lit(ctx.startMs) + col("k") * ctx.stepMs)
-      .withColumn("win_lo", col("step_ms") - windowMs) // prev in window ⇔ prev_ts > win_lo
+      .withColumn("step_ms", lit(ctx.startMs) + col("__graft_k") * ctx.stepMs)
+      .withColumn("__graft_win_lo", col("step_ms") - windowMs) // prev in window ⇔ __graft_prev_ts > __graft_win_lo
       .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
-      .agg(count(col("value")).as("n_samples"), (Seq(
-        min(col("ts_ms")).as("first_ts"), max(col("ts_ms")).as("last_ts"),
-        min_by(col("value"), col("ts_ms")).as("first_val"),
-        max_by(col("value"), col("ts_ms")).as("last_val"),
-        sum(col("value").cast(Det.dec)).cast("double").as("sum_val"),
-        (sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))).as("avg_val"),
-        min(col("value")).as("min_val"), max(col("value")).as("max_val"),
+      .agg(count(col("value")).as("__graft_n_samples"), (Seq(
+        min(col("ts_ms")).as("__graft_first_ts"), max(col("ts_ms")).as("__graft_last_ts"),
+        min_by(col("value"), col("ts_ms")).as("__graft_first_val"),
+        max_by(col("value"), col("ts_ms")).as("__graft_last_val"),
+        sum(col("value").cast(Det.dec)).cast("double").as("__graft_sum_val"),
+        (sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))).as("__graft_avg_val"),
+        min(col("value")).as("__graft_min_val"), max(col("value")).as("__graft_max_val"),
         greatest(lit(0.0),
           (sum((col("value") * col("value")).cast(Det.dec)).cast("double") -
             sum(col("value").cast(Det.dec)).cast("double") *
               sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))) /
-            count(col("value"))).as("var_val"),
-        sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
-          col("value") < col("prev_val"), col("prev_val")).otherwise(lit(0.0)).cast(Det.dec))
-          .cast("double").as("resets"),
+            count(col("value"))).as("__graft_var_val"),
+        sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
+          col("value") < col("__graft_prev_val"), col("__graft_prev_val")).otherwise(lit(0.0)).cast(Det.dec))
+          .cast("double").as("__graft_resets"),
         // counts over consecutive in-window pairs (PromQL changes()/resets())
-        sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
-          col("value") < col("prev_val"), 1L).otherwise(0L)).as("n_resets"),
-        sum(when(col("prev_ts").isNotNull && col("prev_ts") > col("win_lo") &&
-          !(col("value") <=> col("prev_val")), 1L).otherwise(0L)).as("n_changes"),
+        sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
+          col("value") < col("__graft_prev_val"), 1L).otherwise(0L)).as("__graft_n_resets"),
+        sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
+          !(col("value") <=> col("__graft_prev_val")), 1L).otherwise(0L)).as("__graft_n_changes"),
         // least-squares moments for deriv/predict_linear, over window-relative
         // seconds (re-centering avoids catastrophic cancellation on epoch
         // magnitudes); decimal-exact sums keep the slope deterministic
-        sum(((col("ts_ms") - col("win_lo")) / lit(1000.0)).cast(Det.dec))
-          .cast("double").as("sum_t"),
-        sum((((col("ts_ms") - col("win_lo")) / lit(1000.0)) *
-          ((col("ts_ms") - col("win_lo")) / lit(1000.0))).cast(Det.dec))
-          .cast("double").as("sum_t2"),
-        sum((((col("ts_ms") - col("win_lo")) / lit(1000.0)) * col("value")).cast(Det.dec))
-          .cast("double").as("sum_tv"),
-        expr("max_by(value - prev_val, ts_ms) FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)")
-          .as("idelta_val"),
+        sum(((col("ts_ms") - col("__graft_win_lo")) / lit(1000.0)).cast(Det.dec))
+          .cast("double").as("__graft_sum_t"),
+        sum((((col("ts_ms") - col("__graft_win_lo")) / lit(1000.0)) *
+          ((col("ts_ms") - col("__graft_win_lo")) / lit(1000.0))).cast(Det.dec))
+          .cast("double").as("__graft_sum_t2"),
+        sum((((col("ts_ms") - col("__graft_win_lo")) / lit(1000.0)) * col("value")).cast(Det.dec))
+          .cast("double").as("__graft_sum_tv"),
+        expr("max_by(value - __graft_prev_val, ts_ms) FILTER (WHERE __graft_prev_ts IS NOT NULL AND __graft_prev_ts > __graft_win_lo)")
+          .as("__graft_idelta_val"),
         // irate: last in-window pair — counter-reset corrected delta and dt
-        expr("max_by(IF(value < prev_val, value, value - prev_val), ts_ms) " +
-          "FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)").as("irate_dv"),
-        expr("max_by(ts_ms - prev_ts, ts_ms) " +
-          "FILTER (WHERE prev_ts IS NOT NULL AND prev_ts > win_lo)").as("irate_dt")) ++
+        expr("max_by(IF(value < __graft_prev_val, value, value - __graft_prev_val), ts_ms) " +
+          "FILTER (WHERE __graft_prev_ts IS NOT NULL AND __graft_prev_ts > __graft_win_lo)").as("__graft_irate_dv"),
+        expr("max_by(ts_ms - __graft_prev_ts, ts_ms) " +
+          "FILTER (WHERE __graft_prev_ts IS NOT NULL AND __graft_prev_ts > __graft_win_lo)").as("__graft_irate_dt")) ++
         (if (withDistribution) // quantile/mad/stddev/stdvar_over_time pay for the list
-          Seq(array_sort(collect_list(col("value"))).as("vals_sorted"))
+          Seq(array_sort(collect_list(col("value"))).as("__graft_vals_sorted"))
         else Seq.empty) ++
         (if (withSeriesList) // ts-ordered values for sequential smoothers
           Seq(sort_array(collect_list(struct(col("ts_ms"), col("sample_id"),
-            col("value")))).as("pts_sorted"))
+            col("value")))).as("__graft_pts_sorted"))
         else Seq.empty)): _*)
       .drop("series_hash")
   }
@@ -213,26 +213,26 @@ object Compiler {
     * zero-crossing, then normalize by the window for `rate`. A fixed sequence
     * of double arithmetic — deterministic and oracle-expressible. */
   private def extrapolated(windowMs: Long, isCounter: Boolean, isRate: Boolean): Column = {
-    val rv = if (isCounter) col("last_val") - col("first_val") + col("resets")
-             else col("last_val") - col("first_val")
-    val ds0 = (col("first_ts") - (col("step_ms") - windowMs)).cast("double") / lit(1000.0)
-    val de0 = (col("step_ms") - col("last_ts")).cast("double") / lit(1000.0)
-    val si  = (col("last_ts") - col("first_ts")).cast("double") / lit(1000.0)
-    val ai  = si / (col("n_samples") - 1)
+    val rv = if (isCounter) col("__graft_last_val") - col("__graft_first_val") + col("__graft_resets")
+             else col("__graft_last_val") - col("__graft_first_val")
+    val ds0 = (col("__graft_first_ts") - (col("step_ms") - windowMs)).cast("double") / lit(1000.0)
+    val de0 = (col("step_ms") - col("__graft_last_ts")).cast("double") / lit(1000.0)
+    val si  = (col("__graft_last_ts") - col("__graft_first_ts")).cast("double") / lit(1000.0)
+    val ai  = si / (col("__graft_n_samples") - 1)
     val thr = ai * lit(1.1)
-    val dz  = si * (col("first_val") / rv)
+    val dz  = si * (col("__graft_first_val") / rv)
     // Prometheus clamp order matters: boundary-extrapolation threshold FIRST,
     // then the counter zero-crossing can only shorten the result (a dz
     // between avg/2 and 1.1·avg must not survive the threshold clamp — the
     // extrapolatedRate fuzz caught the reversed order)
     val dsA = when(ds0 >= thr, ai / lit(2.0)).otherwise(ds0)
     val dsB = if (isCounter)
-      when(rv > 0 && col("first_val") >= 0 && dz < dsA, dz).otherwise(dsA)
+      when(rv > 0 && col("__graft_first_val") >= 0 && dz < dsA, dz).otherwise(dsA)
     else dsA
     val deB = when(de0 >= thr, ai / lit(2.0)).otherwise(de0)
     val inc = rv * ((si + dsB + deB) / si)
     val out = if (isRate) inc / lit(windowMs / 1000.0) else inc
-    when(col("n_samples") >= 2, out)
+    when(col("__graft_n_samples") >= 2, out)
   }
 
   /** Labels absent()/absent_over_time() stamp onto their synthetic series —
@@ -251,7 +251,7 @@ object Compiler {
       }
       // `value`, `step_ms`, … are valid PromQL label names but are the
       // engine's internal columns — stamping them would corrupt the schema
-      out.toSeq.filterNot { case (l, _) => engineReserved(l) }
+      out.toSeq.filterNot { case (l, _) => frameReserved(l) }
     case _ => Seq.empty // sub-expressions (incl. subqueries) carry no labels
   }
 
@@ -302,55 +302,53 @@ object Compiler {
           case (df, (l, value)) => df.withColumn(l, lit(value))
         })
       }
-      val lbls = labelCols(g).filterNot(Set("n_samples", "first_ts", "last_ts",
-        "first_val", "last_val", "sum_val", "avg_val", "min_val", "max_val",
-        "var_val", "resets", "idelta_val", "irate_dv", "irate_dt", "win_lo",
-        "vals_sorted", "pts_sorted", "n_resets", "n_changes",
-        "sum_t", "sum_t2", "sum_tv"))
+      // engine intermediates all carry the __graft_ prefix — data-borne labels
+      // literally named `__graft_n_samples`/`k`/`resets` pass through untouched
+      val lbls = labelCols(g).filterNot(_.startsWith("__graft_"))
       lazy val twoPassVar: Column = expr(
-        "aggregate(vals_sorted, CAST(0.0 AS DOUBLE), " +
-          "(acc, x) -> acc + (x - avg_val) * (x - avg_val)) / n_samples")
+        "aggregate(__graft_vals_sorted, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + (x - __graft_avg_val) * (x - __graft_avg_val)) / __graft_n_samples")
       val value: Column = f match {
-        case "sum_over_time"    => col("sum_val")
-        case "avg_over_time"    => col("avg_val")
-        case "min_over_time"    => col("min_val")
-        case "max_over_time"    => col("max_val")
-        case "count_over_time"  => col("n_samples").cast("double")
+        case "sum_over_time"    => col("__graft_sum_val")
+        case "avg_over_time"    => col("__graft_avg_val")
+        case "min_over_time"    => col("__graft_min_val")
+        case "max_over_time"    => col("__graft_max_val")
+        case "count_over_time"  => col("__graft_n_samples").cast("double")
         // two-pass variance over the window's (small, bounded) value list:
         // Σ(x−μ)²/n is exactly 0 for constant windows, like Prometheus'
-        // Welford accumulation — the decimal moment formula (var_val, kept
+        // Welford accumulation — the decimal moment formula (__graft_var_val, kept
         // for the unbounded group aggregations) leaves ~1e-6 cancellation
         // noise that the differential fuzzer flagged
         case "stddev_over_time" => sqrt(twoPassVar)
         case "stdvar_over_time" => twoPassVar
         case "present_over_time" => lit(1.0)
-        case "last_over_time"   => col("last_val")
-        case "first_over_time"  => col("first_val")
-        case "idelta"           => col("idelta_val")
+        case "last_over_time"   => col("__graft_last_val")
+        case "first_over_time"  => col("__graft_first_val")
+        case "idelta"           => col("__graft_idelta_val")
         case "irate" => // per-second rate of the last in-window sample pair
-          when(col("irate_dt").isNotNull,
-            col("irate_dv") / (col("irate_dt") / lit(1000.0)))
-        case "changes"          => col("n_changes").cast("double")
-        case "resets"           => col("n_resets").cast("double")
+          when(col("__graft_irate_dt").isNotNull,
+            col("__graft_irate_dv") / (col("__graft_irate_dt") / lit(1000.0)))
+        case "changes"          => col("__graft_n_changes").cast("double")
+        case "resets"           => col("__graft_n_resets").cast("double")
         case "deriv" | "predict_linear" => // least-squares slope per second
-          val n = col("n_samples").cast("double")
-          val denom = n * col("sum_t2") - col("sum_t") * col("sum_t")
-          val slope = (n * col("sum_tv") - col("sum_t") * col("sum_val")) / denom
+          val n = col("__graft_n_samples").cast("double")
+          val denom = n * col("__graft_sum_t2") - col("__graft_sum_t") * col("__graft_sum_t")
+          val slope = (n * col("__graft_sum_tv") - col("__graft_sum_t") * col("__graft_sum_val")) / denom
           val v = if (f == "deriv") slope
           else { // value extrapolated `ahead` seconds past the eval step
             val ahead = scalarOf(args(1))
-            col("sum_val") / n + slope *
-              (lit(windowMs / 1000.0 + ahead) - col("sum_t") / n)
+            col("__graft_sum_val") / n + slope *
+              (lit(windowMs / 1000.0 + ahead) - col("__graft_sum_t") / n)
           }
-          when(col("n_samples") >= 2, v)
+          when(col("__graft_n_samples") >= 2, v)
         case "holt_winters" | "double_exponential_smoothing" =>
           // Prometheus funcDoubleExponentialSmoothing: sequential recursion
           // over the window's ts-ordered samples, expressed as a HOF fold
           // (per-(series,step) work, deterministic order)
           val sf = scalarOf(args(1)); val tf = scalarOf(args(2))
-          val vs = "transform(pts_sorted, p -> p.value)"
+          val vs = "transform(__graft_pts_sorted, p -> p.value)"
           val bNew = s"IF(acc.i = 0, acc.b, $tf * (acc.s1 - acc.s0) + (1 - $tf) * acc.b)"
-          when(col("n_samples") >= 2, expr(
+          when(col("__graft_n_samples") >= 2, expr(
             s"""aggregate(
                |  slice($vs, 2, size($vs) - 1),
                |  named_struct('s0', CAST(0.0 AS DOUBLE), 's1', $vs[0],
@@ -362,10 +360,10 @@ object Compiler {
                |    'i',  acc.i + 1),
                |  acc -> acc.s1)""".stripMargin))
         case "quantile_over_time" => // exact interpolated quantile of the window
-          qOfSorted(col("vals_sorted"), lit(scalarOf(args.head)))
+          qOfSorted(col("__graft_vals_sorted"), lit(scalarOf(args.head)))
         case "mad_over_time" => // median absolute deviation about the median
-          val med = qOfSorted(col("vals_sorted"), lit(0.5))
-          qOfSorted(array_sort(transform(col("vals_sorted"), x => abs(x - med))),
+          val med = qOfSorted(col("__graft_vals_sorted"), lit(0.5))
+          qOfSorted(array_sort(transform(col("__graft_vals_sorted"), x => abs(x - med))),
             lit(0.5))
         case "delta"    => extrapolated(windowMs, isCounter = false, isRate = false)
         case "increase" => extrapolated(windowMs, isCounter = true, isRate = false)

@@ -90,9 +90,9 @@ object Eval {
     val kMin = greatest(floorDiv(col("ts_ms") - startMs + stepMs - 1, stepMs), lit(0L))
     val kMax = least(floorDiv(col("ts_ms") - startMs + lookbackMs - 1, stepMs), lit(nSteps))
     base
-      .withColumn("k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
+      .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
         .otherwise(array().cast("array<long>"))))
-      .withColumn("step_ms", lit(startMs) + col("k") * stepMs)
+      .withColumn("step_ms", lit(startMs) + col("__graft_k") * stepMs)
       .groupBy(col("series_hash") +: col("step_ms") +: labelColsOf(samples): _*)
       .agg(max_by(col("value"), col("ts_ms")).as("value"))
       .filter(!graft.functions.IsStale(col("value"))) // stale at step ⇒ absent

@@ -22,6 +22,7 @@ class PromqlGoldenSpec extends SparkSpec {
       |  http{job="api", code="404"} 0+3x40
       |  http{job="api", code="200"} 0+5x40
       |  data{test="nan"} NaN 1 NaN
+      |  adv{n_samples="x", k="y", resets="z"} 0+10x40
       |
       |eval instant at 100s metric
       |  {a="foo", pod="nginx-1", __name__="metric"} 21
@@ -92,6 +93,18 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s metric atan2 metric
       |  {a="foo", pod="nginx-1"} 0.7853981633974483
       |  {b="bar", pod="nginx-2"} 0.7853981633974483
+      |
+      |eval instant at 100s rate(adv[50s])
+      |  {n_samples="x", k="y", resets="z"} 1
+      |
+      |eval instant at 100s changes(adv[50s])
+      |  {n_samples="x", k="y", resets="z"} 4
+      |
+      |eval instant at 100s quantile_over_time(0.5, adv[50s])
+      |  {n_samples="x", k="y", resets="z"} 80
+      |
+      |eval instant at 100s sum by (n_samples) (adv)
+      |  {n_samples="x"} 100
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -179,7 +192,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals) = parseCorpus(corpus)
-    assert(loaded.size == 5 && evals.size == 21)
+    assert(loaded.size == 6 && evals.size == 25)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
