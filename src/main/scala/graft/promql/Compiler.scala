@@ -479,9 +479,13 @@ object Compiler {
 
     case "vector" => compile(args.head, ctx)
     case "scalar" =>
+      // NaN (not NULL / absent) when the vector hasn't exactly one series at a
+      // step (Prometheus funcScalar) — NULL would vanish through arithmetic
       val v = compile(args.head, ctx)
-      v.groupBy(col("step_ms")).agg(
+      val one = v.groupBy(col("step_ms")).agg(
         when(count(lit(1)) === 1, first(col("value"))).as("value"))
+      ctx.grid.join(one, Seq("step_ms"), "left")
+        .withColumn("value", coalesce(col("value"), lit(Double.NaN)))
     case "time" => ctx.grid.withColumn("value", col("step_ms") / 1000.0)
     // calendar functions: input vector carries epoch-seconds values
     // (defaulting to vector(time())), output the UTC component
@@ -501,8 +505,32 @@ object Compiler {
         case "days_in_month" => dayofmonth(last_day(t))
       }
       dropName(v.withColumn("value", out.cast("double")))
-    case "timestamp" =>
-      dropName(compile(args.head, ctx).withColumn("value", col("step_ms") / 1000.0))
+    case "timestamp" => args.head match {
+      // plain selector: the value is the selected SAMPLE's own timestamp —
+      // a sample 30 s stale under lookback yields t−30, not t (Prometheus
+      // funcTimestamp over the lookback-selected point)
+      case Selector(name, matchers, None, offsetMs, at) =>
+        val ms = name.map(n => MatchEq("__name__", n) +: matchers).getOrElse(matchers)
+        def withTs(s: Long, e: Long) =
+          Eval.rangeVectors(ctx.samples, ms, s, e, ctx.stepMs, ctx.lookbackMs,
+              keepTs = true)
+            .drop("series_hash")
+            .withColumn("value", col("__graft_sample_ts") / 1000.0)
+            .drop("__graft_sample_ts")
+        val out = at match {
+          case Some(spec) =>
+            val t = resolveAt(spec, ctx) - offsetMs
+            ctx.grid.crossJoin(withTs(t, t).drop("step_ms"))
+          case None =>
+            val df = withTs(ctx.startMs - offsetMs, ctx.endMs - offsetMs)
+            if (offsetMs == 0) df
+            else df.withColumn("step_ms", col("step_ms") + offsetMs)
+        }
+        dropName(out)
+      // computed vectors: their samples are synthesized at the eval step
+      case other =>
+        dropName(compile(other, ctx).withColumn("value", col("step_ms") / 1000.0))
+    }
     case other => throw new ParseException(s"unsupported function '$other'")
   }
 

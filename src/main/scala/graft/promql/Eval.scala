@@ -81,7 +81,8 @@ object Eval {
     * least one sample in its lookback window. */
   def rangeVectors(samples: DataFrame, matchers: Seq[LabelMatcher],
                    startMs: Long, endMs: Long, stepMs: Long,
-                   lookbackMs: Long = DefaultLookbackMs): DataFrame = {
+                   lookbackMs: Long = DefaultLookbackMs,
+                   keepTs: Boolean = false): DataFrame = {
     val nSteps = (endMs - startMs) / stepMs // max k
     val base = samples.filter(
       timeBound(samples, startMs - lookbackMs + 1, endMs) &&
@@ -94,7 +95,9 @@ object Eval {
         .otherwise(array().cast("array<long>"))))
       .withColumn("step_ms", lit(startMs) + col("__graft_k") * stepMs)
       .groupBy(col("series_hash") +: col("step_ms") +: labelColsOf(samples): _*)
-      .agg(max_by(col("value"), col("ts_ms")).as("value"))
+      .agg(max_by(col("value"), col("ts_ms")).as("value"),
+        // timestamp() needs the selected sample's own time, not the step's
+        (if (keepTs) Seq(max(col("ts_ms")).as("__graft_sample_ts")) else Nil): _*)
       .filter(!graft.functions.IsStale(col("value"))) // stale at step ⇒ absent
   }
 }

@@ -545,6 +545,14 @@ object Tsdb {
           "FROM f ORDER BY uid, step_ms"
       }),
 
+    Q("promql_timestamp",  // sample's own time, not the eval step's
+      t => Compiler.compile(Parser.parse("""timestamp({__name__="purchase"})"""),
+          Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+        .select(col("uid"), col("value")).orderBy(col("uid")),
+      Some(s"WITH $S_CTE, ${vCte()} SELECT uid, " +
+        "CAST(ts_ms AS DOUBLE) / 1000.0e0 AS value FROM v " +
+        "WHERE __name__ = 'purchase' ORDER BY uid")),
+
     // ------------------------------------------------------------------ T-ops
     // sessionization: the batch/window form of stateful stream grouping
     // (mapGroupsWithState analog, but shuffle-once and restart-free)

@@ -105,6 +105,16 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 100s sum by (n_samples) (adv)
       |  {n_samples="x"} 100
+      |
+      |eval instant at 105s timestamp(metric)
+      |  {a="foo", pod="nginx-1"} 100
+      |  {b="bar", pod="nginx-2"} 100
+      |
+      |eval instant at 100s scalar(metric{pod="nginx-1"})
+      |  {} 21
+      |
+      |eval instant at 100s scalar(metric)
+      |  {} NaN
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -192,7 +202,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals) = parseCorpus(corpus)
-    assert(loaded.size == 6 && evals.size == 25)
+    assert(loaded.size == 6 && evals.size == 28)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
