@@ -711,7 +711,24 @@ object Compiler {
           (keepL.filterNot(on.contains)).map(col) :+ col("value")): _*)
         val r2 = rhs.select((on.map(col) ++
           (keepR.filterNot(on.contains)).map(col) :+ col("value").as("rvalue")): _*)
-        val (joined0, la, _) = nullSafeJoin(l2, r2, on, "inner")
+        // group_left requires the rhs (the "one" side) be UNIQUE per match
+        // group — group_right symmetrically for the lhs. A many-to-many match
+        // must error, not silently multiply rows (promql-engine raises
+        // "matching labels must be unique on one side"; SURVEY §2.3 J3). The
+        // count window shuffles on the same keys the join hashes on, so the
+        // exchange is reused, not added.
+        def uniqueGuard(df: DataFrame, valueCol: String): DataFrame = {
+          val w = Window.partitionBy(on.map(col): _*)
+          df.withColumn("__graft_card", count(lit(1)).over(w))
+            .withColumn(valueCol, when(col("__graft_card") > 1,
+                raise_error(lit("many-to-many matching not allowed: " +
+                  "matching labels must be unique on one side")))
+              .otherwise(col(valueCol)))
+            .drop("__graft_card")
+        }
+        val l2g = if (gr) uniqueGuard(l2, "value") else l2
+        val r2g = if (gl) uniqueGuard(r2, "rvalue") else r2
+        val (joined0, la, _) = nullSafeJoin(l2g, r2g, on, "inner")
         // project the lhs copy of the key columns (they are <=>-equal)
         val keyCols = on.map(c => la(c).as(c))
         val extraCols = (keepL ++ keepR).filterNot(on.contains).distinct.map(col)

@@ -409,6 +409,30 @@ class PromqlSpec extends SparkSpec {
           include = Seq("t1", "t2"))), bool = false))
   }
 
+  test("group_left errors on a many-to-many match (duplicate one side)") {
+    val t = 5000L
+    // two `info` series share uid=1 → rhs not unique per on(uid) group
+    val df = Seq(
+        ("m", "1", Some("a"), t, 10.0, 1L),
+        ("info", "1", Some("gold"), t, 1.0, 3L),
+        ("info", "1", Some("silver"), t, 2.0, 4L))
+      .toDF("__name__", "uid", "tier", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid", $"tier"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    val bad = Compiler.compile(Parser.parse(
+      """{__name__="m"} * on(uid) group_left {__name__="info"}"""), ctx)
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("many-to-many")))
+    // …while a genuine 1:N match (distinct uids) still answers
+    val ok = Compiler.compile(Parser.parse(
+      """{__name__="m"} * on(uid) group_left(tier) {__name__="info", tier="gold"}"""), ctx)
+      .select($"uid", $"tier", $"value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(ok == Set(("1", "gold", 10.0)))
+  }
+
   test("limitk / limit_ratio: deterministic hash-based series sampling") {
     val all = eval("""{uid!=""}""").count()
     assert(eval("""limitk(3, {uid!=""})""").count() == math.min(3L, all))
