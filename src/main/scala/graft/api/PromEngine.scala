@@ -52,9 +52,8 @@ final class PromEngine(samples: DataFrame,
   def series(matchSets: Seq[Seq[LabelMatcher]], mintMs: Long, maxtMs: Long,
              limit: Int = 0): (Seq[Map[String, String]], Boolean) = {
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
-    val selected = matchSets
-      .map(ms => Eval.select(samples, ms, mintMs, maxtMs).select(lbls.map(col): _*))
-      .reduce(_ unionByName _)
+    val selected = Eval.selectUnion(samples, matchSets, mintMs, maxtMs)
+      .select(lbls.map(col): _*)
       .distinct().orderBy(lbls.map(col): _*)
     val rows = (if (limit > 0) selected.limit(limit + 1) else selected).collect().toSeq
     val truncated = limit > 0 && rows.size > limit

@@ -58,6 +58,15 @@ object Eval {
     samples.filter(timeBound(samples, mintMs, maxtMs) &&
       Matchers.compile(samples, matchers))
 
+  /** `match[]`: union of matcher sets in ONE scan — the OR of the per-set
+    * predicates. The reference unions row ranges inside a single scan
+    * (`db/db.go:385-409`); a union of two selects would scan twice and pay a
+    * global dedup shuffle for rows the OR-predicate dedups for free. */
+  def selectUnion(samples: DataFrame, matchSets: Seq[Seq[LabelMatcher]],
+                  mintMs: Long, maxtMs: Long): DataFrame =
+    samples.filter(timeBound(samples, mintMs, maxtMs) &&
+      matchSets.map(ms => Matchers.compile(samples, ms)).reduce(_ || _))
+
   /** Instant vector: last sample per series in (t−lookback, t]. A series
     * whose most recent sample is the staleness marker is absent at t
     * (Prometheus lookback-delta semantics; an ordinary NaN is a value). */

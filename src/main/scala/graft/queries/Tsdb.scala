@@ -282,14 +282,12 @@ object Tsdb {
         "ORDER BY __name__, uid")),
 
     // ------------------------------------------------------------------ U2/A1
-    Q("u2_union_matchsets",  // match[] = OR of matcher sets, dedup by sample id
-      t => {
-        val a = Eval.select(samples(t), Seq(MatchRe("__name__", "p.*")), T0, T0 + 31 * DAY)
-        val b = Eval.select(samples(t), Seq(MatchEq("uid", "3")), T0, T0 + 31 * DAY)
-        a.unionByName(b).dropDuplicates("sample_id")
-          .groupBy(col("__name__")).agg(count(lit(1)).as("n"))
-          .orderBy(col("__name__"))
-      },
+    Q("u2_union_matchsets",  // match[] = OR of matcher sets in ONE scan
+      t => Eval.selectUnion(samples(t),
+          Seq(Seq(MatchRe("__name__", "p.*")), Seq(MatchEq("uid", "3"))),
+          T0, T0 + 31 * DAY)
+        .groupBy(col("__name__")).agg(count(lit(1)).as("n"))
+        .orderBy(col("__name__")),
       Some(s"WITH $S_CTE SELECT __name__, count(*) AS n FROM s " +
         "WHERE regexp_full_match(__name__, 'p.*') OR uid = '3' " +
         "GROUP BY __name__ ORDER BY __name__")),

@@ -70,6 +70,11 @@ class PlanRuleSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$qn:\n${p.take(2000)}")
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$qn:\n${p.take(2000)}")
     }
+    // match[] union compiles to ONE scan with an OR predicate, not two scans
+    // + a dedup shuffle
+    val u2 = Registry.all.find(_.name == "u2_union_matchsets").get
+      .fn(spark, sf()).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllMatchIn(u2).size == 1, u2.take(2000))
     // projection pruning: a two-column query reads a two-column schema
     val scan = t.documents.select(col("doc_id"), length(col("text")).as("n"))
       .queryExecution.executedPlan.toString
