@@ -39,14 +39,36 @@ object Aggregations {
   def stddevAgg(c: Column): Column = Det.dstddevPop(c) // PromQL stddev is population
   def stdvarAgg(c: Column): Column = Det.dvarPop(c)
 
+  private val Salts = 32L
+
+  /** Per-group exact limit-k under an arbitrary total order, with a salted
+    * partial stage: rows are first cut to k per (group, salt) — `Salts`
+    * parallel window partitions — so the final exact window sees ≤ Salts·k
+    * rows per group instead of every series. This is the distributed analog
+    * of TakeOrderedAndProject's per-partition limit: a global `topk(5)` with
+    * no grouping would otherwise sort 10⁸ series in ONE window partition.
+    * `ordering` must be a total order (tie-broken) for exactness; `saltOn`
+    * must determine the row (any deterministic key columns). */
+  def limitByOrdering(vector: DataFrame, k: Int, grouping: Seq[Column],
+                      ordering: Seq[Column], saltOn: Seq[Column]): DataFrame = {
+    val salted = vector.withColumn("__graft_salt",
+      pmod(xxhash64((lit(0L) +: saltOn): _*), lit(Salts)))
+    val w1 = Window.partitionBy((grouping :+ col("__graft_salt")): _*)
+      .orderBy(ordering: _*)
+    val pre = salted.withColumn("__graft_prk", row_number().over(w1))
+      .filter(col("__graft_prk") <= k).drop("__graft_salt", "__graft_prk")
+    val w = Window.partitionBy(grouping: _*).orderBy(ordering: _*)
+    pre.withColumn("__graft_rk", row_number().over(w))
+      .filter(col("__graft_rk") <= k).drop("__graft_rk")
+  }
+
   /** topk(k, v) by group: keep the k series with largest value per group.
     * Deterministic tie-break on the full series key. */
   def topk(vector: DataFrame, k: Int, grouping: Seq[Column],
            tieBreak: Seq[Column], desc: Boolean = true): DataFrame = {
     val ordering = (if (desc) col("value").desc else col("value").asc) +:
       tieBreak.map(_.asc)
-    val w = Window.partitionBy(grouping: _*).orderBy(ordering: _*)
-    vector.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+    limitByOrdering(vector, k, grouping, ordering, tieBreak :+ col("value"))
   }
 
   def bottomk(vector: DataFrame, k: Int, grouping: Seq[Column],
@@ -55,23 +77,33 @@ object Aggregations {
 
   /** Exact linear-interpolation quantile (PromQL `quantile(φ, v)` semantics:
     * rank h = φ·(n−1), result = v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋)).
-    * Window arithmetic only — no sketch, no approximation; the per-group sort
-    * shuffles by group key and sorts within partitions. */
+    *
+    * Scale shape: duplicates are first compressed to per-(group, value)
+    * counts by an ordinary partial/final hash aggregation — the scalable
+    * stage that sees every row — and only DISTINCT values enter the rank
+    * window (each value owns the contiguous rank span [cum−cnt, cum−1]).
+    * No sketch, no approximation: same interpolated result bit-for-bit. */
   def quantile(vector: DataFrame, phi: Double, grouping: Seq[Column]): DataFrame = {
+    val counts = vector.groupBy((grouping :+ col("value")): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
     val w = Window.partitionBy(grouping: _*).orderBy(col("value"))
-    val ranked = vector
-      .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(grouping: _*)))
-    val h = lit(phi) * (col("n") - 1)
+    val ranked = counts
+      .withColumn("__graft_cum", sum(col("__graft_cnt")).over(w))
+      .withColumn("__graft_n", sum(col("__graft_cnt"))
+        .over(Window.partitionBy(grouping: _*)))
+    val h = lit(phi) * (col("__graft_n") - 1)
     val lo = floor(h).cast("long")
     ranked
-      .filter(col("rn") === lo || col("rn") === lo + 1)
+      // spans overlapping ranks {lo, lo+1}: at most two distinct values
+      .filter(col("__graft_cum") > lo && col("__graft_cum") - col("__graft_cnt") <= lo + 1)
       .groupBy(grouping: _*)
       .agg(
-        min_by(col("value"), col("rn")).as("v_lo"),
-        max_by(col("value"), col("rn")).as("v_hi"),
-        first(h - floor(h)).as("frac"))
+        min(when(col("__graft_cum") - col("__graft_cnt") <= lo, col("value"))).as("__graft_v_lo"),
+        max(when(col("__graft_cum") >= lo + 2, col("value"))).as("__graft_v_hi"),
+        first(h - floor(h)).as("__graft_frac"))
       .select((grouping :+
-        (col("v_lo") + col("frac") * (col("v_hi") - col("v_lo"))).as("value")): _*)
+        (col("__graft_v_lo") + col("__graft_frac") *
+          (coalesce(col("__graft_v_hi"), col("__graft_v_lo")) - col("__graft_v_lo")))
+          .as("value")): _*)
   }
 }

@@ -581,25 +581,14 @@ object Compiler {
       case "stdvar" => child.groupBy(grp: _*).agg(Det.dvarPop(col("value")).as("value"))
       case "topk" | "bottomk" =>
         val k = scalarOf(a.param.getOrElse(throw new ParseException("topk needs k"))).toInt
-        val ordering = (if (a.op == "topk") col("value").desc else col("value").asc) +:
-          lbls.sorted.map(col(_).asc)
-        val w = Window.partitionBy(grp: _*).orderBy(ordering: _*)
-        child.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+        // salted partial top-k below the exact window — without it, topk with
+        // no grouping sorts EVERY series of a step in one window partition
+        Aggregations.topk(child, k, grp, lbls.sorted.map(col),
+          desc = a.op == "topk")
       case "quantile" =>
         val phi = scalarOf(a.param.getOrElse(throw new ParseException("quantile needs φ")))
-        val w = Window.partitionBy(grp: _*).orderBy(col("value"))
-        val ranked = child
-          .withColumn("rn", row_number().over(w) - 1)
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
-        val h = lit(phi) * (col("n") - 1)
-        val lo = floor(h).cast("long")
-        ranked.filter(col("rn") === lo || col("rn") === lo + 1)
-          .groupBy(grp: _*)
-          .agg(min_by(col("value"), col("rn")).as("v_lo"),
-            max_by(col("value"), col("rn")).as("v_hi"),
-            first(h - floor(h)).as("frac"))
-          .select((grp :+
-            (col("v_lo") + col("frac") * (col("v_hi") - col("v_lo"))).as("value")): _*)
+        // hash-agg duplicate compression below the rank window (exact)
+        Aggregations.quantile(child, phi, grp)
       case "count_values" => // value string becomes a new label; count series
         val lbl = strOf(a.param.getOrElse(throw new ParseException("count_values needs a label")))
         child.groupBy((grp :+ col("value").cast("string").as(lbl)): _*)
@@ -610,9 +599,9 @@ object Compiler {
         // (Prometheus's limitk keeps engine arrival order — implementation-
         // defined; we pick by series-label hash so answers are stable)
         val k = scalarOf(a.param.getOrElse(throw new ParseException("limitk needs k"))).toInt
-        val w = Window.partitionBy(grp: _*)
-          .orderBy(xxhash64(lbls.sorted.map(col): _*).asc +: lbls.sorted.map(col(_).asc): _*)
-        child.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+        Aggregations.limitByOrdering(child, k, grp,
+          xxhash64(lbls.sorted.map(col): _*).asc +: lbls.sorted.map(col(_).asc),
+          lbls.sorted.map(col))
       case "limit_ratio" => // hash-based series sampling, Prometheus semantics:
         // r ≥ 0 keeps series with u < r; r < 0 keeps the complement (u ≥ 1+r),
         // where u is a per-series deterministic uniform from the label hash
