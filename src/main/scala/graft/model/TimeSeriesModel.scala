@@ -41,4 +41,33 @@ object TimeSeriesModel {
   /** Missing label ≡ NULL ≡ "" for matcher semantics
     * (ref `search/constraint.go:133-138,177-182`). */
   def labelValue(name: String): Column = coalesce(col(name), lit(""))
+
+  /** Replica-aware dedup (ref `search/materialize.go:75` drops the configured
+    * replica labels; `db/shard.go:253-268` then keeps the first series per
+    * mangled label-set hash and warns about the rest).
+    *
+    * Spark-first form: per mangled label set, the surviving replica is the
+    * lexicographically smallest replica-label tuple — a deterministic
+    * stand-in for the reference's arrival order (which is scan-order-defined
+    * there, so any stable choice is conformant). Dedup happens at SERIES
+    * grain: every sample of the winning replica is kept, duplicate series
+    * are dropped whole, like the reference's seen-hash skip. Output drops
+    * the replica columns and rehashes `series_hash` over the surviving
+    * label set. Plan shape: distinct + hash-agg on mangled labels (partial
+    * map-side), then a broadcast-friendly semi-join — no window over a
+    * global partition, safe at any series cardinality. */
+  def replicaDedup(samples: DataFrame, replicaLabels: Seq[String]): DataFrame = {
+    val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
+    val lblCols = samples.columns.filterNot(bookkeeping).toSeq
+    val keepLbls = lblCols.filterNot(replicaLabels.contains)
+    val winners = samples.select(lblCols.map(col): _*).distinct()
+      .groupBy(keepLbls.map(col): _*)
+      .agg(min(struct(replicaLabels.map(col): _*)).as("__graft_win"))
+    val keyEq = keepLbls.map(c => samples(c) <=> winners(c)).reduce(_ && _)
+    samples.join(winners,
+        keyEq && struct(replicaLabels.map(samples(_)): _*) === winners("__graft_win"),
+        "left_semi")
+      .drop(replicaLabels: _*)
+      .withColumn("series_hash", xxhash64(keepLbls.map(col): _*))
+  }
 }

@@ -302,6 +302,29 @@ object Tsdb {
       Some("SELECT (SELECT count(*) FROM (SELECT DISTINCT event_type, user_id, epoch_ms(ts) FROM events) a) AS n_samples, " +
         "(SELECT count(DISTINCT (event_type, user_id)) FROM events) AS n_series")),
 
+    // replica-label dedup (A2, ref db/shard.go:253-268): two synthetic HA
+    // replicas of the corpus — r1 missing uid=3, r2 complete but value-shifted
+    // — collapse to r1 where both exist (min replica wins) and r2 where only
+    // it has the series, at series grain, replica label dropped from output
+    Q("a2_replica_dedup",
+      t => {
+        val s = samples(t)
+        val r1 = s.filter(col("uid") =!= "3").withColumn("replica", lit("r1"))
+        val r2 = s.withColumn("value", col("value") + 1000.0e0)
+          .withColumn("replica", lit("r2"))
+        TimeSeriesModel.replicaDedup(r1.unionByName(r2), Seq("replica"))
+          .groupBy(col("__name__"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("__name__"))
+      },
+      Some(s"WITH $S_CTE, " +
+        "b AS (SELECT __name__, uid, value, 'r1' AS replica FROM s WHERE uid <> '3' " +
+        "UNION ALL SELECT __name__, uid, value + 1000.0e0, 'r2' FROM s), " +
+        "w AS (SELECT __name__, uid, min(replica) AS win FROM b GROUP BY 1, 2) " +
+        s"SELECT b.__name__, count(*) AS n, $DSUM AS sum_v " +
+        "FROM b JOIN w ON b.__name__ = w.__name__ AND b.uid = w.uid AND b.replica = w.win " +
+        "GROUP BY b.__name__ ORDER BY b.__name__")),
+
     // ------------------------------------------------------------------ A3/A4
     Q("a3_label_values",
       t => Eval.select(samples(t), Seq(MatchEq("__name__", "purchase")), T0, T0 + 31 * DAY)
