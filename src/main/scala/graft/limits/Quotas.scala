@@ -15,10 +15,21 @@ import org.apache.spark.sql.DataFrame
 final class QuotaExceededException(msg: String) extends RuntimeException(msg)
 
 final case class Quotas(maxRows: Option[Long] = None,
-                        maxPartitions: Option[Int] = None) {
+                        maxPartitions: Option[Int] = None,
+                        maxBytes: Option[Long] = None) {
 
   /** Pre-flight guard; returns the DataFrame unchanged when within quota. */
   def guard(df: DataFrame): DataFrame = {
+    // byte ceiling (ref CHUNK_BYTES_QUOTA, internal/limits/limit.go:27-64):
+    // the reference charges chunk bytes as it materializes; Catalyst has no
+    // mid-scan hook, so the charge is the optimizer's post-pruning scan-size
+    // estimate — partition-pruned file bytes, the same quantity the
+    // reference's quota bounds, known before any task launches
+    maxBytes.foreach { mb =>
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes > BigInt(mb))
+        throw new QuotaExceededException(s"scan reads ~$bytes bytes > quota $mb")
+    }
     maxPartitions.foreach { mp =>
       val parts = df.rdd.getNumPartitions
       if (parts > mp)

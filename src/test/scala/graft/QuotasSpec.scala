@@ -12,6 +12,17 @@ class QuotasSpec extends SparkSpec {
     assert(Quotas().guard(ev).count() == ev.count()) // unlimited default
   }
 
+  test("byte quota trips on the planned scan size, passes generous ceilings") {
+    val ev = Tables(spark, sf()).events
+    assertThrows[QuotaExceededException](Quotas(maxBytes = Some(16L)).guard(ev))
+    assert(Quotas(maxBytes = Some(1L << 40)).guard(ev).count() == ev.count())
+    // column pruning shrinks the charged estimate: a one-column projection
+    // must charge fewer bytes than the full-width scan
+    val full = ev.queryExecution.optimizedPlan.stats.sizeInBytes
+    val slim = ev.select(ev("event_id")).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(slim < full)
+  }
+
   test("query gate bounds concurrency and times out when saturated") {
     val gate = new QueryGate(maxConcurrent = 1)
     val r = gate.run()(42)
