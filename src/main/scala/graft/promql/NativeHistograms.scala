@@ -1,0 +1,248 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prometheus native (exponential/sparse) histograms as a first-class column
+  * type.
+  *
+  * The reference streams native-histogram chunks through unchanged
+  * (api/grpc/thanos.go:462-473 maps chunkenc.EncHistogram /
+  * EncFloatHistogram to store-API chunk encodings) and gets the
+  * histogram_* PromQL functions from the vendored Prometheus v3 engine
+  * (promql/quantile.go). Here the same sample type is a Spark struct
+  * column — sparse index→count bucket arrays with the standard exponential
+  * mapping — and the functions are Catalyst column expressions built from
+  * higher-order array functions (no UDFs), so they stay inside codegen'd
+  * projections and distribute trivially.
+  *
+  * Model (mirrors prometheus/model/histogram.FloatHistogram, flattened):
+  * {{{
+  *   h: struct<
+  *     cnt:  double,                          // total observation count
+  *     hsum: double,                          // sum of observations
+  *     sch:  int,                             // resolution schema; base = 2^(2^-sch)
+  *     zthr: double,                          // zero-bucket threshold
+  *     zcnt: double,                          // zero-bucket count
+  *     pos:  array<struct<idx:int,c:double>>, // sorted asc by idx; bucket idx
+  *                                            //   covers (base^(idx-1), base^idx]
+  *     neg:  array<struct<idx:int,c:double>>  // sorted asc by idx; bucket idx
+  *                                            //   covers [-base^idx, -base^(idx-1))
+  *   >
+  * }}}
+  *
+  * Quantile/fraction semantics follow Prometheus v3 (the version the
+  * reference vendors, go.mod: prometheus v0.306.0): exponential
+  * interpolation inside exponential buckets, linear interpolation inside
+  * the zero bucket, zero-bucket bounds clamped to the observed sign range
+  * (promql/quantile.go histogramQuantile/histogramFraction).
+  */
+object NativeHistograms {
+
+  /** Bucket growth exponent: log2(base) = 2^-sch. Exact for |sch| ≤ 10. */
+  private def w(h: Column): Column = pow(lit(2.0), -h.getField("sch").cast("double"))
+
+  def hCount(h: Column): Column = h.getField("cnt")
+  def hSum(h: Column): Column   = h.getField("hsum")
+  def hAvg(h: Column): Column   = h.getField("hsum") / h.getField("cnt")
+  def nBuckets(h: Column): Column = size(h.getField("pos")) + size(h.getField("neg"))
+
+  private def totalOf(buckets: Column): Column =
+    aggregate(buckets, lit(0.0), (a, x) => a + x.getField("c"))
+
+  private def sumArr(doubles: Column): Column =
+    aggregate(doubles, lit(0.0), (a, x) => a + x)
+
+  /** First bucket (walking `buckets` in array order) whose running count
+    * reaches `target`, as struct(idx, c, cum); falls back to the last bucket
+    * when fp drift pushes `target` past the final cumulative. Running counts
+    * are exact (integer-valued doubles), so the O(n²) slice-sum over ≤64
+    * buckets is both cheap and order-stable. */
+  private def crossing(buckets: Column, target: Column): Column = {
+    val cums = transform(buckets, (_, i) =>
+      aggregate(slice(buckets, lit(1), i + 1), lit(0.0), (a, y) => a + y.getField("c")))
+    val z = zip_with(buckets, cums, (b, cum) =>
+      struct(b.getField("idx").as("idx"), b.getField("c").as("c"), cum.as("cum")))
+    val hit = element_at(filter(z, e => e.getField("cum") >= target), 1)
+    coalesce(hit, element_at(z, -1))
+  }
+
+  /** Zero-bucket bounds, clamped to the observed sign range like
+    * promql/quantile.go: [-zthr, zthr], but 0 replaces the side that has no
+    * exponential buckets. */
+  private def zeroBounds(h: Column): (Column, Column) = {
+    val zthr = h.getField("zthr")
+    val lower = when(size(h.getField("neg")) === 0 && size(h.getField("pos")) > 0, lit(0.0))
+      .otherwise(-zthr)
+    val upper = when(size(h.getField("pos")) === 0 && size(h.getField("neg")) > 0, lit(0.0))
+      .otherwise(zthr)
+    (lower, upper)
+  }
+
+  /** histogram_quantile(φ, h) for native histograms.
+    * Walks buckets in value order (most-negative → zero → positive), finds
+    * the bucket holding rank φ·count, then interpolates: exponentially
+    * inside exponential buckets (value = 2^(w·(idx−1+f)) on the positive
+    * side, mirrored on the negative side), linearly inside the zero bucket. */
+  def quantile(phi: Column, h: Column): Column = {
+    val cnt  = h.getField("cnt")
+    val zcnt = h.getField("zcnt")
+    val pos  = h.getField("pos")
+    val neg  = h.getField("neg")
+    val ww   = w(h)
+    val negTot = totalOf(neg)
+    val rank   = phi * cnt
+
+    // negative region: walk from the most negative bucket (= reversed array)
+    val negHit = crossing(reverse(neg), rank)
+    val fNeg = (rank - (negHit.getField("cum") - negHit.getField("c"))) / negHit.getField("c")
+    val qNeg = -pow(lit(2.0), (negHit.getField("idx").cast("double") - fNeg) * ww)
+
+    // zero bucket: linear between the clamped bounds
+    val (zLo, zUp) = zeroBounds(h)
+    val f0 = (rank - negTot) / zcnt
+    val q0 = zLo + (zUp - zLo) * f0
+
+    // positive region
+    val target = rank - negTot - zcnt
+    val posHit = crossing(pos, target)
+    val fPos = (target - (posHit.getField("cum") - posHit.getField("c"))) / posHit.getField("c")
+    val qPos = pow(lit(2.0), (posHit.getField("idx").cast("double") - 1.0 + fPos) * ww)
+
+    when(isnan(phi) || cnt === 0.0, lit(Double.NaN))
+      .when(phi < 0.0, lit(Double.NegativeInfinity))
+      .when(phi > 1.0, lit(Double.PositiveInfinity))
+      .when(rank <= negTot && size(neg) > 0, qNeg)
+      .when(rank <= negTot + zcnt && zcnt > 0.0, q0)
+      .otherwise(qPos)
+  }
+
+  /** Estimated number of observations ≤ v (the inverse of quantile —
+    * promql/quantile.go histogramFraction's rank walk). `logAbs` must be
+    * log2(|v|), passed in so callers can supply an exactly shared constant
+    * (the oracle SQL inlines the same JVM-computed literal).
+    *
+    * Determinism note: full buckets contribute integer-valued doubles
+    * (order-free exact sum); at most ONE bucket straddles v and contributes
+    * a fractional term, added after the integer sums — so the result is a
+    * fixed sequence of fp ops, reproducible across engines. */
+  private def rankAt(v: Column, logAbs: Column, h: Column): Column = {
+    val zcnt = h.getField("zcnt")
+    val pos  = h.getField("pos")
+    val neg  = h.getField("neg")
+    val ww   = w(h)
+    val negTot = totalOf(neg)
+    val (zLo, zUp) = zeroBounds(h)
+
+    // v in the negative exponential range: bucket idx covers
+    // |v| ∈ (2^((idx-1)w), 2^(idx·w)]; rank grows from the deep end.
+    val negFull = totalOf(filter(neg, b => b.getField("idx").cast("double") * ww <= logAbs))
+    val negStraddle = sumArr(transform(
+      filter(neg, b => b.getField("idx").cast("double") * ww > logAbs &&
+        (b.getField("idx").cast("double") - 1.0) * ww < logAbs),
+      b => b.getField("c") * (logAbs - (b.getField("idx").cast("double") - 1.0) * ww) / ww))
+    // full buckets ≥ v (negFull, |obs| ≤ |v|) and the straddler's above-v
+    // part both excluded from the ≤-v count
+    val rankNeg = (negTot - negFull) - negStraddle
+
+    // v inside the zero bucket: linear
+    val rankZero = negTot + zcnt * ((v - zLo) / (zUp - zLo))
+
+    // v in the positive range
+    val posFull = totalOf(filter(pos, b => b.getField("idx").cast("double") * ww <= logAbs))
+    val posStraddle = sumArr(transform(
+      filter(pos, b => b.getField("idx").cast("double") * ww > logAbs &&
+        (b.getField("idx").cast("double") - 1.0) * ww < logAbs),
+      b => b.getField("c") * (logAbs - (b.getField("idx").cast("double") - 1.0) * ww) / ww))
+    val rankPos = negTot + zcnt + posFull + posStraddle
+
+    when(v < zLo, rankNeg)
+      .when(v < zUp, when(zUp > zLo, rankZero).otherwise(when(v >= 0.0, negTot + zcnt).otherwise(negTot)))
+      .otherwise(rankPos)
+  }
+
+  /** histogram_fraction(lo, hi, h): estimated fraction of observations in
+    * [lo, hi]. Literal-bounds overload: log2 constants are computed once on
+    * the JVM so oracle SQL can inline the identical literals. */
+  def fraction(lo: Double, hi: Double, h: Column): Column =
+    fractionWithLogs(lit(lo), lit(log2c(lo)), lit(hi), lit(log2c(hi)), h)
+
+  /** log2(|v|) as the JVM computes it; exposed so query oracles can embed
+    * the very same constant. */
+  def log2c(v: Double): Double = math.log(math.abs(v)) / math.log(2.0)
+
+  def fractionWithLogs(lo: Column, logLo: Column, hi: Column, logHi: Column, h: Column): Column = {
+    val cnt = h.getField("cnt")
+    when(isnan(lo) || isnan(hi) || cnt === 0.0, lit(Double.NaN))
+      .when(lo >= hi, lit(0.0))
+      .otherwise(greatest(lit(0.0), least(lit(1.0),
+        (rankAt(hi, logHi, h) - rankAt(lo, logLo, h)) / cnt)))
+  }
+
+  /** Build per-group native histograms from non-negative integer
+    * observations (`obsUnits`, e.g. cents), schema 0 (base-2 buckets).
+    * Integer-domain throughout — bucket index is the bit length of obs−1
+    * (obs ∈ (2^(i−1), 2^i] ⇔ i = bitlen(obs−1)), counts and sums are exact
+    * longs — so any engine derives the identical histogram. The single
+    * closing division by `unitScale` is the only fp op.
+    *
+    * This is the ingest-side shape a 100 TB corpus needs: one hash
+    * aggregation at (group, idx) grain, one at group grain — no sort, no
+    * per-row state. */
+  def fromObservations(df: DataFrame, keyCols: Seq[String], obsUnits: Column,
+                       unitScale: Double, zthr: Double = 0.001953125): DataFrame = {
+    val key = keyCols.map(col)
+    val base = df.select(key :+ obsUnits.cast("long").as("__graft_obs"): _*)
+    val idx = when(col("__graft_obs") === 1L, 0)
+      .otherwise(length(conv((col("__graft_obs") - 1L).cast("string"), 10, 2)))
+      .cast("int")
+    val posm = base.filter(col("__graft_obs") > 0L)
+      .groupBy(key :+ idx.as("__graft_idx"): _*)
+      .agg(count(lit(1)).cast("double").as("__graft_c"))
+      .groupBy(key: _*)
+      .agg(sort_array(collect_list(struct(
+        col("__graft_idx").as("idx"), col("__graft_c").as("c")))).as("pos"))
+    val scal = base.groupBy(key: _*).agg(
+      count(lit(1)).cast("double").as("cnt"),
+      sum(col("__graft_obs")).as("__graft_usum"),
+      sum(when(col("__graft_obs") === 0L, 1L).otherwise(0L)).cast("double").as("zcnt"))
+    scal.join(posm, keyCols, "left")
+      .select(key :+ struct(
+        col("cnt"),
+        (col("__graft_usum").cast("double") / unitScale).as("hsum"),
+        lit(0).as("sch"),
+        lit(zthr).as("zthr"),
+        col("zcnt"),
+        coalesce(col("pos"), array().cast("array<struct<idx:int,c:double>>")).as("pos"),
+        array().cast("array<struct<idx:int,c:double>>").as("neg")).as("h"): _*)
+  }
+
+  /** Bucket-wise histogram sum across rows of a group (the `sum()` PromQL
+    * aggregation over histogram-typed series, FloatHistogram.Add). Schemas
+    * must match (callers built via fromObservations always do); zthr merges
+    * by max. Three hash aggregations at group/(group,idx) grain — the
+    * natural scale-safe merge shape. */
+  def merge(df: DataFrame, keyCols: Seq[String], hCol: String = "h"): DataFrame = {
+    val key = keyCols.map(col)
+    def side(field: String): DataFrame =
+      df.select(key :+ explode(col(s"$hCol.$field")).as("b"): _*)
+        .groupBy(key :+ col("b.idx").as("__graft_idx"): _*)
+        .agg(sum(col("b.c")).as("__graft_c"))
+        .groupBy(key: _*)
+        .agg(sort_array(collect_list(struct(
+          col("__graft_idx").as("idx"), col("__graft_c").as("c")))).as(field))
+    val scal = df.groupBy(key: _*).agg(
+      sum(col(s"$hCol.cnt")).as("cnt"),
+      sum(col(s"$hCol.hsum")).as("hsum"),
+      min(col(s"$hCol.sch")).as("sch"),
+      max(col(s"$hCol.zthr")).as("zthr"),
+      sum(col(s"$hCol.zcnt")).as("zcnt"))
+    val empty = array().cast("array<struct<idx:int,c:double>>")
+    scal.join(side("pos"), keyCols, "left").join(side("neg"), keyCols, "left")
+      .select(key :+ struct(
+        col("cnt"), col("hsum"), col("sch"), col("zthr"), col("zcnt"),
+        coalesce(col("pos"), empty).as("pos"),
+        coalesce(col("neg"), empty).as("neg")).as(hCol): _*)
+  }
+
+}
