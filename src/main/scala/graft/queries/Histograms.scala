@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.promql.NativeHistograms
+import graft.sources.Tables
+
+/** Native-histogram operator demonstrations with DuckDB oracles.
+  *
+  * The fixture is derived deterministically from `events`: per
+  * (event_type, hour) the `value` observations (as exact integer cents)
+  * are bucketed into a schema-0 native histogram. Both engines build the
+  * histogram in pure integer arithmetic (bucket index = bit length of
+  * obs−1), so the only floating-point steps are the final interpolation —
+  * whose constants (log2 bounds) are computed once on the JVM and inlined
+  * into the oracle SQL, and whose `pow` results are rounded to 6 dp on
+  * both sides (pow is the one op that differs by 1 ulp across engines).
+  *
+  * Reference surface: histogram-typed samples and the histogram_* function
+  * family the reference gets from its vendored Prometheus v3 engine
+  * (api/grpc/thanos.go:462-473 chunk encodings; promql/quantile.go).
+  */
+object Histograms {
+  private val T0   = 1704067200000L // 2024-01-01T00:00:00Z
+  private val HOUR = 3600L * 1000
+  private val ZTHR = 0.001953125 // 2^-9, exactly representable
+
+  /** Inline a double into oracle SQL as a DOUBLE literal. DuckDB parses bare
+    * decimal literals as DECIMAL and then does exact decimal arithmetic —
+    * diverging from IEEE doubles by ulps — so force e-notation. */
+  private def dbl(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** Per-(series, hour) native histograms from integer-cent observations. */
+  private def obsHists(t: Tables): DataFrame = {
+    val tsMs = unix_millis(col("ts"))
+    val e = t.events.select(
+      col("event_type").as("__name__"),
+      (tsMs - pmod(tsMs, lit(HOUR))).as("hr"),
+      round(col("value") * 100.0).cast("long").as("obs"))
+    NativeHistograms.fromObservations(e, Seq("__name__", "hr"), col("obs"), 100.0, ZTHR)
+  }
+
+  /** Oracle-side mirror of obsHists: o = observations, pb = positive
+    * buckets, hs = per-group scalars. Same integer-only derivation. */
+  private val HB_CTE =
+    "o AS (SELECT event_type AS __name__, (epoch_ms(ts) // 3600000) * 3600000 AS hr, " +
+      "CAST(round(value * 100) AS BIGINT) AS obs FROM events), " +
+    "pb AS (SELECT __name__, hr, CASE WHEN obs = 1 THEN 0 ELSE length(printf('%b', obs - 1)) END AS idx, " +
+      "count(*) AS c FROM o WHERE obs > 0 GROUP BY 1, 2, 3), " +
+    "hs AS (SELECT __name__, hr, count(*) AS cnt, sum(obs) AS usum, " +
+      "count(*) FILTER (WHERE obs = 0) AS zcnt FROM o GROUP BY 1, 2)"
+
+  /** SQL for the quantile crossing over cumulative bucket counts, shared by
+    * the quantile-shaped oracles. Expects CTEs `r` (grain + phi + rank +
+    * zcnt + nb = #pos buckets) and `cum` (buckets + running count) with
+    * matching grain columns. Zero-bucket branch mirrors
+    * NativeHistograms.zeroBounds: lower clamps to 0 when positive buckets
+    * exist (no negatives ever occur in this fixture). */
+  private def crossingSql(grain: Seq[String]): String = {
+    val on = grain.map(g => s"c.$g = r.$g").mkString(" AND ")
+    val rg = grain.map(g => s"r.$g").mkString(", ")
+    s"zr AS (SELECT $rg, r.phi, CASE WHEN r.nb > 0 THEN ${dbl(ZTHR)} * (r.rank / r.zcnt) " +
+      s"ELSE -${dbl(ZTHR)} + (2 * ${dbl(ZTHR)}) * (r.rank / r.zcnt) END AS q " +
+      "FROM r WHERE r.rank <= r.zcnt AND r.zcnt > 0), " +
+    s"xr AS (SELECT $rg, r.phi, pow(2.0, c.idx - 1 + (r.rank - r.zcnt - (c.cum - c.c)) / c.c) AS q " +
+      s"FROM r JOIN cum c ON $on AND c.cum >= r.rank - r.zcnt AND c.cum - c.c < r.rank - r.zcnt " +
+      "WHERE r.rank > r.zcnt), " +
+    "qq AS (SELECT * FROM zr UNION ALL SELECT * FROM xr)"
+  }
+
+  def entries: Seq[Q] = Seq(
+
+    // histogram construction + histogram_count/sum scalars
+    Q("nh_stats",
+      t => obsHists(t).select(
+        col("__name__"), col("hr"),
+        NativeHistograms.hCount(col("h")).cast("long").as("cnt"),
+        NativeHistograms.hSum(col("h")).as("hsum"),
+        col("h.zcnt").cast("long").as("zcnt"),
+        size(col("h.pos")).cast("long").as("nbuckets"))
+        .orderBy(col("__name__"), col("hr")),
+      Some(s"WITH $HB_CTE, nb AS (SELECT __name__, hr, count(*) AS nb FROM pb GROUP BY 1, 2) " +
+        "SELECT hs.__name__, hs.hr, hs.cnt, CAST(hs.usum AS DOUBLE) / 100.0 AS hsum, hs.zcnt, " +
+        "COALESCE(nb.nb, 0) AS nbuckets FROM hs LEFT JOIN nb USING (__name__, hr) " +
+        "ORDER BY __name__, hr")),
+
+    // histogram_quantile over native buckets at three φ
+    Q("nh_quantile",
+      t => obsHists(t)
+        .select(col("__name__"), col("hr"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("phi"), col("h"))
+        .select(col("__name__"), col("hr"), col("phi"),
+          round(NativeHistograms.quantile(col("phi"), col("h")), 6).as("q"))
+        .orderBy(col("__name__"), col("hr"), col("phi")),
+      Some(s"WITH $HB_CTE, " +
+        "nb AS (SELECT __name__, hr, count(*) AS nb FROM pb GROUP BY 1, 2), " +
+        "ph AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS phi), " +
+        "r AS (SELECT hs.__name__, hs.hr, ph.phi, ph.phi * hs.cnt AS rank, hs.zcnt, " +
+        "COALESCE(nb.nb, 0) AS nb FROM hs LEFT JOIN nb USING (__name__, hr) CROSS JOIN ph), " +
+        "cum AS (SELECT __name__, hr, idx, c, sum(c) OVER (PARTITION BY __name__, hr ORDER BY idx) AS cum FROM pb), " +
+        crossingSql(Seq("__name__", "hr")) +
+        " SELECT __name__, hr, phi, round(q, 6) AS q FROM qq ORDER BY __name__, hr, phi")),
+
+    // histogram_fraction between two straddling bounds — pure fp-identical
+    // arithmetic (log2 constants inlined, no runtime pow), so no rounding
+    Q("nh_fraction", {
+      val lo = 3.0; val hi = 100.0
+      t => obsHists(t).select(
+        col("__name__"), col("hr"),
+        NativeHistograms.fraction(lo, hi, col("h")).as("frac"))
+        .orderBy(col("__name__"), col("hr"))
+    },
+      Some {
+        val lo = 3.0; val hi = 100.0
+        val lLo = NativeHistograms.log2c(lo); val lHi = NativeHistograms.log2c(hi)
+        def rank(l: Double): String =
+          s"(CAST(hs.zcnt AS DOUBLE) + COALESCE((SELECT sum(c) FROM pb WHERE pb.__name__ = hs.__name__ AND pb.hr = hs.hr AND pb.idx <= ${dbl(l)}), 0) " +
+          s"+ COALESCE((SELECT max(c * (${dbl(l)} - (idx - 1))) FROM pb WHERE pb.__name__ = hs.__name__ AND pb.hr = hs.hr AND pb.idx > ${dbl(l)} AND pb.idx - 1 < ${dbl(l)}), 0.0e0))"
+        s"WITH $HB_CTE SELECT hs.__name__, hs.hr, " +
+        s"GREATEST(0.0e0, LEAST(1.0e0, (${rank(lHi)} - ${rank(lLo)}) / hs.cnt)) AS frac " +
+        "FROM hs ORDER BY __name__, hr"
+      }),
+
+    // bucket-wise histogram sum across hours (the PromQL sum() over
+    // histogram series), then quantile of the merged histogram
+    Q("nh_sum_merge",
+      t => {
+        val merged = NativeHistograms.merge(obsHists(t), Seq("__name__"))
+        merged.select(
+          col("__name__"),
+          NativeHistograms.hCount(col("h")).cast("long").as("cnt"),
+          round(NativeHistograms.hSum(col("h")), 6).as("hsum"),
+          col("h.zcnt").cast("long").as("zcnt"),
+          round(NativeHistograms.quantile(lit(0.9), col("h")), 6).as("q90"))
+          .orderBy(col("__name__"))
+      },
+      Some(s"WITH $HB_CTE, " +
+        "mb AS (SELECT __name__, idx, sum(c) AS c FROM pb GROUP BY 1, 2), " +
+        "mh AS (SELECT __name__, count(*) AS cnt, sum(obs) AS usum, " +
+        "count(*) FILTER (WHERE obs = 0) AS zcnt FROM o GROUP BY 1), " +
+        "nb AS (SELECT __name__, count(*) AS nb FROM mb GROUP BY 1), " +
+        "r AS (SELECT mh.__name__, 0.9e0 AS phi, 0.9e0 * mh.cnt AS rank, mh.zcnt, " +
+        "COALESCE(nb.nb, 0) AS nb FROM mh LEFT JOIN nb USING (__name__)), " +
+        "cum AS (SELECT __name__, idx, c, sum(c) OVER (PARTITION BY __name__ ORDER BY idx) AS cum FROM mb), " +
+        crossingSql(Seq("__name__")) +
+        " SELECT mh.__name__, mh.cnt, round(CAST(mh.usum AS DOUBLE) / 100.0, 6) AS hsum, mh.zcnt, " +
+        "round(qq.q, 6) AS q90 FROM mh JOIN qq USING (__name__) ORDER BY __name__")),
+
+    // as-of selection over histogram-typed series (J4 lookback analogue):
+    // latest histogram sample per series within the lookback window
+    Q("nh_instant", {
+      val ti = T0 + 15 * 24 * HOUR + 37 * 60 * 1000L
+      val lb = 3 * HOUR
+      t => {
+        val h = obsHists(t).filter(col("hr") <= ti && col("hr") > ti - lb)
+        val win = h.groupBy(col("__name__")).agg(max(col("hr")).as("hr"))
+        h.join(win, Seq("__name__", "hr"))
+          .select(col("__name__"), col("hr"),
+            NativeHistograms.hCount(col("h")).cast("long").as("cnt"),
+            round(NativeHistograms.quantile(lit(0.5), col("h")), 6).as("q50"))
+          .orderBy(col("__name__"))
+      }
+    },
+      Some {
+        val ti = T0 + 15 * 24 * HOUR + 37 * 60 * 1000L
+        val lb = 3 * HOUR
+        s"WITH $HB_CTE, " +
+        s"wh AS (SELECT __name__, max(hr) AS hr FROM hs WHERE hr <= $ti AND hr > ${ti - lb} GROUP BY 1), " +
+        "nb AS (SELECT __name__, hr, count(*) AS nb FROM pb GROUP BY 1, 2), " +
+        "r AS (SELECT hs.__name__, hs.hr, 0.5e0 AS phi, 0.5e0 * hs.cnt AS rank, hs.zcnt, " +
+        "COALESCE(nb.nb, 0) AS nb FROM hs JOIN wh USING (__name__, hr) LEFT JOIN nb USING (__name__, hr)), " +
+        "cum AS (SELECT __name__, hr, idx, c, sum(c) OVER (PARTITION BY __name__, hr ORDER BY idx) AS cum FROM pb), " +
+        crossingSql(Seq("__name__", "hr")) +
+        " SELECT r.__name__, r.hr, CAST(r.rank / 0.5e0 AS BIGINT) AS cnt, round(qq.q, 6) AS q50 " +
+        "FROM r JOIN qq ON qq.__name__ = r.__name__ AND qq.hr = r.hr ORDER BY r.__name__"
+      })
+  )
+}

@@ -15,7 +15,7 @@ final case class Q(name: String,
 }
 
 object Registry {
-  def all: Seq[Q] = Relational.entries ++ Tsdb.entries ++ Pipeline.entries
+  def all: Seq[Q] = Relational.entries ++ Tsdb.entries ++ Pipeline.entries ++ Histograms.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
