@@ -439,6 +439,35 @@ object Compiler {
         if (v.columns.contains(s)) coalesce(col(s), lit("")) else lit(""))
       v.withColumn(dst, concat_ws(sep, srcs: _*))
 
+    // -------------------------------------------------- native histograms
+    // Instant-vector functions over histogram-typed samples (samples frame
+    // carries an `h` struct column — NativeHistograms model). The reference
+    // gets these from its vendored Prometheus v3 promql engine; here each is
+    // one column expression over the lookback-selected histogram.
+    case "histogram_count" | "histogram_sum" | "histogram_avg" =>
+      val v = histSelector(args.head, ctx, fn)
+      val value = fn match {
+        case "histogram_count" => NativeHistograms.hCount(col("__graft_h"))
+        case "histogram_sum"   => NativeHistograms.hSum(col("__graft_h"))
+        case "histogram_avg"   => NativeHistograms.hAvg(col("__graft_h"))
+      }
+      dropName(v.withColumn("value", value).drop("__graft_h"))
+
+    case "histogram_fraction" => // (lo, hi, v) over native-histogram samples
+      val lo = scalarOf(args.head); val hi = scalarOf(args(1))
+      val v = histSelector(args(2), ctx, fn)
+      dropName(v.withColumn("value",
+          NativeHistograms.fraction(lo, hi, col("__graft_h")))
+        .drop("__graft_h"))
+
+    case "histogram_quantile"
+        if ctx.samples.columns.contains("h") && args(1).isInstanceOf[Selector] =>
+      val phi = scalarOf(args.head)
+      val v = histSelector(args(1), ctx, fn)
+      dropName(v.withColumn("value",
+          NativeHistograms.quantile(lit(phi), col("__graft_h")))
+        .drop("__graft_h"))
+
     case "histogram_quantile" => // over a vector carrying an `le` label
       val phi = scalarOf(args.head)
       val v = compile(args(1), ctx)
@@ -532,6 +561,30 @@ object Compiler {
         dropName(compile(other, ctx).withColumn("value", col("step_ms") / 1000.0))
     }
     case other => throw new ParseException(s"unsupported function '$other'")
+  }
+
+  /** Lookback-selected instant vector that carries the histogram sample
+    * (`__graft_h`) alongside. histogram_* functions take the selector
+    * directly (Prometheus evaluates them on the histogram sample stream);
+    * computed sub-expressions are float-typed and can't carry histograms. */
+  private def histSelector(e: Expr, ctx: Ctx, fn: String): DataFrame = e match {
+    case Selector(name, matchers, None, offsetMs, at)
+        if ctx.samples.columns.contains("h") =>
+      val ms = name.map(n => MatchEq("__name__", n) +: matchers).getOrElse(matchers)
+      def withH(s: Long, e: Long) =
+        Eval.rangeVectors(ctx.samples, ms, s, e, ctx.stepMs, ctx.lookbackMs,
+          keepH = true).drop("series_hash")
+      at match {
+        case Some(spec) =>
+          val t = resolveAt(spec, ctx) - offsetMs
+          ctx.grid.crossJoin(withH(t, t).drop("step_ms"))
+        case None =>
+          val df = withH(ctx.startMs - offsetMs, ctx.endMs - offsetMs)
+          if (offsetMs == 0) df
+          else df.withColumn("step_ms", col("step_ms") + offsetMs)
+      }
+    case _ => throw new ParseException(
+      s"$fn requires a plain selector over native-histogram samples")
   }
 
   /** Prometheus-style interpolated quantile of a sorted values array. */

@@ -29,7 +29,7 @@ object Eval {
     * so sources with extra labels (e.g. histogram `le`) work unchanged. */
   def labelColsOf(samples: DataFrame): Seq[org.apache.spark.sql.Column] =
     samples.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date"))
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h"))
       .toSeq.map(col)
 
   /** Time-interval predicate (ref `internal/util/interval.go:8-21`). When the
@@ -91,7 +91,8 @@ object Eval {
   def rangeVectors(samples: DataFrame, matchers: Seq[LabelMatcher],
                    startMs: Long, endMs: Long, stepMs: Long,
                    lookbackMs: Long = DefaultLookbackMs,
-                   keepTs: Boolean = false): DataFrame = {
+                   keepTs: Boolean = false,
+                   keepH: Boolean = false): DataFrame = {
     val nSteps = (endMs - startMs) / stepMs // max k
     val base = samples.filter(
       timeBound(samples, startMs - lookbackMs + 1, endMs) &&
@@ -106,7 +107,10 @@ object Eval {
       .groupBy(col("series_hash") +: col("step_ms") +: labelColsOf(samples): _*)
       .agg(max_by(col("value"), col("ts_ms")).as("value"),
         // timestamp() needs the selected sample's own time, not the step's
-        (if (keepTs) Seq(max(col("ts_ms")).as("__graft_sample_ts")) else Nil): _*)
+        (if (keepTs) Seq(max(col("ts_ms")).as("__graft_sample_ts")) else Nil) ++
+        // histogram-typed samples ride along under an engine-owned name
+        (if (keepH && samples.columns.contains("h"))
+           Seq(max_by(col("h"), col("ts_ms")).as("__graft_h")) else Nil): _*)
       .filter(!graft.functions.IsStale(col("value"))) // stale at step ⇒ absent
   }
 }

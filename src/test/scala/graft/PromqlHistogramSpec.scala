@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.promql.{Compiler, Parser, ParseException}
+
+/** PromQL histogram_* functions over native-histogram samples: the samples
+  * frame carries an `h` struct (NativeHistograms model) and the functions
+  * evaluate on the lookback-selected histogram per series per step —
+  * Prometheus v3 semantics (promql/quantile.go, promql/functions.go). */
+class PromqlHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ZTHR = 0.001953125
+
+  private def hist(cnt: Double, hsum: Double, zcnt: Double,
+                   pos: Seq[(Int, Double)]): Column =
+    struct(
+      lit(cnt).as("cnt"), lit(hsum).as("hsum"), lit(0).as("sch"),
+      lit(ZTHR).as("zthr"), lit(zcnt).as("zcnt"),
+      (if (pos.isEmpty) array().cast("array<struct<idx:int,c:double>>")
+       else array(pos.map { case (i, c) =>
+         struct(lit(i).as("idx"), lit(c).as("c")) }: _*)).as("pos"),
+      array().cast("array<struct<idx:int,c:double>>").as("neg"))
+
+  // series (reqs,1): two histogram samples; series (reqs,2): one, all-zero
+  private lazy val samples: DataFrame =
+    Seq(("reqs", "1", 1000000L, 1L), ("reqs", "1", 1060000L, 2L),
+        ("reqs", "2", 1060000L, 3L))
+      .toDF("__name__", "uid", "ts_ms", "sample_id")
+      .withColumn("value", lit(1.0))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h",
+        when(col("sample_id") === 1, hist(10, 30, 0, Seq(0 -> 2.0, 2 -> 3.0, 3 -> 5.0)))
+          .when(col("sample_id") === 2, hist(12, 40, 0, Seq(0 -> 2.0, 2 -> 5.0, 3 -> 5.0)))
+          .otherwise(hist(4, 2, 4, Nil)))
+
+  private val T = 1100000L
+  private def eval(q: String): Map[String, Double] =
+    Compiler.compile(Parser.parse(q), Compiler.Ctx(samples, T, T, 1000L))
+      .select(col("uid"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("histogram_count / histogram_sum / histogram_avg") {
+    assert(eval("histogram_count(reqs)") === Map("1" -> 12.0, "2" -> 4.0))
+    assert(eval("histogram_sum(reqs)") === Map("1" -> 40.0, "2" -> 2.0))
+    val avg = eval("""histogram_avg(reqs{uid="1"})""")
+    assert(avg.keySet === Set("1"))
+    assert(math.abs(avg("1") - 40.0 / 12.0) < 1e-12)
+  }
+
+  test("histogram_fraction over native buckets") {
+    val f = eval("histogram_fraction(1.0, 4.0, reqs)")
+    // series 1: obs ≤ 4 → buckets idx0+idx2 = 7; obs ≤ 1 → idx0 = 2
+    assert(math.abs(f("1") - 5.0 / 12.0) < 1e-12)
+    assert(f("2") === 0.0) // all zeros sit below the range
+  }
+
+  test("histogram_quantile dispatches to native buckets when h is present") {
+    val q = eval("histogram_quantile(0.9, reqs)")
+    // series 1: rank 10.8 → (4,8], f = 3.8/5 → 2^2.76
+    assert(math.abs(q("1") - math.pow(2.0, 2.76)) < 1e-12)
+    // series 2: all-zero histogram — zero bucket spans [-zthr, zthr]
+    assert(math.abs(q("2") - (-ZTHR + 2 * ZTHR * 0.9)) < 1e-12)
+  }
+
+  test("offset selects the older histogram; missing series drop out") {
+    val c = eval("histogram_count(reqs offset 60s)")
+    assert(c === Map("1" -> 10.0)) // series 2 has no sample at T−60s
+  }
+
+  test("histogram functions require a plain selector") {
+    assertThrows[ParseException](eval("histogram_count(rate(reqs[5m]))"))
+    assertThrows[ParseException](eval("histogram_fraction(0, 1, sum(reqs))"))
+  }
+
+  test("le-based histogram_quantile still works when samples lack h") {
+    val classic = samples.drop("h")
+    val ex = intercept[ParseException] {
+      Compiler.compile(Parser.parse("histogram_quantile(0.9, reqs)"),
+        Compiler.Ctx(classic, T, T, 1000L)).collect()
+    }
+    assert(ex.getMessage.contains("'le' label"))
+  }
+}
