@@ -461,7 +461,7 @@ object Compiler {
         .drop("__graft_h"))
 
     case "histogram_quantile"
-        if ctx.samples.columns.contains("h") && args(1).isInstanceOf[Selector] =>
+        if ctx.samples.columns.contains("h") && isHistArg(args(1)) =>
       val phi = scalarOf(args.head)
       val v = histSelector(args(1), ctx, fn)
       dropName(v.withColumn("value",
@@ -563,6 +563,14 @@ object Compiler {
     case other => throw new ParseException(s"unsupported function '$other'")
   }
 
+  /** Expressions histSelector can evaluate histogram-typed: a plain instant
+    * selector, or rate/increase/delta over a range selector. */
+  private def isHistArg(e: Expr): Boolean = e match {
+    case Selector(_, _, None, _, _) => true
+    case Call("rate" | "increase" | "delta", _) => true
+    case _ => false
+  }
+
   /** Lookback-selected instant vector that carries the histogram sample
     * (`__graft_h`) alongside. histogram_* functions take the selector
     * directly (Prometheus evaluates them on the histogram sample stream);
@@ -583,8 +591,77 @@ object Compiler {
           if (offsetMs == 0) df
           else df.withColumn("step_ms", col("step_ms") + offsetMs)
       }
+    // rate/increase/delta over a histogram range selector produce a
+    // histogram-valued vector the outer histogram_* function consumes
+    case Call(f2 @ ("rate" | "increase" | "delta"), fargs)
+        if ctx.samples.columns.contains("h") =>
+      fargs.collectFirst { case s @ Selector(_, _, Some(_), _, _) => s } match {
+        case Some(sel) => histRange(f2, sel, ctx)
+        case None => throw new ParseException(
+          s"$fn over $f2 requires a plain range selector, e.g. m[5m]")
+      }
     case _ => throw new ParseException(
       s"$fn requires a plain selector over native-histogram samples")
+  }
+
+  /** Range function over histogram-typed samples: per (series, step) the
+    * window's histograms are gathered ts-sorted, reduced to a reset-
+    * compensated bucket-wise delta (NativeHistograms.windowDelta), then
+    * scaled by the same boundary-extrapolation factor as float counters —
+    * minus the zero-crossing clamp, which Prometheus applies to float
+    * counters only (promql/functions.go extrapolatedRate). */
+  private def histRange(fn: String, sel: Selector, ctx: Ctx): DataFrame = {
+    val windowMs = sel.rangeMs.get
+    val offsetMs = sel.offsetMs
+    val ectx = sel.at match {
+      case Some(spec) =>
+        val t = resolveAt(spec, ctx) - offsetMs
+        ctx.copy(startMs = t, endMs = t,
+          anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
+      case None =>
+        ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs,
+          anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
+    }
+    val pts = selectorPoints(sel, windowMs, ectx)
+    def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
+    val kMin = greatest(floorDiv(col("ts_ms") - ectx.startMs + ectx.stepMs - 1, ectx.stepMs), lit(0L))
+    val kMax = least(floorDiv(col("ts_ms") - ectx.startMs + windowMs - 1, ectx.stepMs), lit(ectx.nSteps))
+    val lbls = pts.columns
+      .filterNot(c => sampleReserved(c) || c == "series_hash" || c == "date" ||
+        c == "h" || c.startsWith("__graft_")).toSeq
+    val g = pts
+      .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
+        .otherwise(array().cast("array<long>"))))
+      .withColumn("step_ms", lit(ectx.startMs) + col("__graft_k") * ectx.stepMs)
+      .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
+      .agg(count(lit(1)).as("__graft_n"),
+        min(col("ts_ms")).as("__graft_first_ts"),
+        max(col("ts_ms")).as("__graft_last_ts"),
+        sort_array(collect_list(struct(col("ts_ms"), col("sample_id"), col("h"))))
+          .as("__graft_hpts"))
+      .filter(col("__graft_n") >= 2) // rate family needs two points
+    val delta = NativeHistograms.windowDelta(col("__graft_hpts"), isCounter = fn != "delta")
+    // boundary extrapolation (threshold clamps only; no zero-crossing)
+    val ds0 = (col("__graft_first_ts") - (col("step_ms") - windowMs)).cast("double") / lit(1000.0)
+    val de0 = (col("step_ms") - col("__graft_last_ts")).cast("double") / lit(1000.0)
+    val si  = (col("__graft_last_ts") - col("__graft_first_ts")).cast("double") / lit(1000.0)
+    val ai  = si / (col("__graft_n") - 1)
+    val thr = ai * lit(1.1)
+    val dsA = when(ds0 >= thr, ai / lit(2.0)).otherwise(ds0)
+    val deA = when(de0 >= thr, ai / lit(2.0)).otherwise(de0)
+    val factor0 = (si + dsA + deA) / si
+    val factor = if (fn == "rate") factor0 / lit(windowMs / 1000.0) else factor0
+    val out = g
+      .withColumn("__graft_h", NativeHistograms.scale(delta, factor))
+      .drop("series_hash", "__graft_n", "__graft_first_ts", "__graft_last_ts",
+        "__graft_hpts")
+    val restored = sel.at match {
+      case Some(_) => ctx.grid.crossJoin(out.drop("step_ms"))
+      case None =>
+        if (offsetMs == 0) out
+        else out.withColumn("step_ms", col("step_ms") + offsetMs)
+    }
+    dropName(restored)
   }
 
   /** Prometheus-style interpolated quantile of a sorted values array. */

@@ -179,6 +179,78 @@ object NativeHistograms {
         (rankAt(hi, logHi, h) - rankAt(lo, logLo, h)) / cnt)))
   }
 
+  // ------------------------------------------------- counter-window algebra
+  // rate/increase/delta over histogram-typed samples: bucket-wise last−first
+  // with counter-reset compensation (histogram.FloatHistogram.Sub/Add +
+  // DetectReset in the vendored Prometheus; promql/functions.go
+  // histogramRate). Sparse bucket arrays become int→double maps for the
+  // arithmetic and are rebuilt sorted afterwards.
+
+  private val emptyBucketsT = "array<struct<idx:int,c:double>>"
+  private def bmap(buckets: Column): Column = map_from_entries(buckets)
+  private def mAdd(a: Column, b: Column): Column =
+    map_zip_with(a, b, (_, v1, v2) => coalesce(v1, lit(0.0)) + coalesce(v2, lit(0.0)))
+  private def mSub(a: Column, b: Column): Column =
+    map_zip_with(a, b, (_, v1, v2) => coalesce(v1, lit(0.0)) - coalesce(v2, lit(0.0)))
+  private def mToBuckets(m: Column): Column =
+    sort_array(transform(filter(map_entries(m), e => e.getField("value") =!= 0.0),
+      e => struct(e.getField("key").as("idx"), e.getField("value").as("c"))))
+
+  /** A counter reset happened iff any count shrank (total, zero bucket, or
+    * any exponential bucket — a vanished bucket counts as a drop). */
+  def detectReset(curr: Column, prev: Column): Column = {
+    def drop(p: Column, c: Column): Column =
+      aggregate(p, lit(false), (acc, pb) => acc ||
+        coalesce(element_at(bmap(c), pb.getField("idx")), lit(0.0)) < pb.getField("c"))
+    curr.getField("cnt") < prev.getField("cnt") ||
+      curr.getField("zcnt") < prev.getField("zcnt") ||
+      drop(prev.getField("pos"), curr.getField("pos")) ||
+      drop(prev.getField("neg"), curr.getField("neg"))
+  }
+
+  /** Bucket-wise `last − first` over `sorted` (ts-ascending array of
+    * struct(ts_ms, sample_id, h)); for counters, each reset adds the
+    * pre-reset histogram back (the Prometheus counter-increase convention). */
+  def windowDelta(sorted: Column, isCounter: Boolean): Column = {
+    val first = element_at(sorted, 1).getField("h")
+    val last  = element_at(sorted, -1).getField("h")
+    val emptyM = map_from_entries(array().cast(emptyBucketsT))
+    val (adjCnt, adjSum, adjZ, adjPos, adjNeg) =
+      if (!isCounter) (lit(0.0), lit(0.0), lit(0.0), emptyM, emptyM)
+      else {
+        val n = size(sorted)
+        val prevs = slice(sorted, lit(1), greatest(n - 1, lit(0)))
+        val currs = slice(sorted, lit(2), greatest(n - 1, lit(0)))
+        val rp = filter(zip_with(prevs, currs, (a, b) =>
+          when(detectReset(b.getField("h"), a.getField("h")), a.getField("h"))),
+          x => x.isNotNull)
+        def sumF(f: String) = aggregate(rp, lit(0.0), (acc, x) => acc + x.getField(f))
+        def sumM(f: String) = aggregate(rp, emptyM, (acc, x) => mAdd(acc, bmap(x.getField(f))))
+        (sumF("cnt"), sumF("hsum"), sumF("zcnt"), sumM("pos"), sumM("neg"))
+      }
+    struct(
+      (last.getField("cnt") - first.getField("cnt") + adjCnt).as("cnt"),
+      (last.getField("hsum") - first.getField("hsum") + adjSum).as("hsum"),
+      last.getField("sch").as("sch"),
+      last.getField("zthr").as("zthr"),
+      (last.getField("zcnt") - first.getField("zcnt") + adjZ).as("zcnt"),
+      mToBuckets(mAdd(mSub(bmap(last.getField("pos")), bmap(first.getField("pos"))), adjPos)).as("pos"),
+      mToBuckets(mAdd(mSub(bmap(last.getField("neg")), bmap(first.getField("neg"))), adjNeg)).as("neg"))
+  }
+
+  /** Uniformly scale a histogram's counts and sum (rate's ÷range and the
+    * extrapolation multiplier). */
+  def scale(h: Column, f: Column): Column = struct(
+    (h.getField("cnt") * f).as("cnt"),
+    (h.getField("hsum") * f).as("hsum"),
+    h.getField("sch").as("sch"),
+    h.getField("zthr").as("zthr"),
+    (h.getField("zcnt") * f).as("zcnt"),
+    transform(h.getField("pos"), b =>
+      struct(b.getField("idx").as("idx"), (b.getField("c") * f).as("c"))).as("pos"),
+    transform(h.getField("neg"), b =>
+      struct(b.getField("idx").as("idx"), (b.getField("c") * f).as("c"))).as("neg"))
+
   /** Build per-group native histograms from non-negative integer
     * observations (`obsUnits`, e.g. cents), schema 0 (base-2 buckets).
     * Integer-domain throughout — bucket index is the bit length of obs−1

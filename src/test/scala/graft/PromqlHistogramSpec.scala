@@ -69,9 +69,64 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(c === Map("1" -> 10.0)) // series 2 has no sample at T−60s
   }
 
-  test("histogram functions require a plain selector") {
-    assertThrows[ParseException](eval("histogram_count(rate(reqs[5m]))"))
+  test("histogram functions reject non-selector float expressions") {
     assertThrows[ParseException](eval("histogram_fraction(0, 1, sum(reqs))"))
+    assertThrows[ParseException](eval("histogram_count(abs(reqs))"))
+  }
+
+  // cumulative counter series: 3 samples 30 s apart, monotone buckets
+  private lazy val counterSamples: DataFrame =
+    Seq(("cum", "1", 10000L, 1L), ("cum", "1", 40000L, 2L), ("cum", "1", 70000L, 3L))
+      .toDF("__name__", "uid", "ts_ms", "sample_id")
+      .withColumn("value", lit(1.0))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h",
+        when(col("sample_id") === 1, hist(10, 30, 2, Seq(0 -> 3.0, 2 -> 5.0)))
+          .when(col("sample_id") === 2, hist(13, 40, 2, Seq(0 -> 4.0, 2 -> 7.0)))
+          .otherwise(hist(16, 55, 3, Seq(0 -> 4.0, 2 -> 9.0))))
+
+  private def evalC(q: String, t: Long): Map[String, Double] =
+    Compiler.compile(Parser.parse(q), Compiler.Ctx(counterSamples, t, t, 1000L))
+      .select(col("uid"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("increase/rate over native histograms: bucket-wise extrapolated delta") {
+    // window (−20s, 70s]: all 3 samples; si=60s, avg spacing 30s, thr=33s;
+    // ds0=30s (kept), de0=0 → factor (60+30+0)/60 = 1.5
+    val inc = evalC("histogram_count(increase(cum[90s]))", 70000L)
+    assert(math.abs(inc("1") - (16 - 10) * 1.5) < 1e-12)
+    val rt = evalC("histogram_sum(rate(cum[90s]))", 70000L)
+    assert(math.abs(rt("1") - (55 - 30) * 1.5 / 90.0) < 1e-12)
+    // zero-bucket delta flows through histogram_fraction of the zero range
+    val zf = evalC(s"histogram_fraction(0, $ZTHR, increase(cum[90s]))", 70000L)
+    assert(math.abs(zf("1") - 1.0 / 6.0) < 1e-12) // zcnt Δ=1 of cnt Δ=6
+  }
+
+  test("quantile composes over rate (uniform scaling cancels)") {
+    // delta buckets: idx0 Δ=1, idx2 Δ=4, zcnt Δ=1, cnt Δ=6 → rank(0.5)=3
+    // → idx2 (2,4], cumBefore 1+1=2... zero bucket first: rank 3 > zcnt 1;
+    // positive target 2: cums [1,5] → idx2, f=(2-1)/4 → 2^(1+0.25)
+    val q = evalC("histogram_quantile(0.5, rate(cum[90s]))", 70000L)
+    assert(math.abs(q("1") - math.pow(2.0, 1.25)) < 1e-12)
+  }
+
+  test("counter reset adds back the pre-reset histogram; delta does not") {
+    val resetS = Seq(("cum", "1", 10000L, 1L), ("cum", "1", 40000L, 2L),
+        ("cum", "1", 70000L, 3L))
+      .toDF("__name__", "uid", "ts_ms", "sample_id")
+      .withColumn("value", lit(1.0))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h",
+        when(col("sample_id") === 1, hist(10, 30, 0, Seq(0 -> 10.0)))
+          .when(col("sample_id") === 2, hist(2, 5, 0, Seq(0 -> 2.0))) // reset
+          .otherwise(hist(5, 12, 0, Seq(0 -> 5.0))))
+    def ev(q: String) =
+      Compiler.compile(Parser.parse(q), Compiler.Ctx(resetS, 70000L, 70000L, 1000L))
+        .select(col("value")).head().getDouble(0)
+    // increase: (5−10) + 10 (pre-reset) = 5, × extrapolation 1.5
+    assert(math.abs(ev("histogram_count(increase(cum[90s]))") - 5 * 1.5) < 1e-12)
+    // delta (gauge semantics): no reset compensation → (5−10) × 1.5
+    assert(math.abs(ev("histogram_count(delta(cum[90s]))") - -5 * 1.5) < 1e-12)
   }
 
   test("le-based histogram_quantile still works when samples lack h") {
