@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.promql.NativeHistograms
+import graft.promql.{Compiler, NativeHistograms, Parser}
 import graft.sources.Tables
 
 /** Native-histogram operator demonstrations with DuckDB oracles.
@@ -69,6 +70,56 @@ object Histograms {
       s"FROM r JOIN cum c ON $on AND c.cum >= r.rank - r.zcnt AND c.cum - c.c < r.rank - r.zcnt " +
       "WHERE r.rank > r.zcnt), " +
     "qq AS (SELECT * FROM zr UNION ALL SELECT * FROM xr)"
+  }
+
+  /** Cumulative (counter) histogram series: per event_type, the running
+    * total of the hourly histograms — samples at each active hour carrying
+    * the cumulative histogram. Monotone by construction (no resets), so the
+    * oracle can mirror the rate arithmetic in plain SQL. Bucket arrays are
+    * densified over the hour spine so every sample contains every bucket
+    * seen so far. */
+  private def cumulativeHists(t: Tables): DataFrame = {
+    val tsMs = unix_millis(col("ts"))
+    val e = t.events.select(
+      col("event_type").as("evt"),
+      (tsMs - pmod(tsMs, lit(HOUR))).as("hr"),
+      round(col("value") * 100.0).cast("long").as("obs"))
+    val idx = when(col("obs") === 1L, 0)
+      .otherwise(length(conv((col("obs") - 1L).cast("string"), 10, 2))).cast("int")
+    val pb = e.filter(col("obs") > 0L)
+      .groupBy(col("evt"), col("hr"), idx.as("idx"))
+      .agg(count(lit(1)).as("c"))
+    val hs = e.groupBy(col("evt"), col("hr")).agg(
+      count(lit(1)).as("cnt"), sum(col("obs")).as("usum"),
+      sum(when(col("obs") === 0L, 1L).otherwise(0L)).as("zc"))
+    val wHr = Window.partitionBy(col("evt")).orderBy(col("hr"))
+    val cumScal = hs.select(col("evt"), col("hr"),
+      sum(col("cnt")).over(wHr).as("ccnt"),
+      sum(col("usum")).over(wHr).as("cusum"),
+      sum(col("zc")).over(wHr).as("czc"))
+    val spine = hs.select(col("evt"), col("hr"))
+    val idxs = pb.select(col("evt"), col("idx")).distinct()
+    val wIdx = Window.partitionBy(col("evt"), col("idx")).orderBy(col("hr"))
+    val cumBuckets = spine.join(idxs, "evt")
+      .join(pb, Seq("evt", "hr", "idx"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c0")).over(wIdx))
+      .filter(col("cum") > 0)
+      .groupBy(col("evt"), col("hr"))
+      .agg(sort_array(collect_list(struct(col("idx"),
+        col("cum").cast("double").as("c")))).as("pos"))
+    val empty = array().cast("array<struct<idx:int,c:double>>")
+    cumScal.join(cumBuckets, Seq("evt", "hr"), "left")
+      .select(lit("obs").as("__name__"), col("evt"),
+        col("hr").as("ts_ms"), col("ccnt").cast("double").as("value"),
+        col("hr").as("sample_id"),
+        xxhash64(lit("obs"), col("evt")).as("series_hash"),
+        struct(
+          col("ccnt").cast("double").as("cnt"),
+          (col("cusum").cast("double") / 100.0).as("hsum"),
+          lit(0).as("sch"), lit(ZTHR).as("zthr"),
+          col("czc").cast("double").as("zcnt"),
+          coalesce(col("pos"), empty).as("pos"), empty.as("neg")).as("h"))
   }
 
   def entries: Seq[Q] = Seq(
@@ -148,6 +199,52 @@ object Histograms {
         crossingSql(Seq("__name__")) +
         " SELECT mh.__name__, mh.cnt, round(CAST(mh.usum AS DOUBLE) / 100.0, 6) AS hsum, mh.zcnt, " +
         "round(qq.q, 6) AS q90 FROM mh JOIN qq USING (__name__) ORDER BY __name__")),
+
+    // PromQL rate() over cumulative native-histogram series, through the
+    // real compiler path (histSelector → windowDelta → extrapolation scale).
+    // The fixture is reset-free so the oracle mirrors the arithmetic —
+    // op-for-op, same association — on the cumulative scalar sums.
+    Q("nh_rate", {
+      val ti = T0 + 20 * 24 * HOUR
+      val rng = 4 * HOUR
+      t => {
+        val cum = cumulativeHists(t)
+        def ev(q: String, as: String) =
+          Compiler.compile(Parser.parse(q), Compiler.Ctx(cum, ti, ti, 1000L))
+            .select(col("evt"), col("step_ms"), col("value").as(as))
+        ev("histogram_count(rate(obs[4h]))", "rcnt")
+          .join(ev("histogram_sum(rate(obs[4h]))", "rsum"), Seq("evt", "step_ms"))
+          .select(col("evt"), col("rcnt"), col("rsum"))
+          .orderBy(col("evt"))
+      }
+    },
+      Some {
+        val ti = T0 + 20 * 24 * HOUR
+        val rng = 4 * HOUR
+        val rangeSec = rng / 1000.0
+        s"WITH o AS (SELECT event_type AS evt, (epoch_ms(ts) // 3600000) * 3600000 AS hr, " +
+          "CAST(round(value * 100) AS BIGINT) AS obs FROM events), " +
+        "hs AS (SELECT evt, hr, count(*) AS cnt, sum(obs) AS usum FROM o GROUP BY 1, 2), " +
+        "ch AS (SELECT evt, hr, sum(cnt) OVER (PARTITION BY evt ORDER BY hr) AS ccnt, " +
+          "sum(usum) OVER (PARTITION BY evt ORDER BY hr) AS cusum FROM hs), " +
+        s"w AS (SELECT * FROM ch WHERE hr > ${ti - rng} AND hr <= $ti), " +
+        "a AS (SELECT evt, count(*) AS n, min(hr) AS first_ts, max(hr) AS last_ts, " +
+          "min_by(ccnt, hr) AS fc, max_by(ccnt, hr) AS lc, " +
+          "min_by(cusum, hr) AS fu, max_by(cusum, hr) AS lu " +
+          "FROM w GROUP BY evt HAVING count(*) >= 2), " +
+        // extrapolation factor — same expression sequence as Compiler.histRange
+        s"f AS (SELECT evt, n, fc, lc, fu, lu, " +
+          s"CAST(first_ts - ($ti - $rng) AS DOUBLE) / 1.0e3 AS ds0, " +
+          s"CAST($ti - last_ts AS DOUBLE) / 1.0e3 AS de0, " +
+          "CAST(last_ts - first_ts AS DOUBLE) / 1.0e3 AS si FROM a), " +
+        "g AS (SELECT evt, fc, lc, fu, lu, si, " +
+          "CASE WHEN ds0 >= si / (n - 1) * 1.1e0 THEN si / (n - 1) / 2.0e0 ELSE ds0 END AS dsa, " +
+          "CASE WHEN de0 >= si / (n - 1) * 1.1e0 THEN si / (n - 1) / 2.0e0 ELSE de0 END AS dea FROM f) " +
+        "SELECT evt, " +
+        s"(CAST(lc AS DOUBLE) - CAST(fc AS DOUBLE)) * ((si + dsa + dea) / si / ${dbl(rangeSec)}) AS rcnt, " +
+        s"(CAST(lu AS DOUBLE) / 100.0 - CAST(fu AS DOUBLE) / 100.0) * ((si + dsa + dea) / si / ${dbl(rangeSec)}) AS rsum " +
+        "FROM g ORDER BY evt"
+      }),
 
     // as-of selection over histogram-typed series (J4 lookback analogue):
     // latest histogram sample per series within the lookback window
