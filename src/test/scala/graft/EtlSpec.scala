@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 import org.apache.spark.sql.functions._
-import graft.etl.{Ingest, Planner, Retention}
+import graft.etl.{Ingest, Loops, Planner, Retention, Syncer}
 import graft.sources.Tables
 
 /** ETL convert/plan/retention (ref convert/convert_test.go, convert/plan_test.go,
@@ -99,5 +99,48 @@ class EtlSpec extends SparkSpec {
     assert(!Files.isDirectory(Paths.get(s"$out/samples/date=2024-01-01")))
     assert(Files.isDirectory(Paths.get(s"$out/samples/date=2024-01-02")))
     assert(Ingest.discoverDays(out) == Seq("2024-01-02"))
+  }
+
+  test("syncer: loads only new (stream, date) entries, evicts vanished streams") {
+    var loads = 0
+    val sy = new Syncer[String]((s, d) => { loads += 1; s"$s/$d" })
+    val s1 = sy.sync(Map("a" -> Seq("d1", "d2"), "b" -> Seq("d1")))
+    assert((s1.loaded, s1.skipped, s1.droppedStreams) == ((3, 0, 0)))
+    assert(sy.cached.map(x => (x._1, x._2)) == Seq("a" -> "d1", "b" -> "d1", "a" -> "d2"))
+
+    // second sync: one new date, the rest skipped (no reload — ref
+    // locate/syncer.go:139-141), nothing dropped
+    val s2 = sy.sync(Map("a" -> Seq("d1", "d2", "d3"), "b" -> Seq("d1")))
+    assert((s2.loaded, s2.skipped, s2.droppedStreams) == ((1, 3, 0)))
+    assert(loads == 4)
+
+    // stream b vanishes → evicted wholesale; a date vanishing from a
+    // SURVIVING stream is retained (the reference only copies additions)
+    val s3 = sy.sync(Map("a" -> Seq("d1", "d3")))
+    assert(s3.droppedStreams == 1)
+    assert(sy.cached.map(x => (x._1, x._2)) == Seq("a" -> "d1", "a" -> "d2", "a" -> "d3"))
+    assert(loads == 4)
+  }
+
+  test("syncer over convert output: discovery round-trips through meta sidecars") {
+    val out = Files.createTempDirectory("graft-sync").toString
+    val t = Tables(spark, sf())
+    Ingest.convert(spark, t.events, out, Some(Seq("2024-01-01", "2024-01-02")))
+    val sy = new Syncer[String]((_, d) => d)
+    sy.sync(Map("default" -> Ingest.discoverDays(out)))
+    assert(sy.cached.map(_._2) == Seq("2024-01-01", "2024-01-02"))
+  }
+
+  test("loops: repeat until stop; retry with backoff rethrows after attempts") {
+    var ticks = 0
+    val n = Loops.repeat(1, () => ticks >= 3)(() => ticks += 1)
+    assert(n == 3 && ticks == 3)
+
+    var tries = 0
+    val got = Loops.retry(3, 1)(() => { tries += 1; if (tries < 3) sys.error("boom"); 42 })
+    assert(got == 42 && tries == 3)
+    tries = 0
+    assertThrows[RuntimeException](Loops.retry(2, 1)(() => { tries += 1; sys.error("boom") }))
+    assert(tries == 2)
   }
 }
