@@ -134,31 +134,39 @@ object NativeHistograms {
     val negTot = totalOf(neg)
     val (zLo, zUp) = zeroBounds(h)
 
-    // v in the negative exponential range: bucket idx covers
-    // |v| ∈ (2^((idx-1)w), 2^(idx·w)]; rank grows from the deep end.
+    // Each bucket contributes its own ≤-v overlap independently (Prometheus
+    // histogramFraction walks AllBucketIterator the same way) — no routing
+    // by region, so histograms whose zero bucket overlaps an exponential
+    // bucket degrade exactly like the reference's engine.
+
+    // negative side: bucket idx covers |v| ∈ (2^((idx-1)w), 2^(idx·w)];
+    // the ≤-v count excludes buckets closer to zero and the straddler's
+    // above-v part
     val negFull = totalOf(filter(neg, b => b.getField("idx").cast("double") * ww <= logAbs))
     val negStraddle = sumArr(transform(
       filter(neg, b => b.getField("idx").cast("double") * ww > logAbs &&
         (b.getField("idx").cast("double") - 1.0) * ww < logAbs),
       b => b.getField("c") * (logAbs - (b.getField("idx").cast("double") - 1.0) * ww) / ww))
-    // full buckets ≥ v (negFull, |obs| ≤ |v|) and the straddler's above-v
-    // part both excluded from the ≤-v count
-    val rankNeg = (negTot - negFull) - negStraddle
+    val negPart = when(v >= 0.0, negTot).otherwise((negTot - negFull) - negStraddle)
 
-    // v inside the zero bucket: linear
-    val rankZero = negTot + zcnt * ((v - zLo) / (zUp - zLo))
+    // zero bucket: linear overlap of [zLo, zUp] with (-∞, v]
+    val zeroPart = when(zUp > zLo,
+        zcnt * greatest(lit(0.0), least(lit(1.0), (v - zLo) / (zUp - zLo))))
+      .otherwise(when(v >= zUp, zcnt).otherwise(lit(0.0)))
 
-    // v in the positive range
+    // positive side: full buckets below v (exact integer sum) plus at most
+    // one straddling fractional term
     val posFull = totalOf(filter(pos, b => b.getField("idx").cast("double") * ww <= logAbs))
     val posStraddle = sumArr(transform(
       filter(pos, b => b.getField("idx").cast("double") * ww > logAbs &&
         (b.getField("idx").cast("double") - 1.0) * ww < logAbs),
       b => b.getField("c") * (logAbs - (b.getField("idx").cast("double") - 1.0) * ww) / ww))
-    val rankPos = negTot + zcnt + posFull + posStraddle
+    val posFullG = when(v <= 0.0, lit(0.0)).otherwise(posFull)
+    val posStraddleG = when(v <= 0.0, lit(0.0)).otherwise(posStraddle)
 
-    when(v < zLo, rankNeg)
-      .when(v < zUp, when(zUp > zLo, rankZero).otherwise(when(v >= 0.0, negTot + zcnt).otherwise(negTot)))
-      .otherwise(rankPos)
+    // association matters for oracle determinism: integer-valued parts sum
+    // exactly first, the single fractional straddle term is added last
+    ((negPart + zeroPart) + posFullG) + posStraddleG
   }
 
   /** histogram_fraction(lo, hi, h): estimated fraction of observations in
