@@ -35,10 +35,23 @@ object Ingest {
   /** Convert selected (or all) UTC days of an events table into the layout.
     * Returns per-day meta (also written as JSON sidecars). */
   def convert(spark: SparkSession, events: DataFrame, outDir: String,
-              days: Option[Seq[String]] = None): Seq[DayMeta] = {
+              days: Option[Seq[String]] = None): Seq[DayMeta] =
+    convertSamples(spark, TimeSeriesModel.samples(events), outDir, days)
+
+  /** Schema-generic convert: any samples frame (label columns + ts_ms/value/
+    * sample_id/series_hash, optionally a native-histogram `h` struct —
+    * the reference likewise streams float and histogram chunks through the
+    * same dual-file layout, schema/schema.go chunk encodings). Label columns
+    * are derived structurally, so extra labels and the histogram column ride
+    * through dedup, both sinks, and the parquet round-trip unchanged. */
+  def convertSamples(spark: SparkSession, samples: DataFrame, outDir: String,
+                     days: Option[Seq[String]] = None): Seq[DayMeta] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val all = TimeSeriesModel.samples(events)
+    val all = samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+    val lblCols = all.columns
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h"))
+      .toSeq
     val picked = days.map(ds => all.filter(col("date").isin(ds: _*))).getOrElse(all)
 
     // vertical merge: dedup identical (series, ts) across source blocks
@@ -55,18 +68,19 @@ object Ingest {
       .persist()
     try {
 
+    val sortKeys = col("date") +: lblCols.map(col)
     dedup
-      .repartitionByRange(col("date"), col("__name__"), col("uid"))
-      .sortWithinPartitions(col("date"), col("__name__"), col("uid"), col("ts_ms"))
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys :+ col("ts_ms"): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")
       .option("maxRecordsPerFile", 1000000L) // row-group-count analog
       .parquet(s"$outDir/samples")
 
-    dedup.select(col("date"), col("__name__"), col("uid"), col("series_hash")).distinct()
-      .repartitionByRange(col("date"), col("__name__"), col("uid"))
-      .sortWithinPartitions(col("date"), col("__name__"), col("uid"))
+    dedup.select(sortKeys :+ col("series_hash"): _*).distinct()
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy("date")
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")

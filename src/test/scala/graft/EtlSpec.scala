@@ -101,6 +101,33 @@ class EtlSpec extends SparkSpec {
     assert(Ingest.discoverDays(out) == Seq("2024-01-02"))
   }
 
+  test("convert round-trips native-histogram samples (h struct at rest)") {
+    import graft.promql.{Compiler, Parser}
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-hist").toString
+    val hs = Seq(("reqs", "1", 1000000L, 1L, 2.0), ("reqs", "1", 1060000L, 2L, 5.0),
+        ("reqs", "2", 1060000L, 3L, 3.0))
+      .toDF("__name__", "uid", "ts_ms", "sample_id", "c0")
+      .withColumn("value", lit(1.0))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", struct(
+        col("c0").as("cnt"), (col("c0") * 2).as("hsum"), lit(0).as("sch"),
+        lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
+        array(struct(lit(1).as("idx"), col("c0").as("c"))).as("pos"),
+        expr("array()").cast("array<struct<idx:int,c:double>>").as("neg")))
+      .drop("c0")
+    Ingest.convertSamples(spark, hs, out)
+
+    val back = Ingest.openSamples(spark, out)
+    def q(samples: org.apache.spark.sql.DataFrame) =
+      Compiler.compile(Parser.parse("histogram_count(reqs)"),
+          Compiler.Ctx(samples, 1100000L, 1100000L, 1000L))
+        .select(col("uid"), col("value")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q(back) === Map("1" -> 5.0, "2" -> 3.0))
+    assert(q(back) === q(hs))
+  }
+
   test("syncer: loads only new (stream, date) entries, evicts vanished streams") {
     var loads = 0
     val sy = new Syncer[String]((s, d) => { loads += 1; s"$s/$d" })
