@@ -208,7 +208,10 @@ object Histograms {
       val ti = T0 + 20 * 24 * HOUR
       val rng = 4 * HOUR
       t => {
-        val cum = cumulativeHists(t)
+        // two PromQL evaluations share the fixture: build the cumulative
+        // series once (two window passes over events) and serve both from
+        // cache — Verify/Bench clear it after the query
+        val cum = cumulativeHists(t).persist()
         def ev(q: String, as: String) =
           Compiler.compile(Parser.parse(q), Compiler.Ctx(cum, ti, ti, 1000L))
             .select(col("evt"), col("step_ms"), col("value").as(as))
