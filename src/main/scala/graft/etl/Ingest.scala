@@ -50,7 +50,8 @@ object Ingest {
     val all = samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
     val lblCols = all.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h"))
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date"))
+      .filterNot(c => graft.promql.Eval.isHistCol(all, c))
       .toSeq
     val picked = days.map(ds => all.filter(col("date").isin(ds: _*))).getOrElse(all)
 

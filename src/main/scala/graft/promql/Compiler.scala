@@ -460,8 +460,7 @@ object Compiler {
           NativeHistograms.fraction(lo, hi, col("__graft_h")))
         .drop("__graft_h"))
 
-    case "histogram_quantile"
-        if ctx.samples.columns.contains("h") && isHistArg(args(1)) =>
+    case "histogram_quantile" if hasHist(ctx) && isHistArg(args(1)) =>
       val phi = scalarOf(args.head)
       val v = histSelector(args(1), ctx, fn)
       dropName(v.withColumn("value",
@@ -563,6 +562,11 @@ object Compiler {
     case other => throw new ParseException(s"unsupported function '$other'")
   }
 
+  /** Samples frame carries histogram-typed samples (struct column `h` —
+    * a string label merely named "h" does not qualify). */
+  private def hasHist(ctx: Ctx): Boolean =
+    ctx.samples.columns.contains("h") && Eval.isHistCol(ctx.samples, "h")
+
   /** Expressions histSelector can evaluate histogram-typed: a plain instant
     * selector, or rate/increase/delta over a range selector. */
   private def isHistArg(e: Expr): Boolean = e match {
@@ -576,8 +580,7 @@ object Compiler {
     * directly (Prometheus evaluates them on the histogram sample stream);
     * computed sub-expressions are float-typed and can't carry histograms. */
   private def histSelector(e: Expr, ctx: Ctx, fn: String): DataFrame = e match {
-    case Selector(name, matchers, None, offsetMs, at)
-        if ctx.samples.columns.contains("h") =>
+    case Selector(name, matchers, None, offsetMs, at) if hasHist(ctx) =>
       val ms = name.map(n => MatchEq("__name__", n) +: matchers).getOrElse(matchers)
       def withH(s: Long, e: Long) =
         Eval.rangeVectors(ctx.samples, ms, s, e, ctx.stepMs, ctx.lookbackMs,
@@ -593,8 +596,7 @@ object Compiler {
       }
     // rate/increase/delta over a histogram range selector produce a
     // histogram-valued vector the outer histogram_* function consumes
-    case Call(f2 @ ("rate" | "increase" | "delta"), fargs)
-        if ctx.samples.columns.contains("h") =>
+    case Call(f2 @ ("rate" | "increase" | "delta"), fargs) if hasHist(ctx) =>
       fargs.collectFirst { case s @ Selector(_, _, Some(_), _, _) => s } match {
         case Some(sel) => histRange(f2, sel, ctx)
         case None => throw new ParseException(
@@ -628,7 +630,7 @@ object Compiler {
     val kMax = least(floorDiv(col("ts_ms") - ectx.startMs + windowMs - 1, ectx.stepMs), lit(ectx.nSteps))
     val lbls = pts.columns
       .filterNot(c => sampleReserved(c) || c == "series_hash" || c == "date" ||
-        c == "h" || c.startsWith("__graft_")).toSeq
+        Eval.isHistCol(pts, c) || c.startsWith("__graft_")).toSeq
     val g = pts
       .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
         .otherwise(array().cast("array<long>"))))

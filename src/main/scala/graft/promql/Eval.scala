@@ -29,8 +29,16 @@ object Eval {
     * so sources with extra labels (e.g. histogram `le`) work unchanged. */
   def labelColsOf(samples: DataFrame): Seq[org.apache.spark.sql.Column] =
     samples.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h"))
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date"))
+      .filterNot(c => isHistCol(samples, c))
       .toSeq.map(col)
+
+  /** The histogram sample column is `h` AND struct-typed — a data-borne
+    * string label that happens to be named "h" stays a label (the same
+    * data-borne-name discipline as the __graft_ prefix convention). */
+  def isHistCol(samples: DataFrame, c: String): Boolean =
+    c == "h" && samples.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Time-interval predicate (ref `internal/util/interval.go:8-21`). When the
     * source is the converted layout (has a `date` partition column), also emit
@@ -109,7 +117,7 @@ object Eval {
         // timestamp() needs the selected sample's own time, not the step's
         (if (keepTs) Seq(max(col("ts_ms")).as("__graft_sample_ts")) else Nil) ++
         // histogram-typed samples ride along under an engine-owned name
-        (if (keepH && samples.columns.contains("h"))
+        (if (keepH && samples.columns.contains("h") && isHistCol(samples, "h"))
            Seq(max_by(col("h"), col("ts_ms")).as("__graft_h")) else Nil): _*)
       .filter(!graft.functions.IsStale(col("value"))) // stale at step ⇒ absent
   }

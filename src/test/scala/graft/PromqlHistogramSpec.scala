@@ -129,6 +129,23 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(math.abs(ev("histogram_count(delta(cum[90s]))") - -5 * 1.5) < 1e-12)
   }
 
+  test("a data-borne STRING label named 'h' stays a label (type-driven dispatch)") {
+    // same discipline as the __graft_ prefix rule: only a struct-typed `h`
+    // is a histogram sample; a label merely named "h" must survive grouping
+    val floats = Seq(("m", "x", 1090000L, 1L, 2.0), ("m", "y", 1090000L, 2L, 3.0))
+      .toDF("__name__", "h", "ts_ms", "sample_id", "value")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("h")))
+    val out = Compiler.compile(Parser.parse("sum by (h) (m)"),
+        Compiler.Ctx(floats, T, T, 1000L))
+      .select(col("h"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("x" -> 2.0, "y" -> 3.0))
+    // and histogram functions refuse it — no struct column to evaluate
+    assertThrows[ParseException](
+      Compiler.compile(Parser.parse("histogram_count(m)"),
+        Compiler.Ctx(floats, T, T, 1000L)))
+  }
+
   test("le-based histogram_quantile still works when samples lack h") {
     val classic = samples.drop("h")
     val ex = intercept[ParseException] {
