@@ -129,6 +129,14 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(math.abs(ev("histogram_count(delta(cum[90s]))") - -5 * 1.5) < 1e-12)
   }
 
+  test("PromEngine serves histogram functions over h-carrying samples") {
+    val eng = new graft.api.PromEngine(samples)
+    val out = eng.instantQuery("histogram_quantile(0.9, reqs)", T)
+      .map(s => s.labels("uid") -> s.points.head._2).toMap
+    assert(math.abs(out("1") - math.pow(2.0, 2.76)) < 1e-12)
+    assert(math.abs(out("2") - (-ZTHR + 2 * ZTHR * 0.9)) < 1e-12)
+  }
+
   test("a data-borne STRING label named 'h' stays a label (type-driven dispatch)") {
     // same discipline as the __graft_ prefix rule: only a struct-typed `h`
     // is a histogram sample; a label merely named "h" must survive grouping
