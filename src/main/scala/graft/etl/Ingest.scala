@@ -45,12 +45,22 @@ object Ingest {
     * are derived structurally, so extra labels and the histogram column ride
     * through dedup, both sinks, and the parquet round-trip unchanged. */
   def convertSamples(spark: SparkSession, samples: DataFrame, outDir: String,
-                     days: Option[Seq[String]] = None): Seq[DayMeta] = {
+                     days: Option[Seq[String]] = None,
+                     externalLabels: Map[String, String] = Map.empty): Seq[DayMeta] = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val all = samples
+    // external labels become the `stream=<hash>` partition dimension — the
+    // reference's block path layout (schema/block.go:37-76): one tenant/HA
+    // stream per directory subtree, pruned before any file is opened
+    val streamed =
+      if (externalLabels.isEmpty) samples
+      else externalLabels.foldLeft(samples) { case (df, (k, v)) =>
+        df.withColumn(k, lit(v))
+      }.withColumn("stream", lit(streamId(externalLabels)))
+    val all = streamed
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+    val partCols = if (externalLabels.isEmpty) Seq("date") else Seq("stream", "date")
     val lblCols = all.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date"))
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "stream"))
       .filterNot(c => graft.promql.Eval.isHistCol(all, c))
       .toSeq
     val picked = days.map(ds => all.filter(col("date").isin(ds: _*))).getOrElse(all)
@@ -69,11 +79,11 @@ object Ingest {
       .persist()
     try {
 
-    val sortKeys = col("date") +: lblCols.map(col)
+    val sortKeys = partCols.map(col) ++ lblCols.map(col)
     dedup
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys :+ col("ts_ms"): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")
       .option("maxRecordsPerFile", 1000000L) // row-group-count analog
@@ -82,7 +92,7 @@ object Ingest {
     dedup.select(sortKeys :+ col("series_hash"): _*).distinct()
       .repartitionByRange(sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")
       .parquet(s"$outDir/series")
@@ -103,6 +113,15 @@ object Ingest {
     }
     metas.toSeq
     } finally dedup.unpersist(blocking = false)
+  }
+
+  /** Stable stream id for an external-label set — the path-level analog of
+    * the reference's labels hash (schema/block.go:45-67); the exact hash
+    * function only needs to be self-consistent. */
+  def streamId(externalLabels: Map[String, String]): String = {
+    val canon = externalLabels.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }
 
   /** Discovery analog (ref `locate/discover.go`): list converted days from

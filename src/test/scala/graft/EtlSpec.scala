@@ -128,6 +128,20 @@ class EtlSpec extends SparkSpec {
     assert(q(back) === q(hs))
   }
 
+  test("external labels fold into columns and cut a stream= partition dimension") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val t = Tables(spark, sf())
+    val samples = graft.model.TimeSeriesModel.samples(t.events)
+    Ingest.convertSamples(spark, samples, out, Some(Seq("2024-01-01")),
+      externalLabels = Map("cluster" -> "a", "replica" -> "r1"))
+    val sid = Ingest.streamId(Map("cluster" -> "a", "replica" -> "r1"))
+    assert(Files.isDirectory(Paths.get(s"$out/samples/stream=$sid/date=2024-01-01")))
+    val back = Ingest.openSamples(spark, out)
+    // folded labels are ordinary queryable columns; stream prunes directories
+    assert(back.filter(col("cluster") === "a").count() > 0)
+    assert(back.filter(col("stream") === sid).count() === back.count())
+  }
+
   test("syncer: loads only new (stream, date) entries, evicts vanished streams") {
     var loads = 0
     val sy = new Syncer[String]((s, d) => { loads += 1; s"$s/$d" })
