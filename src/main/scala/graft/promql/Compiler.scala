@@ -444,12 +444,15 @@ object Compiler {
     // carries an `h` struct column — NativeHistograms model). The reference
     // gets these from its vendored Prometheus v3 promql engine; here each is
     // one column expression over the lookback-selected histogram.
-    case "histogram_count" | "histogram_sum" | "histogram_avg" =>
+    case "histogram_count" | "histogram_sum" | "histogram_avg"
+        | "histogram_stddev" | "histogram_stdvar" =>
       val v = histSelector(args.head, ctx, fn)
       val value = fn match {
-        case "histogram_count" => NativeHistograms.hCount(col("__graft_h"))
-        case "histogram_sum"   => NativeHistograms.hSum(col("__graft_h"))
-        case "histogram_avg"   => NativeHistograms.hAvg(col("__graft_h"))
+        case "histogram_count"  => NativeHistograms.hCount(col("__graft_h"))
+        case "histogram_sum"    => NativeHistograms.hSum(col("__graft_h"))
+        case "histogram_avg"    => NativeHistograms.hAvg(col("__graft_h"))
+        case "histogram_stddev" => NativeHistograms.stddev(col("__graft_h"))
+        case "histogram_stdvar" => NativeHistograms.stdvar(col("__graft_h"))
       }
       dropName(v.withColumn("value", value).drop("__graft_h"))
 

@@ -187,6 +187,28 @@ object NativeHistograms {
         (rankAt(hi, logHi, h) - rankAt(lo, logLo, h)) / cnt)))
   }
 
+  /** Estimated variance of the observations (histogram_stdvar): every
+    * observation in an exponential bucket is assumed at the bucket's
+    * geometric midpoint √(lower·upper) (mirrored for negative buckets, 0 for
+    * the zero bucket — promql/functions.go funcHistogramStdDev/StdVar), and
+    * the population variance Σ c·(mid − mean)² / count is taken against the
+    * true mean sum/count. */
+  def stdvar(h: Column): Column = {
+    val ww = w(h)
+    val mean = h.getField("hsum") / h.getField("cnt")
+    def term(mid: Column, c: Column) = c * (mid - mean) * (mid - mean)
+    // geometric midpoint of (2^((i-1)w), 2^(i·w)] is 2^((i-1/2)·w)
+    val posV = aggregate(h.getField("pos"), lit(0.0), (acc, b) =>
+      acc + term(pow(lit(2.0), (b.getField("idx").cast("double") - 0.5) * ww), b.getField("c")))
+    val negV = aggregate(h.getField("neg"), lit(0.0), (acc, b) =>
+      acc + term(-pow(lit(2.0), (b.getField("idx").cast("double") - 0.5) * ww), b.getField("c")))
+    val zeroV = term(lit(0.0), h.getField("zcnt"))
+    (posV + negV + zeroV) / h.getField("cnt")
+  }
+
+  /** histogram_stddev: √stdvar. */
+  def stddev(h: Column): Column = sqrt(stdvar(h))
+
   // ------------------------------------------------- counter-window algebra
   // rate/increase/delta over histogram-typed samples: bucket-wise last−first
   // with counter-reset compensation (histogram.FloatHistogram.Sub/Add +

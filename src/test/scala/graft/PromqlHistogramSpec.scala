@@ -49,6 +49,21 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(math.abs(avg("1") - 40.0 / 12.0) < 1e-12)
   }
 
+  test("histogram_stddev/stdvar: geometric bucket midpoints, population variance") {
+    // series 1 latest: buckets idx0 (0.5,1]:2, idx2 (2,4]:5, idx3 (4,8]:5;
+    // cnt 12, sum 40 → mean 10/3; mids 2^-0.5, 2^1.5, 2^2.5
+    val mean = 40.0 / 12.0
+    def t(mid: Double, c: Double) = c * (mid - mean) * (mid - mean)
+    val varExp = (t(math.pow(2, -0.5), 2) + t(math.pow(2, 1.5), 5) +
+      t(math.pow(2, 2.5), 5)) / 12.0
+    val sv = eval("histogram_stdvar(reqs)")
+    assert(math.abs(sv("1") - varExp) < 1e-12)
+    // series 2: all observations in the zero bucket at mid 0, mean 0.5
+    assert(math.abs(sv("2") - 0.25) < 1e-12)
+    val sd = eval("histogram_stddev(reqs)")
+    assert(math.abs(sd("1") - math.sqrt(varExp)) < 1e-12)
+  }
+
   test("histogram_fraction over native buckets") {
     val f = eval("histogram_fraction(1.0, 4.0, reqs)")
     // series 1: obs ≤ 4 → buckets idx0+idx2 = 7; obs ≤ 1 → idx0 = 2
