@@ -53,9 +53,14 @@ object Ingest {
     // stream per directory subtree, pruned before any file is opened
     val streamed =
       if (externalLabels.isEmpty) samples
-      else externalLabels.foldLeft(samples) { case (df, (k, v)) =>
-        df.withColumn(k, lit(v))
-      }.withColumn("stream", lit(streamId(externalLabels)))
+      else {
+        require(!samples.columns.contains("stream"),
+          "samples already carry a 'stream' column; it is reserved for the " +
+            "external-label partition dimension")
+        externalLabels.foldLeft(samples) { case (df, (k, v)) =>
+          df.withColumn(k, lit(v))
+        }.withColumn("stream", lit(streamId(externalLabels)))
+      }
     val all = streamed
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
     val partCols = if (externalLabels.isEmpty) Seq("date") else Seq("stream", "date")
