@@ -726,7 +726,13 @@ object Compiler {
         Aggregations.quantile(child, phi, grp)
       case "count_values" => // value string becomes a new label; count series
         val lbl = strOf(a.param.getOrElse(throw new ParseException("count_values needs a label")))
-        child.groupBy((grp :+ col("value").cast("string").as(lbl)): _*)
+        // Prometheus renders the label with FormatFloat('f', -1): integers
+        // carry no ".0" — "30", not Spark's double-cast "30.0"
+        val valueStr = when(!isnan(col("value")) &&
+            col("value") === col("value").cast("long").cast("double"),
+            col("value").cast("long").cast("string"))
+          .otherwise(col("value").cast("string"))
+        child.groupBy((grp :+ valueStr.as(lbl)): _*)
           .agg(count(lit(1)).cast("double").as("value"))
       case "group" => // all values become 1 per output group
         child.select(grp: _*).distinct().withColumn("value", lit(1.0))

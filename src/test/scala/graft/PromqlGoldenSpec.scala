@@ -115,6 +115,30 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 100s scalar(metric)
       |  {} NaN
+      |
+      |eval instant at 100s absent(metric{a="nope", c="x"})
+      |  {a="nope", c="x"} 1
+      |
+      |eval instant at 100s predict_linear(http{code="404"}[50s], 10)
+      |  {job="api", code="404"} 33
+      |
+      |eval instant at 100s clamp(metric, 30, 60)
+      |  {a="foo", pod="nginx-1"} 30
+      |  {b="bar", pod="nginx-2"} 60
+      |
+      |eval instant at 100s label_replace(metric{pod="nginx-1"}, "env", "$1", "pod", "nginx-(.*)")
+      |  {a="foo", pod="nginx-1", env="1", __name__="metric"} 21
+      |
+      |eval instant at 100s vector(time())
+      |  {} 100
+      |
+      |eval instant at 110s timestamp(metric offset 10s)
+      |  {a="foo", pod="nginx-1"} 100
+      |  {b="bar", pod="nginx-2"} 100
+      |
+      |eval instant at 100s count_values("v", http)
+      |  {v="30"} 1
+      |  {v="50"} 1
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -202,7 +226,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals) = parseCorpus(corpus)
-    assert(loaded.size == 6 && evals.size == 28)
+    assert(loaded.size == 6 && evals.size == 35)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
