@@ -139,12 +139,29 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s count_values("v", http)
       |  {v="30"} 1
       |  {v="50"} 1
+      |
+      |eval range from 0s to 50s step 10s sum(http)
+      |  {} 0 8 16 24 32 40
+      |
+      |eval range from 0s to 30s step 10s metric{pod="nginx-2"}
+      |  {b="bar", pod="nginx-2", __name__="metric"} 10 20 30 40
+      |
+      |eval range from 0s to 40s step 20s sum_over_time(metric{pod="nginx-1"}[20s])
+      |  {a="foo", pod="nginx-1"} 1 8 16
+      |
+      |eval range from 0s to 20s step 10s data
+      |  {test="nan", __name__="data"} NaN 1 NaN
+      |
+      |eval range from 0s to 20s step 10s irate(metric{pod="nginx-1"}[20s])
+      |  {a="foo", pod="nginx-1"} _ 0.2 0.2
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
   private case class Loaded(labels: Map[String, String], points: Seq[(Long, Double)])
   private case class EvalCase(atMs: Long, query: String,
                               expected: Seq[(Map[String, String], Double)])
+  private case class RangeCase(startMs: Long, endMs: Long, stepMs: Long, query: String,
+                               expected: Seq[(Map[String, String], Seq[Option[Double]])])
 
   private def parseLabels(s: String): Map[String, String] =
     if (s.trim.isEmpty) Map.empty
@@ -175,11 +192,12 @@ class PromqlGoldenSpec extends SparkSpec {
     Loaded(labels, points)
   }
 
-  private def parseCorpus(text: String): (Seq[Loaded], Seq[EvalCase]) = {
+  private def parseCorpus(text: String): (Seq[Loaded], Seq[EvalCase], Seq[RangeCase]) = {
     val lines = text.linesIterator.map(_.stripTrailing()).filter(_.nonEmpty).toSeq
     var stepMs = 10000L
     val loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
     val evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
+    val ranges = scala.collection.mutable.ArrayBuffer[RangeCase]()
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
@@ -204,9 +222,31 @@ class PromqlGoldenSpec extends SparkSpec {
           i += 1
         }
         evals += EvalCase(at, q, exp.toSeq)
+      } else if (l.startsWith("eval range from ")) {
+        // `eval range from <start> to <end> step <step> <query>`
+        val toks = l.stripPrefix("eval range from ").split("\\s+", 6)
+        require(toks(1) == "to" && toks(3) == "step", s"bad range header: $l")
+        // promqltest range bounds allow 0s; PromQL durations are positive
+        def dur(x: String) = if (x == "0s") 0L else Parser.parseDuration(x)
+        val (s0, e0, st0) = (dur(toks(0)), dur(toks(2)), dur(toks(4)))
+        val q = toks(5).trim
+        val exp = scala.collection.mutable.ArrayBuffer[(Map[String, String], Seq[Option[Double]])]()
+        i += 1
+        while (i < lines.length && lines(i).startsWith("  ")) {
+          val e = lines(i).trim
+          val lbl = parseLabels(e.substring(1, e.indexOf('}')))
+          val vs = e.substring(e.indexOf('}') + 1).trim.split("\\s+").toSeq.map {
+            case "_" => None
+            case "NaN" => Some(Double.NaN)
+            case v => Some(v.toDouble)
+          }
+          exp += ((lbl, vs))
+          i += 1
+        }
+        ranges += RangeCase(s0, e0, st0, q, exp.toSeq)
       } else i += 1
     }
-    (loaded.toSeq, evals.toSeq)
+    (loaded.toSeq, evals.toSeq, ranges.toSeq)
   }
 
   private def toSamples(loaded: Seq[Loaded]) = {
@@ -225,7 +265,7 @@ class PromqlGoldenSpec extends SparkSpec {
   }
 
   test("golden corpus: load/eval instant cases match") {
-    val (loaded, evals) = parseCorpus(corpus)
+    val (loaded, evals, _) = parseCorpus(corpus)
     assert(loaded.size == 6 && evals.size == 35)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
@@ -241,6 +281,40 @@ class PromqlGoldenSpec extends SparkSpec {
         got.exists { case (gl, gv) => gl == lbl && eq(gv, v) }
       }
       if (ok) None else Some(s"QUERY ${e.query} @${e.atMs}\n  got      $got\n  expected ${e.expected}")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("golden corpus: eval range cases match on the step grid") {
+    val (loaded, _, ranges) = parseCorpus(corpus)
+    assert(ranges.size == 5)
+    val samples = toSamples(loaded)
+    def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+    val failures = ranges.flatMap { rc =>
+      val df = Compiler.compile(Parser.parse(rc.query),
+        Compiler.Ctx(samples, rc.startMs, rc.endMs, rc.stepMs, lookbackMs = 300000L))
+      val lbls = Compiler.labelCols(df).filterNot(_ == "step_ms")
+      val got: Map[Map[String, String], Map[Long, Double]] = df.collect().toSeq
+        .map { r =>
+          (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
+            r.getAs[Long]("step_ms"),
+            r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble })
+        }
+        .groupBy(_._1).map { case (k, rows) =>
+          k -> rows.map(t => t._2 -> t._3).toMap
+        }
+      val steps = (rc.startMs to rc.endMs by rc.stepMs).toSeq
+      val bad = rc.expected.flatMap { case (lbl, vs) =>
+        val series = got.getOrElse(lbl, Map.empty)
+        steps.zip(vs).collect {
+          case (t, None) if series.contains(t) =>
+            s"  $lbl @$t: expected absent, got ${series(t)}"
+          case (t, Some(v)) if !series.get(t).exists(eq(_, v)) =>
+            s"  $lbl @$t: expected $v, got ${series.get(t)}"
+        }
+      } ++ got.keySet.diff(rc.expected.map(_._1).toSet).map(k => s"  unexpected series $k")
+      if (bad.isEmpty) None
+      else Some(s"QUERY ${rc.query}\n" + bad.mkString("\n"))
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
