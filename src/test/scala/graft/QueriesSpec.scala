@@ -25,6 +25,29 @@ class QueriesSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no registry query plans an unbounded cartesian / nested-loop join") {
+    // The one plan shape that can never finish at 100 TB is an O(n²) join.
+    // Whitelisted queries cross-join a PROVABLY tiny side (single-row
+    // aggregates, a ≤10-row broadcast query set, the PromQL step grid) —
+    // every other query must plan hash/sort-merge joins only.
+    val tinyCrossOk = Set(
+      "a1_dedup_counts",    // two 1-row aggregates
+      "promql_at_modifier", // @-pinned vector broadcast onto the step grid
+      "f_math_scalar",      // scalar() grid broadcast
+      "ss_brute_topk",      // exact baseline: ≤10-row broadcast query side
+      "ss_ivf_topk",        // probe set × centroids (k=16) assignment
+      "ss_lsh_topk",        // ≤10-row query side against its buckets
+      "km_mstep")           // E-step: constant-size (k=16) centroid broadcast
+    val failures = Registry.all.flatMap { q =>
+      val plan = q.fn(spark, sf()).queryExecution.executedPlan.toString
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !tinyCrossOk(q.name)) Some(q.name) else None
+    }
+    assert(failures.isEmpty,
+      s"unbounded-join plans in: ${failures.mkString(", ")}")
+  }
+
   test("WordNGrams/WordNGramHashes match the HOF + md5-conv SQL forms") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
