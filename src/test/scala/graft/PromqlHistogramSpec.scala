@@ -125,6 +125,12 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(math.abs(q("1") - math.pow(2.0, 1.25)) < 1e-12)
   }
 
+  test("@-pinned histogram range evaluation broadcasts onto the grid") {
+    // pin the window end at 70s regardless of the (much later) query time
+    val pinned = evalC("histogram_count(increase(cum[90s] @ 70))", 500000L)
+    assert(math.abs(pinned("1") - (16 - 10) * 1.5) < 1e-12)
+  }
+
   test("counter reset adds back the pre-reset histogram; delta does not") {
     val resetS = Seq(("cum", "1", 10000L, 1L), ("cum", "1", 40000L, 2L),
         ("cum", "1", 70000L, 3L))
