@@ -188,8 +188,17 @@ object Pipeline {
     Q("dd_ngram_jaccard",
       t => {
         val sets = TextOps.shingleHashSets(t.documents).withColumn("nsh", size(col("hs")))
+        // hot-shingle cap: a shingle appearing in >1000 docs of a block is
+        // boilerplate, not signal, and its posting list alone would emit
+        // ~df^2/2 candidate pairs — the one remaining quadratic term at
+        // corpus scale. The window shares the (lang, source, shh) shuffle
+        // with the self-join below; the oracle applies the same cap.
+        val capped = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source"), col("shh"))
         val inv = sets.select(col("lang"), col("source"), col("doc_id"), col("nsh"),
             explode(col("hs")).as("shh")) // long join key: cheap shuffle
+          .withColumn("__df", count(lit(1)).over(capped))
+          .filter(col("__df") <= 1000).drop("__df")
           .persist() // self-joined below: cache, don't re-shingle both sides
         val shared = inv.as("a").join(inv.as("b"),
             col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -204,7 +213,9 @@ object Pipeline {
       },
       Some(s"WITH sets AS (SELECT doc_id, lang, source, ${TextOps.SHINGLES_D} AS s FROM documents), " +
         "inv0 AS (SELECT doc_id, lang, source, len(s) AS nsh, unnest(s) AS sh FROM sets), " +
-        s"inv AS (SELECT doc_id, lang, source, nsh, ${TextOps.h48Sql("sh")} AS shh FROM inv0), " +
+        s"invA AS (SELECT doc_id, lang, source, nsh, ${TextOps.h48Sql("sh")} AS shh FROM inv0), " +
+        "inv AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY lang, source, shh) AS df " +
+        "FROM invA) WHERE df <= 1000), " +
         "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nsh AS n1, b.nsh AS n2, count(*) AS inter " +
         "FROM inv a JOIN inv b ON a.lang = b.lang AND a.source = b.source AND a.shh = b.shh " +
         "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
