@@ -575,6 +575,7 @@ object Compiler {
   private def isHistArg(e: Expr): Boolean = e match {
     case Selector(_, _, None, _, _) => true
     case Call("rate" | "increase" | "delta", _) => true
+    case Agg("sum", _, None, inner) => isHistArg(inner)
     case _ => false
   }
 
@@ -605,6 +606,18 @@ object Compiler {
         case None => throw new ParseException(
           s"$fn over $f2 requires a plain range selector, e.g. m[5m]")
       }
+    // sum() over a histogram-valued vector is the bucket-wise histogram add
+    // (FloatHistogram.Add) — the canonical
+    // histogram_quantile(φ, sum by (l) (rate(h[5m]))) shape
+    case Agg("sum", grouping, None, inner) if hasHist(ctx) && isHistArg(inner) =>
+      val v = histSelector(inner, ctx, fn)
+      val lbls = labelCols(v).filterNot(c => c.startsWith("__graft_") || c == "step_ms")
+      val keep = grouping match {
+        case By(ls)      => ls.filter(lbls.contains)
+        case Without(ls) => lbls.filterNot(ls.contains).filterNot(_ == "__name__")
+        case NoGrouping  => Nil
+      }
+      NativeHistograms.merge(v, keep :+ "step_ms", hCol = "__graft_h")
     case _ => throw new ParseException(
       s"$fn requires a plain selector over native-histogram samples")
   }

@@ -84,8 +84,8 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(c === Map("1" -> 10.0)) // series 2 has no sample at T−60s
   }
 
-  test("histogram functions reject non-selector float expressions") {
-    assertThrows[ParseException](eval("histogram_fraction(0, 1, sum(reqs))"))
+  test("histogram functions reject float-typed expressions") {
+    assertThrows[ParseException](eval("histogram_fraction(0, 1, avg(reqs))"))
     assertThrows[ParseException](eval("histogram_count(abs(reqs))"))
   }
 
@@ -123,6 +123,27 @@ class PromqlHistogramSpec extends SparkSpec {
     // positive target 2: cums [1,5] → idx2, f=(2-1)/4 → 2^(1+0.25)
     val q = evalC("histogram_quantile(0.5, rate(cum[90s]))", 70000L)
     assert(math.abs(q("1") - math.pow(2.0, 1.25)) < 1e-12)
+  }
+
+  test("sum() over histogram vectors is the bucket-wise add") {
+    // merged across both series: pos idx0:2, idx2:5, idx3:5; zcnt 4; cnt 16
+    def one(q: String): Double =
+      Compiler.compile(Parser.parse(q), Compiler.Ctx(samples, T, T, 1000L))
+        .select(col("value")).head().getDouble(0)
+    assert(one("histogram_count(sum(reqs))") === 16.0)
+    assert(one("histogram_sum(sum(reqs))") === 42.0)
+    // rank 8 > zcnt 4 → target 4 in (2,4], f = 2/5 → 2^1.4
+    assert(math.abs(one("histogram_quantile(0.5, sum(reqs))") -
+      math.pow(2.0, 1.4)) < 1e-12)
+    // grouped sum keeps per-group identity
+    assert(eval("histogram_count(sum by (uid) (reqs))") ===
+      Map("1" -> 12.0, "2" -> 4.0))
+    // and composes over rate
+    val r = Compiler.compile(
+      Parser.parse("histogram_count(sum(increase(cum[90s])))"),
+      Compiler.Ctx(counterSamples, 70000L, 70000L, 1000L))
+      .select(col("value")).head().getDouble(0)
+    assert(math.abs(r - (16 - 10) * 1.5) < 1e-12) // single series → identity
   }
 
   test("@-pinned histogram range evaluation broadcasts onto the grid") {
