@@ -601,11 +601,15 @@ object Compiler {
     // rate/increase/delta over a histogram range selector produce a
     // histogram-valued vector the outer histogram_* function consumes
     case Call(f2 @ ("rate" | "increase" | "delta"), fargs) if hasHist(ctx) =>
-      fargs.collectFirst { case s @ Selector(_, _, Some(_), _, _) => s } match {
-        case Some(sel) => histRange(f2, sel, ctx)
-        case None => throw new ParseException(
-          s"$fn over $f2 requires a plain range selector, e.g. m[5m]")
-      }
+      fargs.collectFirst {
+        case sel @ Selector(_, _, Some(r), _, _) =>
+          histRange(f2, r, sel.offsetMs, sel.at,
+            c => selectorPoints(sel, r, c), ctx)
+        case sub: Subquery =>
+          histRange(f2, sub.rangeMs, sub.offsetMs, sub.at,
+            c => histSubqueryPoints(sub, c), ctx)
+      }.getOrElse(throw new ParseException(
+        s"$fn over $f2 requires a range selector or subquery, e.g. m[5m]"))
     // sum() over a histogram-valued vector is the bucket-wise histogram add
     // (FloatHistogram.Add) — the canonical
     // histogram_quantile(φ, sum by (l) (rate(h[5m]))) shape
@@ -628,10 +632,35 @@ object Compiler {
     * scaled by the same boundary-extrapolation factor as float counters —
     * minus the zero-crossing clamp, which Prometheus applies to float
     * counters only (promql/functions.go extrapolatedRate). */
-  private def histRange(fn: String, sel: Selector, ctx: Ctx): DataFrame = {
-    val windowMs = sel.rangeMs.get
-    val offsetMs = sel.offsetMs
-    val ectx = sel.at match {
+  /** Histogram samples of a subquery `h[range:res]`: the plain inner
+    * selector evaluated on the aligned subquery grid, its per-step
+    * histograms becoming the samples the outer range function folds
+    * (same grid alignment as the float subqueryPoints). */
+  private def histSubqueryPoints(sub: Subquery, ctx: Ctx): DataFrame = {
+    val resMs = if (sub.resolutionMs > 0) sub.resolutionMs else ctx.noStepSubqueryIntervalMs
+    val rawStart = ctx.startMs - sub.rangeMs
+    val rem = java.lang.Math.floorMod(rawStart, resMs)
+    val alignedStart = if (rem == 0) rawStart else rawStart - rem + resMs
+    val innerCtx = ctx.copy(startMs = alignedStart, endMs = ctx.endMs,
+      stepMs = resMs,
+      anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
+    val inner = sub.expr match {
+      case sel @ Selector(_, _, None, _, _) => histSelector(sel, innerCtx, "subquery")
+      case _ => throw new ParseException(
+        "histogram subquery requires a plain inner selector")
+    }
+    val lbls = labelCols(inner).filterNot(_.startsWith("__graft_"))
+    inner.withColumnRenamed("step_ms", "ts_ms")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash",
+        if (lbls.nonEmpty) xxhash64(lbls.map(col): _*) else lit(0L))
+      .withColumnRenamed("__graft_h", "h")
+  }
+
+  private def histRange(fn: String, windowMs: Long, offsetMs: Long,
+                        atOpt: Option[AtSpec], mkPoints: Ctx => DataFrame,
+                        ctx: Ctx): DataFrame = {
+    val ectx = atOpt match {
       case Some(spec) =>
         val t = resolveAt(spec, ctx) - offsetMs
         ctx.copy(startMs = t, endMs = t,
@@ -640,7 +669,7 @@ object Compiler {
         ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs,
           anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
     }
-    val pts = selectorPoints(sel, windowMs, ectx)
+    val pts = mkPoints(ectx)
     def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
     val kMin = greatest(floorDiv(col("ts_ms") - ectx.startMs + ectx.stepMs - 1, ectx.stepMs), lit(0L))
     val kMax = least(floorDiv(col("ts_ms") - ectx.startMs + windowMs - 1, ectx.stepMs), lit(ectx.nSteps))
@@ -673,7 +702,7 @@ object Compiler {
       .withColumn("__graft_h", NativeHistograms.scale(delta, factor))
       .drop("series_hash", "__graft_n", "__graft_first_ts", "__graft_last_ts",
         "__graft_hpts")
-    val restored = sel.at match {
+    val restored = atOpt match {
       case Some(_) => ctx.grid.crossJoin(out.drop("step_ms"))
       case None =>
         if (offsetMs == 0) out

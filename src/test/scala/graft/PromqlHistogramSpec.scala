@@ -146,6 +146,17 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(math.abs(r - (16 - 10) * 1.5) < 1e-12) // single series → identity
   }
 
+  test("histogram subquery: inner selector on the aligned grid, outer fold") {
+    // cum[60s:30s] at 70s: aligned grid points 30s (sees the 10s sample,
+    // cnt 10) and 60s (sees 40s, cnt 13); outer increase over (10s, 70s]:
+    // delta 3, si=30, ds0=20, de0=10, all under thr → factor 2 → 6
+    val inc = evalC("histogram_count(increase(cum[60s:30s]))", 70000L)
+    assert(math.abs(inc("1") - 6.0) < 1e-12)
+    // non-selector inner expressions are float-typed → rejected
+    assertThrows[ParseException](
+      evalC("histogram_count(increase(rate(cum[30s])[60s:30s]))", 70000L))
+  }
+
   test("@-pinned histogram range evaluation broadcasts onto the grid") {
     // pin the window end at 70s regardless of the (much later) query time
     val pinned = evalC("histogram_count(increase(cum[90s] @ 70))", 500000L)
