@@ -575,7 +575,7 @@ object Compiler {
   private def isHistArg(e: Expr): Boolean = e match {
     case Selector(_, _, None, _, _) => true
     case Call("rate" | "increase" | "delta", _) => true
-    case Agg("sum", _, None, inner) => isHistArg(inner)
+    case Agg("sum" | "avg", _, None, inner) => isHistArg(inner)
     case _ => false
   }
 
@@ -610,10 +610,11 @@ object Compiler {
             c => histSubqueryPoints(sub, c), ctx)
       }.getOrElse(throw new ParseException(
         s"$fn over $f2 requires a range selector or subquery, e.g. m[5m]"))
-    // sum() over a histogram-valued vector is the bucket-wise histogram add
-    // (FloatHistogram.Add) — the canonical
+    // sum()/avg() over a histogram-valued vector: bucket-wise histogram add
+    // (FloatHistogram.Add), for avg scaled by 1/series — the canonical
     // histogram_quantile(φ, sum by (l) (rate(h[5m]))) shape
-    case Agg("sum", grouping, None, inner) if hasHist(ctx) && isHistArg(inner) =>
+    case Agg(af @ ("sum" | "avg"), grouping, None, inner)
+        if hasHist(ctx) && isHistArg(inner) =>
       val v = histSelector(inner, ctx, fn)
       val lbls = labelCols(v).filterNot(c => c.startsWith("__graft_") || c == "step_ms")
       val keep = grouping match {
@@ -621,7 +622,16 @@ object Compiler {
         case Without(ls) => lbls.filterNot(ls.contains).filterNot(_ == "__name__")
         case NoGrouping  => Nil
       }
-      NativeHistograms.merge(v, keep :+ "step_ms", hCol = "__graft_h")
+      val keys = keep :+ "step_ms"
+      val merged = NativeHistograms.merge(v, keys, hCol = "__graft_h")
+      if (af == "sum") merged
+      else {
+        val n = v.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+        merged.join(n, keys)
+          .withColumn("__graft_h",
+            NativeHistograms.scale(col("__graft_h"), lit(1.0) / col("__graft_n")))
+          .drop("__graft_n")
+      }
     case _ => throw new ParseException(
       s"$fn requires a plain selector over native-histogram samples")
   }

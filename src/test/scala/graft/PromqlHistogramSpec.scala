@@ -85,7 +85,7 @@ class PromqlHistogramSpec extends SparkSpec {
   }
 
   test("histogram functions reject float-typed expressions") {
-    assertThrows[ParseException](eval("histogram_fraction(0, 1, avg(reqs))"))
+    assertThrows[ParseException](eval("histogram_fraction(0, 1, max(reqs))"))
     assertThrows[ParseException](eval("histogram_count(abs(reqs))"))
   }
 
@@ -144,6 +144,9 @@ class PromqlHistogramSpec extends SparkSpec {
       Compiler.Ctx(counterSamples, 70000L, 70000L, 1000L))
       .select(col("value")).head().getDouble(0)
     assert(math.abs(r - (16 - 10) * 1.5) < 1e-12) // single series → identity
+    // avg = merged / series count
+    assert(one("histogram_count(avg(reqs))") === 8.0)
+    assert(math.abs(one("histogram_sum(avg(reqs))") - 21.0) < 1e-12)
   }
 
   test("histogram subquery: inner selector on the aligned grid, outer fold") {
