@@ -22,6 +22,21 @@ object Pipeline {
   private val STOP = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopSqlList = STOP.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** DuckDB mirror of [[graft.functions.WordNGramHashes]] for arbitrary n:
+    * distinct 48-bit hashes of the word-n-grams (TextOps.SHINGLE_HASHES_D is
+    * the n=3 instance). */
+  private def shingleHashesSql(n: Int): String = {
+    val toks = TextOps.TOKS_D
+    val gram = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len($toks)-${n - 2}), " +
+      s"i -> ${TextOps.h48Sql(s"($gram)")}))"
+  }
+
+  /** Redaction patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+    * no backreferences, no lookaround. */
+  private val PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PII_IP = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+
   /** Map-side simhash projection shared by the near-dup queries. */
   private def simhashSig(t: Tables) =
     t.documents.select(col("doc_id"), col("lang"), col("source"),
@@ -504,6 +519,116 @@ object Pipeline {
       Some("SELECT lang, source, count(*) AS n_total, " +
         s"CAST(sum(CASE WHEN ${h48Sql("doc_id::VARCHAR")} % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source")),
+
+    // ------------------------------------------- corpus hygiene / leakage
+    // Benchmark-contamination check: a training document is contaminated if
+    // it shares any word-8-gram with the held-out benchmark corpus (here:
+    // sources src0/src1). Plan shape for 100 TB: the benchmark shingle set
+    // is tiny relative to the corpus -> distinct + broadcast; the training
+    // side is a map-side explode of codegen'd hashes, one shuffle for the
+    // per-doc hit count. 8-grams (vs the dedup 3-grams) keep the accidental
+    // collision rate negligible so hits mean real overlap.
+    Q("tx_contamination",
+      t => {
+        val sh = t.documents.select(col("doc_id"), col("source"),
+          graft.functions.WordNGramHashes(
+            split(lower(trim(col("text"))), "\\s+"), 8).as("hs"))
+        val bench = sh.filter(col("source").isin("src0", "src1"))
+          .select(explode(col("hs")).as("shh")).distinct()
+        val train = sh.filter(!col("source").isin("src0", "src1"))
+          .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+            explode(col("hs")).as("shh"))
+        train.join(broadcast(bench), Seq("shh"))
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(count(lit(1)).as("n_hit"))
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_sh")).as("contam_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH sh AS (SELECT doc_id, source, " + shingleHashesSql(8) + " AS hs FROM documents), " +
+        "bench AS (SELECT DISTINCT unnest(hs) AS shh FROM sh WHERE source IN ('src0', 'src1')), " +
+        "train AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS shh FROM sh " +
+        "WHERE source NOT IN ('src0', 'src1')) " +
+        "SELECT doc_id, n_sh, n_hit, CAST(n_hit AS DOUBLE) / n_sh AS contam_ratio FROM (" +
+        "SELECT t.doc_id, t.n_sh, count(*) AS n_hit FROM train t JOIN bench b USING (shh) " +
+        "GROUP BY 1, 2) ORDER BY doc_id")),
+
+    // PII/secret scrubbing: regex redaction of emails and IPv4 addresses.
+    // The synthetic corpus is digit-free, so a deterministic per-doc payload
+    // (doc_id-derived email / IP on a subset of docs) is appended INSIDE the
+    // query and the oracle alike — the redaction logic runs against real
+    // matches and real non-matches. Pure map-side at any scale; the patterns
+    // are valid in both Java regex (Spark) and RE2 (DuckDB).
+    Q("tx_pii_scrub",
+      t => {
+        val aug = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3L)) =!= 0L,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2L)) === 0L,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(240L)).cast("string"),
+              lit(".0."), pmod(col("doc_id"), lit(250L)).cast("string")))
+            .otherwise(lit("")))
+        val scrubbed = regexp_replace(
+          regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>")
+        t.documents.select(col("doc_id"),
+            size(regexp_extract_all(aug, lit(PII_EMAIL), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(aug, lit(PII_IP), lit(0))).cast("long").as("n_ip"),
+            md5(scrubbed).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH a AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || (doc_id % 240) || '.0.' || (doc_id % 250) ELSE '' END AS aug " +
+        "FROM documents) " +
+        s"SELECT doc_id, len(regexp_extract_all(aug, '$PII_EMAIL')) AS n_email, " +
+        s"len(regexp_extract_all(aug, '$PII_IP')) AS n_ip, " +
+        s"md5(regexp_replace(regexp_replace(aug, '$PII_EMAIL', '<EMAIL>', 'g'), '$PII_IP', '<IP>', 'g')) AS fp " +
+        "FROM a ORDER BY doc_id")),
+
+    // C4-style cross-document segment dedup: split each doc into consecutive
+    // 10-token segments ("lines" of this newline-free corpus), keep each
+    // distinct segment only at its first occurrence (min doc_id, seg_no),
+    // and reassemble the surviving text. The first-occurrence choice is a
+    // window over the segment key — at 100 TB partition by a 64-bit segment
+    // hash instead of the string and the same plan holds (the per-key group
+    // is the segment's duplication count, never the corpus).
+    Q("dd_line_dedup",
+      t => {
+        val tok = t.documents.select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        val segs = tok.withColumn("seg_no", floor(col("pos") / 10).cast("long"))
+          .groupBy(col("doc_id"), col("seg_no"))
+          .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("seg"))
+          .persist() // feeds both the rank window and the per-doc totals
+        val ranked = segs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_no"))))
+        val rebuilt = ranked.filter(col("rn") === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+              x => x.getField("seg"))).as("new_text"))
+        segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_seg"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            md5(coalesce(col("new_text"), lit(""))).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents), " +
+        "sg AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(toks) / 10.0e0) AS BIGINT)), " +
+        "i -> struct_pack(seg_no := i, seg := array_to_string(toks[i*10+1:i*10+10], ' ')))) AS u FROM tk), " +
+        "segs AS (SELECT doc_id, u.seg_no AS seg_no, u.seg AS seg FROM sg), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn FROM segs), " +
+        "kept AS (SELECT doc_id, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY seg_no) AS new_text " +
+        "FROM ranked WHERE rn = 1 GROUP BY doc_id), " +
+        "ns AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id) " +
+        "SELECT ns.doc_id, ns.n_seg, coalesce(k.n_kept, 0) AS n_kept, " +
+        "md5(coalesce(k.new_text, '')) AS fp " +
+        "FROM ns LEFT JOIN kept k USING (doc_id) ORDER BY ns.doc_id")),
 
     // ------------------------------------------------- multimodal plumbing
     // Opaque binary column + typed metadata; the real decoder is a STUB
