@@ -94,7 +94,8 @@ object Compiler {
   private val overTimeFns = Set("sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "count_over_time", "stddev_over_time", "stdvar_over_time",
     "mad_over_time", "present_over_time", "absent_over_time", "last_over_time",
-    "first_over_time", "quantile_over_time", "rate", "irate", "increase",
+    "first_over_time", "quantile_over_time", "ts_of_max_over_time",
+    "ts_of_min_over_time", "ts_of_last_over_time", "rate", "irate", "increase",
     "delta", "idelta", "changes", "resets", "deriv", "predict_linear",
     "holt_winters", "double_exponential_smoothing")
 
@@ -164,6 +165,17 @@ object Compiler {
         min(col("ts_ms")).as("__graft_first_ts"), max(col("ts_ms")).as("__graft_last_ts"),
         min_by(col("value"), col("ts_ms")).as("__graft_first_val"),
         max_by(col("value"), col("ts_ms")).as("__graft_last_val"),
+        // ts of the extreme sample; ties resolve to the LATER sample like
+        // Prometheus funcTsOfMax/MinOverTime (>= / <= update in the scan).
+        // The leading rank term keeps NaN below every real value (Spark sorts
+        // NaN greatest); all-NaN windows tie on rank and take the last ts,
+        // which is exactly the reference's IsNaN-replacement walk
+        max(struct(when(isnan(col("value")), 0).otherwise(1).as("r"),
+            nanvl(col("value"), lit(0.0)).as("v"), col("ts_ms").as("t")))
+          .getField("t").as("__graft_max_val_ts"),
+        max(struct(when(isnan(col("value")), 0).otherwise(1).as("r"),
+            nanvl(negate(col("value")), lit(0.0)).as("v"), col("ts_ms").as("t")))
+          .getField("t").as("__graft_min_val_ts"),
         sum(col("value").cast(Det.dec)).cast("double").as("__graft_sum_val"),
         (sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))).as("__graft_avg_val"),
         min(col("value")).as("__graft_min_val"), max(col("value")).as("__graft_max_val"),
@@ -324,6 +336,10 @@ object Compiler {
         case "present_over_time" => lit(1.0)
         case "last_over_time"   => col("__graft_last_val")
         case "first_over_time"  => col("__graft_first_val")
+        // seconds (ms precision) of the qualifying sample, Prometheus 3.x
+        case "ts_of_max_over_time"  => col("__graft_max_val_ts").cast("double") / lit(1000.0)
+        case "ts_of_min_over_time"  => col("__graft_min_val_ts").cast("double") / lit(1000.0)
+        case "ts_of_last_over_time" => col("__graft_last_ts").cast("double") / lit(1000.0)
         case "idelta"           => col("__graft_idelta_val")
         case "irate" => // per-second rate of the last in-window sample pair
           when(col("__graft_irate_dt").isNotNull,

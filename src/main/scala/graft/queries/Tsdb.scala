@@ -574,6 +574,28 @@ object Tsdb {
         "CAST(ts_ms AS DOUBLE) / 1000.0e0 AS value FROM v " +
         "WHERE __name__ = 'purchase' ORDER BY uid")),
 
+    // ts_of_{max,min,last}_over_time (Prometheus 3.x): the TIME of the
+    // qualifying sample, ties to the later sample
+    Q("promql_ts_of_extremes", {
+      t => {
+        def run(q: String, as: String) =
+          Compiler.compile(Parser.parse(q), Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+            .select(col("uid"), col("value").as(as))
+        run("""ts_of_max_over_time({__name__="purchase"}[1d])""", "ts_max")
+          .join(run("""ts_of_min_over_time({__name__="purchase"}[1d])""", "ts_min"), Seq("uid"))
+          .join(run("""ts_of_last_over_time({__name__="purchase"}[1d])""", "ts_last"), Seq("uid"))
+          .orderBy(col("uid"))
+      }},
+      Some(s"WITH $S_CTE, " +
+        s"w AS (SELECT * FROM s WHERE __name__ = 'purchase' AND ts_ms >= ${TI - DAY + 1} AND ts_ms <= $TI), " +
+        "mx AS (SELECT uid, CAST(ts_ms AS DOUBLE) / 1000.0e0 AS ts_max FROM w " +
+        "QUALIFY row_number() OVER (PARTITION BY uid ORDER BY value DESC, ts_ms DESC, sample_id DESC) = 1), " +
+        "mn AS (SELECT uid, CAST(ts_ms AS DOUBLE) / 1000.0e0 AS ts_min FROM w " +
+        "QUALIFY row_number() OVER (PARTITION BY uid ORDER BY value ASC, ts_ms DESC, sample_id DESC) = 1), " +
+        "lt AS (SELECT uid, CAST(max(ts_ms) AS DOUBLE) / 1000.0e0 AS ts_last FROM w GROUP BY uid) " +
+        "SELECT uid, ts_max, ts_min, ts_last FROM mx JOIN mn USING (uid) JOIN lt USING (uid) " +
+        "ORDER BY uid")),
+
     // ------------------------------------------------------------------ T-ops
     // sessionization: the batch/window form of stateful stream grouping
     // (mapGroupsWithState analog, but shuffle-once and restart-free)

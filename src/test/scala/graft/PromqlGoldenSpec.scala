@@ -23,6 +23,7 @@ class PromqlGoldenSpec extends SparkSpec {
       |  http{job="api", code="200"} 0+5x40
       |  data{test="nan"} NaN 1 NaN
       |  adv{n_samples="x", k="y", resets="z"} 0+10x40
+      |  flat{c="1"} 5 5 5
       |
       |eval instant at 100s metric
       |  {a="foo", pod="nginx-1", __name__="metric"} 21
@@ -85,6 +86,27 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 100s mad_over_time(http{code="404"}[30s])
       |  {job="api", code="404"} 3
+      |
+      |eval instant at 100s ts_of_max_over_time(metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} 100
+      |
+      |eval instant at 100s ts_of_min_over_time(metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} 80
+      |
+      |eval instant at 100s ts_of_last_over_time(metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} 100
+      |
+      |eval instant at 20s ts_of_max_over_time(flat[30s])
+      |  {c="1"} 20
+      |
+      |eval instant at 20s ts_of_min_over_time(flat[30s])
+      |  {c="1"} 20
+      |
+      |eval instant at 20s ts_of_max_over_time(data[30s])
+      |  {test="nan"} 10
+      |
+      |eval instant at 20s ts_of_min_over_time(data[30s])
+      |  {test="nan"} 10
       |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
@@ -266,7 +288,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 6 && evals.size == 35)
+    assert(loaded.size == 7 && evals.size == 42)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
