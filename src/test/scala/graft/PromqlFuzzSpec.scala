@@ -98,7 +98,8 @@ class PromqlFuzzSpec extends SparkSpec {
   test("40 seeded random *_over_time window queries agree with the naive evaluator") {
     val rnd = new Random(11)
     val names = Seq("click", "view", "purchase", "signup", "error")
-    val ops = Seq("sum", "avg", "min", "max", "count", "stddev", "first", "last")
+    val ops = Seq("sum", "avg", "min", "max", "count", "stddev", "first", "last",
+      "ts_of_max", "ts_of_min", "ts_of_last")
     val failures = (1 to 40).flatMap { i =>
       val op = ops(rnd.nextInt(ops.length))
       val name = names(rnd.nextInt(5))
@@ -132,6 +133,12 @@ class PromqlFuzzSpec extends SparkSpec {
               math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
             case "first"  => sorted.head._4
             case "last"   => sorted.last._4
+            // Prometheus funcTsOfMax/Min: >=/<= walk in ts order, later wins
+            case "ts_of_max" =>
+              sorted.foldLeft(sorted.head) { (b, s) => if (s._4 >= b._4) s else b }._3 / 1000.0
+            case "ts_of_min" =>
+              sorted.foldLeft(sorted.head) { (b, s) => if (s._4 <= b._4) s else b }._3 / 1000.0
+            case "ts_of_last" => sorted.last._3 / 1000.0
           })
         }
       val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
