@@ -120,6 +120,40 @@ object Ingest {
     } finally dedup.unpersist(blocking = false)
   }
 
+  /** Bucketed-layout variant of the dual sink: both tables hash-bucketed and
+    * sorted by `series_hash`, registered in the session catalog (bucket
+    * metadata lives in the catalog, as in a metastore on a real cluster).
+    * This is the 100 TB answer to J1 (labels↔samples join, ref
+    * `search/materialize.go:42-105` positional join): with matching bucket
+    * counts on the join key the join co-locates — zero Exchange in the plan —
+    * and an equality predicate on `series_hash` prunes to a single bucket
+    * before any file opens. The path layout (`convertSamples`) stays the
+    * interchange format; bucketed tables are the query-optimized registration
+    * of the same data. */
+  def convertBucketed(spark: SparkSession, events: DataFrame, baseDir: String,
+                      buckets: Int = 16,
+                      samplesTable: String = "samples_bucketed",
+                      seriesTable: String = "series_bucketed"): Unit = {
+    val samples = TimeSeriesModel.samples(events)
+    val lblCols = samples.columns
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+    spark.sql(s"DROP TABLE IF EXISTS $samplesTable")
+    spark.sql(s"DROP TABLE IF EXISTS $seriesTable")
+    samples.write.mode(SaveMode.Overwrite)
+      .format("parquet").option("compression", "zstd")
+      .option("path", s"$baseDir/$samplesTable")
+      .bucketBy(buckets, "series_hash")
+      .sortBy("series_hash", "ts_ms")
+      .saveAsTable(samplesTable)
+    samples.select((lblCols :+ "series_hash").map(col): _*).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").option("compression", "zstd")
+      .option("path", s"$baseDir/$seriesTable")
+      .bucketBy(buckets, "series_hash")
+      .sortBy("series_hash")
+      .saveAsTable(seriesTable)
+  }
+
   /** Stable stream id for an external-label set — the path-level analog of
     * the reference's labels hash (schema/block.go:45-67); the exact hash
     * function only needs to be self-consistent. */

@@ -69,6 +69,43 @@ class EtlSpec extends SparkSpec {
     assert(pf.contains("date"), plan.take(2000))
   }
 
+  test("bucketed layout: series-samples join runs with zero Exchange; hash literal prunes buckets") {
+    val out = Files.createTempDirectory("graft-bucketed").toString
+    val t = Tables(spark, sf())
+    Ingest.convertBucketed(spark, t.events, out, buckets = 8)
+    val samples = spark.table("samples_bucketed")
+    val series = spark.table("series_bucketed")
+
+    // co-located join: with broadcast off, matching bucket counts on the key
+    // mean neither side shuffles — the J1 plan a 100 TB cluster needs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = samples.join(
+        series.filter(col("__name__") === "purchase").select("series_hash"),
+        Seq("series_hash"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
+      val direct = graft.model.TimeSeriesModel.samples(t.events)
+        .filter(col("__name__") === "purchase").count()
+      assert(joined.count() == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // bucket pruning: an equality predicate on the bucket column opens 1/8.
+    // autoBucketedScan turns bucketed reads off for filter-only plans (no
+    // join/agg to benefit) — disable the auto decision to surface the pruning
+    val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val oneHash = series.limit(1).collect()(0).getAs[Long]("series_hash")
+      val pruned = samples.filter(col("series_hash") === oneHash)
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected single-bucket scan in:\n$scan")
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("planner: newest-first diff with grace and step limit") {
     val d = (1 to 10).map(i => LocalDate.of(2024, 1, i)).toSet
     val today = LocalDate.of(2024, 1, 11)
