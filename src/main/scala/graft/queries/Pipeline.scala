@@ -520,6 +520,57 @@ object Pipeline {
         s"CAST(sum(CASE WHEN ${h48Sql("doc_id::VARCHAR")} % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source")),
 
+    // CCNet-shaped LM quality scoring: build the corpus unigram table (the
+    // "language model"), broadcast it, score every doc by its tokens' corpus
+    // frequencies. Integer tf statistics instead of ln(p) keep the score
+    // bit-exact across engines (libm ln differs in the last ulp); the plan —
+    // vocab aggregation, broadcast model join, per-doc reduce — is the real
+    // CCNet shape and holds at 100 TB (the vocab is sublinear in the corpus).
+    Q("tx_unigram_freq",
+      t => {
+        val tok = t.documents.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        tok.join(broadcast(vocab), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("tf")).as("sum_tf"),
+            min(col("tf")).as("min_tf"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("sum_tf").cast("double") / col("n_tok")).as("avg_tf"),
+            col("min_tf"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok FROM documents), " +
+        "v AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok) " +
+        "SELECT doc_id, count(*) AS n_tok, CAST(sum(tf) AS DOUBLE) / count(*) AS avg_tf, " +
+        "min(tf) AS min_tf FROM tok JOIN v USING (tok) GROUP BY doc_id ORDER BY doc_id")),
+
+    // Temperature-based mixture weighting (multilingual-corpus sampling):
+    // p(lang) ∝ n^α with α=1/2 — sqrt is correctly rounded IEEE in both
+    // engines, and the decimal-summed normalizer keeps p deterministic.
+    // Constant-size aggregate at any corpus scale.
+    Q("smp_temperature",
+      t => {
+        val w = t.documents.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", sqrt(col("n_docs").cast("double")).cast(graft.functions.Det.dec))
+        val tot = w.agg(sum(col("w")).as("tw"))
+        w.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            col("w").cast("double").as("weight"),
+            (col("w").cast("double") / col("tw").cast("double")).as("p"),
+            floor(col("w").cast("double") / col("tw").cast("double") * 1000.0e0)
+              .cast("long").as("n_budget"))
+          .orderBy(col("lang"))
+      },
+      Some("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, n_docs, CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,9)) AS w FROM c), " +
+        "t AS (SELECT CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE) AS tw FROM w) " +
+        "SELECT lang, n_docs, CAST(CAST(w AS VARCHAR) AS DOUBLE) AS weight, " +
+        "CAST(CAST(w AS VARCHAR) AS DOUBLE) / tw AS p, " +
+        "CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE) / tw * 1000.0e0) AS BIGINT) AS n_budget " +
+        "FROM w, t ORDER BY lang")),
+
     // ------------------------------------------- corpus hygiene / leakage
     // Benchmark-contamination check: a training document is contaminated if
     // it shares any word-8-gram with the held-out benchmark corpus (here:
