@@ -312,7 +312,9 @@ object Tsdb {
         val r1 = s.filter(col("uid") =!= "3").withColumn("replica", lit("r1"))
         val r2 = s.withColumn("value", col("value") + 1000.0e0)
           .withColumn("replica", lit("r2"))
-        TimeSeriesModel.replicaDedup(r1.unionByName(r2), Seq("replica"))
+        // replicaDedup reads its input twice (winner election + semi join) —
+        // persist the doubled union so each pass reuses one materialization
+        TimeSeriesModel.replicaDedup(r1.unionByName(r2).persist(), Seq("replica"))
           .groupBy(col("__name__"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
           .orderBy(col("__name__"))
