@@ -37,7 +37,8 @@ class QueriesSpec extends SparkSpec {
       "ss_brute_topk",      // exact baseline: ≤10-row broadcast query side
       "ss_ivf_topk",        // probe set × centroids (k=16) assignment
       "ss_lsh_topk",        // ≤10-row query side against its buckets
-      "km_mstep")           // E-step: constant-size (k=16) centroid broadcast
+      "km_mstep",           // E-step: constant-size (k=16) centroid broadcast
+      "smp_temperature")    // 1-row normalizer broadcast onto ≤|langs| rows
     val failures = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf()).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") ||
@@ -146,5 +147,40 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 8)
+  }
+
+  test("corpus hygiene ops: brute-force invariants on sf0.001") {
+    val t = Tables(spark, sf())
+    val docs = t.documents.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").toSeq
+    def grams(s: String, n: Int) = toks(s).sliding(n).filter(_.size == n)
+      .map(_.mkString(" ")).toSet
+
+    // tx_contamination ≡ brute-force 8-gram intersection with src0/src1
+    val bench = docs.filter(d => d._3 == "src0" || d._3 == "src1")
+      .flatMap(d => grams(d._2, 8)).toSet
+    val expect = docs.filterNot(d => d._3 == "src0" || d._3 == "src1")
+      .map(d => d._1 -> grams(d._2, 8).count(bench)).filter(_._2 > 0).toMap
+    val got = Registry.all.find(_.name == "tx_contamination").get.fn(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(got == expect.map { case (k, v) => k -> v.toLong },
+      s"contamination mismatch: got=$got expect=$expect")
+
+    // dd_line_dedup: every distinct 10-token segment survives exactly once
+    val allSegs = docs.flatMap { case (_, text, _) =>
+      toks(text).grouped(10).map(_.mkString(" ")) }
+    val rebuilt = Registry.all.find(_.name == "dd_line_dedup").get.fn(spark, sf())
+      .collect()
+    assert(rebuilt.map(_.getAs[Long]("n_kept")).sum == allSegs.distinct.length)
+    assert(rebuilt.map(_.getAs[Long]("n_seg")).sum == allSegs.length)
+
+    // tx_pii_scrub: counts follow the doc_id payload rule; no '@' survives
+    val pii = Registry.all.find(_.name == "tx_pii_scrub").get.fn(spark, sf()).collect()
+    pii.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_email") == (if (id % 3 != 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ip") == (if (id % 2 == 0) 1L else 0L))
+    }
   }
 }
