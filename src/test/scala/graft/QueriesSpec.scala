@@ -149,10 +149,11 @@ class QueriesSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 8)
   }
 
-  test("corpus hygiene ops: brute-force invariants on sf0.001") {
-    val t = Tables(spark, sf())
-    val docs = t.documents.select("doc_id", "text", "source").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+  /** Brute-force (plain Scala collections) cross-check of the corpus-hygiene
+    * registry queries against whatever documents table lives in `dir`. */
+  private def checkHygiene(dir: String): Unit = {
+    val docs = Tables(spark, dir).documents.select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     def toks(s: String) = s.trim.toLowerCase.split("\\s+").toSeq
     def grams(s: String, n: Int) = toks(s).sliding(n).filter(_.size == n)
       .map(_.mkString(" ")).toSet
@@ -162,7 +163,7 @@ class QueriesSpec extends SparkSpec {
       .flatMap(d => grams(d._2, 8)).toSet
     val expect = docs.filterNot(d => d._3 == "src0" || d._3 == "src1")
       .map(d => d._1 -> grams(d._2, 8).count(bench)).filter(_._2 > 0).toMap
-    val got = Registry.all.find(_.name == "tx_contamination").get.fn(spark, sf())
+    val got = Registry.all.find(_.name == "tx_contamination").get.fn(spark, dir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
     assert(got == expect.map { case (k, v) => k -> v.toLong },
       s"contamination mismatch: got=$got expect=$expect")
@@ -170,17 +171,44 @@ class QueriesSpec extends SparkSpec {
     // dd_line_dedup: every distinct 10-token segment survives exactly once
     val allSegs = docs.flatMap { case (_, text, _) =>
       toks(text).grouped(10).map(_.mkString(" ")) }
-    val rebuilt = Registry.all.find(_.name == "dd_line_dedup").get.fn(spark, sf())
+    val rebuilt = Registry.all.find(_.name == "dd_line_dedup").get.fn(spark, dir)
       .collect()
     assert(rebuilt.map(_.getAs[Long]("n_kept")).sum == allSegs.distinct.length)
     assert(rebuilt.map(_.getAs[Long]("n_seg")).sum == allSegs.length)
 
-    // tx_pii_scrub: counts follow the doc_id payload rule; no '@' survives
-    val pii = Registry.all.find(_.name == "tx_pii_scrub").get.fn(spark, sf()).collect()
+    // tx_pii_scrub: counts follow the doc_id payload rule
+    val pii = Registry.all.find(_.name == "tx_pii_scrub").get.fn(spark, dir).collect()
     pii.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       assert(r.getAs[Long]("n_email") == (if (id % 3 != 0) 1L else 0L))
       assert(r.getAs[Long]("n_ip") == (if (id % 2 == 0) 1L else 0L))
     }
+  }
+
+  test("corpus hygiene ops: brute-force invariants on sf0.001") {
+    checkHygiene(sf())
+  }
+
+  test("corpus hygiene ops: randomized adversarial corpus") {
+    import spark.implicits._
+    // seeded random docs over a tiny vocabulary (maximal shingle collisions)
+    // plus edge cases: 1-token, exactly-10-token, within-doc repeated
+    // segment, full cross-source duplicates (guaranteed contamination)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "gg", "hh")
+    def doc(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 50L).map { id =>
+      val n = Seq(1, 5, 9, 10, 11, 20, 35)(rnd.nextInt(7))
+      (id, doc(n), "en", s"src${id % 4}")
+    }
+    val tenTok = doc(10)
+    val edge = Seq(
+      (51L, base.head._2, "en", "src3"),            // duplicate of a src1 doc
+      (52L, s"$tenTok $tenTok", "en", "src2"),      // same segment twice
+      (53L, tenTok, "en", "src0"))                  // benchmark copy of 52's segment
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzdocs").toString
+    (base ++ edge).toDF("doc_id", "text", "lang", "source")
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+    checkHygiene(dir)
   }
 }
