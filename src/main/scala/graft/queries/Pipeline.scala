@@ -530,6 +530,7 @@ object Pipeline {
       t => {
         val tok = t.documents.select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .persist() // tokenized once; feeds the vocab build AND the scoring join
         val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
         tok.join(broadcast(vocab), Seq("tok"))
           .groupBy(col("doc_id"))
