@@ -63,8 +63,35 @@ object PrefixRegexRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions`-compatible registration. */
+/** `spark.sql.extensions`-compatible registration: the optimizer rule plus
+  * the engine's codegen'd expressions as SQL functions, so `spark.sql(...)`
+  * users get the same primitives the DataFrame API uses (no UDF penalty). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions._
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $e")
+  }
+
+  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "is_stale"          -> (a => IsStale(a.head)),
+    "dot_product"       -> (a => DotProduct(a(0), a(1))),
+    "simhash48"         -> (a => SimHash48(a.head)),
+    "word_ngrams"       -> (a => WordNGrams(a(0), intLit(a(1), "word_ngrams"))),
+    "word_ngram_hashes" -> (a => WordNGramHashes(a(0), intLit(a(1), "word_ngram_hashes"))),
+    "minhash_sig"       -> (a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))),
+    "rolling_fp"        -> (a => RollingFingerprint(a(0), intLit(a(1), "rolling_fp"))))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PrefixRegexRewrite)
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+  }
 }

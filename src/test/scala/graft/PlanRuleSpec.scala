@@ -19,6 +19,43 @@ class PlanRuleSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == PrefixRegexRewrite)
   }
 
+  test("GraftExtensions registers the engine expressions as SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    // a genuinely new session (shared SparkContext) so injectFunction applies;
+    // never .stop() it — that would stop the JVM-wide context. Force the
+    // suite-shared session into existence FIRST, or it would lazily resolve
+    // to this extended session and poison the no-rule baselines below.
+    val shared = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT word_ngram_hashes(split('a b c d', ' '), 3) AS g3, " +
+          "minhash_sig(word_ngram_hashes(split('a b c d e', ' '), 3), 4) AS sig, " +
+          "simhash48(split('a b c', ' ')) AS sh, " +
+          "rolling_fp('abcdefghij', 8) AS fp, " +
+          "dot_product(array(double(1.0), double(2.0)), array(double(3.0), double(4.0))) AS dp, " +
+          "is_stale(double('NaN')) AS st").collect()(0)
+      assert(r.getAs[scala.collection.Seq[Long]]("g3").length == 2)
+      assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 4)
+      assert(r.getAs[Double]("dp") == 11.0)
+      assert(!r.getAs[Boolean]("st")) // plain NaN is not the staleness marker
+      // SQL function ≡ the Column API expression it wraps
+      import s2.implicits._
+      val viaCol = Seq("a b c").toDF("t")
+        .select(graft.functions.SimHash48(split(col("t"), " ")).as("sh"))
+        .collect()(0).getLong(0)
+      assert(r.getAs[Long]("sh") == viaCol)
+      // the optimizer rule rides along in the same extensions entry point
+      assert(s2.sessionState.optimizer.batches.flatMap(_.rules)
+        .contains(PrefixRegexRewrite))
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("prefix regex matcher is rewritten to a pushed StartsWith filter") {
     def build() = {
       val ev = Tables(spark, sf()).table("events")
