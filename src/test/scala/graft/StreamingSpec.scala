@@ -141,6 +141,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.sorted == Seq(1L, 2L, 3L, 4L), s"got $keys")
   }
 
+  test("streaming corpus dedup: content fingerprint + watermark collapses near-identical re-deliveries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // streaming form of the batch tx_fingerprint ∘ dd_exact composition:
+    // fingerprint is whitespace/case-normalized, so a re-crawled page that
+    // only changed spacing dedups against the original
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)](spark, 2)
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("fp", conv(substring(md5(
+        lower(regexp_replace(trim(col("text")), "\\s+", " "))), 1, 12), 16, 10)
+        .cast("long"))
+    val q = graft.streaming.Dedup.exactOnce(docs, Seq("fp"), "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("doc_dedup_s")
+      .start()
+    def doc(id: Long, text: String, sec: Long) =
+      (id, text, new java.sql.Timestamp(sec * 1000L))
+
+    in.addData(
+      doc(1, "the quick brown fox", 10),
+      doc(2, "THE  quick   Brown fox ", 20), // normalizes to doc 1
+      doc(3, "a different document", 30))
+    q.processAllAvailable()
+    in.addData(doc(4, "the quick brown fox", 40)) // cross-batch re-delivery
+    q.processAllAvailable(); q.stop()
+
+    val ids = spark.table("doc_dedup_s").select($"doc_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 3L), s"got $ids")
+  }
+
   test("incremental: second batch of files is picked up via checkpoint (T6 dedup)") {
     val root = Files.createTempDirectory("graft-stream-inc").toString
     val events = Tables(spark, sf()).table("events")
