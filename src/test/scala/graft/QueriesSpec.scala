@@ -189,6 +189,21 @@ class QueriesSpec extends SparkSpec {
     checkHygiene(sf())
   }
 
+  test("CurateDemo: pipeline funnel is monotone and the output is clean") {
+    val (packed, f) = graft.examples.CurateDemo.run(spark, sf())
+    assert(f.input >= f.quality && f.quality >= f.exact && f.exact >= f.nearDup
+      && f.nearDup >= f.clean && f.clean >= f.sampled && f.sampled > 0)
+    assert(f.sequences > 0)
+    val out = packed.select("doc_id", "text", "source").collect()
+    // no benchmark-source docs and no raw PII survive curation
+    assert(!out.exists(r => Set("src0", "src1")(r.getAs[String]("source"))))
+    assert(!out.exists(_.getAs[String]("text").contains("@")))
+    // exact-dup free: normalized texts are unique
+    val norm = out.map(_.getAs[String]("text").trim.toLowerCase
+      .replaceAll("\\s+", " "))
+    assert(norm.distinct.length == norm.length)
+  }
+
   test("corpus hygiene ops: randomized adversarial corpus") {
     import spark.implicits._
     // seeded random docs over a tiny vocabulary (maximal shingle collisions)
