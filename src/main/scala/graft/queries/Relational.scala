@@ -64,6 +64,13 @@ object Relational {
         "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem " +
         "WHERE l_orderkey = o_orderkey AND l_quantity >= 45) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+    Q("q_json_extract", qJsonExtract _, Some(
+      "SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     Q("q_anti_join", qAntiJoin _, Some(
       "SELECT c_custkey, c_name, c_mktsegment FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
@@ -148,6 +155,19 @@ object Relational {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
+
+  /** Semi-structured extraction: `events.props` is a JSON string column —
+    * `get_json_object` path extraction is codegen'd and map-side, the Spark
+    * way to project typed fields out of raw JSON event payloads before
+    * aggregating (no UDF, no schema inference pass over 100 TB). */
+  def qJsonExtract(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
 
   /** NOT EXISTS → left-anti join: customers with no orders. */
   def qAntiJoin(t: Tables): DataFrame =
