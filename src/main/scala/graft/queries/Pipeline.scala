@@ -572,6 +572,24 @@ object Pipeline {
         "CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE) / tw * 1000.0e0) AS BIGINT) AS n_budget " +
         "FROM w, t ORDER BY lang")),
 
+    // Corpus length-distribution monitoring: exact per-source quantiles of
+    // doc length. Both engines interpolate type-7 ((n-1)·q rank) over the
+    // same integers, so the doubles agree bit-for-bit. At 100 TB swap the
+    // exact percentile for percentile_approx (t-digest) — same plan shape,
+    // bounded memory.
+    Q("tx_len_quantiles",
+      t => t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5e0)").as("p50"),
+          expr("percentile(n_chars, 0.9e0)").as("p90"),
+          expr("percentile(n_chars, 0.99e0)").as("p99"))
+        .orderBy(col("source")),
+      Some("SELECT source, count(*) AS n_docs, " +
+        "quantile_cont(n_chars, 0.5e0) AS p50, " +
+        "quantile_cont(n_chars, 0.9e0) AS p90, " +
+        "quantile_cont(n_chars, 0.99e0) AS p99 " +
+        "FROM documents GROUP BY source ORDER BY source")),
+
     // ------------------------------------------- corpus hygiene / leakage
     // Benchmark-contamination check: a training document is contaminated if
     // it shares any word-8-gram with the held-out benchmark corpus (here:
