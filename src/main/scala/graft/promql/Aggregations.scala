@@ -66,7 +66,11 @@ object Aggregations {
     * Deterministic tie-break on the full series key. */
   def topk(vector: DataFrame, k: Int, grouping: Seq[Column],
            tieBreak: Seq[Column], desc: Boolean = true): DataFrame = {
-    val ordering = (if (desc) col("value").desc else col("value").asc) +:
+    // Prometheus ranks NaN below every real value for topk AND bottomk
+    // (a NaN series only fills leftover slots); Spark's ordering puts NaN
+    // greatest, so rank on an explicit isnan key first
+    val ordering = isnan(col("value")).asc +:
+      (if (desc) col("value").desc else col("value").asc) +:
       tieBreak.map(_.asc)
     limitByOrdering(vector, k, grouping, ordering, tieBreak :+ col("value"))
   }
@@ -84,6 +88,14 @@ object Aggregations {
     * window (each value owns the contiguous rank span [cum−cnt, cum−1]).
     * No sketch, no approximation: same interpolated result bit-for-bit. */
   def quantile(vector: DataFrame, phi: Double, grouping: Seq[Column]): DataFrame = {
+    // Prometheus quantileAggr: φ outside [0,1] short-circuits to ±Inf (NaN
+    // to NaN) for every group, whatever the data
+    if (phi < 0 || phi > 1 || phi.isNaN) {
+      val v = if (phi.isNaN) Double.NaN
+        else if (phi < 0) Double.NegativeInfinity else Double.PositiveInfinity
+      return vector.groupBy(grouping: _*).agg(count(lit(1)).as("__graft_n"))
+        .select((grouping :+ lit(v).as("value")): _*)
+    }
     val counts = vector.groupBy((grouping :+ col("value")): _*)
       .agg(count(lit(1)).as("__graft_cnt"))
     val w = Window.partitionBy(grouping: _*).orderBy(col("value"))

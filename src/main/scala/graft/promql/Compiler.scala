@@ -744,7 +744,11 @@ object Compiler {
     val vLo = element_at(arr, lo + 1) // lo+1 ≤ n always
     // lo+2 may exceed n (φ=1 or single sample): try_ under ANSI mode
     val vHi = coalesce(try_element_at(arr, lo + 2), vLo)
-    vLo + (h - floor(h)) * (vHi - vLo)
+    // Prometheus quantile(): φ outside [0,1] → ±Inf, NaN → NaN
+    when(isnan(phi), lit(Double.NaN))
+      .when(phi < 0, lit(Double.NegativeInfinity))
+      .when(phi > 1, lit(Double.PositiveInfinity))
+      .otherwise(vLo + (h - floor(h)) * (vHi - vLo))
   }
 
   private def resolveAt(at: AtSpec, ctx: Ctx): Long = at match {
@@ -778,7 +782,10 @@ object Compiler {
       case "sum"    => child.groupBy(grp: _*).agg(Det.dsum(col("value")).as("value"))
       case "avg"    => child.groupBy(grp: _*).agg(Det.davg(col("value")).as("value"))
       case "min"    => child.groupBy(grp: _*).agg(min(col("value")).as("value"))
-      case "max"    => child.groupBy(grp: _*).agg(max(col("value")).as("value"))
+      // Prometheus max skips NaN once any real value exists (NaN only when
+      // ALL are NaN); Spark sorts NaN greatest, so aggregate the non-NaN side
+      case "max"    => child.groupBy(grp: _*).agg(
+        coalesce(max(when(!isnan(col("value")), col("value"))), lit(Double.NaN)).as("value"))
       case "count"  => child.groupBy(grp: _*).agg(count(col("value")).cast("double").as("value"))
       case "stddev" => child.groupBy(grp: _*).agg(Det.dstddevPop(col("value")).as("value"))
       case "stdvar" => child.groupBy(grp: _*).agg(Det.dvarPop(col("value")).as("value"))

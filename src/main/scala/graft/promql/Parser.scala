@@ -351,7 +351,9 @@ object Parser {
                 Some(Matching(on, labels, gl, gr, inc))
               } else None
             }
-            val rhs = parseExpr(prec(op) + 1) // left-assoc (^ right-assoc ignored in v1)
+            // all PromQL operators are left-associative except `^` (spec:
+            // 2 ^ 3 ^ 2 ≡ 2 ^ (3 ^ 2)) — same-precedence recursion keeps ^ right
+            val rhs = parseExpr(if (op == "^") prec(op) else prec(op) + 1)
             lhs = BinOp(op, lhs, rhs, matching, bool)
           case _ => continue = false
         }

@@ -108,6 +108,60 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 20s ts_of_min_over_time(data[30s])
       |  {test="nan"} 10
       |
+      |eval instant at 100s vector(2 ^ 3 ^ 2)
+      |  {} 512
+      |
+      |eval instant at 100s -metric{pod="nginx-1"}
+      |  {a="foo", pod="nginx-1"} -21
+      |
+      |eval instant at 100s quantile(1.5, metric)
+      |  {} Infinity
+      |
+      |eval instant at 100s quantile(-0.5, metric)
+      |  {} -Infinity
+      |
+      |eval instant at 100s quantile_over_time(1.5, metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} Infinity
+      |
+      |eval instant at 100s stddev(metric)
+      |  {} 44.5
+      |
+      |eval instant at 100s metric > bool 50
+      |  {a="foo", pod="nginx-1"} 0
+      |  {b="bar", pod="nginx-2"} 1
+      |
+      |eval instant at 100s clamp(metric, 30, 100)
+      |  {a="foo", pod="nginx-1"} 30
+      |  {b="bar", pod="nginx-2"} 100
+      |
+      |eval instant at 100s sum by (pod) (metric offset 30s)
+      |  {pod="nginx-1"} 15
+      |  {pod="nginx-2"} 80
+      |
+      |eval instant at 20s sum(data)
+      |  {} NaN
+      |
+      |eval instant at 20s count_values("v", flat)
+      |  {v="5"} 1
+      |
+      |eval instant at 100s group(metric)
+      |  {} 1
+      |
+      |eval instant at 100s vector(scalar(metric{pod="nginx-1"}))
+      |  {} 21
+      |
+      |eval instant at 20s max(data or flat)
+      |  {} 5
+      |
+      |eval instant at 20s min(data or flat)
+      |  {} 5
+      |
+      |eval instant at 20s topk(1, data or flat)
+      |  {c="1", __name__="flat"} 5
+      |
+      |eval instant at 20s bottomk(1, data or flat)
+      |  {c="1", __name__="flat"} 5
+      |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
       |  {b="bar", pod="nginx-2"} 110
@@ -288,7 +342,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 42)
+    assert(loaded.size == 7 && evals.size == 59)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
@@ -296,9 +350,9 @@ class PromqlGoldenSpec extends SparkSpec {
       val lbls = Compiler.labelCols(df)
       val got = df.collect().toSeq.map { r =>
         (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
-          r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble })
+          r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble; case null => -987654.25 })
       }
-      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
       val ok = got.size == e.expected.size && e.expected.forall { case (lbl, v) =>
         got.exists { case (gl, gv) => gl == lbl && eq(gv, v) }
       }
@@ -311,7 +365,7 @@ class PromqlGoldenSpec extends SparkSpec {
     val (loaded, _, ranges) = parseCorpus(corpus)
     assert(ranges.size == 5)
     val samples = toSamples(loaded)
-    def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+    def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
     val failures = ranges.flatMap { rc =>
       val df = Compiler.compile(Parser.parse(rc.query),
         Compiler.Ctx(samples, rc.startMs, rc.endMs, rc.stepMs, lookbackMs = 300000L))
@@ -320,7 +374,7 @@ class PromqlGoldenSpec extends SparkSpec {
         .map { r =>
           (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
             r.getAs[Long]("step_ms"),
-            r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble })
+            r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble; case null => -987654.25 })
         }
         .groupBy(_._1).map { case (k, rows) =>
           k -> rows.map(t => t._2 -> t._3).toMap
