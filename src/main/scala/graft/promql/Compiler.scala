@@ -955,11 +955,14 @@ object Compiler {
     val joined = v.join(s2, Seq("step_ms"))
     val (l, r) = if (flip) (col("svalue"), col("value")) else (col("value"), col("svalue"))
     val out = joined.withColumn("out", toDouble(b.op, arith(b.op)(l, r), b.bool))
+    val filterForm = compOps.contains(b.op) && !b.bool
     val res =
-      if (compOps.contains(b.op) && !b.bool)
-        joined.filter(arith(b.op)(l, r)).withColumn("out", col("value"))
+      if (filterForm) joined.filter(arith(b.op)(l, r)).withColumn("out", col("value"))
       else out
-    dropName(res.drop("value", "svalue").withColumnRenamed("out", "value"))
+    val named = res.drop("value", "svalue").withColumnRenamed("out", "value")
+    // filter-form comparison keeps the sample untouched INCLUDING its metric
+    // name; arithmetic and `bool` drop it (PromQL operator semantics)
+    if (filterForm) named else dropName(named)
   }
 
   private def toDouble(op: String, c: Column, bool: Boolean): Column =

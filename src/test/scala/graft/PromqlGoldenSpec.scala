@@ -162,6 +162,13 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 20s bottomk(1, data or flat)
       |  {c="1", __name__="flat"} 5
       |
+      |eval instant at 100s metric > 50
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s metric * 2
+      |  {a="foo", pod="nginx-1"} 42
+      |  {b="bar", pod="nginx-2"} 220
+      |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
       |  {b="bar", pod="nginx-2"} 110
@@ -342,7 +349,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 59)
+    assert(loaded.size == 7 && evals.size == 61)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
