@@ -169,6 +169,19 @@ class PromqlGoldenSpec extends SparkSpec {
       |  {a="foo", pod="nginx-1"} 42
       |  {b="bar", pod="nginx-2"} 220
       |
+      |eval instant at 90s metric offset -10s
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s absent_over_time(nosuch[50s])
+      |  {} 1
+      |
+      |eval instant at 100s present_over_time(metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} 1
+      |
+      |eval instant at 100s day_of_week(vector(time()))
+      |  {} 4
+      |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
       |  {b="bar", pod="nginx-2"} 110
@@ -349,7 +362,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 61)
+    assert(loaded.size == 7 && evals.size == 65)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
