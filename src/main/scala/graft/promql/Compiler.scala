@@ -176,8 +176,10 @@ object Compiler {
         max(struct(when(isnan(col("value")), 0).otherwise(1).as("r"),
             nanvl(negate(col("value")), lit(0.0)).as("v"), col("ts_ms").as("t")))
           .getField("t").as("__graft_min_val_ts"),
-        sum(col("value").cast(Det.dec)).cast("double").as("__graft_sum_val"),
-        (sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))).as("__graft_avg_val"),
+        // Det.dsum/davg: decimal-deterministic AND IEEE on non-finite values
+        // (a NaN sample must make sum/avg_over_time NaN, not NULL)
+        Det.dsum(col("value")).as("__graft_sum_val"),
+        Det.davg(col("value")).as("__graft_avg_val"),
         min(col("value")).as("__graft_min_val"), max(col("value")).as("__graft_max_val"),
         greatest(lit(0.0),
           (sum((col("value") * col("value")).cast(Det.dec)).cast("double") -

@@ -182,6 +182,12 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s day_of_week(vector(time()))
       |  {} 4
       |
+      |eval instant at 20s sum_over_time(data[30s])
+      |  {test="nan"} NaN
+      |
+      |eval instant at 20s avg_over_time(data[30s])
+      |  {test="nan"} NaN
+      |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
       |  {b="bar", pod="nginx-2"} 110
@@ -362,7 +368,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 65)
+    assert(loaded.size == 7 && evals.size == 67)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
