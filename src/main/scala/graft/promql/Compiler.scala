@@ -180,7 +180,11 @@ object Compiler {
         // (a NaN sample must make sum/avg_over_time NaN, not NULL)
         Det.dsum(col("value")).as("__graft_sum_val"),
         Det.davg(col("value")).as("__graft_avg_val"),
-        min(col("value")).as("__graft_min_val"), max(col("value")).as("__graft_max_val"),
+        // Spark min already skips NaN (sorts greatest); max must skip it
+        // explicitly unless the whole window is NaN (Prometheus >= walk)
+        min(col("value")).as("__graft_min_val"),
+        coalesce(max(when(!isnan(col("value")), col("value"))), lit(Double.NaN))
+          .as("__graft_max_val"),
         greatest(lit(0.0),
           (sum((col("value") * col("value")).cast(Det.dec)).cast("double") -
             sum(col("value").cast(Det.dec)).cast("double") *

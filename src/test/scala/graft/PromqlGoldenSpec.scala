@@ -188,6 +188,12 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 20s avg_over_time(data[30s])
       |  {test="nan"} NaN
       |
+      |eval instant at 20s max_over_time(data[30s])
+      |  {test="nan"} 1
+      |
+      |eval instant at 20s min_over_time(data[30s])
+      |  {test="nan"} 1
+      |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
       |  {b="bar", pod="nginx-2"} 110
@@ -368,7 +374,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 67)
+    assert(loaded.size == 7 && evals.size == 69)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
