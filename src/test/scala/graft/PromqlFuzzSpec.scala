@@ -314,6 +314,47 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("NaN-laced windows: over_time family agrees with Prometheus-walk folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(99)
+    // 8 series × 60 samples at 10 s cadence, ~20% NaN — the semantics Spark
+    // gets wrong by default (NaN sorts greatest; decimal sums null it)
+    val series = (0 until 8).map { i =>
+      i.toString -> (0 until 60).map(j => (j * 10000L,
+        if (rnd.nextInt(5) == 0) Double.NaN else rnd.nextDouble() * 100))
+    }
+    val df = series.flatMap { case (u, pts) => pts.map(p =>
+        ("m", u, p._1, p._2, u.toLong * 100000 + p._1)) }
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+    val win = 180000L
+    def fold(w: Seq[(Long, Double)], op: String): Double = op match {
+      case "sum"   => w.map(_._2).sum
+      case "avg"   => w.map(_._2).sum / w.size
+      case "count" => w.size.toDouble
+      case "min"   => w.foldLeft(Double.NaN)((m, p) => if (p._2 < m || m.isNaN) p._2 else m)
+      case "max"   => w.foldLeft(Double.NaN)((m, p) => if (p._2 > m || m.isNaN) p._2 else m)
+      case "ts_of_max" => w.foldLeft((Double.NaN, 0L)) { (b, p) =>
+        if (p._2 >= b._1 || b._1.isNaN) (p._2, p._1) else b }._2 / 1000.0
+      case "ts_of_min" => w.foldLeft((Double.NaN, 0L)) { (b, p) =>
+        if (p._2 <= b._1 || b._1.isNaN) (p._2, p._1) else b }._2 / 1000.0
+    }
+    val failures = for {
+      op <- Seq("sum", "avg", "count", "min", "max", "ts_of_max", "ts_of_min")
+      t <- Seq(200000L, 400000L, 590000L)
+      q = s"""${op}_over_time({__name__="m"}[3m])"""
+      engine = Compiler.compile(Parser.parse(q), Compiler.Ctx(df, t, t, 1000L, 300000L))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+      naive = series.map { case (u, pts) =>
+        u -> fold(pts.filter(p => p._1 > t - win && p._1 <= t), op) }.toMap
+      if !(engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        (v.isNaN && engine(k).isNaN) || engine(k) == v ||
+          math.abs(engine(k) - v) <= 1e-9 * math.max(1.0, math.abs(v)) })
+    } yield s"$op @$t\n  engine=$engine\n  naive =$naive"
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")
