@@ -572,6 +572,18 @@ object Pipeline {
         "CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE) / tw * 1000.0e0) AS BIGINT) AS n_budget " +
         "FROM w, t ORDER BY lang")),
 
+    // Corpus composition report: hierarchical (lang, source) rollup in ONE
+    // pass — Spark expands grouping sets inside a single hash aggregation,
+    // so the per-lang and grand-total rows cost no extra scan at any scale.
+    Q("smp_rollup_stats",
+      t => t.documents.rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents " +
+        "GROUP BY ROLLUP (lang, source) " +
+        "ORDER BY lang NULLS FIRST, source NULLS FIRST")),
+
     // Corpus length-distribution monitoring: exact per-source quantiles of
     // doc length. Both engines interpolate type-7 ((n-1)·q rank) over the
     // same integers, so the doubles agree bit-for-bit. At 100 TB swap the
