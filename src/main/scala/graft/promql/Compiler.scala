@@ -185,11 +185,6 @@ object Compiler {
         min(col("value")).as("__graft_min_val"),
         coalesce(max(when(!isnan(col("value")), col("value"))), lit(Double.NaN))
           .as("__graft_max_val"),
-        greatest(lit(0.0),
-          (sum((col("value") * col("value")).cast(Det.dec)).cast("double") -
-            sum(col("value").cast(Det.dec)).cast("double") *
-              sum(col("value").cast(Det.dec)).cast("double") / count(col("value"))) /
-            count(col("value"))).as("__graft_var_val"),
         sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
           col("value") < col("__graft_prev_val"), col("__graft_prev_val")).otherwise(lit(0.0)).cast(Det.dec))
           .cast("double").as("__graft_resets"),
@@ -334,9 +329,9 @@ object Compiler {
         case "count_over_time"  => col("__graft_n_samples").cast("double")
         // two-pass variance over the window's (small, bounded) value list:
         // Σ(x−μ)²/n is exactly 0 for constant windows, like Prometheus'
-        // Welford accumulation — the decimal moment formula (__graft_var_val, kept
-        // for the unbounded group aggregations) leaves ~1e-6 cancellation
-        // noise that the differential fuzzer flagged
+        // Welford accumulation — a one-pass decimal moment formula (the
+        // unbounded group aggregations use Det.dvarPop) leaves ~1e-6
+        // cancellation noise that the differential fuzzer flagged
         case "stddev_over_time" => sqrt(twoPassVar)
         case "stdvar_over_time" => twoPassVar
         case "present_over_time" => lit(1.0)
