@@ -194,6 +194,13 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 20s min_over_time(data[30s])
       |  {test="nan"} 1
       |
+      |eval instant at 100s count_values("v", http) by (job)
+      |  {job="api", v="30"} 1
+      |  {job="api", v="50"} 1
+      |
+      |eval instant at 100s label_join(metric{pod="nginx-1"}, "all", "-", "pod", "a")
+      |  {a="foo", pod="nginx-1", all="nginx-1-foo", __name__="metric"} 21
+      |
       |eval instant at 100s round(metric, 5)
       |  {a="foo", pod="nginx-1"} 20
       |  {b="bar", pod="nginx-2"} 110
@@ -374,7 +381,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 69)
+    assert(loaded.size == 7 && evals.size == 71)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
