@@ -107,6 +107,14 @@ class PlanRuleSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$qn:\n${p.take(2000)}")
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$qn:\n${p.take(2000)}")
     }
+    // corpus-hygiene plans: the benchmark shingle set and the unigram vocab
+    // are the SMALL sides — both must broadcast, never shuffle the corpus
+    Seq("tx_contamination", "tx_unigram_freq").foreach { qn =>
+      val p = Registry.all.find(_.name == qn).get
+        .fn(spark, sf()).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$qn:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$qn:\n${p.take(2000)}")
+    }
     // match[] union compiles to ONE scan with an OR predicate, not two scans
     // + a dedup shuffle
     val u2 = Registry.all.find(_.name == "u2_union_matchsets").get
