@@ -572,6 +572,37 @@ object Pipeline {
         "CAST(floor(CAST(CAST(w AS VARCHAR) AS DOUBLE) / tw * 1000.0e0) AS BIGINT) AS n_budget " +
         "FROM w, t ORDER BY lang")),
 
+    // Gopher-style repetition signals: fraction of a doc's word n-grams that
+    // are duplicates of an earlier n-gram in the SAME doc. High values mark
+    // boilerplate/looping text. Map-side: the codegen'd WordNGrams already
+    // dedups, so dup_frac = 1 − distinct/total.
+    Q("tx_repetition",
+      t => {
+        val toks = split(lower(trim(col("text"))), "\\s+")
+        val n = size(toks).cast("long")
+        def dupFrac(k: Int) = {
+          val total = greatest(n - (k - 1), lit(0L))
+          val dist = size(graft.functions.WordNGrams(toks, k)).cast("long")
+          when(total > 0, lit(1.0e0) - dist.cast("double") / total).otherwise(0.0e0)
+        }
+        t.documents.select(col("doc_id"), n.as("n_tok"),
+            dupFrac(2).as("dup2_frac"), dupFrac(3).as("dup3_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val toks = TextOps.TOKS_D
+        def gramList(k: Int) = {
+          val gram = (0 until k).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+          s"list_transform(range(1, len($toks)-${k - 2}), i -> ($gram))"
+        }
+        def dupFrac(k: Int) =
+          s"CASE WHEN greatest(len($toks)-${k - 1}, 0) > 0 THEN " +
+            s"1.0e0 - CAST(len(list_distinct(${gramList(k)})) AS DOUBLE) / greatest(len($toks)-${k - 1}, 0) " +
+            "ELSE 0.0e0 END"
+        s"SELECT doc_id, len($toks) AS n_tok, ${dupFrac(2)} AS dup2_frac, " +
+          s"${dupFrac(3)} AS dup3_frac FROM documents ORDER BY doc_id"
+      }),
+
     // Corpus composition report: hierarchical (lang, source) rollup in ONE
     // pass — Spark expands grouping sets inside a single hash aggregation,
     // so the per-lang and grand-total rows cost no extra scan at any scale.
