@@ -366,6 +366,52 @@ object Pipeline {
         "FROM e q JOIN e n ON q.vec_id < 10 AND n.bucket = q.bucket AND n.vec_id <> q.vec_id " +
         s"QUALIFY rk <= 5 ORDER BY qid, rk")),
 
+    // ANN quality gate: recall@5 of the LSH index against the exact
+    // brute-force neighbors — the eval every production ANN deployment runs
+    // before switching off exact search. One scored candidate frame feeds
+    // both rankings; the query side stays a broadcast.
+    Q("ss_recall_eval",
+      t => {
+        val e = VectorOps.withNormalized(
+            t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .withColumn("bucket", VectorOps.lshBucket(col("v")))
+          .persist()
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vn").as("va"), col("bucket").as("qb"))
+        val n = e.select(col("vec_id").as("nid"), col("vn").as("vb"), col("bucket").as("nb"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        val scored = broadcast(q).join(n, col("qid") =!= col("nid"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
+          .persist() // ground truth and LSH ranking share the scores
+        val truth = scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+        // multi-probe candidate set (≤2-bit bucket distance, like
+        // dd_embed_cosine's blocking) — single-bucket recall@5 is ~0 here
+        val approx = scored.filter(bit_count(col("qb").bitwiseXOR(col("nb"))) <= 2)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+        val hits = truth.join(approx, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) / lit(5.0e0)).as("recall5"))
+          .orderBy(col("qid"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn, " +
+        s"${VectorOps.lshBucketSql("v")} AS bucket FROM raw), " +
+        "sc AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.bucket AS qb, n.bucket AS nb, " +
+        s"${VectorOps.dotSql("q.vn", "n.vn")} AS cos FROM e q JOIN e n " +
+        "ON q.vec_id < 10 AND n.vec_id <> q.vec_id), " +
+        "truth AS (SELECT qid, nid FROM sc " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5), " +
+        "approx AS (SELECT qid, nid FROM sc WHERE bit_count(xor(nb, qb)) <= 2 " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5), " +
+        "h AS (SELECT t.qid, count(*) AS n_hit FROM truth t JOIN approx a USING (qid, nid) GROUP BY t.qid) " +
+        "SELECT q.vec_id AS qid, coalesce(h.n_hit, 0) AS n_hit, " +
+        "coalesce(h.n_hit, 0) / 5.0e0 AS recall5 " +
+        "FROM e q LEFT JOIN h ON h.qid = q.vec_id WHERE q.vec_id < 10 ORDER BY qid")),
+
     Q("ss_ivf_topk",  // IVF coarse quantizer: assign to cells, probe 4 nearest
       // the classic billion-scale ANN layout: k centroids partition the
       // corpus; a query scans only its nprobe closest cells. Here centroids
