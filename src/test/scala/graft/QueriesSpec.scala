@@ -35,6 +35,7 @@ class QueriesSpec extends SparkSpec {
       "promql_at_modifier", // @-pinned vector broadcast onto the step grid
       "f_math_scalar",      // scalar() grid broadcast
       "ss_brute_topk",      // exact baseline: ≤10-row broadcast query side
+      "ss_recall_eval",     // same ≤10-row broadcast query side as ss_brute
       "ss_ivf_topk",        // probe set × centroids (k=16) assignment
       "ss_lsh_topk",        // ≤10-row query side against its buckets
       "km_mstep",           // E-step: constant-size (k=16) centroid broadcast
