@@ -1,8 +1,23 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 import graft.promql._
+
+object PromEngine {
+  final case class Series(labels: Map[String, String], points: Seq[(Long, Double)])
+
+  /** Per-query statistics, the engine-side source of the gRPC
+    * `querypb.QueryStats` analog (ref `api/grpc/thanos.go:561-566`):
+    * `samplesTotal` = rows produced by the parquet scans feeding the query
+    * (read post-execution from the leaf nodes' `numOutputRows` SQL metric —
+    * the quantity the reference's stats count as processed samples);
+    * `peakSamples` = rows materialized at the driver boundary (our vectorized
+    * evaluation holds the whole result grid at once, so the result IS the
+    * peak). */
+  final case class EngineStats(samplesTotal: Long, peakSamples: Long)
+}
 
 /** Query-engine facade: PromQL string → evaluated result rows (the driver-side
   * collect boundary — same place the reference serializes its SeriesSets,
@@ -10,12 +25,15 @@ import graft.promql._
 final class PromEngine(samples: DataFrame,
                        lookbackMs: Long = Eval.DefaultLookbackMs,
                        quotas: graft.limits.Quotas = graft.limits.Quotas()) {
+  import PromEngine._
 
-  final case class Series(labels: Map[String, String], points: Seq[(Long, Double)])
+  private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
 
-  private def run(df: DataFrame): Seq[Series] = {
+  private def collectRows(df: DataFrame): Seq[Row] =
+    quotas.guard(df).collect().toSeq
+
+  private def seriesOf(rows: Seq[Row], df: DataFrame): Seq[Series] = {
     val lbls = Compiler.labelCols(df)
-    val rows = quotas.guard(df).collect().toSeq
     rows
       .filter(r => !r.isNullAt(r.fieldIndex("value")))
       .groupBy(r => lbls.flatMap(l =>
@@ -27,6 +45,24 @@ final class PromEngine(samples: DataFrame,
       .toSeq.sortBy(_.labels.toSeq.sorted.mkString(","))
   }
 
+  /** Sum of `numOutputRows` over the executed plan's scan leaves — only
+    * meaningful AFTER an action ran on this exact DataFrame. AQE wraps the
+    * tree in childless `AdaptiveSparkPlanExec` / `QueryStageExec` shells, so
+    * those unwrap to their inner physical plans first. */
+  private def scannedRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec        => leaves(q.plan)
+      case _ if p.children.isEmpty && p.subqueries.isEmpty => Seq(p)
+      case _ => (p.children ++ p.subqueries).flatMap(leaves)
+    }
+    leaves(df.queryExecution.executedPlan)
+      .filter(_.children.isEmpty) // scan leaves only, not unwrapped shells
+      .flatMap(_.metrics.get("numOutputRows"))
+      .map(_.value).sum
+  }
+
   private def toD(v: Any): Double = v match {
     case d: Double => d
     case l: Long => l.toDouble
@@ -35,16 +71,34 @@ final class PromEngine(samples: DataFrame,
     case null => Double.NaN
   }
 
-  def instantQuery(promql: String, tMs: Long): Seq[Series] = {
+  def instantQuery(promql: String, tMs: Long): Seq[Series] =
+    instantQueryWithStats(promql, tMs)._1
+
+  def rangeQuery(promql: String, startMs: Long, endMs: Long, stepMs: Long): Seq[Series] =
+    rangeQueryWithStats(promql, startMs, endMs, stepMs)._1
+
+  /** Instant query + per-query stats + static analyzer warnings (the
+    * annotation channel the reference streams before results,
+    * `api/grpc/thanos.go:270-276`). */
+  def instantQueryWithStats(promql: String, tMs: Long)
+      : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
     val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs)
-    run(Compiler.compile(ast, ctx))
+    finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 
-  def rangeQuery(promql: String, startMs: Long, endMs: Long, stepMs: Long): Seq[Series] = {
+  def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long)
+      : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
     val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs)
-    run(Compiler.compile(ast, ctx))
+    finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
+  }
+
+  private def finish(df: DataFrame, warnings: Seq[String])
+      : (Seq[Series], EngineStats, Seq[String]) = {
+    val rows = collectRows(df)
+    val out = seriesOf(rows, df)
+    (out, EngineStats(scannedRows(df), rows.size.toLong), warnings)
   }
 
   /** `/api/v1/series`: union of matcher sets (match[] = OR, ref

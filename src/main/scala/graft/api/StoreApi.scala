@@ -27,6 +27,29 @@ import graft.promql._
   *    (ref `api/grpc/thanos.go:414-419`).
   */
 object StoreApi {
+  /** querypb.QueryRequest analog (ref `api/grpc/thanos.go:235-296`):
+    * PromQL-over-gRPC instant query. `lookbackDeltaSeconds = 0` keeps the
+    * engine default (the reference builds PrometheusQueryOpts with the
+    * request's delta, `thanos.go:249`); `replicaLabels` dedups series before
+    * evaluation (`thanos.go:251` via `qs.queryable(req.ReplicaLabels...)`). */
+  final case class QueryRequest(query: String, timeSeconds: Long,
+                                timeoutSeconds: Long = 60L,
+                                lookbackDeltaSeconds: Long = 0L,
+                                replicaLabels: Seq[String] = Nil)
+  /** querypb.QueryRangeRequest analog (ref `api/grpc/thanos.go:298-374`). */
+  final case class QueryRangeRequest(query: String,
+                                     startTimeSeconds: Long, endTimeSeconds: Long,
+                                     intervalSeconds: Long,
+                                     timeoutSeconds: Long = 60L,
+                                     lookbackDeltaSeconds: Long = 0L,
+                                     replicaLabels: Seq[String] = Nil)
+  /** querypb.QueryStats analog (ref `api/grpc/thanos.go:561-566`). */
+  final case class QueryStats(samplesTotal: Long, peakSamples: Long)
+  /** One streamed response: the series frames, then warnings, then stats —
+    * flattened here since there is no stream to interleave on. */
+  final case class QueryResponse(series: Seq[PromEngine.Series],
+                                 warnings: Seq[String], stats: QueryStats)
+
   final case class SeriesRequest(matchers: Seq[LabelMatcher],
                                  minTimeMs: Long, maxTimeMs: Long,
                                  skipChunks: Boolean = false,
@@ -51,7 +74,8 @@ object StoreApi {
 }
 
 final class StoreApi(samples: DataFrame,
-                     quotas: graft.limits.Quotas = graft.limits.Quotas()) {
+                     quotas: graft.limits.Quotas = graft.limits.Quotas(),
+                     gate: graft.limits.QueryGate = new graft.limits.QueryGate()) {
   import StoreApi._
 
   private val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
@@ -70,6 +94,35 @@ final class StoreApi(samples: DataFrame,
     val r = samples.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
       .collect()(0)
     InfoResponse(r.getAs[Long]("mn"), r.getAs[Long]("mx"), lbls.sorted)
+  }
+
+  private def engineFor(replicaLabels: Seq[String], lookbackDeltaSeconds: Long) = {
+    val lookback =
+      if (lookbackDeltaSeconds > 0) lookbackDeltaSeconds * 1000L
+      else graft.promql.Eval.DefaultLookbackMs
+    new PromEngine(base(replicaLabels), lookback, quotas)
+  }
+
+  /** querypb.Query/Query: PromQL instant query over gRPC (ref
+    * `api/grpc/thanos.go:235-296`). Runs under the concurrent-query gate
+    * (`concurrentQuerySemaphore.Reserve`, `thanos.go:242-246`) with the
+    * request timeout as the queue wait bound; quota violations surface as
+    * [[graft.limits.QuotaExceededException]] — the transport maps them to
+    * `codes.ResourceExhausted` like `limits.IsResourceExhausted`
+    * (`thanos.go:262-265`). */
+  def query(req: QueryRequest): QueryResponse = gate.run(req.timeoutSeconds * 1000L) {
+    val (series, st, warns) = engineFor(req.replicaLabels, req.lookbackDeltaSeconds)
+      .instantQueryWithStats(req.query, req.timeSeconds * 1000L)
+    QueryResponse(series, warns, QueryStats(st.samplesTotal, st.peakSamples))
+  }
+
+  /** querypb.Query/QueryRange: PromQL range query over gRPC (ref
+    * `api/grpc/thanos.go:298-374`). */
+  def queryRange(req: QueryRangeRequest): QueryResponse = gate.run(req.timeoutSeconds * 1000L) {
+    val (series, st, warns) = engineFor(req.replicaLabels, req.lookbackDeltaSeconds)
+      .rangeQueryWithStats(req.query, req.startTimeSeconds * 1000L,
+        req.endTimeSeconds * 1000L, req.intervalSeconds * 1000L)
+    QueryResponse(series, warns, QueryStats(st.samplesTotal, st.peakSamples))
   }
 
   /** storepb.Store/Series. The DataFrame this builds for `skipChunks` never

@@ -47,6 +47,37 @@ object Compiler {
   def labelCols(df: DataFrame): Seq[String] =
     df.columns.filterNot(c => c == "step_ms" || c == "value").toSeq
 
+  /** Static analyzer warnings for a parsed query — the engine-side analog of
+    * Prometheus' annotation channel (the reference streams these ahead of the
+    * result, `api/grpc/thanos.go:270-276`). Today: out-of-range quantile φ
+    * (Prometheus `InvalidQuantileWarning`) — evaluation still runs and yields
+    * NaN; the warning rides alongside. */
+  def staticWarnings(e: Expr): Seq[String] = {
+    def fmt(d: Double): String =
+      if (!d.isNaN && !d.isInfinite && d == d.toLong) d.toLong.toString else d.toString
+    def phiWarn(phi: Double): Seq[String] =
+      if (phi.isNaN || phi < 0 || phi > 1)
+        Seq(s"quantile value should be between 0 and 1, got ${fmt(phi)}")
+      else Nil
+    val quantileFns = Set("quantile_over_time", "histogram_quantile")
+    def walk(e: Expr): Seq[String] = e match {
+      case Agg(op, _, p, child) =>
+        (p match {
+          case Some(NumberLit(phi)) if op == "quantile" => phiWarn(phi)
+          case _ => Nil
+        }) ++ p.toSeq.flatMap(walk) ++ walk(child)
+      case Call(fn, args) =>
+        (args.headOption match {
+          case Some(NumberLit(phi)) if quantileFns(fn) => phiWarn(phi)
+          case _ => Nil
+        }) ++ args.flatMap(walk)
+      case BinOp(_, l, r, _, _) => walk(l) ++ walk(r)
+      case Subquery(inner, _, _, _, _) => walk(inner)
+      case _ => Nil
+    }
+    walk(e).distinct
+  }
+
   /** Column names a result frame structurally owns — a PromQL label may
     * legally be called `value` or `step_ms`, but stamping one onto a frame
     * (absent()'s label copying) would clobber the frame's own columns. All
@@ -170,11 +201,14 @@ object Compiler {
         // The leading rank term keeps NaN below every real value (Spark sorts
         // NaN greatest); all-NaN windows tie on rank and take the last ts,
         // which is exactly the reference's IsNaN-replacement walk
+        // `+ 0.0` normalizes -0.0 to 0.0 before the struct compare: Spark's
+        // total order ranks -0.0 < 0.0, but Go's <=/>= walk treats them equal
+        // (0.0 == -0.0), so a window holding both must tie-break on ts alone
         max(struct(when(isnan(col("value")), 0).otherwise(1).as("r"),
-            nanvl(col("value"), lit(0.0)).as("v"), col("ts_ms").as("t")))
+            (nanvl(col("value"), lit(0.0)) + lit(0.0)).as("v"), col("ts_ms").as("t")))
           .getField("t").as("__graft_max_val_ts"),
         max(struct(when(isnan(col("value")), 0).otherwise(1).as("r"),
-            nanvl(negate(col("value")), lit(0.0)).as("v"), col("ts_ms").as("t")))
+            (nanvl(negate(col("value")), lit(0.0)) + lit(0.0)).as("v"), col("ts_ms").as("t")))
           .getField("t").as("__graft_min_val_ts"),
         // Det.dsum/davg: decimal-deterministic AND IEEE on non-finite values
         // (a NaN sample must make sum/avg_over_time NaN, not NULL)
@@ -836,8 +870,17 @@ object Compiler {
     // % is Go math.Mod (sign of the dividend), not Euclidean pmod
     case "/" => l / r; case "%" => l % r; case "^" => pow(l, r)
     case "atan2" => atan2(l, r)
-    case "==" => l === r; case "!=" => l =!= r
-    case ">" => l > r; case "<" => l < r; case ">=" => l >= r; case "<=" => l <= r
+    // IEEE 754 comparison semantics, which Go (and so Prometheus) follows:
+    // any NaN operand makes ==/>/</>=/<= FALSE and != TRUE. Spark instead
+    // ranks NaN greater than every value and NaN==NaN as true, so each
+    // comparison guards on isnan explicitly (isnan(NULL)=false keeps normal
+    // null propagation: a NULL operand still yields NULL, not a match)
+    case "==" => !(isnan(l) || isnan(r)) && (l === r)
+    case "!=" => isnan(l) || isnan(r) || (l =!= r)
+    case ">"  => !(isnan(l) || isnan(r)) && (l > r)
+    case "<"  => !(isnan(l) || isnan(r)) && (l < r)
+    case ">=" => !(isnan(l) || isnan(r)) && (l >= r)
+    case "<=" => !(isnan(l) || isnan(r)) && (l <= r)
   }
   private val compOps = Set("==", "!=", ">", "<", ">=", "<=")
 

@@ -81,6 +81,44 @@ class StoreApiSpec extends SparkSpec {
     assert(dedup.series.forall(s => !s.labels.contains("replica")))
   }
 
+  test("gRPC Query evaluates instant PromQL and reports per-query stats") {
+    val resp = store.query(StoreApi.QueryRequest("sum(purchase)",
+      timeSeconds = (T0 + DAY) / 1000, lookbackDeltaSeconds = DAY / 1000))
+    assert(resp.series.size == 1 && resp.warnings.isEmpty)
+    // same engine, same answer as the direct PromQL path
+    val direct = new graft.api.PromEngine(samples, lookbackMs = DAY)
+      .instantQuery("sum(purchase)", T0 + DAY)
+    assert(resp.series == direct)
+    // stats: the scan produced rows, and the driver-side peak is the result
+    assert(resp.stats.samplesTotal > 0)
+    assert(resp.stats.peakSamples >= resp.series.size)
+  }
+
+  test("gRPC QueryRange honors ReplicaLabels (dedup before evaluation)") {
+    val r1 = samples.withColumn("replica", lit("r1"))
+    val r2 = samples.withColumn("replica", lit("r2"))
+    val dup = new StoreApi(r1.unionByName(r2))
+    val (start, end, step) = ((T0 + DAY) / 1000, (T0 + 2 * DAY) / 1000, DAY / 1000)
+    def totals(r: StoreApi.QueryResponse): Seq[(Long, Double)] =
+      r.series.flatMap(_.points).sortBy(_._1)
+    val deduped = dup.queryRange(StoreApi.QueryRangeRequest("sum(purchase)",
+      start, end, step, lookbackDeltaSeconds = DAY / 1000,
+      replicaLabels = Seq("replica")))
+    val doubled = dup.queryRange(StoreApi.QueryRangeRequest("sum(purchase)",
+      start, end, step, lookbackDeltaSeconds = DAY / 1000))
+    val plain = store.queryRange(StoreApi.QueryRangeRequest("sum(purchase)",
+      start, end, step, lookbackDeltaSeconds = DAY / 1000))
+    assert(totals(deduped) == totals(plain))
+    assert(totals(doubled).map(_._2) == totals(plain).map(p => p._2 * 2))
+  }
+
+  test("gRPC Query streams analyzer warnings (quantile out of range)") {
+    val resp = store.query(StoreApi.QueryRequest("quantile(1.5, purchase)",
+      timeSeconds = (T0 + DAY) / 1000, lookbackDeltaSeconds = DAY / 1000))
+    assert(resp.warnings.exists(_.contains(
+      "quantile value should be between 0 and 1, got 1.5")))
+  }
+
   test("Info / LabelNames / LabelValues") {
     val i = store.info()
     assert(i.minTimeMs <= i.maxTimeMs && i.labelNames == Seq("__name__", "uid"))
