@@ -598,6 +598,52 @@ object Tsdb {
         "SELECT uid, ts_max, ts_min, ts_last FROM mx JOIN mn USING (uid) JOIN lt USING (uid) " +
         "ORDER BY uid")),
 
+    // subquery `inner[range:res]`: inner expr evaluated on its own grid whose
+    // steps align to ABSOLUTE multiples of res (Compiler.subqueryPoints —
+    // Prometheus bumps an unaligned start up to the next multiple), the grid
+    // values then feeding the outer range function as samples. Range 20h with
+    // res 6h makes the alignment bump observable: rawStart=ti−20h sits 4h past
+    // a multiple, so the inner grid starts at ti−18h (4 steps, not 5).
+    Q("promql_subquery", {
+      val ti = T0 + 19 * DAY                   // ti % 6h == 0
+      val rng = 21600000L                      // inner rate window, 6h
+      (t: Tables) => Compiler.compile(
+          Parser.parse("max_over_time(rate(purchase[6h])[20h:6h])"),
+          Compiler.Ctx(samples(t), ti, ti, 1000L, LB))
+        .select(col("uid"), col("value")).orderBy(col("uid"))
+      },
+      Some {
+        val ti = T0 + 19 * DAY
+        val rng = 21600000L
+        val (h18, h20) = (64800000L, 72000000L)
+        // inner grid: aligned steps ti−18h .. ti; per-step rate mirrors
+        // Compiler.extrapolated exactly (same CTE chain as promql_rate_range)
+        s"WITH $S_CTE, " +
+          "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
+          "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM sp " +
+          "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
+          s"g AS (SELECT UNNEST(range(${ti - h18}, ${ti + 1}, $rng)) AS step_ms), " +
+          s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $rng AND p.ts_ms <= g.step_ms), " +
+          "a AS (SELECT uid, step_ms, count(*) AS n, min(ts_ms) AS ft, max(ts_ms) AS lt, " +
+          "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
+          "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
+          s"prev_ts > step_ms - $rng AND value < prev_val THEN prev_val ELSE 0 END " +
+          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2), " +
+          "b AS (SELECT uid, step_ms, n, fv, lv - fv + resets AS rv, " +
+          s"CAST(ft - (step_ms - $rng) AS DOUBLE) / 1000.0e0 AS ds0, " +
+          "CAST(step_ms - lt AS DOUBLE) / 1000.0e0 AS de0, " +
+          "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
+          "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
+          "d AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
+          "e AS (SELECT *, CASE WHEN ds0 >= thr THEN ai / 2.0e0 ELSE ds0 END AS dsa FROM d), " +
+          "f AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < dsa THEN dz ELSE dsa END AS dsb, " +
+          "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e), " +
+          s"r AS (SELECT uid, step_ms, (rv * ((si + dsb + deb) / si)) / 21600.0e0 AS value FROM f) " +
+          // outer max_over_time over the subquery window (ti−20h, ti]
+          s"SELECT uid, max(value) AS value FROM r WHERE step_ms > ${ti - h20} AND step_ms <= $ti " +
+          "GROUP BY uid ORDER BY uid"
+      }),
+
     // ------------------------------------------------------------------ T-ops
     // sessionization: the batch/window form of stateful stream grouping
     // (mapGroupsWithState analog, but shuffle-once and restart-free)
