@@ -30,6 +30,16 @@ object CurateDemo {
           benchSources: Seq[String] = Seq("src0", "src1")): (DataFrame, Funnel) = {
     val docs = Tables(spark, sfDir).documents
     val nIn = docs.count()
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try runStages(spark, sfDir, benchSources, docs, nIn, cached)
+    finally cached.foreach(_.unpersist()) // the returned frame stays cached;
+    // intermediates must not accumulate executor storage across invocations
+  }
+
+  private def runStages(spark: SparkSession, sfDir: String,
+                        benchSources: Seq[String], docs: DataFrame, nIn: Long,
+                        cached: scala.collection.mutable.ListBuffer[DataFrame])
+      : (DataFrame, Funnel) = {
 
     // 1. C4-style quality gate (cheap map-side signals)
     val toks = split(lower(trim(col("text"))), "\\s+")
@@ -47,6 +57,7 @@ object CurateDemo {
           .partitionBy(col("__fp")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__fp", "__rn")
       .persist() // simhash + cluster + downstream all read this
+    cached += exact
     val nExact = exact.count()
 
     // 3. near-dup dedup: simhash Hamming-band candidates → connected
@@ -67,6 +78,7 @@ object CurateDemo {
         exact.select(col("doc_id").as("id")), pairs)
       .filter(col("id") === col("root")).select(col("id").as("doc_id"))
     val nearDup = exact.join(canon, Seq("doc_id")).persist()
+    cached += nearDup
     val nNearDup = nearDup.count()
 
     // 4. benchmark contamination: drop docs sharing any 8-gram with the
@@ -89,6 +101,7 @@ object CurateDemo {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b", "<IP>"))
       .persist()
+    cached += scrubbed
     val nClean = scrubbed.count()
 
     // 6. temperature-weighted sampling: per-lang keep-rate ∝ sqrt(share),
@@ -112,6 +125,7 @@ object CurateDemo {
           .partitionBy(col("source")).orderBy(col("doc_id"))
           .rowsBetween(Long.MinValue, -1)))
       .withColumn("seq_no", floor(coalesce(col("off"), lit(0L)) / 2048.0).cast("long"))
+      .persist() // survives the finally-unpersist; callers unpersist when done
     val nSeq = packed.select(col("source"), col("seq_no")).distinct().count()
 
     (packed, Funnel(nIn, nQuality, nExact, nNearDup, nClean, nSampled, nSeq))
@@ -142,6 +156,7 @@ object CurateDemo {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("source").parquet(out)
     println(s"DRIVE wrote curated corpus to $out")
+    packed.unpersist()
     spark.stop()
   }
 }

@@ -78,20 +78,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: expected an integer literal, got $e")
   }
 
-  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "is_stale"          -> (a => IsStale(a.head)),
-    "dot_product"       -> (a => DotProduct(a(0), a(1))),
-    "simhash48"         -> (a => SimHash48(a.head)),
-    "word_ngrams"       -> (a => WordNGrams(a(0), intLit(a(1), "word_ngrams"))),
-    "word_ngram_hashes" -> (a => WordNGramHashes(a(0), intLit(a(1), "word_ngram_hashes"))),
-    "minhash_sig"       -> (a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))),
-    "rolling_fp"        -> (a => RollingFingerprint(a(0), intLit(a(1), "rolling_fp"))))
+  /** (name, arity, builder): arity is checked before the builder indexes into
+    * the args, so a misuse like `dot_product(v)` fails analysis with a named
+    * arity error instead of a raw IndexOutOfBoundsException. */
+  private def fns: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("is_stale",          1, a => IsStale(a.head)),
+    ("dot_product",       2, a => DotProduct(a(0), a(1))),
+    ("simhash48",         1, a => SimHash48(a.head)),
+    ("word_ngrams",       2, a => WordNGrams(a(0), intLit(a(1), "word_ngrams"))),
+    ("word_ngram_hashes", 2, a => WordNGramHashes(a(0), intLit(a(1), "word_ngram_hashes"))),
+    ("minhash_sig",       2, a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))),
+    ("rolling_fp",        2, a => RollingFingerprint(a(0), intLit(a(1), "rolling_fp"))))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PrefixRegexRewrite)
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, arity, builder) =>
+      val checked: Seq[Expression] => Expression = { args =>
+        if (args.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity argument${if (arity == 1) "" else "s"}, got ${args.length}")
+        builder(args)
+      }
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name), builder))
+        new ExpressionInfo("graft.functions", name), checked))
     }
   }
 }

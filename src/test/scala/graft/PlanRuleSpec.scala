@@ -50,6 +50,14 @@ class PlanRuleSpec extends SparkSpec {
       // the optimizer rule rides along in the same extensions entry point
       assert(s2.sessionState.optimizer.batches.flatMap(_.rules)
         .contains(PrefixRegexRewrite))
+      // wrong arity fails analysis with a named error, not an index crash
+      val err = intercept[Exception] {
+        s2.sql("SELECT dot_product(array(double(1.0)))").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+      assert(messages(err).exists(m =>
+        m != null && m.contains("dot_product expects 2 arguments, got 1")))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -203,6 +203,7 @@ class QueriesSpec extends SparkSpec {
     val norm = out.map(_.getAs[String]("text").trim.toLowerCase
       .replaceAll("\\s+", " "))
     assert(norm.distinct.length == norm.length)
+    packed.unpersist() // shared session — don't accumulate storage
   }
 
   test("corpus hygiene ops: randomized adversarial corpus") {
