@@ -30,7 +30,7 @@ final class PromEngine(samples: DataFrame,
   private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
 
   private def collectRows(df: DataFrame): Seq[Row] =
-    quotas.guard(df).collect().toSeq
+    quotas.collect(df).toSeq // pre-flight + mid-scan byte charge
 
   private def seriesOf(rows: Seq[Row], df: DataFrame): Seq[Series] = {
     val lbls = Compiler.labelCols(df)

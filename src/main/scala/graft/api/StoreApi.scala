@@ -154,7 +154,7 @@ final class StoreApi(samples: DataFrame,
       }
 
     val limited = if (req.limit > 0) df.limit(req.limit.toInt + 1) else df
-    val rows = quotas.guard(limited).collect().toSeq
+    val rows = quotas.collect(limited).toSeq
     val truncated = req.limit > 0 && rows.size > req.limit
     val kept = if (truncated) rows.take(req.limit.toInt) else rows
 

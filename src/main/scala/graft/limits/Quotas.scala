@@ -1,30 +1,43 @@
 package graft.limits
 
 import java.util.concurrent.{Semaphore, TimeUnit}
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Query quotas + concurrency gate (SURVEY.md §2.6 O5, ref
   * `internal/limits/limit.go:27-94`, semaphore `api/http/query.go:438-442`).
   *
-  * Catalyst has no mid-scan kill hook, so quotas are driver-side pre-flight
-  * guards: a `LIMIT max+1` probe (limit pushdown makes it cheap — the scan
-  * stops after max+1 rows) plus partition-count checks from the planned scan.
-  * The reference's defaults are all "unlimited" (`cmd/serve.go:106-110`); same
-  * here — construct with limits to enable.
+  * Two byte-quota layers, matching the reference's split between planning
+  * and materialization:
+  *
+  *  - `maxBytes` — driver-side PRE-FLIGHT: the optimizer's post-pruning
+  *    scan-size estimate, known before any task launches.
+  *  - `maxBytesMidScan` — charged DURING the run, the analog of the
+  *    reference charging chunk bytes as it materializes
+  *    (`internal/limits/limit.go:66-94`): a SparkListener sums each
+  *    completed task's `inputMetrics.bytesRead` for this query's job group,
+  *    cancels the group once past the ceiling (best-effort early abort —
+  *    charge granularity is a completed task, like the reference's
+  *    per-materialize-unit charge), and the post-action check makes the
+  *    verdict authoritative even when the last task finishes the scan.
+  *
+  * Row/partition quotas stay pre-flight (`LIMIT max+1` probe / planned scan
+  * partitions). The reference's defaults are all "unlimited"
+  * (`cmd/serve.go:106-110`); same here — construct with limits to enable.
   */
 final class QuotaExceededException(msg: String) extends RuntimeException(msg)
 
 final case class Quotas(maxRows: Option[Long] = None,
                         maxPartitions: Option[Int] = None,
-                        maxBytes: Option[Long] = None) {
+                        maxBytes: Option[Long] = None,
+                        maxBytesMidScan: Option[Long] = None) {
 
   /** Pre-flight guard; returns the DataFrame unchanged when within quota. */
   def guard(df: DataFrame): DataFrame = {
     // byte ceiling (ref CHUNK_BYTES_QUOTA, internal/limits/limit.go:27-64):
-    // the reference charges chunk bytes as it materializes; Catalyst has no
-    // mid-scan hook, so the charge is the optimizer's post-pruning scan-size
-    // estimate — partition-pruned file bytes, the same quantity the
-    // reference's quota bounds, known before any task launches
+    // the optimizer's post-pruning scan-size estimate — partition-pruned
+    // file bytes, the same quantity the reference's quota bounds
     maxBytes.foreach { mb =>
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (bytes > BigInt(mb))
@@ -41,6 +54,66 @@ final case class Quotas(maxRows: Option[Long] = None,
         throw new QuotaExceededException(s"select yields > $mr rows")
     }
     df
+  }
+
+  /** Pre-flight guard + materialization with the mid-scan byte charge. The
+    * driver-side collect boundaries (PromEngine/StoreApi) route through this
+    * instead of a bare `.collect()`. */
+  def collect(df: DataFrame): Array[Row] = maxBytesMidScan match {
+    case None => guard(df).collect()
+    case Some(mb) =>
+      guard(df)
+      val sc = df.sparkSession.sparkContext
+      val group = s"graft-byte-quota-${java.util.UUID.randomUUID()}"
+      val read = new AtomicLong(0L)
+      val tasksSeen = new AtomicLong(0L)
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          if (group == js.properties.getProperty("spark.jobGroup.id"))
+            js.stageIds.foreach(stages.add(_))
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (stages.contains(te.stageId) && te.taskMetrics != null) {
+            tasksSeen.incrementAndGet()
+            if (read.addAndGet(te.taskMetrics.inputMetrics.bytesRead) > mb)
+              sc.cancelJobGroup(group) // early abort: skip remaining tasks
+          }
+      }
+      sc.addSparkListener(listener)
+      sc.setJobGroup(group, s"byte-quota $mb", interruptOnCancel = true)
+      try {
+        val rows =
+          try df.collect()
+          catch { case e: Exception =>
+            settle(read, tasksSeen)
+            if (read.get() > mb) throw overflow(read.get(), mb) else throw e
+          }
+        // listener events are async — wait for the charge to stabilize
+        // before the authoritative check (a scan whose final task completes
+        // the job can only be charged after the fact, same as the
+        // reference's last materialize call tripping the quota)
+        settle(read, tasksSeen)
+        if (read.get() > mb) throw overflow(read.get(), mb)
+        rows
+      } finally {
+        sc.clearJobGroup()
+        sc.removeSparkListener(listener)
+      }
+  }
+
+  private def overflow(got: Long, quota: Long) =
+    new QuotaExceededException(s"scan read $got bytes > mid-scan quota $quota")
+
+  /** Bounded wait until the listener has stopped seeing new task-end events
+    * (two consecutive identical (bytes, tasks) snapshots 50 ms apart). */
+  private def settle(read: AtomicLong, tasks: AtomicLong): Unit = {
+    var last = (-1L, -1L)
+    var i = 0
+    while (i < 60 && last != ((read.get(), tasks.get()))) {
+      last = (read.get(), tasks.get())
+      Thread.sleep(50)
+      i += 1
+    }
   }
 }
 

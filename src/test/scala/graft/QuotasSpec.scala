@@ -23,6 +23,22 @@ class QuotasSpec extends SparkSpec {
     assert(slim < full)
   }
 
+  test("mid-scan byte quota charges actual bytes read during the run") {
+    val ev = Tables(spark, sf()).events
+    // pre-flight passes (generous planned-size ceiling), but the bytes the
+    // tasks actually read trip the mid-scan charge — the reference's
+    // charge-during-materialization semantics (internal/limits/limit.go:66-94)
+    val q = Quotas(maxBytes = Some(1L << 40), maxBytesMidScan = Some(16L))
+    q.guard(ev) // pre-flight alone is happy
+    val ex = intercept[QuotaExceededException](q.collect(ev))
+    assert(ex.getMessage.contains("mid-scan quota"))
+    // generous mid-scan ceiling materializes normally
+    val ok = Quotas(maxBytesMidScan = Some(1L << 40)).collect(ev)
+    assert(ok.length == ev.count())
+    // and the charge resets per call: a second guarded collect also passes
+    assert(Quotas(maxBytesMidScan = Some(1L << 40)).collect(ev).length == ok.length)
+  }
+
   test("query gate bounds concurrency and times out when saturated") {
     val gate = new QueryGate(maxConcurrent = 1)
     val r = gate.run()(42)
