@@ -118,6 +118,33 @@ class EtlSpec extends SparkSpec {
     assert(Planner.planDays(d, d, today).isEmpty)
   }
 
+  test("planner: polled live-store watermark hides then reveals a day") {
+    val d = (1 to 10).map(i => LocalDate.of(2024, 1, i)).toSet
+    val today = LocalDate.of(2024, 1, 11)
+    val dayMs = 86400000L
+    val day8Start = LocalDate.of(2024, 1, 8).toEpochDay * dayMs
+    // live store advertises (mint, maxt) like the reference's Info poll;
+    // mutable so the planner's per-round fetch() sees the range move
+    var liveRange = (day8Start, day8Start + 10 * dayMs)
+    val wm = Planner.LiveStoreWatermark(() => liveRange)
+    val converted = Set(LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 2),
+      LocalDate.of(2024, 1, 3))
+    // day 8 sits fully inside the covered range → hidden; day 7/6 planned
+    val hidden = Planner.planDays(d, converted, today, graceDays = 2,
+      maxDays = 2, watermark = Some(wm))
+    assert(hidden.days == Seq(LocalDate.of(2024, 1, 7), LocalDate.of(2024, 1, 6)))
+    // live-store retention moves mint past day 8 → the day is revealed
+    liveRange = (day8Start + 2 * dayMs, day8Start + 10 * dayMs)
+    val revealed = Planner.planDays(d, converted, today, graceDays = 2,
+      maxDays = 2, watermark = Some(wm))
+    assert(revealed.days == Seq(LocalDate.of(2024, 1, 8), LocalDate.of(2024, 1, 7)))
+    // overlap keeps a safety margin backfilled even while covered
+    val overlapped = Planner.LiveStoreWatermark(() => (day8Start, day8Start + 10 * dayMs),
+      overlapMs = 2 * dayMs)
+    assert(Planner.planDays(d, converted, today, graceDays = 2, maxDays = 2,
+      watermark = Some(overlapped)).days.contains(LocalDate.of(2024, 1, 8)))
+  }
+
   test("retention: mark then delete after consistency delay") {
     val out = Files.createTempDirectory("graft-ret").toString
     val t = Tables(spark, sf())
