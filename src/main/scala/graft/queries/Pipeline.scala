@@ -679,6 +679,52 @@ object Pipeline {
         "quantile_cont(n_chars, 0.99e0) AS p99 " +
         "FROM documents GROUP BY source ORDER BY source")),
 
+    // the 100 TB swap for the exact rank quantiles above: a mergeable
+    // t-digest (constant memory per group, map-side partials, associative
+    // merge — functions/TDigest.scala). A sketch is ε-approximate and merge-
+    // order-sensitive, so the oracle gates the t-digest's actual guarantee —
+    // RANK error: a second corpus pass (broadcast of the per-source digests)
+    // computes each estimate's rank interval [#(x<est), #(x≤est)]/n (ties
+    // widen it) and φ must fall inside within max(2%, 2/n). Exact quantiles
+    // hash-match alongside; DuckDB asserts the rank gate as TRUE.
+    Q("tx_len_quantiles_td",
+      t => {
+        import graft.functions.{TDigestAgg, TDigestQuantile}
+        val agg = t.documents.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5e0)").as("p50"),
+          expr("percentile(n_chars, 0.9e0)").as("p90"),
+          expr("percentile(n_chars, 0.99e0)").as("p99"),
+          TDigestAgg(col("n_chars").cast("double"), 100).as("dig"))
+        val est = agg.select(col("source"), col("n_docs"),
+          col("p50"), col("p90"), col("p99"),
+          TDigestQuantile(col("dig"), 0.5).as("est50"),
+          TDigestQuantile(col("dig"), 0.9).as("est90"),
+          TDigestQuantile(col("dig"), 0.99).as("est99"))
+        def rankOk(phi: Double, estCol: String): org.apache.spark.sql.Column = {
+          val n = count(lit(1)).cast("double")
+          val below = sum(when(col("n_chars") < col(estCol), 1).otherwise(0)) / n
+          val atOrBelow = sum(when(col("n_chars") <= col(estCol), 1).otherwise(0)) / n
+          val tol = greatest(lit(0.02e0), lit(2.0e0) / n)
+          lit(phi) >= below - tol && lit(phi) <= atOrBelow + tol
+        }
+        t.documents.join(broadcast(est), Seq("source"))
+          .groupBy(col("source")).agg(
+            max(col("n_docs")).as("n_docs"), // per-source constants
+            max(col("p50")).as("p50"), max(col("p90")).as("p90"),
+            max(col("p99")).as("p99"),
+            rankOk(0.5, "est50").as("p50_ok"),
+            rankOk(0.9, "est90").as("p90_ok"),
+            rankOk(0.99, "est99").as("p99_ok"))
+          .orderBy(col("source"))
+      },
+      Some("SELECT source, count(*) AS n_docs, " +
+        "quantile_cont(n_chars, 0.5e0) AS p50, " +
+        "quantile_cont(n_chars, 0.9e0) AS p90, " +
+        "quantile_cont(n_chars, 0.99e0) AS p99, " +
+        "TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok " +
+        "FROM documents GROUP BY source ORDER BY source")),
+
     // ------------------------------------------- corpus hygiene / leakage
     // Benchmark-contamination check: a training document is contaminated if
     // it shares any word-8-gram with the held-out benchmark corpus (here:
