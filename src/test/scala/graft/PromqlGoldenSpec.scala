@@ -24,6 +24,8 @@ class PromqlGoldenSpec extends SparkSpec {
       |  data{test="nan"} NaN 1 NaN
       |  adv{n_samples="x", k="y", resets="z"} 0+10x40
       |  flat{c="1"} 5 5 5
+      |  st{s="1"} 1 2 stale 4
+      |  zz{z="1"} 0 -0.0 3
       |
       |eval instant at 100s metric
       |  {a="foo", pod="nginx-1", __name__="metric"} 21
@@ -255,6 +257,71 @@ class PromqlGoldenSpec extends SparkSpec {
       |  {v="30"} 1
       |  {v="50"} 1
       |
+      |eval instant at 20s st
+      |
+      |eval instant at 25s st
+      |
+      |eval instant at 30s st
+      |  {s="1", __name__="st"} 4
+      |
+      |eval instant at 30s count_over_time(st[40s])
+      |  {s="1"} 3
+      |
+      |eval instant at 30s sum_over_time(st[10s])
+      |  {s="1"} 4
+      |
+      |eval instant at 30s last_over_time(st[20s])
+      |  {s="1", __name__="st"} 4
+      |
+      |eval instant at 100s metric @ 50 offset 10s
+      |  {a="foo", pod="nginx-1", __name__="metric"} 9
+      |  {b="bar", pod="nginx-2", __name__="metric"} 50
+      |
+      |eval instant at 100s sum(metric offset 10s @ end())
+      |  {} 119
+      |
+      |eval instant at 100s rate(http{code="404"}[50s] @ 50)
+      |  {job="api", code="404"} 0.3
+      |
+      |eval instant at 100s sum(metric) > bool 100
+      |  {} 1
+      |
+      |eval instant at 100s sum by (pod) (metric) == bool 21
+      |  {pod="nginx-1"} 1
+      |  {pod="nginx-2"} 0
+      |
+      |eval instant at 100s avg(metric) <= bool 50
+      |  {} 0
+      |
+      |eval instant at 100s quantile(0.5, metric)
+      |  {} 65.5
+      |
+      |eval instant at 100s quantile(1.5, metric)
+      |  {} Inf
+      |
+      |eval instant at 100s quantile(-0.5, metric)
+      |  {} -Inf
+      |
+      |eval instant at 100s quantile_over_time(1.5, http{code="404"}[30s])
+      |  {job="api", code="404"} Inf
+      |
+      |eval instant at 20s count_values("v", data)
+      |  {v="NaN"} 1
+      |
+      |eval instant at 20s data == data
+      |
+      |eval instant at 20s data != 0
+      |  {test="nan", __name__="data"} NaN
+      |
+      |eval instant at 20s data > bool 0
+      |  {test="nan"} 0
+      |
+      |eval instant at 20s ts_of_min_over_time(zz[30s])
+      |  {z="1"} 10
+      |
+      |eval instant at 20s ts_of_max_over_time(zz[30s])
+      |  {z="1"} 20
+      |
       |eval range from 0s to 50s step 10s sum(http)
       |  {} 0 8 16 24 32 40
       |
@@ -300,8 +367,13 @@ class PromqlGoldenSpec extends SparkSpec {
     val points = vals.trim match {
       case expand(a, b, n) =>
         (0 to n.toInt).map(i => (i * stepMs, a.toDouble + i * b.toDouble))
-      case list => list.split("\\s+").toSeq.zipWithIndex.map { case (v, i) =>
-        (i * stepMs, if (v == "NaN") Double.NaN else v.toDouble)
+      case list => list.split("\\s+").toSeq.zipWithIndex.flatMap { case (v, i) =>
+        v match {
+          case "_" => None // gap: no sample at this step
+          case "stale" => Some((i * stepMs, graft.functions.IsStale.StaleNaN))
+          case "NaN" => Some((i * stepMs, Double.NaN))
+          case _ => Some((i * stepMs, v.toDouble))
+        }
       }
     }
     Loaded(labels, points)
@@ -333,7 +405,12 @@ class PromqlGoldenSpec extends SparkSpec {
           val e = lines(i).trim
           val lbl = parseLabels(e.substring(1, e.indexOf('}')))
           val v = e.substring(e.indexOf('}') + 1).trim
-          exp += ((lbl, if (v == "NaN") Double.NaN else v.toDouble))
+          exp += ((lbl, v match {
+            case "NaN" => Double.NaN
+            case "Inf" | "+Inf" => Double.PositiveInfinity
+            case "-Inf" => Double.NegativeInfinity
+            case _ => v.toDouble
+          }))
           i += 1
         }
         evals += EvalCase(at, q, exp.toSeq)
@@ -381,7 +458,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 7 && evals.size == 71)
+    assert(loaded.size == 9 && evals.size == 93)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
