@@ -37,24 +37,24 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
   // ------------------------------------------------------------ handlers
   private def query(p: Params): String = {
     val t = p.time("time").getOrElse(System.currentTimeMillis())
-    val res = engine.instantQuery(p.required("query"), t)
+    val (res, _, warns) = engine.instantQueryWithStats(p.required("query"), t)
     val items = res.map { s =>
       val (ts, v) = s.points.lastOption.getOrElse((t, Double.NaN))
       s"""{"metric":${labelsJson(s.labels)},"value":[${tsStr(ts)},"${fmt(v)}"]}"""
     }
-    envelope(s"""{"resultType":"vector","result":[${items.mkString(",")}]}""")
+    envelopeRaw(s"""{"resultType":"vector","result":[${items.mkString(",")}]}""", warns)
   }
 
   private def queryRange(p: Params): String = {
     val start = p.time("start").getOrElse(fail("missing start"))
     val end = p.time("end").getOrElse(fail("missing end"))
     val step = (p.get("step").map(parseStep).getOrElse(fail("missing step"))).max(1L)
-    val res = engine.rangeQuery(p.required("query"), start, end, step)
+    val (res, _, warns) = engine.rangeQueryWithStats(p.required("query"), start, end, step)
     val items = res.map { s =>
       val vals = s.points.map { case (ts, v) => s"""[${tsStr(ts)},"${fmt(v)}"]""" }
       s"""{"metric":${labelsJson(s.labels)},"values":[${vals.mkString(",")}]}"""
     }
-    envelope(s"""{"resultType":"matrix","result":[${items.mkString(",")}]}""")
+    envelopeRaw(s"""{"resultType":"matrix","result":[${items.mkString(",")}]}""", warns)
   }
 
   private def series(p: Params): String = {

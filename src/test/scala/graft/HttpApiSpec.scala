@@ -42,6 +42,13 @@ class HttpApiSpec extends SparkSpec {
     assert(body.contains(""""values":[["""))
   }
 
+  test("query endpoints surface analyzer warnings in the envelope") {
+    val (code, body) = get(s"/api/v1/query?query=${enc("quantile(1.5, purchase)")}&time=${TI / 1000}")
+    assert(code == 200)
+    assert(body.contains(""""warnings":["""))
+    assert(body.contains("quantile value should be between 0 and 1, got 1.5"))
+  }
+
   test("series endpoint unions match[] sets and respects limit+warning") {
     val (code, body) = get(s"/api/v1/series?match[]=purchase&match[]=${enc("""{uid="3"}""")}")
     assert(code == 200 && body.contains(""""uid":"3""""))
