@@ -116,8 +116,10 @@ class PlanRuleSpec extends SparkSpec {
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$qn:\n${p.take(2000)}")
     }
     // corpus-hygiene plans: the benchmark shingle set and the unigram vocab
-    // are the SMALL sides — both must broadcast, never shuffle the corpus
-    Seq("tx_contamination", "tx_unigram_freq").foreach { qn =>
+    // are the SMALL sides — both must broadcast, never shuffle the corpus.
+    // Same for the t-digest rank gate: the per-source digests (one row per
+    // source) broadcast back over the corpus for the rank count.
+    Seq("tx_contamination", "tx_unigram_freq", "tx_len_quantiles_td").foreach { qn =>
       val p = Registry.all.find(_.name == qn).get
         .fn(spark, sf()).queryExecution.executedPlan.toString
       assert(p.contains("BroadcastHashJoin"), s"$qn:\n${p.take(2000)}")
