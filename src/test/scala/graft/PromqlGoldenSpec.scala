@@ -322,6 +322,36 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 20s ts_of_max_over_time(zz[30s])
       |  {z="1"} 20
       |
+      |eval instant at 100s sum_over_time(sum(http)[30s:10s] offset 10s)
+      |  {} 192
+      |
+      |eval instant at 100s max_over_time((metric{pod="nginx-1"} @ 50)[30s:10s])
+      |  {a="foo", pod="nginx-1"} 11
+      |
+      |eval instant at 100s absent_over_time(nosuch[10s])
+      |  {} 1
+      |
+      |eval instant at 100s deriv(http{code="404"}[50s])
+      |  {job="api", code="404"} 0.3
+      |
+      |eval instant at 100s increase(http{code="404"}[50s])
+      |  {job="api", code="404"} 15
+      |
+      |eval instant at 100s resets(adv[50s])
+      |  {n_samples="x", k="y", resets="z"} 0
+      |
+      |eval instant at 100s stddev(metric)
+      |  {} 44.5
+      |
+      |eval instant at 100s stdvar(metric)
+      |  {} 1980.25
+      |
+      |eval instant at 100s bottomk(1, metric)
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |
+      |eval instant at 100s metric{pod="nginx-1"} + on() group_left(b) metric{pod="nginx-2"}
+      |  {a="foo", pod="nginx-1", b="bar"} 131
+      |
       |eval range from 0s to 50s step 10s sum(http)
       |  {} 0 8 16 24 32 40
       |
@@ -458,7 +488,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 9 && evals.size == 93)
+    assert(loaded.size == 9 && evals.size == 103)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
