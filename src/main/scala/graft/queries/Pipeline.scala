@@ -412,6 +412,75 @@ object Pipeline {
         "coalesce(h.n_hit, 0) / 5.0e0 AS recall5 " +
         "FROM e q LEFT JOIN h ON h.qid = q.vec_id WHERE q.vec_id < 10 ORDER BY qid")),
 
+    // IVF quality gate, the ss_recall_eval analog for the cell-probe index:
+    // recall@5 of (16 cells, nprobe=4) against the exact neighbors. At
+    // billion scale this is the eval that picks nlist/nprobe; the plan keeps
+    // the query side broadcast and scores each candidate exactly once.
+    Q("ss_ivf_recall",
+      t => {
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .persist()
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("vn").as("vc"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
+        val asg = e.crossJoin(broadcast(cent))
+          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
+          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vn").as("vq"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", VectorOps.dot(col("vq"), col("vc")))
+          .withColumn("prk", row_number().over(pw)).filter(col("prk") <= 4)
+          .select(col("qid"), col("cid"))
+        val cands = probe.join(asg, probe("cid") === asg("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid")).distinct()
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("vn").as("vq"))
+        val scored = broadcast(q)
+          .join(e.select(col("vec_id").as("nid"), col("vn").as("vb")),
+            col("qid") =!= col("nid"))
+          .withColumn("cos", VectorOps.dot(col("vq"), col("vb")))
+          .persist() // ground truth and IVF ranking share the scores
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        val truth = scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+        val approx = scored.join(cands, Seq("qid", "nid"), "left_semi")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+        val hits = truth.join(approx, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) / lit(5.0e0)).as("recall5"))
+          .orderBy(col("qid"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw), " +
+        "cent AS (SELECT vec_id AS cid, vn AS vc FROM e WHERE vec_id < 16), " +
+        "asg AS (SELECT e.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${VectorOps.dotSql("e.vn", "c.vc")} DESC, c.cid) AS ark " +
+        "FROM e CROSS JOIN cent c QUALIFY ark = 1), " +
+        "probe AS (SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id " +
+        s"ORDER BY ${VectorOps.dotSql("q.vn", "c.vc")} DESC, c.cid) AS prk " +
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 QUALIFY prk <= 4), " +
+        "cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid FROM probe p " +
+        "JOIN asg a ON a.cell = p.cid WHERE a.vec_id <> p.qid), " +
+        "sc AS (SELECT q.vec_id AS qid, n.vec_id AS nid, " +
+        s"${VectorOps.dotSql("q.vn", "n.vn")} AS cos FROM e q JOIN e n " +
+        "ON q.vec_id < 10 AND n.vec_id <> q.vec_id), " +
+        "truth AS (SELECT qid, nid FROM sc " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= 5), " +
+        "approx AS (SELECT sc.qid, sc.nid FROM sc JOIN cand USING (qid, nid) " +
+        "QUALIFY row_number() OVER (PARTITION BY sc.qid ORDER BY sc.cos DESC, sc.nid) <= 5), " +
+        "h AS (SELECT t.qid, count(*) AS n_hit FROM truth t JOIN approx a USING (qid, nid) GROUP BY t.qid) " +
+        "SELECT q.vec_id AS qid, coalesce(h.n_hit, 0) AS n_hit, " +
+        "coalesce(h.n_hit, 0) / 5.0e0 AS recall5 " +
+        "FROM e q LEFT JOIN h ON h.qid = q.vec_id WHERE q.vec_id < 10 ORDER BY qid")),
+
     Q("ss_ivf_topk",  // IVF coarse quantizer: assign to cells, probe 4 nearest
       // the classic billion-scale ANN layout: k centroids partition the
       // corpus; a query scans only its nprobe closest cells. Here centroids

@@ -37,6 +37,7 @@ class QueriesSpec extends SparkSpec {
       "ss_brute_topk",      // exact baseline: ≤10-row broadcast query side
       "ss_recall_eval",     // same ≤10-row broadcast query side as ss_brute
       "ss_ivf_topk",        // probe set × centroids (k=16) assignment
+      "ss_ivf_recall",      // same k=16 centroid cross + ≤10-row query side
       "ss_lsh_topk",        // ≤10-row query side against its buckets
       "km_mstep",           // E-step: constant-size (k=16) centroid broadcast
       "smp_temperature")    // 1-row normalizer broadcast onto ≤|langs| rows
