@@ -7,12 +7,22 @@ import graft.sources.Tables
 
 /** The `serve` command analog (ref cmd/serve.go): Prometheus-compatible HTTP
   * API over the events fixture.
-  * `runMain graft.examples.Serve [port] [sfDir] [lookbackMs]` */
+  * `runMain graft.examples.Serve [port] [sfDir] [lookbackMs]`
+  *
+  * Quota env knobs, the `--select.*-quota` flag analogs (cmd/serve.go:106-110,
+  * all unlimited by default like the reference):
+  * `GRAFT_MAX_ROWS`, `GRAFT_MAX_SCAN_BYTES` (pre-flight estimate),
+  * `GRAFT_MAX_READ_BYTES` (mid-scan charge). A tripped quota surfaces as
+  * HTTP 503 `unavailable`, the ResourceExhausted mapping. */
 object Serve {
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(9090)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val lookback = if (args.length > 2) args(2).toLong else 86400000L
+    val quotas = graft.limits.Quotas(
+      maxRows = sys.env.get("GRAFT_MAX_ROWS").map(_.toLong),
+      maxBytes = sys.env.get("GRAFT_MAX_SCAN_BYTES").map(_.toLong),
+      maxBytesMidScan = sys.env.get("GRAFT_MAX_READ_BYTES").map(_.toLong))
     val spark = SparkSession.builder().master("local[8]")
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", "8")
@@ -27,7 +37,7 @@ object Serve {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$sfDir/samples")))
         graft.etl.Ingest.openSamples(spark, sfDir)
       else TimeSeriesModel.samples(Tables(spark, sfDir).events)
-    val api = new HttpApi(new PromEngine(samples, lookback), port).start()
+    val api = new HttpApi(new PromEngine(samples, lookback, quotas), port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed
   }
