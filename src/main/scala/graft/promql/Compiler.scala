@@ -865,10 +865,33 @@ object Compiler {
   }
 
   // ---------------------------------------------------------------- bin ops
+  /** IEEE 754 division, which Go (and so Prometheus) follows: x/0 → ±Inf
+    * (sign of x × sign of the zero), 0/0 and NaN operands → NaN. Spark's
+    * `Divide` instead ERRORS on a zero divisor under ANSI mode (the Spark 4
+    * default) and returns NULL under legacy — both diverge, and the error
+    * fires for any flat window, not just pathological queries. The guard
+    * keeps Divide from ever evaluating with a zero divisor; SimplifyConditionals
+    * removes the dead branch when the divisor is a folded literal zero. */
+  private def ieeeDiv(l: Column, r: Column): Column = {
+    // ±0.0 divisor sign: BinaryComparison treats -0.0 == 0.0, but struct
+    // ordering uses the total order where -0.0 < 0.0 — the one place the
+    // engine WANTS that distinction (x / -0.0 is -Inf in Go)
+    val zeroSign = when(struct(r) < struct(lit(0.0)), lit(-1.0)).otherwise(lit(1.0))
+    when(isnan(l) || isnan(r), lit(Double.NaN))
+      .when(r =!= 0.0, l / r)
+      .when(l === 0.0, lit(Double.NaN)) // ±0 / ±0
+      .otherwise(signum(l) * zeroSign * lit(Double.PositiveInfinity))
+  }
+
+  /** Go math.Mod: NaN when the divisor is 0 or either operand is NaN (Spark's
+    * `%` errors under ANSI); otherwise Java/Go remainder semantics agree. */
+  private def ieeeMod(l: Column, r: Column): Column =
+    when(isnan(l) || isnan(r) || r === 0.0, lit(Double.NaN)).otherwise(l % r)
+
   private def arith(op: String)(l: Column, r: Column): Column = op match {
     case "+" => l + r; case "-" => l - r; case "*" => l * r
     // % is Go math.Mod (sign of the dividend), not Euclidean pmod
-    case "/" => l / r; case "%" => l % r; case "^" => pow(l, r)
+    case "/" => ieeeDiv(l, r); case "%" => ieeeMod(l, r); case "^" => pow(l, r)
     case "atan2" => atan2(l, r)
     // IEEE 754 comparison semantics, which Go (and so Prometheus) follows:
     // any NaN operand makes ==/>/</>=/<= FALSE and != TRUE. Spark instead

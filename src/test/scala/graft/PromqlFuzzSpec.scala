@@ -355,6 +355,45 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("NaN-laced comparison operators agree with IEEE/Go semantics (filter + bool)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(123)
+    // ~25% NaN values: Spark's total order would keep NaN for `>` and match
+    // NaN == NaN — both wrong vs Prometheus (Go float comparisons are IEEE)
+    val series = (0 until 10).map { i =>
+      i.toString -> (0 until 40).map(j => (j * 10000L,
+        if (rnd.nextInt(4) == 0) Double.NaN else rnd.nextDouble() * 100))
+    }
+    val df = series.flatMap { case (u, pts) => pts.map(p =>
+        ("m", u, p._1, p._2, u.toLong * 100000 + p._1)) }
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+    val (t, lb) = (250000L, 300000L)
+    // instant value per series: latest sample in (t-lb, t]
+    val inst = series.map { case (u, pts) =>
+      u -> pts.filter(p => p._1 > t - lb && p._1 <= t).maxBy(_._1)._2 }.toMap
+    // Scala Double comparisons are IEEE like Go's — a valid naive reference
+    def cmp(op: String, a: Double, b: Double): Boolean = op match {
+      case "==" => a == b; case "!=" => a != b; case ">" => a > b
+      case "<" => a < b; case ">=" => a >= b; case "<=" => a <= b
+    }
+    val failures = for {
+      op <- Seq("==", "!=", ">", "<", ">=", "<=")
+      bool <- Seq(false, true)
+      thr <- Seq(25.0, 50.0, Double.NaN)
+      thrStr = if (thr.isNaN) "(0/0)" else thr.toString // NaN scalar via 0/0
+      q = s"""{__name__="m"} $op${if (bool) " bool" else ""} $thrStr"""
+      engine = Compiler.compile(Parser.parse(q), Compiler.Ctx(df, t, t, 1000L, lb))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+      naive = if (bool) inst.map { case (u, v) => u -> (if (cmp(op, v, thr)) 1.0 else 0.0) }
+              else inst.filter { case (_, v) => cmp(op, v, thr) }
+      if !(engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        (v.isNaN && engine(k).isNaN) || engine(k) == v })
+    } yield s"$q\n  engine=$engine\n  naive =$naive"
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")
