@@ -873,10 +873,11 @@ object Compiler {
     * keeps Divide from ever evaluating with a zero divisor; SimplifyConditionals
     * removes the dead branch when the divisor is a folded literal zero. */
   private def ieeeDiv(l: Column, r: Column): Column = {
-    // ±0.0 divisor sign: BinaryComparison treats -0.0 == 0.0, but struct
-    // ordering uses the total order where -0.0 < 0.0 — the one place the
-    // engine WANTS that distinction (x / -0.0 is -Inf in Go)
-    val zeroSign = when(struct(r) < struct(lit(0.0)), lit(-1.0)).otherwise(lit(1.0))
+    // ±0.0 divisor sign: every Spark comparison (including struct ordering)
+    // normalizes -0.0 == 0.0, but the string cast preserves the sign bit —
+    // the one way to see the distinction the engine needs (x / -0.0 is -Inf
+    // in Go). Only reached when r == ±0.0, so startsWith("-") ⇔ r is -0.0.
+    val zeroSign = when(r.cast("string").startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
     when(isnan(l) || isnan(r), lit(Double.NaN))
       .when(r =!= 0.0, l / r)
       .when(l === 0.0, lit(Double.NaN)) // ±0 / ±0

@@ -352,6 +352,25 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s metric{pod="nginx-1"} + on() group_left(b) metric{pod="nginx-2"}
       |  {a="foo", pod="nginx-1", b="bar"} 131
       |
+      |eval instant at 100s metric / 0
+      |  {a="foo", pod="nginx-1"} Inf
+      |  {b="bar", pod="nginx-2"} Inf
+      |
+      |eval instant at 100s (metric - metric) / 0
+      |  {a="foo", pod="nginx-1"} NaN
+      |  {b="bar", pod="nginx-2"} NaN
+      |
+      |eval instant at 100s (0 - metric) / 0
+      |  {a="foo", pod="nginx-1"} -Inf
+      |  {b="bar", pod="nginx-2"} -Inf
+      |
+      |eval instant at 100s metric % 0
+      |  {a="foo", pod="nginx-1"} NaN
+      |  {b="bar", pod="nginx-2"} NaN
+      |
+      |eval instant at 100s metric{pod="nginx-1"} / on() (zz @ 10)
+      |  {} -Inf
+      |
       |eval range from 0s to 50s step 10s sum(http)
       |  {} 0 8 16 24 32 40
       |
@@ -488,7 +507,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 9 && evals.size == 103)
+    assert(loaded.size == 9 && evals.size == 108)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
