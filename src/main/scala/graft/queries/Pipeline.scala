@@ -827,6 +827,48 @@ object Pipeline {
         "SELECT t.doc_id, t.n_sh, count(*) AS n_hit FROM train t JOIN bench b USING (shh) " +
         "GROUP BY 1, 2) ORDER BY doc_id")),
 
+    // Bloom-prefiltered decontamination — the 100 TB shape for benchmark
+    // overlap removal. The (small) benchmark side's 8-gram shingle hashes are
+    // folded into Spark's own runtime-filter bloom sketch (mergeable
+    // map-side partials — the same BloomFilterAggregate that
+    // InjectRuntimeFilter ships to executors), planted as a ~0.5 MiB
+    // constant, and the giant training side is pruned MAP-SIDE before any
+    // shuffle: only bloom-flagged docs reach the exact shingle join, so the
+    // explode+join cost scales with the contaminated fraction, not the
+    // corpus. might_contain has no false negatives, so recall stays exact —
+    // and the oracle PROVES it: it computes exact_hit with a full
+    // (unprefiltered) join, so a bloom false negative would hash-mismatch.
+    Q("tx_bloom_decontam",
+      t => {
+        import org.apache.spark.sql.graftshim
+        val sh = t.documents.select(col("doc_id"), col("source"),
+          graft.functions.WordNGramHashes(
+            split(lower(trim(col("text"))), "\\s+"), 8).as("hs"))
+        val bench = sh.filter(col("source").isin("src0", "src1"))
+          .select(explode(col("hs")).as("shh")).distinct()
+        // one-row driver artifact, like a broadcast variable's value
+        val bloom = bench
+          .agg(graftshim.bloomFilterAgg(col("shh"), 1L << 18, 1L << 22).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val train = sh.filter(!col("source").isin("src0", "src1"))
+        val exact = train
+          .filter(exists(col("hs"), h => graftshim.bloomMightContain(bloom, h)))
+          .select(col("doc_id"), explode(col("hs")).as("shh"))
+          .join(broadcast(bench), Seq("shh"))
+          .select(col("doc_id")).distinct().withColumn("eh", lit(1L))
+        train.select(col("doc_id")).join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("eh"), lit(0L)).as("exact_hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH sh AS (SELECT doc_id, source, " + shingleHashesSql(8) + " AS hs FROM documents), " +
+        "bench AS (SELECT DISTINCT unnest(hs) AS shh FROM sh WHERE source IN ('src0', 'src1')), " +
+        "train AS (SELECT doc_id, hs FROM sh WHERE source NOT IN ('src0', 'src1')), " +
+        "exact AS (SELECT DISTINCT doc_id FROM " +
+        "(SELECT doc_id, unnest(hs) AS shh FROM train) t JOIN bench USING (shh)) " +
+        "SELECT t.doc_id, CASE WHEN e.doc_id IS NULL THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(1 AS BIGINT) END AS exact_hit " +
+        "FROM train t LEFT JOIN exact e USING (doc_id) ORDER BY doc_id")),
+
     // PII/secret scrubbing: regex redaction of emails and IPv4 addresses.
     // The synthetic corpus is digit-free, so a deterministic per-doc payload
     // (doc_id-derived email / IP on a subset of docs) is appended INSIDE the

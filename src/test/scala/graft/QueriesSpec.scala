@@ -51,6 +51,26 @@ class QueriesSpec extends SparkSpec {
       s"unbounded-join plans in: ${failures.mkString(", ")}")
   }
 
+  test("bloom sketch: inserted hashes always hit (no false negatives)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim
+    val vals = (1L to 10000L).toDF("v").select(xxhash64(col("v")).as("h"))
+    val bf = vals.agg(graftshim.bloomFilterAgg(col("h"), 20000L, 1L << 20).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    assert(vals.filter(!graftshim.bloomMightContain(bf, col("h"))).count() == 0)
+  }
+
+  test("tx_bloom_decontam prefilters map-side with the bloom sketch") {
+    val df = Registry.all.find(_.name == "tx_bloom_decontam").get.fn(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // the exact join's input must carry the might_contain prefilter — the
+    // map-side prune is the whole point of the operator (correctness of the
+    // prefilter is the oracle's job: exact_hit is compared against an
+    // unprefiltered full-join reference)
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("WordNGrams/WordNGramHashes match the HOF + md5-conv SQL forms") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
