@@ -827,6 +827,38 @@ object Pipeline {
         "SELECT t.doc_id, t.n_sh, count(*) AS n_hit FROM train t JOIN bench b USING (shh) " +
         "GROUP BY 1, 2) ORDER BY doc_id")),
 
+    // Sketch-based cardinality — the 100 TB answer to "how many distinct
+    // documents per source / overall": a DataSketches HLL per group (lgK=14,
+    // rsd ≈ 0.8%), mergeable across partitions AND re-aggregable across
+    // groups (hll_union_agg folds the per-source sketches into the global
+    // row with no second corpus scan — sum of per-group exact distincts
+    // can't do that when content repeats across sources). The exact
+    // countDistinct alongside is the oracle anchor only; at 100 TB you ship
+    // just the sketches. The oracle gates the sketch's actual guarantee:
+    // |est/exact − 1| ≤ 5% (≫ the configured rsd) must hold on every row.
+    Q("dd_hll_cardinality",
+      t => {
+        val d = t.documents.select(col("source"), h48(col("text")).as("h"))
+        val sk = d.groupBy(col("source"))
+          .agg(countDistinct(col("h")).as("n_exact"),
+            hll_sketch_agg(col("h"), lit(14)).as("sk"))
+        val per = sk.select(col("source"), col("n_exact"),
+          hll_sketch_estimate(col("sk")).as("est"))
+        val tot = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(d.agg(countDistinct(col("h")).as("n_exact")))
+          .select(lit(null).cast("string").as("source"), col("n_exact"), col("est"))
+        per.unionByName(tot)
+          .select(col("source"), col("n_exact"),
+            when(abs(col("est").cast("double") / col("n_exact") - lit(1.0e0))
+              <= lit(0.05e0), lit(1L)).otherwise(lit(0L)).as("band_ok"))
+          .orderBy(col("source").asc_nulls_first)
+      },
+      Some("WITH h AS (SELECT source, " + h48Sql("text") + " AS h FROM documents) " +
+        "SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS n_exact, " +
+        "CAST(1 AS BIGINT) AS band_ok FROM h GROUP BY source " +
+        "UNION ALL SELECT NULL, CAST(count(DISTINCT h) AS BIGINT), CAST(1 AS BIGINT) FROM h " +
+        "ORDER BY source NULLS FIRST")),
+
     // Bloom-prefiltered decontamination — the 100 TB shape for benchmark
     // overlap removal. The (small) benchmark side's 8-gram shingle hashes are
     // folded into Spark's own runtime-filter bloom sketch (mergeable

@@ -32,6 +32,7 @@ class QueriesSpec extends SparkSpec {
     // every other query must plan hash/sort-merge joins only.
     val tinyCrossOk = Set(
       "a1_dedup_counts",    // two 1-row aggregates
+      "dd_hll_cardinality", // global row: 1-row exact anchor × 1-row union-agg
       "promql_at_modifier", // @-pinned vector broadcast onto the step grid
       "f_math_scalar",      // scalar() grid broadcast
       "ss_brute_topk",      // exact baseline: ≤10-row broadcast query side
