@@ -440,8 +440,11 @@ object Compiler {
       val f: Column => Column = fn match {
         case "abs" => abs; case "ceil" => c => ceil(c).cast("double")
         case "floor" => c => floor(c).cast("double"); case "sqrt" => sqrt
-        case "exp" => exp; case "ln" => c => log(c); case "log2" => log2
-        case "log10" => log10; case "sgn" => c => signum(c)
+        // Go math.Log*: 0 → -Inf, negative → NaN; Spark's log family instead
+        // returns NULL for any non-positive input, which would drop the sample
+        case "exp" => exp
+        case "ln" => goLog(c => log(c)); case "log2" => goLog(log2)
+        case "log10" => goLog(log10); case "sgn" => c => signum(c)
         case "sin" => sin; case "cos" => cos; case "tan" => tan
         case "asin" => asin; case "acos" => acos; case "atan" => atan
         case "sinh" => sinh; case "cosh" => cosh; case "tanh" => tanh
@@ -464,25 +467,41 @@ object Compiler {
       val ord = args.tail.map(strOf).map(l =>
         if (fn == "sort_by_label") col(l).asc_nulls_first else col(l).desc_nulls_last)
       v.orderBy(ord: _*)
+    // clamp family: Go's math.Min/Max propagate NaN (either operand), and
+    // funcClamp yields NaN when min > max — Spark's least/greatest instead
+    // rank NaN greatest (least() silently DROPS it), so guard explicitly
     case "clamp" =>
       val v = compile(args.head, ctx)
       val (lo, hi) = (scalarOf(args(1)), scalarOf(args(2)))
-      dropName(v.withColumn("value", least(greatest(col("value"), lit(lo)), lit(hi))))
+      val out = if (lo > hi || lo.isNaN || hi.isNaN) lit(Double.NaN)
+        else when(isnan(col("value")), lit(Double.NaN))
+          .otherwise(least(greatest(col("value"), lit(lo)), lit(hi)))
+      dropName(v.withColumn("value", out))
     case "clamp_min" =>
+      val lo = scalarOf(args(1))
       dropName(compile(args.head, ctx).withColumn("value",
-        greatest(col("value"), lit(scalarOf(args(1))))))
+        if (lo.isNaN) lit(Double.NaN)
+        else greatest(col("value"), lit(lo)))) // NaN value stays NaN (greatest)
     case "clamp_max" =>
+      val hi = scalarOf(args(1))
       dropName(compile(args.head, ctx).withColumn("value",
-        least(col("value"), lit(scalarOf(args(1))))))
+        if (hi.isNaN) lit(Double.NaN)
+        else when(isnan(col("value")), lit(Double.NaN))
+          .otherwise(least(col("value"), lit(hi)))))
 
     case "label_replace" => // (v, dst, replacement, src, regex)
       val v = compile(args.head, ctx)
       val Seq(dst, repl, src, regex) = args.tail.map(strOf)
       val anchored = "^(?:" + regex + ")$"
       val srcCol = if (v.columns.contains(src)) coalesce(col(src), lit("")) else lit("")
-      val dstCur = if (v.columns.contains(dst)) coalesce(col(dst), lit("")) else lit("")
+      // no match → series unchanged (dst keeps its value / stays ABSENT, not
+      // ""); a replacement expanding to "" removes dst (Prometheus semantics)
+      val dstCur = if (v.columns.contains(dst)) col(dst) else lit(null).cast("string")
+      val replaced = regexp_replace(srcCol, anchored, repl)
       v.withColumn(dst,
-        when(srcCol.rlike(anchored), regexp_replace(srcCol, anchored, repl)).otherwise(dstCur))
+        when(srcCol.rlike(anchored),
+          when(replaced === "", lit(null).cast("string")).otherwise(replaced))
+          .otherwise(dstCur))
     case "label_join" => // (v, dst, sep, src...)
       val v = compile(args.head, ctx)
       val dst = strOf(args(1)); val sep = strOf(args(2))
@@ -802,6 +821,13 @@ object Compiler {
   }
   private def dropName(df: DataFrame): DataFrame =
     if (df.columns.contains("__name__")) df.drop("__name__") else df
+
+  /** Go log-family semantics over Spark's null-for-nonpositive log builtins:
+    * x>0 delegates (Inf → Inf), ±0 → -Inf, negative/NaN → NaN. */
+  private def goLog(f: Column => Column)(c: Column): Column =
+    when(c > 0.0, f(c))
+      .when(c === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
 
   // ---------------------------------------------------------------- agg ops
   private def compileAgg(a: Agg, ctx: Ctx): DataFrame = {

@@ -352,6 +352,86 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s metric{pod="nginx-1"} + on() group_left(b) metric{pod="nginx-2"}
       |  {a="foo", pod="nginx-1", b="bar"} 131
       |
+      |eval instant at 100s clamp(metric, 60, 30)
+      |  {a="foo", pod="nginx-1"} NaN
+      |  {b="bar", pod="nginx-2"} NaN
+      |
+      |eval instant at 100s clamp_min(metric, 50)
+      |  {a="foo", pod="nginx-1"} 50
+      |  {b="bar", pod="nginx-2"} 110
+      |
+      |eval instant at 100s clamp_max(metric, 50)
+      |  {a="foo", pod="nginx-1"} 21
+      |  {b="bar", pod="nginx-2"} 50
+      |
+      |eval instant at 100s clamp_max(data, 50)
+      |  {test="nan"} NaN
+      |
+      |eval instant at 100s ln(0 - metric{pod="nginx-1"})
+      |  {a="foo", pod="nginx-1"} NaN
+      |
+      |eval instant at 100s vector(0 ^ 0)
+      |  {} 1
+      |
+      |eval instant at 100s vector((0/0) ^ 0)
+      |  {} 1
+      |
+      |eval instant at 100s vector(2 + 3 * 4 ^ 2)
+      |  {} 50
+      |
+      |eval instant at 100s ln(vector(0))
+      |  {} -Inf
+      |
+      |eval instant at 100s sqrt(0 - metric{pod="nginx-1"})
+      |  {a="foo", pod="nginx-1"} NaN
+      |
+      |eval instant at 100s log2(vector(8))
+      |  {} 3
+      |
+      |eval instant at 100s floor(vector(0 - 1.5))
+      |  {} -2
+      |
+      |eval instant at 100s ceil(vector(0 - 1.5))
+      |  {} -1
+      |
+      |eval instant at 100s delta(metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} 6
+      |
+      |eval instant at 100s idelta(metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} 2
+      |
+      |eval instant at 100s double_exponential_smoothing(http{code="404"}[50s], 0.5, 0.5)
+      |  {job="api", code="404"} 30
+      |
+      |eval instant at 100s month(vector(0))
+      |  {} 1
+      |
+      |eval instant at 100s year(vector(0))
+      |  {} 1970
+      |
+      |eval instant at 100s days_in_month(vector(0))
+      |  {} 31
+      |
+      |eval instant at 100s hour(vector(3600))
+      |  {} 1
+      |
+      |eval instant at 100s label_replace(metric{pod="nginx-1"}, "env", "$1", "pod", "apache-(.*)")
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |
+      |eval instant at 100s vector(1) and vector(2)
+      |  {} 1
+      |
+      |eval instant at 100s vector(1) unless vector(2)
+      |
+      |eval instant at 100s abs(0 - metric{pod="nginx-1"})
+      |  {a="foo", pod="nginx-1"} 21
+      |
+      |eval instant at 100s sgn(0 - metric{pod="nginx-1"})
+      |  {a="foo", pod="nginx-1"} -1
+      |
+      |eval instant at 100s http{code="404"} >= bool on(job) http{code="200"}
+      |  {job="api"} 0
+      |
       |eval instant at 100s metric / 0
       |  {a="foo", pod="nginx-1"} Inf
       |  {b="bar", pod="nginx-2"} Inf
@@ -507,7 +587,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 9 && evals.size == 108)
+    assert(loaded.size == 9 && evals.size == 134)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
