@@ -219,12 +219,19 @@ object Compiler {
         min(col("value")).as("__graft_min_val"),
         coalesce(max(when(!isnan(col("value")), col("value"))), lit(Double.NaN))
           .as("__graft_max_val"),
+        // `value < prev` must be IEEE-false when prev is NaN (Go float
+        // compare) — Spark's total order ranks NaN greatest, so `x < NaN`
+        // would count a reset and poison the rate correction with a NaN
+        // prev. Guard explicitly (the Det.dec cast of NaN → NULL happened to
+        // save the correction sum, but never rely on that).
         sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
-          col("value") < col("__graft_prev_val"), col("__graft_prev_val")).otherwise(lit(0.0)).cast(Det.dec))
+          !isnan(col("__graft_prev_val")) && col("value") < col("__graft_prev_val"),
+          col("__graft_prev_val")).otherwise(lit(0.0)).cast(Det.dec))
           .cast("double").as("__graft_resets"),
         // counts over consecutive in-window pairs (PromQL changes()/resets())
         sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
-          col("value") < col("__graft_prev_val"), 1L).otherwise(0L)).as("__graft_n_resets"),
+          !isnan(col("__graft_prev_val")) && col("value") < col("__graft_prev_val"), 1L)
+          .otherwise(0L)).as("__graft_n_resets"),
         sum(when(col("__graft_prev_ts").isNotNull && col("__graft_prev_ts") > col("__graft_win_lo") &&
           !(col("value") <=> col("__graft_prev_val")), 1L).otherwise(0L)).as("__graft_n_changes"),
         // least-squares moments for deriv/predict_linear, over window-relative

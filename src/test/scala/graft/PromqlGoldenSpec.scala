@@ -26,6 +26,7 @@ class PromqlGoldenSpec extends SparkSpec {
       |  flat{c="1"} 5 5 5
       |  st{s="1"} 1 2 stale 4
       |  zz{z="1"} 0 -0.0 3
+      |  ctr{r="1"} 0 5 NaN 10
       |
       |eval instant at 100s metric
       |  {a="foo", pod="nginx-1", __name__="metric"} 21
@@ -432,6 +433,18 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s http{code="404"} >= bool on(job) http{code="200"}
       |  {job="api"} 0
       |
+      |eval instant at 30s changes(ctr[30s])
+      |  {r="1"} 2
+      |
+      |eval instant at 30s resets(ctr[30s])
+      |  {r="1"} 0
+      |
+      |eval instant at 30s increase(ctr[30s])
+      |  {r="1"} 7.5
+      |
+      |eval instant at 30s rate(ctr[30s])
+      |  {r="1"} 0.25
+      |
       |eval instant at 100s metric / 0
       |  {a="foo", pod="nginx-1"} Inf
       |  {b="bar", pod="nginx-2"} Inf
@@ -587,7 +600,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 9 && evals.size == 134)
+    assert(loaded.size == 10 && evals.size == 138)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
