@@ -548,27 +548,61 @@ object Compiler {
         .drop("__graft_h"))
 
     case "histogram_quantile" => // over a vector carrying an `le` label
+      // Prometheus bucketQuantile (promql/quantile.go): φ checked before
+      // bucket validity; missing +Inf bucket, <2 buckets, or an empty
+      // histogram → NaN; non-monotone cumulative counts (scrape races) are
+      // repaired by a running max; rank in the +Inf bucket returns the last
+      // finite bound; first-bucket ranks interpolate from an implicit 0
+      // lower bound unless that bound is ≤ 0. One groupBy per histogram
+      // series, then pure HOF expressions — no second shuffle.
       val phi = scalarOf(args.head)
-      val v = compile(args(1), ctx)
-      if (!v.columns.contains("le"))
+      val v0 = compile(args(1), ctx)
+      if (!v0.columns.contains("le"))
         throw new ParseException("histogram_quantile needs an 'le' label")
+      val v = dropName(v0) // result series carry no metric name
       val grp = ("step_ms" +: labelCols(v).filterNot(_ == "le")).map(col)
       // Prometheus le labels are strings; "+Inf" isn't castable directly
       val leD = when(col("le").isin("+Inf", "Inf", "inf"),
         lit(Double.PositiveInfinity)).otherwise(col("le").cast("double"))
-      val w = Window.partitionBy(grp: _*).orderBy(leD)
-      val b = v
-        .withColumn("lo_le", lag(leD, 1, 0.0).over(w))
-        .withColumn("lo_cum", lag(col("value"), 1, 0.0).over(w))
-        .withColumn("total", max(col("value")).over(Window.partitionBy(grp: _*)))
-      b.filter(col("value") >= lit(phi) * col("total"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .withColumn("value",
-          when(leD === Double.PositiveInfinity, col("lo_le"))
-            .otherwise(col("lo_le") + (leD - col("lo_le")) *
-              (lit(phi) * col("total") - col("lo_cum")) / (col("value") - col("lo_cum"))))
-        .select((grp :+ col("value")): _*)
+      val agged = v.groupBy(grp: _*)
+        .agg(sort_array(collect_list(struct(leD.as("le"),
+          col("value").cast("double").as("c")))).as("__graft_bkts"))
+      if (phi.isNaN || phi < 0.0 || phi > 1.0) {
+        val out = if (phi.isNaN) Double.NaN
+          else if (phi < 0.0) Double.NegativeInfinity else Double.PositiveInfinity
+        agged.select((grp :+ lit(out).as("value")): _*)
+      } else {
+        val zero = "CAST(0.0 AS DOUBLE)"
+        val lo = s"IF(__graft_b = 1, $zero, element_at(__graft_bkts, __graft_b - 1).le)"
+        val loCum = s"IF(__graft_b = 1, $zero, element_at(__graft_cums, __graft_b - 1))"
+        agged
+          .withColumn("__graft_cums", expr( // running-max repaired cumulatives
+            s"""aggregate(__graft_bkts, CAST(array() AS ARRAY<DOUBLE>),
+               |  (acc, x) -> concat(acc, array(greatest(x.c,
+               |    IF(size(acc) = 0, $zero, element_at(acc, -1))))))""".stripMargin))
+          .withColumn("__graft_total", expr("element_at(__graft_cums, -1)"))
+          .withColumn("__graft_rank", col("__graft_total") * lit(phi))
+          .withColumn("__graft_b", expr( // first bucket whose cum ≥ rank
+            """aggregate(sequence(1, size(__graft_bkts)), size(__graft_bkts),
+              |  (acc, i) -> IF(element_at(__graft_cums, i) >= __graft_rank AND i < acc, i, acc))""".stripMargin))
+          .withColumn("value", expr(
+            s"""CASE
+               |  WHEN size(__graft_bkts) < 2 THEN CAST('NaN' AS DOUBLE)
+               |  WHEN element_at(__graft_bkts, -1).le != CAST('Infinity' AS DOUBLE)
+               |    THEN CAST('NaN' AS DOUBLE)
+               |  WHEN __graft_total <= 0 THEN CAST('NaN' AS DOUBLE)
+               |  WHEN __graft_b = size(__graft_bkts)
+               |    THEN element_at(__graft_bkts, size(__graft_bkts) - 1).le
+               |  WHEN __graft_b = 1 AND element_at(__graft_bkts, 1).le <= 0
+               |    THEN element_at(__graft_bkts, 1).le
+               |  ELSE $lo + (element_at(__graft_bkts, __graft_b).le - $lo) *
+               |    IF(element_at(__graft_cums, __graft_b) - $loCum = 0,
+               |       CAST('NaN' AS DOUBLE), -- 0/0 in Go: empty selected bucket
+               |       (__graft_rank - $loCum) /
+               |         (element_at(__graft_cums, __graft_b) - $loCum))
+               |END""".stripMargin))
+          .select((grp :+ col("value")): _*)
+      }
 
     case "absent" => // 1 at steps where the vector has no series at all
       val v = compile(args.head, ctx)

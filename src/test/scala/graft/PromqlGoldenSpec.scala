@@ -27,6 +27,16 @@ class PromqlGoldenSpec extends SparkSpec {
       |  st{s="1"} 1 2 stale 4
       |  zz{z="1"} 0 -0.0 3
       |  ctr{r="1"} 0 5 NaN 10
+      |  hq{h="a", le="0.5"} 0 1 2
+      |  hq{h="a", le="1"} 0 2 4
+      |  hq{h="a", le="+Inf"} 0 2 4
+      |  hqm{h="m", le="0.5"} 1 1 1
+      |  hqm{h="m", le="1"} 2 2 2
+      |  hqn{h="n", le="0.5"} 5 5 5
+      |  hqn{h="n", le="1"} 3 3 3
+      |  hqn{h="n", le="+Inf"} 5 5 5
+      |  hq0{h="z", le="0.5"} 0 0 0
+      |  hq0{h="z", le="+Inf"} 0 0 0
       |
       |eval instant at 100s metric
       |  {a="foo", pod="nginx-1", __name__="metric"} 21
@@ -445,6 +455,33 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 30s rate(ctr[30s])
       |  {r="1"} 0.25
       |
+      |eval instant at 20s histogram_quantile(0.5, hq)
+      |  {h="a"} 0.5
+      |
+      |eval instant at 20s histogram_quantile(0.75, hq)
+      |  {h="a"} 0.75
+      |
+      |eval instant at 20s histogram_quantile(1, hq)
+      |  {h="a"} 1
+      |
+      |eval instant at 20s histogram_quantile(0, hq)
+      |  {h="a"} 0
+      |
+      |eval instant at 20s histogram_quantile(0.5, hqm)
+      |  {h="m"} NaN
+      |
+      |eval instant at 20s histogram_quantile(0.5, hqn)
+      |  {h="n"} 0.25
+      |
+      |eval instant at 20s histogram_quantile(0.5, hq0)
+      |  {h="z"} NaN
+      |
+      |eval instant at 20s histogram_quantile(-1, hq)
+      |  {h="a"} -Inf
+      |
+      |eval instant at 20s histogram_quantile(2, hq)
+      |  {h="a"} Inf
+      |
       |eval instant at 100s metric / 0
       |  {a="foo", pod="nginx-1"} Inf
       |  {b="bar", pod="nginx-2"} Inf
@@ -600,7 +637,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 10 && evals.size == 138)
+    assert(loaded.size == 20 && evals.size == 147)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
