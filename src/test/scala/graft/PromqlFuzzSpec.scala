@@ -394,6 +394,77 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("random classic-histogram layouts: histogram_quantile agrees with naive bucketQuantile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // literal Scala port of Prometheus promql/quantile.go bucketQuantile —
+    // shares nothing with the engine's HOF-expression implementation
+    def bucketQuantile(q: Double, buckets: Seq[(Double, Double)]): Double = {
+      if (q.isNaN) Double.NaN
+      else if (q < 0) Double.NegativeInfinity
+      else if (q > 1) Double.PositiveInfinity
+      else {
+        val bs = buckets.sortBy(_._1)
+        if (bs.length < 2 || !bs.last._1.isPosInfinity) Double.NaN
+        else {
+          val cums = bs.scanLeft(0.0)((m, b) => math.max(m, b._2)).tail
+          val total = cums.last
+          if (total <= 0) Double.NaN
+          else {
+            val rank = q * total
+            val b = cums.indexWhere(_ >= rank)
+            if (b == bs.length - 1) bs(bs.length - 2)._1
+            else if (b == 0 && bs.head._1 <= 0) bs.head._1
+            else {
+              val lo = if (b == 0) 0.0 else bs(b - 1)._1
+              val loCum = if (b == 0) 0.0 else cums(b - 1)
+              val cnt = cums(b) - loCum
+              lo + (bs(b)._1 - lo) *
+                (if (cnt == 0) Double.NaN else (rank - loCum) / cnt)
+            }
+          }
+        }
+      }
+    }
+    val rnd = new Random(31)
+    // 30 random histograms: varying bucket counts, ~15% missing +Inf, ~30%
+    // non-monotone cumulative counts (scrape races), ~10% all-zero
+    val hists: Seq[(String, Seq[(Double, Double)])] = (0 until 30).map { i =>
+      val n = 2 + rnd.nextInt(6)
+      val bounds = Seq.tabulate(n)(j => (j + 1) * (0.1 + rnd.nextDouble())).sorted
+      val withInf = if (rnd.nextInt(100) < 85) bounds :+ Double.PositiveInfinity else bounds
+      val counts =
+        if (rnd.nextInt(10) == 0) Seq.fill(withInf.length)(0.0)
+        else {
+          val mono = withInf.indices.map(_ => rnd.nextInt(20).toDouble)
+            .scanLeft(0.0)(_ + _).tail
+          if (rnd.nextInt(10) < 3) {
+            val k = rnd.nextInt(mono.length)
+            mono.updated(k, math.max(0.0, mono(k) - rnd.nextInt(15)))
+          } else mono
+        }
+      s"g$i" -> withInf.zip(counts)
+    }
+    val t = 1000L
+    val df = hists.flatMap { case (g, bs) => bs.map { case (le, c) =>
+        val leStr = if (le.isPosInfinity) "+Inf" else le.toString
+        ("hf", g, leStr, t, c, (g + leStr).hashCode.toLong)
+      } }
+      .toDF("__name__", "g", "le", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("g"), col("le")))
+    val failures = for {
+      phi <- Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0, -0.5, 1.5)
+      engine = Compiler.compile(
+          Parser.parse(s"histogram_quantile($phi, hf)"),
+          Compiler.Ctx(df, t, t, 1000L, 300000L))
+        .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("value")).toMap
+      naive = hists.map { case (g, bs) => g -> bucketQuantile(phi, bs) }.toMap
+      if !(engine.keySet == naive.keySet && naive.forall { case (g, v) =>
+        (v.isNaN && engine(g).isNaN) || math.abs(engine(g) - v) < 1e-9 || engine(g) == v })
+    } yield s"phi=$phi\n  engine=${engine.toSeq.sortBy(_._1)}\n  naive =${naive.toSeq.sortBy(_._1)}"
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("random binop queries agree with naive division") {
     val rnd = new Random(7)
     val names = Seq("click", "view", "purchase", "signup", "error")
