@@ -70,6 +70,14 @@ object Compiler {
         (args.headOption match {
           case Some(NumberLit(phi)) if quantileFns(fn) => phiWarn(phi)
           case _ => Nil
+        }) ++ (args match {
+          // Prometheus PossibleNonCounterInfo: rate/increase over a metric
+          // whose name lacks a counter suffix (promql annotations)
+          case Seq(Selector(Some(n), _, Some(_), _, _))
+            if Set("rate", "increase")(fn) &&
+              !Seq("_total", "_sum", "_count", "_bucket").exists(n.endsWith) =>
+            Seq(s"metric might not be a counter, name does not end in _total/_sum/_count/_bucket: \"$n\"")
+          case _ => Nil
         }) ++ args.flatMap(walk)
       case BinOp(_, l, r, _, _) => walk(l) ++ walk(r)
       case Subquery(inner, _, _, _, _) => walk(inner)

@@ -119,6 +119,16 @@ class StoreApiSpec extends SparkSpec {
       "quantile value should be between 0 and 1, got 1.5")))
   }
 
+  test("gRPC Query streams PossibleNonCounterInfo for rate over a gauge name") {
+    val resp = store.query(StoreApi.QueryRequest("rate(purchase[1d])",
+      timeSeconds = (T0 + 2 * DAY) / 1000, lookbackDeltaSeconds = DAY / 1000))
+    assert(resp.warnings.exists(_.contains("metric might not be a counter")))
+    // a counter-suffixed name stays quiet
+    val ok = store.query(StoreApi.QueryRequest("rate({__name__=\"purchase\"}[1d])",
+      timeSeconds = (T0 + 2 * DAY) / 1000, lookbackDeltaSeconds = DAY / 1000))
+    assert(!ok.warnings.exists(_.contains("might not be a counter")))
+  }
+
   test("Info / LabelNames / LabelValues") {
     val i = store.info()
     assert(i.minTimeMs <= i.maxTimeMs && i.labelNames == Seq("__name__", "uid"))
