@@ -82,14 +82,25 @@ object CurateDemo {
     val nNearDup = nearDup.count()
 
     // 4. benchmark contamination: drop docs sharing any 8-gram with the
-    // held-out sources (the benchmark side is tiny → broadcast)
+    // held-out sources. Two-phase at scale (tx_bloom_decontam): the bench
+    // grams fold into a ~0.5 MiB bloom sketch that prunes the training side
+    // MAP-SIDE, so only bloom-flagged candidates pay the explode + exact
+    // broadcast join (no false negatives — might_contain misses nothing)
     val sh = nearDup.select(col("doc_id"),
       graft.functions.WordNGramHashes(split(lower(trim(col("text"))), "\\s+"), 8).as("hs"))
     val benchGrams = Tables(spark, sfDir).documents
       .filter(col("source").isin(benchSources: _*))
       .select(explode(graft.functions.WordNGramHashes(
         split(lower(trim(col("text"))), "\\s+"), 8)).as("shh")).distinct()
-    val dirty = sh.select(col("doc_id"), explode(col("hs")).as("shh"))
+    val bloom = {
+      import org.apache.spark.sql.graftshim
+      benchGrams.agg(graftshim.bloomFilterAgg(col("shh"), 1L << 18, 1L << 22).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    }
+    val dirty = sh
+      .filter(exists(col("hs"), h =>
+        org.apache.spark.sql.graftshim.bloomMightContain(bloom, h)))
+      .select(col("doc_id"), explode(col("hs")).as("shh"))
       .join(broadcast(benchGrams), Seq("shh"))
       .select("doc_id").distinct()
     val decon = nearDup.join(dirty, Seq("doc_id"), "left_anti")
