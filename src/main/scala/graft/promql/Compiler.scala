@@ -475,8 +475,10 @@ object Compiler {
       // Prometheus semantics (floor(v/n + ½)·n), not HALF_UP
       val v = compile(args.head, ctx)
       val to = if (args.length > 1) scalarOf(args(1)) else 1.0
+      // to_nearest = 0: Go floor(v/0 + ½)·0 = Inf·0 = NaN (ANSI Divide errors)
       dropName(v.withColumn("value",
-        (floor(col("value") / to + 0.5) * to).cast("double")))
+        if (to == 0.0) lit(Double.NaN)
+        else (floor(col("value") / to + 0.5) * to).cast("double")))
     case "sort_by_label" | "sort_by_label_desc" => // presentational ordering
       val v = compile(args.head, ctx)
       val ord = args.tail.map(strOf).map(l =>

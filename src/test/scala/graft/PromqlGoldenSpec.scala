@@ -515,6 +515,28 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval range from 0s to 20s step 10s irate(metric{pod="nginx-1"}[20s])
       |  {a="foo", pod="nginx-1"} _ 0.2 0.2
+      |
+      |eval range from 0s to 30s step 10s sum by (pod) (metric)
+      |  {pod="nginx-1"} 1 3 5 7
+      |  {pod="nginx-2"} 10 20 30 40
+      |
+      |eval range from 0s to 20s step 10s histogram_quantile(0.5, hq)
+      |  {h="a"} NaN 0.5 0.5
+      |
+      |eval range from 10s to 30s step 10s changes(ctr[20s])
+      |  {r="1"} 1 1 1
+      |
+      |eval range from 10s to 30s step 10s sum(http offset 10s)
+      |  {} 0 8 16
+      |
+      |eval range from 0s to 20s step 10s clamp_max(metric{pod="nginx-2"}, 25)
+      |  {b="bar", pod="nginx-2"} 10 20 25
+      |
+      |eval range from 0s to 20s step 10s metric{pod="nginx-1"} + metric{pod="nginx-2"}
+      |
+      |eval instant at 100s round(metric, 0)
+      |  {a="foo", pod="nginx-1"} NaN
+      |  {b="bar", pod="nginx-2"} NaN
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -637,7 +659,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 20 && evals.size == 147)
+    assert(loaded.size == 20 && evals.size == 148)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
@@ -658,7 +680,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: eval range cases match on the step grid") {
     val (loaded, _, ranges) = parseCorpus(corpus)
-    assert(ranges.size == 5)
+    assert(ranges.size == 11)
     val samples = toSamples(loaded)
     def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
     val failures = ranges.flatMap { rc =>
