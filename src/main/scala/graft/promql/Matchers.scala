@@ -24,6 +24,12 @@ sealed trait LabelMatcher {
   def label: String
   /** Compile to a Catalyst predicate over the given samples/series view. */
   def toPredicate(df: DataFrame): Column
+  /** Driver-side evaluation against a plain label value — the analog of
+    * Prometheus' `Matcher.Matches`, used where no DataFrame is in play
+    * (e.g. external-label filtering during TSDB block discovery,
+    * `locate/discover.go:602-611`). Missing label ≡ "" is the caller's
+    * contract: pass "" for absent labels. */
+  def matches(value: String): Boolean
 }
 
 final case class MatchEq(label: String, value: String) extends LabelMatcher {
@@ -37,6 +43,7 @@ final case class MatchEq(label: String, value: String) extends LabelMatcher {
     if (!df.columns.contains(label)) lit(value.isEmpty)
     else if (value.isEmpty) col(label).isNull || col(label) === ""
     else col(label).isNotNull && col(label) === value
+  def matches(v: String): Boolean = v == value
 }
 
 final case class MatchNotEq(label: String, value: String) extends LabelMatcher {
@@ -44,16 +51,21 @@ final case class MatchNotEq(label: String, value: String) extends LabelMatcher {
     if (!df.columns.contains(label)) lit(value.nonEmpty)
     else if (value.isEmpty) col(label).isNotNull && col(label) =!= ""
     else col(label).isNull || col(label) =!= value
+  def matches(v: String): Boolean = v != value
 }
 
 final case class MatchRe(label: String, pattern: String) extends LabelMatcher {
   def toPredicate(df: DataFrame): Column =
     Matchers.regexPredicate(df, label, pattern, negate = false)
+  private lazy val re = ("^(?:" + pattern + ")$").r
+  def matches(v: String): Boolean = re.matches(v)
 }
 
 final case class MatchNotRe(label: String, pattern: String) extends LabelMatcher {
   def toPredicate(df: DataFrame): Column =
     Matchers.regexPredicate(df, label, pattern, negate = true)
+  private lazy val re = ("^(?:" + pattern + ")$").r
+  def matches(v: String): Boolean = !re.matches(v)
 }
 
 object Matchers {

@@ -236,6 +236,114 @@ class EtlSpec extends SparkSpec {
     assert(sy.cached.map(_._2) == Seq("2024-01-01", "2024-01-02"))
   }
 
+  test("TSDB discovery: skips no-meta/marked/downsampled/chunkless/mismatched; ages in young blocks; evicts vanished") {
+    import graft.etl.{TsdbBlockMeta, TsdbDiscoverer}
+    import graft.promql.MatchEq
+    val root = Files.createTempDirectory("graft-tsdb").toString
+    val H = 3600000L
+    var clock = 10_000_000_000L
+
+    def block(id: String, mint: Long, maxt: Long, res: Long = 0L, chunks: Long = 7L,
+              labels: Map[String, String] = Map("cluster" -> "prod"),
+              meta: Boolean = true, marked: Boolean = false): Unit = {
+      val d = Paths.get(s"$root/$id")
+      Files.createDirectories(d)
+      val lbl = labels.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      if (meta) Files.writeString(d.resolve("meta.json"),
+        s"""{"ulid":"$id","minTime":$mint,"maxTime":$maxt,
+           | "stats":{"numChunks":$chunks,"numSeries":3},
+           | "thanos":{"labels":{$lbl},"downsample":{"resolution":$res}},
+           | "version":1}""".stripMargin)
+      if (marked) Files.writeString(d.resolve("deletion-mark.json"), s"""{"id":"$id"}""")
+    }
+    block("b1", clock - 100 * H, clock - 50 * H)                    // valid, old
+    block("b2", clock - 100 * H, clock - 50 * H, meta = false)      // incomplete
+    block("b3", clock - 100 * H, clock - 50 * H, marked = true)     // deletion-marked
+    block("b4", clock - 100 * H, clock - 50 * H, res = 300000L)     // downsampled
+    block("b5", clock - 100 * H, clock - 50 * H, chunks = 0L)       // chunkless
+    block("b6", clock - 5 * H, clock - 1 * H)                       // too young (minAge 2h)
+    block("b7", clock - 100 * H, clock - 50 * H,
+      labels = Map("cluster" -> "dev"))                             // label mismatch
+
+    var reads = 0
+    val disc = new TsdbDiscoverer(root, Seq(MatchEq("cluster", "prod")),
+      minBlockAgeMs = 2 * H, now = () => clock,
+      readMeta = p => { reads += 1; TsdbDiscoverer.localRead(p) })
+
+    val s1 = disc.discover()
+    // b2/b3 skipped before any read; b4/b5/b7 read-then-filtered; b6 admitted
+    // then dropped as too-young (ref discover.go:628 re-checks the cache)
+    assert((s1.read, s1.cachedSkip, s1.filtered, s1.tooYoung, s1.vanished) ==
+      ((5, 0, 3, 1, 0)))
+    assert(disc.metas.map(_.ulid) == Seq("b1"))
+    assert(disc.timeRange.contains((clock - 100 * H, clock - 50 * H)))
+
+    // second round: b1 is cached (NOT re-read, ref discover.go:555); the
+    // filtered and too-young blocks are re-listed and re-read
+    val s2 = disc.discover()
+    assert((s2.read, s2.cachedSkip, s2.tooYoung) == ((4, 1, 1)))
+    assert(reads == 9)
+
+    // 5h later b6's maxTime clears now-minAge and the block ages in
+    clock += 5 * H
+    disc.discover()
+    assert(disc.metas.map(_.ulid) == Seq("b1", "b6"))
+
+    // b1 vanishes from the bucket → evicted from the cache (discover.go:632)
+    import scala.util.Using
+    Using.resource(Files.walk(Paths.get(s"$root/b1"))) { w =>
+      w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    val s4 = disc.discover()
+    assert(s4.vanished == 1)
+    assert(disc.metas.map(_.ulid) == Seq("b6"))
+  }
+
+  test("TSDB discovery: streams group by external labels and split block spans into UTC days") {
+    import graft.etl.{TsdbBlockMeta, TsdbDiscoverer}
+    // maxt exactly on midnight does NOT open a new day (ref util/date.go:46-58)
+    val D = 86400000L
+    assert(TsdbDiscoverer.splitIntoDates(0L, 2 * D) == Seq("1970-01-01", "1970-01-02"))
+    assert(TsdbDiscoverer.splitIntoDates(D / 2, 2 * D + 1) ==
+      Seq("1970-01-01", "1970-01-02", "1970-01-03"))
+    assert(TsdbDiscoverer.splitIntoDates(D, D) == Seq("1970-01-02"))
+
+    val root = Files.createTempDirectory("graft-tsdb-streams").toString
+    def put(id: String, mint: Long, maxt: Long, cluster: String): Unit = {
+      val d = Paths.get(s"$root/$id"); Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        s"""{"ulid":"$id","minTime":$mint,"maxTime":$maxt,
+           | "stats":{"numChunks":2},
+           | "thanos":{"labels":{"cluster":"$cluster"},"downsample":{"resolution":0}}}"""
+          .stripMargin)
+    }
+    put("s1a", 0L, 2 * D, "a")
+    put("s1b", 2 * D, 3 * D, "a")      // same stream, adjacent days
+    put("s2a", D, 2 * D, "b")          // different external labels
+    val disc = new TsdbDiscoverer(root, now = () => 100 * D)
+    disc.discover()
+
+    val byLabels = disc.streams.values.map(s => s.externalLabels("cluster") -> s.days).toMap
+    assert(byLabels("a") == Seq("1970-01-01", "1970-01-02", "1970-01-03"))
+    assert(byLabels("b") == Seq("1970-01-02"))
+    // streamDays feeds the Syncer directly
+    val sy = new Syncer[String]((_, d) => d)
+    val st = sy.sync(disc.streamDays)
+    assert(st.loaded == 4 && sy.cached.size == 4)
+  }
+
+  test("MiniJson: nested objects, arrays, escapes, numbers") {
+    import graft.etl.MiniJson
+    val v = MiniJson.parse(
+      """{"a":[1,2.5,-3e2],"s":"q\"\nA","o":{"t":true,"f":false,"n":null}}""")
+      .asInstanceOf[Map[String, Any]]
+    assert(v("a") == Vector(1.0, 2.5, -300.0))
+    assert(v("s") == "q\"\nA")
+    assert(v("o") == Map("t" -> true, "f" -> false, "n" -> null))
+    assertThrows[IllegalArgumentException](MiniJson.parse("""{"a":1} trailing"""))
+  }
+
   test("loops: repeat until stop; retry with backoff rethrows after attempts") {
     var ticks = 0
     val n = Loops.repeat(1, () => ticks >= 3)(() => ticks += 1)
