@@ -1,0 +1,60 @@
+package graft.etl
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Top-level conversion round — the reference's `advanceConversion`
+  * (`cmd/convert.go:232-330`) re-expressed over the Spark-side pieces:
+  *
+  *   1. run a TSDB discovery round (block listing + meta filters, S9);
+  *   2. read the parquet-side converted-day catalog (`discoverStreamDays`);
+  *   3. per external-labels stream, plan the day diff (TSDB-covered days
+  *      minus converted days, newest-first, grace + soft cap + optional
+  *      live-store watermark — `convert/plan.go:58-178` semantics in
+  *      `Planner.planDays`);
+  *   4. convert each planned stream's days through the dual-file sink
+  *      (`Ingest.convertSamples`, one distributed job per stream).
+  *
+  * The reference downloads and opens the day's source TSDB blocks on one
+  * node; here `loadSamples` yields the stream's samples as a DataFrame and
+  * the day filter inside `convertSamples` prunes to the planned days, so
+  * block reading, vertical-merge dedup and both sinks run distributed —
+  * at 100 TB each step is a cluster job, not a single-node pipeline.
+  *
+  * Like the reference's `runutil.Repeat` driver, call `advance` from
+  * `Loops.repeat` until `RoundResult.converged`.
+  */
+object ConvertLoop {
+
+  /** Outcome of one round: days planned+converted per stream id. */
+  final case class RoundResult(converted: Map[String, Seq[String]]) {
+    def converged: Boolean = converted.values.forall(_.isEmpty)
+    def stepCount: Int = converted.valuesIterator.map(_.size).sum
+  }
+
+  def advance(spark: SparkSession,
+              tsdb: TsdbDiscoverer,
+              outDir: String,
+              today: LocalDate,
+              loadSamples: TsdbStream => DataFrame,
+              graceDays: Int = 2,
+              maxDays: Int = 2,
+              watermark: Option[Planner.LiveStoreWatermark] = None): RoundResult = {
+    tsdb.discover()
+    val convertedDays = Ingest.discoverStreamDays(outDir)
+    val result = tsdb.streams.toSeq.sortBy(_._1).map { case (id, stream) =>
+      val plan = Planner.planDays(
+        stream.days.map(LocalDate.parse).toSet,
+        convertedDays.getOrElse(id, Seq.empty).map(LocalDate.parse).toSet,
+        today, graceDays, maxDays, watermark)
+      if (plan.isEmpty) id -> Seq.empty[String]
+      else {
+        val days = plan.days.map(_.toString)
+        Ingest.convertSamples(spark, loadSamples(stream), outDir,
+          days = Some(days), externalLabels = stream.externalLabels)
+        id -> days
+      }
+    }
+    RoundResult(result.toMap)
+  }
+}

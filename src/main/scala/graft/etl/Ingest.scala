@@ -110,9 +110,14 @@ object Ingest {
       .map(r => DayMeta(r.getString(0), version = 1, r.getLong(1), r.getLong(2),
         r.getLong(4), r.getLong(3)))
       .sortBy(_.date)
-    Files.createDirectories(Paths.get(s"$outDir/meta"))
+    // per-stream meta subtree when external labels cut a stream dimension —
+    // sidecar catalogs must not collide across tenant/HA streams
+    val metaDir =
+      if (externalLabels.isEmpty) s"$outDir/meta"
+      else s"$outDir/meta/${streamId(externalLabels)}"
+    Files.createDirectories(Paths.get(metaDir))
     metas.foreach { m =>
-      Files.writeString(Paths.get(s"$outDir/meta/${m.date}.json"),
+      Files.writeString(Paths.get(s"$metaDir/${m.date}.json"),
         s"""{"version":${m.version},"date":"${m.date}","mint":${m.mintMs},""" +
           s""""maxt":${m.maxtMs},"n_series":${m.nSeries},"n_samples":${m.nSamples}}""")
     }
@@ -165,11 +170,29 @@ object Ingest {
 
   /** Discovery analog (ref `locate/discover.go`): list converted days from
     * the meta sidecars (driver-side catalog refresh). */
-  def discoverDays(outDir: String): Seq[String] = {
+  def discoverDays(outDir: String): Seq[String] =
+    listDayJsons(Paths.get(s"$outDir/meta"))
+
+  /** Per-stream converted-day catalog: `meta/<stream>/<date>.json` sidecars
+    * written by stream-partitioned converts — the parquet-side discovery
+    * input to conversion planning (ref `locate/discover.go:125-305`). */
+  def discoverStreamDays(outDir: String): Map[String, Seq[String]] = {
     val meta = Paths.get(s"$outDir/meta")
-    if (!Files.isDirectory(meta)) Seq.empty
+    if (!Files.isDirectory(meta)) Map.empty
     else {
       val s = Files.list(meta)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(Files.isDirectory(_))
+        .map(d => d.getFileName.toString -> listDayJsons(d))
+        .toMap
+      finally s.close()
+    }
+  }
+
+  private def listDayJsons(dir: java.nio.file.Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala.map(_.getFileName.toString).filter(_.endsWith(".json"))
         .map(_.stripSuffix(".json")).toSeq.sorted

@@ -40,6 +40,32 @@ object EtlDemo {
       Set(LocalDate.parse(metas.head.date)), LocalDate.of(2024, 2, 1))
     println(s"DRIVE plan(newest-first, grace, max 2): ${plan.days}")
 
+    // discovery-driven conversion loop (advanceConversion analog): TSDB block
+    // sidecars → per-stream plans → incremental converts until converged
+    locally {
+      import graft.etl.{ConvertLoop, TsdbDiscoverer}
+      import graft.model.TimeSeriesModel
+      val D = 86400000L
+      val jan1 = 1704067200000L
+      val tsdbRoot = java.nio.file.Files.createTempDirectory("graft-demo-tsdb").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tsdbRoot/blk1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tsdbRoot/blk1/meta.json"),
+        s"""{"ulid":"blk1","minTime":$jan1,"maxTime":${jan1 + 3 * D},
+           | "stats":{"numChunks":4},
+           | "thanos":{"labels":{"cluster":"demo"},"downsample":{"resolution":0}}}"""
+          .stripMargin)
+      val disc = new TsdbDiscoverer(tsdbRoot, now = () => jan1 + 40 * D)
+      val loopOut = java.nio.file.Files.createTempDirectory("graft-demo-loop").toString
+      var rounds = 0
+      var last = ConvertLoop.RoundResult(Map.empty)
+      while ({ last = ConvertLoop.advance(spark, disc, loopOut,
+          LocalDate.of(2024, 1, 10), _ => TimeSeriesModel.samples(t.events)); rounds += 1
+          !last.converged }) ()
+      println(s"DRIVE convert-loop: converged after $rounds rounds, " +
+        s"streams=${Ingest.discoverStreamDays(loopOut).map { case (k, v) => s"$k:${v.size}d" }.mkString(",")}")
+    }
+
     Retention.markExpired(out, Seq(metas.head.date), nowMs = 0L)
     println(s"DRIVE retention deleted: ${Retention.deleteMarked(out, nowMs = 13L * 3600 * 1000)}")
 

@@ -333,6 +333,62 @@ class EtlSpec extends SparkSpec {
     assert(st.loaded == 4 && sy.cached.size == 4)
   }
 
+  test("convert loop: discovery-driven incremental conversion converges per stream") {
+    import graft.etl.{ConvertLoop, TsdbDiscoverer}
+    import graft.model.TimeSeriesModel
+    val D = 86400000L
+    val jan1 = 1704067200000L // 2024-01-01T00:00Z
+    val tsdbRoot = Files.createTempDirectory("graft-loop-tsdb").toString
+    val out = Files.createTempDirectory("graft-loop-out").toString
+
+    def put(id: String, mint: Long, maxt: Long, cluster: String): Unit = {
+      val d = Paths.get(s"$tsdbRoot/$id"); Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        s"""{"ulid":"$id","minTime":$mint,"maxTime":$maxt,
+           | "stats":{"numChunks":4},
+           | "thanos":{"labels":{"cluster":"$cluster"},"downsample":{"resolution":0}}}"""
+          .stripMargin)
+    }
+    // stream a covers Jan 1-3, stream b covers Jan 1-2 (maxt on midnight
+    // does not open a new day)
+    put("blkA1", jan1, jan1 + 2 * D, "a")
+    put("blkA2", jan1 + 2 * D, jan1 + 3 * D, "a")
+    put("blkB1", jan1, jan1 + 2 * D, "b")
+
+    val t = Tables(spark, sf())
+    val disc = new TsdbDiscoverer(tsdbRoot, now = () => jan1 + 40 * D)
+    val today = LocalDate.of(2024, 1, 10)
+    def round() = ConvertLoop.advance(spark, disc, out, today,
+      _ => TimeSeriesModel.samples(t.events), graceDays = 2, maxDays = 2)
+
+    val idA = Ingest.streamId(Map("cluster" -> "a"))
+    val idB = Ingest.streamId(Map("cluster" -> "b"))
+
+    // round 1: soft cap 2 days per stream, newest first
+    val r1 = round()
+    assert(r1.converted(idA) == Seq("2024-01-03", "2024-01-02"))
+    assert(r1.converted(idB) == Seq("2024-01-02", "2024-01-01"))
+    // round 2: stream a catches up, b already converged
+    val r2 = round()
+    assert(r2.converted(idA) == Seq("2024-01-01") && r2.converted(idB).isEmpty)
+    // round 3: nothing left to do
+    assert(round().converged)
+
+    // parquet-side catalog reflects the per-stream converted days
+    assert(Ingest.discoverStreamDays(out) == Map(
+      idA -> Seq("2024-01-01", "2024-01-02", "2024-01-03"),
+      idB -> Seq("2024-01-01", "2024-01-02")))
+
+    // the layout is stream+date partitioned and queryable
+    val back = Ingest.openSamples(spark, out)
+    val perDay = TimeSeriesModel.samples(t.events)
+      .filter(col("ts_ms") >= jan1 && col("ts_ms") < jan1 + 3 * D).count()
+    val perDayB = TimeSeriesModel.samples(t.events)
+      .filter(col("ts_ms") >= jan1 && col("ts_ms") < jan1 + 2 * D).count()
+    assert(back.filter(col("stream") === idA).count() == perDay)
+    assert(back.filter(col("stream") === idB).count() == perDayB)
+  }
+
   test("MiniJson: nested objects, arrays, escapes, numbers") {
     import graft.etl.MiniJson
     val v = MiniJson.parse(

@@ -39,6 +39,30 @@ class MatcherSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("driver-side matches() agrees with the Catalyst predicate") {
+    // the discovery path evaluates matchers on plain strings; it must never
+    // drift from what the same matcher does compiled against a DataFrame
+    val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val pattern = Gen.oneOf(word, word.map(_ + ".*"), Gen.const("a|b|c"),
+      word.map(w => s"($w)+"))
+    val matcher: Gen[LabelMatcher] = for {
+      v <- word
+      p <- pattern
+      m <- Gen.oneOf[LabelMatcher](MatchEq("lbl", v), MatchNotEq("lbl", v),
+        MatchRe("lbl", p), MatchNotRe("lbl", p))
+    } yield m
+    val prop = Prop.forAll(matcher, Gen.listOfN(8, word)) { (m, values) =>
+      val df = values.toDF("lbl")
+      val viaSpark = df.filter(m.toPredicate(df)).as[String].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val viaDriver = values.filter(m.matches)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      viaSpark == viaDriver
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("regex is fully anchored (RE2 semantics)") {
     val df = Seq("purchase", "purchases", "pur").toDF("lbl")
     val got = df.filter(MatchRe("lbl", "purch.se").toPredicate(df)).as[String].collect().toSeq
