@@ -27,6 +27,9 @@ class PromqlGoldenSpec extends SparkSpec {
       |  st{s="1"} 1 2 stale 4
       |  zz{z="1"} 0 -0.0 3
       |  ctr{r="1"} 0 5 NaN 10
+      |  im{s="p"} Infinity Infinity Infinity
+      |  im{s="n"} -Infinity -Infinity -Infinity
+      |  imix{s="m"} Infinity -Infinity 1
       |  hq{h="a", le="0.5"} 0 1 2
       |  hq{h="a", le="1"} 0 2 4
       |  hq{h="a", le="+Inf"} 0 2 4
@@ -323,6 +326,47 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 20s data != 0
       |  {test="nan", __name__="data"} NaN
+      |
+      |eval instant at 20s sum(im)
+      |  {} NaN
+      |
+      |eval instant at 20s avg(im)
+      |  {} NaN
+      |
+      |eval instant at 20s max(im)
+      |  {} Inf
+      |
+      |eval instant at 20s min(im)
+      |  {} -Inf
+      |
+      |eval instant at 20s stddev(im)
+      |  {} NaN
+      |
+      |eval instant at 20s quantile(0.5, im)
+      |  {} NaN
+      |
+      |eval instant at 20s sum_over_time(imix[30s])
+      |  {s="m"} NaN
+      |
+      |eval instant at 20s avg_over_time(imix[30s])
+      |  {s="m"} NaN
+      |
+      |eval instant at 20s max_over_time(imix[30s])
+      |  {s="m"} Inf
+      |
+      |eval instant at 20s min_over_time(imix[30s])
+      |  {s="m"} -Inf
+      |
+      |eval instant at 20s clamp(im, 0, 10)
+      |  {s="n"} 0
+      |  {s="p"} 10
+      |
+      |eval instant at 20s sgn(im)
+      |  {s="n"} -1
+      |  {s="p"} 1
+      |
+      |eval instant at 20s im > 0
+      |  {s="p", __name__="im"} Inf
       |
       |eval instant at 20s data > bool 0
       |  {test="nan"} 0
@@ -659,7 +703,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 20 && evals.size == 148)
+    assert(loaded.size == 23 && evals.size == 161)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
