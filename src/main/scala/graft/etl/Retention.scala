@@ -7,11 +7,29 @@ import java.util.Comparator
   * delete — write `deletion-marker.json` into expired day partitions, then
   * after a consistency delay physically drop the partition directories (the
   * Spark analog of `ALTER TABLE … DROP PARTITION`). Driver-side file ops;
-  * at scale this is an object-store prefix delete, identical control flow. */
+  * at scale this is an object-store prefix delete, identical control flow.
+  *
+  * Handles both layouts: flat (`samples/date=D`) and stream-partitioned
+  * (`samples/stream=S/date=D`, external-label converts) — the reference
+  * likewise walks every stream's days (`locate/deletion.go:132-147`). */
 object Retention {
 
+  /** All partition directories holding `date` across both sinks, in flat
+    * and per-stream layouts. */
   private def partitionDirs(outDir: String, date: String): Seq[Path] =
-    Seq(Paths.get(s"$outDir/samples/date=$date"), Paths.get(s"$outDir/series/date=$date"))
+    Seq("samples", "series").flatMap { sink =>
+      val root = Paths.get(s"$outDir/$sink")
+      Paths.get(s"$outDir/$sink/date=$date") +:
+        subdirs(root).filter(_.getFileName.toString.startsWith("stream="))
+          .map(_.resolve(s"date=$date"))
+    }
+
+  /** Per-day meta sidecars across flat and per-stream catalogs. */
+  private def metaFiles(outDir: String, date: String): Seq[Path] = {
+    val metaRoot = Paths.get(s"$outDir/meta")
+    Paths.get(s"$outDir/meta/$date.json") +:
+      subdirs(metaRoot).map(_.resolve(s"$date.json"))
+  }
 
   def markExpired(outDir: String, dates: Seq[String], nowMs: Long): Unit =
     dates.foreach { d =>
@@ -26,27 +44,26 @@ object Retention {
                    consistencyDelayMs: Long = 12L * 3600 * 1000): Seq[String] = {
     val samplesRoot = Paths.get(s"$outDir/samples")
     if (!Files.isDirectory(samplesRoot)) return Seq.empty
-    val stream = Files.list(samplesRoot)
-    val dates = try {
-      val it = stream.iterator()
-      var acc = List.empty[String]
-      while (it.hasNext) {
-        val dir = it.next()
-        val name = dir.getFileName.toString
-        if (name.startsWith("date=")) {
-          val marker = dir.resolve("deletion-marker.json")
-          if (Files.exists(marker)) {
-            val txt = Files.readString(marker)
-            val marked = "\"marked_at_ms\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-            if (marked.exists(m => nowMs - m >= consistencyDelayMs))
-              acc ::= name.stripPrefix("date=")
-          }
+    val dayDirs = subdirs(samplesRoot).flatMap { d =>
+      if (d.getFileName.toString.startsWith("stream=")) subdirs(d) else Seq(d)
+    }
+    val dates = dayDirs.flatMap { dir =>
+      val name = dir.getFileName.toString
+      if (!name.startsWith("date=")) None
+      else {
+        val marker = dir.resolve("deletion-marker.json")
+        if (!Files.exists(marker)) None
+        else {
+          val txt = Files.readString(marker)
+          val marked = "\"marked_at_ms\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          if (marked.exists(m => nowMs - m >= consistencyDelayMs))
+            Some(name.stripPrefix("date="))
+          else None
         }
       }
-      acc.sorted
-    } finally stream.close()
+    }.distinct.sorted
     dates.foreach { d =>
-      (partitionDirs(outDir, d) :+ Paths.get(s"$outDir/meta/$d.json")).foreach { p =>
+      (partitionDirs(outDir, d) ++ metaFiles(outDir, d)).foreach { p =>
         if (Files.exists(p)) {
           if (Files.isDirectory(p)) {
             val walk = Files.walk(p)
@@ -57,5 +74,19 @@ object Retention {
       }
     }
     dates
+  }
+
+  private def subdirs(root: Path): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val s = Files.list(root)
+    try {
+      val it = s.iterator()
+      var acc = List.empty[Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isDirectory(p)) acc ::= p
+      }
+      acc.reverse
+    } finally s.close()
   }
 }

@@ -387,6 +387,16 @@ class EtlSpec extends SparkSpec {
       .filter(col("ts_ms") >= jan1 && col("ts_ms") < jan1 + 2 * D).count()
     assert(back.filter(col("stream") === idA).count() == perDay)
     assert(back.filter(col("stream") === idB).count() == perDayB)
+
+    // retention over the stream layout: marking a day marks it in EVERY
+    // stream; after the consistency delay the partitions and per-stream
+    // sidecars drop, and the converted-day catalogs shrink
+    Retention.markExpired(out, Seq("2024-01-01"), nowMs = 0L)
+    assert(Retention.deleteMarked(out, nowMs = 13L * 3600 * 1000) == Seq("2024-01-01"))
+    assert(Ingest.discoverStreamDays(out) == Map(
+      idA -> Seq("2024-01-02", "2024-01-03"),
+      idB -> Seq("2024-01-02")))
+    assert(Ingest.openSamples(spark, out).filter(col("date") === "2024-01-01").count() == 0)
   }
 
   test("MiniJson: nested objects, arrays, escapes, numbers") {
