@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Expression, IsNotNull, Literal, RLike, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Contains, EndsWith, Expression, IsNotNull, Literal, RLike, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Optimizer rule: anchored literal-prefix regexes → `StartsWith`.
+/** Optimizer rule: anchored literal prefix/suffix/contains regexes →
+  * `StartsWith`/`EndsWith`/`Contains`.
   *
   * The matcher compiler emits `rlike("^(?:re)$")` for `=~`/`!~`
   * ([[graft.promql.Matchers]]). Spark never pushes RLike into a Parquet scan,
@@ -32,24 +33,45 @@ object PrefixRegexRewrite extends Rule[LogicalPlan] {
   private val Anchored = "\\^\\(\\?:(.*)\\)\\$".r
   private val meta = ".+*?()[]{}^$\\|".toSet
 
-  private def literalPrefix(inner: String): Option[String] =
-    if (inner.length > 2 && inner.endsWith(".*") &&
-      inner.dropRight(2).forall(c => !meta.contains(c)))
-      Some(inner.dropRight(2))
+  /** Pushable string-filter shapes a literal regex body can reduce to —
+    * all three translate to pushed Parquet filters (`StringStartsWith`,
+    * `StringEndsWith`, `StringContains`). The contains/suffix forms mirror
+    * Prometheus' FastRegexMatcher `containsStringMatcher` /
+    * literal-suffix optimizations the reference inherits. */
+  private sealed trait Shape { def lit: String }
+  private final case class Prefix(lit: String) extends Shape
+  private final case class Suffix(lit: String) extends Shape
+  private final case class Middle(lit: String) extends Shape
+
+  private def literalShape(inner: String): Option[Shape] = {
+    def isLit(s: String) = s.nonEmpty && s.forall(c => !meta.contains(c))
+    if (inner.startsWith(".*") && inner.endsWith(".*") && inner.length > 4 &&
+      isLit(inner.substring(2, inner.length - 2)))
+      Some(Middle(inner.substring(2, inner.length - 2)))
+    else if (inner.endsWith(".*") && isLit(inner.dropRight(2)))
+      Some(Prefix(inner.dropRight(2)))
+    else if (inner.startsWith(".*") && isLit(inner.drop(2)))
+      Some(Suffix(inner.drop(2)))
     else None
+  }
 
   /** Our matchers wrap labels as `coalesce(col, "")` (missing ≡ "").
-    * For a NON-empty prefix, `coalesce(col,'') startsWith p` ≡
-    * `col IS NOT NULL AND col startsWith p` — never NULL, so it stays correct
+    * For a NON-empty literal, `coalesce(col,'') <op> lit` ≡
+    * `col IS NOT NULL AND col <op> lit` — never NULL, so it stays correct
     * under negation (`!~` must MATCH missing labels), and both conjuncts are
     * expressions the Parquet pushdown translator accepts on a bare column. */
-  private def rewriteChild(child: Expression, p: String): Expression = {
-    val lit = Literal(UTF8String.fromString(p),
+  private def rewriteChild(child: Expression, shape: Shape): Expression = {
+    val lit = Literal(UTF8String.fromString(shape.lit),
       org.apache.spark.sql.types.StringType)
+    def op(c: Expression): Expression = shape match {
+      case Prefix(_) => StartsWith(c, lit)
+      case Suffix(_) => EndsWith(c, lit)
+      case Middle(_) => Contains(c, lit)
+    }
     child match {
       case Coalesce(Seq(a, Literal(s: UTF8String, _))) if s.toString.isEmpty =>
-        And(IsNotNull(a), StartsWith(a, lit))
-      case other => StartsWith(other, lit) // same NULL behavior as the RLike
+        And(IsNotNull(a), op(a))
+      case other => op(other) // same NULL behavior as the RLike
     }
   }
 
@@ -57,7 +79,7 @@ object PrefixRegexRewrite extends Rule[LogicalPlan] {
     case rl @ RLike(child, Literal(pat: UTF8String, _)) =>
       pat.toString match {
         case Anchored(inner) =>
-          literalPrefix(inner).map(p => rewriteChild(child, p)).getOrElse(rl)
+          literalShape(inner).map(s => rewriteChild(child, s)).getOrElse(rl)
         case _ => rl
       }
   }

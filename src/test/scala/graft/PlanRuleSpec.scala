@@ -79,13 +79,30 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("suffix and contains regexes are rewritten to pushed EndsWith/Contains filters") {
+    def build(pat: String) = {
+      val ev = Tables(spark, sf()).table("events")
+      ev.filter(MatchRe("event_type", pat).toPredicate(ev)).select(col("event_id"))
+    }
+    withRule {
+      val suffix = build(".*chase").queryExecution.executedPlan.toString
+      assert(suffix.contains("EndsWith") && suffix.contains("StringEndsWith"), suffix)
+      val middle = build(".*urcha.*").queryExecution.executedPlan.toString
+      assert(middle.contains("Contains") && middle.contains("StringContains"), middle)
+    }
+  }
+
   test("rewrite preserves results, including negated and non-prefix patterns") {
     val samples = TimeSeriesModel.samples(Tables(spark, sf()).events)
     val queries = Seq(
       Matchers.compile(samples, Seq(MatchRe("__name__", "pur.*"))),
       Matchers.compile(samples, Seq(MatchNotRe("__name__", "cli.*"))),
       Matchers.compile(samples, Seq(MatchRe("__name__", "p.*|cl.*"))), // not a prefix → untouched
-      Matchers.compile(samples, Seq(MatchRe("uid", "1.*"))))
+      Matchers.compile(samples, Seq(MatchRe("uid", "1.*"))),
+      Matchers.compile(samples, Seq(MatchRe("__name__", ".*ase"))),
+      Matchers.compile(samples, Seq(MatchNotRe("__name__", ".*ick"))),
+      Matchers.compile(samples, Seq(MatchRe("__name__", ".*urch.*"))),
+      Matchers.compile(samples, Seq(MatchNotRe("uid", ".*1.*"))))
     queries.foreach { pred =>
       val plain = samples.filter(pred).count()
       val ruled = withRule(samples.filter(pred).count())
