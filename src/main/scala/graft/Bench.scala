@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .getOrCreate()
+    // production sessions run with the engine's optimizer rule active
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise scan+shuffle+agg codegen paths once

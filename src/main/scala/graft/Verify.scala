@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    // production sessions run with the engine's optimizer rule active
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

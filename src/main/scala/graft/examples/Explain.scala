@@ -15,6 +15,9 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    // production sessions run with the engine's optimizer rule active
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")

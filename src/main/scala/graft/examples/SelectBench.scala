@@ -51,6 +51,9 @@ object SelectBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    // production sessions run with the engine's optimizer rule active
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
     spark.sparkContext.setLogLevel("WARN")
     val tmp = java.nio.file.Files.createTempDirectory("graft-selectbench").toString
 

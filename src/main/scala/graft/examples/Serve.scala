@@ -31,6 +31,9 @@ object Serve {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
+    // production sessions run with the engine's optimizer rule active
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
     spark.sparkContext.setLogLevel("WARN")
     // accept either a raw fixture dir or a converted layout (<dir>/samples)
     val samples =
