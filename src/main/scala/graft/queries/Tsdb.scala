@@ -71,6 +71,16 @@ object Tsdb {
       Some(s"WITH $S_CTE SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM s " +
         "WHERE regexp_full_match(__name__, 'p.*|cl.*') GROUP BY __name__ ORDER BY __name__")),
 
+    Q("p3_regex_litparts",  // suffix + contains literals → pushed EndsWith/Contains
+      t => samples(t)
+        .filter(Matchers.compile(samples(t),
+          Seq(MatchRe("__name__", ".*ck"), MatchRe("uid", ".*1.*"))))
+        .groupBy(col("__name__")).agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+        .orderBy(col("__name__")),
+      Some(s"WITH $S_CTE SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM s " +
+        "WHERE regexp_full_match(__name__, '.*ck') AND regexp_full_match(uid, '.*1.*') " +
+        "GROUP BY __name__ ORDER BY __name__")),
+
     Q("p3_regex_setmatch",  // literal alternation → IN (pushdown-friendly)
       t => samples(t)
         .filter(Matchers.compile(samples(t), Seq(MatchRe("__name__", "click|view"))))
