@@ -284,6 +284,89 @@ object Pipeline {
         "SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS is_canonical " +
         "FROM reach GROUP BY id ORDER BY doc_id")),
 
+    // The dedup ACTION that follows clustering: keep the best-quality member
+    // of every near-dup cluster (fineweb/C4 style "representative selection"),
+    // quality being tx_quality's stopword/alpha score, ties broken by min
+    // doc_id. The rank is a window partitioned by cluster — one shuffle keyed
+    // by cluster id, no join explosion; singleton clusters pass straight
+    // through as keep=true.
+    Q("dd_keep_best",
+      t => {
+        val pairs = simhashBandPairs(simhashSig(t))
+          .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 10)
+          .select(col("id1").as("src"), col("id2").as("dst"))
+        val clusters = GraphOps.connectedComponents(
+            t.documents.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("root").as("cluster"))
+        val nTok = size(split(lower(trim(col("text"))), "\\s+"))
+        val nStop = size(expr(
+          s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN (${STOP.map(s => s"'$s'").mkString(", ")}))"))
+        val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val qual = t.documents.select(col("doc_id"),
+          (lit(0.5e0) * (nStop.cast("double") / nTok) +
+            lit(0.5e0) * (nAlpha.cast("double") / length(col("text")))).as("quality"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters.join(qual, Seq("doc_id"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH RECURSIVE ${TextOps.simhashSql}, " +
+        "sg AS (SELECT d.doc_id, d.lang, d.source, sim.simhash FROM documents d JOIN sim ON d.doc_id = sim.doc_id), " +
+        "pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sg a JOIN sg b " +
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10), " +
+        "ed AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id), " +
+        "cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id), " +
+        "qual AS (SELECT doc_id, " +
+        s"0.5e0 * (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains($stopSqlList, x))) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+'))) " +
+        "+ 0.5e0 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)) AS quality " +
+        "FROM documents) " +
+        "SELECT cl.doc_id, cl.cluster, qual.quality, " +
+        "row_number() OVER (PARTITION BY cl.cluster ORDER BY qual.quality DESC, cl.doc_id) = 1 AS keep " +
+        "FROM cl JOIN qual ON cl.doc_id = qual.doc_id ORDER BY cl.doc_id")),
+
+    // ExactSubstr-style span dedup (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better", approximated at word-8-gram grain):
+    // a span duplicated across documents is found via an inverted index on
+    // span hashes — groupBy(h) document frequency, then an equi-join back to
+    // score each doc's duplicated-span ratio. Both shuffles key on the 48-bit
+    // span hash (near-uniform); boilerplate hot spans are the AQE-skew-join
+    // case, and at extreme scale the dd_ngram_jaccard posting-list cap
+    // applies. No pair join anywhere — cost is linear in total spans.
+    Q("dd_span_dedup",
+      t => {
+        val spans = t.documents.select(col("doc_id"),
+          explode(graft.functions.WordNGramHashes(
+            split(lower(trim(col("text"))), "\\s+"), 8)).as("h"))
+        val docFreq = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        val perDoc = spans.join(docFreq, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            count(when(col("nd") >= 2, lit(1))).as("n_dup"))
+        t.documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          .withColumn("dup_ratio", when(col("n_spans") === 0, lit(0.0e0))
+            .otherwise(col("n_dup").cast("double") / col("n_spans")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH sp AS (SELECT doc_id, unnest(${shingleHashesSql(8)}) AS h FROM documents), " +
+        "df AS (SELECT h, count(*) AS nd FROM sp GROUP BY h), " +
+        "pd AS (SELECT doc_id, count(*) AS n_spans, " +
+        "count(*) FILTER (WHERE nd >= 2) AS n_dup " +
+        "FROM sp JOIN df USING (h) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(pd.n_spans, 0) AS n_spans, " +
+        "coalesce(pd.n_dup, 0) AS n_dup, " +
+        "CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0e0 " +
+        "ELSE CAST(pd.n_dup AS DOUBLE) / pd.n_spans END AS dup_ratio " +
+        "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id")),
+
     // ------------------------------------------- dedup: embedding near-dup
     // LSH-blocked, like every near-dup dedup at corpus scale: candidates are
     // pairs whose 8-bit hyperplane signatures differ in ≤ 2 bits (multi-probe:
