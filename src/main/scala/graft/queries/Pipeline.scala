@@ -705,6 +705,41 @@ object Pipeline {
         "(n_tok >= 10 AND n_tok <= 10000 AND stop_ratio >= 0.01e0 AND mean_wlen < 12.0e0) AS keep " +
         "FROM d ORDER BY doc_id")),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1): mean word length within
+    // [3, 10], most words contain an alphabetic character, lexical diversity
+    // (type-token ratio) above a floor. Complements tx_c4_filter (stopword
+    // density) and tx_repetition (duplicate-line mass) — together the three
+    // cover the classic pre-training text-quality gate. All map-side.
+    Q("tx_gopher_filter",
+      t => {
+        val toksLower = split(lower(trim(col("text"))), "\\s+")
+        val nTok = size(toksLower).cast("long")
+        val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
+        val nAlphaWord = size(expr(
+          "filter(split(trim(text), '\\\\s+'), x -> x rlike '[A-Za-z]')"))
+        t.documents
+          .select(col("doc_id"), nTok.as("n_tok"),
+            meanWordLen.as("mean_wlen"),
+            (nAlphaWord.cast("double") / nTok).as("alpha_word_ratio"),
+            (size(array_distinct(toksLower)).cast("double") / nTok).as("ttr"))
+          .withColumn("keep",
+            col("n_tok") >= 10L && col("mean_wlen") >= 3.0e0 && col("mean_wlen") <= 10.0e0 &&
+              col("alpha_word_ratio") > 0.8e0 && col("ttr") > 0.2e0)
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH d AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, " +
+        "CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS mean_wlen, " +
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS alpha_word_ratio, " +
+        "CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS ttr FROM documents) " +
+        "SELECT doc_id, n_tok, mean_wlen, alpha_word_ratio, ttr, " +
+        "(n_tok >= 10 AND mean_wlen >= 3.0e0 AND mean_wlen <= 10.0e0 " +
+        "AND alpha_word_ratio > 0.8e0 AND ttr > 0.2e0) AS keep " +
+        "FROM d ORDER BY doc_id")),
+
     Q("smp_stratified",  // deterministic 10% hash-sample per (lang, source)
       // map-side decision — no shuffle to sample at any scale; the groupBy
       // here only audits per-stratum totals vs sampled counts
