@@ -617,6 +617,65 @@ object Pipeline {
         "FROM cand JOIN e q ON q.vec_id = qid JOIN e n ON n.vec_id = nid " +
         "QUALIFY rk <= 5 ORDER BY qid, rk")),
 
+    // Product quantization with ADC scoring (Jégou et al. 2011) — the
+    // billion-scale ANN compression layout that IVF cells pair with: each
+    // vector is encoded as M=4 subspace codes (16 centroids per 16-dim
+    // subspace → 4 bytes/vector instead of 512), and a query scores the whole
+    // corpus through a tiny (M×K) lookup table of subspace distances — no
+    // full-vector math on the scan side. Codebook here is deterministic
+    // (donor vectors 100..115 sliced per subspace; km_mstep demonstrates the
+    // training iteration separately). Per-subspace distances are computed
+    // once and reused for encoding AND the query LUT; the ADC sum routes
+    // through Det.dsum so the 4-term float add is order-independent.
+    Q("ss_pq_topk",
+      t => {
+        val M = 4; val D = 16
+        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+        val sub = e.select(col("vec_id"),
+          posexplode(array((0 until M).map(m => slice(col("v"), m * D + 1, D)): _*))
+            .as(Seq("m", "vs")))
+        val cb = sub.filter(col("vec_id").between(100, 115))
+          .select(col("m"), (col("vec_id") - 100).as("k"), col("vs").as("c"))
+        def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+          val d = zip_with(a, b, (x, y) => x - y)
+          VectorOps.dot(d, d)
+        }
+        val dists = sub.join(broadcast(cb), Seq("m"))
+          .withColumn("dist", sqDist(col("vs"), col("c")))
+          .select(col("vec_id"), col("m"), col("k"), col("dist"))
+          .persist() // read twice: encoding pass + query LUT
+        val codes = dists.groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
+        val lut = dists.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("m"), col("k"), col("dist").as("ld"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+        codes.join(broadcast(lut),
+            codes("m") === lut("m") && codes("code") === lut("k"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(graft.functions.Det.dsum(col("ld")).as("adc"))
+          .select(col("qid"), col("vec_id").as("nid"), col("adc"))
+          .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"), col("rk"), col("adc"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS vs FROM raw, range(0, 4) r(m)), " +
+        "cb AS (SELECT m, vec_id - 100 AS k, vs AS c FROM sub WHERE vec_id BETWEEN 100 AND 115), " +
+        "dists AS (SELECT s.vec_id, s.m, c.k, list_dot_product(" +
+        "list_transform(range(1, 17), i -> s.vs[CAST(i AS INT)] - c.c[CAST(i AS INT)]), " +
+        "list_transform(range(1, 17), i -> s.vs[CAST(i AS INT)] - c.c[CAST(i AS INT)])) AS dist " +
+        "FROM sub s JOIN cb c ON s.m = c.m), " +
+        "codes AS (SELECT vec_id, m, k AS code FROM dists " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) = 1), " +
+        "lut AS (SELECT vec_id AS qid, m, k, dist AS ld FROM dists WHERE vec_id < 5), " +
+        "sc AS (SELECT l.qid, c.vec_id AS nid, " +
+        "CAST(CAST(SUM(CAST(l.ld AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS adc " +
+        "FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code " +
+        "WHERE l.qid <> c.vec_id GROUP BY l.qid, c.vec_id) " +
+        "SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk, adc " +
+        "FROM sc QUALIFY rk <= 5 ORDER BY qid, rk")),
+
     Q("km_mstep",  // one k-means E+M step: assign to nearest centroid, re-average
       // the iterative-ML shape at corpus scale: E-step is a broadcast join +
       // per-row argmax (no shuffle), M-step shuffles (cell, dim) partial sums
