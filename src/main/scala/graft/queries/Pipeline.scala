@@ -764,6 +764,31 @@ object Pipeline {
         "(n_tok >= 10 AND n_tok <= 10000 AND stop_ratio >= 0.01e0 AND mean_wlen < 12.0e0) AS keep " +
         "FROM d ORDER BY doc_id")),
 
+    // Corpus-frequency heavy hitters through the mergeable Misra–Gries sketch
+    // ([[graft.functions.FreqSketchAgg]]): each partition keeps ≤ capacity
+    // counters, the shuffle moves sketches (not the token stream), and the
+    // final merge is associative — at 100 TB this replaces a full-vocabulary
+    // groupBy with a constant-size reduce. Capacity 256 ≥ the fixture
+    // vocabulary, so counts are exact and the DuckDB oracle gates them
+    // against a plain count(*); the lossy regime (capacity < distinct) is
+    // property-tested in FreqSketchSpec.
+    Q("tx_heavy_hitters",
+      t => {
+        val toks = t.documents.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        val entries = toks
+          .agg(graft.functions.FreqSketchAgg(col("token"), 256).as("sk"))
+          .select(explode(graft.functions.FreqSketchEntries(col("sk"))).as("e"))
+          .select(col("e.token").as("token"), col("e.est").as("est"))
+        val w = Window.orderBy(col("est").desc, col("token"))
+        entries.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20).orderBy(col("rk"))
+      },
+      Some("WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS est FROM tk GROUP BY token) " +
+        "SELECT token, est, row_number() OVER (ORDER BY est DESC, token) AS rk " +
+        "FROM c QUALIFY rk <= 20 ORDER BY rk")),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1): mean word length within
     // [3, 10], most words contain an alphabetic character, lexical diversity
     // (type-token ratio) above a floor. Complements tx_c4_filter (stopword
