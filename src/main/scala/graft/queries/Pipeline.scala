@@ -37,6 +37,58 @@ object Pipeline {
   private val PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PII_IP = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
 
+  /** Elementwise-difference squared distance: identical fold order in both
+    * engines (zip-subtract then sequential dot). */
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    VectorOps.dot(d, d)
+  }
+
+  /** Product-quantization encode + ADC score, shared by ss_pq_topk /
+    * ss_pq_recall: M=4 subspaces × 16 centroids (donor vectors 100..115),
+    * per-subspace distances computed once for both the encoding argmin and
+    * the ≤5-query LUT. Returns (qid, nid, adc). */
+  private def pqAdcScores(t: Tables): org.apache.spark.sql.DataFrame = {
+    val M = 4; val D = 16
+    val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+    val sub = e.select(col("vec_id"),
+      posexplode(array((0 until M).map(m => slice(col("v"), m * D + 1, D)): _*))
+        .as(Seq("m", "vs")))
+    val cb = sub.filter(col("vec_id").between(100, 115))
+      .select(col("m"), (col("vec_id") - 100).as("k"), col("vs").as("c"))
+    val dists = sub.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", sqDist(col("vs"), col("c")))
+      .select(col("vec_id"), col("m"), col("k"), col("dist"))
+      .persist() // read twice: encoding pass + query LUT
+    val codes = dists.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
+    val lut = dists.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("m"), col("k"), col("dist").as("ld"))
+    codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("k"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(graft.functions.Det.dsum(col("ld")).as("adc"))
+      .select(col("qid"), col("vec_id").as("nid"), col("adc"))
+  }
+
+  /** DuckDB mirror of [[pqAdcScores]] up to the `sc` (qid, nid, adc) CTE. */
+  private val PQ_SC_CTES: String =
+    "raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+    "sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS vs FROM raw, range(0, 4) r(m)), " +
+    "cb AS (SELECT m, vec_id - 100 AS k, vs AS c FROM sub WHERE vec_id BETWEEN 100 AND 115), " +
+    "dists AS (SELECT s.vec_id, s.m, c.k, list_dot_product(" +
+    "list_transform(range(1, 17), i -> s.vs[CAST(i AS INT)] - c.c[CAST(i AS INT)]), " +
+    "list_transform(range(1, 17), i -> s.vs[CAST(i AS INT)] - c.c[CAST(i AS INT)])) AS dist " +
+    "FROM sub s JOIN cb c ON s.m = c.m), " +
+    "codes AS (SELECT vec_id, m, k AS code FROM dists " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) = 1), " +
+    "lut AS (SELECT vec_id AS qid, m, k, dist AS ld FROM dists WHERE vec_id < 5), " +
+    "sc AS (SELECT l.qid, c.vec_id AS nid, " +
+    "CAST(CAST(SUM(CAST(l.ld AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS adc " +
+    "FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code " +
+    "WHERE l.qid <> c.vec_id GROUP BY l.qid, c.vec_id)"
+
   /** Map-side simhash projection shared by the near-dup queries. */
   private def simhashSig(t: Tables) =
     t.documents.select(col("doc_id"), col("lang"), col("source"),
@@ -629,52 +681,68 @@ object Pipeline {
     // through Det.dsum so the 4-term float add is order-independent.
     Q("ss_pq_topk",
       t => {
-        val M = 4; val D = 16
-        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
-        val sub = e.select(col("vec_id"),
-          posexplode(array((0 until M).map(m => slice(col("v"), m * D + 1, D)): _*))
-            .as(Seq("m", "vs")))
-        val cb = sub.filter(col("vec_id").between(100, 115))
-          .select(col("m"), (col("vec_id") - 100).as("k"), col("vs").as("c"))
-        def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-          val d = zip_with(a, b, (x, y) => x - y)
-          VectorOps.dot(d, d)
-        }
-        val dists = sub.join(broadcast(cb), Seq("m"))
-          .withColumn("dist", sqDist(col("vs"), col("c")))
-          .select(col("vec_id"), col("m"), col("k"), col("dist"))
-          .persist() // read twice: encoding pass + query LUT
-        val codes = dists.groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
-        val lut = dists.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("m"), col("k"), col("dist").as("ld"))
         val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
-        codes.join(broadcast(lut),
-            codes("m") === lut("m") && codes("code") === lut("k"))
-          .filter(col("qid") =!= col("vec_id"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(graft.functions.Det.dsum(col("ld")).as("adc"))
-          .select(col("qid"), col("vec_id").as("nid"), col("adc"))
+        pqAdcScores(t)
           .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
           .select(col("qid"), col("nid"), col("rk"), col("adc"))
           .orderBy(col("qid"), col("rk"))
       },
-      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS vs FROM raw, range(0, 4) r(m)), " +
-        "cb AS (SELECT m, vec_id - 100 AS k, vs AS c FROM sub WHERE vec_id BETWEEN 100 AND 115), " +
-        "dists AS (SELECT s.vec_id, s.m, c.k, list_dot_product(" +
-        "list_transform(range(1, 17), i -> s.vs[CAST(i AS INT)] - c.c[CAST(i AS INT)]), " +
-        "list_transform(range(1, 17), i -> s.vs[CAST(i AS INT)] - c.c[CAST(i AS INT)])) AS dist " +
-        "FROM sub s JOIN cb c ON s.m = c.m), " +
-        "codes AS (SELECT vec_id, m, k AS code FROM dists " +
-        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) = 1), " +
-        "lut AS (SELECT vec_id AS qid, m, k, dist AS ld FROM dists WHERE vec_id < 5), " +
-        "sc AS (SELECT l.qid, c.vec_id AS nid, " +
-        "CAST(CAST(SUM(CAST(l.ld AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS adc " +
-        "FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code " +
-        "WHERE l.qid <> c.vec_id GROUP BY l.qid, c.vec_id) " +
+      Some(s"WITH $PQ_SC_CTES " +
         "SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk, adc " +
         "FROM sc QUALIFY rk <= 5 ORDER BY qid, rk")),
+
+    // PQ quality gate, closing the per-variant recall pattern (brute = exact,
+    // LSH → ss_recall_eval, IVF → ss_ivf_recall): recall@5 of the production
+    // PQ pipeline — ADC shortlist (top-100 over 4-byte codes) then exact
+    // rerank of the shortlist only — against exact squared-L2 truth. Raw
+    // ADC@5 with an untrained 16-centroid codebook is near-random on these
+    // embeddings, which is exactly why real PQ deployments rerank; the
+    // shortlist bound (here 20% of the corpus, sub-1% at real scale) is the
+    // knob this eval picks. The exact-truth side broadcasts the 5-row query
+    // set; rerank touches only shortlisted candidates.
+    Q("ss_pq_recall",
+      t => {
+        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+          .persist()
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("vq"))
+        val scored = broadcast(q)
+          .join(e.select(col("vec_id").as("nid"), col("v").as("vb")),
+            col("qid") =!= col("nid"))
+          .withColumn("sqd", sqDist(col("vq"), col("vb")))
+          .persist() // ground truth and the rerank stage share the scores
+        val w = Window.partitionBy(col("qid")).orderBy(col("sqd"), col("nid"))
+        val truth = scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+        val aw = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+        val short = pqAdcScores(t)
+          .withColumn("srk", row_number().over(aw)).filter(col("srk") <= 100)
+          .select(col("qid"), col("nid"))
+        val rerank = scored.join(short, Seq("qid", "nid"), "left_semi")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select(col("qid"), col("nid"))
+        val hits = truth.join(rerank, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)) / lit(5.0e0)).as("recall5"))
+          .orderBy(col("qid"))
+      },
+      Some(s"WITH $PQ_SC_CTES, " +
+        "short AS (SELECT qid, nid FROM sc " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc, nid) <= 100), " +
+        "tr AS (SELECT q.vec_id AS qid, n.vec_id AS nid, list_dot_product(" +
+        "list_transform(range(1, 65), i -> q.v[CAST(i AS INT)] - n.v[CAST(i AS INT)]), " +
+        "list_transform(range(1, 65), i -> q.v[CAST(i AS INT)] - n.v[CAST(i AS INT)])) AS sqd " +
+        "FROM raw q JOIN raw n ON q.vec_id < 5 AND n.vec_id <> q.vec_id), " +
+        "truth AS (SELECT qid, nid FROM tr " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sqd, nid) <= 5), " +
+        "rer AS (SELECT t.qid, t.nid FROM tr t JOIN short s USING (qid, nid) " +
+        "QUALIFY row_number() OVER (PARTITION BY t.qid ORDER BY t.sqd, t.nid) <= 5), " +
+        "h AS (SELECT t.qid, count(*) AS n_hit FROM truth t JOIN rer r USING (qid, nid) GROUP BY t.qid) " +
+        "SELECT r.vec_id AS qid, coalesce(h.n_hit, 0) AS n_hit, " +
+        "coalesce(h.n_hit, 0) / 5.0e0 AS recall5 " +
+        "FROM raw r LEFT JOIN h ON h.qid = r.vec_id WHERE r.vec_id < 5 ORDER BY qid")),
 
     Q("km_mstep",  // one k-means E+M step: assign to nearest centroid, re-average
       // the iterative-ML shape at corpus scale: E-step is a broadcast join +
