@@ -453,6 +453,51 @@ object Pipeline {
         "AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2 " +
         s"WHERE ${VectorOps.dotSql("a.vn", "b.vn")} >= 0.35e0 ORDER BY id1, id2")),
 
+    // ----------------------------------------------- dedup: semantic (SemDeDup)
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    // near-dup only WITHIN each cluster — the trick that turns O(n²) semantic
+    // dedup into Σ cᵢ² with k chosen so clusters stay bounded. Assignment is
+    // a broadcast of k centroids + per-row argmax (map-side, no shuffle);
+    // the within-cell self-join is an equi-join on cell. Keep rule is
+    // deterministic first-wins: drop a vector iff some LOWER-id member of its
+    // cell has cosine ≥ τ (max over doubles is order-independent, so no
+    // decimal detour needed). τ = 0.35 matches dd_embed_cosine's near-dup bar.
+    Q("dd_semdedup",
+      t => {
+        val tau = 0.35e0
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("vn").as("vc"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
+        val asg = e.crossJoin(broadcast(cent))
+          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
+          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cid").as("cell"), col("vn"))
+          .persist() // assignment feeds both self-join sides + the final projection
+        val prior = asg.select(col("cell"), col("vec_id").as("prev_id"), col("vn").as("vb"))
+        val mx = asg.select(col("cell"), col("vec_id"), col("vn").as("va"))
+          .join(prior, Seq("cell")).filter(col("prev_id") < col("vec_id"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
+          .groupBy(col("vec_id")).agg(max(col("cos")).as("max_cos"))
+        asg.join(mx, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("max_cos"), lit(-1.0e0)).as("max_prev_cos"),
+            (coalesce(col("max_cos"), lit(-1.0e0)) < tau).as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn FROM raw), " +
+        "cent AS (SELECT vec_id AS cid, vn AS vc FROM e WHERE vec_id < 16), " +
+        "asg AS (SELECT e.vec_id, e.vn, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY ${VectorOps.dotSql("e.vn", "c.vc")} DESC, c.cid) AS ark " +
+        "FROM e CROSS JOIN cent c QUALIFY ark = 1), " +
+        s"mx AS (SELECT a.vec_id, max(${VectorOps.dotSql("a.vn", "b.vn")}) AS max_cos " +
+        "FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id GROUP BY a.vec_id) " +
+        "SELECT a.vec_id, a.cell, coalesce(mx.max_cos, -1.0e0) AS max_prev_cos, " +
+        "coalesce(mx.max_cos, -1.0e0) < 0.35e0 AS keep " +
+        "FROM asg a LEFT JOIN mx USING (vec_id) ORDER BY a.vec_id")),
+
     // ------------------------------------------------- similarity search
     Q("ss_brute_topk",  // exact cosine top-5 for query set vec_id < 10
       t => {

@@ -74,7 +74,16 @@ object Relational {
     Q("q_anti_join", qAntiJoin _, Some(
       "SELECT c_custkey, c_name, c_mktsegment FROM customer " +
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
-        "ORDER BY c_custkey"))
+        "ORDER BY c_custkey")),
+
+    Q("q_asof_join", qAsofJoin _, Some(
+      "WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events), " +
+        "b AS (SELECT user_id, ts_ms, max_by(value, event_id) AS asof_val " +
+        "FROM e WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "p AS (SELECT event_id, user_id, ts_ms, value AS click_val FROM e WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, p.ts_ms, p.click_val, b.ts_ms AS asof_ts_ms, b.asof_val " +
+        "FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts_ms >= b.ts_ms " +
+        "ORDER BY p.event_id"))
   )
 
   /** Pricing-summary aggregation (TPC-H Q1 shape): scan + pushed filter +
@@ -176,4 +185,39 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
+
+  /** As-of join: for every click, the latest purchase by the same user at or
+    * before the click. Spark has no ASOF JOIN operator (the oracle uses
+    * DuckDB's native one), so this composes it as union + per-user window —
+    * ONE shuffle on user_id, no join, no range predicate: build rows sort
+    * before probe rows at equal ts (side 0 < 1) so ">=" semantics hold, and
+    * `last(..., ignoreNulls)` over the running frame carries the most recent
+    * build value forward. Linear in events at any scale; the per-user state
+    * is one row — the batch twin of mapGroupsWithState. Build side is
+    * pre-deduped per (user_id, ts) via max_by so equal-ts build rows can't
+    * make the result order-dependent. */
+  def qAsofJoin(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events.withColumn("ts_ms", unix_millis(col("ts")))
+    val build = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("bval"))
+      .select(col("user_id"), col("ts_ms"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("click_val"), col("bval"))
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), lit(1).as("side"),
+        col("event_id"), col("value").as("click_val"),
+        lit(null).cast("double").as("bval"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    build.unionByName(probe)
+      .withColumn("asof_val", last(col("bval"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts_ms",
+        last(when(col("side") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("click_val"),
+        col("asof_ts_ms"), col("asof_val"))
+      .orderBy(col("event_id"))
+  }
 }

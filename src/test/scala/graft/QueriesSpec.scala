@@ -42,6 +42,7 @@ class QueriesSpec extends SparkSpec {
       "ss_lsh_topk",        // ≤10-row query side against its buckets
       "ss_pq_recall",       // ≤5-row broadcast query side (exact-truth base)
       "km_mstep",           // E-step: constant-size (k=16) centroid broadcast
+      "dd_semdedup",        // assignment: constant-size (k=16) centroid broadcast
       "smp_temperature")    // 1-row normalizer broadcast onto ≤|langs| rows
     val failures = Registry.all.flatMap { q =>
       val plan = q.fn(spark, sf()).queryExecution.executedPlan.toString
