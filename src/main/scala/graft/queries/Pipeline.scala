@@ -48,7 +48,10 @@ object Pipeline {
     * ss_pq_recall: M=4 subspaces × 16 centroids (donor vectors 100..115),
     * per-subspace distances computed once for both the encoding argmin and
     * the ≤5-query LUT. Returns (qid, nid, adc). */
-  private def pqAdcScores(t: Tables): org.apache.spark.sql.DataFrame = {
+  /** PQ encode stage shared by the ADC scorers: per-vector subspace codes
+    * (`vec_id, m, code`) and the ≤5-query distance LUT (`qid, m, k, ld`). */
+  private def pqCodesAndLut(t: Tables)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val M = 4; val D = 16
     val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
     val sub = e.select(col("vec_id"),
@@ -64,6 +67,11 @@ object Pipeline {
       .agg(min(struct(col("dist"), col("k"))).getField("k").as("code"))
     val lut = dists.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("m"), col("k"), col("dist").as("ld"))
+    (codes, lut)
+  }
+
+  private def pqAdcScores(t: Tables): org.apache.spark.sql.DataFrame = {
+    val (codes, lut) = pqCodesAndLut(t)
     codes.join(broadcast(lut),
         codes("m") === lut("m") && codes("code") === lut("k"))
       .filter(col("qid") =!= col("vec_id"))
@@ -72,8 +80,8 @@ object Pipeline {
       .select(col("qid"), col("vec_id").as("nid"), col("adc"))
   }
 
-  /** DuckDB mirror of [[pqAdcScores]] up to the `sc` (qid, nid, adc) CTE. */
-  private val PQ_SC_CTES: String =
+  /** DuckDB mirror of [[pqCodesAndLut]]: the `codes` + `lut` CTE chain. */
+  private val PQ_BASE_CTES: String =
     "raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
     "sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS vs FROM raw, range(0, 4) r(m)), " +
     "cb AS (SELECT m, vec_id - 100 AS k, vs AS c FROM sub WHERE vec_id BETWEEN 100 AND 115), " +
@@ -83,11 +91,20 @@ object Pipeline {
     "FROM sub s JOIN cb c ON s.m = c.m), " +
     "codes AS (SELECT vec_id, m, k AS code FROM dists " +
     "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) = 1), " +
-    "lut AS (SELECT vec_id AS qid, m, k, dist AS ld FROM dists WHERE vec_id < 5), " +
+    "lut AS (SELECT vec_id AS qid, m, k, dist AS ld FROM dists WHERE vec_id < 5)"
+
+  /** DuckDB mirror of [[pqAdcScores]] up to the `sc` (qid, nid, adc) CTE. */
+  private val PQ_SC_CTES: String = PQ_BASE_CTES + ", " +
     "sc AS (SELECT l.qid, c.vec_id AS nid, " +
     "CAST(CAST(SUM(CAST(l.ld AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS adc " +
     "FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code " +
     "WHERE l.qid <> c.vec_id GROUP BY l.qid, c.vec_id)"
+
+  /** DuckDB 64-dim squared-L2 between two DOUBLE[] expressions — same
+    * zip-subtract-then-dot fold as [[sqDist]]. */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_dot_product(list_transform(range(1, 65), i -> $a[CAST(i AS INT)] - $b[CAST(i AS INT)]), " +
+    s"list_transform(range(1, 65), i -> $a[CAST(i AS INT)] - $b[CAST(i AS INT)]))"
 
   /** Map-side simhash projection shared by the near-dup queries. */
   private def simhashSig(t: Tables) =
@@ -788,6 +805,79 @@ object Pipeline {
         "SELECT r.vec_id AS qid, coalesce(h.n_hit, 0) AS n_hit, " +
         "coalesce(h.n_hit, 0) / 5.0e0 AS recall5 " +
         "FROM raw r LEFT JOIN h ON h.qid = r.vec_id WHERE r.vec_id < 5 ORDER BY qid")),
+
+    // IVFADC (Jégou et al. 2011, the FAISS IVF-PQ default): the two index
+    // halves composed the way production deployments run them — the coarse
+    // IVF quantizer routes each query to its nprobe=4 nearest cells, the PQ
+    // ADC lookup scores ONLY vectors in those cells (4-byte codes, no
+    // full-vector math), and the exact rerank touches only the top-20 ADC
+    // shortlist. All metric math is squared-L2 (PQ's native metric). At
+    // billion scale this plan reads nprobe/nlist of the corpus as codes and
+    // 20 full vectors per query; every small side (centroids, LUT, query
+    // set) broadcasts, and cell candidate lists flow through equi-joins.
+    Q("ss_ivfpq_topk",
+      t => {
+        val e = t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v"))
+          .persist() // corpus vectors feed assignment, probe, and the rerank
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("vc"))
+        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+        val asg = e.crossJoin(broadcast(cent))
+          .withColumn("d", sqDist(col("v"), col("vc")))
+          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val pw = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
+        val probe = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("vq"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", sqDist(col("vq"), col("vc")))
+          .withColumn("prk", row_number().over(pw)).filter(col("prk") <= 4)
+          .select(col("qid"), col("cid"))
+        val cands = probe.join(asg, probe("cid") === asg("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid")).distinct()
+        val (codes, lut) = pqCodesAndLut(t)
+        val adc = cands
+          .join(codes.withColumnRenamed("vec_id", "nid"), Seq("nid"))
+          .join(broadcast(lut.withColumnRenamed("qid", "lqid")),
+            col("qid") === col("lqid") && codes("m") === lut("m") &&
+              col("code") === col("k"))
+          .groupBy(col("qid"), col("nid"))
+          .agg(graft.functions.Det.dsum(col("ld")).as("adc"))
+        val sw = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+        val short = adc.withColumn("srk", row_number().over(sw))
+          .filter(col("srk") <= 20).select(col("qid"), col("nid"))
+        val rw = Window.partitionBy(col("qid")).orderBy(col("sqd"), col("nid"))
+        short
+          .join(e.select(col("vec_id").as("qid"), col("v").as("vq")), "qid")
+          .join(e.select(col("vec_id").as("nid"), col("v").as("vb")), "nid")
+          .withColumn("sqd", sqDist(col("vq"), col("vb")))
+          .withColumn("rk", row_number().over(rw).cast("long")).filter(col("rk") <= 5)
+          .select(col("qid"), col("nid"), col("rk"), col("sqd"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"WITH $PQ_BASE_CTES, " +
+        "cent AS (SELECT vec_id AS cid, v AS vc FROM raw WHERE vec_id < 16), " +
+        "asg AS (SELECT r.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY r.vec_id " +
+        s"ORDER BY ${sqDistSql("r.v", "c.vc")}, c.cid) AS ark " +
+        "FROM raw r CROSS JOIN cent c QUALIFY ark = 1), " +
+        "probe AS (SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id " +
+        s"ORDER BY ${sqDistSql("q.v", "c.vc")}, c.cid) AS prk " +
+        "FROM raw q CROSS JOIN cent c WHERE q.vec_id < 5 QUALIFY prk <= 4), " +
+        "cand AS (SELECT DISTINCT p.qid, a.vec_id AS nid FROM probe p " +
+        "JOIN asg a ON a.cell = p.cid WHERE a.vec_id <> p.qid), " +
+        "adc AS (SELECT l.qid, c.vec_id AS nid, " +
+        "CAST(CAST(SUM(CAST(l.ld AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS adc " +
+        "FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code " +
+        "JOIN cand ON cand.qid = l.qid AND cand.nid = c.vec_id " +
+        "GROUP BY l.qid, c.vec_id), " +
+        "short AS (SELECT qid, nid FROM adc " +
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc, nid) <= 20) " +
+        "SELECT s.qid, s.nid, row_number() OVER (PARTITION BY s.qid " +
+        s"ORDER BY ${sqDistSql("q.v", "n.v")}, s.nid) AS rk, " +
+        s"${sqDistSql("q.v", "n.v")} AS sqd " +
+        "FROM short s JOIN raw q ON q.vec_id = s.qid JOIN raw n ON n.vec_id = s.nid " +
+        "QUALIFY rk <= 5 ORDER BY s.qid, rk")),
 
     Q("km_mstep",  // one k-means E+M step: assign to nearest centroid, re-average
       // the iterative-ML shape at corpus scale: E-step is a broadcast join +

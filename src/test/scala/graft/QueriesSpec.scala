@@ -41,6 +41,7 @@ class QueriesSpec extends SparkSpec {
       "ss_ivf_recall",      // same k=16 centroid cross + ≤10-row query side
       "ss_lsh_topk",        // ≤10-row query side against its buckets
       "ss_pq_recall",       // ≤5-row broadcast query side (exact-truth base)
+      "ss_ivfpq_topk",      // k=16 centroid cross (assign + probe)
       "km_mstep",           // E-step: constant-size (k=16) centroid broadcast
       "dd_semdedup",        // assignment: constant-size (k=16) centroid broadcast
       "smp_temperature")    // 1-row normalizer broadcast onto ≤|langs| rows
