@@ -1383,6 +1383,109 @@ object Pipeline {
         "md5(coalesce(k.new_text, '')) AS fp " +
         "FROM ns LEFT JOIN kept k USING (doc_id) ORDER BY ns.doc_id")),
 
+    // ------------------------------------------- curation ops, second wave
+    // Per-source document cap — the C4/RefinedWeb "max pages per domain"
+    // rule. Two-phase top-k so a hot domain never serializes through one
+    // reducer: each (source, salt) slice rank-prunes to k rows FIRST, so the
+    // final per-source window sees at most k×S rows per source regardless of
+    // how many billions the domain contributed. Same pre-reduce shape as
+    // Aggregations.topk (SURVEY §2.6).
+    Q("smp_group_cap",
+      t => {
+        val k = 10
+        val w1 = Window.partitionBy(col("source"), col("__graft_salt"))
+          .orderBy(col("doc_id"))
+        val w2 = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        t.documents
+          .select(col("doc_id"), col("source"),
+            pmod(col("doc_id"), lit(8L)).as("__graft_salt"))
+          .withColumn("__graft_rn", row_number().over(w1))
+          .filter(col("__graft_rn") <= k)
+          .withColumn("__graft_rn2", row_number().over(w2))
+          .filter(col("__graft_rn2") <= k)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 10 ORDER BY doc_id")),
+
+    // Normalization-based near-exact dedup (Falcon/RefinedWeb "exact dedup
+    // after normalization"): lowercase, strip non-alphanumerics, collapse
+    // whitespace, then dedup on the first 96 normalized chars (head dedup —
+    // boilerplate-heavy corpora share heads long before full texts match).
+    // Map-side normalize + one hash groupBy; scales like dd_exact.
+    Q("dd_norm_exact",
+      t => {
+        val norm = substring(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")), 1, 96)
+        t.documents.select(col("doc_id"), norm.as("__graft_norm"))
+          .groupBy(col("__graft_norm"))
+          .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_copies"))
+          .select(col("canon_id"), col("n_copies"))
+          .orderBy(col("canon_id"))
+      },
+      Some("WITH n AS (SELECT doc_id, substr(trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 96) AS norm " +
+        "FROM documents) SELECT CAST(min(doc_id) AS BIGINT) AS canon_id, " +
+        "CAST(count(*) AS BIGINT) AS n_copies FROM n GROUP BY norm ORDER BY canon_id")),
+
+    // Edit-distance contamination: benchmark rows that survive shingle
+    // checks can still leak in lightly-edited form; block on the first 16
+    // normalized chars (equi-join — candidates scale with real collisions,
+    // not the corpus) and verify candidates with levenshtein over a fixed
+    // 128-char prefix. The bench side is small by construction → broadcast.
+    Q("tx_fuzzy_contam",
+      t => {
+        val nrm = lower(trim(col("text")))
+        val bench = t.documents.filter(col("source").isin("src0", "src1"))
+          .select(col("doc_id").as("bench_id"),
+            substring(nrm, 1, 16).as("__graft_blk"),
+            substring(nrm, 1, 128).as("__graft_pfx_b"))
+        val train = t.documents.filter(!col("source").isin("src0", "src1"))
+          .select(col("doc_id"),
+            substring(nrm, 1, 16).as("__graft_blk"),
+            substring(nrm, 1, 128).as("__graft_pfx"))
+        train.join(broadcast(bench), Seq("__graft_blk"))
+          .select(col("doc_id"), col("bench_id"),
+            levenshtein(col("__graft_pfx"), col("__graft_pfx_b"))
+              .cast("long").as("lev"))
+          .filter(col("lev") <= 20)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("WITH b AS (SELECT doc_id AS bench_id, substr(lower(trim(text)),1,16) AS blk, " +
+        "substr(lower(trim(text)),1,128) AS pfx FROM documents WHERE source IN ('src0','src1')), " +
+        "t AS (SELECT doc_id, substr(lower(trim(text)),1,16) AS blk, " +
+        "substr(lower(trim(text)),1,128) AS pfx FROM documents WHERE source NOT IN ('src0','src1')) " +
+        "SELECT t.doc_id, b.bench_id, CAST(levenshtein(t.pfx, b.pfx) AS BIGINT) AS lev " +
+        "FROM t JOIN b USING (blk) WHERE levenshtein(t.pfx, b.pfx) <= 20 " +
+        "ORDER BY doc_id, bench_id")),
+
+    // BPE pair-count — the hot inner step of tokenizer training at corpus
+    // scale: adjacent character-pair frequencies within words. The pair
+    // vocabulary is tiny (bounded by charset²), so the groupBy is one
+    // near-constant-size shuffle after map-side partial aggregation; the
+    // expensive explode stays fully map-side and codegen'd (sequence +
+    // transform + substr builtins, no UDF).
+    Q("tx_bpe_pairs",
+      t => {
+        val words = t.documents
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      Some("WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w " +
+        "FROM documents), p AS (SELECT unnest(list_transform(range(1, length(w)), " +
+        "i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w WHERE length(w) >= 2) " +
+        "SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 20")),
+
     // ------------------------------------------------- multimodal plumbing
     // Opaque binary column + typed metadata; the real decoder is a STUB
     // (deterministic byte-level features) because no image/audio codec ships
