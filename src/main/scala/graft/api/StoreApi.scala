@@ -54,14 +54,19 @@ object StoreApi {
                                  minTimeMs: Long, maxTimeMs: Long,
                                  skipChunks: Boolean = false,
                                  limit: Long = 0L,
-                                 withoutReplicaLabels: Seq[String] = Nil)
+                                 withoutReplicaLabels: Seq[String] = Nil,
+                                 encodeChunks: Boolean = false)
   final case class LabelsRequest(matchers: Seq[LabelMatcher],
                                  startMs: Long, endMs: Long,
                                  label: String = "", limit: Int = 0)
 
-  /** storepb.AggrChunk analog: a bounded frame of raw points. */
+  /** storepb.AggrChunk analog: a bounded frame of raw points, or — with
+    * `encodeChunks` — the Gorilla/XOR chunk bytes the reference actually
+    * streams (`storepb.Chunk.data`; encoding [[graft.functions.GorillaChunk]]).
+    * Exactly one of `points`/`data` is populated. */
   final case class AggrChunk(minTimeMs: Long, maxTimeMs: Long,
-                             points: Seq[(Long, Double)])
+                             points: Seq[(Long, Double)],
+                             data: Array[Byte] = Array.emptyByteArray)
   final case class StoreSeries(labels: Map[String, String], chunks: Seq[AggrChunk])
   final case class SeriesResponse(series: Seq[StoreSeries], warnings: Seq[String])
   final case class LabelsResponse(values: Seq[String], warnings: Seq[String])
@@ -140,15 +145,22 @@ final class StoreApi(samples: DataFrame,
         // chunk frames: group points into fixed 8h windows per series, then
         // one row per series carrying its ts-ordered chunk list
         val win = (col("ts_ms") - pmod(col("ts_ms"), lit(ChunkWindowMs)))
-        sel
+        val framed = sel
           .groupBy((lbls.map(col) :+ win.as("__graft_win")): _*)
           .agg(min(col("ts_ms")).as("__graft_mint"),
             max(col("ts_ms")).as("__graft_maxt"),
             sort_array(collect_list(struct(col("ts_ms"), col("value"))))
               .as("__graft_pts"))
+        // encodeChunks: executor-side Gorilla encode per frame — the driver
+        // only ever sees the compressed bytes, like the reference's stream
+        val payload =
+          if (req.encodeChunks)
+            graft.functions.ChunkEncode(col("__graft_pts")).as("__graft_data")
+          else col("__graft_pts").as("__graft_data")
+        framed
           .groupBy(lbls.map(col): _*)
           .agg(sort_array(collect_list(struct(col("__graft_win"),
-            col("__graft_mint"), col("__graft_maxt"), col("__graft_pts"))))
+            col("__graft_mint"), col("__graft_maxt"), payload)))
             .as("__graft_chunks"))
           .orderBy(lbls.map(col): _*)
       }
@@ -165,9 +177,14 @@ final class StoreApi(samples: DataFrame,
         if (req.skipChunks) Seq.empty[AggrChunk]
         else r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("__graft_chunks")
           .toSeq.map { c =>
-            AggrChunk(c.getAs[Long]("__graft_mint"), c.getAs[Long]("__graft_maxt"),
-              c.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("__graft_pts")
-                .toSeq.map(p => (p.getLong(0), p.getDouble(1))))
+            val (mint, maxt) =
+              (c.getAs[Long]("__graft_mint"), c.getAs[Long]("__graft_maxt"))
+            if (req.encodeChunks)
+              AggrChunk(mint, maxt, Nil, c.getAs[Array[Byte]]("__graft_data"))
+            else
+              AggrChunk(mint, maxt,
+                c.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("__graft_data")
+                  .toSeq.map(p => (p.getLong(0), p.getDouble(1))))
           }
       StoreSeries(labelMap, chunks)
     }

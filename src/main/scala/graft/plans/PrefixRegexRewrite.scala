@@ -110,7 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("word_ngrams",       2, a => WordNGrams(a(0), intLit(a(1), "word_ngrams"))),
     ("word_ngram_hashes", 2, a => WordNGramHashes(a(0), intLit(a(1), "word_ngram_hashes"))),
     ("minhash_sig",       2, a => MinHashSig(a(0), intLit(a(1), "minhash_sig"))),
-    ("rolling_fp",        2, a => RollingFingerprint(a(0), intLit(a(1), "rolling_fp"))))
+    ("rolling_fp",        2, a => RollingFingerprint(a(0), intLit(a(1), "rolling_fp"))),
+    ("chunk_encode",      1, a => ChunkEncode(a.head)),
+    ("chunk_decode",      1, a => ChunkDecode(a.head)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PrefixRegexRewrite)

@@ -38,6 +38,13 @@ object Relational {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00' " +
         "AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00' " +
         "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+    Q("q_rollup", qRollup _, Some(
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
     Q("q_broadcast_dims", qBroadcastDims _, Some(
       "SELECT r_name, n_name, " +
         s"$DSUM_DISC AS revenue, count(*) AS n_items " +
@@ -101,6 +108,17 @@ object Relational {
         Det.davg(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Hierarchical totals in one pass: `rollup` expands to the grouping-set
+    * lattice inside a single hash aggregate (Expand + partial agg — one scan,
+    * one shuffle for all three levels, vs a UNION ALL of per-level aggs that
+    * re-reads the fact table per level). */
+  def qRollup(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Shipping-priority top-N (TPC-H Q3 shape): 3-way join, agg, top-10.
     * Join keys are the natural distribution keys; AQE picks the join strategy. */

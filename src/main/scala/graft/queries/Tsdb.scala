@@ -41,6 +41,29 @@ object Tsdb {
 
   def entries: Seq[Q] = Seq(
 
+    // ------------------------------------------------------------------ S1
+    // Gorilla/XOR chunk codec roundtrip (ref schema/block.go:37-76 stores
+    // per-8h-window chunk bytes): samples → 8h chunk frames → ChunkEncode →
+    // bytes → ChunkDecode → samples. The oracle is the RAW sample set, so any
+    // codec bit-slip (incl. NaN payloads / -0.0) hash-mismatches. At 100 TB
+    // the encode is map-side post-grouping; chunks are what you'd persist.
+    Q("s1_chunk_roundtrip",
+      t => {
+        import graft.functions.{ChunkDecode, ChunkEncode}
+        val win = col("ts_ms") - pmod(col("ts_ms"), lit(8L * 3600 * 1000))
+        samples(t)
+          .groupBy(col("__name__"), col("uid"), win.as("__graft_win"))
+          .agg(sort_array(collect_list(struct(col("ts_ms"), col("value"))))
+            .as("__graft_pts"))
+          .select(col("__name__"), col("uid"),
+            explode(ChunkDecode(ChunkEncode(col("__graft_pts")))).as("__graft_p"))
+          .select(col("__name__"), col("uid"),
+            col("__graft_p.ts_ms").as("ts_ms"), col("__graft_p.value").as("value"))
+          .orderBy(col("__name__"), col("uid"), col("ts_ms"), col("value"))
+      },
+      Some(s"WITH $S_CTE SELECT __name__, uid, ts_ms, value FROM s " +
+        "ORDER BY __name__, uid, ts_ms, value")),
+
     // ------------------------------------------------------------------ P1/P2
     Q("p1_matchers_select",
       t => Eval.select(samples(t),

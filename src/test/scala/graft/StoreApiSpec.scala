@@ -59,6 +59,27 @@ class StoreApiSpec extends SparkSpec {
     assert(totalPts == expected)
   }
 
+  test("Series with encodeChunks streams Gorilla bytes that decode to the raw frames") {
+    val req = StoreApi.SeriesRequest(Seq(MatchEq("__name__", "purchase")),
+      T0, T0 + 31 * DAY)
+    val raw = store.seriesCall(req)
+    val enc = store.seriesCall(req.copy(encodeChunks = true))
+    assert(enc.series.map(_.labels) == raw.series.map(_.labels))
+    enc.series.zip(raw.series).foreach { case (e, r) =>
+      e.chunks.zip(r.chunks).foreach { case (ec, rc) =>
+        assert(ec.points.isEmpty && ec.data.nonEmpty)
+        // wire bytes beat the 16 B/sample raw framing
+        assert(ec.data.length < 16 * rc.points.size + 24,
+          s"${ec.data.length} bytes for ${rc.points.size} points")
+        val dec = graft.functions.GorillaChunk.decode(ec.data)
+        val pts = (0 until dec.numElements()).map { i =>
+          val p = dec.getStruct(i, 2); (p.getLong(0), p.getDouble(1))
+        }
+        assert(pts == rc.points)
+      }
+    }
+  }
+
   test("Series limit truncates with the truncation warning") {
     val resp = store.seriesCall(StoreApi.SeriesRequest(Nil, T0, T0 + 31 * DAY,
       skipChunks = true, limit = 2))
