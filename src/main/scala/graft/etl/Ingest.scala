@@ -159,6 +159,51 @@ object Ingest {
       .saveAsTable(seriesTable)
   }
 
+  /** Chunk-file layout — the reference's ACTUAL on-disk shape
+    * (`schema/block.go:37-76`: label columns + three 8h chunk-bytes columns
+    * per day; here one row per (series, 8h window) with a Gorilla-encoded
+    * `data` column, [[graft.functions.GorillaChunk]]). vs the flat samples
+    * layout this trades row count (~1/960th at 15s cadence) and bytes
+    * (XOR compression) for decode-on-read — the same trade the reference
+    * makes. Encode is executor-side inside the grouping aggregate; nothing
+    * uncompressed ever crosses the shuffle after the frame build. */
+  def convertChunked(spark: SparkSession, events: DataFrame, outDir: String): Unit = {
+    val samples = TimeSeriesModel.samples(events)
+    val lblCols = samples.columns
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+    val win = col("ts_ms") - pmod(col("ts_ms"), lit(8L * 3600 * 1000))
+    samples
+      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+      .groupBy((Seq(col("date"), col("series_hash")) ++ lblCols.map(col)
+        :+ win.as("win")): _*)
+      .agg(min(col("ts_ms")).as("mint"), max(col("ts_ms")).as("maxt"),
+        count(lit(1)).as("n_samples"),
+        graft.functions.ChunkEncode(
+          sort_array(collect_list(struct(col("ts_ms"), col("value"))))).as("data"))
+      .repartitionByRange((col("date") +: lblCols.map(col)): _*)
+      .sortWithinPartitions((Seq(col("date")) ++ lblCols.map(col) :+ col("win")): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#__name__", "true")
+      .parquet(s"$outDir/chunks")
+  }
+
+  /** Decode-on-read over the chunk layout: explode each frame back to
+    * samples. Matcher/date predicates push down to the chunk scan (label
+    * columns and `date` are plain columns); the decode itself is the
+    * codegen'd [[graft.functions.ChunkDecode]] — map-side, no shuffle. */
+  def openChunkedSamples(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$outDir/chunks")
+    val lbl = df.columns
+      .filterNot(Set("win", "mint", "maxt", "n_samples", "data", "date", "series_hash"))
+      .toSeq
+    df.select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
+        :+ explode(graft.functions.ChunkDecode(col("data"))).as("__graft_p")): _*)
+      .select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
+        :+ col("__graft_p.ts_ms").as("ts_ms")
+        :+ col("__graft_p.value").as("value")): _*)
+  }
+
   /** Stable stream id for an external-label set — the path-level analog of
     * the reference's labels hash (schema/block.go:45-67); the exact hash
     * function only needs to be self-consistent. */

@@ -494,6 +494,23 @@ object Tsdb {
         DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Chunk-layout persistence roundtrip: the same day-grain audit as s5 but
+    // through the Gorilla chunk files (encode → zstd parquet → scan → decode).
+    // Proves the STORED bytes reconstruct every sample, not just in-plan ones.
+    Q("s5_chunked_layout",
+      t => {
+        val out = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+        graft.etl.Ingest.convertChunked(t.spark, t.events, out)
+        graft.etl.Ingest.openChunkedSamples(t.spark, out)
+          .groupBy(col("date").cast("string").as("date"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
+            count_distinct(col("series_hash")).as("n_series"))
+          .orderBy(col("date"))
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS n, " +
+        DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics

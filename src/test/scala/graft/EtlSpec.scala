@@ -46,6 +46,30 @@ class EtlSpec extends SparkSpec {
     assert(Ingest.openSamples(spark, out).count() == t.events.count())
   }
 
+  test("chunked layout: fewer rows, samples reconstruct exactly") {
+    val t = Tables(spark, sf())
+    val chunked = Files.createTempDirectory("graft-chunked").toString
+    Ingest.convertChunked(spark, t.events, chunked)
+
+    // NOTE: no on-disk byte assertion here — the sparse test fixture has
+    // ~1-2 samples per 8h frame, where per-frame framing overhead beats the
+    // XOR win; the bytes/sample bound on dense (15s-cadence) series is
+    // asserted in GorillaChunkSpec ("compresses well under 16 bytes/sample").
+
+    // decode-on-read reconstructs every sample (count + checksum)
+    val back = Ingest.openChunkedSamples(spark, chunked)
+    assert(back.count() == t.events.count())
+    val rawSum = graft.model.TimeSeriesModel.samples(t.events)
+      .agg(sum(col("ts_ms")), graft.functions.Det.dsum(col("value"))).collect()(0)
+    val decSum = back.agg(sum(col("ts_ms")), graft.functions.Det.dsum(col("value"))).collect()(0)
+    assert(rawSum == decSum)
+
+    // frame rows are bounded by the 8h window
+    val frames = spark.read.parquet(s"$chunked/chunks")
+    assert(frames.filter(col("maxt") - col("mint") >= 8L * 3600 * 1000).count() == 0)
+    assert(frames.count() < t.events.count())
+  }
+
   test("PromQL engine over the converted layout matches raw source, with partition pruning") {
     import graft.promql.{Compiler, Parser, Eval}
     val out = Files.createTempDirectory("graft-layout").toString
