@@ -188,20 +188,55 @@ object Ingest {
       .parquet(s"$outDir/chunks")
   }
 
-  /** Decode-on-read over the chunk layout: explode each frame back to
-    * samples. Matcher/date predicates push down to the chunk scan (label
-    * columns and `date` are plain columns); the decode itself is the
-    * codegen'd [[graft.functions.ChunkDecode]] — map-side, no shuffle. */
-  def openChunkedSamples(spark: SparkSession, outDir: String): DataFrame = {
-    val df = spark.read.parquet(s"$outDir/chunks")
-    val lbl = df.columns
-      .filterNot(Set("win", "mint", "maxt", "n_samples", "data", "date", "series_hash"))
-      .toSeq
+  private val chunkBookkeeping =
+    Set("win", "mint", "maxt", "n_samples", "data", "date", "series_hash")
+
+  /** Explode a frame DataFrame back to flat samples. Map-side only: the
+    * decode is the codegen'd [[graft.functions.ChunkDecode]], no shuffle. */
+  private def decodeFrames(df: DataFrame): DataFrame = {
+    val lbl = df.columns.filterNot(chunkBookkeeping).toSeq
     df.select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
         :+ explode(graft.functions.ChunkDecode(col("data"))).as("__graft_p")): _*)
       .select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
         :+ col("__graft_p.ts_ms").as("ts_ms")
         :+ col("__graft_p.value").as("value")): _*)
+  }
+
+  /** Decode-on-read over the chunk layout: explode each frame back to
+    * samples. Matcher/date predicates push down to the chunk scan (label
+    * columns and `date` are plain columns). */
+  def openChunkedSamples(spark: SparkSession, outDir: String): DataFrame =
+    decodeFrames(spark.read.parquet(s"$outDir/chunks"))
+
+  /** Pruned select over the chunk layout — the query path at 100 TB. All
+    * pruning happens BEFORE any byte is decoded, mirroring the reference's
+    * search pipeline (label constraints → row ranges → chunk materialization,
+    * `search/materialize.go:42-105`):
+    *
+    *  - label matchers compile against the frame's plain label columns →
+    *    parquet row-group/page/bloom pruning ([[graft.promql.Matchers]]);
+    *  - the query interval becomes a frame-overlap predicate on the stored
+    *    `(mint, maxt)` stats — the analog of the reference's row-range
+    *    intersection (`internal/util/interval.go:8-21`) — plus a `date`
+    *    bound that prunes day partitions before listing;
+    *  - only surviving frames hit [[graft.functions.ChunkDecode]]; the exact
+    *    `ts_ms` trim runs post-explode on the (tiny) decoded remainder.
+    *
+    * Result schema matches [[openChunkedSamples]], so the PromQL engine runs
+    * over it unchanged. */
+  def selectChunkedSamples(spark: SparkSession, outDir: String,
+                           matchers: Seq[graft.promql.LabelMatcher],
+                           mintMs: Long, maxtMs: Long): DataFrame = {
+    val frames = spark.read.parquet(s"$outDir/chunks")
+    // same DATE-literal clamp as Eval.timeBound: partition discovery types
+    // `date` as DATE; an unbounded query's ±Long bound must stay formattable
+    val cap = 253402214400000L // 9999-01-01T00:00:00Z
+    def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val overlap = col("maxt") >= mintMs && col("mint") <= maxtMs &&
+      col("date") >= day(mintMs) && col("date") <= day(maxtMs)
+    val pruned = frames.filter(overlap && graft.promql.Matchers.compile(frames, matchers))
+    decodeFrames(pruned).filter(col("ts_ms").between(mintMs, maxtMs))
   }
 
   /** Stable stream id for an external-label set — the path-level analog of

@@ -511,6 +511,28 @@ object Tsdb {
         DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Pruned select over the chunk layout: matchers + the query interval are
+    // applied to the FRAME scan (label columns, stored mint/maxt stats, date
+    // partitions) before any chunk byte is decoded — the reference's
+    // constraint→row-range→materialize order (search/materialize.go:42-105).
+    Q("s5_chunked_select",
+      t => {
+        val out = java.nio.file.Files.createTempDirectory("graft-chunksel").toString
+        graft.etl.Ingest.convertChunked(t.spark, t.events, out)
+        graft.etl.Ingest.selectChunkedSamples(t.spark, out,
+            Seq(MatchEq("__name__", "purchase"), MatchNotEq("uid", "3")),
+            T0 + 7 * DAY, T0 + 14 * DAY - 1)
+          .groupBy(col("uid"))
+          .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("min_ts"),
+            max(col("ts_ms")).as("max_ts"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("uid"))
+      },
+      Some(s"WITH $S_CTE SELECT uid, count(*) AS n, min(ts_ms) AS min_ts, " +
+        s"max(ts_ms) AS max_ts, $DSUM AS sum_v FROM s " +
+        s"WHERE __name__ = 'purchase' AND uid <> '3' " +
+        s"AND ts_ms BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} " +
+        "GROUP BY uid ORDER BY uid")),
+
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics

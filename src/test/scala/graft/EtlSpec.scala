@@ -70,6 +70,46 @@ class EtlSpec extends SparkSpec {
     assert(frames.count() < t.events.count())
   }
 
+  test("chunked select: pushdown prunes frames before decode; engine matches flat layout") {
+    import graft.promql.{Compiler, Parser, MatchEq, MatchNotEq}
+    val t = Tables(spark, sf())
+    val out = Files.createTempDirectory("graft-chunkq").toString
+    Ingest.convertChunked(spark, t.events, out)
+
+    val T0 = 1704067200000L; val DAY = 86400000L
+    val (lo, hi) = (T0 + 7 * DAY, T0 + 14 * DAY - 1)
+    val sel = Ingest.selectChunkedSamples(spark, out,
+      Seq(MatchEq("__name__", "purchase"), MatchNotEq("uid", "3")), lo, hi)
+
+    // selected samples == the same predicate applied to flat samples
+    val flat = graft.model.TimeSeriesModel.samples(t.events)
+      .filter(col("__name__") === "purchase" && col("uid") =!= "3" &&
+        col("ts_ms").between(lo, hi))
+    assert(sel.count() == flat.count() && sel.count() > 0)
+
+    // every pruning predicate reaches the FRAME scan, below the decode:
+    // matcher equality + frame-overlap stats as data filters, date as a
+    // partition filter — nothing is filtered after the explode except ts_ms
+    val scans = sel.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1)
+    val pushed = scans.head.metadata("PushedFilters")
+    for (f <- Seq("EqualTo(__name__,purchase)", "GreaterThanOrEqual(maxt,",
+                  "LessThanOrEqual(mint,"))
+      assert(pushed.contains(f), s"missing pushed filter $f in:\n$pushed")
+    assert(scans.head.metadata("PartitionFilters").contains("date"))
+
+    // the PromQL engine runs over the pruned select unchanged
+    val TI = T0 + 14 * DAY
+    val q = """sum by (__name__) ({__name__="purchase"})"""
+    val full = Ingest.openChunkedSamples(spark, out)
+    val a = Compiler.compile(Parser.parse(q), Compiler.Ctx(full, TI, TI, 1000L, 86400000L))
+    val raw = graft.model.TimeSeriesModel.samples(t.events)
+    val b = Compiler.compile(Parser.parse(q), Compiler.Ctx(raw, TI, TI, 1000L, 86400000L))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+
   test("PromQL engine over the converted layout matches raw source, with partition pruning") {
     import graft.promql.{Compiler, Parser, Eval}
     val out = Files.createTempDirectory("graft-layout").toString
