@@ -26,7 +26,7 @@ object Bench {
       .getOrCreate()
     // production sessions run with the engine's optimizer rule active
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
+      spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise scan+shuffle+agg codegen paths once

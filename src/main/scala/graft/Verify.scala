@@ -18,7 +18,7 @@ object Verify {
       .getOrCreate()
     // production sessions run with the engine's optimizer rule active
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
+      spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -17,7 +17,7 @@ object Explain {
       .getOrCreate()
     // production sessions run with the engine's optimizer rule active
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
+      spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")

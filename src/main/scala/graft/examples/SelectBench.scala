@@ -53,7 +53,7 @@ object SelectBench {
       .getOrCreate()
     // production sessions run with the engine's optimizer rule active
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
+      spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
     spark.sparkContext.setLogLevel("WARN")
     val tmp = java.nio.file.Files.createTempDirectory("graft-selectbench").toString
 

@@ -33,7 +33,7 @@ object Serve {
       .getOrCreate()
     // production sessions run with the engine's optimizer rule active
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.PrefixRegexRewrite
+      spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
     spark.sparkContext.setLogLevel("WARN")
     // accept either a raw fixture dir or a converted layout (<dir>/samples)
     val samples =

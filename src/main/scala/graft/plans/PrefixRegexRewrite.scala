@@ -85,7 +85,14 @@ object PrefixRegexRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions`-compatible registration: the optimizer rule plus
+/** Every production optimizer rule of the engine, in application order —
+  * mains and `GraftExtensions` register from this one list so a new rule
+  * cannot be active in some entry points and missing in others. */
+object GraftRules {
+  val all: Seq[Rule[LogicalPlan]] = Seq(PrefixRegexRewrite, ChunkFramePrune)
+}
+
+/** `spark.sql.extensions`-compatible registration: the optimizer rules plus
   * the engine's codegen'd expressions as SQL functions, so `spark.sql(...)`
   * users get the same primitives the DataFrame API uses (no UDF penalty). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -115,7 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("chunk_decode",      1, a => ChunkDecode(a.head)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule(_ => PrefixRegexRewrite)
+    GraftRules.all.foreach(r => e.injectOptimizerRule(_ => r))
     fns.foreach { case (name, arity, builder) =>
       val checked: Seq[Expression] => Expression = { args =>
         if (args.length != arity)

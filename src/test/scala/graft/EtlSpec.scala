@@ -110,6 +110,36 @@ class EtlSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("ChunkFramePrune: plain ts filter over the decoded view prunes frames at the scan") {
+    import graft.promql.{Eval, MatchEq}
+    val t = Tables(spark, sf())
+    val out = Files.createTempDirectory("graft-chunkr").toString
+    Ingest.convertChunked(spark, t.events, out)
+    val T0 = 1704067200000L; val DAY = 86400000L
+    val (lo, hi) = (T0 + 7 * DAY, T0 + 14 * DAY - 1)
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ChunkFramePrune
+    try {
+      // no hand pruning: the ORDINARY engine select over the decoded view —
+      // the rule must carry ts bounds through the explode to the frame scan
+      val auto = Eval.select(Ingest.openChunkedSamples(spark, out),
+        Seq(MatchEq("__name__", "purchase")), lo, hi)
+      val flat = graft.model.TimeSeriesModel.samples(t.events)
+        .filter(col("__name__") === "purchase" && col("ts_ms").between(lo, hi))
+      assert(auto.count() == flat.count() && auto.count() > 0)
+
+      val scans = auto.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1)
+      val pushed = scans.head.metadata("PushedFilters")
+      for (f <- Seq(s"GreaterThanOrEqual(maxt,$lo)", s"LessThanOrEqual(mint,$hi)",
+                    "EqualTo(__name__,purchase)"))
+        assert(pushed.contains(f), s"missing pushed filter $f in:\n$pushed")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ChunkFramePrune)
+  }
+
   test("PromQL engine over the converted layout matches raw source, with partition pruning") {
     import graft.promql.{Compiler, Parser, Eval}
     val out = Files.createTempDirectory("graft-layout").toString
