@@ -192,7 +192,10 @@ object Ingest {
     Set("win", "mint", "maxt", "n_samples", "data", "date", "series_hash")
 
   /** Explode a frame DataFrame back to flat samples. Map-side only: the
-    * decode is the codegen'd [[graft.functions.ChunkDecode]], no shuffle. */
+    * decode is the codegen'd [[graft.functions.ChunkDecode]], no shuffle.
+    * Frames store no per-sample ingest id, so `sample_id` — the engine's
+    * deterministic tie-break column — is synthesized as `ts_ms`, the same
+    * convention the subquery grid uses (`promql/Compiler.subqueryPoints`). */
   private def decodeFrames(df: DataFrame): DataFrame = {
     val lbl = df.columns.filterNot(chunkBookkeeping).toSeq
     df.select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
@@ -200,6 +203,7 @@ object Ingest {
       .select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
         :+ col("__graft_p.ts_ms").as("ts_ms")
         :+ col("__graft_p.value").as("value")): _*)
+      .withColumn("sample_id", col("ts_ms"))
   }
 
   /** Decode-on-read over the chunk layout: explode each frame back to

@@ -36,6 +36,13 @@ object EtlDemo {
     println("DRIVE pruning: " + planStr.linesIterator
       .filter(_.contains("PartitionFilters")).take(1).mkString.trim.take(160))
 
+    // chunk-file layout: Gorilla frames + decode-on-read (serve it with
+    // `runMain graft.examples.Serve <port> $out/chunked`)
+    Ingest.convertChunked(spark, t.events, s"$out/chunked")
+    val frames = spark.read.parquet(s"$out/chunked/chunks").count()
+    val cback = Ingest.openChunkedSamples(spark, s"$out/chunked").count()
+    println(s"DRIVE chunked: $frames frames decode to $cback samples")
+
     val plan = Planner.planDays(metas.map(m => LocalDate.parse(m.date)).toSet,
       Set(LocalDate.parse(metas.head.date)), LocalDate.of(2024, 2, 1))
     println(s"DRIVE plan(newest-first, grace, max 2): ${plan.days}")

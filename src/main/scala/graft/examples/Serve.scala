@@ -35,10 +35,13 @@ object Serve {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
     spark.sparkContext.setLogLevel("WARN")
-    // accept either a raw fixture dir or a converted layout (<dir>/samples)
+    // accept a raw fixture dir, a converted flat layout (<dir>/samples), or
+    // the chunk-file layout (<dir>/chunks — decode-on-read; ChunkFramePrune
+    // keeps per-query time bounds pruning frames at the scan)
+    def isDir(p: String) = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
     val samples =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$sfDir/samples")))
-        graft.etl.Ingest.openSamples(spark, sfDir)
+      if (isDir(s"$sfDir/chunks")) graft.etl.Ingest.openChunkedSamples(spark, sfDir)
+      else if (isDir(s"$sfDir/samples")) graft.etl.Ingest.openSamples(spark, sfDir)
       else TimeSeriesModel.samples(Tables(spark, sfDir).events)
     val api = new HttpApi(new PromEngine(samples, lookback, quotas), port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")

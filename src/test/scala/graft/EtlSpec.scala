@@ -99,15 +99,18 @@ class EtlSpec extends SparkSpec {
       assert(pushed.contains(f), s"missing pushed filter $f in:\n$pushed")
     assert(scans.head.metadata("PartitionFilters").contains("date"))
 
-    // the PromQL engine runs over the pruned select unchanged
+    // the PromQL engine runs over the pruned select unchanged — including
+    // the rate/window path, which needs the synthesized sample_id tie-break
     val TI = T0 + 14 * DAY
-    val q = """sum by (__name__) ({__name__="purchase"})"""
     val full = Ingest.openChunkedSamples(spark, out)
-    val a = Compiler.compile(Parser.parse(q), Compiler.Ctx(full, TI, TI, 1000L, 86400000L))
     val raw = graft.model.TimeSeriesModel.samples(t.events)
-    val b = Compiler.compile(Parser.parse(q), Compiler.Ctx(raw, TI, TI, 1000L, 86400000L))
-    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    assert(a.count() > 0)
+    for (q <- Seq("""sum by (__name__) ({__name__="purchase"})""",
+                  "sum(rate(purchase[1d]))")) {
+      val a = Compiler.compile(Parser.parse(q), Compiler.Ctx(full, TI, TI, 1000L, 86400000L))
+      val b = Compiler.compile(Parser.parse(q), Compiler.Ctx(raw, TI, TI, 1000L, 86400000L))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, q)
+      assert(a.count() > 0, q)
+    }
   }
 
   test("ChunkFramePrune: plain ts filter over the decoded view prunes frames at the scan") {
