@@ -167,10 +167,14 @@ object Ingest {
     * (XOR compression) for decode-on-read — the same trade the reference
     * makes. Encode is executor-side inside the grouping aggregate; nothing
     * uncompressed ever crosses the shuffle after the frame build. */
-  def convertChunked(spark: SparkSession, events: DataFrame, outDir: String): Unit = {
-    val samples = TimeSeriesModel.samples(events)
+  def convertChunked(spark: SparkSession, events: DataFrame, outDir: String): Unit =
+    writeFrames(framesOf(TimeSeriesModel.samples(events)), outDir, dynamic = false)
+
+  /** Samples → one frame row per (date, series, 8h window): the Gorilla
+    * encode runs inside the grouping aggregate, executor-side. */
+  def framesOf(samples: DataFrame): DataFrame = {
     val lblCols = samples.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash")).toSeq
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
     val win = col("ts_ms") - pmod(col("ts_ms"), lit(8L * 3600 * 1000))
     samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
@@ -180,12 +184,56 @@ object Ingest {
         count(lit(1)).as("n_samples"),
         graft.functions.ChunkEncode(
           sort_array(collect_list(struct(col("ts_ms"), col("value"))))).as("data"))
+  }
+
+  private def writeFrames(frames: DataFrame, outDir: String, dynamic: Boolean): Unit = {
+    val lblCols = frames.columns.filterNot(chunkBookkeeping).toSeq
+    frames
       .repartitionByRange((col("date") +: lblCols.map(col)): _*)
       .sortWithinPartitions((Seq(col("date")) ++ lblCols.map(col) :+ col("win")): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("date")
+      // dynamic: only the partitions present in `frames` are replaced — the
+      // merge path rewrites touched dates without clearing the layout
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")
       .parquet(s"$outDir/chunks")
+  }
+
+  /** Merge a batch of samples into an existing chunk layout: only the dates
+    * the batch touches are re-framed (existing frames for those dates decode,
+    * union with the batch, first-wins dedup per (series, ts) — the vertical
+    * merge rule A1 — re-encode, dynamic-partition overwrite). Used by the
+    * streaming ingest ([[graft.streaming.ChunkedIngest]]); idempotent per
+    * batch, and work is proportional to touched dates, not layout size. */
+  def mergeChunked(spark: SparkSession, samples: DataFrame, outDir: String): Unit = {
+    val fresh = samples
+      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+    val dates = fresh.select("date").distinct().collect().map(_.getString(0)).toSeq
+    if (dates.isEmpty) return
+    val chunksDir = java.nio.file.Paths.get(s"$outDir/chunks")
+    val merged =
+      if (!java.nio.file.Files.isDirectory(chunksDir)) fresh
+      else {
+        val existing = decodeFrames(
+          spark.read.parquet(chunksDir.toString).filter(col("date").isin(dates: _*)))
+        // first-wins at sample grain: the stored point beats a re-delivery
+        // (ref vertical merge semantics, convert/convert.go chunk dedup)
+        val lbl = existing.columns
+          .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+        val freshAligned = fresh.select(
+          (Seq(col("date"), col("series_hash")) ++ lbl.map(col)
+            :+ col("ts_ms") :+ col("value") :+ col("sample_id")): _*)
+        existing.withColumn("__graft_pri", lit(0))
+          .unionByName(freshAligned.withColumn("__graft_pri", lit(1)))
+          .groupBy((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
+            :+ col("ts_ms")): _*)
+          .agg(min_by(struct(col("value"), col("sample_id")), col("__graft_pri")).as("__graft_w"))
+          .select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
+            :+ col("ts_ms") :+ col("__graft_w.value").as("value")
+            :+ col("__graft_w.sample_id").as("sample_id")): _*)
+      }
+    writeFrames(framesOf(merged), outDir, dynamic = true)
   }
 
   private val chunkBookkeeping =

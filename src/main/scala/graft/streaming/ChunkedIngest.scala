@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.TimeSeriesModel
+
+/** Streaming ingest into the chunk-file layout — the incremental form of
+  * the reference's discover→plan→convert loop (`cmd/convert.go:186-228`),
+  * with Structured Streaming's checkpointed file source playing the T6
+  * "which inputs are new" bookkeeping and `foreachBatch` the convert step.
+  *
+  * Each micro-batch re-frames ONLY the dates it touches
+  * ([[graft.etl.Ingest.mergeChunked]]): existing frames for those dates
+  * decode, union with the batch, first-wins sample dedup, re-encode,
+  * dynamic-partition overwrite. Per-batch work is proportional to touched
+  * dates × their series, never to layout size — the property that keeps a
+  * continuously-fed 100 TB layout ingestible. Re-delivered batches are
+  * idempotent (the merge dedups at sample grain and the overwrite is
+  * by-partition), so at-least-once file-source delivery is safe. */
+object ChunkedIngest {
+
+  /** Start an AvailableNow ingest run from a raw events stream (see
+    * [[EventsStream.source]]) into `outDir/chunks`. */
+  def run(events: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Ingest.mergeChunked(batch.sparkSession,
+          TimeSeriesModel.samples(batch), outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.streaming.EventsStream
+import graft.streaming.{ChunkedIngest, EventsStream}
 
 /** Structured-streaming ingest (SURVEY.md §2.9 T1-T6): AvailableNow over the
   * events fixture must produce exactly the batch aggregation. */
@@ -186,5 +186,41 @@ class StreamingSpec extends SparkSpec {
     val n2 = spark.read.parquet(out).count()
 
     assert(n1 > 0 && n2 == events.count()) // no reprocessing, no loss
+  }
+
+  test("streaming chunked ingest: per-batch merge re-frames only touched dates, idempotent on overlap") {
+    import graft.etl.Ingest
+    val root = Files.createTempDirectory("graft-stream-chunk").toString
+    val t = Tables(spark, sf())
+    val events = t.table("events") // raw file shape for the source dirs
+    val out = s"$root/layout"; val ckpt = s"$root/ckpt"
+    val src = EventsStream.source(spark, s"$root/src/*")
+
+    // batch 1: even events
+    events.filter(col("event_id") % 2 === 0).write.parquet(s"$root/src/b0")
+    ChunkedIngest.run(src, out, ckpt).awaitTermination()
+    val n1 = Ingest.openChunkedSamples(spark, out).count()
+    assert(n1 == events.filter(col("event_id") % 2 === 0).count())
+
+    // batch 2: odd events PLUS re-delivered evens (at-least-once overlap)
+    events.filter(col("event_id") % 2 === 1 || col("event_id") % 4 === 0)
+      .write.parquet(s"$root/src/b1")
+    ChunkedIngest.run(src, out, ckpt).awaitTermination()
+
+    // the layout converges to exactly the distinct sample set
+    val got = Ingest.openChunkedSamples(spark, out)
+    assert(got.count() == events.count())
+    val want = graft.model.TimeSeriesModel.samples(t.events)
+      .select("series_hash", "ts_ms", "value")
+    assert(got.select("series_hash", "ts_ms", "value")
+      .exceptAll(want).isEmpty && want.exceptAll(
+        got.select("series_hash", "ts_ms", "value")).isEmpty)
+
+    // frame invariants survive the merge: windows bounded, one frame per
+    // (series, window, date)
+    val frames = spark.read.parquet(s"$out/chunks")
+    assert(frames.filter(col("maxt") - col("mint") >= 8L * 3600 * 1000).count() == 0)
+    assert(frames.groupBy("date", "series_hash", "win").count()
+      .filter(col("count") > 1).count() == 0)
   }
 }
