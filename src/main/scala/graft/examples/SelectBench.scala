@@ -123,6 +123,49 @@ object SelectBench {
           MatchRe("instance", "(container-1|container-2|container-3|container-4|container-5)")))
       report("1m5", queries.map { case (n, ms) => run(n, samples, ms, repeat) })
     }
+
+    if (mode.contains("c")) {
+      // Chunk-layout select throughput: workload A's series shape × a day of
+      // 15s-cadence samples (80k series × 120 points = 9.6M samples), selected
+      // over a quarter-day window three ways — flat sorted parquet, the
+      // hand-pruned chunked select, and the decoded view where ChunkFramePrune
+      // carries the bounds to the frame scan. Row counts must agree.
+      val codes = Seq("200", "202", "300", "404", "400", "429", "500", "503")
+      val day = 86400000L
+      val gen = spark.range(10000).select(col("id"))
+        .crossJoin(spark.createDataset(codes)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("status_code"))
+        .crossJoin(spark.range(120).select((col("id") * (day / 120)).as("ts_ms")))
+        .select(lit("foo").as("__name__"), col("id").cast("string").as("idx"),
+          col("status_code"), col("ts_ms"), rand(42).as("value"),
+          col("ts_ms").as("sample_id"),
+          xxhash64(col("id").cast("string"), col("status_code")).as("series_hash"))
+      val flat = writeSorted(gen, s"$tmp/c_flat", Seq("__name__", "idx", "status_code"))
+      graft.etl.Ingest.mergeChunked(spark, gen, s"$tmp/c_chunked")
+      val decoded = graft.etl.Ingest.openChunkedSamples(spark, s"$tmp/c_chunked")
+      val (lo, hi) = (0L, day / 4 - 1) // first quarter of the day: 1 of 3 frames
+      val queries = Seq(
+        "ShreddedByStatusCode" -> Seq(MatchEq("__name__", "foo"), MatchRe("status_code", "4..")),
+        "ShreddedByIdx"        -> Seq(MatchEq("__name__", "foo"), MatchRe("idx", ".*2")),
+        "AllSeries"            -> Seq(MatchEq("__name__", "foo")),
+        "SingleSeries"         -> Seq(MatchEq("idx", "500")))
+      def timed(name: String, mk: Seq[LabelMatcher] => DataFrame,
+                ms: Seq[LabelMatcher]): (String, Double, Long) = {
+        var rows = 0L
+        val secs = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          rows = mk(ms).agg(count(lit(1)), sum(col("value"))).head().getLong(0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, secs.min, rows)
+      }
+      report("chunk_flat", queries.map { case (n, ms) =>
+        timed(n, m => Eval.select(flat, m, lo, hi), ms) })
+      report("chunk_pruned", queries.map { case (n, ms) =>
+        timed(n, m => graft.etl.Ingest.selectChunkedSamples(spark, s"$tmp/c_chunked", m, lo, hi), ms) })
+      report("chunk_decoded_rule", queries.map { case (n, ms) =>
+        timed(n, m => Eval.select(decoded, m, lo, hi), ms) })
+    }
     spark.stop()
   }
 }
