@@ -581,6 +581,19 @@ class PromqlGoldenSpec extends SparkSpec {
       |eval instant at 100s round(metric, 0)
       |  {a="foo", pod="nginx-1"} NaN
       |  {b="bar", pod="nginx-2"} NaN
+      |
+      |eval instant at 100s http{code="200"} * on(job) group_right(code) http{code="404"}
+      |  {code="200", job="api"} 1500
+      |
+      |eval instant at 100s http{code="200"} / on(job) group_right() http
+      |  {code="404", job="api"} 1.6666666666666667
+      |  {code="200", job="api"} 1
+      |
+      |eval instant at 100s topk(1, {__name__=~"metric|http"})
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s count({__name__=~"metric|http"})
+      |  {} 4
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -703,7 +716,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 23 && evals.size == 161)
+    assert(loaded.size == 23 && evals.size == 165)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
