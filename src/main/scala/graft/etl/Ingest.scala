@@ -171,8 +171,20 @@ object Ingest {
     writeFrames(framesOf(TimeSeriesModel.samples(events)), outDir, dynamic = false)
 
   /** Samples → one frame row per (date, series, 8h window): the Gorilla
-    * encode runs inside the grouping aggregate, executor-side. */
+    * encode runs inside the grouping aggregate, executor-side.
+    *
+    * Float samples only: the XOR codec encodes (ts, double) points. A
+    * struct-typed histogram column would otherwise be swept into the
+    * grouping key as a "label" and shred series per histogram value —
+    * reject it loudly; native-histogram series stay on the flat layout
+    * ([[convert]] round-trips the `h` struct at rest). */
   def framesOf(samples: DataFrame): DataFrame = {
+    samples.schema.fields.find(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]).foreach { f =>
+      throw new IllegalArgumentException(
+        s"chunked layout stores float samples; struct column '${f.name}' " +
+          "(native-histogram?) is not encodable — use the flat layout for it")
+    }
     val lblCols = samples.columns
       .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
     val win = col("ts_ms") - pmod(col("ts_ms"), lit(8L * 3600 * 1000))

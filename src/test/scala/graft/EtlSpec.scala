@@ -70,6 +70,16 @@ class EtlSpec extends SparkSpec {
     assert(frames.count() < t.events.count())
   }
 
+  test("chunked convert rejects struct-typed (histogram) sample columns loudly") {
+    val t = Tables(spark, sf())
+    val withH = graft.model.TimeSeriesModel.samples(t.events)
+      .withColumn("h", struct(lit(1.0).as("count"), lit(2.0).as("sum")))
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.Ingest.framesOf(withH).count()
+    }
+    assert(e.getMessage.contains("'h'"))
+  }
+
   test("chunked select: pushdown prunes frames before decode; engine matches flat layout") {
     import graft.promql.{Compiler, Parser, MatchEq, MatchNotEq}
     val t = Tables(spark, sf())
