@@ -484,4 +484,41 @@ class PromqlFuzzSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("30 seeded random queries give identical results over raw samples and the chunk layout") {
+    // storage-layout differential: the decoded Gorilla layout must be
+    // indistinguishable from flat samples to the whole engine (this is the
+    // class of gap that bit the rate path's sample_id tie-break)
+    val out = java.nio.file.Files.createTempDirectory("graft-fuzz-chunk").toString
+    graft.etl.Ingest.convertChunked(spark, Tables(spark, sf()).events, out)
+    val chunked = graft.etl.Ingest.openChunkedSamples(spark, out)
+
+    val rnd = new Random(99)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    def gen(): String = {
+      val n = names(rnd.nextInt(5)); val m = names(rnd.nextInt(5))
+      val w = 1 + rnd.nextInt(48)
+      rnd.nextInt(8) match {
+        case 0 => s"""sum by (__name__) ({__name__=~"$n|$m"})"""
+        case 1 => s"rate($n[${w}h])"
+        case 2 => s"max_over_time($n[${w}h])"
+        case 3 => s"topk(3, $n)"
+        case 4 => s"""{__name__="$n"} / on(uid) {__name__="$m"}"""
+        case 5 => s"quantile(0.${1 + rnd.nextInt(9)}, $n)"
+        case 6 => s"increase($n[${w}h]) > 0"
+        case 7 => s"""count({uid=~"1.*"}) by (__name__)"""
+      }
+    }
+    val failures = (1 to 30).flatMap { i =>
+      val q = gen()
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY
+      val (s0, e0, st) =
+        if (i % 3 == 0) (t - 2 * DAY, t, 6L * 3600 * 1000) else (t, t, 1000L)
+      val a = Compiler.compile(Parser.parse(q), Compiler.Ctx(samples, s0, e0, st, DAY))
+      val b = Compiler.compile(Parser.parse(q), Compiler.Ctx(chunked, s0, e0, st, DAY))
+      if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) None
+      else Some(s"#$i $q @$s0..$e0/$st")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
