@@ -20,17 +20,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by our session
-    * builders). Normalize to a microsecond TimestampType with integer
-    * truncation — same truncation DuckDB applies reading NANOS, so oracle
-    * comparisons agree. */
+  /** Normalize `events.ts` to TimestampType (LTZ) whatever physical form the
+    * driver wrote this round:
+    *  - TIMESTAMP(NANOS) arrives as a raw long
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true` in our session builders);
+    *    truncate to micros — the same truncation DuckDB applies.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    *    (Spark's `inferTimestampNTZ`); cast to LTZ. Session timezone is UTC in
+    *    every builder, so the cast preserves the stored micros bit-for-bit —
+    *    exactly how DuckDB's naive TIMESTAMP treats the same column.
+    * Downstream (`unix_millis`, watermarks) then works uniformly. */
   def events: DataFrame = {
     val raw = table("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

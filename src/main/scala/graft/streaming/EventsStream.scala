@@ -16,17 +16,30 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as the streaming file source sees it (TIMESTAMP(NANOS)
-    * parquet arrives as long under nanosAsLong). */
+  /** events schema as the streaming file source sees it when the driver wrote
+    * TIMESTAMP(NANOS) parquet (arrives as long under nanosAsLong). Fallback
+    * when the source directory can't be probed yet. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over an events directory, ts normalized to µs. */
-  def source(spark: SparkSession, srcDir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Normalize whatever physical `ts` the files carry to TimestampType (LTZ):
+    * nanos-as-long → truncate to µs; TIMESTAMP_NTZ → cast (session tz is UTC
+    * in every builder, so the stored micros are preserved bit-for-bit). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
+  /** Streaming source over an events directory, ts normalized to µs. The file
+    * schema is probed from whatever batch is already present (a streaming file
+    * source needs a fixed schema up front); falls back to the nanos shape. */
+  def source(spark: SparkSession, srcDir: String): DataFrame = {
+    val probed = scala.util.Try(spark.read.parquet(srcDir).schema).toOption
+    normalizeTs(spark.readStream.schema(probed.getOrElse(rawSchema)).parquet(srcDir))
+  }
 
   /** Watermarked tumbling-window counts per metric — the streaming form of
     * the daily-partition ingest aggregation. */

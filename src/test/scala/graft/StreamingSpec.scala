@@ -53,10 +53,22 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
 
     // a far-future sentinel event pushes the watermark past every real
-    // session, firing the EventTimeTimeout for each still-open one
-    val maxTsNs = events.agg(max(col("ts"))).head().getLong(0)
-    Seq((-1L, maxTsNs + 10L * 86400L * 1000000000L, -1L, "x", 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // session, firing the EventTimeTimeout for each still-open one. Build the
+    // sentinel in the SAME physical ts shape as the staged files so the probed
+    // file-source schema still reads b1.
+    val maxTsMs = Tables(spark, sf()).events
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val farMs = maxTsMs + 10L * 86400L * 1000L
+    val sentinelTs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(farMs * 1000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_millis(lit(farMs)).cast(org.apache.spark.sql.types.TimestampNTZType)
+      case _ => timestamp_millis(lit(farMs))
+    }
+    spark.range(1).select(lit(-1L).as("event_id"), sentinelTs.as("ts"),
+        lit(-1L).as("user_id"), lit("x").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .select(events.schema.fieldNames.map(col).toIndexedSeq: _*)
       .write.mode("append").parquet(s"$root/src/b1")
     q.processAllAvailable(); q.stop()
 
@@ -65,8 +77,8 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
 
     val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
-    val batch = events
-      .select($"user_id", $"event_id", ($"ts" / 1000000L).cast("long").as("ts_ms"))
+    val batch = Tables(spark, sf()).events
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"))
       .withColumn("prev_ts", lag($"ts_ms", 1).over(w))
       .withColumn("new_sess",
         when($"prev_ts".isNull || $"ts_ms" - $"prev_ts" > gap, 1).otherwise(0))
@@ -194,10 +206,11 @@ class StreamingSpec extends SparkSpec {
     val t = Tables(spark, sf())
     val events = t.table("events") // raw file shape for the source dirs
     val out = s"$root/layout"; val ckpt = s"$root/ckpt"
-    val src = EventsStream.source(spark, s"$root/src/*")
 
-    // batch 1: even events
+    // batch 1: even events — staged BEFORE the source is defined so the
+    // file-source schema probe sees the real physical ts shape
     events.filter(col("event_id") % 2 === 0).write.parquet(s"$root/src/b0")
+    val src = EventsStream.source(spark, s"$root/src/*")
     ChunkedIngest.run(src, out, ckpt).awaitTermination()
     val n1 = Ingest.openChunkedSamples(spark, out).count()
     assert(n1 == events.filter(col("event_id") % 2 === 0).count())
