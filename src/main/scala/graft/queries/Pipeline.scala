@@ -1410,6 +1410,71 @@ object Pipeline {
         "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
         "FROM documents) WHERE rn <= 10 ORDER BY doc_id")),
 
+    // Leakage-safe train/holdout split: the split key is the NORMALIZED
+    // content hash (dd_norm_exact's group key), so every duplicate/near-exact
+    // copy of a document lands on the same side — eval contamination via
+    // duplicated text is structurally impossible, which a row-wise random
+    // split does not guarantee. Map-side hash decision (no shuffle to split);
+    // the groupBy is only the constant-size audit of the result.
+    Q("smp_leakfree_split",
+      t => {
+        val g = substring(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), 1, 96)
+        t.documents
+          .select(col("doc_id"), g.as("__graft_g"),
+            when(pmod(h48(g), lit(100L)) < 90L, "train")
+              .otherwise("holdout").as("side"))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("__graft_g")).as("n_groups"),
+            sum(col("doc_id")).as("docid_sum"))
+          .orderBy(col("side"))
+      },
+      Some("WITH n AS (SELECT doc_id, substr(trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 96) AS g " +
+        "FROM documents), s AS (SELECT doc_id, g, CASE WHEN " +
+        s"${h48Sql("g")} % 100 < 90 THEN 'train' ELSE 'holdout' END AS side FROM n) " +
+        "SELECT side, count(*) AS n_docs, CAST(count(DISTINCT g) AS BIGINT) AS n_groups, " +
+        "CAST(sum(doc_id) AS BIGINT) AS docid_sum FROM s GROUP BY side ORDER BY side")),
+
+    // Deterministic output sharding (the trainer-facing "global shuffle"):
+    // shard = content-independent hash of the doc id, so the assignment is
+    // reproducible across runs/engines and needs no global sort — one hash
+    // per row map-side, then `repartition(shard)` writes each shard
+    // co-located. The audit per shard (count + id checksum + hash range)
+    // verifies both balance and determinism.
+    Q("smp_shard_assign",
+      t => {
+        val h = h48(col("doc_id").cast("string"))
+        t.documents
+          .select(col("doc_id"), pmod(h, lit(16L)).as("shard"), h.as("__graft_h"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("docid_sum"),
+            min(col("__graft_h")).as("min_h"), max(col("__graft_h")).as("max_h"))
+          .orderBy(col("shard"))
+      },
+      Some(s"WITH s AS (SELECT doc_id, ${h48Sql("doc_id::VARCHAR")} AS h FROM documents) " +
+        "SELECT h % 16 AS shard, count(*) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS docid_sum, min(h) AS min_h, max(h) AS max_h " +
+        "FROM s GROUP BY shard ORDER BY shard")),
+
+    // Broadcast blocklist filter (C4's badwords stage): a doc is dropped when
+    // any blocklist term appears as a whole token. The list is a literal
+    // array in the plan (the 100 TB form broadcasts a lookup table) and the
+    // check is a map-side set intersection over the deduped token array —
+    // no join, no shuffle, scales linearly with the corpus.
+    Q("tx_blocklist_filter",
+      t => {
+        val block = Seq("slow", "vector", "crash")
+        val toks = array_distinct(split(lower(trim(col("text"))), "\\s+"))
+        val hits = size(array_intersect(toks, array(block.map(lit): _*))).cast("long")
+        t.documents.select(col("doc_id"), hits.as("n_hits"), (hits === 0L).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH d AS (SELECT doc_id, CAST(len(list_filter(list_distinct(" +
+        s"${TextOps.TOKS_D}), x -> list_contains(['slow', 'vector', 'crash'], x))) AS BIGINT) AS n_hits " +
+        "FROM documents) SELECT doc_id, n_hits, n_hits = 0 AS keep FROM d ORDER BY doc_id")),
+
     // Normalization-based near-exact dedup (Falcon/RefinedWeb "exact dedup
     // after normalization"): lowercase, strip non-alphanumerics, collapse
     // whitespace, then dedup on the first 96 normalized chars (head dedup —
