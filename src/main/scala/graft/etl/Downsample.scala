@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+
+/** Thanos-style downsampling layers for the converted layout.
+  *
+  * Thanos compacts raw blocks into 5m/1h resolution blocks whose chunks store
+  * five aggregates per window — count/sum/min/max/counter — so long-range
+  * queries read ~240× fewer samples (ref thanos compact/downsample.go; the
+  * parquet-gateway serves those blocks like any other). Spark-first form: the
+  * layer is ONE aggregation over the samples view, grouped by (series, aligned
+  * window) — partial aggregation map-side, one shuffle at (series × window)
+  * grain, never a global sort. At 100 TB the 1h layer is ~1/240th of raw at
+  * 15s cadence, and every `*_over_time`/rate whose step is coarse enough reads
+  * the layer instead of raw.
+  *
+  * Counter semantics are preserved EXACTLY, not approximately: each window
+  * stores its first/last sample (with timestamps) plus the decimal sum of
+  * in-window counter drops; cross-window resets are recovered at read time by
+  * comparing a window's `first_v` with the previous window's `last_v`. The sum
+  * of (in-window + boundary) drop terms is the same term multiset a raw scan
+  * sees, and decimal addition is associative, so layer-recomposed increase ==
+  * raw increase bit-for-bit (EtlSpec pins this).
+  */
+object Downsample {
+
+  /** Thanos' two downsampled resolutions (compact/downsample.go:40-44). */
+  val Res5m: Long = 300000L
+  val Res1h: Long = 3600000L
+
+  private val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
+
+  /** Build the aggregate layer at `resMs` from a samples view
+    * (`series_hash, <labels…>, ts_ms, value, sample_id`). One row per
+    * (series, aligned window); `drop_sum` stays DECIMAL so a second-stage
+    * reduction over windows is still exact. */
+  def layer(samples: DataFrame, resMs: Long): DataFrame = {
+    val lbls = samples.columns.filterNot(bookkeeping).toSeq
+    val w = Window.partitionBy(col("series_hash"), col("win_start"))
+      .orderBy(col("ts_ms"), col("sample_id"))
+    val ord = struct(col("ts_ms"), col("sample_id"))
+    val dropTerm = when(
+      col("__graft_prev").isNotNull && col("value") < col("__graft_prev"),
+      col("__graft_prev") - col("value")).otherwise(lit(0.0))
+    samples
+      .withColumn("win_start", col("ts_ms") - pmod(col("ts_ms"), lit(resMs)))
+      .withColumn("__graft_prev", lag(col("value"), 1).over(w))
+      .groupBy((col("series_hash") +: col("win_start") +: lbls.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        min_by(col("value"), ord).as("first_v"),
+        min(col("ts_ms")).as("first_ts"),
+        max_by(col("value"), ord).as("last_v"),
+        max(col("ts_ms")).as("last_ts"),
+        sum(dropTerm.cast(Det.dec)).as("drop_sum"))
+  }
+
+  /** Reset-aware counter increase per series over the whole layer — the read
+    * path a long-range `increase()`/`rate()` takes against a downsampled
+    * layer. Boundary resets (window k's first below window k-1's last) are
+    * the cross-window drop terms the per-window `drop_sum` cannot see; both
+    * stay decimal until the single final cast, so the result equals the raw
+    * scan exactly. */
+  def counterIncrease(layer: DataFrame): DataFrame = {
+    val lbls = layer.columns.filterNot(bookkeeping ++ Set(
+      "win_start", "n", "sum_v", "min_v", "max_v",
+      "first_v", "first_ts", "last_v", "last_ts", "drop_sum")).toSeq
+    val w = Window.partitionBy(col("series_hash")).orderBy(col("win_start"))
+    val boundary = when(
+      col("__graft_prev_last").isNotNull && col("first_v") < col("__graft_prev_last"),
+      col("__graft_prev_last") - col("first_v")).otherwise(lit(0.0))
+    layer
+      .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
+      .withColumn("__graft_boundary", boundary.cast(Det.dec))
+      .groupBy((col("series_hash") +: lbls.map(col)): _*)
+      .agg(
+        min_by(col("first_v"), col("win_start")).as("__graft_first"),
+        max_by(col("last_v"), col("win_start")).as("__graft_last"),
+        sum(col("drop_sum") + col("__graft_boundary")).as("__graft_drops"))
+      .select((lbls.map(col) :+
+        ((col("__graft_last") - col("__graft_first")) +
+          col("__graft_drops").cast("double")).as("inc")): _*)
+  }
+
+  /** Thanos' auto-downsampling rule (query/querier.go): read the coarsest
+    * layer whose resolution still gives ≥5 windows per step. */
+  def pick(stepMs: Long): Long =
+    if (stepMs >= 5 * Res1h) Res1h
+    else if (stepMs >= 5 * Res5m) Res5m
+    else 0L
+
+  /** Persist a layer next to the converted layout, range-sharded by series so
+    * a matcher select touches few files (same discipline as Ingest's sorted
+    * sharded write). */
+  def writeLayer(layer: DataFrame, outDir: String): Unit =
+    layer
+      .repartitionByRange(col("series_hash"), col("win_start"))
+      .sortWithinPartitions(col("series_hash"), col("win_start"))
+      .write.mode("overwrite").parquet(outDir)
+
+  def openLayer(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

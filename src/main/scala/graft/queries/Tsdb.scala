@@ -533,6 +533,46 @@ object Tsdb {
         s"AND ts_ms BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} " +
         "GROUP BY uid ORDER BY uid")),
 
+    // Thanos-style 1h downsample layer (compact/downsample.go): per (series,
+    // aligned hour) count/sum/min/max + first/last(+ts) + the decimal sum of
+    // in-window counter drops. One aggregation pass — the long-range read
+    // path then touches ~1/240th of raw at 15s cadence.
+    Q("s5_downsample",
+      t => graft.etl.Downsample.layer(samples(t), 3600000L)
+        .select(col("__name__"), col("uid"), col("win_start"), col("n"),
+          col("sum_v"), col("min_v"), col("max_v"), col("first_v"),
+          col("last_v"), col("drop_sum").cast("double").as("drop_sum"))
+        .orderBy(col("__name__"), col("uid"), col("win_start")),
+      Some(s"WITH $S_CTE, " +
+        "w AS (SELECT *, ts_ms - ts_ms % 3600000 AS win_start, " +
+        "lag(value) OVER (PARTITION BY __name__, uid, ts_ms - ts_ms % 3600000 " +
+        "ORDER BY ts_ms, sample_id) AS prev FROM s) " +
+        s"SELECT __name__, uid, win_start, count(*) AS n, $DSUM AS sum_v, " +
+        "min(value) AS min_v, max(value) AS max_v, " +
+        "first(value ORDER BY ts_ms, sample_id) AS first_v, " +
+        "last(value ORDER BY ts_ms, sample_id) AS last_v, " +
+        "CAST(CAST(SUM(CAST(CASE WHEN prev IS NOT NULL AND value < prev " +
+        "THEN prev - value ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS drop_sum " +
+        "FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+
+    // Counter increase recomposed FROM the 1h layer vs the oracle's raw
+    // per-sample scan: the layer's in-window drop sums plus boundary resets
+    // recovered from first/last are the same term multiset the raw walk
+    // sees, and both stay decimal until one final cast — so a downsampled
+    // long-range increase() is bit-identical to raw, at 1/240th the reads.
+    Q("s5_downsample_increase",
+      t => graft.etl.Downsample.counterIncrease(
+          graft.etl.Downsample.layer(samples(t), 3600000L))
+        .orderBy(col("__name__"), col("uid")),
+      Some(s"WITH $S_CTE, " +
+        "d AS (SELECT *, lag(value) OVER (PARTITION BY __name__, uid " +
+        "ORDER BY ts_ms, sample_id) AS prev FROM s) " +
+        "SELECT __name__, uid, " +
+        "(last(value ORDER BY ts_ms, sample_id) - first(value ORDER BY ts_ms, sample_id)) + " +
+        "CAST(CAST(SUM(CAST(CASE WHEN prev IS NOT NULL AND value < prev " +
+        "THEN prev - value ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS inc " +
+        "FROM d GROUP BY __name__, uid ORDER BY __name__, uid")),
+
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics

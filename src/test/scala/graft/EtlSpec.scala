@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 import org.apache.spark.sql.functions._
-import graft.etl.{Ingest, Loops, Planner, Retention, Syncer}
+import graft.etl.{Downsample, Ingest, Loops, Planner, Retention, Syncer}
 import graft.sources.Tables
 
 /** ETL convert/plan/retention (ref convert/convert_test.go, convert/plan_test.go,
@@ -528,5 +528,37 @@ class EtlSpec extends SparkSpec {
     tries = 0
     assertThrows[RuntimeException](Loops.retry(2, 1)(() => { tries += 1; sys.error("boom") }))
     assert(tries == 2)
+  }
+
+  test("downsample: counter increase is identical from 5m layer, 1h layer and raw") {
+    val samples = graft.model.TimeSeriesModel.samples(Tables(spark, sf()).events)
+    val i5 = Downsample.counterIncrease(Downsample.layer(samples, Downsample.Res5m))
+      .orderBy("__name__", "uid").collect().toSeq
+    val i1 = Downsample.counterIncrease(Downsample.layer(samples, Downsample.Res1h))
+      .orderBy("__name__", "uid").collect().toSeq
+    // the whole-range window is one giant "layer" row per series: first/last
+    // plus every drop seen by a raw per-sample walk
+    val iraw = Downsample.counterIncrease(Downsample.layer(samples, Long.MaxValue))
+      .orderBy("__name__", "uid").collect().toSeq
+    assert(i5.nonEmpty && i5 == i1 && i1 == iraw,
+      "cross-resolution counter recomposition must be bit-identical")
+  }
+
+  test("downsample: layer survives the sharded write/open roundtrip") {
+    val samples = graft.model.TimeSeriesModel.samples(Tables(spark, sf()).events)
+    val l1h = Downsample.layer(samples, Downsample.Res1h)
+    val out = Files.createTempDirectory("graft-ds").toString
+    Downsample.writeLayer(l1h, s"$out/downsample-1h")
+    val back = Downsample.openLayer(spark, s"$out/downsample-1h")
+    assert(back.count() == l1h.count())
+    assert(back.exceptAll(l1h).isEmpty && l1h.exceptAll(back).isEmpty)
+  }
+
+  test("downsample: pick chooses the coarsest layer with >=5 windows per step") {
+    assert(Downsample.pick(60000L) == 0L)                        // fine step → raw
+    assert(Downsample.pick(5 * Downsample.Res5m) == Downsample.Res5m)
+    assert(Downsample.pick(Downsample.Res1h) == Downsample.Res5m)
+    assert(Downsample.pick(5 * Downsample.Res1h) == Downsample.Res1h)
+    assert(Downsample.pick(24 * Downsample.Res1h) == Downsample.Res1h)
   }
 }
