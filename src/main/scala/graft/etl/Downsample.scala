@@ -106,4 +106,27 @@ object Downsample {
 
   def openLayer(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
+
+  /** Incrementally maintain a date-partitioned layer: recompute ONLY the
+    * touched dates from the (already-merged) sample store and dynamically
+    * overwrite those partitions. Both supported resolutions divide a day, so
+    * a window never crosses a date boundary and per-date recompute is exact.
+    * Work per refresh ∝ touched dates × their series — the same property
+    * that keeps [[Ingest.mergeChunked]] ingestible at 100 TB; re-running on
+    * a re-delivered batch is idempotent (same inputs → same partitions). */
+  def refreshDates(spark: SparkSession, samples: DataFrame, layerDir: String,
+                   resMs: Long, dates: Seq[String]): Unit = {
+    if (dates.isEmpty) return
+    require(86400000L % resMs == 0L,
+      s"layer resolution $resMs must divide a day for per-date maintenance")
+    val part = layer(samples.filter(col("date").isin(dates: _*)).drop("date"), resMs)
+      .withColumn("date", date_format(timestamp_millis(col("win_start")), "yyyy-MM-dd"))
+    part
+      .repartitionByRange(col("date"), col("series_hash"), col("win_start"))
+      .sortWithinPartitions(col("date"), col("series_hash"), col("win_start"))
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .parquet(layerDir)
+  }
 }

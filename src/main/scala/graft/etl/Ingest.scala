@@ -218,11 +218,11 @@ object Ingest {
     * merge rule A1 — re-encode, dynamic-partition overwrite). Used by the
     * streaming ingest ([[graft.streaming.ChunkedIngest]]); idempotent per
     * batch, and work is proportional to touched dates, not layout size. */
-  def mergeChunked(spark: SparkSession, samples: DataFrame, outDir: String): Unit = {
+  def mergeChunked(spark: SparkSession, samples: DataFrame, outDir: String): Seq[String] = {
     val fresh = samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
     val dates = fresh.select("date").distinct().collect().map(_.getString(0)).toSeq
-    if (dates.isEmpty) return
+    if (dates.isEmpty) return Nil
     val chunksDir = java.nio.file.Paths.get(s"$outDir/chunks")
     val merged =
       if (!java.nio.file.Files.isDirectory(chunksDir)) fresh
@@ -246,6 +246,7 @@ object Ingest {
             :+ col("__graft_w.sample_id").as("sample_id")): _*)
       }
     writeFrames(framesOf(merged), outDir, dynamic = true)
+    dates
   }
 
   private val chunkBookkeeping =

@@ -21,12 +21,25 @@ import graft.model.TimeSeriesModel
 object ChunkedIngest {
 
   /** Start an AvailableNow ingest run from a raw events stream (see
-    * [[EventsStream.source]]) into `outDir/chunks`. */
-  def run(events: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    * [[EventsStream.source]]) into `outDir/chunks`. With `downsampleRes`
+    * set, the matching aggregate layer under `outDir/downsample-<res>` is
+    * maintained in the same per-batch loop: after the chunk merge, only the
+    * touched dates' layer partitions are recomputed from the merged store
+    * ([[graft.etl.Downsample.refreshDates]]) — the streaming form of the
+    * Thanos compactor's convert→downsample chain, with per-batch work still
+    * proportional to touched dates, never layout size. */
+  def run(events: DataFrame, outDir: String, checkpoint: String,
+          downsampleRes: Option[Long] = None): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.etl.Ingest.mergeChunked(batch.sparkSession,
+        val spark = batch.sparkSession
+        val touched = graft.etl.Ingest.mergeChunked(spark,
           TimeSeriesModel.samples(batch), outDir)
+        downsampleRes.foreach { res =>
+          graft.etl.Downsample.refreshDates(spark,
+            graft.etl.Ingest.openChunkedSamples(spark, outDir),
+            s"$outDir/downsample-$res", res, touched)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -236,4 +236,27 @@ class StreamingSpec extends SparkSpec {
     assert(frames.groupBy("date", "series_hash", "win").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("streaming downsample maintenance: per-date refresh equals a full layer recompute") {
+    import graft.etl.{Downsample, Ingest}
+    val root = Files.createTempDirectory("graft-stream-ds").toString
+    val events = Tables(spark, sf()).table("events")
+    val out = s"$root/layout"; val ckpt = s"$root/ckpt"
+
+    events.filter(col("event_id") % 2 === 0).write.parquet(s"$root/src/b0")
+    val src = EventsStream.source(spark, s"$root/src/*")
+    ChunkedIngest.run(src, out, ckpt, Some(Downsample.Res1h)).awaitTermination()
+
+    // batch 2 includes re-delivered evens (at-least-once overlap)
+    events.filter(col("event_id") % 2 === 1 || col("event_id") % 4 === 0)
+      .write.parquet(s"$root/src/b1")
+    ChunkedIngest.run(src, out, ckpt, Some(Downsample.Res1h)).awaitTermination()
+
+    val maintained = Downsample
+      .openLayer(spark, s"$out/downsample-${Downsample.Res1h}").drop("date")
+    val full = Downsample.layer(
+      Ingest.openChunkedSamples(spark, out).drop("date"), Downsample.Res1h)
+    assert(maintained.count() == full.count() && maintained.count() > 0)
+    assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty)
+  }
 }
