@@ -272,6 +272,36 @@ class EtlSpec extends SparkSpec {
     assert(Ingest.discoverDays(out) == Seq("2024-01-02"))
   }
 
+  test("retention: per-resolution cutoffs expire raw chunks while the 1h layer survives") {
+    val out = Files.createTempDirectory("graft-ret-res").toString
+    val t = Tables(spark, sf())
+    val samples = graft.model.TimeSeriesModel.samples(t.events)
+      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+      .filter(col("date").isin("2024-01-01", "2024-01-02"))
+    Ingest.mergeChunked(spark, samples.drop("date"), out)
+    Downsample.refreshDates(spark, samples, s"$out/downsample-${Downsample.Res1h}",
+      Downsample.Res1h, Seq("2024-01-01", "2024-01-02"))
+
+    // raw retention expires day 1 in the chunk sink only
+    Retention.markExpired(out, Seq("2024-01-01"), nowMs = 1000L)
+    assert(Retention.deleteMarked(out,
+      nowMs = 1000L + 13L * 3600 * 1000) == Seq("2024-01-01"))
+    assert(!Files.isDirectory(Paths.get(s"$out/chunks/date=2024-01-01")))
+    assert(Files.isDirectory(Paths.get(s"$out/chunks/date=2024-01-02")))
+    // the coarse layer outlives raw — its own (longer) retention hasn't hit
+    val layerDay1 = Paths.get(s"$out/downsample-${Downsample.Res1h}/date=2024-01-01")
+    assert(Files.isDirectory(layerDay1))
+
+    // later, the layer's own cutoff expires day 1 there too
+    val layerSinks = Retention.resolutionSinks(Downsample.Res1h)
+    Retention.markExpired(out, Seq("2024-01-01"), nowMs = 2000L, sinks = layerSinks)
+    assert(Retention.deleteMarked(out, nowMs = 2000L + 13L * 3600 * 1000,
+      sinks = layerSinks) == Seq("2024-01-01"))
+    assert(!Files.isDirectory(layerDay1))
+    assert(Files.isDirectory(
+      Paths.get(s"$out/downsample-${Downsample.Res1h}/date=2024-01-02")))
+  }
+
   test("convert round-trips native-histogram samples (h struct at rest)") {
     import graft.promql.{Compiler, Parser}
     import spark.implicits._
