@@ -3,7 +3,7 @@ package graft.examples
 import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.etl.{Ingest, Planner, Retention}
+import graft.etl.{Downsample, Ingest, Planner, Retention}
 import graft.sources.Tables
 import graft.streaming.EventsStream
 
@@ -42,6 +42,14 @@ object EtlDemo {
     val frames = spark.read.parquet(s"$out/chunked/chunks").count()
     val cback = Ingest.openChunkedSamples(spark, s"$out/chunked").count()
     println(s"DRIVE chunked: $frames frames decode to $cback samples")
+
+    // 1h downsample layer + reset-aware increase recomposed from it
+    val layerDir = s"$out/downsample-${Downsample.Res1h}"
+    Downsample.refreshDates(spark, back, layerDir, Downsample.Res1h,
+      Ingest.discoverDays(out))
+    val layer = Downsample.openLayer(spark, layerDir)
+    println(s"DRIVE downsample: ${layer.count()} layer rows for ${back.count()} raw " +
+      s"samples; increase rows=${Downsample.counterIncrease(layer.drop("date")).count()}")
 
     val plan = Planner.planDays(metas.map(m => LocalDate.parse(m.date)).toSet,
       Set(LocalDate.parse(metas.head.date)), LocalDate.of(2024, 2, 1))

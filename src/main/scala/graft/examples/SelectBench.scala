@@ -166,6 +166,47 @@ object SelectBench {
       report("chunk_decoded_rule", queries.map { case (n, ms) =>
         timed(n, m => Eval.select(decoded, m, lo, hi), ms) })
     }
+
+    if (mode.contains("d")) {
+      // Downsample dividend: reset-aware counter increase over a month of
+      // samples, computed from the raw per-sample walk vs recomposed from the
+      // prebuilt 1h layer ([[graft.etl.Downsample]]). Values reset weekly so
+      // both paths exercise drop accounting; results must agree exactly.
+      import graft.etl.Downsample
+      val day = 86400000L
+      val cad = 120000L // 2-min cadence × 30 days × 2k series = 43.2M samples
+      val gen = spark.range(2000).select(col("id"))
+        .crossJoin(spark.range(30L * day / cad).select((col("id") * cad).as("ts_ms")))
+        .select(lit("ctr").as("__name__"), col("id").cast("string").as("idx"),
+          col("ts_ms"),
+          (pmod(col("ts_ms"), lit(7L * day)) / 60000.0).as("value"), // weekly reset
+          col("ts_ms").as("sample_id"),
+          xxhash64(col("id").cast("string")).as("series_hash"))
+      val raw = writeSorted(gen, s"$tmp/d_raw", Seq("__name__", "idx", "ts_ms"))
+
+      val t0 = System.nanoTime()
+      Downsample.writeLayer(Downsample.layer(raw, Downsample.Res1h), s"$tmp/d_layer")
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val layer = Downsample.openLayer(spark, s"$tmp/d_layer")
+
+      def drain(df: DataFrame): (Double, Long) = {
+        var chk = 0L
+        val secs = (1 to repeat).map { _ =>
+          val s0 = System.nanoTime()
+          chk = df.agg(count(lit(1)), sum(col("inc"))).head().getLong(0)
+          (System.nanoTime() - s0) / 1e9
+        }
+        (secs.min, chk)
+      }
+      // the raw walk IS layer() at one giant window: per-sample lag + fold
+      val (rawS, rawN) = drain(Downsample.counterIncrease(
+        Downsample.layer(raw, Long.MaxValue)))
+      val (layS, layN) = drain(Downsample.counterIncrease(layer))
+      require(rawN == layN, s"series count mismatch: $rawN vs $layN")
+      println(s"""{"metric":"select_bench_downsample","unit":"sec","queries":""" +
+        s"""{"raw_increase":$rawS,"layer_increase":$layS,"layer_build":$buildSecs},""" +
+        s""""rows":{"raw":${raw.count()},"layer":${layer.count()}}}""")
+    }
     spark.stop()
   }
 }
