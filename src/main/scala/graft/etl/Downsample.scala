@@ -51,7 +51,12 @@ object Downsample {
       .groupBy((col("series_hash") +: col("win_start") +: lbls.map(col)): _*)
       .agg(
         count(lit(1)).as("n"),
-        Det.dsum(col("value")).as("sum_v"),
+        // sum_v and drop_sum stay DECIMAL so coarser recompositions
+        // ([[overTime]], [[counterIncrease]]) re-reduce without double
+        // rounding; presentation edges cast once. (NaN samples would cast to
+        // NULL here — layers hold counter/gauge metrics, where staleness
+        // markers are filtered at ingest and NaN does not occur.)
+        sum(col("value").cast(Det.dec)).as("sum_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         min_by(col("value"), ord).as("first_v"),
@@ -59,6 +64,40 @@ object Downsample {
         max_by(col("value"), ord).as("last_v"),
         max(col("ts_ms")).as("last_ts"),
         sum(dropTerm.cast(Det.dec)).as("drop_sum"))
+  }
+
+  /** Recompose the layer at a coarser aligned window whose width is a
+    * multiple of the layer resolution — the read path for
+    * `count/sum/min/max/first/last_over_time` and per-window increase on
+    * long-range grids. Every aggregate (including the drop accounting, via
+    * boundary resets between constituent windows) reduces exactly, so the
+    * result is bit-identical to building the coarse layer from raw
+    * (EtlSpec pins `overTime(layer(1h), 6h) == layer(6h)`). */
+  def overTime(layer: DataFrame, windowMs: Long, resMs: Long): DataFrame = {
+    require(windowMs % resMs == 0L,
+      s"coarse window $windowMs must be a multiple of the layer resolution $resMs")
+    val lbls = layer.columns.filterNot(bookkeeping ++ Set(
+      "win_start", "n", "sum_v", "min_v", "max_v",
+      "first_v", "first_ts", "last_v", "last_ts", "drop_sum")).toSeq
+    val w = Window.partitionBy(col("series_hash"), col("__graft_cw"))
+      .orderBy(col("win_start"))
+    val boundary = when(
+      col("__graft_prev_last").isNotNull && col("first_v") < col("__graft_prev_last"),
+      col("__graft_prev_last") - col("first_v")).otherwise(lit(0.0))
+    layer
+      .withColumn("__graft_cw", col("win_start") - pmod(col("win_start"), lit(windowMs)))
+      .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
+      .groupBy((col("series_hash") +: col("__graft_cw").as("win_start") +: lbls.map(col)): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        min_by(col("first_v"), col("first_ts")).as("first_v"),
+        min(col("first_ts")).as("first_ts"),
+        max_by(col("last_v"), col("last_ts")).as("last_v"),
+        max(col("last_ts")).as("last_ts"),
+        sum(col("drop_sum") + boundary.cast(Det.dec)).as("drop_sum"))
   }
 
   /** Reset-aware counter increase per series over the whole layer — the read

@@ -540,8 +540,9 @@ object Tsdb {
     Q("s5_downsample",
       t => graft.etl.Downsample.layer(samples(t), 3600000L)
         .select(col("__name__"), col("uid"), col("win_start"), col("n"),
-          col("sum_v"), col("min_v"), col("max_v"), col("first_v"),
-          col("last_v"), col("drop_sum").cast("double").as("drop_sum"))
+          col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"),
+          col("first_v"), col("last_v"),
+          col("drop_sum").cast("double").as("drop_sum"))
         .orderBy(col("__name__"), col("uid"), col("win_start")),
       Some(s"WITH $S_CTE, " +
         "w AS (SELECT *, ts_ms - ts_ms % 3600000 AS win_start, " +

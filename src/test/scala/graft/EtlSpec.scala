@@ -584,6 +584,17 @@ class EtlSpec extends SparkSpec {
     assert(back.exceptAll(l1h).isEmpty && l1h.exceptAll(back).isEmpty)
   }
 
+  test("downsample: overTime recomposition at 6h equals the 6h layer built from raw") {
+    val samples = graft.model.TimeSeriesModel.samples(Tables(spark, sf()).events)
+    val sixH = 6L * 3600000L
+    val recomposed = Downsample.overTime(
+      Downsample.layer(samples, Downsample.Res1h), sixH, Downsample.Res1h)
+    val direct = Downsample.layer(samples, sixH)
+    assert(recomposed.count() == direct.count() && direct.count() > 0)
+    assert(recomposed.exceptAll(direct).isEmpty && direct.exceptAll(recomposed).isEmpty,
+      "coarse-window recomposition must be bit-identical to the direct layer")
+  }
+
   test("downsample: pick chooses the coarsest layer with >=5 windows per step") {
     assert(Downsample.pick(60000L) == 0L)                        // fine step → raw
     assert(Downsample.pick(5 * Downsample.Res5m) == Downsample.Res5m)
