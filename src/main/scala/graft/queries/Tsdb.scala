@@ -556,6 +556,30 @@ object Tsdb {
         "THEN prev - value ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS drop_sum " +
         "FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
 
+    // overTime recomposition under the oracle gate: 6h aggregates derived
+    // from the 1h layer (never re-reading raw) vs DuckDB computing the same
+    // 6h windows from raw samples — external proof the fine→coarse
+    // compaction path loses nothing.
+    Q("s5_downsample_overtime",
+      t => graft.etl.Downsample.overTime(
+          graft.etl.Downsample.layer(samples(t), 3600000L), 21600000L, 3600000L)
+        .select(col("__name__"), col("uid"), col("win_start"), col("n"),
+          col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"),
+          col("first_v"), col("last_v"),
+          col("drop_sum").cast("double").as("drop_sum"))
+        .orderBy(col("__name__"), col("uid"), col("win_start")),
+      Some(s"WITH $S_CTE, " +
+        "w AS (SELECT *, ts_ms - ts_ms % 21600000 AS win_start, " +
+        "lag(value) OVER (PARTITION BY __name__, uid, ts_ms - ts_ms % 21600000 " +
+        "ORDER BY ts_ms, sample_id) AS prev FROM s) " +
+        s"SELECT __name__, uid, win_start, count(*) AS n, $DSUM AS sum_v, " +
+        "min(value) AS min_v, max(value) AS max_v, " +
+        "first(value ORDER BY ts_ms, sample_id) AS first_v, " +
+        "last(value ORDER BY ts_ms, sample_id) AS last_v, " +
+        "CAST(CAST(SUM(CAST(CASE WHEN prev IS NOT NULL AND value < prev " +
+        "THEN prev - value ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS drop_sum " +
+        "FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+
     // Counter increase recomposed FROM the 1h layer vs the oracle's raw
     // per-sample scan: the layer's in-window drop sums plus boundary resets
     // recovered from first/last are the same term multiset the raw walk
