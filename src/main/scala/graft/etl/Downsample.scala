@@ -33,6 +33,15 @@ object Downsample {
 
   private val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
 
+  // Adding two DECIMAL(38,9) in Spark widens to (38,8) — max(p1-s1,p2-s2)+s+1
+  // = 39 overflows, so the scale is sacrificed and the 9th decimal rounds at
+  // whichever point the addition happens, breaking bit-identity between
+  // recomposition paths. Keep addition operands at (37,9)+(28,9) → (38,9):
+  // exact as long as accumulated drops stay under 1e28 (they do — doubles
+  // lose integer precision far earlier).
+  private val decWide = org.apache.spark.sql.types.DecimalType(37, 9)
+  private val decTerm = org.apache.spark.sql.types.DecimalType(28, 9)
+
   /** Build the aggregate layer at `resMs` from a samples view
     * (`series_hash, <labels…>, ts_ms, value, sample_id`). One row per
     * (series, aligned window); `drop_sum` stays DECIMAL so a second-stage
@@ -97,7 +106,8 @@ object Downsample {
         min(col("first_ts")).as("first_ts"),
         max_by(col("last_v"), col("last_ts")).as("last_v"),
         max(col("last_ts")).as("last_ts"),
-        sum(col("drop_sum") + boundary.cast(Det.dec)).as("drop_sum"))
+        sum(col("drop_sum").cast(decWide) + boundary.cast(decTerm))
+          .cast(Det.dec).as("drop_sum"))
   }
 
   /** Reset-aware counter increase per series over the whole layer — the read
@@ -116,12 +126,12 @@ object Downsample {
       col("__graft_prev_last") - col("first_v")).otherwise(lit(0.0))
     layer
       .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
-      .withColumn("__graft_boundary", boundary.cast(Det.dec))
+      .withColumn("__graft_boundary", boundary.cast(decTerm))
       .groupBy((col("series_hash") +: lbls.map(col)): _*)
       .agg(
         min_by(col("first_v"), col("win_start")).as("__graft_first"),
         max_by(col("last_v"), col("win_start")).as("__graft_last"),
-        sum(col("drop_sum") + col("__graft_boundary")).as("__graft_drops"))
+        sum(col("drop_sum").cast(decWide) + col("__graft_boundary")).as("__graft_drops"))
       .select((lbls.map(col) :+
         ((col("__graft_last") - col("__graft_first")) +
           col("__graft_drops").cast("double")).as("inc")): _*)

@@ -595,6 +595,38 @@ class EtlSpec extends SparkSpec {
       "coarse-window recomposition must be bit-identical to the direct layer")
   }
 
+  test("downsample fuzz: adversarial values keep the cross-resolution identities") {
+    import spark.implicits._
+    // deterministic adversarial series: negatives, +-0.0, 1e-6..1e9 mixed
+    // magnitudes, irregular non-window-aligned cadence, frequent resets
+    val rnd = new scala.util.Random(42)
+    val rows = for (s <- 0 until 20; i <- 0 until 200) yield {
+      val v = rnd.nextInt(6) match {
+        case 0 => -rnd.nextDouble() * 1e6
+        case 1 => 0.0
+        case 2 => -0.0
+        case 3 => rnd.nextDouble() * 1e-6
+        case 4 => rnd.nextDouble() * 1e9
+        case _ => rnd.nextDouble() * 100 - 50
+      }
+      (s"m${s % 3}", s.toString, i * 97000L + s * 13L, v, i.toLong)
+    }
+    val df = rows.toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+
+    val l5 = Downsample.layer(df, Downsample.Res5m)
+    val l1 = Downsample.layer(df, Downsample.Res1h)
+    // identity 1: fine->coarse recomposition == direct coarse layer
+    val rec = Downsample.overTime(l5, Downsample.Res1h, Downsample.Res5m)
+    assert(rec.count() == l1.count() && l1.count() > 0)
+    assert(rec.exceptAll(l1).isEmpty && l1.exceptAll(rec).isEmpty)
+    // identity 2: counter increase invariant across resolutions and vs raw
+    def inc(l: org.apache.spark.sql.DataFrame) =
+      Downsample.counterIncrease(l).orderBy("__name__", "uid").collect().toSeq
+    val iraw = inc(Downsample.layer(df, Long.MaxValue))
+    assert(inc(l5) == inc(l1) && inc(l1) == iraw)
+  }
+
   test("downsample: pick chooses the coarsest layer with >=5 windows per step") {
     assert(Downsample.pick(60000L) == 0L)                        // fine step → raw
     assert(Downsample.pick(5 * Downsample.Res5m) == Downsample.Res5m)
