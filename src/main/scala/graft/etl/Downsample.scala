@@ -37,10 +37,22 @@ object Downsample {
   // = 39 overflows, so the scale is sacrificed and the 9th decimal rounds at
   // whichever point the addition happens, breaking bit-identity between
   // recomposition paths. Keep addition operands at (37,9)+(28,9) → (38,9):
-  // exact as long as accumulated drops stay under 1e28 (they do — doubles
-  // lose integer precision far earlier).
+  // exact while a single boundary term stays under 1e19 (decTerm) and a
+  // window's accumulated drops under 1e28 (decWide) — doubles lose integer
+  // precision far earlier, and decOrFail errors loudly rather than letting
+  // an overflow NULL vanish from the sums.
   private val decWide = org.apache.spark.sql.types.DecimalType(37, 9)
   private val decTerm = org.apache.spark.sql.types.DecimalType(28, 9)
+
+  /** Decimal cast that fails loudly: an overflowing (or NaN) term casts to
+    * NULL under non-ANSI mode, and NULL would silently vanish from the drop
+    * sums — corrupting the recomposition identities instead of erroring.
+    * coalesce evaluates lazily, so the error fires only on actual NULL. */
+  private def decOrFail(c: org.apache.spark.sql.Column,
+                        t: org.apache.spark.sql.types.DecimalType) =
+    coalesce(c.cast(t),
+      raise_error(concat(lit("downsample term outside DECIMAL range (or NaN): "),
+        c.cast("string"))).cast(t))
 
   /** Build the aggregate layer at `resMs` from a samples view
     * (`series_hash, <labels…>, ts_ms, value, sample_id`). One row per
@@ -62,17 +74,17 @@ object Downsample {
         count(lit(1)).as("n"),
         // sum_v and drop_sum stay DECIMAL so coarser recompositions
         // ([[overTime]], [[counterIncrease]]) re-reduce without double
-        // rounding; presentation edges cast once. (NaN samples would cast to
-        // NULL here — layers hold counter/gauge metrics, where staleness
-        // markers are filtered at ingest and NaN does not occur.)
-        sum(col("value").cast(Det.dec)).as("sum_v"),
+        // rounding; presentation edges cast once. Layers hold counter/gauge
+        // metrics where NaN does not occur (staleness markers are filtered
+        // at ingest) — a NaN sample fails loudly via decOrFail.
+        sum(decOrFail(col("value"), Det.dec)).as("sum_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         min_by(col("value"), ord).as("first_v"),
         min(col("ts_ms")).as("first_ts"),
         max_by(col("value"), ord).as("last_v"),
         max(col("ts_ms")).as("last_ts"),
-        sum(dropTerm.cast(Det.dec)).as("drop_sum"))
+        sum(decOrFail(dropTerm, Det.dec)).as("drop_sum"))
   }
 
   /** Recompose the layer at a coarser aligned window whose width is a
@@ -106,7 +118,7 @@ object Downsample {
         min(col("first_ts")).as("first_ts"),
         max_by(col("last_v"), col("last_ts")).as("last_v"),
         max(col("last_ts")).as("last_ts"),
-        sum(col("drop_sum").cast(decWide) + boundary.cast(decTerm))
+        sum(decOrFail(col("drop_sum"), decWide) + decOrFail(boundary, decTerm))
           .cast(Det.dec).as("drop_sum"))
   }
 
@@ -126,12 +138,12 @@ object Downsample {
       col("__graft_prev_last") - col("first_v")).otherwise(lit(0.0))
     layer
       .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
-      .withColumn("__graft_boundary", boundary.cast(decTerm))
+      .withColumn("__graft_boundary", decOrFail(boundary, decTerm))
       .groupBy((col("series_hash") +: lbls.map(col)): _*)
       .agg(
         min_by(col("first_v"), col("win_start")).as("__graft_first"),
         max_by(col("last_v"), col("win_start")).as("__graft_last"),
-        sum(col("drop_sum").cast(decWide) + col("__graft_boundary")).as("__graft_drops"))
+        sum(decOrFail(col("drop_sum"), decWide) + col("__graft_boundary")).as("__graft_drops"))
       .select((lbls.map(col) :+
         ((col("__graft_last") - col("__graft_first")) +
           col("__graft_drops").cast("double")).as("inc")): _*)

@@ -219,10 +219,23 @@ object Ingest {
     * streaming ingest ([[graft.streaming.ChunkedIngest]]); idempotent per
     * batch, and work is proportional to touched dates, not layout size. */
   def mergeChunked(spark: SparkSession, samples: DataFrame, outDir: String): Seq[String] = {
+    val (dates, merged) = mergeChunkedRetained(spark, samples, outDir)
+    merged.foreach(_.unpersist())
+    dates
+  }
+
+  /** [[mergeChunked]] variant that also returns the merged touched-date
+    * samples, persisted and materialized BEFORE the overwrite (its lineage
+    * reads the pre-merge frames, which the write replaces), so same-batch
+    * downstream maintenance — the streaming downsample refresh — reuses the
+    * merge result instead of re-decoding the frames just written. Caller
+    * unpersists. */
+  def mergeChunkedRetained(spark: SparkSession, samples: DataFrame,
+                           outDir: String): (Seq[String], Option[DataFrame]) = {
     val fresh = samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
     val dates = fresh.select("date").distinct().collect().map(_.getString(0)).toSeq
-    if (dates.isEmpty) return Nil
+    if (dates.isEmpty) return (Nil, None)
     val chunksDir = java.nio.file.Paths.get(s"$outDir/chunks")
     val merged =
       if (!java.nio.file.Files.isDirectory(chunksDir)) fresh
@@ -245,8 +258,10 @@ object Ingest {
             :+ col("ts_ms") :+ col("__graft_w.value").as("value")
             :+ col("__graft_w.sample_id").as("sample_id")): _*)
       }
+    merged.persist()
+    merged.count() // materialize while the pre-merge frames still exist
     writeFrames(framesOf(merged), outDir, dynamic = true)
-    dates
+    (dates, Some(merged))
   }
 
   private val chunkBookkeeping =

@@ -53,10 +53,21 @@ object Retention {
       }
     }
 
-  /** Delete partitions whose marker is older than `consistencyDelayMs`
-    * (ref default 12h, `locate/deletion.go:32`). Returns deleted dates.
-    * Meta sidecars are dropped only with the raw sinks — a surviving
-    * downsampled layer still needs the day's catalog entry. */
+  /** Delete partition directories whose OWN marker is older than
+    * `consistencyDelayMs` (ref default 12h, `locate/deletion.go:32`).
+    * Returns deleted dates.
+    *
+    * The aged-marker check is per-directory, never per-date: a partition
+    * created after the mark pass (e.g. the streaming ingest writing fresh
+    * chunks for a day whose flat layout was already marked) carries no
+    * marker and survives until its own mark→delay→delete cycle — the same
+    * guarantee the reference's per-shard markers give.
+    *
+    * The day's `meta/<date>.json` sidecar describes the RAW layout (sample
+    * counts, shard list), so it is dropped only when a `samples` sink is
+    * being retired and no raw partition for the date remains; downsample
+    * layers are self-contained date-partitioned parquet discovered by
+    * listing and carry no sidecar. */
   def deleteMarked(outDir: String, nowMs: Long,
                    consistencyDelayMs: Long = 12L * 3600 * 1000,
                    sinks: Seq[String] = rawSinks): Seq[String] = {
@@ -64,7 +75,7 @@ object Retention {
       .flatMap(subdirs).flatMap { d =>
         if (d.getFileName.toString.startsWith("stream=")) subdirs(d) else Seq(d)
       }
-    val dates = dayDirs.flatMap { dir =>
+    val aged = dayDirs.flatMap { dir =>
       val name = dir.getFileName.toString
       if (!name.startsWith("date=")) None
       else {
@@ -74,26 +85,26 @@ object Retention {
           val txt = Files.readString(marker)
           val marked = "\"marked_at_ms\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
           if (marked.exists(m => nowMs - m >= consistencyDelayMs))
-            Some(name.stripPrefix("date="))
+            Some(dir -> name.stripPrefix("date="))
           else None
         }
       }
-    }.distinct.sorted
-    val withMeta = sinks == rawSinks
-    dates.foreach { d =>
-      (partitionDirs(outDir, d, sinks) ++
-        (if (withMeta) metaFiles(outDir, d) else Nil)).foreach { p =>
-        if (Files.exists(p)) {
-          if (Files.isDirectory(p)) {
-            val walk = Files.walk(p)
-            try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-            finally walk.close()
-          } else Files.delete(p)
-        }
-      }
+    }
+    aged.foreach { case (dir, _) => deleteRecursively(dir) }
+    val dates = aged.map(_._2).distinct.sorted
+    if (sinks.contains("samples")) dates.foreach { d =>
+      val anyRawLeft = partitionDirs(outDir, d, rawSinks).exists(Files.isDirectory(_))
+      if (!anyRawLeft) metaFiles(outDir, d).filter(Files.exists(_)).foreach(deleteRecursively)
     }
     dates
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.isDirectory(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    } else Files.delete(p)
 
   private def subdirs(root: Path): Seq[Path] = {
     if (!Files.isDirectory(root)) return Seq.empty

@@ -49,7 +49,7 @@ object EtlDemo {
       Ingest.discoverDays(out))
     val layer = Downsample.openLayer(spark, layerDir)
     println(s"DRIVE downsample: ${layer.count()} layer rows for ${back.count()} raw " +
-      s"samples; increase rows=${Downsample.counterIncrease(layer.drop("date")).count()}")
+      s"samples; increase rows=${Downsample.counterIncrease(layer).count()}")
 
     val plan = Planner.planDays(metas.map(m => LocalDate.parse(m.date)).toSet,
       Set(LocalDate.parse(metas.head.date)), LocalDate.of(2024, 2, 1))

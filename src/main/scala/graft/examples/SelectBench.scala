@@ -189,20 +189,25 @@ object SelectBench {
       val buildSecs = (System.nanoTime() - t0) / 1e9
       val layer = Downsample.openLayer(spark, s"$tmp/d_layer")
 
-      def drain(df: DataFrame): (Double, Long) = {
-        var chk = 0L
+      def drain(df: DataFrame): (Double, Long, String) = {
+        var n = 0L; var chk = ""
         val secs = (1 to repeat).map { _ =>
           val s0 = System.nanoTime()
-          chk = df.agg(count(lit(1)), sum(col("inc"))).head().getLong(0)
+          // decimal checksum: order-independent, so the two paths must match
+          // exactly — a drop-accounting regression fails here, not silently
+          val r = df.agg(count(lit(1)),
+            sum(col("inc").cast(graft.functions.Det.dec))).head()
+          n = r.getLong(0); chk = String.valueOf(r.get(1))
           (System.nanoTime() - s0) / 1e9
         }
-        (secs.min, chk)
+        (secs.min, n, chk)
       }
       // the raw walk IS layer() at one giant window: per-sample lag + fold
-      val (rawS, rawN) = drain(Downsample.counterIncrease(
+      val (rawS, rawN, rawChk) = drain(Downsample.counterIncrease(
         Downsample.layer(raw, Long.MaxValue)))
-      val (layS, layN) = drain(Downsample.counterIncrease(layer))
-      require(rawN == layN, s"series count mismatch: $rawN vs $layN")
+      val (layS, layN, layChk) = drain(Downsample.counterIncrease(layer))
+      require(rawN == layN && rawChk == layChk,
+        s"raw vs layer mismatch: $rawN/$rawChk vs $layN/$layChk")
       println(s"""{"metric":"select_bench_downsample","unit":"sec","queries":""" +
         s"""{"raw_increase":$rawS,"layer_increase":$layS,"layer_build":$buildSecs},""" +
         s""""rows":{"raw":${raw.count()},"layer":${layer.count()}}}""")

@@ -20,8 +20,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** Normalize `events.ts` to TimestampType (LTZ) whatever physical form the
-    * driver wrote this round:
+  def events: DataFrame = Tables.normalizeTs(table("events"))
+  lazy val documents: DataFrame  = table("documents")
+  lazy val embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  /** Normalize an events-shaped `ts` column to TimestampType (LTZ) whatever
+    * physical form the driver wrote this round — the single copy both the
+    * batch catalog and the streaming source go through:
     *  - TIMESTAMP(NANOS) arrives as a raw long
     *    (`spark.sql.legacy.parquet.nanosAsLong=true` in our session builders);
     *    truncate to micros — the same truncation DuckDB applies.
@@ -30,18 +37,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     *    every builder, so the cast preserves the stored micros bit-for-bit —
     *    exactly how DuckDB's naive TIMESTAMP treats the same column.
     * Downstream (`unix_millis`, watermarks) then works uniformly. */
-  def events: DataFrame = {
-    val raw = table("events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
-          org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
-  lazy val documents: DataFrame  = table("documents")
-  lazy val embeddings: DataFrame = table("embeddings")
 }

@@ -33,13 +33,14 @@ object ChunkedIngest {
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val touched = graft.etl.Ingest.mergeChunked(spark,
+        val (touched, merged) = graft.etl.Ingest.mergeChunkedRetained(spark,
           TimeSeriesModel.samples(batch), outDir)
-        downsampleRes.foreach { res =>
-          graft.etl.Downsample.refreshDates(spark,
-            graft.etl.Ingest.openChunkedSamples(spark, outDir),
-            s"$outDir/downsample-$res", res, touched)
-        }
+        try downsampleRes.foreach { res =>
+          // reuse the persisted merge result — the layer refresh must not
+          // re-decode the frames the merge just wrote
+          merged.foreach(m => graft.etl.Downsample.refreshDates(spark,
+            m, s"$outDir/downsample-$res", res, touched))
+        } finally merged.foreach(_.unpersist())
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -24,21 +24,24 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Normalize whatever physical `ts` the files carry to TimestampType (LTZ):
-    * nanos-as-long → truncate to µs; TIMESTAMP_NTZ → cast (session tz is UTC
-    * in every builder, so the stored micros are preserved bit-for-bit). */
-  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-    case _                => df
-  }
+  /** Normalize whatever physical `ts` the files carry to TimestampType (LTZ)
+    * — delegates to the single copy in [[graft.sources.Tables.normalizeTs]]. */
+  def normalizeTs(df: DataFrame): DataFrame = graft.sources.Tables.normalizeTs(df)
 
-  /** Streaming source over an events directory, ts normalized to µs. The file
-    * schema is probed from whatever batch is already present (a streaming file
-    * source needs a fixed schema up front); falls back to the nanos shape. */
-  def source(spark: SparkSession, srcDir: String): DataFrame = {
-    val probed = scala.util.Try(spark.read.parquet(srcDir).schema).toOption
-    normalizeTs(spark.readStream.schema(probed.getOrElse(rawSchema)).parquet(srcDir))
+  /** Streaming source over an events directory, ts normalized to µs. A
+    * streaming file source needs a fixed schema up front, so it is probed
+    * from whatever batch is already present; starting a stream over a
+    * not-yet-populated directory must pass `schema` explicitly — silently
+    * assuming a shape would misread (or fail on) every later batch whose
+    * physical ts type differs. */
+  def source(spark: SparkSession, srcDir: String,
+             schema: Option[StructType] = None): DataFrame = {
+    val resolved = schema.orElse(
+      scala.util.Try(spark.read.parquet(srcDir).schema).toOption).getOrElse(
+      throw new IllegalStateException(
+        s"cannot probe a schema from '$srcDir' (no readable files yet); " +
+          "stage the first batch before defining the source, or pass schema="))
+    normalizeTs(spark.readStream.schema(resolved).parquet(srcDir))
   }
 
   /** Watermarked tumbling-window counts per metric — the streaming form of

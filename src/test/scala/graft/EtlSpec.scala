@@ -272,6 +272,35 @@ class EtlSpec extends SparkSpec {
     assert(Ingest.discoverDays(out) == Seq("2024-01-02"))
   }
 
+  test("retention: a partition created after the mark pass survives until its own cycle") {
+    // review regression: the aged-marker check must be per-directory — a
+    // sink partition created between mark and delete (streaming ingest
+    // writing fresh chunks for an already-marked day) has no marker and
+    // must NOT be swept by the other sink's aged marker
+    val out = Files.createTempDirectory("graft-ret-race").toString
+    val d = "2024-01-01"
+    Files.createDirectories(Paths.get(s"$out/samples/date=$d"))
+    Files.createDirectories(Paths.get(s"$out/meta"))
+    Files.writeString(Paths.get(s"$out/meta/$d.json"), "{}")
+    Retention.markExpired(out, Seq(d), nowMs = 1000L)
+    // fresh chunks for the same day land AFTER the mark pass
+    Files.createDirectories(Paths.get(s"$out/chunks/date=$d"))
+    Files.writeString(Paths.get(s"$out/chunks/date=$d/part-0.parquet"), "x")
+
+    assert(Retention.deleteMarked(out, nowMs = 1000L + 13L * 3600 * 1000) == Seq(d))
+    assert(!Files.isDirectory(Paths.get(s"$out/samples/date=$d")))
+    assert(Files.isDirectory(Paths.get(s"$out/chunks/date=$d")),
+      "unmarked late-created partition must survive")
+    assert(Files.exists(Paths.get(s"$out/meta/$d.json")),
+      "meta survives while any raw partition remains")
+
+    // the late partition's own mark→delay→delete cycle retires it (and meta)
+    Retention.markExpired(out, Seq(d), nowMs = 2000L)
+    assert(Retention.deleteMarked(out, nowMs = 2000L + 13L * 3600 * 1000) == Seq(d))
+    assert(!Files.isDirectory(Paths.get(s"$out/chunks/date=$d")))
+    assert(!Files.exists(Paths.get(s"$out/meta/$d.json")))
+  }
+
   test("retention: per-resolution cutoffs expire raw chunks while the 1h layer survives") {
     val out = Files.createTempDirectory("graft-ret-res").toString
     val t = Tables(spark, sf())
