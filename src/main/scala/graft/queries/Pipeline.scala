@@ -1027,6 +1027,45 @@ object Pipeline {
         "AND alpha_word_ratio > 0.8e0 AND ttr > 0.2e0) AS keep " +
         "FROM d ORDER BY doc_id")),
 
+    // Learned-model quality scoring (the fasttext/classifier-filter stage of
+    // CCNet/RefinedWeb pipelines): a linear model over the Gopher features
+    // with broadcast-able literal weights, thresholded at 0. The weights are
+    // plan literals here; at 100 TB they come from a broadcast lookup —
+    // either way the scoring is map-side with no shuffle. The combination is
+    // a FIXED left-associated chain of IEEE ops so both engines produce the
+    // identical double (no exp/sigmoid — libm differs across engines in the
+    // last ulp; a monotone linear score thresholds identically).
+    Q("tx_linear_score",
+      t => {
+        val toksLower = split(lower(trim(col("text"))), "\\s+")
+        val nTok = size(toksLower).cast("long")
+        val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
+        val nAlphaWord = size(expr(
+          "filter(split(trim(text), '\\\\s+'), x -> x rlike '[A-Za-z]')"))
+        val f = t.documents.select(col("doc_id"), nTok.as("n_tok"),
+          meanWordLen.as("mean_wlen"),
+          (nAlphaWord.cast("double") / nTok).as("alpha_word_ratio"),
+          (size(array_distinct(toksLower)).cast("double") / nTok).as("ttr"))
+        val tokNorm = least(col("n_tok"), lit(500L)).cast("double") / lit(500.0e0)
+        val score = lit(0.35e0) * col("alpha_word_ratio") +
+          lit(0.25e0) * col("ttr") + lit(0.2e0) * tokNorm +
+          lit(0.2e0) * (col("mean_wlen") / lit(10.0e0)) - lit(0.5e0)
+        f.select(col("doc_id"), score.as("score"), (score > 0.0e0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH d AS (SELECT doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok, " +
+        "CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS mean_wlen, " +
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS alpha_word_ratio, " +
+        "CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE) " +
+        "/ len(string_split_regex(trim(text), '\\s+')) AS ttr FROM documents), " +
+        "s AS (SELECT doc_id, 0.35e0 * alpha_word_ratio + 0.25e0 * ttr + " +
+        "0.2e0 * (CAST(least(n_tok, 500) AS DOUBLE) / 500.0e0) + " +
+        "0.2e0 * (mean_wlen / 10.0e0) - 0.5e0 AS score FROM d) " +
+        "SELECT doc_id, score, score > 0.0e0 AS keep FROM s ORDER BY doc_id")),
+
     Q("smp_stratified",  // deterministic 10% hash-sample per (lang, source)
       // map-side decision — no shuffle to sample at any scale; the groupBy
       // here only audits per-stratum totals vs sampled counts
