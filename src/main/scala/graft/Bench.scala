@@ -33,22 +33,43 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop per-query persist()s — NOT timed
+      dt
+    }
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache() // drop per-query persist()s — NOT timed
-          dt
-        }
-        name -> times.min
+    val raw = picked.map { case (name, fn) =>
+      name -> (1 to repeat).map(_ => timeOnce(fn)).min
+    }
+    // self-defense against machine-load contamination: a long single-pass
+    // sweep on a shared machine can inflate individual queries 3-10× (the
+    // r10 artifact burned a round of signal this way). Any query slower
+    // than max(2 s, 3× the sweep median) is re-run repeat-confirmed and the
+    // MIN is reported; the raw sweep values ride along for transparency.
+    val sorted = raw.map(_._2).sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    val threshold = math.max(2.0, 3.0 * median)
+    val reruns = scala.collection.mutable.Map.empty[String, Double]
+    val confirmed = raw.map { case (name, t) =>
+      if (t <= threshold) name -> t
+      else {
+        val best = math.min(t, (1 to 3).map(_ =>
+          timeOnce(SparkEntry.queries(name))).min)
+        reruns(name) = best
+        name -> best
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    def obj(kvs: Seq[(String, Double)]) =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (confirmed.nonEmpty) confirmed.map(_._2).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${obj(confirmed)},"queries_raw":${obj(raw)},""" +
+      s""""reconfirmed":${reruns.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir"}"""
     println(line)
     // also persist the line: log tails get truncated, files don't. Path
     // overridable for ad-hoc runs that shouldn't clobber the round artifact.

@@ -24,7 +24,14 @@ object PromEngine {
   * `api/http/query.go:536-564`). */
 final class PromEngine(samples: DataFrame,
                        lookbackMs: Long = Eval.DefaultLookbackMs,
-                       quotas: graft.limits.Quotas = graft.limits.Quotas()) {
+                       quotas: graft.limits.Quotas = graft.limits.Quotas(),
+                       /** Downsample layers by resolution ms — when present,
+                         * aligned long-range `rate`/`increase`/`*_over_time`
+                         * are served from the coarsest admissible layer
+                         * (Thanos auto-downsampling; [[graft.promql
+                         * .LayerRoute]]), bit-exactly, falling back to raw
+                         * otherwise. */
+                       layers: Map[Long, DataFrame] = Map.empty) {
   import PromEngine._
 
   private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
@@ -83,14 +90,16 @@ final class PromEngine(samples: DataFrame,
   def instantQueryWithStats(promql: String, tMs: Long)
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
-    val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs)
+    val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs,
+      layers = layers)
     finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 
   def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long)
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
-    val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs)
+    val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs,
+      layers = layers)
     finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 

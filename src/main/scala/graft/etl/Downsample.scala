@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Det
@@ -17,13 +17,32 @@ import graft.functions.Det
   * 15s cadence, and every `*_over_time`/rate whose step is coarse enough reads
   * the layer instead of raw.
   *
+  * **Windows are LEFT-OPEN `(w, w+res]`** — a sample at ts belongs to the
+  * window whose exclusive lower bound is below it. This matches PromQL's
+  * range selector `(t-range, t]` exactly: when a query's window and grid
+  * steps are aligned to the resolution, the selector is partitioned by whole
+  * layer windows with no boundary sample double-counted or dropped. That
+  * alignment is what lets the engine ([[graft.promql.LayerRoute]]) serve
+  * `rate`/`increase`/`*_over_time` from a layer BIT-EXACTLY, where Thanos'
+  * closed-open downsample windows make the querier's auto-downsampled
+  * answers approximate at window edges.
+  *
   * Counter semantics are preserved EXACTLY, not approximately: each window
-  * stores its first/last sample (with timestamps) plus the decimal sum of
-  * in-window counter drops; cross-window resets are recovered at read time by
-  * comparing a window's `first_v` with the previous window's `last_v`. The sum
-  * of (in-window + boundary) drop terms is the same term multiset a raw scan
-  * sees, and decimal addition is associative, so layer-recomposed increase ==
-  * raw increase bit-for-bit (EtlSpec pins this).
+  * stores its first/last sample (with timestamps) plus two decimal reset
+  * accumulations over in-window consecutive pairs —
+  *
+  *  - `drop_sum`  = Σ (prev − value) at drops: recomposes a MONOTONE total
+  *    increase ([[counterIncrease]], treating each reset as zero increase);
+  *  - `reset_sum` = Σ prev at drops: Prometheus' counter-reset correction
+  *    (promql/functions.go extrapolatedRate adds the pre-reset value), the
+  *    term the engine's raw `rate`/`increase` path accumulates —
+  *
+  * plus pair counts `n_resets`/`n_changes` for `resets()`/`changes()`.
+  * Cross-window pairs are recovered at read time by comparing a window's
+  * `first_v` with the previous window's `last_v`; the recomposed term
+  * multiset equals what a raw scan sees, and decimal addition is
+  * associative, so layer-recomposed results match raw bit-for-bit (EtlSpec
+  * and LayerRouteSpec pin this).
   */
 object Downsample {
 
@@ -33,6 +52,11 @@ object Downsample {
 
   private val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
 
+  /** Everything a layer row carries besides its label columns. */
+  val layerCols: Set[String] = Set("win_start", "n", "sum_v", "min_v", "max_v",
+    "first_v", "first_ts", "last_v", "last_ts", "drop_sum", "reset_sum",
+    "n_resets", "n_changes")
+
   // Adding two DECIMAL(38,9) in Spark widens to (38,8) — max(p1-s1,p2-s2)+s+1
   // = 39 overflows, so the scale is sacrificed and the 9th decimal rounds at
   // whichever point the addition happens, breaking bit-identity between
@@ -41,85 +65,118 @@ object Downsample {
   // window's accumulated drops under 1e28 (decWide) — doubles lose integer
   // precision far earlier, and decOrFail errors loudly rather than letting
   // an overflow NULL vanish from the sums.
-  private val decWide = org.apache.spark.sql.types.DecimalType(37, 9)
-  private val decTerm = org.apache.spark.sql.types.DecimalType(28, 9)
+  private[graft] val decWide = org.apache.spark.sql.types.DecimalType(37, 9)
+  private[graft] val decTerm = org.apache.spark.sql.types.DecimalType(28, 9)
 
   /** Decimal cast that fails loudly: an overflowing (or NaN) term casts to
     * NULL under non-ANSI mode, and NULL would silently vanish from the drop
     * sums — corrupting the recomposition identities instead of erroring.
     * coalesce evaluates lazily, so the error fires only on actual NULL. */
-  private def decOrFail(c: org.apache.spark.sql.Column,
-                        t: org.apache.spark.sql.types.DecimalType) =
+  private[graft] def decOrFail(c: Column,
+                               t: org.apache.spark.sql.types.DecimalType) =
     coalesce(c.cast(t),
       raise_error(concat(lit("downsample term outside DECIMAL range (or NaN): "),
         c.cast("string"))).cast(t))
 
+  /** Same loud-failure discipline for the AGGREGATED sums: `sum` over
+    * decimals can itself overflow to NULL under non-ANSI mode, and a layer
+    * served directly would then carry silent NULL `sum_v`/`drop_sum`. The
+    * per-group inputs are non-null (decOrFail'd), so a NULL sum can only
+    * mean overflow. */
+  private def sumOrFail(c: Column, what: String): Column =
+    coalesce(sum(c),
+      raise_error(lit(s"downsample $what sum overflowed DECIMAL " +
+        "(window too wide for the value magnitude)")).cast(Det.dec))
+
+  /** Left-open window assignment: ts ∈ (win_start, win_start + res]. */
+  def winStartOf(ts: Column, resMs: Long): Column =
+    (ts - 1) - pmod(ts - 1, lit(resMs))
+
   /** Build the aggregate layer at `resMs` from a samples view
     * (`series_hash, <labels…>, ts_ms, value, sample_id`). One row per
-    * (series, aligned window); `drop_sum` stays DECIMAL so a second-stage
-    * reduction over windows is still exact. */
+    * (series, aligned window); the decimal accumulations stay DECIMAL so a
+    * second-stage reduction over windows is still exact. Staleness markers
+    * are not samples (Prometheus matrix selection skips them) — filtering
+    * them here keeps the layer's pairs identical to the raw query path's. */
   def layer(samples: DataFrame, resMs: Long): DataFrame = {
+    samples.schema.fields.find(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]).foreach { f =>
+      throw new IllegalArgumentException(
+        s"downsample layers hold float samples; struct column '${f.name}' " +
+          "(native-histogram?) would be swept into the grouping key — drop it")
+    }
     val lbls = samples.columns.filterNot(bookkeeping).toSeq
     val w = Window.partitionBy(col("series_hash"), col("win_start"))
       .orderBy(col("ts_ms"), col("sample_id"))
     val ord = struct(col("ts_ms"), col("sample_id"))
-    val dropTerm = when(
-      col("__graft_prev").isNotNull && col("value") < col("__graft_prev"),
-      col("__graft_prev") - col("value")).otherwise(lit(0.0))
+    val isDrop = col("__graft_prev").isNotNull && col("value") < col("__graft_prev")
+    val dropTerm = when(isDrop, col("__graft_prev") - col("value")).otherwise(lit(0.0))
+    val resetTerm = when(isDrop, col("__graft_prev")).otherwise(lit(0.0))
     samples
-      .withColumn("win_start", col("ts_ms") - pmod(col("ts_ms"), lit(resMs)))
+      .filter(!graft.functions.IsStale(col("value")))
+      .withColumn("win_start", winStartOf(col("ts_ms"), resMs))
       .withColumn("__graft_prev", lag(col("value"), 1).over(w))
       .groupBy((col("series_hash") +: col("win_start") +: lbls.map(col)): _*)
       .agg(
         count(lit(1)).as("n"),
-        // sum_v and drop_sum stay DECIMAL so coarser recompositions
-        // ([[overTime]], [[counterIncrease]]) re-reduce without double
-        // rounding; presentation edges cast once. Layers hold counter/gauge
-        // metrics where NaN does not occur (staleness markers are filtered
-        // at ingest) — a NaN sample fails loudly via decOrFail.
-        sum(decOrFail(col("value"), Det.dec)).as("sum_v"),
+        // sum_v and the drop/reset sums stay DECIMAL so coarser
+        // recompositions ([[overTime]], [[counterIncrease]]) re-reduce
+        // without double rounding; presentation edges cast once. Layers hold
+        // counter/gauge metrics where NaN does not occur (staleness markers
+        // are filtered above) — a NaN sample fails loudly via decOrFail.
+        sumOrFail(decOrFail(col("value"), Det.dec), "value").as("sum_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         min_by(col("value"), ord).as("first_v"),
         min(col("ts_ms")).as("first_ts"),
         max_by(col("value"), ord).as("last_v"),
         max(col("ts_ms")).as("last_ts"),
-        sum(decOrFail(dropTerm, Det.dec)).as("drop_sum"))
+        sumOrFail(decOrFail(dropTerm, Det.dec), "drop").as("drop_sum"),
+        sumOrFail(decOrFail(resetTerm, Det.dec), "reset").as("reset_sum"),
+        sum(when(isDrop, 1L).otherwise(0L)).as("n_resets"),
+        sum(when(col("__graft_prev").isNotNull &&
+          !(col("value") <=> col("__graft_prev")), 1L).otherwise(0L)).as("n_changes"))
   }
 
   /** Recompose the layer at a coarser aligned window whose width is a
     * multiple of the layer resolution — the read path for
     * `count/sum/min/max/first/last_over_time` and per-window increase on
-    * long-range grids. Every aggregate (including the drop accounting, via
-    * boundary resets between constituent windows) reduces exactly, so the
+    * long-range grids. Every aggregate (including the drop/reset accounting,
+    * via boundary pairs between constituent windows) reduces exactly, so the
     * result is bit-identical to building the coarse layer from raw
     * (EtlSpec pins `overTime(layer(1h), 6h) == layer(6h)`). */
   def overTime(layer: DataFrame, windowMs: Long, resMs: Long): DataFrame = {
     require(windowMs % resMs == 0L,
       s"coarse window $windowMs must be a multiple of the layer resolution $resMs")
-    val lbls = layer.columns.filterNot(bookkeeping ++ Set(
-      "win_start", "n", "sum_v", "min_v", "max_v",
-      "first_v", "first_ts", "last_v", "last_ts", "drop_sum")).toSeq
+    val lbls = layer.columns.filterNot(bookkeeping ++ layerCols).toSeq
     val w = Window.partitionBy(col("series_hash"), col("__graft_cw"))
       .orderBy(col("win_start"))
-    val boundary = when(
-      col("__graft_prev_last").isNotNull && col("first_v") < col("__graft_prev_last"),
+    val isBoundaryDrop = col("__graft_prev_last").isNotNull &&
+      col("first_v") < col("__graft_prev_last")
+    val boundaryDrop = when(isBoundaryDrop,
       col("__graft_prev_last") - col("first_v")).otherwise(lit(0.0))
+    val boundaryReset = when(isBoundaryDrop, col("__graft_prev_last")).otherwise(lit(0.0))
     layer
       .withColumn("__graft_cw", col("win_start") - pmod(col("win_start"), lit(windowMs)))
       .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
       .groupBy((col("series_hash") +: col("__graft_cw").as("win_start") +: lbls.map(col)): _*)
       .agg(
         sum(col("n")).as("n"),
-        sum(col("sum_v")).as("sum_v"),
+        sumOrFail(col("sum_v"), "value").as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
         min_by(col("first_v"), col("first_ts")).as("first_v"),
         min(col("first_ts")).as("first_ts"),
         max_by(col("last_v"), col("last_ts")).as("last_v"),
         max(col("last_ts")).as("last_ts"),
-        sum(decOrFail(col("drop_sum"), decWide) + decOrFail(boundary, decTerm))
-          .cast(Det.dec).as("drop_sum"))
+        sumOrFail(decOrFail(col("drop_sum"), decWide) + decOrFail(boundaryDrop, decTerm),
+          "drop").cast(Det.dec).as("drop_sum"),
+        sumOrFail(decOrFail(col("reset_sum"), decWide) + decOrFail(boundaryReset, decTerm),
+          "reset").cast(Det.dec).as("reset_sum"),
+        sum(col("n_resets") + when(isBoundaryDrop, 1L).otherwise(0L)).as("n_resets"),
+        sum(col("n_changes") + when(col("__graft_prev_last").isNotNull &&
+          !(col("first_v") <=> col("__graft_prev_last")), 1L).otherwise(0L))
+          .as("n_changes"))
   }
 
   /** Reset-aware counter increase per series over the whole layer — the read
@@ -129,9 +186,7 @@ object Downsample {
     * stay decimal until the single final cast, so the result equals the raw
     * scan exactly. */
   def counterIncrease(layer: DataFrame): DataFrame = {
-    val lbls = layer.columns.filterNot(bookkeeping ++ Set(
-      "win_start", "n", "sum_v", "min_v", "max_v",
-      "first_v", "first_ts", "last_v", "last_ts", "drop_sum")).toSeq
+    val lbls = layer.columns.filterNot(bookkeeping ++ layerCols).toSeq
     val w = Window.partitionBy(col("series_hash")).orderBy(col("win_start"))
     val boundary = when(
       col("__graft_prev_last").isNotNull && col("first_v") < col("__graft_prev_last"),
@@ -143,14 +198,18 @@ object Downsample {
       .agg(
         min_by(col("first_v"), col("win_start")).as("__graft_first"),
         max_by(col("last_v"), col("win_start")).as("__graft_last"),
-        sum(decOrFail(col("drop_sum"), decWide) + col("__graft_boundary")).as("__graft_drops"))
+        sumOrFail(decOrFail(col("drop_sum"), decWide) + col("__graft_boundary"),
+          "drop").as("__graft_drops"))
       .select((lbls.map(col) :+
         ((col("__graft_last") - col("__graft_first")) +
           col("__graft_drops").cast("double")).as("inc")): _*)
   }
 
   /** Thanos' auto-downsampling rule (query/querier.go): read the coarsest
-    * layer whose resolution still gives ≥5 windows per step. */
+    * layer whose resolution still gives ≥5 windows per step. The engine's
+    * layer routing ([[graft.promql.LayerRoute]]) additionally requires exact
+    * window/grid alignment, under which "coarsest admissible" is the same
+    * rule with exactness guaranteed. */
   def pick(stepMs: Long): Long =
     if (stepMs >= 5 * Res1h) Res1h
     else if (stepMs >= 5 * Res5m) Res5m
@@ -169,19 +228,36 @@ object Downsample {
     spark.read.parquet(outDir)
 
   /** Incrementally maintain a date-partitioned layer: recompute ONLY the
-    * touched dates from the (already-merged) sample store and dynamically
-    * overwrite those partitions. Both supported resolutions divide a day, so
-    * a window never crosses a date boundary and per-date recompute is exact.
-    * Work per refresh ∝ touched dates × their series — the same property
-    * that keeps [[Ingest.mergeChunked]] ingestible at 100 TB; re-running on
-    * a re-delivered batch is idempotent (same inputs → same partitions). */
+    * given dates' windows from the (already-merged) sample store and
+    * dynamically overwrite those partitions. Both supported resolutions
+    * divide a day; a window is keyed to the date of its `win_start`, so with
+    * left-open windows the one cross-date instant — a sample at exactly
+    * midnight of d+1, which belongs to day d's last window `(24h−res, 24h]`
+    * — is read from the d+1 partition by an exact-midnight predicate (page
+    * stats prune it to nearly nothing). Work per refresh ∝ touched dates ×
+    * their series — the same property that keeps [[Ingest.mergeChunked]]
+    * ingestible at 100 TB; re-running on a re-delivered batch is idempotent
+    * (same inputs → same partitions).
+    *
+    * `dates` are WINDOW dates: callers deriving them from a batch must remap
+    * a sample at exactly midnight(d) to window date d−1
+    * ([[touchedWindowDates]]). */
   def refreshDates(spark: SparkSession, samples: DataFrame, layerDir: String,
                    resMs: Long, dates: Seq[String]): Unit = {
     if (dates.isEmpty) return
     require(86400000L % resMs == 0L,
       s"layer resolution $resMs must divide a day for per-date maintenance")
-    val part = layer(samples.filter(col("date").isin(dates: _*)).drop("date"), resMs)
+    val next = dates.map(nextDate).distinct
+    val relevant = samples.filter(
+      col("date").isin(dates: _*) ||
+        (col("date").isin(next: _*) && pmod(col("ts_ms"), lit(86400000L)) === 0L))
+      .drop("date")
+    val part = layer(relevant, resMs)
       .withColumn("date", date_format(timestamp_millis(col("win_start")), "yyyy-MM-dd"))
+      // next-day midnight samples also produce their OWN day's first window —
+      // computed from just that fragment it would be wrong, and it is not a
+      // partition this refresh was asked to rewrite
+      .filter(col("date").isin(dates: _*))
     part
       .repartitionByRange(col("date"), col("series_hash"), col("win_start"))
       .sortWithinPartitions(col("date"), col("series_hash"), col("win_start"))
@@ -190,4 +266,16 @@ object Downsample {
       .option("compression", "zstd")
       .parquet(layerDir)
   }
+
+  /** WINDOW dates a batch of samples touches, for [[refreshDates]]: the date
+    * of `ts−1` maps a sample at exactly midnight(d) to d−1 (whose last
+    * left-open window it falls in) and every other sample to its own date —
+    * resolution-independent for any resolution dividing a day. */
+  def touchedWindowDates(batch: DataFrame): Seq[String] =
+    batch.select(date_format(timestamp_millis(col("ts_ms") - 1), "yyyy-MM-dd")
+        .as("d")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  private[graft] def nextDate(d: String): String =
+    java.time.LocalDate.parse(d).plusDays(1).toString
 }

@@ -173,29 +173,60 @@ object Ingest {
   /** Samples → one frame row per (date, series, 8h window): the Gorilla
     * encode runs inside the grouping aggregate, executor-side.
     *
-    * Float samples only: the XOR codec encodes (ts, double) points. A
-    * struct-typed histogram column would otherwise be swept into the
-    * grouping key as a "label" and shred series per histogram value —
-    * reject it loudly; native-histogram series stay on the flat layout
-    * ([[convert]] round-trips the `h` struct at rest). */
+    * Two frame kinds, mirroring the reference's per-chunk encoding tag
+    * (XOR vs histogram chunks side by side, `api/grpc/thanos.go:462-473`,
+    * framing `convert/chunks.go:56-61`):
+    *
+    *  - float series → `data` = Gorilla/XOR bytes, `hdata` null;
+    *  - native-histogram series (an `h` struct column matching the pinned
+    *    model, [[graft.functions.HistChunk.HistType]]) → `hdata` =
+    *    [[graft.functions.HistChunkEncode]] bytes carrying the
+    *    (ts, value, histogram) triples, `data` null.
+    *
+    * A series mixing float and histogram samples inside one frame fails
+    * loudly (data error), as does any OTHER struct column — it would be
+    * swept into the grouping key as a "label" and shred series. */
   def framesOf(samples: DataFrame): DataFrame = {
-    samples.schema.fields.find(f =>
-      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]).foreach { f =>
-      throw new IllegalArgumentException(
-        s"chunked layout stores float samples; struct column '${f.name}' " +
-          "(native-histogram?) is not encodable — use the flat layout for it")
-    }
+    val structCols = samples.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    structCols.find(f => f.name != "h" ||
+      f.dataType.catalogString != graft.functions.HistChunk.HistType.catalogString)
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"chunked layout: struct column '${f.name}' (${f.dataType.catalogString}) " +
+            "is neither float samples nor the pinned native-histogram model " +
+            s"(${graft.functions.HistChunk.HistType.catalogString})")
+      }
+    val hasH = structCols.nonEmpty
     val lblCols = samples.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h")).toSeq
     val win = col("ts_ms") - pmod(col("ts_ms"), lit(8L * 3600 * 1000))
-    samples
+    val grouped = samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
       .groupBy((Seq(col("date"), col("series_hash")) ++ lblCols.map(col)
         :+ win.as("win")): _*)
-      .agg(min(col("ts_ms")).as("mint"), max(col("ts_ms")).as("maxt"),
+    if (!hasH)
+      grouped.agg(min(col("ts_ms")).as("mint"), max(col("ts_ms")).as("maxt"),
         count(lit(1)).as("n_samples"),
         graft.functions.ChunkEncode(
           sort_array(collect_list(struct(col("ts_ms"), col("value"))))).as("data"))
+    else
+      grouped.agg(min(col("ts_ms")).as("mint"), max(col("ts_ms")).as("maxt"),
+        count(lit(1)).as("n_samples"),
+        count(col("h")).as("__graft_n_h"),
+        sort_array(collect_list(struct(col("ts_ms"), col("value"), col("h"))))
+          .as("__graft_pts"))
+        .withColumn("data", when(col("__graft_n_h") === 0,
+            graft.functions.ChunkEncode(expr(
+              "transform(__graft_pts, p -> struct(p.ts_ms AS ts_ms, p.value AS value))")))
+          .otherwise(lit(null).cast("binary")))
+        .withColumn("hdata",
+          when(col("__graft_n_h") === col("n_samples"),
+            graft.functions.HistChunkEncode(col("__graft_pts")))
+          .when(col("__graft_n_h") === 0, lit(null).cast("binary"))
+          .otherwise(raise_error(lit("chunked layout: series frame mixes float " +
+            "and histogram samples")).cast("binary")))
+        .drop("__graft_pts", "__graft_n_h")
   }
 
   private def writeFrames(frames: DataFrame, outDir: String, dynamic: Boolean): Unit = {
@@ -210,7 +241,26 @@ object Ingest {
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")
       .parquet(s"$outDir/chunks")
+    // every chunk write in this codebase goes through here — drop the memoized
+    // relations so the next open re-lists the changed layout (all sessions)
+    frameCache.keySet.removeIf(_._2 == s"$outDir/chunks")
   }
+
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Open (and memoize) the frame relation of a chunk layout: repeated
+    * selects reuse the resolved schema + file listing instead of paying a
+    * fresh footer/listing pass per query — the reference likewise keeps
+    * block readers open across queries (`locate/locate.go`). Writes through
+    * [[writeFrames]] invalidate; external writers must call
+    * [[invalidateChunkFrames]]. */
+  def openChunkFrames(spark: SparkSession, outDir: String): DataFrame =
+    frameCache.computeIfAbsent((spark, s"$outDir/chunks"),
+      k => k._1.read.parquet(k._2))
+
+  def invalidateChunkFrames(outDir: String): Unit =
+    frameCache.keySet.removeIf(_._2 == s"$outDir/chunks")
 
   /** Merge a batch of samples into an existing chunk layout: only the dates
     * the batch touches are re-framed (existing frames for those dates decode,
@@ -241,52 +291,82 @@ object Ingest {
       if (!java.nio.file.Files.isDirectory(chunksDir)) fresh
       else {
         val existing = decodeFrames(
-          spark.read.parquet(chunksDir.toString).filter(col("date").isin(dates: _*)))
+          openChunkFrames(spark, outDir).filter(col("date").isin(dates: _*)))
         // first-wins at sample grain: the stored point beats a re-delivery
-        // (ref vertical merge semantics, convert/convert.go chunk dedup)
+        // (ref vertical merge semantics, convert/convert.go chunk dedup).
+        // The histogram struct is PAYLOAD like value, never a grouping key —
+        // a re-delivered sample with a different histogram must still dedup
+        val hasH = existing.columns.contains("h") &&
+          graft.promql.Eval.isHistCol(existing, "h")
         val lbl = existing.columns
-          .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+          .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h")).toSeq
+        val payload = Seq(col("value"), col("sample_id")) ++
+          (if (hasH) Seq(col("h")) else Nil)
         val freshAligned = fresh.select(
           (Seq(col("date"), col("series_hash")) ++ lbl.map(col)
-            :+ col("ts_ms") :+ col("value") :+ col("sample_id")): _*)
+            :+ col("ts_ms")) ++ payload: _*)
         existing.withColumn("__graft_pri", lit(0))
           .unionByName(freshAligned.withColumn("__graft_pri", lit(1)))
           .groupBy((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
             :+ col("ts_ms")): _*)
-          .agg(min_by(struct(col("value"), col("sample_id")), col("__graft_pri")).as("__graft_w"))
+          .agg(min_by(struct(payload: _*), col("__graft_pri")).as("__graft_w"))
           .select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
             :+ col("ts_ms") :+ col("__graft_w.value").as("value")
-            :+ col("__graft_w.sample_id").as("sample_id")): _*)
+            :+ col("__graft_w.sample_id").as("sample_id"))
+            ++ (if (hasH) Seq(col("__graft_w.h").as("h")) else Nil): _*)
       }
-    merged.persist()
-    merged.count() // materialize while the pre-merge frames still exist
-    writeFrames(framesOf(merged), outDir, dynamic = true)
-    (dates, Some(merged))
+    // localCheckpoint (eager) pins the merged rows AND severs lineage: with
+    // persist(), losing a cached block after the overwrite below would
+    // recompute from the already-replaced files — the values converge but
+    // re-decoded rows resynthesize sample_id as ts_ms, silently diverging
+    // from this batch's ids and flipping downstream first/last tie-breaks
+    val pinned = merged.localCheckpoint(true)
+    writeFrames(framesOf(pinned), outDir, dynamic = true)
+    (dates, Some(pinned))
   }
 
   private val chunkBookkeeping =
-    Set("win", "mint", "maxt", "n_samples", "data", "date", "series_hash")
+    Set("win", "mint", "maxt", "n_samples", "data", "hdata", "date", "series_hash")
 
   /** Explode a frame DataFrame back to flat samples. Map-side only: the
-    * decode is the codegen'd [[graft.functions.ChunkDecode]], no shuffle.
+    * decode is the codegen'd [[graft.functions.ChunkDecode]] (or
+    * [[graft.functions.HistChunkDecode]] for histogram frames — those rows
+    * come back with the `h` struct column restored), no shuffle.
     * Frames store no per-sample ingest id, so `sample_id` — the engine's
     * deterministic tie-break column — is synthesized as `ts_ms`, the same
     * convention the subquery grid uses (`promql/Compiler.subqueryPoints`). */
   private def decodeFrames(df: DataFrame): DataFrame = {
     val lbl = df.columns.filterNot(chunkBookkeeping).toSeq
-    df.select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
-        :+ explode(graft.functions.ChunkDecode(col("data"))).as("__graft_p")): _*)
-      .select((Seq(col("date"), col("series_hash")) ++ lbl.map(col)
-        :+ col("__graft_p.ts_ms").as("ts_ms")
-        :+ col("__graft_p.value").as("value")): _*)
-      .withColumn("sample_id", col("ts_ms"))
+    val head = Seq(col("date"), col("series_hash")) ++ lbl.map(col)
+    if (!df.columns.contains("hdata"))
+      df.select((head
+          :+ explode(graft.functions.ChunkDecode(col("data"))).as("__graft_p")): _*)
+        .select((head
+          :+ col("__graft_p.ts_ms").as("ts_ms")
+          :+ col("__graft_p.value").as("value")): _*)
+        .withColumn("sample_id", col("ts_ms"))
+    else {
+      // both branches produce array<struct<ts_ms,value,h>> so one explode
+      // serves float and histogram frames alike
+      val floatPts = transform(graft.functions.ChunkDecode(col("data")),
+        p => struct(p.getField("ts_ms").as("ts_ms"), p.getField("value").as("value"),
+          lit(null).cast(graft.functions.HistChunk.HistType).as("h")))
+      val pts = when(col("data").isNotNull, floatPts)
+        .otherwise(graft.functions.HistChunkDecode(col("hdata")))
+      df.select((head :+ explode(pts).as("__graft_p")): _*)
+        .select((head
+          :+ col("__graft_p.ts_ms").as("ts_ms")
+          :+ col("__graft_p.value").as("value")
+          :+ col("__graft_p.h").as("h")): _*)
+        .withColumn("sample_id", col("ts_ms"))
+    }
   }
 
   /** Decode-on-read over the chunk layout: explode each frame back to
     * samples. Matcher/date predicates push down to the chunk scan (label
     * columns and `date` are plain columns). */
   def openChunkedSamples(spark: SparkSession, outDir: String): DataFrame =
-    decodeFrames(spark.read.parquet(s"$outDir/chunks"))
+    decodeFrames(openChunkFrames(spark, outDir))
 
   /** Pruned select over the chunk layout — the query path at 100 TB. All
     * pruning happens BEFORE any byte is decoded, mirroring the reference's
@@ -307,7 +387,7 @@ object Ingest {
   def selectChunkedSamples(spark: SparkSession, outDir: String,
                            matchers: Seq[graft.promql.LabelMatcher],
                            mintMs: Long, maxtMs: Long): DataFrame = {
-    val frames = spark.read.parquet(s"$outDir/chunks")
+    val frames = openChunkFrames(spark, outDir)
     // same DATE-literal clamp as Eval.timeBound: partition discovery types
     // `date` as DATE; an unbounded query's ±Long bound must stay formattable
     val cap = 253402214400000L // 9999-01-01T00:00:00Z

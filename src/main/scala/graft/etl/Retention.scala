@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 /** Retention marker + deleter (ref `locate/deletion.go:40-169`): two-phase
-  * delete — write `deletion-marker.json` into expired day partitions, then
+  * delete — write `_deletion-marker.json` into expired day partitions, then
   * after a consistency delay physically drop the partition directories (the
   * Spark analog of `ALTER TABLE … DROP PARTITION`). Driver-side file ops;
   * at scale this is an object-store prefix delete, identical control flow.
@@ -49,7 +49,11 @@ object Retention {
                   sinks: Seq[String] = rawSinks): Unit =
     dates.foreach { d =>
       partitionDirs(outDir, d, sinks).filter(Files.isDirectory(_)).foreach { p =>
-        Files.writeString(p.resolve("deletion-marker.json"), s"""{"marked_at_ms":$nowMs}""")
+        // underscore prefix: Spark's file index skips `_`-prefixed files
+        // (like _SUCCESS), so a marked-but-not-yet-deleted partition stays
+        // readable through the whole consistency window — the reference's
+        // readers likewise skip marked blocks (locate/discover.go:552)
+        Files.writeString(p.resolve("_deletion-marker.json"), s"""{"marked_at_ms":$nowMs}""")
       }
     }
 
@@ -79,7 +83,11 @@ object Retention {
       val name = dir.getFileName.toString
       if (!name.startsWith("date=")) None
       else {
-        val marker = dir.resolve("deletion-marker.json")
+        // accept the pre-rename spelling too: partitions marked by an older
+        // build must still age out instead of leaking forever
+        val marker = Seq("_deletion-marker.json", "deletion-marker.json")
+          .map(dir.resolve).find(Files.exists(_))
+          .getOrElse(dir.resolve("_deletion-marker.json"))
         if (!Files.exists(marker)) None
         else {
           val txt = Files.readString(marker)

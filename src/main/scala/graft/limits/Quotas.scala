@@ -2,7 +2,7 @@ package graft.limits
 
 import java.util.concurrent.{Semaphore, TimeUnit}
 import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, Row}
 
 /** Query quotas + concurrency gate (SURVEY.md §2.6 O5, ref
@@ -68,16 +68,48 @@ final case class Quotas(maxRows: Option[Long] = None,
       val read = new AtomicLong(0L)
       val tasksSeen = new AtomicLong(0L)
       val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val groupJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val jobsStarted = new AtomicLong(0L)
+      val jobsEnded = new AtomicLong(0L)
+      val lock = new Object
       val listener = new SparkListener {
         override def onJobStart(js: SparkListenerJobStart): Unit =
-          if (group == js.properties.getProperty("spark.jobGroup.id"))
+          if (group == js.properties.getProperty("spark.jobGroup.id")) {
+            groupJobs.add(js.jobId)
+            jobsStarted.incrementAndGet()
             js.stageIds.foreach(stages.add(_))
+          }
         override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
           if (stages.contains(te.stageId) && te.taskMetrics != null) {
             tasksSeen.incrementAndGet()
             if (read.addAndGet(te.taskMetrics.inputMetrics.bytesRead) > mb)
               sc.cancelJobGroup(group) // early abort: skip remaining tasks
           }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit =
+          if (groupJobs.remove(je.jobId))
+            lock.synchronized { jobsEnded.incrementAndGet(); lock.notifyAll() }
+      }
+      /** Await the charge: the listener bus delivers a job's task-end events
+        * BEFORE its job-end (single ordered queue), so once every started
+        * job has ended the per-task charges for those jobs are in. A
+        * job-end latch replaces the old 50 ms sleep-poll — typical overhead
+        * is one notify plus the single tail confirmation below (an action's
+        * follow-up job, e.g. an AQE stage re-plan, may not have STARTED in
+        * the listener's view yet when collect() returns). */
+      def settle(): Unit = {
+        val deadline = System.nanoTime() + 3000L * 1000000
+        lock.synchronized {
+          while ((jobsStarted.get() == 0L || jobsEnded.get() < jobsStarted.get()) &&
+            System.nanoTime() < deadline)
+            lock.wait(math.max(1L, (deadline - System.nanoTime()) / 1000000))
+        }
+        var last = (-1L, -1L, -1L)
+        var i = 0
+        while (i < 20 && last != ((read.get(), tasksSeen.get(), jobsStarted.get()))) {
+          last = (read.get(), tasksSeen.get(), jobsStarted.get())
+          Thread.sleep(10)
+          i += 1
+        }
       }
       sc.addSparkListener(listener)
       sc.setJobGroup(group, s"byte-quota $mb", interruptOnCancel = true)
@@ -85,14 +117,13 @@ final case class Quotas(maxRows: Option[Long] = None,
         val rows =
           try df.collect()
           catch { case e: Exception =>
-            settle(read, tasksSeen)
+            settle()
             if (read.get() > mb) throw overflow(read.get(), mb) else throw e
           }
-        // listener events are async — wait for the charge to stabilize
-        // before the authoritative check (a scan whose final task completes
+        // the authoritative post-check (a scan whose final task completes
         // the job can only be charged after the fact, same as the
         // reference's last materialize call tripping the quota)
-        settle(read, tasksSeen)
+        settle()
         if (read.get() > mb) throw overflow(read.get(), mb)
         rows
       } finally {
@@ -103,18 +134,6 @@ final case class Quotas(maxRows: Option[Long] = None,
 
   private def overflow(got: Long, quota: Long) =
     new QuotaExceededException(s"scan read $got bytes > mid-scan quota $quota")
-
-  /** Bounded wait until the listener has stopped seeing new task-end events
-    * (two consecutive identical (bytes, tasks) snapshots 50 ms apart). */
-  private def settle(read: AtomicLong, tasks: AtomicLong): Unit = {
-    var last = (-1L, -1L)
-    var i = 0
-    while (i < 60 && last != ((read.get(), tasks.get()))) {
-      last = (read.get(), tasks.get())
-      Thread.sleep(50)
-      i += 1
-    }
-  }
 }
 
 /** Concurrent-query semaphore (ref default 100, `cmd/serve.go:111`). */

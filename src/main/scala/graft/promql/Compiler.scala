@@ -30,7 +30,12 @@ object Compiler {
                          * (cmd/serve.go:213 NoStepSubqueryIntervalFn), NOT the
                          * query step — an instant query (step 1s) must not
                          * evaluate the inner expression on a 1s grid. */
-                       noStepSubqueryIntervalMs: Long = 60000L) {
+                       noStepSubqueryIntervalMs: Long = 60000L,
+                       /** Downsample layers by resolution ms ([[graft.etl
+                         * .Downsample]]); eligible aligned range functions
+                         * are served from the coarsest admissible layer
+                         * instead of raw samples ([[LayerRoute]]). */
+                       layers: Map[Long, DataFrame] = Map.empty) {
     def nSteps: Long = (endMs - startMs) / stepMs
     /** Top-level query bounds: what `@ start()` / `@ end()` resolve to —
       * stable under the offset / subquery grid rewrites that shift
@@ -352,10 +357,19 @@ object Compiler {
         else if (offsetMs == 0) df
         else df.withColumn("step_ms", col("step_ms") + offsetMs)
       val smoother = f == "holt_winters" || f == "double_exponential_smoothing"
-      val g = gridAgg(mkPoints(ectx), windowMs, ectx,
+      // auto-downsampling: a plain range selector whose window and grid are
+      // aligned to an available layer reads the layer, not raw — exact by
+      // the left-open window convention ([[LayerRoute]]); anything else
+      // falls back to the raw-scan gridAgg below
+      val routed: Option[DataFrame] = rangeArg match {
+        case Some(s @ Selector(_, _, Some(r), _, _)) =>
+          LayerRoute.tryRoute(f, s, r, ectx)
+        case _ => None
+      }
+      val g = routed.getOrElse(gridAgg(mkPoints(ectx), windowMs, ectx,
         withDistribution = Set("quantile_over_time", "mad_over_time",
           "stddev_over_time", "stdvar_over_time").contains(f),
-        withSeriesList = smoother)
+        withSeriesList = smoother))
       if (f == "absent_over_time") { // 1 at steps where NO series has samples
         val out = ectx.grid.join(g.select(col("step_ms")).distinct(),
             Seq("step_ms"), "left_anti")

@@ -276,6 +276,56 @@ object Histograms {
         crossingSql(Seq("__name__", "hr")) +
         " SELECT r.__name__, r.hr, CAST(r.rank / 0.5e0 AS BIGINT) AS cnt, round(qq.q, 6) AS q50 " +
         "FROM r JOIN qq ON qq.__name__ = r.__name__ AND qq.hr = r.hr ORDER BY r.__name__"
+      }),
+
+    // Histogram chunks in the CHUNKED layout: cumulative native-histogram
+    // series framed as [[graft.functions.HistChunk]] bytes per (series, 8h
+    // window) — the reference's histogram chunk encodings riding beside XOR
+    // chunks (api/grpc/thanos.go:462-473) — decoded on read, then the same
+    // as-of selection + quantile as nh_instant, hash-matched against DuckDB
+    // recomputing from raw events. Proves a chunked store serves nh_*.
+    Q("s5_chunked_hist", {
+      val ti = T0 + 15 * 24 * HOUR + 37 * 60 * 1000L
+      val lb = 3 * HOUR
+      t => {
+        val spark = t.events.sparkSession
+        val out = java.nio.file.Files.createTempDirectory("graft-chunkhist").toString
+        graft.etl.Ingest.mergeChunked(spark, cumulativeHists(t), out)
+        val back = graft.etl.Ingest.openChunkedSamples(spark, out)
+        val w = back.filter(col("ts_ms") <= ti && col("ts_ms") > ti - lb)
+        val last = w.groupBy(col("evt")).agg(max(col("ts_ms")).as("ts_ms"))
+        w.join(last, Seq("evt", "ts_ms"))
+          .select(col("evt"), col("ts_ms"),
+            NativeHistograms.hCount(col("h")).cast("long").as("cnt"),
+            round(NativeHistograms.hSum(col("h")), 6).as("hsum"),
+            round(NativeHistograms.quantile(lit(0.5), col("h")), 6).as("q50"))
+          .orderBy(col("evt"))
+      }
+    },
+      Some {
+        val ti = T0 + 15 * 24 * HOUR + 37 * 60 * 1000L
+        val lb = 3 * HOUR
+        "WITH o AS (SELECT event_type AS evt, (epoch_ms(ts) // 3600000) * 3600000 AS hr, " +
+          "CAST(round(value * 100) AS BIGINT) AS obs FROM events), " +
+        "pb0 AS (SELECT evt, hr, CASE WHEN obs = 1 THEN 0 ELSE length(printf('%b', obs - 1)) END AS idx, " +
+          "count(*) AS c FROM o WHERE obs > 0 GROUP BY 1, 2, 3), " +
+        "hs0 AS (SELECT evt, hr, count(*) AS cnt, sum(obs) AS usum, " +
+          "count(*) FILTER (WHERE obs = 0) AS zc FROM o GROUP BY 1, 2), " +
+        "ch AS (SELECT evt, hr, sum(cnt) OVER (PARTITION BY evt ORDER BY hr) AS ccnt, " +
+          "sum(usum) OVER (PARTITION BY evt ORDER BY hr) AS cusum, " +
+          "sum(zc) OVER (PARTITION BY evt ORDER BY hr) AS czcnt FROM hs0), " +
+        s"wh AS (SELECT evt, max(hr) AS hr FROM ch WHERE hr <= $ti AND hr > ${ti - lb} GROUP BY 1), " +
+        "cb AS (SELECT p.evt, p.idx, sum(p.c) AS c FROM pb0 p JOIN wh ON wh.evt = p.evt AND p.hr <= wh.hr GROUP BY 1, 2), " +
+        "nb AS (SELECT evt, count(*) AS nb FROM cb GROUP BY 1), " +
+        "r AS (SELECT ch.evt, 0.5e0 AS phi, 0.5e0 * ch.ccnt AS rank, ch.czcnt AS zcnt, " +
+          "COALESCE(nb.nb, 0) AS nb, ch.ccnt, ch.cusum, ch.hr FROM ch " +
+          "JOIN wh ON wh.evt = ch.evt AND wh.hr = ch.hr " +
+          "LEFT JOIN nb ON nb.evt = ch.evt), " +
+        "cum AS (SELECT evt, idx, c, sum(c) OVER (PARTITION BY evt ORDER BY idx) AS cum FROM cb), " +
+        crossingSql(Seq("evt")) +
+        " SELECT r.evt, r.hr AS ts_ms, CAST(r.ccnt AS BIGINT) AS cnt, " +
+        "round(CAST(r.cusum AS DOUBLE) / 100.0, 6) AS hsum, round(qq.q, 6) AS q50 " +
+        "FROM r JOIN qq ON qq.evt = r.evt ORDER BY r.evt"
       })
   )
 }

@@ -545,8 +545,8 @@ object Tsdb {
           col("drop_sum").cast("double").as("drop_sum"))
         .orderBy(col("__name__"), col("uid"), col("win_start")),
       Some(s"WITH $S_CTE, " +
-        "w AS (SELECT *, ts_ms - ts_ms % 3600000 AS win_start, " +
-        "lag(value) OVER (PARTITION BY __name__, uid, ts_ms - ts_ms % 3600000 " +
+        "w AS (SELECT *, (ts_ms - 1) - (ts_ms - 1) % 3600000 AS win_start, " +
+        "lag(value) OVER (PARTITION BY __name__, uid, (ts_ms - 1) - (ts_ms - 1) % 3600000 " +
         "ORDER BY ts_ms, sample_id) AS prev FROM s) " +
         s"SELECT __name__, uid, win_start, count(*) AS n, $DSUM AS sum_v, " +
         "min(value) AS min_v, max(value) AS max_v, " +
@@ -569,8 +569,8 @@ object Tsdb {
           col("drop_sum").cast("double").as("drop_sum"))
         .orderBy(col("__name__"), col("uid"), col("win_start")),
       Some(s"WITH $S_CTE, " +
-        "w AS (SELECT *, ts_ms - ts_ms % 21600000 AS win_start, " +
-        "lag(value) OVER (PARTITION BY __name__, uid, ts_ms - ts_ms % 21600000 " +
+        "w AS (SELECT *, (ts_ms - 1) - (ts_ms - 1) % 21600000 AS win_start, " +
+        "lag(value) OVER (PARTITION BY __name__, uid, (ts_ms - 1) - (ts_ms - 1) % 21600000 " +
         "ORDER BY ts_ms, sample_id) AS prev FROM s) " +
         s"SELECT __name__, uid, win_start, count(*) AS n, $DSUM AS sum_v, " +
         "min(value) AS min_v, max(value) AS max_v, " +
@@ -597,6 +597,55 @@ object Tsdb {
         "CAST(CAST(SUM(CAST(CASE WHEN prev IS NOT NULL AND value < prev " +
         "THEN prev - value ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS inc " +
         "FROM d GROUP BY __name__, uid ORDER BY __name__, uid")),
+
+    // Auto-downsampling THROUGH the engine (Thanos querier transparent
+    // downsampled-block serving): the PromQL compiler itself — handed layer
+    // frames via Ctx.layers, the same path PromEngine(layers=…) uses — must
+    // answer a multi-week increase() grid FROM the 1h layer (LayerRouteSpec
+    // proves the plan reads only layer files) and still hash-match DuckDB's
+    // raw per-sample extrapolated-increase walk. Left-open layer windows
+    // ([[graft.etl.Downsample.winStartOf]]) are what make this exact.
+    Q("s5_downsample_routed", {
+      val (start, end, step, rng) = (T0 + 2 * DAY, T0 + 28 * DAY, 14400000L, DAY)
+      (t: Tables) => {
+        val spark = t.events.sparkSession
+        val out = java.nio.file.Files.createTempDirectory("graft-routed").toString
+        val s = samples(t)
+        graft.etl.Downsample.writeLayer(
+          graft.etl.Downsample.layer(s, 3600000L), s"$out/l1h")
+        val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
+        Compiler.compile(Parser.parse("increase(purchase[1d])"),
+            Compiler.Ctx(s, start, end, step, LB, layers = layers))
+          .select(col("uid"), col("step_ms"), col("value"))
+          .orderBy(col("uid"), col("step_ms"))
+      }},
+      Some {
+        // mirrors Compiler.extrapolated (Prometheus extrapolatedRate), no
+        // rate normalization — the raw-scan semantics the routed plan must hit
+        val (start, end, step, rng) = (T0 + 2 * DAY, T0 + 28 * DAY, 14400000L, DAY)
+        s"WITH $S_CTE, " +
+          "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
+          "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM sp " +
+          "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
+          s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
+          s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $rng AND p.ts_ms <= g.step_ms), " +
+          "a AS (SELECT uid, step_ms, count(*) AS n, min(ts_ms) AS ft, max(ts_ms) AS lt, " +
+          "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
+          "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
+          s"prev_ts > step_ms - $rng AND value < prev_val THEN prev_val ELSE 0 END " +
+          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2), " +
+          "b AS (SELECT uid, step_ms, n, fv, lv - fv + resets AS rv, " +
+          s"CAST(ft - (step_ms - $rng) AS DOUBLE) / 1000.0e0 AS ds0, " +
+          "CAST(step_ms - lt AS DOUBLE) / 1000.0e0 AS de0, " +
+          "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
+          "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
+          "d AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
+          "e AS (SELECT *, CASE WHEN ds0 >= thr THEN ai / 2.0e0 ELSE ds0 END AS dsa FROM d), " +
+          "f AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < dsa THEN dz ELSE dsa END AS dsb, " +
+          "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e) " +
+          "SELECT uid, step_ms, rv * ((si + dsb + deb) / si) AS value " +
+          "FROM f ORDER BY uid, step_ms"
+      }),
 
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer

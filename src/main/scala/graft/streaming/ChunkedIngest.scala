@@ -36,10 +36,32 @@ object ChunkedIngest {
         val (touched, merged) = graft.etl.Ingest.mergeChunkedRetained(spark,
           TimeSeriesModel.samples(batch), outDir)
         try downsampleRes.foreach { res =>
-          // reuse the persisted merge result — the layer refresh must not
-          // re-decode the frames the merge just wrote
-          merged.foreach(m => graft.etl.Downsample.refreshDates(spark,
-            m, s"$outDir/downsample-$res", res, touched))
+          // reuse the pinned merge result — the layer refresh must not
+          // re-decode the frames the merge just wrote. Layer windows are
+          // left-open, so a sample at exactly midnight belongs to the
+          // PREVIOUS day's last window: the refreshed WINDOW dates can
+          // extend one day before the touched sample dates, and those
+          // extra window-dates (plus next-day midnight fragments) must be
+          // fed from the store — the batch slice doesn't carry them.
+          merged.foreach { m =>
+            import org.apache.spark.sql.functions.{col, pmod, lit}
+            val winDates = graft.etl.Downsample.touchedWindowDates(m)
+            val needFull = winDates.diff(touched)
+            val needMid = winDates.map(graft.etl.Downsample.nextDate)
+              .distinct.diff(touched ++ needFull)
+            val preds = Seq(
+              Option.when(needFull.nonEmpty)(col("date").isin(needFull: _*)),
+              Option.when(needMid.nonEmpty)(col("date").isin(needMid: _*) &&
+                pmod(col("ts_ms"), lit(86400000L)) === 0L)).flatten
+            val src =
+              if (preds.isEmpty) m
+              else m.unionByName(
+                graft.etl.Ingest.openChunkedSamples(spark, outDir)
+                  .withColumn("date", col("date").cast("string"))
+                  .filter(preds.reduce(_ || _)))
+            graft.etl.Downsample.refreshDates(spark,
+              src, s"$outDir/downsample-$res", res, winDates)
+          }
         } finally merged.foreach(_.unpersist())
       }
       .option("checkpointLocation", checkpoint)

@@ -36,8 +36,18 @@ object EventsStream {
     * physical ts type differs. */
   def source(spark: SparkSession, srcDir: String,
              schema: Option[StructType] = None): DataFrame = {
-    val resolved = schema.orElse(
-      scala.util.Try(spark.read.parquet(srcDir).schema).toOption).getOrElse(
+    // only "nothing there yet" maps to the stage-first-batch advice —
+    // permission errors, corrupt footers, conflicting schemas are real
+    // source problems and must propagate, not masquerade as an empty dir
+    val probed =
+      try Some(spark.read.parquet(srcDir).schema)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
+      }
+    val resolved = schema.orElse(probed).getOrElse(
       throw new IllegalStateException(
         s"cannot probe a schema from '$srcDir' (no readable files yet); " +
           "stage the first batch before defining the source, or pass schema="))

@@ -80,6 +80,63 @@ class EtlSpec extends SparkSpec {
     assert(e.getMessage.contains("'h'"))
   }
 
+  test("chunked layout: native-histogram series roundtrip via HistChunk frames") {
+    import spark.implicits._
+    val T0 = 1704067200000L
+    // two histogram series + one float series in ONE store: frames must
+    // split into hdata vs data kinds and both decode back exactly
+    val rnd = new scala.util.Random(5)
+    val hist = (for (s <- 0 until 2; i <- 0 until 50) yield {
+      val ts = T0 + i * 1730000L + s
+      (s"hm", s.toString, ts, (i + 1).toDouble, ts)
+    }).toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", struct(
+        col("value").as("cnt"), (col("value") * 1.5).as("hsum"),
+        lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(2.0).as("zcnt"),
+        array(struct(lit(0).as("idx"), col("value").as("c")),
+          struct(lit(3).as("idx"), (col("value") + 1.0).as("c"))).as("pos"),
+        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+    val flt = (for (i <- 0 until 60) yield {
+      val ts = T0 + i * 1490000L
+      ("fm", "9", ts, rnd.nextDouble() * 100, ts)
+    }).toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", lit(null).cast(graft.functions.HistChunk.HistType))
+    val samples = hist.unionByName(flt)
+    val out = Files.createTempDirectory("graft-chunkhist").toString
+    Ingest.mergeChunked(spark, samples, out)
+
+    val frames = spark.read.parquet(s"$out/chunks")
+    assert(frames.filter(col("hdata").isNotNull && col("data").isNotNull).count() == 0)
+    assert(frames.filter(col("hdata").isNotNull).count() > 0)
+    assert(frames.filter(col("data").isNotNull).count() > 0)
+
+    val want = samples.drop("sample_id")
+    val back = Ingest.openChunkedSamples(spark, out)
+      .select(want.columns.map(col): _*)
+    assert(back.count() == samples.count())
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+      "decoded samples (incl. histogram structs) must equal the originals")
+
+    // engine over the decoded store: histogram functions work unchanged
+    val q = graft.promql.NativeHistograms.quantile(
+      org.apache.spark.sql.functions.lit(0.5), col("h"))
+    val n = back.filter(col("h").isNotNull)
+      .select(q.as("q")).na.drop().count()
+    assert(n == 100)
+
+    // a frame mixing float and histogram samples in one series fails loudly
+    val hrow = hist.filter(col("uid") === "0" && col("ts_ms") === T0)
+    val mixed = hrow.unionByName(
+      hrow.withColumn("ts_ms", col("ts_ms") + 1000L)
+        .withColumn("h", lit(null).cast(graft.functions.HistChunk.HistType)))
+    val e = intercept[Exception] {
+      Ingest.framesOf(mixed).select("hdata").collect()
+    }
+    assert(e.getMessage.contains("mixes float"))
+  }
+
   test("chunked select: pushdown prunes frames before decode; engine matches flat layout") {
     import graft.promql.{Compiler, Parser, MatchEq, MatchNotEq}
     val t = Tables(spark, sf())

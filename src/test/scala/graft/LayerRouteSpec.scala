@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.etl.Downsample
+import graft.promql._
+
+/** Auto-downsampling routing ([[graft.promql.LayerRoute]]): for every
+  * routable range function, the layer-served plan must be BIT-identical to
+  * the raw-scan plan on an aligned grid — including samples sitting exactly
+  * on window boundaries (the case the left-open window convention exists
+  * for) — and must actually read the layer files, not raw. Unaligned or
+  * non-recomposable queries fall back to raw untouched. */
+class LayerRouteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+  private val T0 = 1704067200000L // 2024-01-01T00:00Z — a multiple of 1h
+
+  /** Adversarial fixture: counters with frequent resets, gauges with
+    * negatives and mixed magnitudes, irregular cadence, PLUS samples at
+    * exactly every hour boundary (the double-count/drop trap). */
+  private lazy val fixture: (DataFrame, Map[Long, DataFrame], String, String) = {
+    val rnd = new scala.util.Random(7)
+    val rows = scala.collection.mutable.Buffer.empty[(String, String, Long, Double, Long)]
+    var id = 0L
+    for (s <- 0 until 6) {
+      var counter = 0.0
+      for (i <- 0 until 400) {
+        val ts = T0 + i * 831000L + s * 17L // irregular, not window-aligned
+        counter += rnd.nextDouble() * 10
+        if (rnd.nextInt(37) == 0) counter = rnd.nextDouble() // reset
+        val v =
+          if (s % 2 == 0) counter
+          else rnd.nextInt(5) match {
+            case 0 => -rnd.nextDouble() * 1e6
+            case 1 => 0.0
+            case 2 => rnd.nextDouble() * 1e-6
+            case _ => rnd.nextDouble() * 100 - 50
+          }
+        id += 1
+        rows += (((if (s % 2 == 0) "ctr" else "gau"), s.toString, ts, v, id))
+      }
+      // exact-boundary samples: ts ≡ 0 (mod 1h) — left-open windows put
+      // them in the PRECEDING window, same as PromQL's (t-range, t]
+      for (k <- 0 to 90) {
+        id += 1
+        rows += (((if (s % 2 == 0) "ctr" else "gau"), s.toString,
+          T0 + k * H, rnd.nextDouble() * 100, id))
+      }
+    }
+    val df = rows.toSeq
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-route").toString
+    df.write.parquet(s"$tmp/samples")
+    val samplesPq = spark.read.parquet(s"$tmp/samples")
+    Downsample.writeLayer(Downsample.layer(samplesPq, Downsample.Res5m), s"$tmp/l5m")
+    Downsample.writeLayer(Downsample.layer(samplesPq, Downsample.Res1h), s"$tmp/l1h")
+    val layers = Map(
+      Downsample.Res5m -> Downsample.openLayer(spark, s"$tmp/l5m"),
+      Downsample.Res1h -> Downsample.openLayer(spark, s"$tmp/l1h"))
+    (samplesPq, layers, tmp, s"$tmp/samples")
+  }
+
+  private def scannedDirs(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten.toSet
+  }
+
+  private def compileBoth(q: String, start: Long, end: Long,
+                          step: Long): (DataFrame, DataFrame) = {
+    val (samples, layers, _, _) = fixture
+    val ast = Parser.parse(q)
+    val raw = Compiler.compile(ast, Compiler.Ctx(samples, start, end, step))
+    val routed = Compiler.compile(ast,
+      Compiler.Ctx(samples, start, end, step, layers = layers))
+    (raw, routed)
+  }
+
+  private def assertIdentical(raw: DataFrame, routed: DataFrame): Unit = {
+    assert(routed.count() > 0, "routed result must be non-empty")
+    assert(routed.exceptAll(raw).isEmpty && raw.exceptAll(routed).isEmpty,
+      "layer-served result must be bit-identical to the raw scan")
+  }
+
+  private val routableQueries = Seq(
+    """rate({__name__="ctr"}[6h])""",
+    """increase({__name__="ctr"}[6h])""",
+    """delta({__name__="gau"}[6h])""",
+    """resets({__name__="ctr"}[6h])""",
+    """changes({__name__="ctr"}[6h])""",
+    """sum_over_time({__name__="gau"}[6h])""",
+    """avg_over_time({__name__="gau"}[6h])""",
+    """min_over_time({__name__="gau"}[6h])""",
+    """max_over_time({__name__="gau"}[6h])""",
+    """count_over_time({__name__="gau"}[6h])""",
+    """first_over_time({__name__="gau"}[6h])""",
+    """last_over_time({__name__="gau"}[6h])""",
+    """present_over_time({__name__="gau"}[6h])""",
+    """ts_of_last_over_time({__name__="gau"}[6h])""")
+
+  test("every routable function: layer route is bit-identical to raw on an aligned grid") {
+    val (start, end, step) = (T0 + 12 * H, T0 + 80 * H, 2 * H)
+    routableQueries.foreach { q =>
+      val (raw, routed) = compileBoth(q, start, end, step)
+      withClue(q) { assertIdentical(raw, routed) }
+    }
+  }
+
+  test("routed plan reads the layer files, never raw samples") {
+    val (_, _, tmp, samplesDir) = fixture
+    val (raw, routed) = compileBoth("""rate({__name__="ctr"}[24h])""",
+      T0 + 24 * H, T0 + 80 * H, 4 * H)
+    val routedDirs = scannedDirs(routed)
+    assert(routedDirs.exists(_.contains(s"$tmp/l1h")), s"expected l1h in $routedDirs")
+    assert(!routedDirs.exists(_.contains(samplesDir)), s"raw scan leaked into $routedDirs")
+    assert(scannedDirs(raw).exists(_.contains(samplesDir)))
+    // coarsest admissible layer wins: 1h, not 5m (Thanos auto-downsampling)
+    assert(!routedDirs.exists(_.contains(s"$tmp/l5m")))
+  }
+
+  test("matchers prune on the layer; offset and @ route when still aligned") {
+    val (start, end, step) = (T0 + 12 * H, T0 + 60 * H, 2 * H)
+    Seq(
+      """sum_over_time({__name__="gau", uid=~"1|3"}[6h])""",
+      """count_over_time({__name__="gau", uid!="5"}[6h])""",
+      s"""rate({__name__="ctr"}[6h] offset 3h)""",
+      s"""sum_over_time({__name__="gau"}[6h] @ ${(T0 + 48 * H) / 1000})""")
+      .foreach { q =>
+        val (raw, routed) = compileBoth(q, start, end, step)
+        withClue(q) { assertIdentical(raw, routed) }
+      }
+  }
+
+  test("instant query (single step) routes and matches raw") {
+    val t = T0 + 48 * H
+    val (raw, routed) = compileBoth("""increase({__name__="ctr"}[24h])""", t, t, 1000L)
+    assertIdentical(raw, routed)
+    val (_, _, tmp, _) = fixture
+    assert(scannedDirs(routed).exists(_.contains(s"$tmp/l1h")))
+  }
+
+  test("half-hour alignment falls to the 5m layer; misaligned falls back to raw") {
+    val (_, _, tmp, samplesDir) = fixture
+    // start on a half hour: 1h inadmissible, 5m still aligned
+    val (raw5, routed5) = compileBoth("""sum_over_time({__name__="gau"}[90m])""",
+      T0 + 12 * H + 30 * 60000L, T0 + 40 * H + 30 * 60000L, 2 * H)
+    assertIdentical(raw5, routed5)
+    assert(scannedDirs(routed5).exists(_.contains(s"$tmp/l5m")))
+    // window not a multiple of 5m → no layer admissible → raw scan
+    val (_, routedRaw) = compileBoth("""sum_over_time({__name__="gau"}[97m])""",
+      T0 + 12 * H, T0 + 40 * H, 2 * H)
+    assert(scannedDirs(routedRaw).exists(_.contains(samplesDir)))
+    // non-recomposable function → raw scan even when aligned
+    val (_, irate) = compileBoth("""irate({__name__="ctr"}[6h])""",
+      T0 + 12 * H, T0 + 40 * H, 2 * H)
+    assert(scannedDirs(irate).exists(_.contains(samplesDir)))
+  }
+
+  test("PromEngine(layers=…) serves range queries from the layer, same answers") {
+    val (samples, layers, _, _) = fixture
+    val plain = new graft.api.PromEngine(samples)
+    val layered = new graft.api.PromEngine(samples, layers = layers)
+    val q = """rate({__name__="ctr"}[6h])"""
+    val (start, end, step) = (T0 + 12 * H, T0 + 60 * H, 2 * H)
+    assert(layered.rangeQuery(q, start, end, step) == plain.rangeQuery(q, start, end, step))
+    assert(layered.rangeQuery(q, start, end, step).nonEmpty)
+    // layer route reads far fewer rows — the stats channel shows the saving
+    val (_, statsRaw, _) = plain.rangeQueryWithStats(q, start, end, step)
+    val (_, statsLay, _) = layered.rangeQueryWithStats(q, start, end, step)
+    assert(statsLay.samplesTotal < statsRaw.samplesTotal,
+      s"layer scan ${statsLay.samplesTotal} should be below raw ${statsRaw.samplesTotal}")
+  }
+
+  test("admissibleRes picks the coarsest aligned resolution") {
+    val (samples, layers, _, _) = fixture
+    def ctx(start: Long, end: Long, step: Long) =
+      Compiler.Ctx(samples, start, end, step, layers = layers)
+    assert(LayerRoute.admissibleRes(ctx(T0, T0 + 10 * H, 2 * H), 6 * H)
+      .contains(Downsample.Res1h))
+    assert(LayerRoute.admissibleRes(ctx(T0, T0 + 10 * H, 2 * H), 35 * 60000L)
+      .contains(Downsample.Res5m))
+    assert(LayerRoute.admissibleRes(ctx(T0 + 1234567L, T0 + 1234567L, 1000L), 6 * H)
+      .isEmpty)
+    assert(LayerRoute.admissibleRes(ctx(T0, T0 + 10 * H, 97 * 60000L), 6 * H)
+      .isEmpty) // step not aligned
+  }
+}

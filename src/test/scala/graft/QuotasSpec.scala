@@ -39,6 +39,21 @@ class QuotasSpec extends SparkSpec {
     assert(Quotas(maxBytesMidScan = Some(1L << 40)).collect(ev).length == ok.length)
   }
 
+  test("mid-scan settle is a job-end latch, not a poll: <100ms overhead") {
+    val ev = Tables(spark, sf()).events.select("event_id").limit(64)
+    val q = Quotas(maxBytesMidScan = Some(1L << 40))
+    q.collect(ev) // warm codegen/scan so the measured pass times the latch
+    val t0 = System.nanoTime()
+    val bare = ev.collect()
+    val t1 = System.nanoTime()
+    val quotad = q.collect(ev)
+    val t2 = System.nanoTime()
+    assert(quotad.length == bare.length)
+    val overheadMs = (t2 - t1 - (t1 - t0)) / 1e6
+    assert(overheadMs < 100.0,
+      s"under-quota collect added ${overheadMs}ms over a bare collect")
+  }
+
   test("query gate bounds concurrency and times out when saturated") {
     val gate = new QueryGate(maxConcurrent = 1)
     val r = gate.run()(42)
