@@ -138,6 +138,15 @@ final class PromEngine(samples: DataFrame,
   def labelValues(label: String, matchers: Seq[LabelMatcher], mintMs: Long,
                   maxtMs: Long, limit: Int = 0): (Seq[String], Boolean) = {
     if (!samples.columns.contains(label)) return (Seq.empty, false)
+    // no-matcher shortcut (ref search/search.go:173-201): resolve from the
+    // parquet dictionary pages + footer stats, scanning only the interval's
+    // boundary files — exact, falls back to the scan when inapplicable
+    if (matchers.isEmpty)
+      graft.sources.FooterLabelValues.labelValues(samples, label, mintMs, maxtMs)
+        .foreach { vals =>
+          val truncated = limit > 0 && vals.size > limit
+          return (if (truncated) vals.take(limit) else vals, truncated)
+        }
     val vals = Eval.select(samples, matchers, mintMs, maxtMs)
       .select(col(label)).na.drop().distinct().orderBy(col(label))
     val rows = (if (limit > 0) vals.limit(limit + 1) else vals).collect().toSeq

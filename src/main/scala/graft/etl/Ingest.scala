@@ -167,8 +167,61 @@ object Ingest {
     * (XOR compression) for decode-on-read — the same trade the reference
     * makes. Encode is executor-side inside the grouping aggregate; nothing
     * uncompressed ever crosses the shuffle after the frame build. */
-  def convertChunked(spark: SparkSession, events: DataFrame, outDir: String): Unit =
-    writeFrames(framesOf(TimeSeriesModel.samples(events)), outDir, dynamic = false)
+  def convertChunked(spark: SparkSession, events: DataFrame, outDir: String,
+                     externalLabels: Map[String, String] = Map.empty): Unit = {
+    val samples = TimeSeriesModel.samples(events)
+    if (externalLabels.isEmpty)
+      writeFrames(framesOf(samples), outDir, dynamic = false)
+    else {
+      // external labels cut the same stream=<hash> partition dimension as
+      // the flat layout (schema/block.go:37-76): one tenant/HA stream per
+      // directory subtree, vetoed before any file is listed. The labels
+      // also ride as constant frame columns, so matcher compilation works
+      // unchanged; a `streams/<id>.json` sidecar records the label set for
+      // the select-time fold ([[selectChunkedSamples]]).
+      require(!samples.columns.contains("stream"),
+        "samples already carry a 'stream' column; it is reserved for the " +
+          "external-label partition dimension")
+      val id = streamId(externalLabels)
+      val streamed = externalLabels.foldLeft(samples) { case (df, (k, v)) =>
+        df.withColumn(k, lit(v))
+      }.withColumn("stream", lit(id))
+      // dynamic overwrite: converting stream B must not clear stream A
+      writeFrames(framesOf(streamed), outDir, dynamic = true)
+      val dir = Paths.get(s"$outDir/streams")
+      Files.createDirectories(dir)
+      val lbls = externalLabels.toSeq.sorted.map { case (k, v) =>
+        s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" }.mkString(",")
+      Files.writeString(dir.resolve(s"$id.json"), s"""{"labels":{$lbls}}""")
+    }
+  }
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Stream sidecars of a chunked layout: stream id → external label set. */
+  def readStreamSidecars(outDir: String): Map[String, Map[String, String]] = {
+    val dir = Paths.get(s"$outDir/streams")
+    if (!Files.isDirectory(dir)) Map.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .map { p =>
+          val id = p.getFileName.toString.stripSuffix(".json")
+          val parsed = MiniJson.parse(Files.readString(p))
+            .asInstanceOf[Map[String, Any]]
+          id -> parsed("labels").asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.toString }
+        }.toMap
+      finally s.close()
+    }
+  }
 
   /** Samples → one frame row per (date, series, 8h window): the Gorilla
     * encode runs inside the grouping aggregate, executor-side.
@@ -199,12 +252,15 @@ object Ingest {
       }
     val hasH = structCols.nonEmpty
     val lblCols = samples.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h")).toSeq
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date", "h", "stream"))
+      .toSeq
+    // stream is a partition dimension like date, never a frame label
+    val part = (if (samples.columns.contains("stream")) Seq(col("stream")) else Nil) ++
+      Seq(col("date"), col("series_hash"))
     val win = col("ts_ms") - pmod(col("ts_ms"), lit(8L * 3600 * 1000))
     val grouped = samples
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
-      .groupBy((Seq(col("date"), col("series_hash")) ++ lblCols.map(col)
-        :+ win.as("win")): _*)
+      .groupBy((part ++ lblCols.map(col) :+ win.as("win")): _*)
     if (!hasH)
       grouped.agg(min(col("ts_ms")).as("mint"), max(col("ts_ms")).as("maxt"),
         count(lit(1)).as("n_samples"),
@@ -231,10 +287,11 @@ object Ingest {
 
   private def writeFrames(frames: DataFrame, outDir: String, dynamic: Boolean): Unit = {
     val lblCols = frames.columns.filterNot(chunkBookkeeping).toSeq
+    val partCols = if (frames.columns.contains("stream")) Seq("stream", "date") else Seq("date")
     frames
-      .repartitionByRange((col("date") +: lblCols.map(col)): _*)
-      .sortWithinPartitions((Seq(col("date")) ++ lblCols.map(col) :+ col("win")): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("date")
+      .repartitionByRange((partCols.map(col) ++ lblCols.map(col)): _*)
+      .sortWithinPartitions((partCols.map(col) ++ lblCols.map(col) :+ col("win")): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       // dynamic: only the partitions present in `frames` are replaced — the
       // merge path rewrites touched dates without clearing the layout
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
@@ -290,8 +347,11 @@ object Ingest {
     val merged =
       if (!java.nio.file.Files.isDirectory(chunksDir)) fresh
       else {
-        val existing = decodeFrames(
-          openChunkFrames(spark, outDir).filter(col("date").isin(dates: _*)))
+        val fr = openChunkFrames(spark, outDir)
+        require(!fr.columns.contains("stream"),
+          "mergeChunked targets a single-stream chunk layout; this store is " +
+            "stream-partitioned — merge per stream into its own subtree instead")
+        val existing = decodeFrames(fr.filter(col("date").isin(dates: _*)))
         // first-wins at sample grain: the stored point beats a re-delivery
         // (ref vertical merge semantics, convert/convert.go chunk dedup).
         // The histogram struct is PAYLOAD like value, never a grouping key —
@@ -326,7 +386,8 @@ object Ingest {
   }
 
   private val chunkBookkeeping =
-    Set("win", "mint", "maxt", "n_samples", "data", "hdata", "date", "series_hash")
+    Set("win", "mint", "maxt", "n_samples", "data", "hdata", "date", "series_hash",
+      "stream")
 
   /** Explode a frame DataFrame back to flat samples. Map-side only: the
     * decode is the codegen'd [[graft.functions.ChunkDecode]] (or
@@ -395,7 +456,23 @@ object Ingest {
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     val overlap = col("maxt") >= mintMs && col("mint") <= maxtMs &&
       col("date") >= day(mintMs) && col("date") <= day(maxtMs)
-    val pruned = frames.filter(overlap && graft.promql.Matchers.compile(frames, matchers))
+    // P10 fold over the stream dimension: a matcher on one of a stream's
+    // external labels is consumed against the sidecar constant — a mismatch
+    // vetoes that stream's whole subtree as a PARTITION predicate, before
+    // any file is listed (ref search/search.go:356-376). Matchers on
+    // non-external labels pass through to the frame scan untouched.
+    val streamPred: Option[org.apache.spark.sql.Column] =
+      if (!frames.columns.contains("stream")) None
+      else {
+        val streams = readStreamSidecars(outDir)
+        val alive = streams.collect { case (id, ext)
+          if matchers.filter(m => ext.contains(m.label))
+            .forall(m => m.matches(ext(m.label))) => id }.toSeq
+        Some(if (alive.isEmpty) lit(false) else col("stream").isin(alive: _*))
+      }
+    val pruned = frames.filter(
+      streamPred.map(overlap && _).getOrElse(overlap) &&
+        graft.promql.Matchers.compile(frames, matchers))
     decodeFrames(pruned).filter(col("ts_ms").between(mintMs, maxtMs))
   }
 

@@ -122,6 +122,24 @@ object SelectBench {
         "ExpensiveRegexMultipleMetrics" -> Seq(MatchRe("__name__", "test_metric_[1-3]"),
           MatchRe("instance", "(container-1|container-2|container-3|container-4|container-5)")))
       report("1m5", queries.map { case (n, ms) => run(n, samples, ms, repeat) })
+
+      // matcherless LabelValues: dictionary/footer shortcut vs column scan
+      // over the same 1.5M-series layout (ref search/search.go:173-201)
+      def timeIt(f: => Long): (Double, Long) = {
+        var n = 0L
+        val secs = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime(); n = f; (System.nanoTime() - t0) / 1e9
+        }
+        (secs.min, n)
+      }
+      val (scanS, scanN) = timeIt(
+        samples.select(col("service")).na.drop().distinct().count())
+      val (dictS, dictN) = timeIt(
+        graft.sources.FooterLabelValues.labelValues(samples, "service",
+          Long.MinValue / 2, Long.MaxValue / 2).map(_.size.toLong).getOrElse(-1L))
+      println(s"""{"metric":"label_values_1m5","unit":"sec",""" +
+        s""""queries":{"scan":$scanS,"dictionary":$dictS},""" +
+        s""""rows":{"scan":$scanN,"dictionary":$dictN}}""")
     }
 
     if (mode.contains("c")) {

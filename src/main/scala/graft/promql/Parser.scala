@@ -288,6 +288,11 @@ object Parser {
       }
       val id = ident()
       skipWs()
+      // PromQL number keywords (case-insensitive): a metric literally named
+      // NaN/Inf needs {__name__="NaN"}, as in Prometheus' lexer
+      if (id.equalsIgnoreCase("nan")) return NumberLit(Double.NaN)
+      if (id.equalsIgnoreCase("inf") || id.equalsIgnoreCase("infinity"))
+        return NumberLit(Double.PositiveInfinity)
       if (aggOps.contains(id)) {
         // optional prefix grouping: sum by (a) (expr)
         val g1 = grouping()

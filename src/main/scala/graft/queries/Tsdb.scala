@@ -533,6 +533,28 @@ object Tsdb {
         s"AND ts_ms BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} " +
         "GROUP BY uid ORDER BY uid")),
 
+    // Stream dimension on the CHUNKED layout: two tenant streams carrying
+    // the same events under different external labels; the select-time P10
+    // fold consumes the `cluster` matcher against the stream sidecars and
+    // vetoes eu-west as a stream= PARTITION predicate (EtlSpec pins the
+    // plan) — without it this query would return doubled counts.
+    Q("s5_chunked_streams",
+      t => {
+        val out = java.nio.file.Files.createTempDirectory("graft-chunkstr").toString
+        graft.etl.Ingest.convertChunked(t.spark, t.events, out, Map("cluster" -> "us-east"))
+        graft.etl.Ingest.convertChunked(t.spark, t.events, out, Map("cluster" -> "eu-west"))
+        graft.etl.Ingest.selectChunkedSamples(t.spark, out,
+            Seq(MatchEq("__name__", "purchase"), MatchEq("cluster", "us-east")),
+            T0 + 7 * DAY, T0 + 14 * DAY - 1)
+          .groupBy(col("cluster"), col("uid"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("uid"))
+      },
+      Some(s"WITH $S_CTE SELECT 'us-east' AS cluster, uid, count(*) AS n, " +
+        s"$DSUM AS sum_v FROM s WHERE __name__ = 'purchase' " +
+        s"AND ts_ms BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} " +
+        "GROUP BY uid ORDER BY uid")),
+
     // Thanos-style 1h downsample layer (compact/downsample.go): per (series,
     // aligned hour) count/sum/min/max + first/last(+ts) + the decimal sum of
     // in-window counter drops. One aggregation pass — the long-range read

@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Dictionary/footer fast path for matcherless `label_values(x)` — the
+  * reference's no-matcher LabelValues shortcut (`search/search.go:173-201`:
+  * with no constraints, the distinct values of a label are read from the
+  * parquet DICTIONARY pages, never touching data pages).
+  *
+  * Spark-first form, exact rather than block-granular: the work distributes
+  * over the relation's files; each task opens only the FOOTER of its files
+  * and classifies them —
+  *
+  *  - a file fully inside the query interval (ts_ms column statistics) whose
+  *    label chunks are dictionary-encoded in every row group contributes its
+  *    dictionary entries directly (parquet-mr builds dictionaries from the
+  *    values actually written, and falls back to plain pages mid-row-group
+  *    only in ways `EncodingStats.hasNonDictionaryEncodedPages` reports);
+  *  - a boundary file (straddles the interval), a file without usable
+  *    stats/encoding info, or a non-dictionary chunk routes that FILE to an
+  *    ordinary pruned column scan.
+  *
+  * So the scan shrinks to the interval's boundary files — at 100 TB a
+  * whole-retention `label_values()` reads a few KB of footers per file plus
+  * the dictionary pages, instead of scanning a column through every row
+  * group. Exactness is per-file, never approximated: the union of
+  * dictionary files + scanned files is exactly the matcherless select.
+  *
+  * Applicability is conservative: the samples view must be a single plain
+  * parquet relation (no decode-on-read transforms) and the label a string
+  * column stored in the files (not a partition directory column); anything
+  * else returns None and the caller keeps its scan path.
+  */
+object FooterLabelValues {
+
+  /** Distinct values of `label` among samples with ts_ms ∈ [mintMs, maxtMs],
+    * resolved footer-first. None = not applicable (caller falls back). */
+  def labelValues(samples: DataFrame, label: String,
+                  mintMs: Long, maxtMs: Long): Option[Seq[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rel = samples.queryExecution.optimizedPlan match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation
+          if fs.fileFormat.toString.toLowerCase.contains("parquet") => Some(fs)
+        case _ => None
+      }
+      case _ => None
+    }
+    rel.flatMap { fs =>
+      // label must live in the data files; a partition-directory column has
+      // no pages to read (and the engine never treats those as labels)
+      if (!fs.dataSchema.fieldNames.contains(label) ||
+          !fs.dataSchema.fieldNames.contains("ts_ms")) None
+      else {
+        val spark = samples.sparkSession
+        val files = fs.location.inputFiles.toSeq
+        if (files.isEmpty) Some(Seq.empty)
+        else {
+        val par = math.max(1, math.min(files.size,
+          spark.sparkContext.defaultParallelism))
+        // per-file footer classification, distributed. (File-system access
+        // uses a fresh Hadoop conf per task — on a real cluster thread the
+        // session's hadoopConf through a broadcast instead.)
+        val classified = spark.sparkContext.parallelize(files, par)
+          .mapPartitions { it => it.map(f => classify(f, label, mintMs, maxtMs)) }
+          .collect()
+        if (classified.exists(_ == null)) None // unusable column type etc.
+        else {
+          val dictVals = classified.iterator.flatMap(_.values).toSet
+          val scanFiles = classified.filter(_.needsScan).map(_.path)
+          val scanned: Seq[String] =
+            if (scanFiles.isEmpty) Nil
+            else spark.read.schema(fs.dataSchema).parquet(scanFiles: _*)
+              .filter(col("ts_ms").between(mintMs, maxtMs))
+              .select(col(label)).na.drop().distinct()
+              .collect().map(_.getString(0)).toSeq
+          Some((dictVals ++ scanned).toSeq.sorted)
+        }
+        }
+      }
+    }
+  }
+
+  /** One file's contribution: dictionary values (file fully covered &
+    * dictionary-only) and/or a needs-scan flag. `null` poisons the whole
+    * fast path (e.g. the label isn't a BINARY column). */
+  private final case class FileValues(path: String, values: Seq[String],
+                                      needsScan: Boolean)
+
+  private def classify(path: String, label: String,
+                       mintMs: Long, maxtMs: Long): FileValues = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val desc = schema.getColumns.asScala
+        .find(d => d.getPath.toSeq == Seq(label)).orNull
+      if (desc == null ||
+          desc.getPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.BINARY)
+        return null // not a string label in this file → fast path off
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      var needsScan = false
+      val out = Seq.newBuilder[String]
+      blocks.foreach { bm =>
+        val tsCc = bm.getColumns.asScala.find(_.getPath.toDotString == "ts_ms").orNull
+        val lblCc = bm.getColumns.asScala.find(_.getPath.toDotString == label).orNull
+        if (tsCc == null || lblCc == null) needsScan = true
+        else {
+          val st = tsCc.getStatistics
+          val overlap = st == null || !st.hasNonNullValue || {
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            mx >= mintMs && mn <= maxtMs
+          }
+          if (overlap) {
+            val covered = st != null && st.hasNonNullValue && {
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              mn >= mintMs && mx <= maxtMs
+            }
+            val es = lblCc.getEncodingStats
+            if (!covered || es == null || es.hasNonDictionaryEncodedPages)
+              needsScan = true
+            else {
+              // getDictionaryReader's concrete class is package-private;
+              // talk to it through the public DictionaryPageReadStore face
+              val dicts: org.apache.parquet.column.page.DictionaryPageReadStore =
+                reader.getDictionaryReader(bm)
+              val page = dicts.readDictionaryPage(desc)
+              if (page == null) {
+                // dictionary-encoded per stats but no page? be safe
+                needsScan = true
+              } else {
+                val dict = page.getEncoding.initDictionary(desc, page)
+                var id = 0
+                while (id <= dict.getMaxId) {
+                  out += dict.decodeToBinary(id).toStringUsingUTF8
+                  id += 1
+                }
+              }
+            }
+          } // non-overlapping row group contributes nothing
+        }
+      }
+      FileValues(path, out.result().distinct, needsScan)
+    } finally reader.close()
+  }
+}

@@ -80,6 +80,40 @@ class EtlSpec extends SparkSpec {
     assert(e.getMessage.contains("'h'"))
   }
 
+  test("chunked streams: external-label veto prunes stream partitions before listing") {
+    import graft.promql.MatchEq
+    val t = Tables(spark, sf())
+    val out = Files.createTempDirectory("graft-chunkstream").toString
+    Ingest.convertChunked(spark, t.events, out, Map("cluster" -> "us-east"))
+    Ingest.convertChunked(spark, t.events, out, Map("cluster" -> "eu-west"))
+    assert(Ingest.readStreamSidecars(out).values.toSet ==
+      Set(Map("cluster" -> "us-east"), Map("cluster" -> "eu-west")))
+
+    val T0 = 1704067200000L; val DAY = 86400000L
+    // the same events live in BOTH streams — without the veto the select
+    // would return doubled rows
+    val sel = Ingest.selectChunkedSamples(spark, out,
+      Seq(MatchEq("__name__", "purchase"), MatchEq("cluster", "us-east")),
+      T0, T0 + 31 * DAY)
+    val flat = graft.model.TimeSeriesModel.samples(t.events)
+      .filter(col("__name__") === "purchase")
+    assert(sel.count() == flat.count() && sel.count() > 0)
+    assert(sel.select("cluster").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("us-east"))
+
+    // the fold reaches the scan as a PARTITION predicate on stream=
+    val scans = sel.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.metadata("PartitionFilters").contains("stream")),
+      scans.map(_.metadata("PartitionFilters")).mkString("; "))
+
+    // full veto: no surviving stream
+    val none = Ingest.selectChunkedSamples(spark, out,
+      Seq(MatchEq("cluster", "mars")), T0, T0 + 31 * DAY)
+    assert(none.count() == 0)
+  }
+
   test("chunked layout: native-histogram series roundtrip via HistChunk frames") {
     import spark.implicits._
     val T0 = 1704067200000L

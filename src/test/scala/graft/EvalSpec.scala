@@ -80,4 +80,39 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rate") - 25.0 / 3.0) < 1e-12) // 3s span
     assert(r.getAs[Double]("idelta") == 10.0)        // 15 - 5
   }
+
+  test("labelValues dictionary/footer fast path equals the scan on every bound shape") {
+    val t = Tables(spark, sf())
+    val out = java.nio.file.Files.createTempDirectory("graft-lvdict").toString
+    graft.etl.Ingest.convert(spark, t.events, out)
+    val fileSamples = graft.etl.Ingest.openSamples(spark, out)
+
+    def scanVals(label: String, lo: Long, hi: Long): Seq[String] =
+      Eval.select(fileSamples, Nil, lo, hi).select(col(label)).na.drop()
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+    // unbounded (pure dictionary), day-aligned, and ragged interior bounds
+    // (dictionary files + boundary-file scan) must all equal the full scan
+    val bounds = Seq(
+      (Long.MinValue / 2, Long.MaxValue / 2),
+      (T0 + 5 * DAY, T0 + 12 * DAY - 1),
+      (T0 + 5 * DAY + 12345L, T0 + 9 * DAY + 777L))
+    for ((lo, hi) <- bounds; label <- Seq("uid", "__name__")) {
+      val fast = graft.sources.FooterLabelValues.labelValues(fileSamples, label, lo, hi)
+      assert(fast.isDefined, s"fast path should apply to the converted layout ($label)")
+      assert(fast.get == scanVals(label, lo, hi), s"($label, $lo, $hi)")
+    }
+
+    // engine route: matcherless labelValues uses the fast path, limit works
+    val eng = new graft.api.PromEngine(fileSamples)
+    val (vals, trunc) = eng.labelValues("uid", Nil, Long.MinValue / 2,
+      Long.MaxValue / 2, limit = 3)
+    assert(vals.size == 3 && trunc)
+    assert(vals == scanVals("uid", Long.MinValue / 2, Long.MaxValue / 2).take(3))
+
+    // a transformed (non-file-backed) view is not applicable → scan path
+    val mem = TimeSeriesModel.samples(t.events)
+    assert(graft.sources.FooterLabelValues
+      .labelValues(mem, "uid", 0L, Long.MaxValue / 2).isEmpty)
+  }
 }

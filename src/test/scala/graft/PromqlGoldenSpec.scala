@@ -594,6 +594,61 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 100s count({__name__=~"metric|http"})
       |  {} 4
+      |
+      |eval instant at 20s st
+      |
+      |eval instant at 20s count_over_time(st[20s])
+      |  {s="1"} 1
+      |
+      |eval instant at 30s count_over_time(st[30s])
+      |  {s="1"} 2
+      |
+      |eval instant at 30s last_over_time(st[10s])
+      |  {s="1", __name__="st"} 4
+      |
+      |eval instant at 20s last_over_time(st[10s])
+      |
+      |eval instant at 100s metric @ 50 offset 10s
+      |  {a="foo", pod="nginx-1", __name__="metric"} 9
+      |  {b="bar", pod="nginx-2", __name__="metric"} 50
+      |
+      |eval instant at 100s sum(metric @ end() offset 20s)
+      |  {} 107
+      |
+      |eval instant at 100s rate(http{code="404"}[50s] offset 10s)
+      |  {job="api", code="404"} 0.3
+      |
+      |eval instant at 100s (metric @ 50) + (metric @ 100)
+      |  {a="foo", pod="nginx-1"} 32
+      |  {b="bar", pod="nginx-2"} 170
+      |
+      |eval instant at 100s sum(metric) > bool 100
+      |  {} 1
+      |
+      |eval instant at 100s sum by (pod) (metric) == bool 110
+      |  {pod="nginx-1"} 0
+      |  {pod="nginx-2"} 1
+      |
+      |eval instant at 100s avg without (code) (http) >= bool 40
+      |  {job="api"} 1
+      |
+      |eval instant at 100s count(metric) < bool 2
+      |  {} 0
+      |
+      |eval instant at 100s quantile(1.5, metric)
+      |  {} Inf
+      |
+      |eval instant at 100s quantile(-0.5, metric)
+      |  {} -Inf
+      |
+      |eval instant at 100s quantile(NaN, metric)
+      |  {} NaN
+      |
+      |eval instant at 20s count_values("v", data)
+      |  {v="NaN"} 1
+      |
+      |eval instant at 10s count_values("v", data)
+      |  {v="1"} 1
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -716,7 +771,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 23 && evals.size == 165)
+    assert(loaded.size == 23 && evals.size == 183)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
