@@ -35,9 +35,20 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
   def stop(): Unit = server.stop(0)
 
   // ------------------------------------------------------------ handlers
+  /** Thanos' `max_source_resolution` request parameter: caps which
+    * downsample layers may serve the query ("0s"/0 ⇒ raw only; "auto" or
+    * absent ⇒ any admissible layer — our admission rule is exact-alignment,
+    * stricter than Thanos' step/5 heuristic, so "auto" is the identity). */
+  private def maxSourceRes(p: Params): Long =
+    p.get("max_source_resolution") match {
+      case None | Some("auto") => Long.MaxValue
+      case Some(d)             => parseStep(d)
+    }
+
   private def query(p: Params): String = {
     val t = p.time("time").getOrElse(System.currentTimeMillis())
-    val (res, _, warns) = engine.instantQueryWithStats(p.required("query"), t)
+    val (res, _, warns) = engine.instantQueryWithStats(p.required("query"), t,
+      maxSourceRes(p))
     val items = res.map { s =>
       val (ts, v) = s.points.lastOption.getOrElse((t, Double.NaN))
       s"""{"metric":${labelsJson(s.labels)},"value":[${tsStr(ts)},"${fmt(v)}"]}"""
@@ -49,7 +60,8 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
     val start = p.time("start").getOrElse(fail("missing start"))
     val end = p.time("end").getOrElse(fail("missing end"))
     val step = (p.get("step").map(parseStep).getOrElse(fail("missing step"))).max(1L)
-    val (res, _, warns) = engine.rangeQueryWithStats(p.required("query"), start, end, step)
+    val (res, _, warns) = engine.rangeQueryWithStats(p.required("query"),
+      start, end, step, maxSourceRes(p))
     val items = res.map { s =>
       val vals = s.points.map { case (ts, v) => s"""[${tsStr(ts)},"${fmt(v)}"]""" }
       s"""{"metric":${labelsJson(s.labels)},"values":[${vals.mkString(",")}]}"""

@@ -84,22 +84,29 @@ final class PromEngine(samples: DataFrame,
   def rangeQuery(promql: String, startMs: Long, endMs: Long, stepMs: Long): Seq[Series] =
     rangeQueryWithStats(promql, startMs, endMs, stepMs)._1
 
+  /** Layers admissible under a per-query resolution cap — Thanos'
+    * `max_source_resolution` request parameter (0 ⇒ raw data only). */
+  private def cappedLayers(maxSourceResMs: Long): Map[Long, DataFrame] =
+    layers.filter { case (res, _) => res <= maxSourceResMs }
+
   /** Instant query + per-query stats + static analyzer warnings (the
     * annotation channel the reference streams before results,
     * `api/grpc/thanos.go:270-276`). */
-  def instantQueryWithStats(promql: String, tMs: Long)
+  def instantQueryWithStats(promql: String, tMs: Long,
+                            maxSourceResMs: Long = Long.MaxValue)
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
     val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs,
-      layers = layers)
+      layers = cappedLayers(maxSourceResMs))
     finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 
-  def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long)
+  def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long,
+                          maxSourceResMs: Long = Long.MaxValue)
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
     val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs,
-      layers = layers)
+      layers = cappedLayers(maxSourceResMs))
     finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 

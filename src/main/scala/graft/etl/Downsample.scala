@@ -55,7 +55,7 @@ object Downsample {
   /** Everything a layer row carries besides its label columns. */
   val layerCols: Set[String] = Set("win_start", "n", "sum_v", "min_v", "max_v",
     "first_v", "first_ts", "last_v", "last_ts", "drop_sum", "reset_sum",
-    "n_resets", "n_changes")
+    "n_resets", "n_changes", "last2_v", "last2_ts")
 
   // Adding two DECIMAL(38,9) in Spark widens to (38,8) — max(p1-s1,p2-s2)+s+1
   // = 39 overflows, so the scale is sacrificed and the 9th decimal rounds at
@@ -116,6 +116,7 @@ object Downsample {
       .filter(!graft.functions.IsStale(col("value")))
       .withColumn("win_start", winStartOf(col("ts_ms"), resMs))
       .withColumn("__graft_prev", lag(col("value"), 1).over(w))
+      .withColumn("__graft_prev_ts", lag(col("ts_ms"), 1).over(w))
       .groupBy((col("series_hash") +: col("win_start") +: lbls.map(col)): _*)
       .agg(
         count(lit(1)).as("n"),
@@ -131,6 +132,10 @@ object Downsample {
         min(col("ts_ms")).as("first_ts"),
         max_by(col("value"), ord).as("last_v"),
         max(col("ts_ms")).as("last_ts"),
+        // second-to-last sample = the LAST row's lagged predecessor (null
+        // for single-sample windows) — what irate/idelta recomposition needs
+        max_by(col("__graft_prev"), ord).as("last2_v"),
+        max_by(col("__graft_prev_ts"), ord).as("last2_ts"),
         sumOrFail(decOrFail(dropTerm, Det.dec), "drop").as("drop_sum"),
         sumOrFail(decOrFail(resetTerm, Det.dec), "reset").as("reset_sum"),
         sum(when(isDrop, 1L).otherwise(0L)).as("n_resets"),
@@ -159,6 +164,7 @@ object Downsample {
     layer
       .withColumn("__graft_cw", col("win_start") - pmod(col("win_start"), lit(windowMs)))
       .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
+      .withColumn("__graft_prev_last_ts", lag(col("last_ts"), 1).over(w))
       .groupBy((col("series_hash") +: col("__graft_cw").as("win_start") +: lbls.map(col)): _*)
       .agg(
         sum(col("n")).as("n"),
@@ -169,6 +175,12 @@ object Downsample {
         min(col("first_ts")).as("first_ts"),
         max_by(col("last_v"), col("last_ts")).as("last_v"),
         max(col("last_ts")).as("last_ts"),
+        // coarse second-to-last: the last fine window's own pair when it has
+        // ≥2 samples, else its predecessor's last (null when none in range)
+        max_by(when(col("n") >= 2, col("last2_v")).otherwise(col("__graft_prev_last")),
+          col("win_start")).as("last2_v"),
+        max_by(when(col("n") >= 2, col("last2_ts")).otherwise(col("__graft_prev_last_ts")),
+          col("win_start")).as("last2_ts"),
         sumOrFail(decOrFail(col("drop_sum"), decWide) + decOrFail(boundaryDrop, decTerm),
           "drop").cast(Det.dec).as("drop_sum"),
         sumOrFail(decOrFail(col("reset_sum"), decWide) + decOrFail(boundaryReset, decTerm),
@@ -227,6 +239,32 @@ object Downsample {
   def openLayer(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
+  /** Discover persisted layers under a layout dir (`downsample-<resMs>`
+    * subtrees, as written by [[refreshDates]] / the streaming ingest) — the
+    * serve-time wiring of Thanos auto-downsampling: hand the result to
+    * `PromEngine(layers = …)` and aligned long-range queries read the
+    * coarsest admissible layer transparently. */
+  def discoverLayers(spark: SparkSession, outDir: String): Map[Long, DataFrame] = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.isDirectory(root)) Map.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        var acc = Map.empty[Long, DataFrame]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (java.nio.file.Files.isDirectory(p) && name.startsWith("downsample-"))
+            name.stripPrefix("downsample-").toLongOption.foreach { res =>
+              acc += res -> openLayer(spark, p.toString)
+            }
+        }
+        acc
+      } finally s.close()
+    }
+  }
+
   /** Incrementally maintain a date-partitioned layer: recompute ONLY the
     * given dates' windows from the (already-merged) sample store and
     * dynamically overwrite those partitions. Both supported resolutions
@@ -265,6 +303,34 @@ object Downsample {
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
       .parquet(layerDir)
+  }
+
+  /** Derive a coarse layer's dates FROM a finer layer — the Thanos
+    * compactor's 5m→1h chain (raw→5m→1h, compact/downsample.go): the coarse
+    * refresh reads 1/(coarse/fine) as many rows as a raw recompute and
+    * stays bit-identical by the [[overTime]] recomposition identity
+    * (EtlSpec pins `overTime(layer(5m), 1h) == layer(1h)`). Fine windows of
+    * a coarse window share its `win_start` date (both resolutions divide a
+    * day), so per-date derivation needs no cross-date fragments at all. */
+  def deriveCoarseDates(spark: SparkSession, fineLayerDir: String,
+                        coarseLayerDir: String, fineRes: Long, coarseRes: Long,
+                        dates: Seq[String]): Unit = {
+    if (dates.isEmpty) return
+    require(coarseRes % fineRes == 0L,
+      s"coarse resolution $coarseRes must be a multiple of fine $fineRes")
+    require(86400000L % coarseRes == 0L,
+      s"coarse resolution $coarseRes must divide a day for per-date maintenance")
+    val fine = openLayer(spark, fineLayerDir)
+      .filter(col("date").isin(dates: _*)).drop("date")
+    val part = overTime(fine, coarseRes, fineRes)
+      .withColumn("date", date_format(timestamp_millis(col("win_start")), "yyyy-MM-dd"))
+    part
+      .repartitionByRange(col("date"), col("series_hash"), col("win_start"))
+      .sortWithinPartitions(col("date"), col("series_hash"), col("win_start"))
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .parquet(coarseLayerDir)
   }
 
   /** WINDOW dates a batch of samples touches, for [[refreshDates]]: the date

@@ -43,7 +43,13 @@ object Serve {
       if (isDir(s"$sfDir/chunks")) graft.etl.Ingest.openChunkedSamples(spark, sfDir)
       else if (isDir(s"$sfDir/samples")) graft.etl.Ingest.openSamples(spark, sfDir)
       else TimeSeriesModel.samples(Tables(spark, sfDir).events)
-    val api = new HttpApi(new PromEngine(samples, lookback, quotas), port).start()
+    // Thanos auto-downsampling: persisted downsample-<res> layers serve
+    // aligned long-range queries transparently (graft.promql.LayerRoute)
+    val layers = graft.etl.Downsample.discoverLayers(spark, sfDir)
+    if (layers.nonEmpty)
+      println(s"auto-downsampling layers: ${layers.keys.toSeq.sorted.mkString(", ")} ms")
+    val api = new HttpApi(
+      new PromEngine(samples, lookback, quotas, layers), port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPla
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.ChunkDecode
+import graft.functions.{ChunkDecode, HistChunkDecode}
 
 /** Optimizer rule: push query-time bounds through the chunk decode.
   *
@@ -103,12 +103,45 @@ object ChunkFramePrune extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Find the Generate whose Explode(ChunkDecode) produces `structAttr`. */
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _) => stripAlias(c)
+    case o => o
+  }
+
+  /** Generator inputs whose output struct's `ts_ms` provably lies inside the
+    * frame's stored `[mint, maxt]`: the two chunk decoders (the writer
+    * computes the stats from the same samples either encodes), a CaseWhen
+    * unioning such branches (the mixed float/histogram read path), and an
+    * array transform that passes the decoded `ts_ms` field through
+    * unchanged. Anything that could move a timestamp is rejected — pruning
+    * must stay sound. */
+  private[graft] def framePreserving(e: Expression): Boolean = e match {
+    case _: ChunkDecode     => true
+    case _: HistChunkDecode => true
+    case CaseWhen(branches, elseValue) =>
+      (branches.map(_._2) ++ elseValue.toSeq).forall(framePreserving)
+    case ArrayTransform(child, LambdaFunction(f, Seq(lv: NamedLambdaVariable), _)) =>
+      framePreserving(child) && (stripAlias(f) match {
+        case cns: CreateNamedStruct =>
+          // `names` are the EVALUATED name values (UTF8String), not Literals
+          cns.names.zip(cns.valExprs).exists { case (n, v) =>
+            String.valueOf(n) == "ts_ms" && (stripAlias(v) match {
+              case g @ GetStructField(lv2: NamedLambdaVariable, _, _) =>
+                fieldName(g) == "ts_ms" && lv2.exprId == lv.exprId
+              case _ => false
+            })
+          }
+        case _ => false
+      })
+    case _ => false
+  }
+
+  /** Find the Generate whose frame-preserving Explode produces `structAttr`. */
   private def findGenerate(plan: LogicalPlan, structAttr: Attribute): Option[Generate] =
     plan match {
       case g: Generate if g.generatorOutput.exists(_.exprId == structAttr.exprId) =>
         g.generator match {
-          case Explode(_: ChunkDecode) => Some(g)
+          case Explode(e) if framePreserving(e) => Some(g)
           case _ => None
         }
       case p: Project =>

@@ -36,7 +36,8 @@ object LayerRoute {
   val routable: Set[String] = Set(
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "first_over_time", "last_over_time", "present_over_time",
-    "ts_of_last_over_time", "rate", "increase", "delta", "resets", "changes")
+    "absent_over_time", "ts_of_last_over_time", "rate", "increase", "delta",
+    "resets", "changes", "irate", "idelta")
 
   private val bookkeeping = Set("series_hash", "date") ++ Downsample.layerCols
 
@@ -58,11 +59,16 @@ object LayerRoute {
   def tryRoute(fn: String, sel: Ast.Selector, windowMs: Long,
                ctx: Compiler.Ctx): Option[DataFrame] =
     if (!routable(fn) || ctx.layers.isEmpty) None
-    else admissibleRes(ctx, windowMs).map { res =>
-      val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers)
-        .getOrElse(sel.matchers)
-      gridAggFromLayer(ctx.layers(res), ms, windowMs, res, ctx)
-    }
+    else admissibleRes(ctx, windowMs)
+      // irate/idelta need the per-window last pair; a layer persisted
+      // before those columns existed serves everything else but not them
+      .filter(res => !Set("irate", "idelta")(fn) ||
+        ctx.layers(res).columns.contains("last2_v"))
+      .map { res =>
+        val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers)
+          .getOrElse(sel.matchers)
+        gridAggFromLayer(ctx.layers(res), ms, windowMs, res, ctx)
+      }
 
   /** Time bound on the layer scan: the windows that can serve any step of
     * the grid, plus day-partition pruning when the layer is date-partitioned
@@ -100,6 +106,7 @@ object LayerRoute {
     val w = Window.partitionBy(col("series_hash")).orderBy(col("win_start"))
     val withPrev = layer
       .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(w))
+      .withColumn("__graft_prev_last_ts", lag(col("last_ts"), 1).over(w))
       .withColumn("__graft_prev_win", lag(col("win_start"), 1).over(w))
     def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
     val kMin = greatest(floorDiv(col("win_start") + (resMs - ctx.startMs) +
@@ -115,7 +122,8 @@ object LayerRoute {
     // operand types keep the addition at (38,9) with no precision sacrifice
     def dec(c: Column) = Downsample.decOrFail(c, Downsample.decWide)
     def term(c: Column) = Downsample.decOrFail(c, Downsample.decTerm)
-    withPrev
+    val hasPair = layer.columns.contains("last2_v")
+    val grouped = withPrev
       .withColumn("__graft_k", explode(when(kMax >= kMin,
         sequence(kMin, kMax, lit(1L))).otherwise(array().cast("array<long>"))))
       .withColumn("step_ms", lit(ctx.startMs) + col("__graft_k") * ctx.stepMs)
@@ -125,8 +133,7 @@ object LayerRoute {
       .withColumn("__graft_bchange", when(bValid &&
         !(col("first_v") <=> col("__graft_prev_last")), 1L).otherwise(0L))
       .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
-      .agg(
-        sum(col("n")).as("__graft_n_samples"),
+      .agg(sum(col("n")).as("__graft_n_samples"), (Seq(
         min(col("first_ts")).as("__graft_first_ts"),
         max(col("last_ts")).as("__graft_last_ts"),
         // windows are disjoint in time, so first_ts/last_ts are distinct
@@ -144,7 +151,38 @@ object LayerRoute {
           .cast("double").as("__graft_resets"),
         sum(col("n_resets") + when(col("__graft_bdrop"), 1L).otherwise(0L))
           .as("__graft_n_resets"),
-        sum(col("n_changes") + col("__graft_bchange")).as("__graft_n_changes"))
+        sum(col("n_changes") + col("__graft_bchange")).as("__graft_n_changes")) ++
+        (if (hasPair) Seq(pairAgg(windowMs)) else Nil)): _*)
       .drop("series_hash")
+    if (hasPair) withPairCols(grouped) else grouped
+  }
+
+  /** The step's final sample pair for irate/idelta: inside the last window
+    * when it holds ≥2 samples (its stored `last2`), straddling into the
+    * (validity-checked) previous window otherwise. Only aggregated when the
+    * layer carries the pair columns. */
+  private def pairAgg(windowMs: Long): Column =
+    max_by(struct(col("n").as("n"), col("last2_v").as("l2v"),
+      col("last2_ts").as("l2t"), col("__graft_prev_last").as("pl"),
+      col("__graft_prev_last_ts").as("plt"),
+      (col("__graft_prev_win").isNotNull &&
+        col("__graft_prev_win") >= col("step_ms") - windowMs).as("pvalid")),
+      col("win_start")).as("__graft_lw")
+
+  private def withPairCols(g: DataFrame): DataFrame = {
+    val pv = when(col("__graft_lw.n") >= 2, col("__graft_lw.l2v"))
+      .otherwise(when(col("__graft_lw.pvalid"), col("__graft_lw.pl")))
+    val pt = when(col("__graft_lw.n") >= 2, col("__graft_lw.l2t"))
+      .otherwise(when(col("__graft_lw.pvalid"), col("__graft_lw.plt")))
+    g.withColumn("__graft_pair_v", pv)
+      .withColumn("__graft_pair_ts", pt)
+      .withColumn("__graft_irate_dv", when(col("__graft_pair_v").isNotNull,
+        when(col("__graft_last_val") < col("__graft_pair_v"), col("__graft_last_val"))
+          .otherwise(col("__graft_last_val") - col("__graft_pair_v"))))
+      .withColumn("__graft_irate_dt", when(col("__graft_pair_v").isNotNull,
+        col("__graft_last_ts") - col("__graft_pair_ts")))
+      .withColumn("__graft_idelta_val", when(col("__graft_pair_v").isNotNull,
+        col("__graft_last_val") - col("__graft_pair_v")))
+      .drop("__graft_lw", "__graft_pair_v", "__graft_pair_ts")
   }
 }

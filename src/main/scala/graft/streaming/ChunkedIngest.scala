@@ -22,20 +22,23 @@ object ChunkedIngest {
 
   /** Start an AvailableNow ingest run from a raw events stream (see
     * [[EventsStream.source]]) into `outDir/chunks`. With `downsampleRes`
-    * set, the matching aggregate layer under `outDir/downsample-<res>` is
-    * maintained in the same per-batch loop: after the chunk merge, only the
-    * touched dates' layer partitions are recomputed from the merged store
-    * ([[graft.etl.Downsample.refreshDates]]) — the streaming form of the
-    * Thanos compactor's convert→downsample chain, with per-batch work still
+    * resolutions given, the matching aggregate layers under
+    * `outDir/downsample-<res>` are maintained in the same per-batch loop —
+    * the streaming form of the Thanos compactor's convert→downsample CHAIN
+    * (raw→5m→1h, compact/downsample.go): the finest layer's touched dates
+    * recompute from the merged store, and each coarser layer derives from
+    * the next finer one ([[graft.etl.Downsample.deriveCoarseDates]]) at
+    * 1/(coarse/fine) the rows, never re-reading raw. Per-batch work stays
     * proportional to touched dates, never layout size. */
   def run(events: DataFrame, outDir: String, checkpoint: String,
-          downsampleRes: Option[Long] = None): StreamingQuery =
+          downsampleRes: Seq[Long] = Nil): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val (touched, merged) = graft.etl.Ingest.mergeChunkedRetained(spark,
           TimeSeriesModel.samples(batch), outDir)
-        try downsampleRes.foreach { res =>
+        val resolutions = downsampleRes.distinct.sorted
+        try if (resolutions.nonEmpty) {
           // reuse the pinned merge result — the layer refresh must not
           // re-decode the frames the merge just wrote. Layer windows are
           // left-open, so a sample at exactly midnight belongs to the
@@ -60,7 +63,19 @@ object ChunkedIngest {
                   .withColumn("date", col("date").cast("string"))
                   .filter(preds.reduce(_ || _)))
             graft.etl.Downsample.refreshDates(spark,
-              src, s"$outDir/downsample-$res", res, winDates)
+              src, s"$outDir/downsample-${resolutions.head}", resolutions.head,
+              winDates)
+            resolutions.sliding(2).foreach {
+              case Seq(fine, coarse) =>
+                if (coarse % fine == 0)
+                  graft.etl.Downsample.deriveCoarseDates(spark,
+                    s"$outDir/downsample-$fine", s"$outDir/downsample-$coarse",
+                    fine, coarse, winDates)
+                else // non-nesting resolution: recompute from the merge
+                  graft.etl.Downsample.refreshDates(spark,
+                    src, s"$outDir/downsample-$coarse", coarse, winDates)
+              case _ => ()
+            }
           }
         } finally merged.foreach(_.unpersist())
       }

@@ -244,6 +244,43 @@ class EtlSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ChunkFramePrune)
   }
 
+  test("ChunkFramePrune: mixed float/histogram decode shape still prunes frames") {
+    import spark.implicits._
+    val T0 = 1704067200000L
+    val histType = graft.functions.HistChunk.HistType
+    val hist = (0 until 40).map(i => ("hm", "1", T0 + i * 1730000L, i.toDouble, i.toLong))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", struct(col("value").as("cnt"), col("value").as("hsum"),
+        lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
+        array(struct(lit(1).as("idx"), col("value").as("c"))).as("pos"),
+        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+    val flt = (0 until 40).map(i => ("fm", "2", T0 + i * 1490000L, i * 2.0, 100L + i))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", lit(null).cast(histType))
+    val samples = hist.unionByName(flt)
+    val out = Files.createTempDirectory("graft-chunkhp").toString
+    Ingest.mergeChunked(spark, samples, out)
+    val (lo, hi) = (T0 + 10 * 3600000L, T0 + 14 * 3600000L)
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ChunkFramePrune
+    try {
+      val auto = Ingest.openChunkedSamples(spark, out)
+        .filter(col("ts_ms").between(lo, hi))
+      val want = samples.filter(col("ts_ms").between(lo, hi)).count()
+      assert(auto.count() == want && want > 0)
+      val scans = auto.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1)
+      val pushed = scans.head.metadata("PushedFilters")
+      for (f <- Seq(s"GreaterThanOrEqual(maxt,$lo)", s"LessThanOrEqual(mint,$hi)"))
+        assert(pushed.contains(f), s"missing pushed filter $f in:\n$pushed")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ChunkFramePrune)
+  }
+
   test("PromQL engine over the converted layout matches raw source, with partition pruning") {
     import graft.promql.{Compiler, Parser, Eval}
     val out = Files.createTempDirectory("graft-layout").toString

@@ -103,7 +103,9 @@ class LayerRouteSpec extends SparkSpec {
     """first_over_time({__name__="gau"}[6h])""",
     """last_over_time({__name__="gau"}[6h])""",
     """present_over_time({__name__="gau"}[6h])""",
-    """ts_of_last_over_time({__name__="gau"}[6h])""")
+    """ts_of_last_over_time({__name__="gau"}[6h])""",
+    """irate({__name__="ctr"}[6h])""",
+    """idelta({__name__="gau"}[6h])""")
 
   test("every routable function: layer route is bit-identical to raw on an aligned grid") {
     val (start, end, step) = (T0 + 12 * H, T0 + 80 * H, 2 * H)
@@ -158,9 +160,21 @@ class LayerRouteSpec extends SparkSpec {
       T0 + 12 * H, T0 + 40 * H, 2 * H)
     assert(scannedDirs(routedRaw).exists(_.contains(samplesDir)))
     // non-recomposable function → raw scan even when aligned
-    val (_, irate) = compileBoth("""irate({__name__="ctr"}[6h])""",
+    val (_, sdt) = compileBoth("""stddev_over_time({__name__="gau"}[6h])""",
       T0 + 12 * H, T0 + 40 * H, 2 * H)
-    assert(scannedDirs(irate).exists(_.contains(samplesDir)))
+    assert(scannedDirs(sdt).exists(_.contains(samplesDir)))
+  }
+
+  test("absent_over_time routes: absence grid from the layer matches raw") {
+    val (start, end, step) = (T0 + 12 * H, T0 + 120 * H, 2 * H)
+    // data runs out before end → later steps are absent on both paths
+    val (raw, routed) = compileBoth(
+      """absent_over_time({__name__="ctr", uid="0"}[6h])""", start, end, step)
+    assert(routed.count() > 0)
+    assert(routed.exceptAll(raw).isEmpty && raw.exceptAll(routed).isEmpty)
+    val (_, _, tmp, samplesDir) = fixture
+    assert(scannedDirs(routed).exists(_.contains(s"$tmp/l1h")))
+    assert(!scannedDirs(routed).exists(_.contains(samplesDir)))
   }
 
   test("PromEngine(layers=…) serves range queries from the layer, same answers") {
@@ -176,6 +190,63 @@ class LayerRouteSpec extends SparkSpec {
     val (_, statsLay, _) = layered.rangeQueryWithStats(q, start, end, step)
     assert(statsLay.samplesTotal < statsRaw.samplesTotal,
       s"layer scan ${statsLay.samplesTotal} should be below raw ${statsRaw.samplesTotal}")
+  }
+
+  test("discoverLayers wires persisted downsample-<res> dirs into the engine") {
+    val (samples, _, _, _) = fixture
+    val layout = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Downsample.refreshDates(spark,
+      samples.withColumn("date",
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd")),
+      s"$layout/downsample-${Downsample.Res1h}", Downsample.Res1h,
+      (0 to 4).map(d => java.time.LocalDate.parse("2024-01-01").plusDays(d).toString))
+    val found = Downsample.discoverLayers(spark, layout)
+    assert(found.keySet == Set(Downsample.Res1h))
+    val eng = new graft.api.PromEngine(samples, layers = found)
+    val plain = new graft.api.PromEngine(samples)
+    val q = """sum_over_time({__name__="gau"}[6h])"""
+    val (s0, e0, st0) = (T0 + 12 * H, T0 + 60 * H, 2 * H)
+    assert(eng.rangeQuery(q, s0, e0, st0) == plain.rangeQuery(q, s0, e0, st0))
+    assert(eng.rangeQuery(q, s0, e0, st0).nonEmpty)
+  }
+
+  test("max_source_resolution caps which layers may serve (Thanos param)") {
+    val (samples, layers, _, _) = fixture
+    val eng = new graft.api.PromEngine(samples, layers = layers)
+    val plain = new graft.api.PromEngine(samples)
+    val q = """increase({__name__="ctr"}[6h])"""
+    val (s0, e0, st0) = (T0 + 12 * H, T0 + 60 * H, 2 * H)
+    def scanned(e: graft.api.PromEngine, cap: Long) =
+      e.rangeQueryWithStats(q, s0, e0, st0, cap)._2.samplesTotal
+    val raw = scanned(plain, Long.MaxValue)
+    val cap0 = scanned(eng, 0L)            // raw only
+    val cap5m = scanned(eng, 300000L)      // 5m admissible, 1h excluded
+    val full = scanned(eng, Long.MaxValue) // coarsest (1h)
+    assert(cap0 == raw)
+    assert(full < cap5m && cap5m < raw,
+      s"expected layer hierarchy raw=$raw > 5m=$cap5m > 1h=$full")
+    // answers identical at every cap
+    assert(eng.rangeQuery(q, s0, e0, st0) == plain.rangeQuery(q, s0, e0, st0))
+  }
+
+  test("fuzz: random aligned grids × functions stay bit-identical to raw") {
+    val rnd = new scala.util.Random(99)
+    val fns = LayerRoute.routable.toSeq.sorted.filterNot(_ == "absent_over_time")
+    (0 until 30).foreach { k =>
+      val fn = fns(rnd.nextInt(fns.size))
+      // alignment unit: hours or 5-minute blocks, both layers present
+      val unit = if (rnd.nextBoolean()) H else 300000L
+      val window = (1 + rnd.nextInt(30)) * unit
+      val step = (1 + rnd.nextInt(12)) * unit
+      val start = T0 + rnd.nextInt(40) * unit
+      val end = start + rnd.nextInt(30) * step
+      val name = if (rnd.nextBoolean()) "ctr" else "gau"
+      val q = s"""$fn({__name__="$name"}[${window / 60000}m])"""
+      val (raw, routed) = compileBoth(q, start, end, step)
+      withClue(s"case $k: $q start=$start end=$end step=$step") {
+        assert(routed.exceptAll(raw).isEmpty && raw.exceptAll(routed).isEmpty)
+      }
+    }
   }
 
   test("admissibleRes picks the coarsest aligned resolution") {

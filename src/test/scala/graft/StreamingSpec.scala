@@ -245,18 +245,25 @@ class StreamingSpec extends SparkSpec {
 
     events.filter(col("event_id") % 2 === 0).write.parquet(s"$root/src/b0")
     val src = EventsStream.source(spark, s"$root/src/*")
-    ChunkedIngest.run(src, out, ckpt, Some(Downsample.Res1h)).awaitTermination()
+    val resolutions = Seq(Downsample.Res5m, Downsample.Res1h)
+    ChunkedIngest.run(src, out, ckpt, resolutions).awaitTermination()
 
     // batch 2 includes re-delivered evens (at-least-once overlap)
     events.filter(col("event_id") % 2 === 1 || col("event_id") % 4 === 0)
       .write.parquet(s"$root/src/b1")
-    ChunkedIngest.run(src, out, ckpt, Some(Downsample.Res1h)).awaitTermination()
+    ChunkedIngest.run(src, out, ckpt, resolutions).awaitTermination()
 
-    val maintained = Downsample
-      .openLayer(spark, s"$out/downsample-${Downsample.Res1h}").drop("date")
-    val full = Downsample.layer(
-      Ingest.openChunkedSamples(spark, out).drop("date"), Downsample.Res1h)
-    assert(maintained.count() == full.count() && maintained.count() > 0)
-    assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty)
+    // both layers of the compactor chain — the 1h one DERIVED from the 5m
+    // one, never from raw — must equal a from-scratch rebuild off the store
+    for (res <- resolutions) {
+      val maintained = Downsample
+        .openLayer(spark, s"$out/downsample-$res").drop("date")
+      val full = Downsample.layer(
+        Ingest.openChunkedSamples(spark, out).drop("date"), res)
+      assert(maintained.count() == full.count() && maintained.count() > 0,
+        s"res=$res")
+      assert(maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty,
+        s"res=$res chain-maintained layer must equal a full recompute")
+    }
   }
 }
