@@ -50,6 +50,34 @@ object Downsample {
   val Res5m: Long = 300000L
   val Res1h: Long = 3600000L
 
+  /** Layer FORMAT version, stamped as `_graft_layer_version` beside every
+    * persisted layer (underscore-prefixed, so Spark's file index treats it
+    * as metadata and never reads it as data). Version 2 = left-open windows
+    * + reset/change pair accounting + last2 pair columns. A semantic change
+    * to the window convention or the aggregate set MUST bump this:
+    * [[discoverLayers]] skips dirs whose marker is missing or different, so
+    * stale layouts are rebuilt rather than silently served with the wrong
+    * semantics (the marker is the version gate; [[graft.promql.LayerRoute]]
+    * additionally declines frames missing required columns). */
+  val LayerFormatVersion: Int = 2
+  private val VersionMarker = "_graft_layer_version"
+
+  private def stampVersion(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, VersionMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(LayerFormatVersion.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def versionOf(dir: java.nio.file.Path): Option[Int] = {
+    val m = dir.resolve(VersionMarker)
+    if (!java.nio.file.Files.isRegularFile(m)) None
+    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+  }
+
   private val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
 
   /** Everything a layer row carries besides its label columns. */
@@ -230,11 +258,13 @@ object Downsample {
   /** Persist a layer next to the converted layout, range-sharded by series so
     * a matcher select touches few files (same discipline as Ingest's sorted
     * sharded write). */
-  def writeLayer(layer: DataFrame, outDir: String): Unit =
+  def writeLayer(layer: DataFrame, outDir: String): Unit = {
     layer
       .repartitionByRange(col("series_hash"), col("win_start"))
       .sortWithinPartitions(col("series_hash"), col("win_start"))
       .write.mode("overwrite").parquet(outDir)
+    stampVersion(layer.sparkSession, outDir)
+  }
 
   def openLayer(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
@@ -255,7 +285,8 @@ object Downsample {
         while (it.hasNext) {
           val p = it.next()
           val name = p.getFileName.toString
-          if (java.nio.file.Files.isDirectory(p) && name.startsWith("downsample-"))
+          if (java.nio.file.Files.isDirectory(p) && name.startsWith("downsample-") &&
+              versionOf(p).contains(LayerFormatVersion))
             name.stripPrefix("downsample-").toLongOption.foreach { res =>
               acc += res -> openLayer(spark, p.toString)
             }
@@ -303,6 +334,7 @@ object Downsample {
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
       .parquet(layerDir)
+    stampVersion(spark, layerDir)
   }
 
   /** Derive a coarse layer's dates FROM a finer layer — the Thanos
@@ -331,6 +363,7 @@ object Downsample {
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "zstd")
       .parquet(coarseLayerDir)
+    stampVersion(spark, coarseLayerDir)
   }
 
   /** WINDOW dates a batch of samples touches, for [[refreshDates]]: the date

@@ -57,6 +57,7 @@ object Ingest {
         require(!samples.columns.contains("stream"),
           "samples already carry a 'stream' column; it is reserved for the " +
             "external-label partition dimension")
+        requireNoExternalCollision(samples, externalLabels)
         externalLabels.foldLeft(samples) { case (df, (k, v)) =>
           df.withColumn(k, lit(v))
         }.withColumn("stream", lit(streamId(externalLabels)))
@@ -182,6 +183,7 @@ object Ingest {
       require(!samples.columns.contains("stream"),
         "samples already carry a 'stream' column; it is reserved for the " +
           "external-label partition dimension")
+      requireNoExternalCollision(samples, externalLabels)
       val id = streamId(externalLabels)
       val streamed = externalLabels.foldLeft(samples) { case (df, (k, v)) =>
         df.withColumn(k, lit(v))
@@ -327,8 +329,20 @@ object Ingest {
     * batch, and work is proportional to touched dates, not layout size. */
   def mergeChunked(spark: SparkSession, samples: DataFrame, outDir: String): Seq[String] = {
     val (dates, merged) = mergeChunkedRetained(spark, samples, outDir)
-    merged.foreach(_.unpersist())
+    merged.foreach(releasePinned)
     dates
+  }
+
+  /** Free the storage blocks behind a [[mergeChunkedRetained]] result.
+    * `Dataset.unpersist()` is a NO-OP for a locally-checkpointed frame (the
+    * blocks belong to the internal checkpointed RDD, not the Dataset cache),
+    * so a long streaming run would accumulate MEMORY_AND_DISK blocks between
+    * GCs — unpersist the underlying RDD explicitly instead. The frame is
+    * unusable afterwards. */
+  def releasePinned(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case _ => df.unpersist(blocking = false)
   }
 
   /** [[mergeChunked]] variant that also returns the merged touched-date
@@ -474,6 +488,22 @@ object Ingest {
       streamPred.map(overlap && _).getOrElse(overlap) &&
         graft.promql.Matchers.compile(frames, matchers))
     decodeFrames(pruned).filter(col("ts_ms").between(mintMs, maxtMs))
+  }
+
+  /** External labels must never clobber per-series labels at rest: the fold
+    * writes each external label as a constant column, and `withColumn` would
+    * silently REPLACE a same-named series label, permanently losing its
+    * per-series values. Thanos keeps the series label and drops the
+    * conflicting external one (labelpb ExtendSortedLabels); here the
+    * conversion is a one-time rewrite, so fail loudly instead — the caller
+    * renames one side. */
+  private def requireNoExternalCollision(samples: DataFrame,
+                                         externalLabels: Map[String, String]): Unit = {
+    val clash = externalLabels.keySet.intersect(samples.columns.toSet)
+    require(clash.isEmpty,
+      s"external labels ${clash.mkString("{", ", ", "}")} collide with " +
+        "existing sample columns; an external label may not overwrite a " +
+        "per-series label at rest — rename one side")
   }
 
   /** Stable stream id for an external-label set — the path-level analog of

@@ -41,34 +41,106 @@ object LayerRoute {
 
   private val bookkeeping = Set("series_hash", "date") ++ Downsample.layerCols
 
+  /** Columns a layer must carry to be admissible at all. A layer persisted
+    * by an older build (missing the reset/change accounting this round's
+    * recomposition reads) is DECLINED — the query falls back to the raw scan
+    * — rather than erroring per-query. `last2_*` stay optional: only
+    * irate/idelta need the in-window pair, and tryRoute gates those
+    * separately. */
+  val requiredCols: Set[String] = Set("win_start", "n", "sum_v", "min_v",
+    "max_v", "first_v", "first_ts", "last_v", "last_ts", "reset_sum",
+    "n_resets", "n_changes")
+
+  /** Minimum samples-per-layer-row compression for a layer to be worth
+    * reading INSTEAD of raw. A layer row is ~4× wider than a sample row and
+    * the recomposition adds a per-series window sort, so a layer whose
+    * windows hold ~1 sample each (resolution finer than the data cadence —
+    * e.g. the 5m layer over 15m-scraped data) reads MORE than the raw scan
+    * it replaces. Routing must be a pure optimization; below this floor the
+    * layer is declined and raw serves. */
+  val MinBenefit: Double = 2.0
+
+  private val benefitCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Double]()
+
+  /** Samples-per-row compression ratio of a layer: Σn / rows. Computed with
+    * ONE tiny single-column aggregate the first time a layer is considered,
+    * then cached for the session (layers are opened once and reused; the
+    * cache key is the analyzed plan, so re-opening the same path hits).
+    * Empty layers report 0 (never admissible). */
+  def benefit(layer: DataFrame): Double =
+    benefitCache.computeIfAbsent(layer.queryExecution.analyzed, { _ =>
+      val r = layer.agg(sum(col("n")).as("s"), count(lit(1)).as("c")).head()
+      if (r.isNullAt(0) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / r.getLong(1)
+    })
+
+  /** Structural + cost admission for a single layer frame. */
+  private[promql] def admissibleLayer(layer: DataFrame): Boolean =
+    requiredCols.subsetOf(layer.columns.toSet) && benefit(layer) >= MinBenefit
+
   /** Coarsest admissible resolution for (grid, window): the window must
-    * cover whole layer windows and every evaluated step must land on a
-    * window boundary. "Coarsest admissible" is Thanos' auto-downsampling
-    * choice ([[Downsample.pick]]) with exactness as the admission rule. */
+    * cover whole layer windows, every evaluated step must land on a
+    * window boundary, the layer must carry this build's aggregate columns,
+    * and it must actually beat the raw scan ([[MinBenefit]]). "Coarsest
+    * admissible" is Thanos' auto-downsampling choice ([[Downsample.pick]])
+    * with exactness (and now cost) as the admission rule. */
   def admissibleRes(ctx: Compiler.Ctx, windowMs: Long): Option[Long] =
-    ctx.layers.keys.toSeq.sortBy(-_).find { res =>
+    ctx.layers.toSeq.sortBy(-_._1).collectFirst { case (res, layer) if
       res > 0 && windowMs >= res && windowMs % res == 0 &&
         java.lang.Math.floorMod(ctx.startMs, res) == 0L &&
-        (ctx.nSteps == 0L || ctx.stepMs % res == 0L)
-    }
+        (ctx.nSteps == 0L || ctx.stepMs % res == 0L) &&
+        admissibleLayer(layer) => res }
+
+  /** Hybrid admission for an UNALIGNED grid: no alignment demands at all —
+    * each step serves its interior whole windows from the layer and reads
+    * raw only the two partial boundary slices `(t−window, ⌈t−window⌉_res]`
+    * and `(⌊t⌋_res, t]` (each < res wide). Admission is a read-cost
+    * estimate: the raw side scans two ranges of ≈(gridSpan + res) each, the
+    * layer side ≈ fullSpan/benefit raw-row equivalents; route only when
+    * that sums to comfortably less than the raw scan's fullSpan
+    * (= gridSpan + window). This is what makes a dashboard's
+    * `rate(x[30d])` at "now" — misaligned start, 30s step — read ~2×gridSpan
+    * of raw plus a 1h layer instead of 30 days of raw samples. */
+  private def hybridAdmissibleRes(ctx: Compiler.Ctx, windowMs: Long): Option[Long] =
+    ctx.layers.toSeq.sortBy(-_._1).collectFirst { case (res, layer) if
+      res > 0 && windowMs >= 2 * res && admissibleLayer(layer) && {
+        val fullSpan = (ctx.endMs - ctx.startMs) + windowMs
+        val loL = ctx.startMs - windowMs
+        val loR = ceilRes(ctx.endMs - windowMs, res)
+        val hiL = math.max(floorRes(ctx.startMs, res), loL)
+        val rawRead = if (loR >= hiL) fullSpan
+                      else (loR - loL) + (ctx.endMs - hiL)
+        rawRead + (fullSpan / benefit(layer)).toLong <= fullSpan * 3 / 4
+      } => res }
+
+  private def floorRes(t: Long, res: Long): Long = t - java.lang.Math.floorMod(t, res)
+  private def ceilRes(t: Long, res: Long): Long = floorRes(t + res - 1, res)
 
   /** Attempt the layer route for `fn` over a range selector; None = not
     * routable (fall back to the raw scan). `ctx` is the already
     * offset-shifted / @-pinned evaluation context, so offsets and fixed
-    * instants route whenever the SHIFTED grid stays aligned. */
+    * instants route whenever the SHIFTED grid stays aligned. An aligned
+    * grid takes the pure-layer route (zero raw reads); any other grid falls
+    * to the hybrid whole-window + boundary-slice recomposition when the
+    * cost estimate says the layer wins, else to the raw scan. */
   def tryRoute(fn: String, sel: Ast.Selector, windowMs: Long,
-               ctx: Compiler.Ctx): Option[DataFrame] =
+               ctx: Compiler.Ctx): Option[DataFrame] = {
+    // irate/idelta need the per-window last pair; a layer persisted
+    // before those columns existed serves everything else but not them
+    def pairOk(res: Long): Boolean = !Set("irate", "idelta")(fn) ||
+      ctx.layers(res).columns.contains("last2_v")
     if (!routable(fn) || ctx.layers.isEmpty) None
-    else admissibleRes(ctx, windowMs)
-      // irate/idelta need the per-window last pair; a layer persisted
-      // before those columns existed serves everything else but not them
-      .filter(res => !Set("irate", "idelta")(fn) ||
-        ctx.layers(res).columns.contains("last2_v"))
-      .map { res =>
-        val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers)
-          .getOrElse(sel.matchers)
-        gridAggFromLayer(ctx.layers(res), ms, windowMs, res, ctx)
-      }
+    else {
+      val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers)
+        .getOrElse(sel.matchers)
+      admissibleRes(ctx, windowMs).filter(pairOk)
+        .map(res => gridAggFromLayer(ctx.layers(res), ms, windowMs, res, ctx))
+        .orElse(hybridAdmissibleRes(ctx, windowMs).filter(pairOk)
+          .map(res => hybridGridAgg(ctx.layers(res), ms, windowMs, res, ctx)))
+    }
+  }
 
   /** Time bound on the layer scan: the windows that can serve any step of
     * the grid, plus day-partition pruning when the layer is date-partitioned
@@ -152,7 +224,9 @@ object LayerRoute {
         sum(col("n_resets") + when(col("__graft_bdrop"), 1L).otherwise(0L))
           .as("__graft_n_resets"),
         sum(col("n_changes") + col("__graft_bchange")).as("__graft_n_changes")) ++
-        (if (hasPair) Seq(pairAgg(windowMs)) else Nil)): _*)
+        (if (hasPair) Seq(pairAgg(col("__graft_prev_win").isNotNull &&
+          col("__graft_prev_win") >= col("step_ms") - windowMs,
+          col("win_start"))) else Nil)): _*)
       .drop("series_hash")
     if (hasPair) withPairCols(grouped) else grouped
   }
@@ -160,14 +234,163 @@ object LayerRoute {
   /** The step's final sample pair for irate/idelta: inside the last window
     * when it holds ≥2 samples (its stored `last2`), straddling into the
     * (validity-checked) previous window otherwise. Only aggregated when the
-    * layer carries the pair columns. */
-  private def pairAgg(windowMs: Long): Column =
+    * layer carries the pair columns. `pvalid` = the previous segment
+    * participates in the straddle (aligned route: the previous window also
+    * serves the step; hybrid route: a previous segment exists at all —
+    * segments tile the selector range exactly, so existence is validity). */
+  private def pairAgg(pvalid: Column, ordCol: Column): Column =
     max_by(struct(col("n").as("n"), col("last2_v").as("l2v"),
       col("last2_ts").as("l2t"), col("__graft_prev_last").as("pl"),
-      col("__graft_prev_last_ts").as("plt"),
-      (col("__graft_prev_win").isNotNull &&
-        col("__graft_prev_win") >= col("step_ms") - windowMs).as("pvalid")),
-      col("win_start")).as("__graft_lw")
+      col("__graft_prev_last_ts").as("plt"), pvalid.as("pvalid")),
+      ordCol).as("__graft_lw")
+
+  /** Hybrid whole-window + boundary-slice recomposition for an ARBITRARY
+    * (start, step, window) grid — what the Thanos querier's transparent
+    * downsampled-block serving does for any grid (the reference delegates
+    * it, `cmd/serve.go:201-222`), kept BIT-exact here.
+    *
+    * Per step t the selector `(t−W, t]` is partitioned into time-disjoint
+    * SEGMENTS that tile it exactly:
+    *
+    *   lo raw slice `(t−W, ⌈t−W⌉_res]` ++ interior whole layer windows
+    *   ++ hi raw slice `(⌊t⌋_res, t]`
+    *
+    * (W ≥ 2·res guarantees at least one aligned boundary inside, so the
+    * slices never overlap and each is < res wide). Interior windows come
+    * from the layer with the SAME serve condition as the aligned route
+    * (`w+res ≤ t ≤ w+W` — the derivation needs no alignment); the slices
+    * come from a raw scan pruned to just two ranges
+    * `(start−W, ⌈end−W⌉_res]` and `(⌊start⌋_res, end]` (pushed to parquet).
+    * Every sample of the selector lands in exactly one segment, so a lag
+    * over segments per (series, step) recovers every cross-segment
+    * consecutive-sample pair — the previous non-empty segment's last sample
+    * IS the immediately preceding sample — and the merged per-step
+    * aggregates carry the same term multiset as the raw scan (decimal where
+    * order matters), hence bit-identical results (LayerRouteSpec unaligned
+    * fuzz + the `s5_downsample_unaligned` oracle). */
+  private def hybridGridAgg(layer0: DataFrame, ms: Seq[LabelMatcher],
+                            windowMs: Long, resMs: Long,
+                            ctx: Compiler.Ctx): DataFrame = {
+    import graft.functions.Det
+    val hasPair = layer0.columns.contains("last2_v")
+    def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
+    def cFloor(t: Column) = t - pmod(t, lit(resMs))
+    def cCeil(t: Column) = cFloor(t + (resMs - 1))
+    def dec(c: Column) = Downsample.decOrFail(c, Downsample.decWide)
+    def term(c: Column) = Downsample.decOrFail(c, Downsample.decTerm)
+    val segCols = Seq("n", "sum_v", "min_v", "max_v", "first_v", "first_ts",
+      "last_v", "last_ts", "reset_sum", "n_resets", "n_changes") ++
+      (if (hasPair) Seq("last2_v", "last2_ts") else Nil)
+
+    // ---- layer side: interior whole windows, exploded to the steps they
+    // serve (w+res ≤ t ≤ w+W ⇔ the window lies wholly inside (t−W, t])
+    val layer = layer0.filter(winBound(layer0, ctx.startMs - windowMs,
+      ctx.endMs - resMs) && Matchers.compile(layer0, ms))
+    val lbls = layer.columns
+      .filterNot(c => bookkeeping(c) || c.startsWith("__graft_")).toSeq
+    val kMinW = greatest(floorDiv(col("win_start") + (resMs - ctx.startMs) +
+      ctx.stepMs - 1, ctx.stepMs), lit(0L))
+    val kMaxW = least(floorDiv(col("win_start") + (windowMs - ctx.startMs),
+      ctx.stepMs), lit(ctx.nSteps))
+    val layerSeg = layer
+      .withColumn("__graft_k", explode(when(kMaxW >= kMinW,
+        sequence(kMinW, kMaxW, lit(1L))).otherwise(array().cast("array<long>"))))
+      .withColumn("seg_start", col("win_start"))
+      .select((Seq(col("series_hash"), col("__graft_k"), col("seg_start")) ++
+        lbls.map(col) ++ segCols.map(col)): _*)
+
+    // ---- raw side: ONLY the two boundary ranges are scanned (pushed to the
+    // parquet reader); per-step slice membership is decided after explode
+    val s = ctx.samples
+    val loHi = math.min(ceilRes(ctx.endMs - windowMs, resMs), ctx.endMs)
+    val hiLo = floorRes(ctx.startMs, resMs)
+    val pts = s.filter(
+      (Eval.timeBound(s, ctx.startMs - windowMs + 1, loHi) ||
+        Eval.timeBound(s, hiLo + 1, ctx.endMs)) &&
+        Matchers.compile(s, ms) && !graft.functions.IsStale(col("value")))
+    val kMinP = greatest(floorDiv(col("ts_ms") - ctx.startMs + ctx.stepMs - 1,
+      ctx.stepMs), lit(0L))
+    val kMaxP = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1,
+      ctx.stepMs), lit(ctx.nSteps))
+    val stepOf = lit(ctx.startMs) + col("__graft_k") * ctx.stepMs
+    val exploded = pts
+      .withColumn("__graft_k", explode(when(kMaxP >= kMinP,
+        sequence(kMinP, kMaxP, lit(1L))).otherwise(array().cast("array<long>"))))
+      .withColumn("seg_start",
+        when(col("ts_ms") > cFloor(stepOf), cFloor(stepOf))
+          .when(col("ts_ms") <= cCeil(stepOf - windowMs), stepOf - windowMs))
+      .filter(col("seg_start").isNotNull) // interior samples: layer serves them
+    val ws = Window.partitionBy(col("series_hash"), col("__graft_k"),
+      col("seg_start")).orderBy(col("ts_ms"), col("sample_id"))
+    val ord = struct(col("ts_ms"), col("sample_id"))
+    val withPrev = exploded
+      .withColumn("__graft_prev", lag(col("value"), 1).over(ws))
+      .withColumn("__graft_prev_ts", lag(col("ts_ms"), 1).over(ws))
+    val isDrop = col("__graft_prev").isNotNull &&
+      !isnan(col("__graft_prev")) && col("value") < col("__graft_prev")
+    // mirror Downsample.layer's per-window aggregation at slice grain, same
+    // decimal discipline, so slice segments are indistinguishable from
+    // layer segments downstream
+    val rawSeg = withPrev
+      .groupBy((Seq(col("series_hash"), col("__graft_k"), col("seg_start")) ++
+        lbls.map(col)): _*)
+      .agg(count(lit(1)).as("n"), (Seq(
+        sum(Downsample.decOrFail(col("value"), Det.dec)).cast(Det.dec).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        min_by(col("value"), ord).as("first_v"),
+        min(col("ts_ms")).as("first_ts"),
+        max_by(col("value"), ord).as("last_v"),
+        max(col("ts_ms")).as("last_ts"),
+        sum(Downsample.decOrFail(when(isDrop, col("__graft_prev"))
+          .otherwise(lit(0.0)), Det.dec)).cast(Det.dec).as("reset_sum"),
+        sum(when(isDrop, 1L).otherwise(0L)).as("n_resets"),
+        sum(when(col("__graft_prev").isNotNull &&
+          !(col("value") <=> col("__graft_prev")), 1L).otherwise(0L))
+          .as("n_changes")) ++
+        (if (hasPair) Seq(max_by(col("__graft_prev"), ord).as("last2_v"),
+          max_by(col("__graft_prev_ts"), ord).as("last2_ts")) else Nil)): _*)
+
+    // ---- merge: segments tile (t−W, t] exactly, ordered by seg_start; the
+    // lag recovers every cross-segment consecutive pair (the previous
+    // non-empty segment's last sample is the immediately preceding sample)
+    val segs = layerSeg.unionByName(rawSeg
+      .select((Seq(col("series_hash"), col("__graft_k"), col("seg_start")) ++
+        lbls.map(col) ++ segCols.map(col)): _*))
+    val wseg = Window.partitionBy(col("series_hash"), col("__graft_k"))
+      .orderBy(col("seg_start"))
+    val withPrevSeg = segs
+      .withColumn("__graft_prev_last", lag(col("last_v"), 1).over(wseg))
+      .withColumn("__graft_prev_last_ts", lag(col("last_ts"), 1).over(wseg))
+    val bValid = col("__graft_prev_last").isNotNull
+    val bDrop = bValid && col("first_v") < col("__graft_prev_last")
+    val grouped = withPrevSeg
+      .withColumn("step_ms", lit(ctx.startMs) + col("__graft_k") * ctx.stepMs)
+      .withColumn("__graft_bdrop", bDrop)
+      .withColumn("__graft_breset",
+        term(when(bDrop, col("__graft_prev_last")).otherwise(lit(0.0))))
+      .withColumn("__graft_bchange", when(bValid &&
+        !(col("first_v") <=> col("__graft_prev_last")), 1L).otherwise(0L))
+      .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
+      .agg(sum(col("n")).as("__graft_n_samples"), (Seq(
+        min(col("first_ts")).as("__graft_first_ts"),
+        max(col("last_ts")).as("__graft_last_ts"),
+        min_by(col("first_v"), col("first_ts")).as("__graft_first_val"),
+        max_by(col("last_v"), col("last_ts")).as("__graft_last_val"),
+        sum(col("sum_v")).cast("double").as("__graft_sum_val"),
+        (sum(col("sum_v")).cast("double") / sum(col("n"))).as("__graft_avg_val"),
+        min(col("min_v")).as("__graft_min_val"),
+        max(col("max_v")).as("__graft_max_val"),
+        sum(dec(col("reset_sum")) + col("__graft_breset"))
+          .cast("double").as("__graft_resets"),
+        sum(col("n_resets") + when(col("__graft_bdrop"), 1L).otherwise(0L))
+          .as("__graft_n_resets"),
+        sum(col("n_changes") + col("__graft_bchange")).as("__graft_n_changes")) ++
+        (if (hasPair) Seq(pairAgg(col("__graft_prev_last_ts").isNotNull,
+          col("seg_start"))) else Nil)): _*)
+      .drop("series_hash")
+    if (hasPair) withPairCols(grouped) else grouped
+  }
 
   private def withPairCols(g: DataFrame): DataFrame = {
     val pv = when(col("__graft_lw.n") >= 2, col("__graft_lw.l2v"))

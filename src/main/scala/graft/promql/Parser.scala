@@ -289,10 +289,11 @@ object Parser {
       val id = ident()
       skipWs()
       // PromQL number keywords (case-insensitive): a metric literally named
-      // NaN/Inf needs {__name__="NaN"}, as in Prometheus' lexer
+      // NaN/Inf needs {__name__="NaN"}, as in Prometheus' lexer. Only
+      // nan/inf are keywords — a metric named `infinity` stays a selector
+      // (promql/parser/lexer.go keywords).
       if (id.equalsIgnoreCase("nan")) return NumberLit(Double.NaN)
-      if (id.equalsIgnoreCase("inf") || id.equalsIgnoreCase("infinity"))
-        return NumberLit(Double.PositiveInfinity)
+      if (id.equalsIgnoreCase("inf")) return NumberLit(Double.PositiveInfinity)
       if (aggOps.contains(id)) {
         // optional prefix grouping: sum by (a) (expr)
         val g1 = grouping()

@@ -669,6 +669,75 @@ object Tsdb {
           "FROM f ORDER BY uid, step_ms"
       }),
 
+    // Hybrid auto-downsampling for an UNALIGNED grid (the common dashboard
+    // shape: start = "now", arbitrary step): each step serves its interior
+    // whole 1h windows from the layer and reads raw only the two partial
+    // boundary slices — [[graft.promql.LayerRoute.hybridGridAgg]] — and must
+    // STILL hash-match DuckDB's raw per-sample extrapolated-increase walk.
+    // The fixture densifies `purchase` to an exact 6-minute cadence (ranks ×
+    // 240 six-minute ticks — deterministic in both engines, and dense enough
+    // that the 1h layer clears the cost guard with benefit 10×).
+    Q("s5_downsample_unaligned", {
+      val (start, step, win) = (T0 + 6 * DAY + 3 * 3600000L + 13 * 60000L + 7000L,
+        5 * 3600000L + 11 * 60000L, 4 * DAY)
+      val end = start + 12 * 3600000L
+      (t: Tables) => {
+        val spark = t.events.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val sp = samples(t).filter(col("__name__") === "purchase")
+        val ranked = sp.withColumn("ridx", row_number().over(
+          Window.partitionBy(col("uid")).orderBy(col("ts_ms"), col("sample_id")))
+          .cast("long") - 1L)
+        val dense = ranked
+          .withColumn("k", explode(sequence(lit(0L), lit(239L))))
+          .select(col("__name__"), col("uid"),
+            (lit(T0) + (col("ridx") * 240L + col("k")) * 360000L).as("ts_ms"),
+            (col("value") + col("k") * 0.001).as("value"),
+            (col("ridx") * 240L + col("k")).as("sample_id"))
+          .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        val out = java.nio.file.Files.createTempDirectory("graft-unaligned").toString
+        graft.etl.Downsample.writeLayer(
+          graft.etl.Downsample.layer(dense, 3600000L), s"$out/l1h")
+        val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
+        Compiler.compile(Parser.parse("increase(purchase[4d])"),
+            Compiler.Ctx(dense, start, end, step, LB, layers = layers))
+          .select(col("uid"), col("step_ms"), col("value"))
+          .orderBy(col("uid"), col("step_ms"))
+      }},
+      Some {
+        val (start, step, win) = (T0 + 6 * DAY + 3 * 3600000L + 13 * 60000L + 7000L,
+          5 * 3600000L + 11 * 60000L, 4 * DAY)
+        val end = start + 12 * 3600000L
+        s"WITH $S_CTE, " +
+          "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
+          "rk AS (SELECT uid, value, row_number() OVER (PARTITION BY uid " +
+          "ORDER BY ts_ms, sample_id) - 1 AS ridx FROM sp), " +
+          "ks AS (SELECT UNNEST(range(240)) AS k), " +
+          s"d AS (SELECT uid, $T0 + (ridx*240 + ks.k)*360000 AS ts_ms, " +
+          "value + ks.k*0.001 AS value, ridx*240 + ks.k AS sample_id " +
+          "FROM rk CROSS JOIN ks), " +
+          "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM d " +
+          "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
+          s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
+          s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $win AND p.ts_ms <= g.step_ms), " +
+          "a AS (SELECT uid, step_ms, count(*) AS n, min(ts_ms) AS ft, max(ts_ms) AS lt, " +
+          "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
+          "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
+          s"prev_ts > step_ms - $win AND value < prev_val THEN prev_val ELSE 0 END " +
+          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2), " +
+          "b AS (SELECT uid, step_ms, n, fv, lv - fv + resets AS rv, " +
+          s"CAST(ft - (step_ms - $win) AS DOUBLE) / 1000.0e0 AS ds0, " +
+          "CAST(step_ms - lt AS DOUBLE) / 1000.0e0 AS de0, " +
+          "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
+          "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
+          "dd AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
+          "e AS (SELECT *, CASE WHEN ds0 >= thr THEN ai / 2.0e0 ELSE ds0 END AS dsa FROM dd), " +
+          "f AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < dsa THEN dz ELSE dsa END AS dsb, " +
+          "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e) " +
+          "SELECT uid, step_ms, rv * ((si + dsb + deb) / si) AS value " +
+          "FROM f ORDER BY uid, step_ms"
+      }),
+
     // --------------------------------------------------------- PromQL engine
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics

@@ -77,7 +77,7 @@ object ChunkedIngest {
               case _ => ()
             }
           }
-        } finally merged.foreach(_.unpersist())
+        } finally merged.foreach(graft.etl.Ingest.releasePinned)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

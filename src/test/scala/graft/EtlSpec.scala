@@ -791,4 +791,25 @@ class EtlSpec extends SparkSpec {
     assert(Downsample.pick(5 * Downsample.Res1h) == Downsample.Res1h)
     assert(Downsample.pick(24 * Downsample.Res1h) == Downsample.Res1h)
   }
+
+  test("releasePinned frees the localCheckpoint blocks mergeChunkedRetained pins") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val samples = (0 until 50).map { i =>
+      ("rp", "0", t0 + i * 60000L, i.toDouble, i.toLong)
+    }.toSeq.toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+    val out = Files.createTempDirectory("graft-release").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (dates, merged) = Ingest.mergeChunkedRetained(spark, samples, out)
+    assert(dates.nonEmpty && merged.nonEmpty)
+    val pinnedIds = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(pinnedIds.nonEmpty, "localCheckpoint should pin storage blocks")
+    // Dataset.unpersist would be a no-op here; releasePinned must actually
+    // drop the checkpointed RDD's blocks (long streaming runs leak otherwise)
+    merged.foreach(Ingest.releasePinned)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pinnedIds.intersect(after).isEmpty,
+      s"checkpoint blocks survived release: ${pinnedIds.intersect(after)}")
+  }
 }

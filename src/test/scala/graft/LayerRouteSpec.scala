@@ -53,7 +53,11 @@ class LayerRouteSpec extends SparkSpec {
       .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
       .withColumn("series_hash", xxhash64($"__name__", $"uid"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-route").toString
-    df.write.parquet(s"$tmp/samples")
+    // time-sorted at rest like the production converted layout (Ingest's
+    // sorted sharded write) — row-group stats must be able to prune time
+    // ranges, which a generation-ordered dump would defeat
+    df.repartitionByRange(4, col("ts_ms")).sortWithinPartitions(col("ts_ms"))
+      .write.parquet(s"$tmp/samples")
     val samplesPq = spark.read.parquet(s"$tmp/samples")
     Downsample.writeLayer(Downsample.layer(samplesPq, Downsample.Res5m), s"$tmp/l5m")
     Downsample.writeLayer(Downsample.layer(samplesPq, Downsample.Res1h), s"$tmp/l1h")
@@ -61,6 +65,28 @@ class LayerRouteSpec extends SparkSpec {
       Downsample.Res5m -> Downsample.openLayer(spark, s"$tmp/l5m"),
       Downsample.Res1h -> Downsample.openLayer(spark, s"$tmp/l1h"))
     (samplesPq, layers, tmp, s"$tmp/samples")
+  }
+
+  /** Dense fixture: 60s cadence — the shape where even the 5m layer wins
+    * (benefit 5×). The main fixture's 831s cadence deliberately makes the 5m
+    * layer a LOSS (≈1 sample per window), which the cost guard must detect. */
+  private lazy val dense: (DataFrame, Map[Long, DataFrame], String, String) = {
+    val rnd = new scala.util.Random(13)
+    val rows = scala.collection.mutable.Buffer.empty[(String, String, Long, Double, Long)]
+    var id = 0L
+    for (s <- 0 until 2; i <- 0 until (42 * 60)) {
+      id += 1
+      rows += (("gau", s.toString, T0 + i * 60000L + 7L, rnd.nextDouble() * 100 - 50, id))
+    }
+    val df = rows.toSeq
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-route-dense").toString
+    df.write.parquet(s"$tmp/samples")
+    val samplesPq = spark.read.parquet(s"$tmp/samples")
+    Downsample.writeLayer(Downsample.layer(samplesPq, Downsample.Res5m), s"$tmp/l5m")
+    (samplesPq, Map(Downsample.Res5m ->
+      Downsample.openLayer(spark, s"$tmp/l5m")), tmp, s"$tmp/samples")
   }
 
   private def scannedDirs(df: DataFrame): Set[String] = {
@@ -148,13 +174,27 @@ class LayerRouteSpec extends SparkSpec {
     assert(scannedDirs(routed).exists(_.contains(s"$tmp/l1h")))
   }
 
-  test("half-hour alignment falls to the 5m layer; misaligned falls back to raw") {
+  test("half-hour alignment falls to the 5m layer when it wins; misaligned falls back to raw") {
     val (_, _, tmp, samplesDir) = fixture
-    // start on a half hour: 1h inadmissible, 5m still aligned
+    // start on a half hour: 1h inadmissible; 5m aligned but COST-DECLINED on
+    // this 831s-cadence fixture (≈1 sample per 5m window reads more than
+    // raw) → raw serves, bit-identity trivially holds
     val (raw5, routed5) = compileBoth("""sum_over_time({__name__="gau"}[90m])""",
       T0 + 12 * H + 30 * 60000L, T0 + 40 * H + 30 * 60000L, 2 * H)
     assertIdentical(raw5, routed5)
-    assert(scannedDirs(routed5).exists(_.contains(s"$tmp/l5m")))
+    assert(scannedDirs(routed5).exists(_.contains(samplesDir)))
+    assert(!scannedDirs(routed5).exists(_.contains(s"$tmp/l5m")))
+    // same query shape on 60s-cadence data: the 5m layer wins (benefit 5×)
+    // and serves, bit-identically
+    val (dsamples, dlayers, dtmp, ddir) = dense
+    val ast = Parser.parse("""sum_over_time({__name__="gau"}[90m])""")
+    val (ds, de, dst) = (T0 + 2 * H + 30 * 60000L, T0 + 40 * H + 30 * 60000L, 2 * H)
+    val draw = Compiler.compile(ast, Compiler.Ctx(dsamples, ds, de, dst))
+    val drouted = Compiler.compile(ast,
+      Compiler.Ctx(dsamples, ds, de, dst, layers = dlayers))
+    assertIdentical(draw, drouted)
+    assert(scannedDirs(drouted).exists(_.contains(s"$dtmp/l5m")))
+    assert(!scannedDirs(drouted).exists(_.contains(ddir)))
     // window not a multiple of 5m → no layer admissible → raw scan
     val (_, routedRaw) = compileBoth("""sum_over_time({__name__="gau"}[97m])""",
       T0 + 12 * H, T0 + 40 * H, 2 * H)
@@ -163,6 +203,39 @@ class LayerRouteSpec extends SparkSpec {
     val (_, sdt) = compileBoth("""stddev_over_time({__name__="gau"}[6h])""",
       T0 + 12 * H, T0 + 40 * H, 2 * H)
     assert(scannedDirs(sdt).exists(_.contains(samplesDir)))
+  }
+
+  test("cost guard: a layer missing required columns is declined, not an error") {
+    val (samples, layers, _, _) = fixture
+    // simulate a layer persisted by an older build: no reset accounting
+    val old = layers(Downsample.Res1h).drop("reset_sum", "n_resets", "n_changes")
+    val ast = Parser.parse("""increase({__name__="ctr"}[6h])""")
+    val (s0, e0, st0) = (T0 + 12 * H, T0 + 40 * H, 2 * H)
+    val raw = Compiler.compile(ast, Compiler.Ctx(samples, s0, e0, st0))
+    val routed = Compiler.compile(ast, Compiler.Ctx(samples, s0, e0, st0,
+      layers = Map(Downsample.Res1h -> old)))
+    assertIdentical(raw, routed) // served from raw, no AnalysisException
+    assert(LayerRoute.admissibleRes(Compiler.Ctx(samples, s0, e0, st0,
+      layers = Map(Downsample.Res1h -> old)), 6 * H).isEmpty)
+  }
+
+  test("discoverLayers skips dirs without the current format version marker") {
+    val (samples, _, _, _) = fixture
+    val layout = java.nio.file.Files.createTempDirectory("graft-ver").toString
+    // a layer written WITHOUT the marker (pre-versioning layout)
+    Downsample.layer(samples, Downsample.Res1h)
+      .write.parquet(s"$layout/downsample-${Downsample.Res1h}")
+    assert(Downsample.discoverLayers(spark, layout).isEmpty)
+    // a stale marker (older version) is rejected too
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$layout/downsample-${Downsample.Res1h}/_graft_layer_version"),
+      "1".getBytes)
+    assert(Downsample.discoverLayers(spark, layout).isEmpty)
+    // the current writer stamps the marker and is discovered
+    Downsample.writeLayer(Downsample.layer(samples, Downsample.Res1h),
+      s"$layout/downsample-${Downsample.Res1h}")
+    assert(Downsample.discoverLayers(spark, layout).keySet ==
+      Set(Downsample.Res1h))
   }
 
   test("absent_over_time routes: absence grid from the layer matches raw") {
@@ -220,13 +293,86 @@ class LayerRouteSpec extends SparkSpec {
       e.rangeQueryWithStats(q, s0, e0, st0, cap)._2.samplesTotal
     val raw = scanned(plain, Long.MaxValue)
     val cap0 = scanned(eng, 0L)            // raw only
-    val cap5m = scanned(eng, 300000L)      // 5m admissible, 1h excluded
+    val cap5m = scanned(eng, 300000L)      // 5m aligned but cost-declined
     val full = scanned(eng, Long.MaxValue) // coarsest (1h)
     assert(cap0 == raw)
-    assert(full < cap5m && cap5m < raw,
-      s"expected layer hierarchy raw=$raw > 5m=$cap5m > 1h=$full")
+    // the cap excludes 1h and the cost guard declines 5m (831s cadence ⇒
+    // ~1 sample per 5m window would read MORE than raw) — routing must be a
+    // pure optimization, so the capped query serves from raw, not a finer
+    // layer that cannot win
+    assert(cap5m == raw,
+      s"cost guard must fall back to raw when the 5m layer cannot win: 5m=$cap5m raw=$raw")
+    assert(full < raw, s"expected 1h layer to read less: 1h=$full raw=$raw")
     // answers identical at every cap
     assert(eng.rangeQuery(q, s0, e0, st0) == plain.rangeQuery(q, s0, e0, st0))
+    assert(eng.rangeQueryWithStats(q, s0, e0, st0, 300000L)._1 ==
+      plain.rangeQuery(q, s0, e0, st0))
+  }
+
+  test("unaligned grid routes hybrid: layer windows + bounded raw slices, bit-identical") {
+    val (_, _, tmp, samplesDir) = fixture
+    // deliberately misaligned everything: start at +13m7s, step 2h11m,
+    // window 24h; narrow grid span so the two boundary ranges stay small
+    val (start, end, step) = (T0 + 40 * H + 13 * 60000L + 7000L,
+      T0 + 46 * H + 13 * 60000L + 7000L, 2 * H + 11 * 60000L)
+    Seq(
+      """rate({__name__="ctr"}[24h])""",
+      """increase({__name__="ctr"}[24h])""",
+      """resets({__name__="ctr"}[24h])""",
+      """changes({__name__="ctr"}[24h])""",
+      """irate({__name__="ctr"}[24h])""",
+      """sum_over_time({__name__="gau"}[24h])""",
+      """avg_over_time({__name__="gau"}[24h])""",
+      """min_over_time({__name__="gau"}[24h])""",
+      """max_over_time({__name__="gau"}[24h])""",
+      """count_over_time({__name__="gau"}[24h])""",
+      """first_over_time({__name__="gau"}[24h])""",
+      """last_over_time({__name__="gau"}[24h])""",
+      """ts_of_last_over_time({__name__="gau"}[24h])""",
+      """idelta({__name__="gau"}[24h])""",
+      """delta({__name__="gau"}[24h])""").foreach { q =>
+      val (raw, routed) = compileBoth(q, start, end, step)
+      withClue(q) { assertIdentical(raw, routed) }
+    }
+    // the hybrid plan reads the 1h layer AND a raw scan for the slices
+    val (_, routed) = compileBoth("""increase({__name__="ctr"}[24h])""", start, end, step)
+    val dirs = scannedDirs(routed)
+    assert(dirs.exists(_.contains(s"$tmp/l1h")), s"layer missing from $dirs")
+    assert(dirs.exists(_.contains(samplesDir)), s"raw slices missing from $dirs")
+  }
+
+  test("hybrid route reads less than raw: slices bounded by the grid span, not the window") {
+    val (samples, layers, _, _) = fixture
+    val eng = new graft.api.PromEngine(samples, layers = layers)
+    val plain = new graft.api.PromEngine(samples)
+    // 48h window, 4h grid span, misaligned start/step: raw side of the
+    // hybrid reads ~2×(span+res), the layer serves the other ~46h
+    val q = """increase({__name__="ctr"}[48h])"""
+    val (s0, e0, st0) = (T0 + 50 * H + 977000L, T0 + 54 * H + 977000L, H + 600000L)
+    assert(eng.rangeQuery(q, s0, e0, st0) == plain.rangeQuery(q, s0, e0, st0))
+    assert(eng.rangeQuery(q, s0, e0, st0).nonEmpty)
+    val (_, statsRaw, _) = plain.rangeQueryWithStats(q, s0, e0, st0)
+    val (_, statsHyb, _) = eng.rangeQueryWithStats(q, s0, e0, st0)
+    assert(statsHyb.samplesTotal < statsRaw.samplesTotal,
+      s"hybrid ${statsHyb.samplesTotal} should read below raw ${statsRaw.samplesTotal}")
+  }
+
+  test("fuzz: random UNALIGNED grids × functions stay bit-identical (route or fall back)") {
+    val rnd = new scala.util.Random(41)
+    val fns = LayerRoute.routable.toSeq.sorted.filterNot(_ == "absent_over_time")
+    (0 until 20).foreach { k =>
+      val fn = fns(rnd.nextInt(fns.size))
+      val window = 2 * H + rnd.nextInt(50 * 3600) * 1000L   // 2h..52h, second grain
+      val step = 600000L + rnd.nextInt(4 * 3600) * 1000L    // 10m..~4h
+      val start = T0 + rnd.nextInt(60 * 3600) * 1000L + rnd.nextInt(997)
+      val end = start + rnd.nextInt(10) * step
+      val name = if (rnd.nextBoolean()) "ctr" else "gau"
+      val q = s"""$fn({__name__="$name"}[${window / 1000}s])"""
+      val (raw, routed) = compileBoth(q, start, end, step)
+      withClue(s"case $k: $q start=$start end=$end step=$step") {
+        assert(routed.exceptAll(raw).isEmpty && raw.exceptAll(routed).isEmpty)
+      }
+    }
   }
 
   test("fuzz: random aligned grids × functions stay bit-identical to raw") {
@@ -249,14 +395,22 @@ class LayerRouteSpec extends SparkSpec {
     }
   }
 
-  test("admissibleRes picks the coarsest aligned resolution") {
+  test("admissibleRes picks the coarsest aligned resolution that can win") {
     val (samples, layers, _, _) = fixture
     def ctx(start: Long, end: Long, step: Long) =
       Compiler.Ctx(samples, start, end, step, layers = layers)
     assert(LayerRoute.admissibleRes(ctx(T0, T0 + 10 * H, 2 * H), 6 * H)
       .contains(Downsample.Res1h))
+    // 35m window: only 5m is aligned, but the sparse fixture's 5m layer is
+    // cost-declined (benefit < MinBenefit) → nothing admissible
+    assert(LayerRoute.benefit(layers(Downsample.Res5m)) < LayerRoute.MinBenefit)
+    assert(LayerRoute.benefit(layers(Downsample.Res1h)) >= LayerRoute.MinBenefit)
     assert(LayerRoute.admissibleRes(ctx(T0, T0 + 10 * H, 2 * H), 35 * 60000L)
-      .contains(Downsample.Res5m))
+      .isEmpty)
+    // on dense (60s) data the same 35m-window query admits the 5m layer
+    val (dsamples, dlayers, _, _) = dense
+    assert(LayerRoute.admissibleRes(Compiler.Ctx(dsamples, T0, T0 + 10 * H,
+      2 * H, layers = dlayers), 35 * 60000L).contains(Downsample.Res5m))
     assert(LayerRoute.admissibleRes(ctx(T0 + 1234567L, T0 + 1234567L, 1000L), 6 * H)
       .isEmpty)
     assert(LayerRoute.admissibleRes(ctx(T0, T0 + 10 * H, 97 * 60000L), 6 * H)

@@ -57,6 +57,11 @@ class PromqlSpec extends SparkSpec {
     // malformed numbers raise ParseException, not raw NumberFormatException
     assertThrows[ParseException](Parser.parse("1.2.3"))
     assertThrows[ParseException](Parser.parse("1e"))
+    // only nan/inf are number keywords (Prometheus lexer): a metric
+    // legitimately named `infinity` stays a selector
+    assert(Parser.parse("Inf") == NumberLit(Double.PositiveInfinity))
+    assert(Parser.parse("iNf") == NumberLit(Double.PositiveInfinity))
+    assert(Parser.parse("infinity") == Selector(Some("infinity"), Nil, None))
     // unary minus binds looser than ^-chains but tighter than */
     val neg = eval("""-{__name__="purchase"}""").select($"uid", $"value")
     val pos = eval("""{__name__="purchase"}""").select($"uid", ($"value" * -1).as("value"))
