@@ -77,6 +77,52 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
+    // self-documenting artifact: rewrite the auto section of BENCH_NOTES.md
+    // with this sweep's self-defense report (raw vs confirmed per rerun
+    // query), so the reconfirmation evidence never needs hand-editing
+    try writeNotes(sfDir, confirmed.size, total, median, threshold,
+      raw.toMap, reruns.toMap)
+    catch { case e: Exception => System.err.println(s"[bench] notes: $e") }
     spark.stop()
+  }
+
+  private val AutoBegin = "<!-- AUTO-GENERATED: bench self-defense report (overwritten by graft.Bench) -->"
+  private val AutoEnd = "<!-- END AUTO-GENERATED -->"
+
+  private def writeNotes(sfDir: String, n: Int, total: Double, median: Double,
+                         threshold: Double, raw: Map[String, Double],
+                         reruns: Map[String, Double]): Unit = {
+    def f(v: Double) = f"$v%.2f"
+    val table =
+      if (reruns.isEmpty) "No query exceeded the rerun threshold — the raw sweep stands.\n"
+      else {
+        val rows = reruns.toSeq.sortBy(-_._2).map { case (q, c) =>
+          s"| $q | ${f(raw(q))} | ${f(c)} |" }.mkString("\n")
+        s"| query | raw sweep (s) | confirmed min-of-3 (s) |\n| --- | --- | --- |\n$rows\n"
+      }
+    val section =
+      s"""$AutoBegin
+         |## Auto: latest sweep self-defense report
+         |
+         |Sweep of $n queries on `$sfDir`: **total ${f(total)} s confirmed**
+         |(sweep median ${f(median)} s; queries above max(2 s, 3×median) =
+         |${f(threshold)} s were re-run ×3 and the min reported).
+         |${if (reruns.isEmpty) "" else s"${reruns.size} reconfirmed:"}
+         |$table$AutoEnd""".stripMargin
+    val p = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTES", "BENCH_NOTES.md"))
+    val prev = if (java.nio.file.Files.isRegularFile(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else "# Bench notes\n"
+    val next = {
+      val b = prev.indexOf(AutoBegin)
+      val e = prev.indexOf(AutoEnd)
+      if (b >= 0 && e > b)
+        prev.substring(0, b) + section + prev.substring(e + AutoEnd.length)
+      else prev.stripLineEnd + "\n\n" + section + "\n"
+    }
+    java.nio.file.Files.write(p,
+      next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -31,7 +31,11 @@ final class PromEngine(samples: DataFrame,
                          * (Thanos auto-downsampling; [[graft.promql
                          * .LayerRoute]]), bit-exactly, falling back to raw
                          * otherwise. */
-                       layers: Map[Long, DataFrame] = Map.empty) {
+                       layers: Map[Long, DataFrame] = Map.empty,
+                       /** Native-histogram downsample layers ([[graft.etl
+                         * .Downsample.histLayer]]): aligned histogram
+                         * rate/increase/delta serve from these. */
+                       histLayers: Map[Long, DataFrame] = Map.empty) {
   import PromEngine._
 
   private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
@@ -89,6 +93,9 @@ final class PromEngine(samples: DataFrame,
   private def cappedLayers(maxSourceResMs: Long): Map[Long, DataFrame] =
     layers.filter { case (res, _) => res <= maxSourceResMs }
 
+  private def cappedHistLayers(maxSourceResMs: Long): Map[Long, DataFrame] =
+    histLayers.filter { case (res, _) => res <= maxSourceResMs }
+
   /** Instant query + per-query stats + static analyzer warnings (the
     * annotation channel the reference streams before results,
     * `api/grpc/thanos.go:270-276`). */
@@ -97,7 +104,8 @@ final class PromEngine(samples: DataFrame,
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
     val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs,
-      layers = cappedLayers(maxSourceResMs))
+      layers = cappedLayers(maxSourceResMs),
+      histLayers = cappedHistLayers(maxSourceResMs))
     finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 
@@ -106,7 +114,8 @@ final class PromEngine(samples: DataFrame,
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
     val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs,
-      layers = cappedLayers(maxSourceResMs))
+      layers = cappedLayers(maxSourceResMs),
+      histLayers = cappedHistLayers(maxSourceResMs))
     finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
   }
 
@@ -133,7 +142,13 @@ final class PromEngine(samples: DataFrame,
 
   def labelNames(matchers: Seq[LabelMatcher], mintMs: Long, maxtMs: Long): Seq[String] = {
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
-    if (matchers.isEmpty) lbls.sorted // schema-only path (ref search/search.go:294)
+    if (matchers.isEmpty)
+      // footer fast path first: per-row-group statistics prove which labels
+      // actually carry values INSIDE the interval (the reference reads
+      // per-block schemas within range, search/search.go:294); falls back
+      // to the whole-schema answer for non-file-backed views
+      graft.sources.FooterLabelValues.labelNames(samples, lbls, mintMs, maxtMs)
+        .getOrElse(lbls.sorted)
     else {
       val m = Eval.select(samples, matchers, mintMs, maxtMs)
       val counts = m.agg(count(col(lbls.head)).as(lbls.head),

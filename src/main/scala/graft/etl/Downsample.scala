@@ -171,6 +171,70 @@ object Downsample {
           !(col("value") <=> col("__graft_prev")), 1L).otherwise(0L)).as("n_changes"))
   }
 
+  /** Everything a HISTOGRAM layer row carries besides its label columns. */
+  val histLayerCols: Set[String] = Set("win_start", "n", "first_ts", "last_ts",
+    "first_h", "last_h", "resets")
+
+  /** Downsample layer for native-histogram series: per (series, left-open
+    * aligned window) the window's first/last histogram samples with
+    * timestamps, plus the ts-ORDERED LIST of pre-reset histograms over
+    * in-window consecutive pairs ([[graft.promql.NativeHistograms
+    * .resetList]]). Lists, not partial sums, because float addition does
+    * not associate: replaying the concatenated per-window lists (plus
+    * boundary resets recovered from first/last at read time) in ts order
+    * reproduces the raw scan's float fold bit-for-bit — the histogram
+    * analog of the float layer's decimal discipline. Resets are rare, so a
+    * window row is ~2 histograms + a near-empty list: the ~window/cadence
+    * read saving long-range `histogram_quantile(φ, rate(h[30d]))` needs at
+    * 100 TB survives. Rows mixing float and histogram samples in one series
+    * are out of scope: only `h`-carrying rows aggregate (staleness markers
+    * are float rows and drop out with them). */
+  def histLayer(samples: DataFrame, resMs: Long): DataFrame = {
+    require(samples.columns.contains("h") &&
+      graft.promql.Eval.isHistCol(samples, "h"),
+      "histLayer needs a native-histogram struct column 'h'")
+    val lbls = samples.columns.filterNot(bookkeeping + "h").toSeq
+    val pts = samples.filter(col("h").isNotNull)
+      .withColumn("win_start", winStartOf(col("ts_ms"), resMs))
+    pts
+      .groupBy((col("series_hash") +: col("win_start") +: lbls.map(col)): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_ms")).as("first_ts"),
+        max(col("ts_ms")).as("last_ts"),
+        sort_array(collect_list(struct(col("ts_ms"), col("sample_id"),
+          col("h")))).as("__graft_hpts"))
+      .withColumn("first_h", element_at(col("__graft_hpts"), 1).getField("h"))
+      .withColumn("last_h", element_at(col("__graft_hpts"), -1).getField("h"))
+      .withColumn("resets",
+        graft.promql.NativeHistograms.resetList(col("__graft_hpts")))
+      .drop("__graft_hpts")
+  }
+
+  /** Discover persisted HISTOGRAM layers (`downsample-hist-<resMs>`
+    * subtrees) — same version gate as [[discoverLayers]]. */
+  def discoverHistLayers(spark: SparkSession, outDir: String): Map[Long, DataFrame] = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.isDirectory(root)) Map.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        var acc = Map.empty[Long, DataFrame]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (java.nio.file.Files.isDirectory(p) &&
+              name.startsWith("downsample-hist-") &&
+              versionOf(p).contains(LayerFormatVersion))
+            name.stripPrefix("downsample-hist-").toLongOption.foreach { res =>
+              acc += res -> openLayer(spark, p.toString)
+            }
+        }
+        acc
+      } finally s.close()
+    }
+  }
+
   /** Recompose the layer at a coarser aligned window whose width is a
     * multiple of the layer resolution — the read path for
     * `count/sum/min/max/first/last_over_time` and per-window increase on

@@ -48,8 +48,11 @@ object Serve {
     val layers = graft.etl.Downsample.discoverLayers(spark, sfDir)
     if (layers.nonEmpty)
       println(s"auto-downsampling layers: ${layers.keys.toSeq.sorted.mkString(", ")} ms")
+    val histLayers = graft.etl.Downsample.discoverHistLayers(spark, sfDir)
+    if (histLayers.nonEmpty)
+      println(s"histogram layers: ${histLayers.keys.toSeq.sorted.mkString(", ")} ms")
     val api = new HttpApi(
-      new PromEngine(samples, lookback, quotas, layers), port).start()
+      new PromEngine(samples, lookback, quotas, layers, histLayers), port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed
   }

@@ -35,7 +35,13 @@ object Compiler {
                          * .Downsample]]); eligible aligned range functions
                          * are served from the coarsest admissible layer
                          * instead of raw samples ([[LayerRoute]]). */
-                       layers: Map[Long, DataFrame] = Map.empty) {
+                       layers: Map[Long, DataFrame] = Map.empty,
+                       /** Native-histogram downsample layers by resolution
+                         * ms ([[graft.etl.Downsample.histLayer]]); aligned
+                         * `rate`/`increase`/`delta` over histogram series
+                         * are served from these ([[LayerRoute
+                         * .tryRouteHist]]), bit-exactly. */
+                       histLayers: Map[Long, DataFrame] = Map.empty) {
     def nSteps: Long = (endMs - startMs) / stepMs
     /** Top-level query bounds: what `@ start()` / `@ end()` resolve to —
       * stable under the offset / subquery grid rewrites that shift
@@ -739,7 +745,7 @@ object Compiler {
       fargs.collectFirst {
         case sel @ Selector(_, _, Some(r), _, _) =>
           histRange(f2, r, sel.offsetMs, sel.at,
-            c => selectorPoints(sel, r, c), ctx)
+            c => selectorPoints(sel, r, c), ctx, Some(sel))
         case sub: Subquery =>
           histRange(f2, sub.rangeMs, sub.offsetMs, sub.at,
             c => histSubqueryPoints(sub, c), ctx)
@@ -804,7 +810,7 @@ object Compiler {
 
   private def histRange(fn: String, windowMs: Long, offsetMs: Long,
                         atOpt: Option[AtSpec], mkPoints: Ctx => DataFrame,
-                        ctx: Ctx): DataFrame = {
+                        ctx: Ctx, selOpt: Option[Selector] = None): DataFrame = {
     val ectx = atOpt match {
       case Some(spec) =>
         val t = resolveAt(spec, ctx) - offsetMs
@@ -814,25 +820,35 @@ object Compiler {
         ctx.copy(startMs = ctx.startMs - offsetMs, endMs = ctx.endMs - offsetMs,
           anchorStartMs = Some(ctx.qStartMs), anchorEndMs = Some(ctx.qEndMs))
     }
-    val pts = mkPoints(ectx)
-    def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
-    val kMin = greatest(floorDiv(col("ts_ms") - ectx.startMs + ectx.stepMs - 1, ectx.stepMs), lit(0L))
-    val kMax = least(floorDiv(col("ts_ms") - ectx.startMs + windowMs - 1, ectx.stepMs), lit(ectx.nSteps))
-    val lbls = pts.columns
-      .filterNot(c => sampleReserved(c) || c == "series_hash" || c == "date" ||
-        Eval.isHistCol(pts, c) || c.startsWith("__graft_")).toSeq
-    val g = pts
-      .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
-        .otherwise(array().cast("array<long>"))))
-      .withColumn("step_ms", lit(ectx.startMs) + col("__graft_k") * ectx.stepMs)
-      .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
-      .agg(count(lit(1)).as("__graft_n"),
-        min(col("ts_ms")).as("__graft_first_ts"),
-        max(col("ts_ms")).as("__graft_last_ts"),
-        sort_array(collect_list(struct(col("ts_ms"), col("sample_id"), col("h"))))
-          .as("__graft_hpts"))
-      .filter(col("__graft_n") >= 2) // rate family needs two points
-    val delta = NativeHistograms.windowDelta(col("__graft_hpts"), isCounter = fn != "delta")
+    // auto-downsampling for histogram series: an aligned plain range
+    // selector is served from the histogram layer ([[LayerRoute
+    // .tryRouteHist]]) — same per-step columns, shared extrapolation below
+    val routed: Option[DataFrame] =
+      selOpt.flatMap(sel => LayerRoute.tryRouteHist(fn, sel, windowMs, ectx))
+    val g = routed.getOrElse {
+      val pts = mkPoints(ectx)
+      def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
+      val kMin = greatest(floorDiv(col("ts_ms") - ectx.startMs + ectx.stepMs - 1, ectx.stepMs), lit(0L))
+      val kMax = least(floorDiv(col("ts_ms") - ectx.startMs + windowMs - 1, ectx.stepMs), lit(ectx.nSteps))
+      val lbls = pts.columns
+        .filterNot(c => sampleReserved(c) || c == "series_hash" || c == "date" ||
+          Eval.isHistCol(pts, c) || c.startsWith("__graft_")).toSeq
+      pts
+        .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))
+          .otherwise(array().cast("array<long>"))))
+        .withColumn("step_ms", lit(ectx.startMs) + col("__graft_k") * ectx.stepMs)
+        .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
+        .agg(count(lit(1)).as("__graft_n"),
+          min(col("ts_ms")).as("__graft_first_ts"),
+          max(col("ts_ms")).as("__graft_last_ts"),
+          sort_array(collect_list(struct(col("ts_ms"), col("sample_id"), col("h"))))
+            .as("__graft_hpts"))
+        .filter(col("__graft_n") >= 2) // rate family needs two points
+        .withColumn("__graft_delta", NativeHistograms.windowDelta(
+          col("__graft_hpts"), isCounter = fn != "delta"))
+        .drop("__graft_hpts")
+    }
+    val delta = col("__graft_delta")
     // boundary extrapolation (threshold clamps only; no zero-crossing)
     val ds0 = (col("__graft_first_ts") - (col("step_ms") - windowMs)).cast("double") / lit(1000.0)
     val de0 = (col("step_ms") - col("__graft_last_ts")).cast("double") / lit(1000.0)
@@ -846,7 +862,7 @@ object Compiler {
     val out = g
       .withColumn("__graft_h", NativeHistograms.scale(delta, factor))
       .drop("series_hash", "__graft_n", "__graft_first_ts", "__graft_last_ts",
-        "__graft_hpts")
+        "__graft_delta")
     val restored = atOpt match {
       case Some(_) => ctx.grid.crossJoin(out.drop("step_ms"))
       case None =>

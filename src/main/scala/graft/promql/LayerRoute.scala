@@ -392,6 +392,92 @@ object LayerRoute {
     if (hasPair) withPairCols(grouped) else grouped
   }
 
+  /** Required columns of a histogram layer frame. */
+  val histRequiredCols: Set[String] = Set("win_start", "n", "first_ts",
+    "last_ts", "first_h", "last_h", "resets")
+
+  /** Aligned-grid admission for HISTOGRAM layers: same exactness + cost
+    * rules as [[admissibleRes]] over `ctx.histLayers`. (No hybrid variant
+    * yet — unaligned histogram grids fall back to raw.) */
+  def histAdmissibleRes(ctx: Compiler.Ctx, windowMs: Long): Option[Long] =
+    ctx.histLayers.toSeq.sortBy(-_._1).collectFirst { case (res, layer) if
+      res > 0 && windowMs >= res && windowMs % res == 0 &&
+        java.lang.Math.floorMod(ctx.startMs, res) == 0L &&
+        (ctx.nSteps == 0L || ctx.stepMs % res == 0L) &&
+        histRequiredCols.subsetOf(layer.columns.toSet) &&
+        benefit(layer) >= MinBenefit => res }
+
+  /** Layer route for `rate`/`increase`/`delta` over HISTOGRAM-typed range
+    * selectors ([[Compiler]]'s histRange hook): returns the per-step frame
+    * with `__graft_n`/`__graft_first_ts`/`__graft_last_ts`/`__graft_delta`
+    * — the same columns the raw path feeds the shared extrapolation — or
+    * None for the raw fallback. `ctx` is already offset-shifted/@-pinned. */
+  def tryRouteHist(fn: String, sel: Ast.Selector, windowMs: Long,
+                   ctx: Compiler.Ctx): Option[DataFrame] =
+    if (ctx.histLayers.isEmpty || !Set("rate", "increase", "delta")(fn)) None
+    else histAdmissibleRes(ctx, windowMs).map { res =>
+      val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers)
+        .getOrElse(sel.matchers)
+      histGridAgg(ctx.histLayers(res), ms, windowMs, res, ctx,
+        isCounter = fn != "delta")
+    }
+
+  /** Per-step recomposition from the histogram layer: windows explode to
+    * the steps they serve exactly like [[gridAggFromLayer]]; per step the
+    * window summaries are collected win_start-sorted and the raw scan's
+    * reset fold is REPLAYED in ts order — per-window pre-reset lists
+    * concatenated with boundary resets (prev window's last vs this
+    * window's first) interleaved at their true positions — so the float
+    * additions happen in the same order as the raw walk and the delta is
+    * bit-identical ([[NativeHistograms.deltaFrom]] doc). Windows per step
+    * ≤ window/res, so the collected list stays small. */
+  private def histGridAgg(layer0: DataFrame, ms: Seq[LabelMatcher],
+                          windowMs: Long, resMs: Long, ctx: Compiler.Ctx,
+                          isCounter: Boolean): DataFrame = {
+    val hT = layer0.schema("last_h").dataType
+    val hArrT = org.apache.spark.sql.types.ArrayType(
+      layer0.schema("resets").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+    val layer = layer0.filter(winBound(layer0, ctx.startMs - windowMs,
+      ctx.endMs - resMs) && Matchers.compile(layer0, ms))
+    val lbls = layer.columns.filterNot(c =>
+      Set("series_hash", "date")(c) || Downsample.histLayerCols(c) ||
+        c.startsWith("__graft_")).toSeq
+    def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
+    val kMin = greatest(floorDiv(col("win_start") + (resMs - ctx.startMs) +
+      ctx.stepMs - 1, ctx.stepMs), lit(0L))
+    val kMax = least(floorDiv(col("win_start") + (windowMs - ctx.startMs),
+      ctx.stepMs), lit(ctx.nSteps))
+    val grouped = layer
+      .withColumn("__graft_k", explode(when(kMax >= kMin,
+        sequence(kMin, kMax, lit(1L))).otherwise(array().cast("array<long>"))))
+      .withColumn("step_ms", lit(ctx.startMs) + col("__graft_k") * ctx.stepMs)
+      .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
+      .agg(sum(col("n")).as("__graft_n"),
+        min(col("first_ts")).as("__graft_first_ts"),
+        max(col("last_ts")).as("__graft_last_ts"),
+        sort_array(collect_list(struct(col("win_start"),
+          col("first_h").as("fh"), col("last_h").as("lh"),
+          col("resets").as("rs")))).as("__graft_ws"))
+      .filter(col("__graft_n") >= 2)
+    val first = element_at(col("__graft_ws"), 1).getField("fh")
+    val last = element_at(col("__graft_ws"), -1).getField("lh")
+    val rp =
+      if (!isCounter) array().cast(hArrT)
+      else aggregate(col("__graft_ws"),
+        struct(array().cast(hArrT).as("arr"), lit(null).cast(hT).as("pl")),
+        (acc, w) => struct(
+          concat(acc.getField("arr"),
+            when(acc.getField("pl").isNotNull &&
+              NativeHistograms.detectReset(w.getField("fh"), acc.getField("pl")),
+              array(acc.getField("pl"))).otherwise(array().cast(hArrT)),
+            w.getField("rs")).as("arr"),
+          w.getField("lh").as("pl"))).getField("arr")
+    grouped
+      .withColumn("__graft_delta", NativeHistograms.deltaFrom(first, last, rp))
+      .drop("__graft_ws")
+  }
+
   private def withPairCols(g: DataFrame): DataFrame = {
     val pv = when(col("__graft_lw.n") >= 2, col("__graft_lw.l2v"))
       .otherwise(when(col("__graft_lw.pvalid"), col("__graft_lw.pl")))

@@ -238,34 +238,53 @@ object NativeHistograms {
       drop(prev.getField("neg"), curr.getField("neg"))
   }
 
+  /** Ts-ordered pre-reset histograms over the consecutive pairs of `sorted`
+    * (ts-ascending array of struct(ts_ms, sample_id, h)) — the additive
+    * reset-compensation terms of the counter-increase convention, EXPOSED so
+    * the downsample layer can persist them per window
+    * ([[graft.etl.Downsample.histLayer]]): a fold over a recomposed
+    * window-ordered concatenation of these lists replays the raw scan's
+    * float additions in the same order, which is what keeps layer-served
+    * histogram rates bit-identical (float addition does not associate, so
+    * partial SUMS could not be stored — the term lists can). */
+  def resetList(sorted: Column): Column = {
+    val n = size(sorted)
+    val prevs = slice(sorted, lit(1), greatest(n - 1, lit(0)))
+    val currs = slice(sorted, lit(2), greatest(n - 1, lit(0)))
+    filter(zip_with(prevs, currs, (a, b) =>
+      when(detectReset(b.getField("h"), a.getField("h")), a.getField("h"))),
+      x => x.isNotNull)
+  }
+
+  /** Bucket-wise `last − first` plus the left-fold of the pre-reset
+    * histograms `rp` (ts-ordered array of h structs; pass an empty array for
+    * gauge semantics). The fold order is the Prometheus scan order —
+    * callers recomposing from a layer must concatenate per-window lists and
+    * boundary terms in ts order to stay bit-identical. */
+  def deltaFrom(first: Column, last: Column, rp: Column): Column = {
+    val emptyM = map_from_entries(array().cast(emptyBucketsT))
+    def sumF(f: String) = aggregate(rp, lit(0.0), (acc, x) => acc + x.getField(f))
+    def sumM(f: String) = aggregate(rp, emptyM, (acc, x) => mAdd(acc, bmap(x.getField(f))))
+    struct(
+      (last.getField("cnt") - first.getField("cnt") + sumF("cnt")).as("cnt"),
+      (last.getField("hsum") - first.getField("hsum") + sumF("hsum")).as("hsum"),
+      last.getField("sch").as("sch"),
+      last.getField("zthr").as("zthr"),
+      (last.getField("zcnt") - first.getField("zcnt") + sumF("zcnt")).as("zcnt"),
+      mToBuckets(mAdd(mSub(bmap(last.getField("pos")), bmap(first.getField("pos"))), sumM("pos"))).as("pos"),
+      mToBuckets(mAdd(mSub(bmap(last.getField("neg")), bmap(first.getField("neg"))), sumM("neg"))).as("neg"))
+  }
+
   /** Bucket-wise `last − first` over `sorted` (ts-ascending array of
     * struct(ts_ms, sample_id, h)); for counters, each reset adds the
     * pre-reset histogram back (the Prometheus counter-increase convention). */
   def windowDelta(sorted: Column, isCounter: Boolean): Column = {
     val first = element_at(sorted, 1).getField("h")
     val last  = element_at(sorted, -1).getField("h")
-    val emptyM = map_from_entries(array().cast(emptyBucketsT))
-    val (adjCnt, adjSum, adjZ, adjPos, adjNeg) =
-      if (!isCounter) (lit(0.0), lit(0.0), lit(0.0), emptyM, emptyM)
-      else {
-        val n = size(sorted)
-        val prevs = slice(sorted, lit(1), greatest(n - 1, lit(0)))
-        val currs = slice(sorted, lit(2), greatest(n - 1, lit(0)))
-        val rp = filter(zip_with(prevs, currs, (a, b) =>
-          when(detectReset(b.getField("h"), a.getField("h")), a.getField("h"))),
-          x => x.isNotNull)
-        def sumF(f: String) = aggregate(rp, lit(0.0), (acc, x) => acc + x.getField(f))
-        def sumM(f: String) = aggregate(rp, emptyM, (acc, x) => mAdd(acc, bmap(x.getField(f))))
-        (sumF("cnt"), sumF("hsum"), sumF("zcnt"), sumM("pos"), sumM("neg"))
-      }
-    struct(
-      (last.getField("cnt") - first.getField("cnt") + adjCnt).as("cnt"),
-      (last.getField("hsum") - first.getField("hsum") + adjSum).as("hsum"),
-      last.getField("sch").as("sch"),
-      last.getField("zthr").as("zthr"),
-      (last.getField("zcnt") - first.getField("zcnt") + adjZ).as("zcnt"),
-      mToBuckets(mAdd(mSub(bmap(last.getField("pos")), bmap(first.getField("pos"))), adjPos)).as("pos"),
-      mToBuckets(mAdd(mSub(bmap(last.getField("neg")), bmap(first.getField("neg"))), adjNeg)).as("neg"))
+    val rp = if (isCounter) resetList(sorted)
+             else array().cast(org.apache.spark.sql.types.ArrayType(
+               graft.functions.HistChunk.HistType))
+    deltaFrom(first, last, rp)
   }
 
   /** Uniformly scale a histogram's counts and sum (rate's ÷range and the

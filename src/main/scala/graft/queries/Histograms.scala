@@ -249,6 +249,64 @@ object Histograms {
         "FROM g ORDER BY evt"
       }),
 
+    // Histogram AUTO-DOWNSAMPLING under the oracle gate: a multi-week
+    // histogram rate() grid answered FROM the 6h histogram layer
+    // ([[graft.etl.Downsample.histLayer]] → [[graft.promql.LayerRoute
+    // .tryRouteHist]]; HistLayerRouteSpec pins that the plan reads only
+    // layer files) must hash-match DuckDB recomputing the same
+    // extrapolated rate from the raw per-hour cumulative walk. The layer
+    // persists per-window reset LISTS (empty here — the fixture is
+    // reset-free) and first/last histograms; bit-identity holds because
+    // the recomposition replays the raw fold's float ops in order.
+    Q("nh_downsample", {
+      val (start, step, rng, res) = (T0 + 6 * 24 * HOUR, 12 * HOUR,
+        2 * 24 * HOUR, 6 * HOUR)
+      val end = T0 + 28 * 24 * HOUR
+      t => {
+        val spark = t.events.sparkSession
+        val cum = cumulativeHists(t).persist()
+        val out = java.nio.file.Files.createTempDirectory("graft-nhds").toString
+        graft.etl.Downsample.writeLayer(
+          graft.etl.Downsample.histLayer(cum, res), s"$out/hl")
+        val layers = Map(res -> graft.etl.Downsample.openLayer(spark, s"$out/hl"))
+        def ev(q: String, as: String) =
+          Compiler.compile(Parser.parse(q),
+            Compiler.Ctx(cum, start, end, step, histLayers = layers))
+            .select(col("evt"), col("step_ms"), col("value").as(as))
+        ev("histogram_count(rate(obs[2d]))", "rcnt")
+          .join(ev("histogram_sum(rate(obs[2d]))", "rsum"), Seq("evt", "step_ms"))
+          .select(col("evt"), col("step_ms"), col("rcnt"), col("rsum"))
+          .orderBy(col("evt"), col("step_ms"))
+      }
+    },
+      Some {
+        val (start, step, rng) = (T0 + 6 * 24 * HOUR, 12 * HOUR, 2 * 24 * HOUR)
+        val end = T0 + 28 * 24 * HOUR
+        val rangeSec = rng / 1000.0
+        s"WITH o AS (SELECT event_type AS evt, (epoch_ms(ts) // 3600000) * 3600000 AS hr, " +
+          "CAST(round(value * 100) AS BIGINT) AS obs FROM events), " +
+        "hs AS (SELECT evt, hr, count(*) AS cnt, sum(obs) AS usum FROM o GROUP BY 1, 2), " +
+        "ch AS (SELECT evt, hr, sum(cnt) OVER (PARTITION BY evt ORDER BY hr) AS ccnt, " +
+          "sum(usum) OVER (PARTITION BY evt ORDER BY hr) AS cusum FROM hs), " +
+        s"gr AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
+        s"w AS (SELECT ch.*, gr.step_ms FROM ch JOIN gr ON ch.hr > gr.step_ms - $rng AND ch.hr <= gr.step_ms), " +
+        "a AS (SELECT evt, step_ms, count(*) AS n, min(hr) AS first_ts, max(hr) AS last_ts, " +
+          "min_by(ccnt, hr) AS fc, max_by(ccnt, hr) AS lc, " +
+          "min_by(cusum, hr) AS fu, max_by(cusum, hr) AS lu " +
+          "FROM w GROUP BY evt, step_ms HAVING count(*) >= 2), " +
+        s"f AS (SELECT evt, step_ms, n, fc, lc, fu, lu, " +
+          s"CAST(first_ts - (step_ms - $rng) AS DOUBLE) / 1.0e3 AS ds0, " +
+          "CAST(step_ms - last_ts AS DOUBLE) / 1.0e3 AS de0, " +
+          "CAST(last_ts - first_ts AS DOUBLE) / 1.0e3 AS si FROM a), " +
+        "g AS (SELECT evt, step_ms, fc, lc, fu, lu, si, " +
+          "CASE WHEN ds0 >= si / (n - 1) * 1.1e0 THEN si / (n - 1) / 2.0e0 ELSE ds0 END AS dsa, " +
+          "CASE WHEN de0 >= si / (n - 1) * 1.1e0 THEN si / (n - 1) / 2.0e0 ELSE de0 END AS dea FROM f) " +
+        "SELECT evt, step_ms, " +
+        s"(CAST(lc AS DOUBLE) - CAST(fc AS DOUBLE)) * ((si + dsa + dea) / si / ${dbl(rangeSec)}) AS rcnt, " +
+        s"(CAST(lu AS DOUBLE) / 100.0 - CAST(fu AS DOUBLE) / 100.0) * ((si + dsa + dea) / si / ${dbl(rangeSec)}) AS rsum " +
+        "FROM g ORDER BY evt, step_ms"
+      }),
+
     // as-of selection over histogram-typed series (J4 lookback analogue):
     // latest histogram sample per series within the lookback window
     Q("nh_instant", {

@@ -23,6 +23,64 @@ object Tsdb {
   private val LB   = DAY                       // lookback for the sparse fixture
 
   private def samples(t: Tables): DataFrame = TimeSeriesModel.samples(t.events)
+
+  /** Deterministically DENSIFIED `purchase` series for the downsample-layer
+    * oracles: each base sample's rank expands to 240 six-minute ticks, so
+    * every uid becomes a continuous 6-min-cadence series (dense enough that
+    * a 1h layer clears the cost guard at benefit 10×) and both engines —
+    * Spark here, DuckDB in the oracle CTE — derive the identical frame from
+    * ranks alone (no timestamp arithmetic that could collide). */
+  private def densePurchase(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = samples(t).filter(col("__name__") === "purchase")
+    sp.withColumn("ridx", row_number().over(
+        Window.partitionBy(col("uid")).orderBy(col("ts_ms"), col("sample_id")))
+        .cast("long") - 1L)
+      .withColumn("k", explode(sequence(lit(0L), lit(239L))))
+      .select(col("__name__"), col("uid"),
+        (lit(T0) + (col("ridx") * 240L + col("k")) * 360000L).as("ts_ms"),
+        (col("value") + col("k") * 0.001).as("value"),
+        (col("ridx") * 240L + col("k")).as("sample_id"))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+  }
+
+  /** The DuckDB mirror of [[densePurchase]]. */
+  private val DENSE_CTE =
+    "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
+    "rk AS (SELECT uid, value, row_number() OVER (PARTITION BY uid " +
+    "ORDER BY ts_ms, sample_id) - 1 AS ridx FROM sp), " +
+    "ks AS (SELECT UNNEST(range(240)) AS k), " +
+    // 0.001e0 (double), NOT 0.001: DuckDB would otherwise do exact
+    // DECIMAL-literal arithmetic where Spark multiplies doubles — 1-ULP
+    // divergence on k*0.001 (the verify gotcha)
+    s"d AS (SELECT uid, $T0 + (ridx*240 + ks.k)*360000 AS ts_ms, " +
+    "value + ks.k*0.001e0 AS value, ridx*240 + ks.k AS sample_id " +
+    "FROM rk CROSS JOIN ks)"
+
+  /** DuckDB extrapolated-increase walk over the dense frame `d` on a step
+    * grid — mirrors Compiler.extrapolated (no rate normalization), the raw
+    * semantics every layer-routed `increase` must hit. */
+  private def denseIncreaseSql(start: Long, end: Long, step: Long, win: Long): String =
+    "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM d " +
+    "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
+    s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
+    s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $win AND p.ts_ms <= g.step_ms), " +
+    "a AS (SELECT uid, step_ms, count(*) AS n, min(ts_ms) AS ft, max(ts_ms) AS lt, " +
+    "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
+    "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
+    s"prev_ts > step_ms - $win AND value < prev_val THEN prev_val ELSE 0 END " +
+    "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2), " +
+    "b AS (SELECT uid, step_ms, n, fv, lv - fv + resets AS rv, " +
+    s"CAST(ft - (step_ms - $win) AS DOUBLE) / 1000.0e0 AS ds0, " +
+    "CAST(step_ms - lt AS DOUBLE) / 1000.0e0 AS de0, " +
+    "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
+    "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
+    "dd AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
+    "e AS (SELECT *, CASE WHEN ds0 >= thr THEN ai / 2.0e0 ELSE ds0 END AS dsa FROM dd), " +
+    "f AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < dsa THEN dz ELSE dsa END AS dsb, " +
+    "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e) " +
+    "SELECT uid, step_ms, rv * ((si + dsb + deb) / si) AS value " +
+    "FROM f ORDER BY uid, step_ms"
   private val labels = Seq(col("__name__"), col("uid"))
 
   /** Instant vector at TI with 24h lookback, engine-internal cols dropped. */
@@ -683,18 +741,7 @@ object Tsdb {
       val end = start + 12 * 3600000L
       (t: Tables) => {
         val spark = t.events.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        val sp = samples(t).filter(col("__name__") === "purchase")
-        val ranked = sp.withColumn("ridx", row_number().over(
-          Window.partitionBy(col("uid")).orderBy(col("ts_ms"), col("sample_id")))
-          .cast("long") - 1L)
-        val dense = ranked
-          .withColumn("k", explode(sequence(lit(0L), lit(239L))))
-          .select(col("__name__"), col("uid"),
-            (lit(T0) + (col("ridx") * 240L + col("k")) * 360000L).as("ts_ms"),
-            (col("value") + col("k") * 0.001).as("value"),
-            (col("ridx") * 240L + col("k")).as("sample_id"))
-          .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        val dense = densePurchase(t)
         val out = java.nio.file.Files.createTempDirectory("graft-unaligned").toString
         graft.etl.Downsample.writeLayer(
           graft.etl.Downsample.layer(dense, 3600000L), s"$out/l1h")
@@ -708,34 +755,37 @@ object Tsdb {
         val (start, step, win) = (T0 + 6 * DAY + 3 * 3600000L + 13 * 60000L + 7000L,
           5 * 3600000L + 11 * 60000L, 4 * DAY)
         val end = start + 12 * 3600000L
-        s"WITH $S_CTE, " +
-          "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
-          "rk AS (SELECT uid, value, row_number() OVER (PARTITION BY uid " +
-          "ORDER BY ts_ms, sample_id) - 1 AS ridx FROM sp), " +
-          "ks AS (SELECT UNNEST(range(240)) AS k), " +
-          s"d AS (SELECT uid, $T0 + (ridx*240 + ks.k)*360000 AS ts_ms, " +
-          "value + ks.k*0.001 AS value, ridx*240 + ks.k AS sample_id " +
-          "FROM rk CROSS JOIN ks), " +
-          "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM d " +
-          "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
-          s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
-          s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $win AND p.ts_ms <= g.step_ms), " +
-          "a AS (SELECT uid, step_ms, count(*) AS n, min(ts_ms) AS ft, max(ts_ms) AS lt, " +
-          "min_by(value, ts_ms) AS fv, max_by(value, ts_ms) AS lv, " +
-          "CAST(CAST(SUM(CAST(CASE WHEN prev_ts IS NOT NULL AND " +
-          s"prev_ts > step_ms - $win AND value < prev_val THEN prev_val ELSE 0 END " +
-          "AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets FROM j GROUP BY 1, 2), " +
-          "b AS (SELECT uid, step_ms, n, fv, lv - fv + resets AS rv, " +
-          s"CAST(ft - (step_ms - $win) AS DOUBLE) / 1000.0e0 AS ds0, " +
-          "CAST(step_ms - lt AS DOUBLE) / 1000.0e0 AS de0, " +
-          "CAST(lt - ft AS DOUBLE) / 1000.0e0 AS si FROM a WHERE n >= 2), " +
-          "c AS (SELECT *, si / (n - 1) AS ai, si * (fv / rv) AS dz FROM b), " +
-          "dd AS (SELECT *, ai * 1.1e0 AS thr FROM c), " +
-          "e AS (SELECT *, CASE WHEN ds0 >= thr THEN ai / 2.0e0 ELSE ds0 END AS dsa FROM dd), " +
-          "f AS (SELECT *, CASE WHEN rv > 0 AND fv >= 0 AND dz < dsa THEN dz ELSE dsa END AS dsb, " +
-          "CASE WHEN de0 >= thr THEN ai / 2.0e0 ELSE de0 END AS deb FROM e) " +
-          "SELECT uid, step_ms, rv * ((si + dsb + deb) / si) AS value " +
-          "FROM f ORDER BY uid, step_ms"
+        s"WITH $S_CTE, $DENSE_CTE, " + denseIncreaseSql(start, end, step, win)
+      }),
+
+    // The AT-SCALE composition in one store, through the Serve path: a
+    // CHUNKED layout (decode-on-read Gorilla frames) with a persisted
+    // `downsample-<res>` layer beside it, wired by discoverLayers — so the
+    // same directory serves short-range queries from chunks (ChunkFramePrune
+    // pushes mint/maxt to the frame scan; LayerRouteSpec pins both plans)
+    // and aligned long-range increase() from the 1h layer, hash-matching
+    // DuckDB's raw extrapolated walk over the identical dense series.
+    Q("s5_chunked_layers", {
+      val (start, step, win) = (T0 + 6 * DAY, 6 * 3600000L, DAY)
+      val end = T0 + 12 * DAY
+      (t: Tables) => {
+        val spark = t.events.sparkSession
+        val out = java.nio.file.Files.createTempDirectory("graft-chl").toString
+        graft.etl.Ingest.mergeChunked(spark, densePurchase(t), out)
+        val chunked = graft.etl.Ingest.openChunkedSamples(spark, out)
+        graft.etl.Downsample.writeLayer(
+          graft.etl.Downsample.layer(chunked.drop("date"), 3600000L),
+          s"$out/downsample-3600000")
+        val layers = graft.etl.Downsample.discoverLayers(spark, out)
+        Compiler.compile(Parser.parse("increase(purchase[1d])"),
+            Compiler.Ctx(chunked, start, end, step, LB, layers = layers))
+          .select(col("uid"), col("step_ms"), col("value"))
+          .orderBy(col("uid"), col("step_ms"))
+      }},
+      Some {
+        val (start, step, win) = (T0 + 6 * DAY, 6 * 3600000L, DAY)
+        val end = T0 + 12 * DAY
+        s"WITH $S_CTE, $DENSE_CTE, " + denseIncreaseSql(start, end, step, win)
       }),
 
     // --------------------------------------------------------- PromQL engine

@@ -59,11 +59,15 @@ object FooterLabelValues {
         else {
         val par = math.max(1, math.min(files.size,
           spark.sparkContext.defaultParallelism))
-        // per-file footer classification, distributed. (File-system access
-        // uses a fresh Hadoop conf per task — on a real cluster thread the
-        // session's hadoopConf through a broadcast instead.)
+        // per-file footer classification, distributed; the SESSION's Hadoop
+        // conf rides to executors via broadcast so the fast path works on
+        // non-default filesystems (custom fs.* settings, credentials)
+        val bc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
         val classified = spark.sparkContext.parallelize(files, par)
-          .mapPartitions { it => it.map(f => classify(f, label, mintMs, maxtMs)) }
+          .mapPartitions { it =>
+            it.map(f => classify(f, label, mintMs, maxtMs, bc.value.value)) }
           .collect()
         if (classified.exists(_ == null)) None // unusable column type etc.
         else {
@@ -82,19 +86,124 @@ object FooterLabelValues {
     }
   }
 
+  /** Matcherless `label_names()` footer analog (the reference resolves
+    * LabelNames from per-block schemas inside the interval,
+    * `search/search.go:294`): a label is PRESENT iff some row in
+    * [mintMs, maxtMs] carries a non-null value for it. Footer-first proof:
+    * a row group whose ts_ms statistics lie fully inside the interval and
+    * whose label chunk reports `valueCount − numNulls > 0` proves presence
+    * without touching data pages; labels not proven by any covered row
+    * group are resolved by scanning ONLY the boundary/statless files — and
+    * when every candidate is already proven, no data page is read at all.
+    * None = not applicable (caller falls back to its scan or schema path). */
+  def labelNames(samples: DataFrame, labels: Seq[String],
+                 mintMs: Long, maxtMs: Long): Option[Seq[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rel = samples.queryExecution.optimizedPlan match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation
+          if fs.fileFormat.toString.toLowerCase.contains("parquet") => Some(fs)
+        case _ => None
+      }
+      case _ => None
+    }
+    rel.flatMap { fs =>
+      // every candidate label must live in the data files (a partition
+      // directory column has no chunk stats — engine labels never are)
+      if (!fs.dataSchema.fieldNames.contains("ts_ms") ||
+          !labels.forall(fs.dataSchema.fieldNames.contains)) None
+      else {
+        val spark = samples.sparkSession
+        val files = fs.location.inputFiles.toSeq
+        if (files.isEmpty) Some(Seq.empty)
+        else {
+          val par = math.max(1, math.min(files.size,
+            spark.sparkContext.defaultParallelism))
+          val bc = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sessionState.newHadoopConf()))
+          val lbls = labels.toArray
+          val classified = spark.sparkContext.parallelize(files, par)
+            .mapPartitions { it =>
+              it.map(f => classifyNames(f, lbls, mintMs, maxtMs, bc.value.value)) }
+            .collect()
+          val proven = classified.iterator.flatMap(_.present).toSet
+          val remaining = labels.filterNot(proven)
+          val scanFiles = classified.filter(_.needsScan).map(_.path).toSeq
+          val scanned: Set[String] =
+            if (remaining.isEmpty || scanFiles.isEmpty) Set.empty
+            else {
+              val df = spark.read.schema(fs.dataSchema).parquet(scanFiles: _*)
+                .filter(col("ts_ms").between(mintMs, maxtMs))
+              val counts = df.agg(
+                org.apache.spark.sql.functions.count(col(remaining.head)).as(remaining.head),
+                remaining.tail.map(l =>
+                  org.apache.spark.sql.functions.count(col(l)).as(l)): _*).head()
+              remaining.filter(l => counts.getAs[Long](l) > 0).toSet
+            }
+          Some(labels.filter(l => proven(l) || scanned(l)).sorted)
+        }
+      }
+    }
+  }
+
+  private final case class FileNames(path: String, present: Seq[String],
+                                     needsScan: Boolean)
+
+  /** Per-file presence proof from footer statistics alone. */
+  private def classifyNames(path: String, labels: Array[String], mintMs: Long,
+                            maxtMs: Long,
+                            conf: org.apache.hadoop.conf.Configuration): FileNames = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val present = scala.collection.mutable.Set.empty[String]
+      var needsScan = false
+      reader.getFooter.getBlocks.asScala.foreach { bm =>
+        val byPath = bm.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+        val tsCc = byPath.getOrElse("ts_ms", null)
+        val st = if (tsCc == null) null else tsCc.getStatistics
+        if (st == null || !st.hasNonNullValue) needsScan = true
+        else {
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+          if (mx >= mintMs && mn <= maxtMs) { // overlapping row group
+            val covered = mn >= mintMs && mx <= maxtMs
+            labels.foreach { l =>
+              byPath.get(l) match {
+                case Some(cc) =>
+                  val ls = cc.getStatistics
+                  if (covered && ls != null && ls.isNumNullsSet &&
+                      cc.getValueCount - ls.getNumNulls > 0) present += l
+                  else if (!covered || ls == null || !ls.isNumNullsSet)
+                    needsScan = true
+                  // covered + stats say all-null: proven ABSENT here, and
+                  // other row groups/files still get their say
+                case None => () // label column absent from this file: no rows
+              }
+            }
+          }
+        }
+      }
+      FileNames(path, present.toSeq, needsScan)
+    } finally reader.close()
+  }
+
   /** One file's contribution: dictionary values (file fully covered &
     * dictionary-only) and/or a needs-scan flag. `null` poisons the whole
     * fast path (e.g. the label isn't a BINARY column). */
   private final case class FileValues(path: String, values: Seq[String],
                                       needsScan: Boolean)
 
-  private def classify(path: String, label: String,
-                       mintMs: Long, maxtMs: Long): FileValues = {
+  private def classify(path: String, label: String, mintMs: Long, maxtMs: Long,
+                       conf: org.apache.hadoop.conf.Configuration): FileValues = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    val conf = new org.apache.hadoop.conf.Configuration()
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
     try {

@@ -115,4 +115,39 @@ class EvalSpec extends SparkSpec {
     assert(graft.sources.FooterLabelValues
       .labelValues(mem, "uid", 0L, Long.MaxValue / 2).isEmpty)
   }
+
+  test("labelNames footer path equals the scan; session hadoop conf threads through") {
+    val t = Tables(spark, sf())
+    val out = java.nio.file.Files.createTempDirectory("graft-lndict").toString
+    graft.etl.Ingest.convert(spark, t.events, out)
+    // a session-level hadoop setting must reach the executor-side footer
+    // readers (broadcast SerializableConfiguration, not a fresh default conf)
+    spark.conf.set("spark.hadoop.graft.test.marker", "on")
+    try {
+      val fileSamples = graft.etl.Ingest.openSamples(spark, out)
+      val lbls = fileSamples.columns
+        .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+      def scanNames(lo: Long, hi: Long): Seq[String] = {
+        val m = Eval.select(fileSamples, Nil, lo, hi)
+        lbls.filter(l => m.filter(col(l).isNotNull).limit(1).count() > 0).sorted
+      }
+      val bounds = Seq(
+        (Long.MinValue / 2, Long.MaxValue / 2),
+        (T0 + 5 * DAY, T0 + 12 * DAY - 1),
+        (T0 + 5 * DAY + 12345L, T0 + 9 * DAY + 777L),
+        (T0 - 10 * DAY, T0 - 5 * DAY)) // empty interval → no names
+      for ((lo, hi) <- bounds) {
+        val fast = graft.sources.FooterLabelValues.labelNames(fileSamples, lbls, lo, hi)
+        assert(fast.isDefined, s"footer labelNames should apply ($lo, $hi)")
+        assert(fast.get == scanNames(lo, hi), s"($lo, $hi)")
+      }
+      // engine route: matcherless labelNames uses the footer path
+      val eng = new graft.api.PromEngine(fileSamples)
+      assert(eng.labelNames(Nil, T0 + 5 * DAY, T0 + 12 * DAY - 1) ==
+        scanNames(T0 + 5 * DAY, T0 + 12 * DAY - 1))
+      // non-file-backed view falls back to the schema answer
+      assert(new graft.api.PromEngine(TimeSeriesModel.samples(t.events))
+        .labelNames(Nil, 0L, Long.MaxValue / 2) == lbls.sorted)
+    } finally spark.conf.unset("spark.hadoop.graft.test.marker")
+  }
 }

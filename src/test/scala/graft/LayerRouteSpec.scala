@@ -357,6 +357,52 @@ class LayerRouteSpec extends SparkSpec {
       s"hybrid ${statsHyb.samplesTotal} should read below raw ${statsRaw.samplesTotal}")
   }
 
+  test("chunked store + discovered layer: one dir serves layer routes AND pruned chunk scans") {
+    val (dsamples, _, _, _) = dense
+    val out = java.nio.file.Files.createTempDirectory("graft-chl-spec").toString
+    graft.etl.Ingest.mergeChunked(spark, dsamples, out)
+    val chunked = graft.etl.Ingest.openChunkedSamples(spark, out)
+    Downsample.writeLayer(Downsample.layer(chunked.drop("date"), Downsample.Res1h),
+      s"$out/downsample-${Downsample.Res1h}")
+    val layers = Downsample.discoverLayers(spark, out)
+    assert(layers.keySet == Set(Downsample.Res1h))
+    val (start, end, step) = (T0 + 6 * H, T0 + 40 * H, 2 * H)
+    // aligned long-range: served from the layer, chunks never decoded
+    val ast = Parser.parse("""increase({__name__="gau"}[2h])""")
+    val raw = Compiler.compile(ast, Compiler.Ctx(chunked, start, end, step))
+    val routed = Compiler.compile(ast,
+      Compiler.Ctx(chunked, start, end, step, layers = layers))
+    assertIdentical(raw, routed)
+    val dirs = scannedDirs(routed)
+    assert(dirs.exists(_.contains("downsample-")), s"layer missing from $dirs")
+    assert(!dirs.exists(_.contains(s"$out/chunks")), s"chunk scan leaked into $dirs")
+    // non-routable window on the same store: the chunk scan serves it with
+    // the engine's time bound pushed to the frame scan (ChunkFramePrune)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.ChunkFramePrune
+    try {
+      val nr = Compiler.compile(Parser.parse("""sum_over_time({__name__="gau"}[97m])"""),
+        Compiler.Ctx(chunked, start, end, step, layers = layers))
+      assert(nr.count() > 0)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scansOf(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+          case q: QueryStageExec        => scansOf(q.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case _ => (p.children ++ p.subqueries).flatMap(scansOf)
+        }
+      val scans = scansOf(nr.queryExecution.executedPlan)
+      assert(scans.nonEmpty)
+      val pushed = scans.map(_.metadata("PushedFilters")).mkString("\n")
+      assert(pushed.contains("GreaterThanOrEqual(maxt,") &&
+        pushed.contains("LessThanOrEqual(mint,"),
+        s"frame time bounds not pushed:\n$pushed")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.plans.ChunkFramePrune)
+  }
+
   test("fuzz: random UNALIGNED grids × functions stay bit-identical (route or fall back)") {
     val rnd = new scala.util.Random(41)
     val fns = LayerRoute.routable.toSeq.sorted.filterNot(_ == "absent_over_time")
