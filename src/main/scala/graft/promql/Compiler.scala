@@ -844,8 +844,8 @@ object Compiler {
           sort_array(collect_list(struct(col("ts_ms"), col("sample_id"), col("h"))))
             .as("__graft_hpts"))
         .filter(col("__graft_n") >= 2) // rate family needs two points
-        .withColumn("__graft_delta", NativeHistograms.windowDelta(
-          col("__graft_hpts"), isCounter = fn != "delta"))
+        .transform(NativeHistograms.stageWindowDelta(_, col("__graft_hpts"),
+          isCounter = fn != "delta", "__graft_delta"))
         .drop("__graft_hpts")
     }
     val delta = col("__graft_delta")

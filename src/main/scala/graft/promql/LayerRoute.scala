@@ -473,8 +473,7 @@ object LayerRoute {
               array(acc.getField("pl"))).otherwise(array().cast(hArrT)),
             w.getField("rs")).as("arr"),
           w.getField("lh").as("pl"))).getField("arr")
-    grouped
-      .withColumn("__graft_delta", NativeHistograms.deltaFrom(first, last, rp))
+    NativeHistograms.stageDelta(grouped, first, last, rp, "__graft_delta")
       .drop("__graft_ws")
   }
 

@@ -226,16 +226,57 @@ object NativeHistograms {
     sort_array(transform(filter(map_entries(m), e => e.getField("value") =!= 0.0),
       e => struct(e.getField("key").as("idx"), e.getField("value").as("c"))))
 
+  // ------------------------------------------------- schema (resolution) mixing
+  // Native histograms may change resolution mid-series (the scraper reduces
+  // the schema as bucket counts grow). Window algebra over mixed schemas
+  // converts everything to the COARSEST (minimum) schema first — Prometheus'
+  // reduction rule (model/histogram: a bucket at schema s maps into the
+  // coarser schema t by targetIdx = ((idx−1) >> (s−t)) + 1, exact because
+  // coarser buckets are unions of 2^(s−t) finer ones).
+
+  private def floorDivC(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+
+  /** Coarsen a sorted bucket array by `shift` schema steps (shift ≤ 0 is the
+    * identity). Source buckets fold in ascending idx order, so counts
+    * landing in the same target bucket add in a deterministic order. */
+  private def reduceBuckets(arr: Column, shift: Column): Column = {
+    val emptyM = map_from_entries(array().cast(emptyBucketsT))
+    val two = pow(lit(2.0), shift.cast("double")).cast("int")
+    when(shift <= 0, arr).otherwise(
+      mToBuckets(aggregate(arr, emptyM, (acc, b) => mAdd(acc,
+        map((floorDivC(b.getField("idx") - 1, two) + 1).cast("int"),
+          b.getField("c"))))))
+  }
+
+  /** `h` converted to (coarser-or-equal) schema `sch`. */
+  def toSchema(h: Column, sch: Column): Column =
+    when(h.getField("sch") <=> sch, h).otherwise(struct(
+      h.getField("cnt").as("cnt"), h.getField("hsum").as("hsum"),
+      sch.as("sch"), h.getField("zthr").as("zthr"),
+      h.getField("zcnt").as("zcnt"),
+      reduceBuckets(h.getField("pos"), h.getField("sch") - sch).as("pos"),
+      reduceBuckets(h.getField("neg"), h.getField("sch") - sch).as("neg")))
+
   /** A counter reset happened iff any count shrank (total, zero bucket, or
-    * any exponential bucket — a vanished bucket counts as a drop). */
+    * any exponential bucket — a vanished bucket counts as a drop). Mixed
+    * resolutions: a schema INCREASE (finer than the predecessor) can only
+    * mean a restart — counters only ever coarsen — so it is a reset; a
+    * schema reduction compares bucket-wise after coarsening the
+    * predecessor to the current schema. */
   def detectReset(curr: Column, prev: Column): Column = {
     def drop(p: Column, c: Column): Column =
       aggregate(p, lit(false), (acc, pb) => acc ||
         coalesce(element_at(bmap(c), pb.getField("idx")), lit(0.0)) < pb.getField("c"))
-    curr.getField("cnt") < prev.getField("cnt") ||
+    def drops(p: Column): Column =
+      drop(p.getField("pos"), curr.getField("pos")) ||
+        drop(p.getField("neg"), curr.getField("neg"))
+    curr.getField("sch") > prev.getField("sch") ||
+      curr.getField("cnt") < prev.getField("cnt") ||
       curr.getField("zcnt") < prev.getField("zcnt") ||
-      drop(prev.getField("pos"), curr.getField("pos")) ||
-      drop(prev.getField("neg"), curr.getField("neg"))
+      // equal schemas (the overwhelmingly common case) compare directly;
+      // the coarsening conversion only evaluates on actual mixed pairs
+      when(curr.getField("sch") <=> prev.getField("sch"), drops(prev))
+        .otherwise(drops(toSchema(prev, curr.getField("sch"))))
   }
 
   /** Ts-ordered pre-reset histograms over the consecutive pairs of `sorted`
@@ -256,12 +297,12 @@ object NativeHistograms {
       x => x.isNotNull)
   }
 
-  /** Bucket-wise `last − first` plus the left-fold of the pre-reset
-    * histograms `rp` (ts-ordered array of h structs; pass an empty array for
-    * gauge semantics). The fold order is the Prometheus scan order —
-    * callers recomposing from a layer must concatenate per-window lists and
-    * boundary terms in ts order to stay bit-identical. */
-  def deltaFrom(first: Column, last: Column, rp: Column): Column = {
+  /** Bucket-wise `last − first` plus the left-fold of the (already
+    * schema-normalized) pre-reset histograms `rp`. The fold order is the
+    * Prometheus scan order — callers recomposing from a layer must
+    * concatenate per-window lists and boundary terms in ts order to stay
+    * bit-identical. Inputs MUST share one schema (see [[stageDelta]]). */
+  private def deltaCore(first: Column, last: Column, rp: Column): Column = {
     val emptyM = map_from_entries(array().cast(emptyBucketsT))
     def sumF(f: String) = aggregate(rp, lit(0.0), (acc, x) => acc + x.getField(f))
     def sumM(f: String) = aggregate(rp, emptyM, (acc, x) => mAdd(acc, bmap(x.getField(f))))
@@ -275,16 +316,55 @@ object NativeHistograms {
       mToBuckets(mAdd(mSub(bmap(last.getField("neg")), bmap(first.getField("neg"))), sumM("neg"))).as("neg"))
   }
 
-  /** Bucket-wise `last − first` over `sorted` (ts-ascending array of
-    * struct(ts_ms, sample_id, h)); for counters, each reset adds the
-    * pre-reset histogram back (the Prometheus counter-increase convention). */
+  /** Mixed-resolution window delta, staged through NAMED columns: every
+    * participant coarsens to the window's MINIMUM schema ([[toSchema]] —
+    * Prometheus' reduction rule), then [[deltaCore]] runs over the
+    * converted attributes. Staging matters: inlining the conversion as one
+    * Column expression duplicates the fold trees into every consumer
+    * (deltaCore reads `rp` five times, toSchema reads its input seven) and
+    * the multiplied tree reached tens of MiB of task binary; Catalyst's
+    * CollapseProject keeps non-cheap ALIASES shared, so the staged form
+    * stays small. Intermediates are dropped; `out` carries the delta. */
+  def stageDelta(df: DataFrame, first0: Column, last0: Column, rp0: Column,
+                 out: String): DataFrame = {
+    val tmp = Seq("__h_first0", "__h_last0", "__h_rp0", "__h_minsch",
+      "__h_first", "__h_last", "__h_rp")
+    df.withColumn("__h_first0", first0)
+      .withColumn("__h_last0", last0)
+      .withColumn("__h_rp0", rp0)
+      .withColumn("__h_minsch", least(
+        col("__h_first0").getField("sch"), col("__h_last0").getField("sch"),
+        array_min(transform(col("__h_rp0"), x => x.getField("sch")))))
+      .withColumn("__h_first", toSchema(col("__h_first0"), col("__h_minsch")))
+      .withColumn("__h_last", toSchema(col("__h_last0"), col("__h_minsch")))
+      .withColumn("__h_rp",
+        transform(col("__h_rp0"), x => toSchema(x, col("__h_minsch"))))
+      .withColumn(out, deltaCore(col("__h_first"), col("__h_last"), col("__h_rp")))
+      .drop(tmp: _*)
+  }
+
+  private def emptyHArr: Column = array().cast(
+    org.apache.spark.sql.types.ArrayType(graft.functions.HistChunk.HistType))
+
+  /** [[stageDelta]] over a ts-sorted sample array column (struct(ts_ms,
+    * sample_id, h)); for counters, each reset adds the pre-reset histogram
+    * back (the Prometheus counter-increase convention). */
+  def stageWindowDelta(df: DataFrame, sorted: Column, isCounter: Boolean,
+                       out: String): DataFrame =
+    stageDelta(df, element_at(sorted, 1).getField("h"),
+      element_at(sorted, -1).getField("h"),
+      if (isCounter) resetList(sorted) else emptyHArr, out)
+
+  /** Single-Column form of the window delta (tests / small plans). Prefer
+    * [[stageWindowDelta]] in engine paths — see the staging note. */
   def windowDelta(sorted: Column, isCounter: Boolean): Column = {
     val first = element_at(sorted, 1).getField("h")
     val last  = element_at(sorted, -1).getField("h")
-    val rp = if (isCounter) resetList(sorted)
-             else array().cast(org.apache.spark.sql.types.ArrayType(
-               graft.functions.HistChunk.HistType))
-    deltaFrom(first, last, rp)
+    val rp0 = if (isCounter) resetList(sorted) else emptyHArr
+    val minSch = least(first.getField("sch"), last.getField("sch"),
+      array_min(transform(rp0, x => x.getField("sch"))))
+    deltaCore(toSchema(first, minSch), toSchema(last, minSch),
+      transform(rp0, x => toSchema(x, minSch)))
   }
 
   /** Uniformly scale a histogram's counts and sum (rate's ÷range and the

@@ -21,11 +21,13 @@ class HistLayerRouteSpec extends SparkSpec {
 
   /** Adversarial histogram counter walk: three buckets + zero bucket grow by
     * random increments; occasional full resets; bucket 1 sometimes empty
-    * (the vanished-bucket reset edge); irregular 831s cadence. */
+    * (the vanished-bucket reset edge); series 2 flips SCHEMA every 50
+    * samples (finer↔coarser — the mixed-resolution window algebra);
+    * irregular 831s cadence. */
   private lazy val fixture: (DataFrame, Map[Long, DataFrame], String, String) = {
     val rnd = new scala.util.Random(23)
     val rows = scala.collection.mutable.Buffer
-      .empty[(String, String, Long, Long, Double, Double, Double, Double, Double)]
+      .empty[(String, String, Long, Long, Int, Double, Double, Double, Double, Double)]
     var id = 0L
     for (s <- 0 until 3) {
       var (c0, c1, c2, z, hs) = (0.0, 0.0, 0.0, 0.0, 0.0)
@@ -39,12 +41,13 @@ class HistLayerRouteSpec extends SparkSpec {
           z += rnd.nextInt(2)
           hs += rnd.nextDouble() * 9.0
         }
+        val sch = if (s == 2 && (i / 50) % 2 == 1) 1 else 0
         id += 1
-        rows += (("hreq", s.toString, ts, id, c0, c1, c2, z, hs))
+        rows += (("hreq", s.toString, ts, id, sch, c0, c1, c2, z, hs))
       }
     }
     val base = rows.toSeq.toDF("__name__", "uid", "ts_ms", "sample_id",
-      "c0", "c1", "c2", "z", "hs")
+      "sch", "c0", "c1", "c2", "z", "hs")
     def b(idx: Int, c: org.apache.spark.sql.Column) =
       struct(lit(idx).as("idx"), c.as("c"))
     val df = base
@@ -52,12 +55,12 @@ class HistLayerRouteSpec extends SparkSpec {
       .withColumn("series_hash", xxhash64($"__name__", $"uid"))
       .withColumn("h", struct(
         ($"z" + $"c0" + $"c1" + $"c2").as("cnt"),
-        $"hs".as("hsum"), lit(0).as("sch"), lit(ZTHR).as("zthr"),
+        $"hs".as("hsum"), $"sch".as("sch"), lit(ZTHR).as("zthr"),
         $"z".as("zcnt"),
         filter(array(b(0, $"c0"), b(2, $"c1"), b(5, $"c2")),
           e => e.getField("c") =!= 0.0).as("pos"),
         array().cast("array<struct<idx:int,c:double>>").as("neg")))
-      .drop("c0", "c1", "c2", "z", "hs")
+      .drop("sch", "c0", "c1", "c2", "z", "hs")
     val tmp = java.nio.file.Files.createTempDirectory("graft-hroute").toString
     df.repartitionByRange(4, col("ts_ms")).sortWithinPartitions(col("ts_ms"))
       .write.parquet(s"$tmp/samples")

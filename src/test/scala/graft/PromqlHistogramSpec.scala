@@ -218,4 +218,60 @@ class PromqlHistogramSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("'le' label"))
   }
+
+  private def histS(sch: Int, cnt: Double, hsum: Double, zcnt: Double,
+                    pos: Seq[(Int, Double)]): Column =
+    struct(
+      lit(cnt).as("cnt"), lit(hsum).as("hsum"), lit(sch).as("sch"),
+      lit(ZTHR).as("zthr"), lit(zcnt).as("zcnt"),
+      (if (pos.isEmpty) array().cast("array<struct<idx:int,c:double>>")
+       else array(pos.map { case (i, c) =>
+         struct(lit(i).as("idx"), lit(c).as("c")) }: _*)).as("pos"),
+      array().cast("array<struct<idx:int,c:double>>").as("neg"))
+
+  test("schema reduction mid-window coarsens buckets; schema increase is a reset") {
+    // t1 at schema 1 (finer), t2 at schema 0 (coarser) — Prometheus'
+    // reduction rule: no reset, delta computed at the MINIMUM schema;
+    // schema-1 idx 1,2 both map into schema-0 idx 1 ((idx−1)>>1 + 1)
+    def series(h1: Column, h2: Column) =
+      Seq(("mx", "1", 10000L, 1L), ("mx", "1", 40000L, 2L))
+        .toDF("__name__", "uid", "ts_ms", "sample_id")
+        .withColumn("value", lit(1.0))
+        .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        .withColumn("h", when(col("sample_id") === 1, h1).otherwise(h2))
+    def ev(df: org.apache.spark.sql.DataFrame, q: String) =
+      Compiler.compile(Parser.parse(q), Compiler.Ctx(df, 40000L, 40000L, 1000L))
+        .select(col("value")).head().getDouble(0)
+    val reduce = series(histS(1, 5, 10, 0, Seq(1 -> 2.0, 2 -> 3.0)),
+      histS(0, 7, 15, 0, Seq(1 -> 7.0)))
+    // counts only grew after coarsening (5 → 7): NOT a reset
+    assert(math.abs(ev(reduce, "histogram_count(increase(mx[60s]))") - 2 * 2.0) < 1e-12)
+    // quantile of the delta evaluates at schema 0: the whole delta mass (2)
+    // sits in schema-0 bucket 1 = (1, 2]; φ=1 hits its upper bound
+    assert(math.abs(ev(reduce, "histogram_quantile(1.0, increase(mx[60s]))") - 2.0) < 1e-12)
+    // schema INCREASE (0 → 1): counters only coarsen, so this is a restart —
+    // the pre-reset histogram is added back (5 − 5 + 5 = 5 at schema 0)
+    val finer = series(histS(0, 5, 10, 0, Seq(1 -> 5.0)),
+      histS(1, 5, 10, 0, Seq(1 -> 2.0, 2 -> 3.0)))
+    assert(math.abs(ev(finer, "histogram_count(increase(mx[60s]))") - 5 * 2.0) < 1e-12)
+    // same mixed series under gauge semantics: no compensation, delta = 0
+    assert(math.abs(ev(finer, "histogram_count(delta(mx[60s]))") - 0.0) < 1e-12)
+  }
+
+  test("zero-bucket-only histograms: quantile interpolates inside [-zthr, zthr]") {
+    val z = Seq(("zo", "1", 1090000L, 1L))
+      .toDF("__name__", "uid", "ts_ms", "sample_id")
+      .withColumn("value", lit(1.0))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", histS(0, 4, 0, 4, Nil))
+    def ev(q: String) =
+      Compiler.compile(Parser.parse(q), Compiler.Ctx(z, T, T, 1000L))
+        .select(col("value")).head().getDouble(0)
+    assert(ev("histogram_quantile(0.5, zo)") == 0.0) // midpoint of the zero bucket
+    assert(math.abs(ev("histogram_quantile(0.25, zo)") - -ZTHR / 2) < 1e-18)
+    assert(math.abs(ev("histogram_quantile(1.0, zo)") - ZTHR) < 1e-18)
+    assert(ev("histogram_sum(zo)") == 0.0 && ev("histogram_count(zo)") == 4.0)
+    // all mass within (-zthr, zthr): fraction over a straddling range is 1
+    assert(math.abs(ev(s"histogram_fraction(-1.0, 1.0, zo)") - 1.0) < 1e-12)
+  }
 }
