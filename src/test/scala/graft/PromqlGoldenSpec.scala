@@ -649,6 +649,79 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 10s count_values("v", data)
       |  {v="1"} 1
+      |
+      |eval instant at 100s limit_ratio(1.0, metric)
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s limit_ratio(-1.0, metric)
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s round(metric / 40)
+      |  {a="foo", pod="nginx-1"} 1
+      |  {b="bar", pod="nginx-2"} 3
+      |
+      |eval instant at 100s round(metric, 10)
+      |  {a="foo", pod="nginx-1"} 20
+      |  {b="bar", pod="nginx-2"} 110
+      |
+      |eval instant at 100s scalar(metric{pod="nginx-1"})
+      |  {} 21
+      |
+      |eval instant at 100s scalar(metric)
+      |  {} NaN
+      |
+      |eval instant at 100s timestamp(metric{pod="nginx-1"})
+      |  {a="foo", pod="nginx-1"} 100
+      |
+      |eval instant at 100s metric{pod="nginx-1"} and metric
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |
+      |eval instant at 100s metric unless metric{pod="nginx-2"}
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |
+      |eval instant at 100s quantile_over_time(1.5, metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} Infinity
+      |
+      |eval instant at 100s quantile_over_time(-0.5, metric{pod="nginx-1"}[30s])
+      |  {a="foo", pod="nginx-1"} -Infinity
+      |
+      |eval instant at 100s sin(vector(0))
+      |  {} 0
+      |
+      |eval instant at 100s cos(vector(0))
+      |  {} 1
+      |
+      |eval instant at 100s deg(vector(pi()))
+      |  {} 180
+      |
+      |eval instant at 100s rad(vector(180))
+      |  {} 3.141592653589793
+      |
+      |eval instant at 100s exp(vector(1))
+      |  {} 2.718281828459045
+      |
+      |eval instant at 100s sqrt(0 - metric{pod="nginx-1"})
+      |  {a="foo", pod="nginx-1"} NaN
+      |
+      |eval instant at 100s year(vector(0))
+      |  {} 1970
+      |
+      |eval instant at 100s minute(vector(120))
+      |  {} 2
+      |
+      |eval instant at 100s day_of_year(vector(0))
+      |  {} 1
+      |
+      |eval instant at 100s label_replace(metric{pod="nginx-1"}, "pod", "x$1", "pod", "nginx-(.*)")
+      |  {a="foo", pod="x1", __name__="metric"} 21
+      |
+      |eval instant at 100s 2 ^ metric{pod="nginx-1"} % 10
+      |  {a="foo", pod="nginx-1"} 2
+      |
+      |eval instant at 20s avg(im)
+      |  {} NaN
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -771,7 +844,7 @@ class PromqlGoldenSpec extends SparkSpec {
 
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 23 && evals.size == 183)
+    assert(loaded.size == 23 && evals.size == 206)
     val samples = toSamples(loaded)
     val failures = evals.flatMap { e =>
       val df = Compiler.compile(Parser.parse(e.query),
