@@ -210,6 +210,88 @@ object Downsample {
       .drop("__graft_hpts")
   }
 
+  /** Fine→coarse HISTOGRAM layer recomposition (the 5m→1h compactor chain,
+    * [[deriveCoarseDates]]' histogram analog): per (series, coarse window)
+    * the fine windows collect win_start-sorted; first/last histograms come
+    * from the edge windows and the pre-reset LIST is the replay of fine
+    * lists with boundary resets interleaved at their true positions
+    * ([[graft.promql.NativeHistograms.replayResets]]) — the identical
+    * ts-ordered sequence a direct coarse [[histLayer]] build stores, so
+    * derivation is bit-exact (EtlSpec pins the identity). */
+  def histOverTime(fine: DataFrame, windowMs: Long, resMs: Long): DataFrame = {
+    require(windowMs % resMs == 0L,
+      s"coarse window $windowMs must be a multiple of the layer resolution $resMs")
+    val hT = fine.schema("last_h").dataType
+    val lbls = fine.columns.filterNot(bookkeeping ++ histLayerCols).toSeq
+    fine
+      .withColumn("__graft_cw", col("win_start") - pmod(col("win_start"), lit(windowMs)))
+      .groupBy((col("series_hash") +: col("__graft_cw").as("win_start") +:
+        lbls.map(col)): _*)
+      .agg(sum(col("n")).as("n"),
+        min(col("first_ts")).as("first_ts"),
+        max(col("last_ts")).as("last_ts"),
+        sort_array(collect_list(struct(col("win_start"),
+          col("first_h").as("fh"), col("last_h").as("lh"),
+          col("resets").as("rs")))).as("__graft_ws"))
+      .withColumn("first_h", element_at(col("__graft_ws"), 1).getField("fh"))
+      .withColumn("last_h", element_at(col("__graft_ws"), -1).getField("lh"))
+      .withColumn("resets",
+        graft.promql.NativeHistograms.replayResets(col("__graft_ws"), hT))
+      .drop("__graft_ws")
+  }
+
+  /** [[refreshDates]] for HISTOGRAM layers: recompute only the given WINDOW
+    * dates' rows of a date-partitioned `downsample-hist-<res>` layer from
+    * the (already-merged) h-carrying sample store. Same midnight-fragment
+    * discipline as the float refresh. */
+  def histRefreshDates(spark: SparkSession, samples: DataFrame, layerDir: String,
+                       resMs: Long, dates: Seq[String]): Unit = {
+    if (dates.isEmpty) return
+    require(86400000L % resMs == 0L,
+      s"layer resolution $resMs must divide a day for per-date maintenance")
+    val next = dates.map(nextDate).distinct
+    val relevant = samples.filter(
+      col("date").isin(dates: _*) ||
+        (col("date").isin(next: _*) && pmod(col("ts_ms"), lit(86400000L)) === 0L))
+      .drop("date")
+    val part = histLayer(relevant, resMs)
+      .withColumn("date", date_format(timestamp_millis(col("win_start")), "yyyy-MM-dd"))
+      .filter(col("date").isin(dates: _*))
+    part
+      .repartitionByRange(col("date"), col("series_hash"), col("win_start"))
+      .sortWithinPartitions(col("date"), col("series_hash"), col("win_start"))
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .parquet(layerDir)
+    stampVersion(spark, layerDir)
+  }
+
+  /** [[deriveCoarseDates]] for HISTOGRAM layers: the coarse refresh reads
+    * the fine layer instead of raw, bit-exact by the [[histOverTime]]
+    * identity. */
+  def histDeriveCoarseDates(spark: SparkSession, fineLayerDir: String,
+                            coarseLayerDir: String, fineRes: Long,
+                            coarseRes: Long, dates: Seq[String]): Unit = {
+    if (dates.isEmpty) return
+    require(coarseRes % fineRes == 0L,
+      s"coarse resolution $coarseRes must be a multiple of fine $fineRes")
+    require(86400000L % coarseRes == 0L,
+      s"coarse resolution $coarseRes must divide a day for per-date maintenance")
+    val fine = openLayer(spark, fineLayerDir)
+      .filter(col("date").isin(dates: _*)).drop("date")
+    val part = histOverTime(fine, coarseRes, fineRes)
+      .withColumn("date", date_format(timestamp_millis(col("win_start")), "yyyy-MM-dd"))
+    part
+      .repartitionByRange(col("date"), col("series_hash"), col("win_start"))
+      .sortWithinPartitions(col("date"), col("series_hash"), col("win_start"))
+      .write.mode("overwrite").partitionBy("date")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .parquet(coarseLayerDir)
+    stampVersion(spark, coarseLayerDir)
+  }
+
   /** Discover persisted HISTOGRAM layers (`downsample-hist-<resMs>`
     * subtrees) — same version gate as [[discoverLayers]]. */
   def discoverHistLayers(spark: SparkSession, outDir: String): Map[Long, DataFrame] = {
@@ -227,7 +309,8 @@ object Downsample {
               name.startsWith("downsample-hist-") &&
               versionOf(p).contains(LayerFormatVersion))
             name.stripPrefix("downsample-hist-").toLongOption.foreach { res =>
-              acc += res -> openLayer(spark, p.toString)
+              scala.util.Try(openLayer(spark, p.toString)).toOption
+                .foreach(acc += res -> _)
             }
         }
         acc
@@ -352,7 +435,10 @@ object Downsample {
           if (java.nio.file.Files.isDirectory(p) && name.startsWith("downsample-") &&
               versionOf(p).contains(LayerFormatVersion))
             name.stripPrefix("downsample-").toLongOption.foreach { res =>
-              acc += res -> openLayer(spark, p.toString)
+              // a dir holding only the marker (e.g. the float family of an
+              // all-histogram store) has no schema to open — skip, not error
+              scala.util.Try(openLayer(spark, p.toString)).toOption
+                .foreach(acc += res -> _)
             }
         }
         acc

@@ -464,15 +464,7 @@ object LayerRoute {
     val last = element_at(col("__graft_ws"), -1).getField("lh")
     val rp =
       if (!isCounter) array().cast(hArrT)
-      else aggregate(col("__graft_ws"),
-        struct(array().cast(hArrT).as("arr"), lit(null).cast(hT).as("pl")),
-        (acc, w) => struct(
-          concat(acc.getField("arr"),
-            when(acc.getField("pl").isNotNull &&
-              NativeHistograms.detectReset(w.getField("fh"), acc.getField("pl")),
-              array(acc.getField("pl"))).otherwise(array().cast(hArrT)),
-            w.getField("rs")).as("arr"),
-          w.getField("lh").as("pl"))).getField("arr")
+      else NativeHistograms.replayResets(col("__graft_ws"), hT)
     NativeHistograms.stageDelta(grouped, first, last, rp, "__graft_delta")
       .drop("__graft_ws")
   }

@@ -346,6 +346,27 @@ object NativeHistograms {
   private def emptyHArr: Column = array().cast(
     org.apache.spark.sql.types.ArrayType(graft.functions.HistChunk.HistType))
 
+  /** Replay a win_start-SORTED array of window summaries — struct fields
+    * `fh` (first histogram), `lh` (last), `rs` (in-window pre-reset list) —
+    * into the flat ts-ordered pre-reset list of the whole span: per window,
+    * the boundary reset against the previous window's last sample (when
+    * [[detectReset]] fires) precedes the window's own list, exactly the
+    * positions those pairs hold in a raw scan. Shared by the layer query
+    * route and the fine→coarse layer compaction, which is what keeps both
+    * bit-identical to raw. `hT` is the store's h struct type. */
+  def replayResets(ws: Column, hT: org.apache.spark.sql.types.DataType): Column = {
+    val hArrT = org.apache.spark.sql.types.ArrayType(hT)
+    aggregate(ws,
+      struct(array().cast(hArrT).as("arr"), lit(null).cast(hT).as("pl")),
+      (acc, w) => struct(
+        concat(acc.getField("arr"),
+          when(acc.getField("pl").isNotNull &&
+            detectReset(w.getField("fh"), acc.getField("pl")),
+            array(acc.getField("pl"))).otherwise(array().cast(hArrT)),
+          w.getField("rs")).as("arr"),
+        w.getField("lh").as("pl"))).getField("arr")
+  }
+
   /** [[stageDelta]] over a ts-sorted sample array column (struct(ts_ms,
     * sample_id, h)); for counters, each reset adds the pre-reset histogram
     * back (the Prometheus counter-increase convention). */

@@ -25,9 +25,9 @@ object Tsdb {
   private def samples(t: Tables): DataFrame = TimeSeriesModel.samples(t.events)
 
   /** Deterministically DENSIFIED `purchase` series for the downsample-layer
-    * oracles: each base sample's rank expands to 240 six-minute ticks, so
-    * every uid becomes a continuous 6-min-cadence series (dense enough that
-    * a 1h layer clears the cost guard at benefit 10×) and both engines —
+    * oracles: each base sample's rank expands to 120 twelve-minute ticks,
+    * so every uid becomes a continuous 12-min-cadence series (dense enough
+    * that a 1h layer clears the cost guard at benefit 5×) and both engines —
     * Spark here, DuckDB in the oracle CTE — derive the identical frame from
     * ranks alone (no timestamp arithmetic that could collide). */
   private def densePurchase(t: Tables): DataFrame = {
@@ -36,11 +36,11 @@ object Tsdb {
     sp.withColumn("ridx", row_number().over(
         Window.partitionBy(col("uid")).orderBy(col("ts_ms"), col("sample_id")))
         .cast("long") - 1L)
-      .withColumn("k", explode(sequence(lit(0L), lit(239L))))
+      .withColumn("k", explode(sequence(lit(0L), lit(119L))))
       .select(col("__name__"), col("uid"),
-        (lit(T0) + (col("ridx") * 240L + col("k")) * 360000L).as("ts_ms"),
+        (lit(T0) + (col("ridx") * 120L + col("k")) * 720000L).as("ts_ms"),
         (col("value") + col("k") * 0.001).as("value"),
-        (col("ridx") * 240L + col("k")).as("sample_id"))
+        (col("ridx") * 120L + col("k")).as("sample_id"))
       .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
   }
 
@@ -49,19 +49,20 @@ object Tsdb {
     "sp AS (SELECT uid, ts_ms, value, sample_id FROM s WHERE __name__ = 'purchase'), " +
     "rk AS (SELECT uid, value, row_number() OVER (PARTITION BY uid " +
     "ORDER BY ts_ms, sample_id) - 1 AS ridx FROM sp), " +
-    "ks AS (SELECT UNNEST(range(240)) AS k), " +
+    "ks AS (SELECT UNNEST(range(120)) AS k), " +
     // 0.001e0 (double), NOT 0.001: DuckDB would otherwise do exact
     // DECIMAL-literal arithmetic where Spark multiplies doubles — 1-ULP
     // divergence on k*0.001 (the verify gotcha)
-    s"d AS (SELECT uid, $T0 + (ridx*240 + ks.k)*360000 AS ts_ms, " +
-    "value + ks.k*0.001e0 AS value, ridx*240 + ks.k AS sample_id " +
+    s"d AS (SELECT uid, $T0 + (ridx*120 + ks.k)*720000 AS ts_ms, " +
+    "value + ks.k*0.001e0 AS value, ridx*120 + ks.k AS sample_id " +
     "FROM rk CROSS JOIN ks)"
 
-  /** DuckDB extrapolated-increase walk over the dense frame `d` on a step
+  /** DuckDB extrapolated-increase walk over the dense frame `src` on a step
     * grid — mirrors Compiler.extrapolated (no rate normalization), the raw
     * semantics every layer-routed `increase` must hit. */
-  private def denseIncreaseSql(start: Long, end: Long, step: Long, win: Long): String =
-    "p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM d " +
+  private def denseIncreaseSql(start: Long, end: Long, step: Long, win: Long,
+                               src: String = "d"): String =
+    s"p AS (SELECT *, lag(value) OVER w AS prev_val, lag(ts_ms) OVER w AS prev_ts FROM $src " +
     "WINDOW w AS (PARTITION BY uid ORDER BY ts_ms, sample_id)), " +
     s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
     s"j AS (SELECT p.*, g.step_ms FROM p JOIN g ON p.ts_ms > g.step_ms - $win AND p.ts_ms <= g.step_ms), " +
@@ -741,7 +742,9 @@ object Tsdb {
       val end = start + 12 * 3600000L
       (t: Tables) => {
         val spark = t.events.sparkSession
-        val dense = densePurchase(t)
+        // half the series: the layer write + hybrid read shape is identical,
+        // the in-query fixture build stays bench-friendly
+        val dense = densePurchase(t).filter(col("uid").cast("long") % 2 === 0)
         val out = java.nio.file.Files.createTempDirectory("graft-unaligned").toString
         graft.etl.Downsample.writeLayer(
           graft.etl.Downsample.layer(dense, 3600000L), s"$out/l1h")
@@ -755,7 +758,9 @@ object Tsdb {
         val (start, step, win) = (T0 + 6 * DAY + 3 * 3600000L + 13 * 60000L + 7000L,
           5 * 3600000L + 11 * 60000L, 4 * DAY)
         val end = start + 12 * 3600000L
-        s"WITH $S_CTE, $DENSE_CTE, " + denseIncreaseSql(start, end, step, win)
+        s"WITH $S_CTE, $DENSE_CTE, " +
+          "d2 AS (SELECT * FROM d WHERE CAST(uid AS BIGINT) % 2 = 0), " +
+          denseIncreaseSql(start, end, step, win, src = "d2")
       }),
 
     // The AT-SCALE composition in one store, through the Serve path: a
@@ -771,7 +776,10 @@ object Tsdb {
       (t: Tables) => {
         val spark = t.events.sparkSession
         val out = java.nio.file.Files.createTempDirectory("graft-chl").toString
-        graft.etl.Ingest.mergeChunked(spark, densePurchase(t), out)
+        // a quarter of the series keeps the in-query ETL (chunk write +
+        // decode + layer build) bench-friendly; the shape is unchanged
+        graft.etl.Ingest.mergeChunked(spark,
+          densePurchase(t).filter(col("uid").cast("long") % 4 === 0), out)
         val chunked = graft.etl.Ingest.openChunkedSamples(spark, out)
         graft.etl.Downsample.writeLayer(
           graft.etl.Downsample.layer(chunked.drop("date"), 3600000L),
@@ -785,7 +793,9 @@ object Tsdb {
       Some {
         val (start, step, win) = (T0 + 6 * DAY, 6 * 3600000L, DAY)
         val end = T0 + 12 * DAY
-        s"WITH $S_CTE, $DENSE_CTE, " + denseIncreaseSql(start, end, step, win)
+        s"WITH $S_CTE, $DENSE_CTE, " +
+          "d4 AS (SELECT * FROM d WHERE CAST(uid AS BIGINT) % 4 = 0), " +
+          denseIncreaseSql(start, end, step, win, src = "d4")
       }),
 
     // --------------------------------------------------------- PromQL engine

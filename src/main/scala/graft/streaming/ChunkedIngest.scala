@@ -29,14 +29,21 @@ object ChunkedIngest {
     * recompute from the merged store, and each coarser layer derives from
     * the next finer one ([[graft.etl.Downsample.deriveCoarseDates]]) at
     * 1/(coarse/fine) the rows, never re-reading raw. Per-batch work stays
-    * proportional to touched dates, never layout size. */
+    * proportional to touched dates, never layout size.
+    *
+    * `shape` maps a raw micro-batch to the samples schema (default: the
+    * events table mapping). A stream whose batches already ARE samples —
+    * including native-histogram stores carrying the `h` struct — passes
+    * `identity`; histogram rows then maintain their own
+    * `downsample-hist-<res>` layers beside the float ones. */
   def run(events: DataFrame, outDir: String, checkpoint: String,
-          downsampleRes: Seq[Long] = Nil): StreamingQuery =
+          downsampleRes: Seq[Long] = Nil,
+          shape: DataFrame => DataFrame = TimeSeriesModel.samples): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val (touched, merged) = graft.etl.Ingest.mergeChunkedRetained(spark,
-          TimeSeriesModel.samples(batch), outDir)
+          shape(batch), outDir)
         val resolutions = downsampleRes.distinct.sorted
         try if (resolutions.nonEmpty) {
           // reuse the pinned merge result — the layer refresh must not
@@ -62,9 +69,18 @@ object ChunkedIngest {
                 graft.etl.Ingest.openChunkedSamples(spark, outDir)
                   .withColumn("date", col("date").cast("string"))
                   .filter(preds.reduce(_ || _)))
+            // mixed float/histogram stores maintain BOTH layer families:
+            // float rows feed downsample-<res>, h-carrying rows feed
+            // downsample-hist-<res> (a struct column must never sweep into
+            // the float layer's grouping key, and histogram samples are not
+            // float samples)
+            val isHist = src.columns.contains("h") &&
+              graft.promql.Eval.isHistCol(src, "h")
+            val floatSrc = if (isHist) src.filter(col("h").isNull).drop("h")
+                           else src
             graft.etl.Downsample.refreshDates(spark,
-              src, s"$outDir/downsample-${resolutions.head}", resolutions.head,
-              winDates)
+              floatSrc, s"$outDir/downsample-${resolutions.head}",
+              resolutions.head, winDates)
             resolutions.sliding(2).foreach {
               case Seq(fine, coarse) =>
                 if (coarse % fine == 0)
@@ -73,8 +89,25 @@ object ChunkedIngest {
                     fine, coarse, winDates)
                 else // non-nesting resolution: recompute from the merge
                   graft.etl.Downsample.refreshDates(spark,
-                    src, s"$outDir/downsample-$coarse", coarse, winDates)
+                    floatSrc, s"$outDir/downsample-$coarse", coarse, winDates)
               case _ => ()
+            }
+            if (isHist) {
+              val histSrc = src.filter(col("h").isNotNull)
+              graft.etl.Downsample.histRefreshDates(spark,
+                histSrc, s"$outDir/downsample-hist-${resolutions.head}",
+                resolutions.head, winDates)
+              resolutions.sliding(2).foreach {
+                case Seq(fine, coarse) =>
+                  if (coarse % fine == 0)
+                    graft.etl.Downsample.histDeriveCoarseDates(spark,
+                      s"$outDir/downsample-hist-$fine",
+                      s"$outDir/downsample-hist-$coarse", fine, coarse, winDates)
+                  else
+                    graft.etl.Downsample.histRefreshDates(spark,
+                      histSrc, s"$outDir/downsample-hist-$coarse", coarse, winDates)
+                case _ => ()
+              }
             }
           }
         } finally merged.foreach(graft.etl.Ingest.releasePinned)

@@ -792,6 +792,36 @@ class EtlSpec extends SparkSpec {
     assert(Downsample.pick(24 * Downsample.Res1h) == Downsample.Res1h)
   }
 
+  test("histOverTime: fine->coarse histogram layer recomposition equals direct build") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val rnd = new scala.util.Random(31)
+    // cumulative histogram walk with resets and a schema flip (coarsening)
+    val rows = scala.collection.mutable.Buffer.empty[(String, String, Long, Long, Int, Double)]
+    var c = 0.0
+    for (i <- 0 until 200) {
+      if (rnd.nextInt(23) == 0) c = 0.0 else c += rnd.nextInt(4)
+      rows += (("hh", "1", t0 + i * 700000L + 13L, i.toLong,
+        if (i < 100) 1 else 0, c))
+    }
+    val samples = rows.toSeq
+      .toDF("__name__", "uid", "ts_ms", "sample_id", "sch", "c")
+      .withColumn("value", lit(1.0))
+      .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+      .withColumn("h", struct(col("c").as("cnt"), (col("c") * 1.1).as("hsum"),
+        col("sch").as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
+        when(col("c") > 0, array(struct(lit(2).as("idx"), col("c").as("c"))))
+          .otherwise(array().cast("array<struct<idx:int,c:double>>")).as("pos"),
+        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+      .drop("sch", "c")
+    val fine = Downsample.histLayer(samples, Downsample.Res5m)
+    val derived = Downsample.histOverTime(fine, Downsample.Res1h, Downsample.Res5m)
+    val direct = Downsample.histLayer(samples, Downsample.Res1h)
+    assert(derived.count() == direct.count() && direct.count() > 0)
+    assert(derived.exceptAll(direct).isEmpty && direct.exceptAll(derived).isEmpty,
+      "derived coarse histogram layer must be bit-identical to the direct build")
+  }
+
   test("releasePinned frees the localCheckpoint blocks mergeChunkedRetained pins") {
     import spark.implicits._
     val t0 = 1704067200000L

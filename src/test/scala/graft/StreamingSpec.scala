@@ -266,4 +266,60 @@ class StreamingSpec extends SparkSpec {
         s"res=$res chain-maintained layer must equal a full recompute")
     }
   }
+
+  test("streaming maintains HISTOGRAM layers beside float layers on a mixed store") {
+    import spark.implicits._
+    import graft.etl.{Downsample, Ingest}
+    val root = Files.createTempDirectory("graft-stream-hds").toString
+    val out = s"$root/layout"; val ckpt = s"$root/ckpt"
+    val T0 = 1704067200000L
+    val histType = graft.functions.HistChunk.HistType
+
+    // mixed samples: a cumulative histogram series + a float series
+    def mixed(filterExpr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      val hist = (0 until 120).map(i => ("hm", "1", T0 + i * 1730000L, i.toDouble, i.toLong)).toSeq
+        .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+        .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        .withColumn("h", struct(col("value").as("cnt"), (col("value") * 1.5).as("hsum"),
+          lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
+          array(struct(lit(1).as("idx"), col("value").as("c"))).as("pos"),
+          array().cast("array<struct<idx:int,c:double>>").as("neg")))
+      val flt = (0 until 120).map(i => ("fm", "2", T0 + i * 1490000L, i * 2.0, 1000L + i)).toSeq
+        .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+        .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        .withColumn("h", lit(null).cast(histType))
+      hist.unionByName(flt).filter(filterExpr)
+    }
+
+    val resolutions = Seq(Downsample.Res5m, Downsample.Res1h)
+    // batch 0: even sample ids; batch 1: odds + re-delivered evens
+    mixed(col("sample_id") % 2 === 0).write.parquet(s"$root/src/b0")
+    val src = spark.readStream.schema(mixed(lit(true)).schema).parquet(s"$root/src/*")
+    ChunkedIngest.run(src, out, ckpt, resolutions,
+      shape = identity).awaitTermination()
+    mixed(col("sample_id") % 2 === 1 || col("sample_id") % 4 === 0)
+      .write.parquet(s"$root/src/b1")
+    ChunkedIngest.run(spark.readStream.schema(mixed(lit(true)).schema)
+      .parquet(s"$root/src/*"), out, ckpt, resolutions,
+      shape = identity).awaitTermination()
+
+    val store = Ingest.openChunkedSamples(spark, out).drop("date")
+    for (res <- resolutions) {
+      // float layers hold ONLY the float rows
+      val fl = Downsample.openLayer(spark, s"$out/downsample-$res").drop("date")
+      val flWant = Downsample.layer(store.filter(col("h").isNull).drop("h"), res)
+      assert(fl.count() == flWant.count() && fl.count() > 0, s"res=$res")
+      assert(fl.exceptAll(flWant).isEmpty && flWant.exceptAll(fl).isEmpty, s"res=$res")
+      // histogram layers (the 1h one DERIVED via histOverTime) equal a
+      // from-scratch histLayer rebuild off the merged store
+      val hl = Downsample.openLayer(spark, s"$out/downsample-hist-$res").drop("date")
+      val hlWant = Downsample.histLayer(store, res)
+      assert(hl.count() == hlWant.count() && hl.count() > 0, s"hist res=$res")
+      assert(hl.exceptAll(hlWant).isEmpty && hlWant.exceptAll(hl).isEmpty,
+        s"hist res=$res chain-maintained layer must equal a full recompute")
+    }
+    // serve-time wiring picks BOTH families up
+    assert(Downsample.discoverLayers(spark, out).keySet == resolutions.toSet)
+    assert(Downsample.discoverHistLayers(spark, out).keySet == resolutions.toSet)
+  }
 }
