@@ -105,15 +105,22 @@ object LayerRoute {
     * of raw plus a 1h layer instead of 30 days of raw samples. */
   private def hybridAdmissibleRes(ctx: Compiler.Ctx, windowMs: Long): Option[Long] =
     ctx.layers.toSeq.sortBy(-_._1).collectFirst { case (res, layer) if
-      res > 0 && windowMs >= 2 * res && admissibleLayer(layer) && {
-        val fullSpan = (ctx.endMs - ctx.startMs) + windowMs
-        val loL = ctx.startMs - windowMs
-        val loR = ceilRes(ctx.endMs - windowMs, res)
-        val hiL = math.max(floorRes(ctx.startMs, res), loL)
-        val rawRead = if (loR >= hiL) fullSpan
-                      else (loR - loL) + (ctx.endMs - hiL)
-        rawRead + (fullSpan / benefit(layer)).toLong <= fullSpan * 3 / 4
-      } => res }
+      res > 0 && windowMs >= 2 * res && admissibleLayer(layer) &&
+        hybridCostOk(ctx, windowMs, res, benefit(layer)) => res }
+
+  /** Read-cost estimate for the hybrid route (see [[hybridAdmissibleRes]]
+    * doc): raw boundary ranges + layer rows in raw-row equivalents must be
+    * comfortably below the full raw scan. */
+  private def hybridCostOk(ctx: Compiler.Ctx, windowMs: Long, res: Long,
+                           layerBenefit: Double): Boolean = {
+    val fullSpan = (ctx.endMs - ctx.startMs) + windowMs
+    val loL = ctx.startMs - windowMs
+    val loR = ceilRes(ctx.endMs - windowMs, res)
+    val hiL = math.max(floorRes(ctx.startMs, res), loL)
+    val rawRead = if (loR >= hiL) fullSpan
+                  else (loR - loL) + (ctx.endMs - hiL)
+    rawRead + (fullSpan / layerBenefit).toLong <= fullSpan * 3 / 4
+  }
 
   private def floorRes(t: Long, res: Long): Long = t - java.lang.Math.floorMod(t, res)
   private def ceilRes(t: Long, res: Long): Long = floorRes(t + res - 1, res)
@@ -397,8 +404,7 @@ object LayerRoute {
     "last_ts", "first_h", "last_h", "resets")
 
   /** Aligned-grid admission for HISTOGRAM layers: same exactness + cost
-    * rules as [[admissibleRes]] over `ctx.histLayers`. (No hybrid variant
-    * yet — unaligned histogram grids fall back to raw.) */
+    * rules as [[admissibleRes]] over `ctx.histLayers`. */
   def histAdmissibleRes(ctx: Compiler.Ctx, windowMs: Long): Option[Long] =
     ctx.histLayers.toSeq.sortBy(-_._1).collectFirst { case (res, layer) if
       res > 0 && windowMs >= res && windowMs % res == 0 &&
@@ -407,19 +413,35 @@ object LayerRoute {
         histRequiredCols.subsetOf(layer.columns.toSet) &&
         benefit(layer) >= MinBenefit => res }
 
+  /** [[hybridAdmissibleRes]] for histogram layers. */
+  private def hybridHistAdmissibleRes(ctx: Compiler.Ctx, windowMs: Long): Option[Long] =
+    ctx.histLayers.toSeq.sortBy(-_._1).collectFirst { case (res, layer) if
+      res > 0 && windowMs >= 2 * res &&
+        histRequiredCols.subsetOf(layer.columns.toSet) &&
+        benefit(layer) >= MinBenefit &&
+        hybridCostOk(ctx, windowMs, res, benefit(layer)) => res }
+
   /** Layer route for `rate`/`increase`/`delta` over HISTOGRAM-typed range
     * selectors ([[Compiler]]'s histRange hook): returns the per-step frame
     * with `__graft_n`/`__graft_first_ts`/`__graft_last_ts`/`__graft_delta`
     * — the same columns the raw path feeds the shared extrapolation — or
-    * None for the raw fallback. `ctx` is already offset-shifted/@-pinned. */
+    * None for the raw fallback. Aligned grids read the layer alone;
+    * unaligned grids take the hybrid whole-window + boundary-slice route
+    * when the cost estimate says the layer wins. `ctx` is already
+    * offset-shifted/@-pinned. */
   def tryRouteHist(fn: String, sel: Ast.Selector, windowMs: Long,
                    ctx: Compiler.Ctx): Option[DataFrame] =
     if (ctx.histLayers.isEmpty || !Set("rate", "increase", "delta")(fn)) None
-    else histAdmissibleRes(ctx, windowMs).map { res =>
+    else {
       val ms = sel.name.map(n => MatchEq("__name__", n) +: sel.matchers)
         .getOrElse(sel.matchers)
-      histGridAgg(ctx.histLayers(res), ms, windowMs, res, ctx,
-        isCounter = fn != "delta")
+      val isCounter = fn != "delta"
+      histAdmissibleRes(ctx, windowMs)
+        .map(res => histGridAgg(ctx.histLayers(res), ms, windowMs, res, ctx,
+          isCounter))
+        .orElse(hybridHistAdmissibleRes(ctx, windowMs)
+          .map(res => hybridHistGridAgg(ctx.histLayers(res), ms, windowMs,
+            res, ctx, isCounter)))
     }
 
   /** Per-step recomposition from the histogram layer: windows explode to
@@ -431,42 +453,121 @@ object LayerRoute {
     * additions happen in the same order as the raw walk and the delta is
     * bit-identical ([[NativeHistograms.deltaFrom]] doc). Windows per step
     * ≤ window/res, so the collected list stays small. */
-  private def histGridAgg(layer0: DataFrame, ms: Seq[LabelMatcher],
-                          windowMs: Long, resMs: Long, ctx: Compiler.Ctx,
-                          isCounter: Boolean): DataFrame = {
-    val hT = layer0.schema("last_h").dataType
-    val hArrT = org.apache.spark.sql.types.ArrayType(
-      layer0.schema("resets").dataType
-        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
-    val layer = layer0.filter(winBound(layer0, ctx.startMs - windowMs,
-      ctx.endMs - resMs) && Matchers.compile(layer0, ms))
-    val lbls = layer.columns.filterNot(c =>
+  private def histLbls(layer: DataFrame): Seq[String] =
+    layer.columns.filterNot(c =>
       Set("series_hash", "date")(c) || Downsample.histLayerCols(c) ||
         c.startsWith("__graft_")).toSeq
+
+  /** Interior whole-window segments of a histogram layer, exploded to the
+    * steps they serve (same serve condition as the float routes), in the
+    * shared segment shape (seg_start, n, first_ts, last_ts, fh, lh, rs). */
+  private def histLayerSegments(layer0: DataFrame, ms: Seq[LabelMatcher],
+                                windowMs: Long, resMs: Long,
+                                ctx: Compiler.Ctx): DataFrame = {
+    val layer = layer0.filter(winBound(layer0, ctx.startMs - windowMs,
+      ctx.endMs - resMs) && Matchers.compile(layer0, ms))
+    val lbls = histLbls(layer0)
     def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
     val kMin = greatest(floorDiv(col("win_start") + (resMs - ctx.startMs) +
       ctx.stepMs - 1, ctx.stepMs), lit(0L))
     val kMax = least(floorDiv(col("win_start") + (windowMs - ctx.startMs),
       ctx.stepMs), lit(ctx.nSteps))
-    val grouped = layer
+    layer
       .withColumn("__graft_k", explode(when(kMax >= kMin,
         sequence(kMin, kMax, lit(1L))).otherwise(array().cast("array<long>"))))
       .withColumn("step_ms", lit(ctx.startMs) + col("__graft_k") * ctx.stepMs)
+      .select((Seq(col("series_hash"), col("step_ms"),
+        col("win_start").as("seg_start"), col("n"), col("first_ts"),
+        col("last_ts"), col("first_h").as("fh"), col("last_h").as("lh"),
+        col("resets").as("rs")) ++ lbls.map(col)): _*)
+  }
+
+  /** Shared tail of both histogram routes: merge the per-step segments
+    * (disjoint, tiling the selector) into the `__graft_*` columns the
+    * extrapolation consumes, replaying the reset lists in ts order. */
+  private def histSegmentsToDelta(segs: DataFrame, lbls: Seq[String],
+                                  hT: org.apache.spark.sql.types.DataType,
+                                  isCounter: Boolean): DataFrame = {
+    val grouped = segs
       .groupBy((col("series_hash") +: col("step_ms") +: lbls.map(col)): _*)
       .agg(sum(col("n")).as("__graft_n"),
         min(col("first_ts")).as("__graft_first_ts"),
         max(col("last_ts")).as("__graft_last_ts"),
-        sort_array(collect_list(struct(col("win_start"),
-          col("first_h").as("fh"), col("last_h").as("lh"),
-          col("resets").as("rs")))).as("__graft_ws"))
+        sort_array(collect_list(struct(col("seg_start"),
+          col("fh"), col("lh"), col("rs")))).as("__graft_ws"))
       .filter(col("__graft_n") >= 2)
     val first = element_at(col("__graft_ws"), 1).getField("fh")
     val last = element_at(col("__graft_ws"), -1).getField("lh")
     val rp =
-      if (!isCounter) array().cast(hArrT)
+      if (!isCounter) array().cast(org.apache.spark.sql.types.ArrayType(hT))
       else NativeHistograms.replayResets(col("__graft_ws"), hT)
     NativeHistograms.stageDelta(grouped, first, last, rp, "__graft_delta")
       .drop("__graft_ws")
+  }
+
+  private def histGridAgg(layer0: DataFrame, ms: Seq[LabelMatcher],
+                          windowMs: Long, resMs: Long, ctx: Compiler.Ctx,
+                          isCounter: Boolean): DataFrame =
+    histSegmentsToDelta(
+      histLayerSegments(layer0, ms, windowMs, resMs, ctx),
+      histLbls(layer0), layer0.schema("last_h").dataType, isCounter)
+
+  /** Hybrid whole-window + boundary-slice route for HISTOGRAM layers on an
+    * arbitrary grid — the same segment partition as [[hybridGridAgg]]
+    * (interior windows from the layer, the two partial slices from a raw
+    * scan pruned to two ranges), with the per-slice sample lists collected
+    * and summarized into the shared segment shape. The merged reset replay
+    * walks segments in ts order, so the float fold happens in the raw
+    * scan's order and results stay bit-identical (HistLayerRouteSpec
+    * unaligned fuzz). */
+  private def hybridHistGridAgg(layer0: DataFrame, ms: Seq[LabelMatcher],
+                                windowMs: Long, resMs: Long,
+                                ctx: Compiler.Ctx, isCounter: Boolean): DataFrame = {
+    val hT = layer0.schema("last_h").dataType
+    val lbls = histLbls(layer0)
+    val layerSeg = histLayerSegments(layer0, ms, windowMs, resMs, ctx)
+
+    def cFloor(t: Column) = t - pmod(t, lit(resMs))
+    def cCeil(t: Column) = cFloor(t + (resMs - 1))
+    def floorDiv(a: Column, b: Long) = ((a - pmod(a, lit(b))) / b).cast("long")
+    val s = ctx.samples
+    val loHi = math.min(ceilRes(ctx.endMs - windowMs, resMs), ctx.endMs)
+    val hiLo = floorRes(ctx.startMs, resMs)
+    val pts = s.filter(
+      (Eval.timeBound(s, ctx.startMs - windowMs + 1, loHi) ||
+        Eval.timeBound(s, hiLo + 1, ctx.endMs)) &&
+        Matchers.compile(s, ms) && !graft.functions.IsStale(col("value")))
+    val kMinP = greatest(floorDiv(col("ts_ms") - ctx.startMs + ctx.stepMs - 1,
+      ctx.stepMs), lit(0L))
+    val kMaxP = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1,
+      ctx.stepMs), lit(ctx.nSteps))
+    val stepOf = lit(ctx.startMs) + col("__graft_k") * ctx.stepMs
+    val rawSeg = pts
+      .withColumn("__graft_k", explode(when(kMaxP >= kMinP,
+        sequence(kMinP, kMaxP, lit(1L))).otherwise(array().cast("array<long>"))))
+      .withColumn("step_ms", stepOf)
+      .withColumn("seg_start",
+        when(col("ts_ms") > cFloor(col("step_ms")), cFloor(col("step_ms")))
+          .when(col("ts_ms") <= cCeil(col("step_ms") - windowMs),
+            col("step_ms") - windowMs))
+      .filter(col("seg_start").isNotNull)
+      .groupBy((Seq(col("series_hash"), col("step_ms"), col("seg_start")) ++
+        lbls.map(col)): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_ms")).as("first_ts"),
+        max(col("ts_ms")).as("last_ts"),
+        sort_array(collect_list(struct(col("ts_ms"), col("sample_id"),
+          col("h")))).as("__graft_srt"))
+      .withColumn("fh", element_at(col("__graft_srt"), 1).getField("h"))
+      .withColumn("lh", element_at(col("__graft_srt"), -1).getField("h"))
+      .withColumn("rs",
+        if (isCounter) NativeHistograms.resetList(col("__graft_srt"))
+        else array().cast(org.apache.spark.sql.types.ArrayType(hT)))
+      .drop("__graft_srt")
+      .select((Seq(col("series_hash"), col("step_ms"), col("seg_start"),
+        col("n"), col("first_ts"), col("last_ts"), col("fh"), col("lh"),
+        col("rs")) ++ lbls.map(col)): _*)
+    histSegmentsToDelta(layerSeg.unionByName(rawSeg), lbls, hT, isCounter)
   }
 
   private def withPairCols(g: DataFrame): DataFrame = {

@@ -125,11 +125,52 @@ class HistLayerRouteSpec extends SparkSpec {
     assert(scannedDirs(raw).exists(_.contains(samplesDir)))
   }
 
-  test("misaligned histogram grid falls back to raw (no hybrid for histograms yet)") {
-    val (_, _, _, samplesDir) = fixture
+  test("misaligned histogram grid with a wide span is cost-declined to pure raw") {
+    val (_, _, tmp, samplesDir) = fixture
+    // 6h window over a 28h grid span: the boundary ranges cover the whole
+    // scan, so the hybrid cannot win — pure raw, no layer read
     val (_, routed) = compileBoth("histogram_count(rate(hreq[6h]))",
       T0 + 12 * H + 123457L, T0 + 40 * H, 2 * H)
     assert(scannedDirs(routed).exists(_.contains(samplesDir)))
+    assert(!scannedDirs(routed).exists(_.contains(s"$tmp/hl1h")))
+  }
+
+  test("unaligned histogram grid routes hybrid: layer + bounded raw slices, bit-identical") {
+    val (_, _, tmp, samplesDir) = fixture
+    // 48h window, 6h span, misaligned start/step — the dashboard shape
+    val (start, end, step) = (T0 + 50 * H + 123457L, T0 + 56 * H + 123457L,
+      2 * H + 11 * 60000L)
+    Seq(
+      "histogram_count(rate(hreq[48h]))",
+      "histogram_sum(rate(hreq[48h]))",
+      "histogram_count(increase(hreq[48h]))",
+      "histogram_quantile(0.9, rate(hreq[48h]))",
+      "histogram_fraction(1.0, 8.0, increase(hreq[48h]))",
+      "histogram_sum(delta(hreq[48h]))").foreach { q =>
+      val (raw, routed) = compileBoth(q, start, end, step)
+      withClue(q) { assertIdentical(raw, routed) }
+    }
+    val (_, routed) = compileBoth("histogram_count(rate(hreq[48h]))", start, end, step)
+    val dirs = scannedDirs(routed)
+    assert(dirs.exists(_.contains(s"$tmp/hl1h")), s"layer missing from $dirs")
+    assert(dirs.exists(_.contains(samplesDir)), s"raw slices missing from $dirs")
+  }
+
+  test("fuzz: random UNALIGNED histogram grids stay bit-identical (route or fall back)") {
+    val rnd = new scala.util.Random(83)
+    (0 until 10).foreach { k =>
+      val fn = Seq("rate", "increase", "delta")(rnd.nextInt(3))
+      val outer = Seq("histogram_count", "histogram_sum")(rnd.nextInt(2))
+      val window = 2 * H + rnd.nextInt(50 * 3600) * 1000L
+      val step = 600000L + rnd.nextInt(4 * 3600) * 1000L
+      val start = T0 + rnd.nextInt(60 * 3600) * 1000L + rnd.nextInt(997)
+      val end = start + rnd.nextInt(8) * step
+      val q = s"$outer($fn(hreq[${window / 1000}s]))"
+      val (raw, routed) = compileBoth(q, start, end, step)
+      withClue(s"case $k: $q start=$start end=$end step=$step") {
+        assert(routed.exceptAll(raw).isEmpty && raw.exceptAll(routed).isEmpty)
+      }
+    }
   }
 
   test("cost guard: a histogram layer finer than the cadence is declined") {
