@@ -100,15 +100,15 @@ object Bench {
           s"| $q | ${f(raw(q))} | ${f(c)} |" }.mkString("\n")
         s"| query | raw sweep (s) | confirmed min-of-3 (s) |\n| --- | --- | --- |\n$rows\n"
       }
+    // NO stripMargin here: the table rows begin with '|' and stripMargin
+    // would eat them as margin markers
     val section =
-      s"""$AutoBegin
-         |## Auto: latest sweep self-defense report
-         |
-         |Sweep of $n queries on `$sfDir`: **total ${f(total)} s confirmed**
-         |(sweep median ${f(median)} s; queries above max(2 s, 3×median) =
-         |${f(threshold)} s were re-run ×3 and the min reported).
-         |${if (reruns.isEmpty) "" else s"${reruns.size} reconfirmed:"}
-         |$table$AutoEnd""".stripMargin
+      s"$AutoBegin\n## Auto: latest sweep self-defense report\n\n" +
+      s"Sweep of $n queries on `$sfDir`: **total ${f(total)} s confirmed**\n" +
+      s"(sweep median ${f(median)} s; queries above max(2 s, 3×median) =\n" +
+      s"${f(threshold)} s were re-run ×3 and the min reported).\n" +
+      (if (reruns.isEmpty) "" else s"${reruns.size} reconfirmed:\n") +
+      s"$table$AutoEnd"
     val p = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTES", "BENCH_NOTES.md"))
     val prev = if (java.nio.file.Files.isRegularFile(p))

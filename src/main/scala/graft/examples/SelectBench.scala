@@ -185,11 +185,11 @@ object SelectBench {
         timed(n, m => Eval.select(decoded, m, lo, hi), ms) })
     }
 
-    if (mode.contains("d")) {
-      // Downsample dividend: reset-aware counter increase over a month of
-      // samples, computed from the raw per-sample walk vs recomposed from the
-      // prebuilt 1h layer ([[graft.etl.Downsample]]). Values reset weekly so
-      // both paths exercise drop accounting; results must agree exactly.
+    // shared month-long counter store for workloads D and E, written in the
+    // engine's flat layout (date-partitioned, series-major sort within each
+    // date — [[graft.etl.Ingest]]'s samples sink) so query-time date
+    // partition pruning behaves exactly as it would on a converted store
+    lazy val dStore: (DataFrame, DataFrame, Double) = {
       import graft.etl.Downsample
       val day = 86400000L
       val cad = 120000L // 2-min cadence × 30 days × 2k series = 43.2M samples
@@ -200,12 +200,25 @@ object SelectBench {
           (pmod(col("ts_ms"), lit(7L * day)) / 60000.0).as("value"), // weekly reset
           col("ts_ms").as("sample_id"),
           xxhash64(col("id").cast("string")).as("series_hash"))
-      val raw = writeSorted(gen, s"$tmp/d_raw", Seq("__name__", "idx", "ts_ms"))
-
+        .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+      gen.repartitionByRange(32, col("date"), col("idx"))
+        .sortWithinPartitions(col("date"), col("idx"), col("ts_ms"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("date").parquet(s"$tmp/d_raw")
+      val raw = spark.read.parquet(s"$tmp/d_raw")
       val t0 = System.nanoTime()
       Downsample.writeLayer(Downsample.layer(raw, Downsample.Res1h), s"$tmp/d_layer")
-      val buildSecs = (System.nanoTime() - t0) / 1e9
-      val layer = Downsample.openLayer(spark, s"$tmp/d_layer")
+      (raw, Downsample.openLayer(spark, s"$tmp/d_layer"),
+        (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (mode.contains("d")) {
+      // Downsample dividend: reset-aware counter increase over a month of
+      // samples, computed from the raw per-sample walk vs recomposed from the
+      // prebuilt 1h layer ([[graft.etl.Downsample]]). Values reset weekly so
+      // both paths exercise drop accounting; results must agree exactly.
+      import graft.etl.Downsample
+      val (raw, layer, buildSecs) = dStore
 
       def drain(df: DataFrame): (Double, Long, String) = {
         var n = 0L; var chk = ""
@@ -229,6 +242,48 @@ object SelectBench {
       println(s"""{"metric":"select_bench_downsample","unit":"sec","queries":""" +
         s"""{"raw_increase":$rawS,"layer_increase":$layS,"layer_build":$buildSecs},""" +
         s""""rows":{"raw":${raw.count()},"layer":${layer.count()}}}""")
+    }
+
+    if (mode.contains("e")) {
+      // HYBRID auto-downsampling dividend: the dashboard query shape — a
+      // month-long increase() at a MISALIGNED "now" — on the same
+      // date-partitioned store. The raw path must scan every date partition
+      // the 20d window touches (21 of 30); the hybrid route reads the 1h
+      // layer for interior whole windows plus two raw boundary slices of
+      // <1h each, so only the 2 boundary date partitions are listed.
+      // Answers must agree exactly; the scanned-rows and wall-clock ratios
+      // are the at-scale dividend (at 100 TB the raw side is ~0.7×store).
+      import graft.etl.Downsample
+      val (raw, layer, _) = dStore
+      val day = 86400000L
+      val eng = new graft.api.PromEngine(raw,
+        layers = Map(Downsample.Res1h -> layer))
+      val plain = new graft.api.PromEngine(raw)
+      val q = "increase(ctr[20d])"
+      // instant query misaligned by 13m7s past day 20
+      val (s0, st) = (20 * day + 13 * 60000L + 7000L, 60000L)
+      val e0 = s0
+      def best(run: () => (Seq[graft.api.PromEngine.Series],
+                           graft.api.PromEngine.EngineStats, Seq[String]))
+          : (Double, Seq[graft.api.PromEngine.Series], Long) = {
+        var out: (Seq[graft.api.PromEngine.Series], Long) = (Nil, 0L)
+        val secs = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          val (r, stats, _) = run()
+          out = (r, stats.samplesTotal)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (secs.min, out._1, out._2)
+      }
+      val (rawS, rawR, rawRows) = best(() => plain.rangeQueryWithStats(q, s0, e0, st))
+      val (hybS, hybR, hybRows) = best(() => eng.rangeQueryWithStats(q, s0, e0, st))
+      require(rawR == hybR && rawR.nonEmpty,
+        s"hybrid answers diverged: raw=${rawR.size} hybrid=${hybR.size} series")
+      require(hybRows < rawRows,
+        s"hybrid route must scan fewer rows: hybrid=$hybRows raw=$rawRows")
+      println(s"""{"metric":"select_bench_hybrid","unit":"sec","queries":""" +
+        s"""{"raw_unaligned_increase":$rawS,"hybrid_unaligned_increase":$hybS},""" +
+        s""""scanned_rows":{"raw":$rawRows,"hybrid":$hybRows}}""")
     }
     spark.stop()
   }

@@ -41,7 +41,13 @@ object Compiler {
                          * `rate`/`increase`/`delta` over histogram series
                          * are served from these ([[LayerRoute
                          * .tryRouteHist]]), bit-exactly. */
-                       histLayers: Map[Long, DataFrame] = Map.empty) {
+                       histLayers: Map[Long, DataFrame] = Map.empty,
+                       /** Opt-in for experimental PromQL functions —
+                         * currently `info()` — mirroring Prometheus'
+                         * `--enable-feature=promql-experimental-functions`
+                         * flag: off by default, and the function errors
+                         * loudly rather than silently differing. */
+                       experimentalFunctions: Boolean = false) {
     def nSteps: Long = (endMs - startMs) / stepMs
     /** Top-level query bounds: what `@ start()` / `@ end()` resolve to —
       * stable under the offset / subquery grid rewrites that shift
@@ -648,6 +654,57 @@ object Compiler {
     case "sort" | "sort_desc" => // presentational in PromQL; order at the edge
       val v = compile(args.head, ctx)
       v.orderBy(if (fn == "sort") col("value").asc else col("value").desc)
+
+    // Prometheus' EXPERIMENTAL info() (promql/info.go, behind
+    // --enable-feature=promql-experimental-functions — mirrored by
+    // Ctx.experimentalFunctions): enrich each sample of v with the DATA
+    // labels of the info series — default `target_info` — sharing its
+    // IDENTIFYING labels (job, instance) at the same step. Samples with no
+    // matching info series pass through unchanged; existing labels on v are
+    // never overwritten; more than one info series per identity group
+    // errors (stricter than upstream, which only errors on conflicting
+    // data labels — documented deviation).
+    case "info" =>
+      if (!ctx.experimentalFunctions) throw new ParseException(
+        "info() is experimental: enable Ctx.experimentalFunctions " +
+          "(Prometheus: --enable-feature=promql-experimental-functions)")
+      val v = compile(args.head, ctx)
+      val infoSel = args.lift(1) match {
+        case None => Selector(Some("target_info"), Nil, None)
+        case Some(s @ Selector(None, ms, None, _, _))
+          if !ms.exists(_.label == "__name__") => s.copy(name = Some("target_info"))
+        case Some(s @ Selector(_, _, None, _, _)) => s
+        case Some(_) => throw new ParseException(
+          "info() second argument must be a plain instant selector")
+      }
+      val infoV = compile(infoSel, ctx)
+      val identity = Seq("job", "instance")
+        .filter(l => labelCols(v).contains(l) && labelCols(infoV).contains(l))
+      val dataLbls = labelCols(infoV).filterNot(c =>
+        identity.contains(c) || c == "__name__" || c == "step_ms" ||
+          c.startsWith("__graft_"))
+      if (identity.isEmpty || dataLbls.isEmpty) v
+      else {
+        val keys = identity :+ "step_ms"
+        // exact duplicates collapse first (several targets exposing the same
+        // info set is normal); surviving duplicates per identity group error
+        val slim = infoV.select((keys.map(col) ++
+          dataLbls.map(c => col(c).as(s"__graft_info_$c"))): _*).distinct()
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+        val guarded = slim
+          .withColumn("__graft_card", count(lit(1)).over(w))
+          .withColumn(s"__graft_info_${dataLbls.head}",
+            when(col("__graft_card") > 1, raise_error(lit(
+              "info(): multiple info series match one identity label set")))
+              .otherwise(col(s"__graft_info_${dataLbls.head}")))
+          .drop("__graft_card")
+        val joined = v.join(guarded, keys, "left")
+        dataLbls.foldLeft(joined) { (df, c) =>
+          val merged = if (v.columns.contains(c))
+            coalesce(col(c), col(s"__graft_info_$c")) else col(s"__graft_info_$c")
+          df.withColumn(c, merged).drop(s"__graft_info_$c")
+        }
+      }
 
     case "vector" => compile(args.head, ctx)
     case "scalar" =>

@@ -457,6 +457,53 @@ class PromqlSpec extends SparkSpec {
     assert(perG.forall(_ <= 2))
   }
 
+  test("info(): experimental target_info enrichment joins on identity labels") {
+    val t = 1000000L
+    val df = Seq(
+      ("m", "api", "i1", None, 2.0, 1L),
+      ("m", "api", "i2", None, 3.0, 2L),
+      ("m", "web", "i9", None, 4.0, 3L), // no matching info series
+      ("target_info", "api", "i1", Some("us"), 1.0, 4L),
+      ("target_info", "api", "i2", Some("eu"), 1.0, 5L),
+      ("custom_info", "api", "i1", Some("zz"), 1.0, 6L))
+      .toDF("__name__", "job", "instance", "cluster", "value", "sample_id")
+      .withColumn("ts_ms", lit(t))
+      .withColumn("series_hash",
+        xxhash64($"__name__", $"job", $"instance", coalesce($"cluster", lit(""))))
+    def ctx(exp: Boolean) =
+      Compiler.Ctx(df, t, t, 1000L, experimentalFunctions = exp)
+    // flag off: loud refusal, like Prometheus without the feature flag
+    assertThrows[ParseException](
+      Compiler.compile(Parser.parse("""info({__name__="m"})"""), ctx(false)))
+    def run(q: String) =
+      Compiler.compile(Parser.parse(q), ctx(true))
+        .select($"job", $"instance", $"cluster", $"value").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+          r.getDouble(3))).toSet
+    // default info metric: data label `cluster` rides in; unmatched samples
+    // pass through unchanged
+    assert(run("""info({__name__="m"})""") == Set(
+      ("api", "i1", Some("us"), 2.0),
+      ("api", "i2", Some("eu"), 3.0),
+      ("web", "i9", None, 4.0)))
+    // explicit info selector picks the other info metric
+    assert(run("""info({__name__="m"}, {__name__="custom_info"})""") == Set(
+      ("api", "i1", Some("zz"), 2.0),
+      ("api", "i2", None, 3.0),
+      ("web", "i9", None, 4.0)))
+    // two info series on one identity set: loud error, not silent row fanout
+    val dup = df.unionByName(Seq(("target_info", "api", "i1", Some("eu2"), 1.0, 7L))
+      .toDF("__name__", "job", "instance", "cluster", "value", "sample_id")
+      .withColumn("ts_ms", lit(t))
+      .withColumn("series_hash",
+        xxhash64($"__name__", $"job", $"instance", coalesce($"cluster", lit("")))))
+    val bad = Compiler.compile(Parser.parse("""info({__name__="m"})"""),
+      Compiler.Ctx(dup, t, t, 1000L, experimentalFunctions = true))
+    val ex = intercept[Exception](bad.collect())
+    assert(ex.toString.contains("USER_RAISED_EXCEPTION") ||
+      Option(ex.getMessage).exists(_.contains("multiple info series")))
+  }
+
   test("sort_by_label orders output by the named labels") {
     val rows = eval("""sort_by_label({uid!=""}, "__name__", "uid")""")
       .select($"__name__", $"uid").collect().map(r => (r.getString(0), r.getString(1)))
