@@ -45,13 +45,39 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
       case Some(d)             => parseStep(d)
     }
 
+  /** One native-histogram sample in Prometheus' API encoding:
+    * `[ts, {"count":…,"sum":…,"buckets":[[rule,lo,hi,count],…]}]` with
+    * buckets ascending by value — negative (open-right, rule 1), zero
+    * bucket (closed both, rule 3), positive (open-left, rule 0). */
+  private def histJson(ts: Long, h: graft.api.PromEngine.HistPoint): String = {
+    val w = math.pow(2.0, -h.sch) // log2 of the bucket growth base
+    def bound(i: Int) = math.pow(2.0, i * w)
+    val negB = h.neg.sortBy(-_._1).map { case (i, c) =>
+      s"""[1,"${fmt(-bound(i))}","${fmt(-bound(i - 1))}","${fmt(c)}"]""" }
+    val zeroB = if (h.zcnt != 0.0)
+      Seq(s"""[3,"${fmt(-h.zthr)}","${fmt(h.zthr)}","${fmt(h.zcnt)}"]""") else Nil
+    val posB = h.pos.sortBy(_._1).map { case (i, c) =>
+      s"""[0,"${fmt(bound(i - 1))}","${fmt(bound(i))}","${fmt(c)}"]""" }
+    s"""[${tsStr(ts)},{"count":"${fmt(h.cnt)}","sum":"${fmt(h.hsum)}",""" +
+      s""""buckets":[${(negB ++ zeroB ++ posB).mkString(",")}]}]"""
+  }
+
   private def query(p: Params): String = {
     val t = p.time("time").getOrElse(System.currentTimeMillis())
     val (res, _, warns) = engine.instantQueryWithStats(p.required("query"), t,
       maxSourceRes(p))
     val items = res.map { s =>
-      val (ts, v) = s.points.lastOption.getOrElse((t, Double.NaN))
-      s"""{"metric":${labelsJson(s.labels)},"value":[${tsStr(ts)},"${fmt(v)}"]}"""
+      // a series is float- or histogram-valued at an instant; on a
+      // mid-series type switch the LATEST sample decides, like Prometheus
+      val latestHist = s.hists.lastOption.filter { case (hts, _) =>
+        s.points.lastOption.forall(_._1 <= hts) }
+      latestHist match {
+        case Some((ts, h)) =>
+          s"""{"metric":${labelsJson(s.labels)},"histogram":${histJson(ts, h)}}"""
+        case None =>
+          val (ts, v) = s.points.lastOption.getOrElse((t, Double.NaN))
+          s"""{"metric":${labelsJson(s.labels)},"value":[${tsStr(ts)},"${fmt(v)}"]}"""
+      }
     }
     envelopeRaw(s"""{"resultType":"vector","result":[${items.mkString(",")}]}""", warns)
   }
@@ -64,7 +90,12 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
       start, end, step, maxSourceRes(p))
     val items = res.map { s =>
       val vals = s.points.map { case (ts, v) => s"""[${tsStr(ts)},"${fmt(v)}"]""" }
-      s"""{"metric":${labelsJson(s.labels)},"values":[${vals.mkString(",")}]}"""
+      val hists = s.hists.map { case (ts, h) => histJson(ts, h) }
+      val fields = Seq(s"\"metric\":${labelsJson(s.labels)}") ++
+        (if (vals.nonEmpty || hists.isEmpty)
+           Seq(s"\"values\":[${vals.mkString(",")}]") else Nil) ++
+        (if (hists.nonEmpty) Seq(s"\"histograms\":[${hists.mkString(",")}]") else Nil)
+      s"{${fields.mkString(",")}}"
     }
     envelopeRaw(s"""{"resultType":"matrix","result":[${items.mkString(",")}]}""", warns)
   }

@@ -6,7 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.promql._
 
 object PromEngine {
-  final case class Series(labels: Map[String, String], points: Seq[(Long, Double)])
+  /** A native-histogram sample at the serving boundary — the engine-side
+    * analog of Prometheus' API histogram object (model/histogram
+    * .FloatHistogram flattened the same way as the storage struct,
+    * [[graft.promql.NativeHistograms]]). */
+  final case class HistPoint(cnt: Double, hsum: Double, sch: Int, zthr: Double,
+                             zcnt: Double, pos: Seq[(Int, Double)],
+                             neg: Seq[(Int, Double)])
+
+  /** `points` carries float samples, `hists` native-histogram samples — a
+    * series normally has one or the other, but a type switch mid-series
+    * (allowed in Prometheus) yields both, each under its own timestamps. */
+  final case class Series(labels: Map[String, String], points: Seq[(Long, Double)],
+                          hists: Seq[(Long, HistPoint)] = Nil)
 
   /** Per-query statistics, the engine-side source of the gRPC
     * `querypb.QueryStats` analog (ref `api/grpc/thanos.go:561-566`):
@@ -44,14 +56,30 @@ final class PromEngine(samples: DataFrame,
     quotas.collect(df).toSeq // pre-flight + mid-scan byte charge
 
   private def seriesOf(rows: Seq[Row], df: DataFrame): Seq[Series] = {
-    val lbls = Compiler.labelCols(df)
+    val hasH = df.columns.contains("__graft_h")
+    val lbls = Compiler.labelCols(df).filterNot(_ == "__graft_h")
+    def histOf(r: Row): Option[HistPoint] =
+      if (!hasH || r.isNullAt(r.fieldIndex("__graft_h"))) None
+      else {
+        val h = r.getAs[Row]("__graft_h")
+        def side(f: String): Seq[(Int, Double)] =
+          h.getAs[scala.collection.Seq[Row]](f).toSeq
+            .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c")))
+        Some(HistPoint(h.getAs[Double]("cnt"), h.getAs[Double]("hsum"),
+          h.getAs[Int]("sch"), h.getAs[Double]("zthr"), h.getAs[Double]("zcnt"),
+          side("pos"), side("neg")))
+      }
     rows
       .filter(r => !r.isNullAt(r.fieldIndex("value")))
       .groupBy(r => lbls.flatMap(l =>
         Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap)
       .map { case (labelMap, rs) =>
-        Series(labelMap, rs.map(r =>
-            (r.getAs[Long]("step_ms"), toD(r.getAs[Any]("value")))).sortBy(_._1))
+        val (histRows, floatRows) = rs.partition(histOf(_).isDefined)
+        Series(labelMap,
+          floatRows.map(r =>
+            (r.getAs[Long]("step_ms"), toD(r.getAs[Any]("value")))).sortBy(_._1),
+          histRows.flatMap(r => histOf(r).map(h =>
+            (r.getAs[Long]("step_ms"), h))).sortBy(_._1))
       }
       .toSeq.sortBy(_.labels.toSeq.sorted.mkString(","))
   }
@@ -106,7 +134,7 @@ final class PromEngine(samples: DataFrame,
     val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
-    finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
+    finish(Compiler.compileServing(ast, ctx), Compiler.staticWarnings(ast))
   }
 
   def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long,
@@ -116,7 +144,7 @@ final class PromEngine(samples: DataFrame,
     val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
-    finish(Compiler.compile(ast, ctx), Compiler.staticWarnings(ast))
+    finish(Compiler.compileServing(ast, ctx), Compiler.staticWarnings(ast))
   }
 
   private def finish(df: DataFrame, warnings: Seq[String])

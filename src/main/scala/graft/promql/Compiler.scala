@@ -115,6 +115,51 @@ object Compiler {
 
   def instant(ctx0: Ctx, expr: Expr): DataFrame = compile(expr, ctx0)
 
+  /** Serving-boundary compile: identical to [[compile]], except a whole-query
+    * plain instant selector over histogram-typed samples keeps the selected
+    * native-histogram sample rows alongside under `__graft_h` — the engine
+    * serializes them as Prometheus' `histogram`/`histograms` result fields
+    * (the reference serves them through its vendored engine the same way;
+    * float-only series in the same selection keep h null and serialize as
+    * plain values). Inner expressions are unaffected: recursion stays on
+    * [[compile]], so float functions over histogram series behave as
+    * before. */
+  def compileServing(expr: Expr, ctx: Ctx): DataFrame = expr match {
+    case sel @ Selector(_, _, None, _, _) if hasHist(ctx) =>
+      histSelector(sel, ctx, "query")
+    // rate/increase/delta over a range selector, and sum/avg over any
+    // histogram-servable shape, produce histogram-valued results: series
+    // SPLIT by sample type — float series keep the float path verbatim,
+    // histogram series evaluate bucket-wise — and the two result sets union
+    // at the serving boundary (Prometheus computes each series by its own
+    // type the same way; a group mixing both yields a float and a histogram
+    // row per step, which the API emits side by side).
+    case e if hasHist(ctx) && histServable(e) =>
+      val fDf = compile(e, ctx.copy(samples = ctx.samples.filter(col("h").isNull)))
+      val hDf = histSelector(e,
+          ctx.copy(samples = ctx.samples.filter(col("h").isNotNull)), "query")
+        .filter(col("__graft_h").isNotNull)
+        .withColumn("value", lit(1.0)) // serving placeholder; __graft_h is the result
+      fDf.unionByName(hDf, allowMissingColumns = true)
+    case _ => compile(expr, ctx)
+  }
+
+  /** Shapes [[compileServing]] can evaluate histogram-typed on the hist
+    * side without histSelector erroring: rate/increase/delta over a plain
+    * range selector or plain-selector subquery, and sum/avg over such a
+    * shape or a plain instant selector. */
+  private def histServable(e: Expr): Boolean = e match {
+    case Call("rate" | "increase" | "delta", args) => args.exists {
+      case Selector(_, _, Some(_), _, _) => true
+      case sub: Subquery => sub.expr match {
+        case Selector(_, _, None, _, _) => true; case _ => false }
+      case _ => false }
+    case Agg("sum" | "avg", _, None, inner) => inner match {
+      case Selector(_, _, None, _, _) => true
+      case _ => histServable(inner) }
+    case _ => false
+  }
+
   def compile(expr: Expr, ctx: Ctx): DataFrame = expr match {
     case NumberLit(v) => ctx.grid.withColumn("value", lit(v))
     case StringLit(_) => throw new ParseException("bare string is not a query")

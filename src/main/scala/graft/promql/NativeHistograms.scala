@@ -44,7 +44,12 @@ object NativeHistograms {
 
   def hCount(h: Column): Column = h.getField("cnt")
   def hSum(h: Column): Column   = h.getField("hsum")
-  def hAvg(h: Column): Column   = h.getField("hsum") / h.getField("cnt")
+  /** sum/count; an observation-free histogram is NaN (0/0 in Prometheus's
+    * float arithmetic) — guarded explicitly because Spark's ANSI mode turns
+    * the bare division into a query-aborting DIVIDE_BY_ZERO. */
+  def hAvg(h: Column): Column   =
+    when(h.getField("cnt") === 0.0, lit(Double.NaN))
+      .otherwise(h.getField("hsum") / h.getField("cnt"))
   def nBuckets(h: Column): Column = size(h.getField("pos")) + size(h.getField("neg"))
 
   private def totalOf(buckets: Column): Column =
@@ -193,7 +198,12 @@ object NativeHistograms {
     * the zero bucket — promql/functions.go funcHistogramStdDev/StdVar), and
     * the population variance Σ c·(mid − mean)² / count is taken against the
     * true mean sum/count. */
-  def stdvar(h: Column): Column = {
+  def stdvar(h: Column): Column =
+    // cnt = 0 → NaN up front: both divisions below would otherwise abort
+    // the query under Spark ANSI mode (CaseWhen keeps them unevaluated)
+    when(h.getField("cnt") === 0.0, lit(Double.NaN)).otherwise(stdvar0(h))
+
+  private def stdvar0(h: Column): Column = {
     val ww = w(h)
     val mean = h.getField("hsum") / h.getField("cnt")
     def term(mid: Column, c: Column) = c * (mid - mean) * (mid - mean)
@@ -446,19 +456,28 @@ object NativeHistograms {
     * natural scale-safe merge shape. */
   def merge(df: DataFrame, keyCols: Seq[String], hCol: String = "h"): DataFrame = {
     val key = keyCols.map(col)
+    // Bucket indices at different schemas are incomparable: every
+    // participant coarsens to the GROUP's minimum schema before the
+    // bucket-wise addition (FloatHistogram.Add's reduction rule), staged
+    // once per row — toSchema reads its input many times.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(key: _*)
+    val src = df
+      .withColumn("__graft_minsch", min(col(s"$hCol.sch")).over(win))
+      .withColumn("__graft_hm", toSchema(col(hCol), col("__graft_minsch")))
+      .drop("__graft_minsch")
     def side(field: String): DataFrame =
-      df.select(key :+ explode(col(s"$hCol.$field")).as("b"): _*)
+      src.select(key :+ explode(col(s"__graft_hm.$field")).as("b"): _*)
         .groupBy(key :+ col("b.idx").as("__graft_idx"): _*)
         .agg(sum(col("b.c")).as("__graft_c"))
         .groupBy(key: _*)
         .agg(sort_array(collect_list(struct(
           col("__graft_idx").as("idx"), col("__graft_c").as("c")))).as(field))
-    val scal = df.groupBy(key: _*).agg(
-      sum(col(s"$hCol.cnt")).as("cnt"),
-      sum(col(s"$hCol.hsum")).as("hsum"),
-      min(col(s"$hCol.sch")).as("sch"),
-      max(col(s"$hCol.zthr")).as("zthr"),
-      sum(col(s"$hCol.zcnt")).as("zcnt"))
+    val scal = src.groupBy(key: _*).agg(
+      sum(col("__graft_hm.cnt")).as("cnt"),
+      sum(col("__graft_hm.hsum")).as("hsum"),
+      min(col("__graft_hm.sch")).as("sch"),
+      max(col("__graft_hm.zthr")).as("zthr"),
+      sum(col("__graft_hm.zcnt")).as("zcnt"))
     val empty = array().cast("array<struct<idx:int,c:double>>")
     scal.join(side("pos"), keyCols, "left").join(side("neg"), keyCols, "left")
       .select(key :+ struct(

@@ -72,6 +72,37 @@ class HttpApiSpec extends SparkSpec {
     assert(code2 == 400) // missing step
   }
 
+  test("native-histogram series serve Prometheus' histogram result encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val h = struct(lit(4.0).as("cnt"), lit(5.0).as("hsum"), lit(0).as("sch"),
+      lit(0.001).as("zthr"), lit(1.0).as("zcnt"),
+      array(struct(lit(1).as("idx"), lit(3.0).as("c"))).as("pos"),
+      array().cast("array<struct<idx:int,c:double>>").as("neg"))
+    val df = Seq(("hreq", "a", 1000L, 1L, 1.0))
+      .toDF("__name__", "uid", "ts_ms", "sample_id", "value")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+      .withColumn("h", h)
+    val api2 = new HttpApi(new PromEngine(df)).start()
+    try {
+      def get2(pq: String): String = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${api2.boundPort}$pq")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val body = get2(s"/api/v1/query?query=hreq&time=1")
+      // zero bucket closed-both (rule 3), positive bucket (1,2] open-left
+      assert(body.contains(""""histogram":[1,{"count":"4","sum":"5","buckets":""" +
+        """[[3,"-0.001","0.001","1"],[0,"1","2","3"]]}]"""))
+      assert(!body.contains(""""value":["""))
+      val rng = get2(s"/api/v1/query_range?query=hreq&start=1&end=31&step=30")
+      assert(rng.contains(""""histograms":[[1,{"count":"4"""))
+      assert(rng.contains("""[31,{"count":"4""""))
+      // float queries over the same store keep the plain value encoding
+      val cnt = get2(s"/api/v1/query?query=${enc("histogram_count(hreq)")}&time=1")
+      assert(cnt.contains(""""value":[1,"4"]"""))
+    } finally api2.stop()
+  }
+
   test("/metrics exposes requests_total and requests_seconds instrumentation") {
     get(s"/api/v1/query?query=${enc("vector(1)")}&time=${TI / 1000}")
     get("/api/v1/query?query=sum((") // a 400, separate series

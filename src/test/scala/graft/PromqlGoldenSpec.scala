@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 import graft.promql.{Compiler, Parser}
 
@@ -724,12 +724,185 @@ class PromqlGoldenSpec extends SparkSpec {
       |  {} NaN
       |""".stripMargin
 
+  /** Native-histogram corpus in upstream promqltest's `{{…}}` sample-literal
+    * notation (prometheus promql/promqltest/testdata/native_histograms.test
+    * format; expectations hand-derived from Prometheus v3 semantics —
+    * exponential interpolation in exponential buckets, linear in the
+    * sign-clamped zero bucket, float-style extrapolation without the
+    * zero-crossing clamp for histogram rate). */
+  private val nhCorpus =
+    """
+      |load 5m
+      |  eh{t="e"} {{}}
+      |  s1{t="a"} {{schema:0 sum:5 count:4 buckets:[1 2 1]}}
+      |  s2{t="b"} {{schema:1 sum:10 count:6 buckets:[1 2 1 2] offset:2}}
+      |  sneg{t="n"} {{schema:0 sum:-5 count:4 n_buckets:[1 2 1]}}
+      |  szb{t="z"} {{schema:0 sum:4 count:6 z_bucket:2 z_bucket_w:0.5 buckets:[2 2]}}
+      |  ctr{t="c"} {{schema:0 sum:4 count:4 buckets:[1 1 1 1]}} {{schema:0 sum:8 count:8 buckets:[2 2 2 2]}} {{schema:0 sum:12 count:12 buckets:[3 3 3 3]}}
+      |  pair{p="1"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  pair{p="2"} {{schema:1 count:6 sum:10 buckets:[1 2 1 2] offset:2}}
+      |  gaps{t="g"} {{schema:0 count:2 sum:2 buckets:[2]}}x1 _ {{schema:0 count:6 sum:6 buckets:[6]}}
+      |
+      |eval instant at 1m histogram_count(eh)
+      |  {t="e"} 0
+      |
+      |eval instant at 1m histogram_sum(eh)
+      |  {t="e"} 0
+      |
+      |eval instant at 1m histogram_avg(eh)
+      |  {t="e"} NaN
+      |
+      |eval instant at 1m histogram_quantile(0.5, eh)
+      |  {t="e"} NaN
+      |
+      |eval instant at 1m histogram_fraction(0, 4, eh)
+      |  {t="e"} NaN
+      |
+      |eval instant at 1m histogram_count(s1)
+      |  {t="a"} 4
+      |
+      |eval instant at 1m histogram_sum(s1)
+      |  {t="a"} 5
+      |
+      |eval instant at 1m histogram_avg(s1)
+      |  {t="a"} 1.25
+      |
+      |eval instant at 1m histogram_stdvar(s1)
+      |  {t="a"} 0.7100243558256704
+      |
+      |eval instant at 1m histogram_stddev(s1)
+      |  {t="a"} 0.842629429717281
+      |
+      |eval instant at 1m histogram_quantile(0.5, s1)
+      |  {t="a"} 1.4142135623730951
+      |
+      |eval instant at 1m histogram_quantile(0.75, s1)
+      |  {t="a"} 2
+      |
+      |eval instant at 1m histogram_quantile(0.875, s1)
+      |  {t="a"} 2.8284271247461903
+      |
+      |eval instant at 1m histogram_quantile(1, s1)
+      |  {t="a"} 4
+      |
+      |eval instant at 1m histogram_fraction(0, 2, s1)
+      |  {t="a"} 0.75
+      |
+      |eval instant at 1m histogram_fraction(1, 2, s1)
+      |  {t="a"} 0.5
+      |
+      |eval instant at 1m histogram_fraction(0, 1.4142135623730951, s1)
+      |  {t="a"} 0.5
+      |
+      |eval instant at 1m histogram_count(s2)
+      |  {t="b"} 6
+      |
+      |eval instant at 1m histogram_avg(s2)
+      |  {t="b"} 1.6666666666666667
+      |
+      |eval instant at 1m histogram_quantile(0.5, s2)
+      |  {t="b"} 2.8284271247461903
+      |
+      |eval instant at 1m histogram_quantile(0.5, sneg)
+      |  {t="n"} -1.4142135623730951
+      |
+      |eval instant at 1m histogram_quantile(1, sneg)
+      |  {t="n"} -0.5
+      |
+      |eval instant at 1m histogram_fraction(-2, -1, sneg)
+      |  {t="n"} 0.5
+      |
+      |eval instant at 1m histogram_quantile(0.25, szb)
+      |  {t="z"} 0.375
+      |
+      |eval instant at 1m histogram_quantile(0.5, szb)
+      |  {t="z"} 0.7071067811865476
+      |
+      |eval instant at 1m histogram_fraction(0, 0.5, szb)
+      |  {t="z"} 0.3333333333333333
+      |
+      |eval instant at 1m histogram_count(sum(pair))
+      |  {} 10
+      |
+      |eval instant at 1m histogram_sum(sum(pair))
+      |  {} 15
+      |
+      |eval instant at 1m histogram_avg(sum(pair))
+      |  {} 1.5
+      |
+      |eval instant at 1m histogram_quantile(0.5, sum(pair))
+      |  {} 2.378414230005442
+      |
+      |eval instant at 1m histogram_count(avg(pair))
+      |  {} 5
+      |
+      |eval instant at 1m histogram_count(s1) + histogram_sum(s1)
+      |  {t="a"} 9
+      |
+      |eval instant at 11m histogram_count(rate(ctr[10m]))
+      |  {t="c"} 0.013333333333333334
+      |
+      |eval instant at 11m histogram_sum(rate(ctr[10m]))
+      |  {t="c"} 0.013333333333333334
+      |
+      |eval instant at 11m histogram_count(increase(ctr[10m]))
+      |  {t="c"} 8
+      |
+      |eval instant at 11m histogram_quantile(0.5, rate(ctr[10m]))
+      |  {t="c"} 2
+      |
+      |eval instant at 11m histogram_count(gaps)
+      |
+      |eval instant at 6m histogram_count(gaps)
+      |  {t="g"} 2
+      |
+      |eval instant at 16m histogram_count(gaps)
+      |  {t="g"} 6
+      |
+      |eval instant at 1m s1
+      |  {t="a", __name__="s1"} {{schema:0 sum:5 count:4 buckets:[1 2 1]}}
+      |
+      |eval instant at 1m eh
+      |  {t="e", __name__="eh"} {{}}
+      |
+      |eval instant at 11m rate(ctr[10m])
+      |  {t="c"} {{schema:0 count:0.013333333333333334 sum:0.013333333333333334 buckets:[0.0033333333333333335 0.0033333333333333335 0.0033333333333333335 0.0033333333333333335]}}
+      |
+      |eval instant at 1m sum(pair)
+      |  {} {{schema:0 count:10 sum:15 buckets:[1 3 4 2]}}
+      |
+      |eval instant at 1m sum by (p) (pair)
+      |  {p="1"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  {p="2"} {{schema:1 count:6 sum:10 buckets:[1 2 1 2] offset:2}}
+      |
+      |eval range from 0s to 10m step 5m s1
+      |  {t="a", __name__="s1"} {{schema:0 sum:5 count:4 buckets:[1 2 1]}} _ _
+      |
+      |eval range from 0s to 10m step 5m ctr
+      |  {t="c", __name__="ctr"} {{schema:0 sum:4 count:4 buckets:[1 1 1 1]}} {{schema:0 sum:8 count:8 buckets:[2 2 2 2]}} {{schema:0 sum:12 count:12 buckets:[3 3 3 3]}}
+      |
+      |eval range from 5m to 15m step 5m histogram_count(ctr)
+      |  {t="c"} 8 12 _
+      |""".stripMargin
+
   // ----------------------------------------------------------- mini parser
-  private case class Loaded(labels: Map[String, String], points: Seq[(Long, Double)])
+  /** Native-histogram sample literal, upstream promqltest notation
+    * `{{schema:0 count:4 sum:5 buckets:[1 2 1] offset:0 n_buckets:[…]
+    * n_offset:… z_bucket:… z_bucket_w:…}}` (prometheus/promql/promqltest
+    * histogram series syntax), mapped onto the engine's `h` struct
+    * ([[graft.promql.NativeHistograms]] model: pos/neg idx i covers
+    * (base^(i-1), base^i] / [-base^i, -base^(i-1))). */
+  private case class Hist(cnt: Double, hsum: Double, sch: Int, zthr: Double,
+                          zcnt: Double, pos: Seq[(Int, Double)],
+                          neg: Seq[(Int, Double)])
+  private case class Loaded(labels: Map[String, String], points: Seq[(Long, Double)],
+                            hists: Seq[(Long, Hist)] = Nil)
   private case class EvalCase(atMs: Long, query: String,
-                              expected: Seq[(Map[String, String], Double)])
+                              expected: Seq[(Map[String, String], Double)],
+                              expectedH: Seq[(Map[String, String], Hist)] = Nil)
   private case class RangeCase(startMs: Long, endMs: Long, stepMs: Long, query: String,
-                               expected: Seq[(Map[String, String], Seq[Option[Double]])])
+                               expected: Seq[(Map[String, String], Seq[Option[Double]])],
+                               expectedH: Seq[(Map[String, String], Seq[Option[Hist]])] = Nil)
 
   private def parseLabels(s: String): Map[String, String] =
     if (s.trim.isEmpty) Map.empty
@@ -737,6 +910,24 @@ class PromqlGoldenSpec extends SparkSpec {
       val Array(k, v) = kv.split("=", 2)
       k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
     }.toMap
+
+  private def parseHistLiteral(body: String): Hist = {
+    val kv = "(\\w+):(\\[[^\\]]*\\]|\\S+)".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+    def num(k: String) = kv.get(k).map(_.toDouble).getOrElse(0.0)
+    def arr(k: String): Seq[Double] = kv.get(k).toSeq.flatMap(
+      _.stripPrefix("[").stripSuffix("]").trim match {
+        case "" => Nil
+        case s => s.split("\\s+").toSeq.map(_.toDouble)
+      })
+    def side(bk: String, ok: String): Seq[(Int, Double)] = {
+      val off = kv.get(ok).map(_.toInt).getOrElse(0)
+      arr(bk).zipWithIndex.collect { case (c, i) if c != 0.0 => (off + i, c) }
+    }
+    Hist(num("count"), num("sum"), kv.get("schema").map(_.toInt).getOrElse(0),
+      num("z_bucket_w"), num("z_bucket"),
+      side("buckets", "offset"), side("n_buckets", "n_offset"))
+  }
 
   private def parseSeries(line: String, stepMs: Long): Loaded = {
     val (sel, vals) = line.splitAt(line.indexOf('}') + 1) match {
@@ -749,6 +940,22 @@ class PromqlGoldenSpec extends SparkSpec {
       else (sel, "")
     val labels0 = parseLabels(lblStr)
     val labels = if (name.trim.nonEmpty) labels0 + ("__name__" -> name.trim) else labels0
+    if (vals.contains("{{")) { // native-histogram series: {{…}} sample literals
+      val toks = "\\{\\{[^}]*\\}\\}(?:x\\d+)?|\\S+".r.findAllIn(vals.trim).toSeq
+      var idx = 0
+      val hs = Seq.newBuilder[(Long, Hist)]
+      toks.foreach {
+        case "_" => idx += 1
+        case t if t.startsWith("{{") =>
+          val e = t.indexOf("}}")
+          val rep = if (t.length > e + 2) t.substring(e + 3).toInt + 1 else 1
+          val h = parseHistLiteral(t.substring(2, e))
+          (1 to rep).foreach { _ => hs += ((idx * stepMs, h)); idx += 1 }
+        case other =>
+          throw new IllegalArgumentException(s"mixed float/histogram series: $other")
+      }
+      return Loaded(labels, Nil, hs.result())
+    }
     val expand = "([-0-9.]+)\\+([-0-9.]+)x(\\d+)".r
     val points = vals.trim match {
       case expand(a, b, n) =>
@@ -786,12 +993,15 @@ class PromqlGoldenSpec extends SparkSpec {
         val at = Parser.parseDuration(rest.takeWhile(!_.isWhitespace))
         val q = rest.dropWhile(!_.isWhitespace).trim
         val exp = scala.collection.mutable.ArrayBuffer[(Map[String, String], Double)]()
+        val expH = scala.collection.mutable.ArrayBuffer[(Map[String, String], Hist)]()
         i += 1
         while (i < lines.length && lines(i).startsWith("  ")) {
           val e = lines(i).trim
           val lbl = parseLabels(e.substring(1, e.indexOf('}')))
           val v = e.substring(e.indexOf('}') + 1).trim
-          exp += ((lbl, v match {
+          if (v.startsWith("{{"))
+            expH += ((lbl, parseHistLiteral(v.stripPrefix("{{").stripSuffix("}}"))))
+          else exp += ((lbl, v match {
             case "NaN" => Double.NaN
             case "Inf" | "+Inf" => Double.PositiveInfinity
             case "-Inf" => Double.NegativeInfinity
@@ -799,7 +1009,7 @@ class PromqlGoldenSpec extends SparkSpec {
           }))
           i += 1
         }
-        evals += EvalCase(at, q, exp.toSeq)
+        evals += EvalCase(at, q, exp.toSeq, expH.toSeq)
       } else if (l.startsWith("eval range from ")) {
         // `eval range from <start> to <end> step <step> <query>`
         val toks = l.stripPrefix("eval range from ").split("\\s+", 6)
@@ -809,30 +1019,73 @@ class PromqlGoldenSpec extends SparkSpec {
         val (s0, e0, st0) = (dur(toks(0)), dur(toks(2)), dur(toks(4)))
         val q = toks(5).trim
         val exp = scala.collection.mutable.ArrayBuffer[(Map[String, String], Seq[Option[Double]])]()
+        val expH = scala.collection.mutable.ArrayBuffer[(Map[String, String], Seq[Option[Hist]])]()
         i += 1
         while (i < lines.length && lines(i).startsWith("  ")) {
           val e = lines(i).trim
           val lbl = parseLabels(e.substring(1, e.indexOf('}')))
-          val vs = e.substring(e.indexOf('}') + 1).trim.split("\\s+").toSeq.map {
-            case "_" => None
-            case "NaN" => Some(Double.NaN)
-            case v => Some(v.toDouble)
+          val body = e.substring(e.indexOf('}') + 1).trim
+          if (body.contains("{{")) { // histogram-valued step expectations
+            val vs = "\\{\\{[^}]*\\}\\}(?:x\\d+)?|\\S+".r.findAllIn(body).toSeq
+              .flatMap {
+                case "_" => Seq(None)
+                case t if t.startsWith("{{") =>
+                  val e2 = t.indexOf("}}")
+                  val rep = if (t.length > e2 + 2) t.substring(e2 + 3).toInt + 1 else 1
+                  Seq.fill(rep)(Some(parseHistLiteral(t.substring(2, e2))))
+                case other => throw new IllegalArgumentException(
+                  s"mixed float/histogram range expectation: $other")
+              }
+            expH += ((lbl, vs))
+          } else {
+            val vs = body.split("\\s+").toSeq.map {
+              case "_" => None
+              case "NaN" => Some(Double.NaN)
+              case v => Some(v.toDouble)
+            }
+            exp += ((lbl, vs))
           }
-          exp += ((lbl, vs))
           i += 1
         }
-        ranges += RangeCase(s0, e0, st0, q, exp.toSeq)
+        ranges += RangeCase(s0, e0, st0, q, exp.toSeq, expH.toSeq)
       } else i += 1
     }
     (loaded.toSeq, evals.toSeq, ranges.toSeq)
   }
 
+  import org.apache.spark.sql.functions._
+
+  private val hType = "struct<cnt:double,hsum:double,sch:int,zthr:double," +
+    "zcnt:double,pos:array<struct<idx:int,c:double>>," +
+    "neg:array<struct<idx:int,c:double>>>"
+
+  private def bucketArr(b: Seq[(Int, Double)]): org.apache.spark.sql.Column =
+    if (b.isEmpty) array().cast("array<struct<idx:int,c:double>>")
+    else array(b.map { case (i, c) =>
+      struct(lit(i).as("idx"), lit(c).as("c")) }: _*)
+
+  private def hCol(h: Hist): org.apache.spark.sql.Column = struct(
+    lit(h.cnt).as("cnt"), lit(h.hsum).as("hsum"), lit(h.sch).as("sch"),
+    lit(h.zthr).as("zthr"), lit(h.zcnt).as("zcnt"),
+    bucketArr(h.pos).as("pos"), bucketArr(h.neg).as("neg"))
+
   private def toSamples(loaded: Seq[Loaded]) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val lblNames = loaded.flatMap(_.labels.keys).distinct.sorted
+    val anyH = loaded.exists(_.hists.nonEmpty)
     val dfs = loaded.zipWithIndex.map { case (s, si) =>
-      val base = s.points.toDF("ts_ms", "value")
+      val base0 =
+        if (s.hists.nonEmpty)
+          s.hists.map { case (ts, h) =>
+            Seq(ts).toDF("ts_ms").withColumn("value", lit(1.0))
+              .withColumn("h", hCol(h))
+          }.reduce(_ unionByName _)
+        else {
+          val f = s.points.toDF("ts_ms", "value")
+          if (anyH) f.withColumn("h", lit(null).cast(hType)) else f
+        }
+      val base = base0
         .withColumn("sample_id", lit(si * 100000L) + monotonically_increasing_id())
         .withColumn("series_hash", lit(si.toLong))
       lblNames.foldLeft(base) { (df, l) =>
@@ -842,45 +1095,100 @@ class PromqlGoldenSpec extends SparkSpec {
     dfs.reduce(_ unionByName _)
   }
 
+  private def checkInstant(samples: DataFrame, evals: Seq[EvalCase]): Seq[String] =
+    evals.flatMap { e =>
+      // compileServing: identical to compile except whole-query histogram
+      // shapes keep their histogram samples (__graft_h) for comparison
+      // against `{{…}}` expectations, like promqltest result matching
+      val df = Compiler.compileServing(Parser.parse(e.query),
+        Compiler.Ctx(samples, e.atMs, e.atMs, 1000L, lookbackMs = 300000L))
+      val hasH = df.columns.contains("__graft_h")
+      val lbls = Compiler.labelCols(df).filterNot(_ == "__graft_h")
+      def histOf(r: Row): Option[Hist] =
+        if (!hasH || r.isNullAt(r.fieldIndex("__graft_h"))) None
+        else {
+          val h = r.getAs[Row]("__graft_h")
+          def side(f: String): Seq[(Int, Double)] =
+            h.getAs[scala.collection.Seq[Row]](f).toSeq
+              .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c")))
+          Some(Hist(h.getAs[Double]("cnt"), h.getAs[Double]("hsum"),
+            h.getAs[Int]("sch"), h.getAs[Double]("zthr"),
+            h.getAs[Double]("zcnt"), side("pos"), side("neg")))
+        }
+      val rows = df.collect().toSeq.map { r =>
+        (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
+          r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble; case null => -987654.25 },
+          histOf(r))
+      }
+      val got  = rows.collect { case (l, v, None) => (l, v) }
+      val gotH = rows.collect { case (l, _, Some(h)) => (l, h) }
+      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
+      def hEq(a: Hist, b: Hist) =
+        eq(a.cnt, b.cnt) && eq(a.hsum, b.hsum) && a.sch == b.sch &&
+          eq(a.zthr, b.zthr) && eq(a.zcnt, b.zcnt) &&
+          a.pos.map(_._1) == b.pos.map(_._1) && a.neg.map(_._1) == b.neg.map(_._1) &&
+          a.pos.zip(b.pos).forall(p => eq(p._1._2, p._2._2)) &&
+          a.neg.zip(b.neg).forall(p => eq(p._1._2, p._2._2))
+      val ok = got.size == e.expected.size && e.expected.forall { case (lbl, v) =>
+        got.exists { case (gl, gv) => gl == lbl && eq(gv, v) }
+      } && gotH.size == e.expectedH.size && e.expectedH.forall { case (lbl, h) =>
+        gotH.exists { case (gl, gh) => gl == lbl && hEq(gh, h) }
+      }
+      if (ok) None else Some(s"QUERY ${e.query} @${e.atMs}\n  got      ${got ++ gotH}\n  expected ${e.expected ++ e.expectedH}")
+    }
+
   test("golden corpus: load/eval instant cases match") {
     val (loaded, evals, _) = parseCorpus(corpus)
     assert(loaded.size == 23 && evals.size == 206)
-    val samples = toSamples(loaded)
-    val failures = evals.flatMap { e =>
-      val df = Compiler.compile(Parser.parse(e.query),
-        Compiler.Ctx(samples, e.atMs, e.atMs, 1000L, lookbackMs = 300000L))
-      val lbls = Compiler.labelCols(df)
-      val got = df.collect().toSeq.map { r =>
-        (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
-          r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble; case null => -987654.25 })
-      }
-      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
-      val ok = got.size == e.expected.size && e.expected.forall { case (lbl, v) =>
-        got.exists { case (gl, gv) => gl == lbl && eq(gv, v) }
-      }
-      if (ok) None else Some(s"QUERY ${e.query} @${e.atMs}\n  got      $got\n  expected ${e.expected}")
-    }
+    val failures = checkInstant(toSamples(loaded), evals)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("golden corpus: eval range cases match on the step grid") {
-    val (loaded, _, ranges) = parseCorpus(corpus)
-    assert(ranges.size == 11)
+  test("golden corpus: native-histogram literal cases match") {
+    val (loaded, evals, _) = parseCorpus(nhCorpus)
+    assert(loaded.size == 9 && evals.size == 44)
     val samples = toSamples(loaded)
+    assert(samples.columns.contains("h"))
+    val failures = checkInstant(samples, evals)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  private def checkRange(samples: DataFrame, ranges: Seq[RangeCase]): Seq[String] = {
     def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
-    val failures = ranges.flatMap { rc =>
-      val df = Compiler.compile(Parser.parse(rc.query),
+    def hEq(a: Hist, b: Hist) =
+      eq(a.cnt, b.cnt) && eq(a.hsum, b.hsum) && a.sch == b.sch &&
+        eq(a.zthr, b.zthr) && eq(a.zcnt, b.zcnt) &&
+        a.pos.map(_._1) == b.pos.map(_._1) && a.neg.map(_._1) == b.neg.map(_._1) &&
+        a.pos.zip(b.pos).forall(p => eq(p._1._2, p._2._2)) &&
+        a.neg.zip(b.neg).forall(p => eq(p._1._2, p._2._2))
+    ranges.flatMap { rc =>
+      val df = Compiler.compileServing(Parser.parse(rc.query),
         Compiler.Ctx(samples, rc.startMs, rc.endMs, rc.stepMs, lookbackMs = 300000L))
-      val lbls = Compiler.labelCols(df).filterNot(_ == "step_ms")
-      val got: Map[Map[String, String], Map[Long, Double]] = df.collect().toSeq
-        .map { r =>
-          (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
-            r.getAs[Long]("step_ms"),
-            r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble; case null => -987654.25 })
+      val hasH = df.columns.contains("__graft_h")
+      val lbls = Compiler.labelCols(df).filterNot(c => c == "step_ms" || c == "__graft_h")
+      def histOf(r: Row): Option[Hist] =
+        if (!hasH || r.isNullAt(r.fieldIndex("__graft_h"))) None
+        else {
+          val h = r.getAs[Row]("__graft_h")
+          def side(f: String): Seq[(Int, Double)] =
+            h.getAs[scala.collection.Seq[Row]](f).toSeq
+              .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c")))
+          Some(Hist(h.getAs[Double]("cnt"), h.getAs[Double]("hsum"),
+            h.getAs[Int]("sch"), h.getAs[Double]("zthr"),
+            h.getAs[Double]("zcnt"), side("pos"), side("neg")))
         }
-        .groupBy(_._1).map { case (k, rows) =>
-          k -> rows.map(t => t._2 -> t._3).toMap
-        }
+      val rows = df.collect().toSeq.map { r =>
+        (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
+          r.getAs[Long]("step_ms"),
+          r.getAs[Any]("value") match { case d: Double => d; case l: Long => l.toDouble; case null => -987654.25 },
+          histOf(r))
+      }
+      val got: Map[Map[String, String], Map[Long, Double]] = rows
+        .collect { case (l, t, v, None) => (l, t, v) }
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(t => t._2 -> t._3).toMap }
+      val gotH: Map[Map[String, String], Map[Long, Hist]] = rows
+        .collect { case (l, t, _, Some(h)) => (l, t, h) }
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(t => t._2 -> t._3).toMap }
       val steps = (rc.startMs to rc.endMs by rc.stepMs).toSeq
       val bad = rc.expected.flatMap { case (lbl, vs) =>
         val series = got.getOrElse(lbl, Map.empty)
@@ -890,10 +1198,32 @@ class PromqlGoldenSpec extends SparkSpec {
           case (t, Some(v)) if !series.get(t).exists(eq(_, v)) =>
             s"  $lbl @$t: expected $v, got ${series.get(t)}"
         }
-      } ++ got.keySet.diff(rc.expected.map(_._1).toSet).map(k => s"  unexpected series $k")
+      } ++ rc.expectedH.flatMap { case (lbl, vs) =>
+        val series = gotH.getOrElse(lbl, Map.empty)
+        steps.zip(vs).collect {
+          case (t, None) if series.contains(t) =>
+            s"  $lbl @$t: expected absent, got histogram ${series(t)}"
+          case (t, Some(h)) if !series.get(t).exists(hEq(_, h)) =>
+            s"  $lbl @$t: expected $h, got ${series.get(t)}"
+        }
+      } ++ got.keySet.diff(rc.expected.map(_._1).toSet).map(k => s"  unexpected series $k") ++
+        gotH.keySet.diff(rc.expectedH.map(_._1).toSet).map(k => s"  unexpected histogram series $k")
       if (bad.isEmpty) None
       else Some(s"QUERY ${rc.query}\n" + bad.mkString("\n"))
     }
+  }
+
+  test("golden corpus: eval range cases match on the step grid") {
+    val (loaded, _, ranges) = parseCorpus(corpus)
+    assert(ranges.size == 11)
+    val failures = checkRange(toSamples(loaded), ranges)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("golden corpus: native-histogram range cases match on the step grid") {
+    val (loaded, _, ranges) = parseCorpus(nhCorpus)
+    assert(ranges.size == 3)
+    val failures = checkRange(toSamples(loaded), ranges)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

@@ -274,4 +274,62 @@ class PromqlHistogramSpec extends SparkSpec {
     // all mass within (-zthr, zthr): fraction over a straddling range is 1
     assert(math.abs(ev(s"histogram_fraction(-1.0, 1.0, zo)") - 1.0) < 1e-12)
   }
+
+  test("top-level selector serves native-histogram samples through the engine") {
+    val eng = new graft.api.PromEngine(samples)
+    val res = eng.instantQuery("reqs", T)
+    assert(res.size == 2)
+    val s1 = res.find(_.labels("uid") == "1").get
+    assert(s1.points.isEmpty && s1.hists.size == 1)
+    val (ts, h) = s1.hists.head
+    assert(ts == T && h.cnt == 12.0 && h.hsum == 40.0 && h.sch == 0 &&
+      h.pos == Seq(0 -> 2.0, 2 -> 5.0, 3 -> 5.0) && h.neg.isEmpty)
+    // histogram functions still produce plain float series
+    val c = eng.instantQuery("histogram_count(reqs)", T)
+    assert(c.nonEmpty && c.forall(s => s.hists.isEmpty && s.points.nonEmpty))
+    // range grid: each step that selects the series carries its histogram
+    val rng = eng.rangeQuery("""reqs{uid="1"}""", 1060000L, 1090000L, 30000L)
+    assert(rng.head.hists.map(_._1) == Seq(1060000L, 1090000L))
+    assert(rng.head.hists.forall(_._2.cnt == 12.0))
+  }
+
+  test("rate and sum over histogram series serve histogram results") {
+    val eng = new graft.api.PromEngine(samples)
+    // uid=1: delta cnt 2, only bucket idx2 grew (+2); extrapolation factor 2
+    // over a 120 s window → rate = 2·2/120 = 1/30; uid=2's single sample
+    // can't produce a rate and drops, exactly like the float path
+    val r = eng.instantQuery("rate(reqs[2m])", T)
+    assert(r.size == 1 && r.head.labels("uid") == "1")
+    val (_, rh) = r.head.hists.head
+    assert(math.abs(rh.cnt - 2.0 * 2 / 120) < 1e-12)
+    assert(rh.pos.map(_._1) == Seq(2) &&
+      math.abs(rh.pos.head._2 - 2.0 * 2 / 120) < 1e-12)
+    // sum(): bucket-wise merge of the instant histograms
+    val s = eng.instantQuery("sum(reqs)", T)
+    assert(s.size == 1 && s.head.labels.isEmpty)
+    val (_, sh) = s.head.hists.head
+    assert(sh.cnt == 16.0 && sh.hsum == 42.0 && sh.zcnt == 4.0 &&
+      sh.pos == Seq(0 -> 2.0, 2 -> 5.0, 3 -> 5.0))
+  }
+
+  test("mixed float+histogram stores evaluate each series by its own type") {
+    val mixed = samples.select(col("*")).unionByName(
+      Seq(("reqs", "9", T - 1000, 9L))
+        .toDF("__name__", "uid", "ts_ms", "sample_id")
+        .withColumn("value", lit(7.0))
+        .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        .withColumn("h", lit(null).cast(samples.schema("h").dataType.sql)))
+    val eng = new graft.api.PromEngine(mixed)
+    val res = eng.instantQuery("reqs", T)
+    assert(res.size == 3)
+    val f9 = res.find(_.labels("uid") == "9").get
+    assert(f9.hists.isEmpty && f9.points == Seq((T, 7.0)))
+    assert(res.filterNot(_.labels("uid") == "9").forall(s =>
+      s.points.isEmpty && s.hists.nonEmpty))
+    // sum() splits by type: one float row (the lone float series) and one
+    // merged histogram row share the empty label set
+    val s = eng.instantQuery("sum(reqs)", T)
+    assert(s.size == 1 && s.head.points == Seq((T, 7.0)) &&
+      s.head.hists.head._2.cnt == 16.0)
+  }
 }
