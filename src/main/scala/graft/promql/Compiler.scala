@@ -135,7 +135,11 @@ object Compiler {
     // type the same way; a group mixing both yields a float and a histogram
     // row per step, which the API emits side by side).
     case e if hasHist(ctx) && histServable(e) =>
-      val fDf = compile(e, ctx.copy(samples = ctx.samples.filter(col("h").isNull)))
+      // the float side tests histogram-absence on the `cnt` LEAF (always set
+      // in the model), so nested-schema pruning reads one double instead of
+      // the whole bucket struct; the hist side reads `h` regardless
+      val fDf = compile(e,
+        ctx.copy(samples = ctx.samples.filter(col("h").getField("cnt").isNull)))
       val hDf = histSelector(e,
           ctx.copy(samples = ctx.samples.filter(col("h").isNotNull)), "query")
         .filter(col("__graft_h").isNotNull)

@@ -883,6 +883,17 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval range from 5m to 15m step 5m histogram_count(ctr)
       |  {t="c"} 8 12 _
+      |
+      |clear
+      |
+      |load 1m
+      |  rctr{t="r"} {{schema:0 sum:10 count:10 buckets:[10]}} {{schema:0 sum:3 count:3 buckets:[3]}} {{schema:0 sum:5 count:5 buckets:[5]}}
+      |
+      |eval instant at 2m histogram_count(increase(rctr[3m]))
+      |  {t="r"} 7.5
+      |
+      |eval instant at 3m histogram_count(increase(rctr[3m]))
+      |  {t="r"} 6
       |""".stripMargin
 
   // ----------------------------------------------------------- mini parser
@@ -972,16 +983,32 @@ class PromqlGoldenSpec extends SparkSpec {
     Loaded(labels, points)
   }
 
-  private def parseCorpus(text: String): (Seq[Loaded], Seq[EvalCase], Seq[RangeCase]) = {
+  /** One promqltest section: the series loaded since the last `clear` plus
+    * the evals that ran against them — upstream files reset state with
+    * `clear` between scenarios, and each segment here gets its own samples
+    * frame the same way. */
+  private case class Segment(loaded: Seq[Loaded], evals: Seq[EvalCase],
+                             ranges: Seq[RangeCase])
+
+  private def parseSegments(text: String): Seq[Segment] = {
     val lines = text.linesIterator.map(_.stripTrailing()).filter(_.nonEmpty).toSeq
     var stepMs = 10000L
-    val loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
-    val evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
-    val ranges = scala.collection.mutable.ArrayBuffer[RangeCase]()
+    val segments = scala.collection.mutable.ArrayBuffer[Segment]()
+    var loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
+    var evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
+    var ranges = scala.collection.mutable.ArrayBuffer[RangeCase]()
+    def flush(): Unit =
+      if (loaded.nonEmpty || evals.nonEmpty || ranges.nonEmpty) {
+        segments += Segment(loaded.toSeq, evals.toSeq, ranges.toSeq)
+        loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
+        evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
+        ranges = scala.collection.mutable.ArrayBuffer[RangeCase]()
+      }
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
-      if (l.startsWith("load ")) {
+      if (l.trim == "clear") { flush(); i += 1 }
+      else if (l.startsWith("load ")) {
         stepMs = Parser.parseDuration(l.stripPrefix("load ").trim)
         i += 1
         while (i < lines.length && lines(i).startsWith("  ")) {
@@ -1050,7 +1077,8 @@ class PromqlGoldenSpec extends SparkSpec {
         ranges += RangeCase(s0, e0, st0, q, exp.toSeq, expH.toSeq)
       } else i += 1
     }
-    (loaded.toSeq, evals.toSeq, ranges.toSeq)
+    flush()
+    segments.toSeq
   }
 
   import org.apache.spark.sql.functions._
@@ -1138,18 +1166,20 @@ class PromqlGoldenSpec extends SparkSpec {
     }
 
   test("golden corpus: load/eval instant cases match") {
-    val (loaded, evals, _) = parseCorpus(corpus)
-    assert(loaded.size == 23 && evals.size == 206)
-    val failures = checkInstant(toSamples(loaded), evals)
+    val segs = parseSegments(corpus)
+    assert(segs.map(_.loaded.size).sum == 23 && segs.map(_.evals.size).sum == 206)
+    val failures = segs.filter(_.evals.nonEmpty)
+      .flatMap(sg => checkInstant(toSamples(sg.loaded), sg.evals))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("golden corpus: native-histogram literal cases match") {
-    val (loaded, evals, _) = parseCorpus(nhCorpus)
-    assert(loaded.size == 9 && evals.size == 44)
-    val samples = toSamples(loaded)
-    assert(samples.columns.contains("h"))
-    val failures = checkInstant(samples, evals)
+    val segs = parseSegments(nhCorpus)
+    assert(segs.size == 2, "clear splits the NH corpus into two segments")
+    assert(segs.map(_.loaded.size).sum == 10 && segs.map(_.evals.size).sum == 46)
+    assert(toSamples(segs.head.loaded).columns.contains("h"))
+    val failures = segs.filter(_.evals.nonEmpty)
+      .flatMap(sg => checkInstant(toSamples(sg.loaded), sg.evals))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
@@ -1214,16 +1244,18 @@ class PromqlGoldenSpec extends SparkSpec {
   }
 
   test("golden corpus: eval range cases match on the step grid") {
-    val (loaded, _, ranges) = parseCorpus(corpus)
-    assert(ranges.size == 11)
-    val failures = checkRange(toSamples(loaded), ranges)
+    val segs = parseSegments(corpus)
+    assert(segs.map(_.ranges.size).sum == 11)
+    val failures = segs.filter(_.ranges.nonEmpty)
+      .flatMap(sg => checkRange(toSamples(sg.loaded), sg.ranges))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("golden corpus: native-histogram range cases match on the step grid") {
-    val (loaded, _, ranges) = parseCorpus(nhCorpus)
-    assert(ranges.size == 3)
-    val failures = checkRange(toSamples(loaded), ranges)
+    val segs = parseSegments(nhCorpus)
+    assert(segs.map(_.ranges.size).sum == 3)
+    val failures = segs.filter(_.ranges.nonEmpty)
+      .flatMap(sg => checkRange(toSamples(sg.loaded), sg.ranges))
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
