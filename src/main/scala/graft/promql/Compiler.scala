@@ -258,7 +258,9 @@ object Compiler {
     val kMax = least(floorDiv(col("ts_ms") - ctx.startMs + windowMs - 1, ctx.stepMs), lit(ctx.nSteps))
     val lbls = points.columns
       .filterNot(c => sampleReserved(c) || c == "series_hash" || c == "date" ||
-        c.startsWith("__graft_")) // date = partition bookkeeping, not a label
+        // date = partition bookkeeping; a hist-typed `h` is a sample column,
+        // not a label — grouping on it would force reading the whole struct
+        Eval.isHistCol(points, c) || c.startsWith("__graft_"))
       .toSeq
     withPrev
       .withColumn("__graft_k", explode(when(kMax >= kMin, sequence(kMin, kMax, lit(1L)))

@@ -722,6 +722,17 @@ class PromqlGoldenSpec extends SparkSpec {
       |
       |eval instant at 20s avg(im)
       |  {} NaN
+      |
+      |eval_fail instant at 100s topk("x", metric)
+      |  expected_fail_message scalar literal expected
+      |
+      |eval_fail instant at 100s info(metric)
+      |  expected_fail_message experimental
+      |
+      |eval_fail instant at 100s metric[5m]
+      |  expected_fail_message range vector must be an argument of a range function
+      |
+      |eval_fail instant at 100s scalar("abc")
       |""".stripMargin
 
   /** Native-histogram corpus in upstream promqltest's `{{…}}` sample-literal
@@ -987,8 +998,14 @@ class PromqlGoldenSpec extends SparkSpec {
     * the evals that ran against them — upstream files reset state with
     * `clear` between scenarios, and each segment here gets its own samples
     * frame the same way. */
+  /** `eval_fail instant at <t> <q>` — the query must error; optional
+    * `expected_fail_message <substring>` / `expected_fail_regexp <re>`
+    * lines pin the message, like upstream promqltest. */
+  private case class FailCase(atMs: Long, query: String,
+                              msg: Option[String], re: Option[String])
+
   private case class Segment(loaded: Seq[Loaded], evals: Seq[EvalCase],
-                             ranges: Seq[RangeCase])
+                             ranges: Seq[RangeCase], fails: Seq[FailCase])
 
   private def parseSegments(text: String): Seq[Segment] = {
     val lines = text.linesIterator.map(_.stripTrailing()).filter(_.nonEmpty).toSeq
@@ -997,18 +1014,35 @@ class PromqlGoldenSpec extends SparkSpec {
     var loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
     var evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
     var ranges = scala.collection.mutable.ArrayBuffer[RangeCase]()
+    var fails = scala.collection.mutable.ArrayBuffer[FailCase]()
     def flush(): Unit =
-      if (loaded.nonEmpty || evals.nonEmpty || ranges.nonEmpty) {
-        segments += Segment(loaded.toSeq, evals.toSeq, ranges.toSeq)
+      if (loaded.nonEmpty || evals.nonEmpty || ranges.nonEmpty || fails.nonEmpty) {
+        segments += Segment(loaded.toSeq, evals.toSeq, ranges.toSeq, fails.toSeq)
         loaded = scala.collection.mutable.ArrayBuffer[Loaded]()
         evals = scala.collection.mutable.ArrayBuffer[EvalCase]()
         ranges = scala.collection.mutable.ArrayBuffer[RangeCase]()
+        fails = scala.collection.mutable.ArrayBuffer[FailCase]()
       }
     var i = 0
     while (i < lines.length) {
       val l = lines(i)
       if (l.trim == "clear") { flush(); i += 1 }
-      else if (l.startsWith("load ")) {
+      else if (l.startsWith("eval_fail instant at ")) {
+        val rest = l.stripPrefix("eval_fail instant at ")
+        val at = Parser.parseDuration(rest.takeWhile(!_.isWhitespace))
+        val q = rest.dropWhile(!_.isWhitespace).trim
+        var msg: Option[String] = None; var re: Option[String] = None
+        i += 1
+        while (i < lines.length && lines(i).startsWith("  ")) {
+          val e = lines(i).trim
+          if (e.startsWith("expected_fail_message "))
+            msg = Some(e.stripPrefix("expected_fail_message "))
+          else if (e.startsWith("expected_fail_regexp "))
+            re = Some(e.stripPrefix("expected_fail_regexp "))
+          i += 1
+        }
+        fails += FailCase(at, q, msg, re)
+      } else if (l.startsWith("load ")) {
         stepMs = Parser.parseDuration(l.stripPrefix("load ").trim)
         i += 1
         while (i < lines.length && lines(i).startsWith("  ")) {
@@ -1165,11 +1199,35 @@ class PromqlGoldenSpec extends SparkSpec {
       if (ok) None else Some(s"QUERY ${e.query} @${e.atMs}\n  got      ${got ++ gotH}\n  expected ${e.expected ++ e.expectedH}")
     }
 
+  private def checkFails(samples: DataFrame, fails: Seq[FailCase]): Seq[String] =
+    fails.flatMap { f =>
+      val thrown =
+        try {
+          Compiler.compileServing(Parser.parse(f.query),
+            Compiler.Ctx(samples, f.atMs, f.atMs, 1000L, lookbackMs = 300000L)).collect()
+          None
+        } catch { case e: Throwable => Some(e) }
+      thrown match {
+        case None => Some(s"EVAL_FAIL ${f.query}: expected an error, query succeeded")
+        case Some(e) =>
+          val text = e.toString + " " + String.valueOf(e.getMessage)
+          if (f.msg.exists(m => !text.contains(m)))
+            Some(s"EVAL_FAIL ${f.query}: '$text' missing '${f.msg.get}'")
+          else if (f.re.exists(r => r.r.findFirstIn(text).isEmpty))
+            Some(s"EVAL_FAIL ${f.query}: '$text' doesn't match /${f.re.get}/")
+          else None
+      }
+    }
+
   test("golden corpus: load/eval instant cases match") {
     val segs = parseSegments(corpus)
     assert(segs.map(_.loaded.size).sum == 23 && segs.map(_.evals.size).sum == 206)
-    val failures = segs.filter(_.evals.nonEmpty)
-      .flatMap(sg => checkInstant(toSamples(sg.loaded), sg.evals))
+    assert(segs.map(_.fails.size).sum == 4)
+    val failures = segs.filter(sg => sg.evals.nonEmpty || sg.fails.nonEmpty)
+      .flatMap { sg =>
+        val samples = toSamples(sg.loaded)
+        checkInstant(samples, sg.evals) ++ checkFails(samples, sg.fails)
+      }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
