@@ -886,6 +886,24 @@ class PromqlGoldenSpec extends SparkSpec {
       |  {p="1"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
       |  {p="2"} {{schema:1 count:6 sum:10 buckets:[1 2 1 2] offset:2}}
       |
+      |eval instant at 1m histogram_fraction(-Inf, Inf, s1)
+      |  {t="a"} 1
+      |
+      |eval instant at 1m histogram_quantile(NaN, s1)
+      |  {t="a"} NaN
+      |
+      |eval instant at 1m histogram_avg(sneg)
+      |  {t="n"} -1.25
+      |
+      |eval instant at 1m histogram_stddev(sneg)
+      |  {t="n"} 0.842629429717281
+      |
+      |eval instant at 1m histogram_fraction(0.5, 1, szb)
+      |  {t="z"} 0.3333333333333333
+      |
+      |eval instant at 1m histogram_fraction(-0.1, 0.1, szb)
+      |  {t="z"} 0.06666666666666667
+      |
       |eval range from 0s to 10m step 5m s1
       |  {t="a", __name__="s1"} {{schema:0 sum:5 count:4 buckets:[1 2 1]}} _ _
       |
@@ -1234,7 +1252,7 @@ class PromqlGoldenSpec extends SparkSpec {
   test("golden corpus: native-histogram literal cases match") {
     val segs = parseSegments(nhCorpus)
     assert(segs.size == 2, "clear splits the NH corpus into two segments")
-    assert(segs.map(_.loaded.size).sum == 10 && segs.map(_.evals.size).sum == 46)
+    assert(segs.map(_.loaded.size).sum == 10 && segs.map(_.evals.size).sum == 52)
     assert(toSamples(segs.head.loaded).columns.contains("h"))
     val failures = segs.filter(_.evals.nonEmpty)
       .flatMap(sg => checkInstant(toSamples(sg.loaded), sg.evals))
