@@ -1,0 +1,301 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{PromFrameCols, PromFramesDecode, PromLabelIndex, PromLabelsHash, PromXorChunk}
+
+/** Byte-level interop with the reference's on-disk bucket layout — the
+  * dual-file `labels.parquet`/`chunks.parquet` pair the Go converter writes
+  * and the gateway serves (ref `schema/block.go:69-76,179-196`):
+  *
+  * {{{
+  *   <out>/<extLabelsHash>/<YYYY-MM-DD>/<shard>.labels.parquet
+  *   <out>/<extLabelsHash>/<YYYY-MM-DD>/<shard>.chunks.parquet
+  *   <out>/[<extLabelsHash>/]<YYYY-MM-DD>/meta.pb        (proto, hash elided when 0)
+  *   <out>/<extLabelsHash>/stream.pb                     (when external labels set)
+  * }}}
+  *
+  * labels file columns (ref `schema/schema.go:83-99`, parquet-go sorts group
+  * fields by name): `___cf_meta_index` (varint presence list,
+  * `internal/encoding/label_column_index.go:13-28`) then one optional string
+  * column `___cf_meta_label_<name>` per label. chunks file: `___cf_meta_hash`
+  * (Prometheus labels.Hash) + three 8h `___cf_meta_chunk_k` cells framed
+  * `[enc u32][zigzag mint u64][zigzag maxt u64][len u32][bytes]` holding
+  * Prometheus XOR chunks (`convert/chunks.go:46-63`). The two files carry the
+  * SAME rows in the SAME order — the reference zips them positionally, so
+  * both sinks here shuffle and sort by one total key and the reader joins on
+  * `(file stem, _metadata.row_index)`.
+  *
+  * Scale design: the per-(series, day) chunk build is a grouping aggregate
+  * (map-side partials, executor-side encode — nothing uncompressed crosses
+  * the shuffle after the frame build); sharding is hash-of-series (each
+  * series whole within one shard — any series partition is format-valid, the
+  * gateway merges shards at query time); each (date, shard) pair lands in
+  * exactly one task, so a 1000-day bucket converts day-parallel. The rename
+  * pass to the reference's exact filenames is driver-side but bounded by
+  * days × shards, not data.
+  *
+  * Float XOR chunks only: the reference also frames native-histogram chunks
+  * (enc 2/3); those fail loudly here on both paths rather than silently
+  * corrupting — see [[PromXorChunk.decodeFrames]].
+  */
+object ReferenceFormat {
+
+  private val Book = Set("ts_ms", "value", "sample_id", "series_hash", "date", "stream")
+  val LabelPrefix = "___cf_meta_label_"
+  val IndexCol = "___cf_meta_index"
+  val HashCol = "___cf_meta_hash"
+  val ChunkCols: Seq[String] = (0 until 3).map(i => s"___cf_meta_chunk_$i")
+
+  /** xxhash64(seed 0) over sorted key‖value — schema.ExternalLabels.Hash()
+    * (ref `schema/block.go:44-67`); 0 when empty. */
+  def externalLabelsHash(lbls: Map[String, String]): Long =
+    if (lbls.isEmpty) 0L
+    else {
+      val bytes = lbls.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => (k + v).getBytes("UTF-8").toSeq }.toArray
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0L)
+    }
+
+  private def hashStr(h: Long): String = java.lang.Long.toUnsignedString(h)
+
+  /** Convert model samples (label cols + ts_ms/value/sample_id/series_hash)
+    * into the reference's dual-file layout. Returns the written dates. */
+  def convertReference(spark: SparkSession, samples: DataFrame, outDir: String,
+                       externalLabels: Map[String, String] = Map.empty,
+                       numShards: Int = 1): Seq[String] = {
+    require(numShards >= 1, "numShards must be >= 1")
+    samples.schema.fields.find(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      .foreach { f =>
+        throw new IllegalArgumentException(
+          s"reference XOR interop covers float samples; struct column '${f.name}' " +
+            "(native histograms?) cannot be framed as enc=1 chunks")
+      }
+    val lblCols = samples.columns.filterNot(Book).toSeq.sorted
+    require(lblCols.nonEmpty, "samples carry no label columns")
+
+    // vertical merge, as convertSamples: deterministic winner = min sample_id
+    val pcols = samples.columns.toSeq
+    val dedup = samples
+      .groupBy(col("series_hash"), col("ts_ms"))
+      .agg(min_by(struct(pcols.map(col): _*), col("sample_id")).as("_r"))
+      .select(pcols.map(c => col(s"_r.$c")): _*)
+
+    val lblArr = filter(
+      array(lblCols.map(n => struct(lit(n).as("name"),
+        col(n).cast("string").as("value"))): _*),
+      x => x.getField("value").isNotNull && x.getField("value") =!= "")
+    val flags = array(lblCols.map(n =>
+      col(n).isNotNull && col(n).cast("string") =!= ""): _*)
+
+    val rows = dedup
+      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+      .groupBy(col("date") +: lblCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("ts_ms"),
+        col("value").cast("double").as("value")))).as("pts"))
+      .withColumn("frames", PromFrameCols(col("pts"))).drop("pts")
+      .withColumn(HashCol, PromLabelsHash(lblArr))
+      .withColumn(IndexCol, PromLabelIndex(flags))
+      .withColumn("shard",
+        pmod(xxhash64(lblCols.map(n => coalesce(col(n).cast("string"), lit(""))): _*),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("lblkey",
+        concat_ws("ÿ", lblCols.map(n => coalesce(col(n).cast("string"), lit(""))): _*))
+      .select(Seq(col("date"), col("shard"), col("lblkey"), col(HashCol), col(IndexCol)) ++
+        ChunkCols.zipWithIndex.map { case (c, i) =>
+          element_at(col("frames"), i + 1).as(c) } ++
+        lblCols.map(n => col(n).cast("string").as(LabelPrefix + n)): _*)
+      .persist()
+    try {
+      val eh = hashStr(externalLabelsHash(externalLabels))
+      val tmpL = s"$outDir/_tmp_ref_labels"
+      val tmpC = s"$outDir/_tmp_ref_chunks"
+      writeAligned(rows, Seq(col(IndexCol)) ++ lblCols.map(n => col(LabelPrefix + n)), tmpL)
+      writeAligned(rows, col(HashCol) +: ChunkCols.map(col), tmpC)
+
+      val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
+      val dates = renameShards(fs, tmpL, outDir, eh, "labels.parquet")
+      renameShards(fs, tmpC, outDir, eh, "chunks.parquet")
+      fs.delete(new Path(tmpL), true); fs.delete(new Path(tmpC), true)
+
+      dates.foreach { d =>
+        val dayStart = java.time.LocalDate.parse(d)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        val metaPath =
+          if (externalLabels.isEmpty) new Path(s"$outDir/$d/meta.pb")
+          else new Path(s"$outDir/$eh/$d/meta.pb")
+        writeBytes(fs, metaPath,
+          metaProto(dayStart, dayStart + 86400000L, numShards.toLong, version = 2L))
+      }
+      if (externalLabels.nonEmpty)
+        writeBytes(fs, new Path(s"$outDir/$eh/stream.pb"), streamProto(externalLabels))
+      dates
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Both files must carry identical row order: one hash shuffle on
+    * (date, shard) — each combo whole in one task — then a total
+    * sortWithinPartitions key (lblkey is unique per series-day). */
+  private def writeAligned(rows: DataFrame, cols: Seq[Column], tmpDir: String): Unit =
+    rows.select(Seq(col("date"), col("shard"), col("lblkey")) ++ cols: _*)
+      .repartition(col("date"), col("shard"))
+      .sortWithinPartitions(col("date"), col("shard"), col("lblkey"))
+      .drop("lblkey")
+      .write.mode("overwrite").partitionBy("date", "shard")
+      .option("compression", "zstd")
+      .option(s"parquet.bloom.filter.enabled#${LabelPrefix}__name__", "true")
+      .parquet(tmpDir)
+
+  /** `date=D/shard=S/part-*.parquet` → `<eh>/<D>/<S>.<suffix>`; exactly one
+    * part file per combo by construction (fails loudly otherwise). */
+  private def renameShards(fs: FileSystem, tmpDir: String, outDir: String,
+                           eh: String, suffix: String): Seq[String] = {
+    val dates = fs.listStatus(new Path(tmpDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+    dates.map { dd =>
+      val date = dd.getPath.getName.stripPrefix("date=")
+      fs.mkdirs(new Path(s"$outDir/$eh/$date"))
+      for (sd <- fs.listStatus(dd.getPath)
+           if sd.isDirectory && sd.getPath.getName.startsWith("shard=")) {
+        val shard = sd.getPath.getName.stripPrefix("shard=")
+        val parts = fs.listStatus(sd.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"expected exactly one part file in ${sd.getPath}, found ${parts.length}")
+        val dst = new Path(s"$outDir/$eh/$date/$shard.$suffix")
+        fs.delete(dst, false)
+        require(fs.rename(parts.head.getPath, dst), s"rename to $dst failed")
+      }
+      date
+    }.sorted
+  }
+
+  private def writeBytes(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val os = fs.create(p, true)
+    try os.write(bytes) finally os.close()
+  }
+
+  // ------------------------------------------------------------------- proto
+  // Hand-rolled proto3 (no protobuf runtime in the environment): varint
+  // fields mint=1 maxt=2 shards=3 version=5 (ref proto/metapb/meta.proto).
+  private[graft] def metaProto(mint: Long, maxt: Long, shards: Long, version: Long): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def vint(tag: Int, v: Long): Unit =
+      if (v != 0L) { b.write(tag << 3); putUvarint(b, v) }
+    vint(1, mint); vint(2, maxt); vint(3, shards); vint(5, version)
+    b.toByteArray
+  }
+
+  /** StreamDescriptor{map<string,string> externalLabels = 1}
+    * (ref proto/streampb/stream.proto): each entry a nested message
+    * key=1/value=2, both length-delimited. */
+  private[graft] def streamProto(lbls: Map[String, String]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    lbls.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8"); val vb = v.getBytes("UTF-8")
+      val entry = new java.io.ByteArrayOutputStream()
+      entry.write(0x0A); putUvarint(entry, kb.length.toLong); entry.write(kb)
+      entry.write(0x12); putUvarint(entry, vb.length.toLong); entry.write(vb)
+      b.write(0x0A); putUvarint(b, entry.size().toLong)
+      entry.writeTo(b)
+    }
+    b.toByteArray
+  }
+
+  private[graft] def parseStreamProto(bytes: Array[Byte]): Map[String, String] = {
+    var off = 0
+    def uv(): Long = {
+      var v = 0L; var shift = 0; var x = 0L
+      do { x = bytes(off).toLong & 0xFF; off += 1; v |= (x & 0x7F) << shift; shift += 7 }
+      while ((x & 0x80) != 0)
+      v
+    }
+    val out = Map.newBuilder[String, String]
+    while (off < bytes.length) {
+      val tag = uv()
+      require(tag == 0x0A, s"unexpected stream.pb tag $tag")
+      val end = { val len = uv().toInt; off + len }
+      var k = ""; var v = ""
+      while (off < end) {
+        val t = uv(); val len = uv().toInt
+        val s = new String(bytes, off, len, "UTF-8"); off += len
+        if (t == 0x0A) k = s else if (t == 0x12) v = s
+      }
+      out += k -> v
+    }
+    out.result()
+  }
+
+  private def putUvarint(b: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while (java.lang.Long.compareUnsigned(v, 0x80L) >= 0) {
+      b.write(((v & 0x7F) | 0x80).toInt); v >>>= 7
+    }
+    b.write((v & 0x7F).toInt)
+  }
+
+  // -------------------------------------------------------------------- read
+  /** Open a reference-layout bucket as flat samples: label columns (prefix
+    * stripped) + `series_hash` (= ___cf_meta_hash) + ts_ms/value + `date`.
+    * Labels and chunks zip on `(file stem, _metadata.row_index)` — the
+    * positional correspondence the dual-file writer guarantees; stream.pb
+    * external labels fold in as constant columns (file label wins on
+    * collision, the P10 precedence). */
+  def openReferenceStore(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = spark.read.parquet(s"$dir/*/*/*.labels.parquet")
+      .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
+        lit("\\.labels\\.parquet$"), lit("")))
+      .withColumn("_ri", col("_metadata.row_index"))
+    val chk = spark.read.parquet(s"$dir/*/*/*.chunks.parquet")
+      .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
+        lit("\\.chunks\\.parquet$"), lit("")))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .select(Seq(col("_stem"), col("_ri"), col(HashCol)) ++
+        ChunkCols.map(c => coalesce(col(c), lit(Array.empty[Byte])).as(c)): _*)
+
+    val lblNames = lbl.columns.filter(_.startsWith(LabelPrefix)).toSeq.sorted
+    val joined = lbl.join(chk, Seq("_stem", "_ri"))
+
+    val pts = explode(concat(ChunkCols.map(c => PromFramesDecode(col(c))): _*))
+    val streams = readStreamDescriptors(spark, dir)
+    val extKeys = streams.values.flatMap(_.keys).toSeq.distinct.sorted
+      .filterNot(k => lblNames.contains(LabelPrefix + k))
+    // bounded driver-side sidecar fold: stream hash (path segment) → labels
+    val extCols = extKeys.map { k =>
+      val byHash = streams.collect { case (h, m) if m.contains(k) => (h, m(k)) }.toSeq
+      byHash.foldLeft(lit(null).cast("string")) { case (acc, (h, v)) =>
+        when(element_at(split(col("_stem"), "/"), -3) === h, lit(v)).otherwise(acc)
+      }.as(k)
+    }
+
+    joined
+      .withColumn("_p", pts)
+      .select(lblNames.map(c => col(c).as(c.stripPrefix(LabelPrefix))) ++ extCols ++
+        Seq(col(HashCol).as("series_hash"),
+          col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value"),
+          element_at(split(col("_stem"), "/"), -2).as("date")): _*)
+  }
+
+  /** stream.pb sidecars: hash string (directory name) → external label set. */
+  def readStreamDescriptors(spark: SparkSession, dir: String): Map[String, Map[String, String]] = {
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Map.empty
+    fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { d =>
+      val sp = new Path(d.getPath, "stream.pb")
+      if (fs.exists(sp)) {
+        val in = fs.open(sp)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } finally in.close()
+        Some(d.getPath.getName -> parseStreamProto(bytes))
+      } else None
+    }.toMap
+  }
+}

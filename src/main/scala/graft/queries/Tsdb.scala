@@ -553,6 +553,28 @@ object Tsdb {
         DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Byte-level reference interop under the gate: write the reference's
+    // EXACT dual-file labels.parquet/chunks.parquet layout (___cf_meta_index
+    // varints, Prometheus labels.Hash, 3×8h framed XOR chunk columns,
+    // meta.pb) across 2 shards, then open it back through the positional
+    // labels↔chunks zip and hash-match the flat samples — proves a user
+    // with an existing thanos-parquet-gateway bucket can point this engine
+    // at it (and vice versa).
+    Q("s5_reference_layout",
+      t => {
+        val out = java.nio.file.Files.createTempDirectory("graft-refq").toString
+        graft.etl.ReferenceFormat.convertReference(t.spark,
+          TimeSeriesModel.samples(t.events), out, numShards = 2)
+        graft.etl.ReferenceFormat.openReferenceStore(t.spark, out)
+          .groupBy(col("date"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
+            count_distinct(col("series_hash")).as("n_series"))
+          .orderBy(col("date"))
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS n, " +
+        DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
     // Chunk-layout persistence roundtrip: the same day-grain audit as s5 but
     // through the Gorilla chunk files (encode → zstd parquet → scan → decode).
     // Proves the STORED bytes reconstruct every sample, not just in-plan ones.

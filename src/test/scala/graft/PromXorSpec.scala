@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.etl.ReferenceFormat
+import graft.functions.PromXorChunk
+
+/** Prometheus XOR chunk + reference dual-file layout interop coverage:
+  * pinned byte vectors (the format is public and fixed — these bytes must
+  * never change), bit-exact fuzz roundtrips, frame/column placement, varint
+  * index + label-hash codecs, and the full convert→open store roundtrip. */
+class PromXorSpec extends SparkSpec {
+
+  private def arr(pts: Seq[(Long, Double)]) =
+    new GenericArrayData(pts.map { case (t, v) => InternalRow(t, v) }.toArray[Any])
+
+  private def decodeChunk(bytes: Array[Byte]): Seq[(Long, Double)] = {
+    val n = PromXorChunk.sampleCount(bytes, 0)
+    val out = new Array[Any](n)
+    PromXorChunk.decodeChunkInto(bytes, 0, out, 0)
+    out.toSeq.map { case r: InternalRow => (r.getLong(0), r.getDouble(1)) }
+  }
+
+  private def roundtrip(pts: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    decodeChunk(PromXorChunk.encodeChunk(arr(pts), 0, pts.size))
+
+  private def sameBits(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Boolean =
+    a.size == b.size && a.zip(b).forall { case ((t1, v1), (t2, v2)) =>
+      t1 == t2 && java.lang.Double.doubleToRawLongBits(v1) ==
+        java.lang.Double.doubleToRawLongBits(v2)
+    }
+
+  // ------------------------------------------------------ pinned byte vectors
+  test("pinned bytes: single sample (uint16 header, zigzag-varint t, raw f64)") {
+    val bytes = PromXorChunk.encodeChunk(arr(Seq((1000L, 1.0))), 0, 1)
+    // header 0x0001; PutVarint(1000) = uvarint(2000) = D0 0F; 1.0 = 3FF0...
+    assert(bytes.toSeq == Seq(0x00, 0x01, 0xD0, 0x0F,
+      0x3F, 0xF0, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte))
+  }
+
+  test("pinned bytes: repeated value is one zero bit per sample") {
+    val bytes = PromXorChunk.encodeChunk(arr(
+      Seq((1000L, 1.0), (2000L, 1.0), (3000L, 1.0))), 0, 3)
+    // sample1: uvarint(1000)=E8 07, then '0' (same value);
+    // sample2: dod=0 → '0', value same → '0'  ⇒ trailing byte 0b000_00000
+    assert(bytes.toSeq == Seq(0x00, 0x03, 0xD0, 0x0F,
+      0x3F, 0xF0, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0xE8, 0x07, 0x00).map(_.toByte))
+  }
+
+  test("pinned: asymmetric dod buckets — +8192 fits 14 bits, −8192 does not") {
+    // deltas: 10000, then 18192 (dod=+8192: '10'+14 bits), then 10000
+    // (dod=−8192: must take the 17-bit bucket, NOT 14)
+    val pts = Seq((0L, 0.0), (10000L, 0.0), (28192L, 0.0), (38192L, 0.0))
+    val enc = PromXorChunk.encodeChunk(arr(pts), 0, 4)
+    assert(sameBits(decodeChunk(enc), pts))
+    // bit-level pin of the two control codes: after header+varint(0)=0x00+
+    // f64(0)+uvarint(10000)=[90 4E]+'0' value bit, stream is:
+    //   10 10000000000000 0   (dod=+8192 in 14 bits, value same)
+    //   110 11110000000000000 0 (dod=−8192 in 17 bits: 131072−8192=0x1E000)
+    val bits = enc.drop(13).flatMap(b =>
+      (7 to 0 by -1).map(i => (b >> i) & 1)).mkString
+    assert(bits.startsWith("0" + "10" + "10000000000000" + "0" +
+      "110" + "11110000000000000" + "0"))
+  }
+
+  test("special values survive bit-exactly") {
+    val pts = Seq((1000L, Double.NaN), (2000L, graft.functions.IsStale.StaleNaN),
+      (3000L, Double.PositiveInfinity), (4000L, Double.NegativeInfinity),
+      (5000L, -0.0), (6000L, 0.0))
+    assert(sameBits(roundtrip(pts), pts))
+  }
+
+  test("property: random sorted series roundtrips bit-exactly") {
+    val special = Seq(Double.NaN, graft.functions.IsStale.StaleNaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, -0.0, 0.0)
+    val genV = Gen.oneOf(Gen.oneOf(special), Gen.chooseNum(-1e12, 1e12),
+      Gen.chooseNum(-1.0, 1.0))
+    val genD = Gen.oneOf(Gen.const(15000L), Gen.chooseNum(1L, 10000000L))
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      t0 <- Gen.chooseNum(0L, 1800000000000L)
+      ds <- Gen.listOfN(n - 1, genD)
+      vs <- Gen.listOfN(n, genV)
+    } yield ds.scanLeft(t0)(_ + _).zip(vs)
+    val prop = Prop.forAll(gen) { pts => sameBits(roundtrip(pts), pts) }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------- framing
+  test("frame columns: 8h placement and concat roundtrip") {
+    val day = 1704067200000L // 2024-01-01 UTC
+    val pts = (0 until 24).map(h => (day + h * 3600000L + 7L, h.toDouble))
+    val cols = PromXorChunk.encodeColumns(arr(pts))
+    assert(cols.numElements() == 3)
+    def dec(i: Int): Seq[(Long, Double)] = {
+      val d = PromXorChunk.decodeFrames(cols.getBinary(i))
+      (0 until d.numElements()).map { j =>
+        val r = d.getStruct(j, 2); (r.getLong(0), r.getDouble(1))
+      }
+    }
+    // hours 0-7 → col 0, 8-15 → col 1, 16-23 → col 2
+    assert(dec(0).map(_._2) == (0 until 8).map(_.toDouble))
+    assert(dec(1).map(_._2) == (8 until 16).map(_.toDouble))
+    assert(dec(2).map(_._2) == (16 until 24).map(_.toDouble))
+    assert(sameBits(dec(0) ++ dec(1) ++ dec(2), pts))
+    // frame header of col 0: enc=1 u32, zigzag mint, zigzag maxt; 2h cut
+    // ⇒ 4 frames in an 8h column at 1h cadence
+    val b = cols.getBinary(0)
+    assert(b.slice(0, 4).toSeq == Seq(0, 0, 0, 1).map(_.toByte))
+    var off = 0; var frames = 0
+    while (off < b.length) {
+      val len = ((b(off + 20) & 0xFF) << 24) | ((b(off + 21) & 0xFF) << 16) |
+        ((b(off + 22) & 0xFF) << 8) | (b(off + 23) & 0xFF)
+      frames += 1; off += 24 + len
+    }
+    assert(frames == 4)
+  }
+
+  test("decodeFrames rejects non-XOR encodings loudly") {
+    val bad = Array[Byte](0, 0, 0, 2) ++ new Array[Byte](20)
+    val e = intercept[IllegalArgumentException](PromXorChunk.decodeFrames(bad))
+    assert(e.getMessage.contains("unsupported chunk encoding 2"))
+  }
+
+  // ---------------------------------------------------- index + hash codecs
+  test("pinned: label column index varint bytes (ref label_column_index.go)") {
+    val flags = new GenericArrayData(Array[Any](true, false, true))
+    // present columns 1 and 3: PutVarint(2)=04, PutVarint(1)=02, PutVarint(3)=06
+    assert(PromXorChunk.encodeLabelIndex(flags).toSeq ==
+      Seq(0x04, 0x02, 0x06).map(_.toByte))
+    assert(PromXorChunk.decodeLabelIndex(Array(0x04, 0x02, 0x06).map(_.toByte))
+      .toSeq == Seq(1, 3))
+  }
+
+  test("labels hash: XXH64 seed 0, 0xff-separated (no boundary collisions)") {
+    def h(lbls: (String, String)*): Long =
+      PromXorChunk.labelsHash(new GenericArrayData(
+        lbls.map { case (n, v) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        }.toArray[Any]))
+    // XXH64("") seed 0 — the canonical test vector pins algorithm + seed
+    assert(h() == 0xEF46DB3751D8E999L)
+    // 0xff separators: moving a char across the name/value boundary differs
+    assert(h("a" -> "bc") != h("ab" -> "c"))
+    assert(h("a" -> "b", "c" -> "d") != h("a" -> "bc", "" -> "d"))
+  }
+
+  test("external labels hash: sorted key‖value, 0 when empty") {
+    assert(ReferenceFormat.externalLabelsHash(Map.empty) == 0L)
+    assert(ReferenceFormat.externalLabelsHash(Map("a" -> "1", "b" -> "2")) ==
+      ReferenceFormat.externalLabelsHash(Map("b" -> "2", "a" -> "1")))
+    assert(ReferenceFormat.externalLabelsHash(Map("a" -> "1")) !=
+      ReferenceFormat.externalLabelsHash(Map("a" -> "2")))
+  }
+
+  test("meta.pb / stream.pb proto roundtrip") {
+    val m = Map("cluster" -> "us-east", "replica" -> "a")
+    assert(ReferenceFormat.parseStreamProto(ReferenceFormat.streamProto(m)) == m)
+    // metaProto: varint fields in tag order — spot-pin a tiny message
+    assert(ReferenceFormat.metaProto(1, 2, 1, 2).toSeq ==
+      Seq(0x08, 0x01, 0x10, 0x02, 0x18, 0x01, 0x28, 0x02).map(_.toByte))
+  }
+
+  // ------------------------------------------------------- store roundtrip
+  test("convertReference → openReferenceStore roundtrips the samples") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    val samples = graft.model.TimeSeriesModel.samples(events)
+    val out = java.nio.file.Files.createTempDirectory("graft-ref").toString
+    val dates = ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+    assert(dates.nonEmpty)
+
+    // exact reference filenames: <hash=0>/<date>/<shard>.{labels,chunks}.parquet
+    val d0 = dates.head
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/0/$d0/0.labels.parquet")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/0/$d0/1.chunks.parquet")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/$d0/meta.pb")))
+
+    // labels file schema: index column + prefixed label columns, no chunks
+    val lblSchema = spark.read.parquet(s"$out/0/$d0/0.labels.parquet").schema
+    assert(lblSchema.fieldNames.contains("___cf_meta_index"))
+    assert(lblSchema.fieldNames.contains("___cf_meta_label___name__"))
+    assert(!lblSchema.fieldNames.exists(_.startsWith("___cf_meta_chunk")))
+
+    val got = ReferenceFormat.openReferenceStore(spark, out)
+      .select(col("__name__"), col("uid"), col("ts_ms"), col("value"))
+    val want = samples
+      .groupBy(col("series_hash"), col("ts_ms"))
+      .agg(min_by(struct(col("__name__"), col("uid"), col("value")), col("sample_id")).as("r"))
+      .select(col("r.__name__"), col("r.uid"), col("ts_ms"), col("r.value"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("external labels: stream.pb fold + hashed directory") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet")).limit(500)
+    val samples = graft.model.TimeSeriesModel.samples(events)
+    val out = java.nio.file.Files.createTempDirectory("graft-refext").toString
+    val ext = Map("cluster" -> "us-east")
+    ReferenceFormat.convertReference(spark, samples, out, externalLabels = ext)
+    val eh = java.lang.Long.toUnsignedString(ReferenceFormat.externalLabelsHash(ext))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/$eh/stream.pb")))
+    val got = ReferenceFormat.openReferenceStore(spark, out)
+    assert(got.columns.contains("cluster"))
+    assert(got.select("cluster").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("us-east"))
+    assert(got.count() == samples.select("series_hash", "ts_ms").distinct().count())
+  }
+}
