@@ -53,13 +53,17 @@ object Downsample {
   /** Layer FORMAT version, stamped as `_graft_layer_version` beside every
     * persisted layer (underscore-prefixed, so Spark's file index treats it
     * as metadata and never reads it as data). Version 2 = left-open windows
-    * + reset/change pair accounting + last2 pair columns. A semantic change
+    * + reset/change pair accounting + last2 pair columns. Version 3 =
+    * zero-threshold-aware reset detection (a zthr decrease is a reset; a
+    * zthr increase folds prev's inside buckets before comparing) — the
+    * persisted histogram-layer reset lists depend on detectReset, so the
+    * semantics change forces a rebuild. A semantic change
     * to the window convention or the aggregate set MUST bump this:
     * [[discoverLayers]] skips dirs whose marker is missing or different, so
     * stale layouts are rebuilt rather than silently served with the wrong
     * semantics (the marker is the version gate; [[graft.promql.LayerRoute]]
     * additionally declines frames missing required columns). */
-  val LayerFormatVersion: Int = 2
+  val LayerFormatVersion: Int = 3
   private val VersionMarker = "_graft_layer_version"
 
   private def stampVersion(spark: SparkSession, dir: String): Unit = {

@@ -272,7 +272,17 @@ object NativeHistograms {
     * resolutions: a schema INCREASE (finer than the predecessor) can only
     * mean a restart — counters only ever coarsen — so it is a reset; a
     * schema reduction compares bucket-wise after coarsening the
-    * predecessor to the current schema. */
+    * predecessor to the current schema.
+    *
+    * Zero-threshold changes (Prometheus FloatHistogram.DetectReset):
+    *  - a zthr DECREASE is a reset (the zero bucket can only ever widen);
+    *  - a zthr increase first reconciles: prev buckets lying entirely
+    *    inside curr's wider zero bucket fold into prev's zero count before
+    *    the zcnt comparison and are excluded from the bucket-wise compare;
+    *    a populated prev bucket STRADDLING the new threshold cannot be
+    *    split, so that is a reset too. The fold/trim runs at prev's
+    *    original schema (bucket bounds are schema-dependent), then the
+    *    trimmed remainder coarsens for the compare. */
   def detectReset(curr: Column, prev: Column): Column = {
     def drop(p: Column, c: Column): Column =
       aggregate(p, lit(false), (acc, pb) => acc ||
@@ -280,13 +290,38 @@ object NativeHistograms {
     def drops(p: Column): Column =
       drop(p.getField("pos"), curr.getField("pos")) ||
         drop(p.getField("neg"), curr.getField("neg"))
+    val cz = curr.getField("zthr"); val pz = prev.getField("zthr")
+    val pSch = prev.getField("sch")
+    // exponential-bucket |bound|: upper(idx) = 2^(idx / 2^sch)
+    def ub(idx: Column): Column =
+      pow(lit(2.0), idx.cast("double") / pow(lit(2.0), pSch.cast("double")))
+    def foldZ(bs: Column): Column =
+      aggregate(bs, lit(0.0), (acc, b) =>
+        acc + when(ub(b.getField("idx")) <= cz, b.getField("c")).otherwise(lit(0.0)))
+    def straddles(bs: Column): Column =
+      aggregate(bs, lit(false), (acc, b) => acc ||
+        (b.getField("c") =!= 0.0 &&
+          ub(b.getField("idx") - 1) < cz && ub(b.getField("idx")) > cz))
+    val widened = cz > pz
+    val foldedZ = when(widened,
+      foldZ(prev.getField("pos")) + foldZ(prev.getField("neg"))).otherwise(lit(0.0))
+    def trim(bs: Column): Column =
+      when(widened, filter(bs, b => ub(b.getField("idx")) > cz)).otherwise(bs)
+    val prevT = struct(
+      prev.getField("cnt").as("cnt"), prev.getField("hsum").as("hsum"),
+      pSch.as("sch"), pz.as("zthr"), prev.getField("zcnt").as("zcnt"),
+      trim(prev.getField("pos")).as("pos"), trim(prev.getField("neg")).as("neg"))
     curr.getField("sch") > prev.getField("sch") ||
       curr.getField("cnt") < prev.getField("cnt") ||
-      curr.getField("zcnt") < prev.getField("zcnt") ||
+      cz < pz ||
+      when(widened,
+        straddles(prev.getField("pos")) || straddles(prev.getField("neg")))
+        .otherwise(lit(false)) ||
+      curr.getField("zcnt") < prev.getField("zcnt") + foldedZ ||
       // equal schemas (the overwhelmingly common case) compare directly;
       // the coarsening conversion only evaluates on actual mixed pairs
-      when(curr.getField("sch") <=> prev.getField("sch"), drops(prev))
-        .otherwise(drops(toSchema(prev, curr.getField("sch"))))
+      when(curr.getField("sch") <=> prev.getField("sch"), drops(prevT))
+        .otherwise(drops(toSchema(prevT, curr.getField("sch"))))
   }
 
   /** Ts-ordered pre-reset histograms over the consecutive pairs of `sorted`

@@ -258,6 +258,46 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(math.abs(ev(finer, "histogram_count(delta(mx[60s]))") - 0.0) < 1e-12)
   }
 
+  test("zero-threshold changes: decrease resets; increase folds before comparing") {
+    // Prometheus FloatHistogram.DetectReset semantics: the zero bucket can
+    // only widen (a zthr DECREASE is a restart); on a widening, prev buckets
+    // entirely inside the new threshold fold into prev's zero count before
+    // the zcnt comparison and drop out of the bucket-wise compare, while a
+    // populated bucket STRADDLING the new threshold is a reset.
+    def histZ(zthr: Double, cnt: Double, zcnt: Double, pos: Seq[(Int, Double)]): Column =
+      struct(
+        lit(cnt).as("cnt"), lit(10.0).as("hsum"), lit(0).as("sch"),
+        lit(zthr).as("zthr"), lit(zcnt).as("zcnt"),
+        (if (pos.isEmpty) array().cast("array<struct<idx:int,c:double>>")
+         else array(pos.map { case (i, c) =>
+           struct(lit(i).as("idx"), lit(c).as("c")) }: _*)).as("pos"),
+        array().cast("array<struct<idx:int,c:double>>").as("neg"))
+    def series(h1: Column, h2: Column) =
+      Seq(("mz", "1", 10000L, 1L), ("mz", "1", 40000L, 2L))
+        .toDF("__name__", "uid", "ts_ms", "sample_id")
+        .withColumn("value", lit(1.0))
+        .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
+        .withColumn("h", when(col("sample_id") === 1, h1).otherwise(h2))
+    def ev(df: org.apache.spark.sql.DataFrame) =
+      Compiler.compile(Parser.parse("histogram_count(increase(mz[60s]))"),
+        Compiler.Ctx(df, 40000L, 40000L, 1000L))
+        .select(col("value")).head().getDouble(0)
+    // h1 at zthr=1: zcnt 4, schema-0 buckets (1,2]→2 and (2,4]→3, cnt 9
+    val h1 = histZ(1.0, 9, 4, Seq(1 -> 2.0, 2 -> 3.0))
+    // zthr widens to 2.0 (= upper bound of idx 1, a clean split): idx 1's
+    // count folds into the zero bucket (4+2=6), idx 2 survives — NOT a
+    // reset; increase = (9−9)·2 = 0. If the fold or trim were missing, the
+    // idx-1 "drop" would fake a reset and yield 18.
+    assert(ev(series(h1, histZ(2.0, 9, 6, Seq(2 -> 3.0)))) === 0.0)
+    // same widening but curr zcnt (5) < folded prev zcnt (6): zero bucket
+    // shrank → reset → (9−9+9)·2 = 18
+    assert(ev(series(h1, histZ(2.0, 9, 5, Seq(2 -> 4.0)))) === 18.0)
+    // zthr widens to 3.0, strictly inside populated (2,4]: unsplittable → reset
+    assert(ev(series(h1, histZ(3.0, 9, 6, Seq(2 -> 3.0)))) === 18.0)
+    // zthr DECREASE (1.0 → 0.5): always a reset even though counts grew
+    assert(ev(series(h1, histZ(0.5, 10, 4, Seq(1 -> 2.0, 2 -> 4.0)))) === 20.0)
+  }
+
   test("zero-bucket-only histograms: quantile interpolates inside [-zthr, zthr]") {
     val z = Seq(("zo", "1", 1090000L, 1L))
       .toDF("__name__", "uid", "ts_ms", "sample_id")
