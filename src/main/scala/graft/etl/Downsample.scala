@@ -82,6 +82,47 @@ object Downsample {
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
   }
 
+  /** Admission-stats sidecar, `Σn rows`, stamped beside the version marker
+    * by [[writeLayer]] so [[graft.promql.LayerRoute.benefit]] admits a layer
+    * WITHOUT a planning-time aggregate job — at 100 TB the probe is a full
+    * scan of the layer's `n` column blocking first-query planning.
+    * Incremental refreshes ([[refreshDates]]) leave an existing sidecar in
+    * place: the ratio is a per-window density property (cadence × res), so
+    * Σn and rows drift proportionally and the quotient stays honest; a
+    * layer maintained ONLY incrementally simply has no sidecar and falls
+    * back to the probe. */
+  private val StatsMarker = "_graft_layer_stats"
+
+  /** A layer directory whose version marker is missing or different is
+    * SKIPPED (stale semantics must not serve), but silently losing
+    * auto-downsampling would look like a perf regression with no signal —
+    * name the directory and versions so operators learn a rebuild is due. */
+  private def warnStaleLayer(dir: java.nio.file.Path): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      "skipping layer directory {}: found version marker {} but this build " +
+        "requires {} — queries fall back to raw scans until the layer is rebuilt",
+      dir.toString, versionOf(dir).map(_.toString).getOrElse("<none>"),
+      LayerFormatVersion.toString)
+
+  private def stampStats(spark: SparkSession, dir: String,
+                         sumN: Long, rows: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, StatsMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"$sumN $rows".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def statsOf(dir: java.nio.file.Path): Option[(Long, Long)] = {
+    val m = dir.resolve(StatsMarker)
+    if (!java.nio.file.Files.isRegularFile(m)) None
+    else scala.util.Try {
+      val Array(s, r) = new String(java.nio.file.Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+      (s.toLong, r.toLong)
+    }.toOption
+  }
+
   private val bookkeeping = Set("ts_ms", "value", "sample_id", "series_hash", "date")
 
   /** Everything a layer row carries besides its label columns. */
@@ -310,12 +351,14 @@ object Downsample {
           val p = it.next()
           val name = p.getFileName.toString
           if (java.nio.file.Files.isDirectory(p) &&
-              name.startsWith("downsample-hist-") &&
-              versionOf(p).contains(LayerFormatVersion))
-            name.stripPrefix("downsample-hist-").toLongOption.foreach { res =>
-              scala.util.Try(openLayer(spark, p.toString)).toOption
-                .foreach(acc += res -> _)
-            }
+              name.startsWith("downsample-hist-")) {
+            if (versionOf(p).contains(LayerFormatVersion))
+              name.stripPrefix("downsample-hist-").toLongOption.foreach { res =>
+                scala.util.Try(openLayer(spark, p.toString)).toOption
+                  .foreach(acc += res -> _)
+              }
+            else warnStaleLayer(p)
+          }
         }
         acc
       } finally s.close()
@@ -410,15 +453,32 @@ object Downsample {
     * a matcher select touches few files (same discipline as Ingest's sorted
     * sharded write). */
   def writeLayer(layer: DataFrame, outDir: String): Unit = {
+    // admission stats ride the write job itself (CollectMetrics on the
+    // pre-shuffle subtree) — no separate aggregate pass over the layer
+    val obs = org.apache.spark.sql.Observation()
     layer
+      .observe(obs, sum(col("n")).as("sum_n"), count(lit(1)).as("rows"))
       .repartitionByRange(col("series_hash"), col("win_start"))
       .sortWithinPartitions(col("series_hash"), col("win_start"))
       .write.mode("overwrite").parquet(outDir)
     stampVersion(layer.sparkSession, outDir)
+    val m = obs.get
+    stampStats(layer.sparkSession, outDir,
+      Option(m.getOrElse("sum_n", null)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      m.getOrElse("rows", 0L).asInstanceOf[Long])
   }
 
-  def openLayer(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir)
+  def openLayer(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(outDir)
+    // seed the admission cache from the sidecar: a stamped layer admits
+    // with ZERO Spark jobs (LayerRouteSpec pins this); non-local URIs fall
+    // through to the probe like any stat-less layer
+    scala.util.Try(java.nio.file.Paths.get(outDir)).toOption
+      .flatMap(statsOf).foreach { case (sumN, rows) =>
+        graft.promql.LayerRoute.seedBenefit(df, sumN, rows)
+      }
+    df
+  }
 
   /** Discover persisted layers under a layout dir (`downsample-<resMs>`
     * subtrees, as written by [[refreshDates]] / the streaming ingest) — the
@@ -437,13 +497,16 @@ object Downsample {
           val p = it.next()
           val name = p.getFileName.toString
           if (java.nio.file.Files.isDirectory(p) && name.startsWith("downsample-") &&
-              versionOf(p).contains(LayerFormatVersion))
-            name.stripPrefix("downsample-").toLongOption.foreach { res =>
-              // a dir holding only the marker (e.g. the float family of an
-              // all-histogram store) has no schema to open — skip, not error
-              scala.util.Try(openLayer(spark, p.toString)).toOption
-                .foreach(acc += res -> _)
-            }
+              !name.startsWith("downsample-hist-")) {
+            if (versionOf(p).contains(LayerFormatVersion))
+              name.stripPrefix("downsample-").toLongOption.foreach { res =>
+                // a dir holding only the marker (e.g. the float family of an
+                // all-histogram store) has no schema to open — skip, not error
+                scala.util.Try(openLayer(spark, p.toString)).toOption
+                  .foreach(acc += res -> _)
+              }
+            else warnStaleLayer(p)
+          }
         }
         acc
       } finally s.close()

@@ -63,18 +63,39 @@ object LayerRoute {
   private val benefitCache =
     new java.util.concurrent.ConcurrentHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Double]()
+  // a store rarely serves more than a handful of layers; the cap only
+  // guards against a pathological churn of throwaway layer frames pinning
+  // their relations (and sessions) for the JVM lifetime
+  private val BenefitCacheCap = 256
 
-  /** Samples-per-row compression ratio of a layer: Σn / rows. Computed with
-    * ONE tiny single-column aggregate the first time a layer is considered,
-    * then cached for the session (layers are opened once and reused; the
-    * cache key is the analyzed plan, so re-opening the same path hits).
-    * Empty layers report 0 (never admissible). */
-  def benefit(layer: DataFrame): Double =
-    benefitCache.computeIfAbsent(layer.queryExecution.analyzed, { _ =>
-      val r = layer.agg(sum(col("n")).as("s"), count(lit(1)).as("c")).head()
+  /** Seed the admission cache from a persisted `_graft_layer_stats` sidecar
+    * ([[graft.etl.Downsample.writeLayer]] stamps Σn/rows during the write
+    * job): admission of a stamped layer runs ZERO Spark jobs. */
+  def seedBenefit(layer: DataFrame, sumN: Long, rows: Long): Unit =
+    benefitCache.put(layer.queryExecution.analyzed,
+      if (rows == 0L) 0.0 else sumN.toDouble / rows)
+
+  /** Samples-per-row compression ratio of a layer: Σn / rows. Read from the
+    * persisted sidecar when the layer was opened through
+    * [[graft.etl.Downsample.openLayer]]; otherwise ONE tiny single-column
+    * aggregate the first time a stat-less layer is considered, cached for
+    * the session (the key is the analyzed plan, so re-opening the same path
+    * hits). The probe runs OUTSIDE the map lock — a cluster job must never
+    * hold a ConcurrentHashMap bin lock, which would serialize concurrent
+    * first-touch queries hashing to the same bin. Empty layers report 0
+    * (never admissible). */
+  def benefit(layer: DataFrame): Double = {
+    val key = layer.queryExecution.analyzed
+    val cached = benefitCache.get(key)
+    if (cached != null) return cached.doubleValue
+    val r = layer.agg(sum(col("n")).as("s"), count(lit(1)).as("c")).head()
+    val v: java.lang.Double =
       if (r.isNullAt(0) || r.getLong(1) == 0L) 0.0
       else r.getLong(0).toDouble / r.getLong(1)
-    })
+    if (benefitCache.size > BenefitCacheCap) benefitCache.clear()
+    val prev = benefitCache.putIfAbsent(key, v)
+    if (prev != null) prev.doubleValue else v.doubleValue
+  }
 
   /** Structural + cost admission for a single layer frame. */
   private[promql] def admissibleLayer(layer: DataFrame): Boolean =

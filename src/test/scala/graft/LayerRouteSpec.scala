@@ -238,6 +238,32 @@ class LayerRouteSpec extends SparkSpec {
       Set(Downsample.Res1h))
   }
 
+  test("stamped layer admits from the stats sidecar — zero Spark jobs") {
+    val (samples, _, _, _) = fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    Downsample.writeLayer(Downsample.layer(samples, Downsample.Res1h), dir)
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$dir/_graft_layer_stats")))
+    val (sumN, rows) = Downsample.statsOf(java.nio.file.Paths.get(dir)).get
+    assert(rows > 0 && sumN > rows)
+    val layer = Downsample.openLayer(spark, dir)
+    // delete every data file: if admission ran ANY Spark job over the layer
+    // it would fail with FileNotFound — the sidecar value must serve alone
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try s.iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.delete(p)
+    } finally s.close()
+    val b = LayerRoute.benefit(layer)
+    assert(math.abs(b - sumN.toDouble / rows) < 1e-12)
+    assert(b >= LayerRoute.MinBenefit)
+    // a layer written WITHOUT the sidecar still probes (old behavior)
+    val bare = java.nio.file.Files.createTempDirectory("graft-nostats").toString + "/l"
+    Downsample.layer(samples, Downsample.Res1h).write.parquet(bare)
+    val probed = LayerRoute.benefit(spark.read.parquet(bare))
+    assert(math.abs(probed - sumN.toDouble / rows) < 1e-9)
+  }
+
   test("absent_over_time routes: absence grid from the layer matches raw") {
     val (start, end, step) = (T0 + 12 * H, T0 + 120 * H, 2 * H)
     // data runs out before end → later steps are absent on both paths
