@@ -46,12 +46,19 @@ object RangeFunctions {
   def lastOverTime(value: Column, ts: Column): Column  = max_by(value, ts)
   def firstOverTime(value: Column, ts: Column): Column = min_by(value, ts)
 
-  /** rate / increase / delta / idelta over tumbling windows.
+  /** rate / increase / delta / idelta over tumbling windows — the SAME
+    * Prometheus extrapolation semantics as the engine's grid path
+    * (`Compiler.extrapolated`): each tumbling window `(win_ms, win_ms+W]`
+    * is treated as a range evaluation at step `win_ms+W`, so `increase`
+    * extends the in-sample slope to the window bounds with the
+    * half-average-interval threshold and the counter zero-crossing clamp,
+    * `rate` divides by the window, and `delta` is the gauge extrapolation
+    * (no reset compensation, no zero clamp). A window with <2 samples
+    * yields NULL for all three (Prometheus emits nothing), while
+    * `n_samples` still reports the count.
     *
-    * Output columns: labels + win_ms + `delta`, `increase`, `rate`, `idelta`,
-    * `n_samples`. `rate` = increase / (lastTs − firstTs) in seconds (needs ≥2
-    * samples; the plain within-window slope, not Prometheus' boundary
-    * extrapolation — documented deviation, deterministic and oracle-checkable).
+    * Output columns: labels + win_ms + `n_samples`, `delta`, `increase`,
+    * `rate`, `idelta`.
     */
   def rateFamily(samples: DataFrame, windowMs: Long, origin: Long = 0L): DataFrame = {
     val w = Window.partitionBy(col("series_hash"))
@@ -76,13 +83,28 @@ object RangeFunctions {
         // last in-window instantaneous delta; NULL when the window's last
         // sample has no same-window predecessor (PromQL idelta needs ≥2)
         expr("max_by(value - prev_val, ts_ms) FILTER (WHERE same_win)").as("idelta"))
+    // Prometheus extrapolatedRate over the tumbling frame: window start =
+    // win_ms, window end = win_ms + W (clamp order as in Compiler
+    // .extrapolated: boundary threshold first, zero-crossing second)
+    val n = col("n_samples")
+    val si = (col("last_ts") - col("first_ts")).cast("double") / lit(1000.0)
+    val ds0 = (col("first_ts") - col("win_ms")).cast("double") / lit(1000.0)
+    val de0 = (col("win_ms") + lit(windowMs) - col("last_ts")).cast("double") / lit(1000.0)
+    val ai = si / (n - 1)
+    val thr = ai * lit(1.1)
+    val rvC = col("last_val") - col("first_val") + col("resets")
+    val rvG = col("last_val") - col("first_val")
+    val dz = si * (col("first_val") / rvC)
+    val dsA = when(ds0 >= thr, ai / lit(2.0)).otherwise(ds0)
+    val dsB = when(rvC > 0 && col("first_val") >= 0 && dz < dsA, dz).otherwise(dsA)
+    val deB = when(de0 >= thr, ai / lit(2.0)).otherwise(de0)
+    val incC = rvC * ((si + dsB + deB) / si)
+    val incG = rvG * ((si + dsA + deB) / si)
     g.select(
       (labelCols :+ col("win_ms") :+ col("n_samples") :+
-        (col("last_val") - col("first_val")).as("delta") :+
-        (col("last_val") - col("first_val") + col("resets")).as("increase") :+
-        when(col("n_samples") >= 2,
-          (col("last_val") - col("first_val") + col("resets")) /
-            ((col("last_ts") - col("first_ts")).cast("double") / lit(1000.0))).as("rate") :+
+        when(n >= 2, incG).as("delta") :+
+        when(n >= 2, incC).as("increase") :+
+        when(n >= 2, incC / lit(windowMs / 1000.0)).as("rate") :+
         col("idelta")): _*)
   }
 }

@@ -259,11 +259,27 @@ object Tsdb {
         "min_by(value, ts_ms) AS first_val, max_by(value, ts_ms) AS last_val, " +
         "CAST(CAST(SUM(CAST(CASE WHEN same_win AND value < prev_val THEN prev_val ELSE 0 END AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS resets, " +
         "max_by(value - prev_val, ts_ms) FILTER (WHERE same_win) AS idelta " +
-        "FROM b GROUP BY __name__, uid, win_ms) " +
-        "SELECT __name__, uid, win_ms, n_samples, last_val - first_val AS delta, " +
-        "last_val - first_val + resets AS increase, " +
-        "CASE WHEN n_samples >= 2 THEN (last_val - first_val + resets) / (CAST(last_ts - first_ts AS DOUBLE) / 1000.0e0) END AS rate, " +
-        "idelta FROM g ORDER BY __name__, uid, win_ms")),
+        "FROM b GROUP BY __name__, uid, win_ms), " +
+        // the Prometheus extrapolation walk (window (win_ms, win_ms+DAY]):
+        // boundary-threshold clamp first, counter zero-crossing second —
+        // mirrors RangeFunctions.rateFamily = Compiler.extrapolated
+        "x1 AS (SELECT *, CAST(last_ts - first_ts AS DOUBLE)/1000.0e0 AS si, " +
+        "CAST(first_ts - win_ms AS DOUBLE)/1000.0e0 AS ds0, " +
+        s"CAST(win_ms + $DAY - last_ts AS DOUBLE)/1000.0e0 AS de0, " +
+        "last_val - first_val + resets AS rvc, last_val - first_val AS rvg FROM g " +
+        "WHERE n_samples >= 2), " +
+        "x2 AS (SELECT *, si/(n_samples-1) AS ai FROM x1), " +
+        "x3 AS (SELECT *, ai*1.1e0 AS thr, si*(first_val/rvc) AS dz FROM x2), " +
+        "x4 AS (SELECT *, CASE WHEN ds0 >= thr THEN ai/2.0e0 ELSE ds0 END AS dsa, " +
+        "CASE WHEN de0 >= thr THEN ai/2.0e0 ELSE de0 END AS deb FROM x3), " +
+        "x5 AS (SELECT *, CASE WHEN rvc > 0 AND first_val >= 0 AND dz < dsa " +
+        "THEN dz ELSE dsa END AS dsb FROM x4) " +
+        "SELECT g.__name__, g.uid, g.win_ms, g.n_samples, " +
+        "x5.rvg*((x5.si+x5.dsa+x5.deb)/x5.si) AS delta, " +
+        "x5.rvc*((x5.si+x5.dsb+x5.deb)/x5.si) AS increase, " +
+        s"x5.rvc*((x5.si+x5.dsb+x5.deb)/x5.si)/(CAST($DAY AS DOUBLE)/1000.0e0) AS rate, " +
+        "g.idelta FROM g LEFT JOIN x5 USING (__name__, uid, win_ms) " +
+        "ORDER BY __name__, uid, win_ms")),
 
     Q("a7_over_time",
       t => RangeFunctions.overTime(samples(t), DAY)(

@@ -75,10 +75,17 @@ class EvalSpec extends SparkSpec {
     ).toDF("__name__", "uid", "ts_ms", "value", "sample_id")
       .withColumn("series_hash", xxhash64($"__name__", $"uid"))
     val r = RangeFunctions.rateFamily(df, windowMs = 10000L).collect()(0)
-    assert(r.getAs[Double]("delta") == 5.0)          // 15 - 10
-    assert(r.getAs[Double]("increase") == 25.0)      // 5 + reset(20)
-    assert(math.abs(r.getAs[Double]("rate") - 25.0 / 3.0) < 1e-12) // 3s span
+    // Prometheus extrapolation over window (0, 10000]: si=3s, ai=1s,
+    // thr=1.1s; ds0=1s < thr stays; dz=3·10/25=1.2 ≥ dsA → no zero clamp;
+    // de0=6s ≥ thr → ai/2=0.5 ⇒ factor (3+1+0.5)/3 = 1.5
+    assert(math.abs(r.getAs[Double]("delta") - 5.0 * 1.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("increase") - 25.0 * 1.5) < 1e-12) // 5 + reset(20), extrapolated
+    assert(math.abs(r.getAs[Double]("rate") - 25.0 * 1.5 / 10.0) < 1e-12)
     assert(r.getAs[Double]("idelta") == 10.0)        // 15 - 5
+    // <2 samples ⇒ NULL rate family (Prometheus emits nothing), count kept
+    val one = RangeFunctions.rateFamily(df.filter($"sample_id" === 1L), 10000L).collect()(0)
+    assert(one.getAs[Long]("n_samples") == 1L)
+    assert(one.isNullAt(one.fieldIndex("delta")) && one.isNullAt(one.fieldIndex("rate")))
   }
 
   test("labelValues dictionary/footer fast path equals the scan on every bound shape") {
