@@ -1,0 +1,468 @@
+package graft
+
+/** Faithful transcriptions of well-known blocks from Prometheus' upstream
+  * promqltest corpus (prometheus/promql/promqltest testdata .test files — the
+  * reference's correctness authority runs these wholesale via
+  * db/db_test.go:53-116; vendoring the files is env-blocked, so recognizable
+  * tranches are transcribed here by hand, organized by upstream file name).
+  *
+  * Adaptations, deliberate and noted:
+  *  - aggregator/keyword case is lowercased (`sum … by`, upstream writes
+  *    `SUM … BY`; PromQL accepts both, this parser is lowercase);
+  *  - expected values follow Prometheus 3 left-open range-selector and
+  *    extrapolation semantics (the engine's pinned convention), recomputed
+  *    by hand for every case;
+  *  - expected series lines inline the metric name as a `__name__` label
+  *    (`{__name__="http_requests", …}`), the runner's label notation.
+  *
+  * A failure here is a REAL divergence from Prometheus semantics, not noise
+  * — triage, don't soften.
+  */
+class PromqlUpstreamSpec extends PromqlTestRunner {
+
+  /** testdata/operators.test — the canonical 8-series http_requests fixture
+    * plus the vector_matching pair; arithmetic, %/^/0-division IEEE edges,
+    * set ops, on/ignoring, group_left, bool modifiers. */
+  private val operatorsCorpus =
+    """
+      |load 5m
+      |  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+      |  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+      |  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+      |  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+      |  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+      |  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+      |  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+      |  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+      |
+      |load 5m
+      |  vector_matching_a{l="x"} 0+1x100
+      |  vector_matching_a{l="y"} 0+2x50
+      |  vector_matching_b{l="x"} 0+4x25
+      |
+      |eval instant at 50m sum(http_requests) by (job) - count(http_requests) by (job)
+      |  {job="api-server"} 996
+      |  {job="app-server"} 2596
+      |
+      |eval instant at 50m 2 - sum(http_requests) by (job)
+      |  {job="api-server"} -998
+      |  {job="app-server"} -2598
+      |
+      |eval instant at 50m -http_requests{job="api-server", instance="0", group="production"}
+      |  {group="production", instance="0", job="api-server"} -100
+      |
+      |eval instant at 50m +http_requests{job="api-server", instance="0", group="production"}
+      |  {__name__="http_requests", group="production", instance="0", job="api-server"} 100
+      |
+      |eval instant at 50m 1000 / sum(http_requests) by (job)
+      |  {job="api-server"} 1
+      |  {job="app-server"} 0.38461538461538464
+      |
+      |eval instant at 50m sum(http_requests) by (job) % 3
+      |  {job="api-server"} 1
+      |  {job="app-server"} 2
+      |
+      |eval instant at 50m 1001 % sum(http_requests) by (job)
+      |  {job="api-server"} 1
+      |  {job="app-server"} 1001
+      |
+      |eval instant at 50m sum(http_requests) by (job) / 0
+      |  {job="api-server"} +Inf
+      |  {job="app-server"} +Inf
+      |
+      |eval instant at 50m http_requests{group="canary", instance="0", job="api-server"} / 0
+      |  {group="canary", instance="0", job="api-server"} +Inf
+      |
+      |eval instant at 50m -1 * http_requests{group="canary", instance="0", job="api-server"} / 0
+      |  {group="canary", instance="0", job="api-server"} -Inf
+      |
+      |eval instant at 50m 0 * http_requests{group="canary", instance="0", job="api-server"} / 0
+      |  {group="canary", instance="0", job="api-server"} NaN
+      |
+      |eval instant at 50m 0 * http_requests{group="canary", instance="0", job="api-server"} % 0
+      |  {group="canary", instance="0", job="api-server"} NaN
+      |
+      |eval instant at 50m sum(http_requests) by (job) ^ 2
+      |  {job="api-server"} 1000000
+      |  {job="app-server"} 6760000
+      |
+      |eval instant at 50m sum(http_requests) by (job) % 3 ^ 2
+      |  {job="api-server"} 1
+      |  {job="app-server"} 8
+      |
+      |eval instant at 50m sum(http_requests) by (job) + sum(http_requests) by (job)
+      |  {job="api-server"} 2000
+      |  {job="app-server"} 5200
+      |
+      |eval instant at 50m http_requests{group="canary"} and http_requests{instance="0"}
+      |  {__name__="http_requests", group="canary", instance="0", job="api-server"} 300
+      |  {__name__="http_requests", group="canary", instance="0", job="app-server"} 700
+      |
+      |eval instant at 50m (http_requests{group="canary"} + 1) and http_requests{instance="0"}
+      |  {group="canary", instance="0", job="api-server"} 301
+      |  {group="canary", instance="0", job="app-server"} 701
+      |
+      |eval instant at 50m (http_requests{group="canary"} + 1) and on(instance, job) http_requests{instance="0", group="production"}
+      |  {group="canary", instance="0", job="api-server"} 301
+      |  {group="canary", instance="0", job="app-server"} 701
+      |
+      |eval instant at 50m (http_requests{group="canary"} + 1) and on(instance) http_requests{instance="0", group="production"}
+      |  {group="canary", instance="0", job="api-server"} 301
+      |  {group="canary", instance="0", job="app-server"} 701
+      |
+      |eval instant at 50m (http_requests{group="canary"} + 1) and ignoring(group) http_requests{instance="0", group="production"}
+      |  {group="canary", instance="0", job="api-server"} 301
+      |  {group="canary", instance="0", job="app-server"} 701
+      |
+      |eval instant at 50m http_requests{group="canary"} or http_requests{group="production"}
+      |  {__name__="http_requests", group="canary", instance="0", job="api-server"} 300
+      |  {__name__="http_requests", group="canary", instance="1", job="api-server"} 400
+      |  {__name__="http_requests", group="canary", instance="0", job="app-server"} 700
+      |  {__name__="http_requests", group="canary", instance="1", job="app-server"} 800
+      |  {__name__="http_requests", group="production", instance="0", job="api-server"} 100
+      |  {__name__="http_requests", group="production", instance="1", job="api-server"} 200
+      |  {__name__="http_requests", group="production", instance="0", job="app-server"} 500
+      |  {__name__="http_requests", group="production", instance="1", job="app-server"} 600
+      |
+      |eval instant at 50m http_requests{group="canary"} unless http_requests{instance="0"}
+      |  {__name__="http_requests", group="canary", instance="1", job="api-server"} 400
+      |  {__name__="http_requests", group="canary", instance="1", job="app-server"} 800
+      |
+      |eval instant at 50m http_requests{group="canary"} / ignoring(group) http_requests{group="production"}
+      |  {instance="0", job="api-server"} 3
+      |  {instance="1", job="api-server"} 2
+      |  {instance="0", job="app-server"} 1.4
+      |  {instance="1", job="app-server"} 1.3333333333333333
+      |
+      |eval instant at 50m http_requests{group="canary"} + ignoring(group) http_requests{group="production"}
+      |  {instance="0", job="api-server"} 400
+      |  {instance="1", job="api-server"} 600
+      |  {instance="0", job="app-server"} 1200
+      |  {instance="1", job="app-server"} 1400
+      |
+      |eval instant at 50m http_requests / on(instance, job) group_left sum by (instance, job)(http_requests)
+      |  {group="production", instance="0", job="api-server"} 0.25
+      |  {group="canary", instance="0", job="api-server"} 0.75
+      |  {group="production", instance="1", job="api-server"} 0.3333333333333333
+      |  {group="canary", instance="1", job="api-server"} 0.6666666666666666
+      |  {group="production", instance="0", job="app-server"} 0.4166666666666667
+      |  {group="canary", instance="0", job="app-server"} 0.5833333333333334
+      |  {group="production", instance="1", job="app-server"} 0.42857142857142855
+      |  {group="canary", instance="1", job="app-server"} 0.5714285714285714
+      |
+      |eval instant at 50m sum(http_requests) by (job) > 1000
+      |  {job="app-server"} 2600
+      |
+      |eval instant at 50m sum(http_requests) by (job) > bool 1000
+      |  {job="api-server"} 0
+      |  {job="app-server"} 1
+      |
+      |eval instant at 50m sum(http_requests) by (job) == bool sum(http_requests) by (job)
+      |  {job="api-server"} 1
+      |  {job="app-server"} 1
+      |
+      |eval instant at 50m http_requests > 600
+      |  {__name__="http_requests", group="canary", instance="0", job="app-server"} 700
+      |  {__name__="http_requests", group="canary", instance="1", job="app-server"} 800
+      |
+      |eval instant at 50m http_requests{job="api-server"} == 300
+      |  {__name__="http_requests", group="canary", instance="0", job="api-server"} 300
+      |
+      |eval instant at 50m vector_matching_a + vector_matching_b
+      |  {l="x"} 50
+      |
+      |eval instant at 50m vector_matching_a * vector_matching_b
+      |  {l="x"} 400
+      |""".stripMargin
+
+  /** testdata/aggregators.test — same http_requests fixture; every
+    * aggregation operator incl. quantile interpolation and topk/bottomk. */
+  private val aggregatorsCorpus =
+    """
+      |load 5m
+      |  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+      |  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+      |  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+      |  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+      |  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+      |  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+      |  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+      |  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+      |
+      |eval instant at 50m sum by (group) (http_requests{job="api-server"})
+      |  {group="canary"} 700
+      |  {group="production"} 300
+      |
+      |eval instant at 50m sum without (instance) (http_requests{job="api-server"})
+      |  {group="canary", job="api-server"} 700
+      |  {group="production", job="api-server"} 300
+      |
+      |eval instant at 50m avg by (group) (http_requests{job="api-server"})
+      |  {group="canary"} 350
+      |  {group="production"} 150
+      |
+      |eval instant at 50m min by (group) (http_requests{job="api-server"})
+      |  {group="canary"} 300
+      |  {group="production"} 100
+      |
+      |eval instant at 50m max by (group) (http_requests{job="api-server"})
+      |  {group="canary"} 400
+      |  {group="production"} 200
+      |
+      |eval instant at 50m count by (group) (http_requests{job="api-server"})
+      |  {group="canary"} 2
+      |  {group="production"} 2
+      |
+      |eval instant at 50m stddev(http_requests)
+      |  {} 229.12878474779198
+      |
+      |eval instant at 50m stdvar(http_requests)
+      |  {} 52500
+      |
+      |eval instant at 50m topk(3, http_requests)
+      |  {__name__="http_requests", group="canary", instance="1", job="app-server"} 800
+      |  {__name__="http_requests", group="canary", instance="0", job="app-server"} 700
+      |  {__name__="http_requests", group="production", instance="1", job="app-server"} 600
+      |
+      |eval instant at 50m bottomk(3, http_requests)
+      |  {__name__="http_requests", group="production", instance="0", job="api-server"} 100
+      |  {__name__="http_requests", group="production", instance="1", job="api-server"} 200
+      |  {__name__="http_requests", group="canary", instance="0", job="api-server"} 300
+      |
+      |eval instant at 50m topk by (group) (1, http_requests)
+      |  {__name__="http_requests", group="canary", instance="1", job="app-server"} 800
+      |  {__name__="http_requests", group="production", instance="1", job="app-server"} 600
+      |
+      |eval instant at 50m quantile by (job) (0.9, http_requests)
+      |  {job="api-server"} 370
+      |  {job="app-server"} 770
+      |
+      |eval instant at 50m quantile(0.5, http_requests)
+      |  {} 450
+      |
+      |eval instant at 50m group by (job) (http_requests)
+      |  {job="api-server"} 1
+      |  {job="app-server"} 1
+      |
+      |eval instant at 50m count(http_requests)
+      |  {} 8
+      |
+      |eval instant at 50m sum(http_requests)
+      |  {} 3600
+      |
+      |eval instant at 50m avg(http_requests)
+      |  {} 450
+      |
+      |eval instant at 50m min(http_requests)
+      |  {} 100
+      |
+      |eval instant at 50m max(http_requests)
+      |  {} 800
+      |
+      |eval instant at 50m sum by (nonexistent) (http_requests)
+      |  {} 3600
+      |""".stripMargin
+
+  /** testdata/functions.test — the resets/changes literal fixture (values
+    * recomputed under Prometheus-3 left-open windows), the rate family on a
+    * clean counter, clamp/rounding/log maths, label_replace/label_join,
+    * timestamp/time/date functions, absent. */
+  private val functionsCorpus =
+    """
+      |load 5m
+      |  http_requests{path="/foo"} 1 2 3 0 1 0 0 1 2 0
+      |  http_requests{path="/bar"} 1 2 3 4 5 1 2 3 4 5
+      |  http_requests{path="/biz"} 0 0 0 0 0 1 1 1 1 1
+      |
+      |eval instant at 50m resets(http_requests[50m])
+      |  {path="/foo"} 3
+      |  {path="/bar"} 1
+      |  {path="/biz"} 0
+      |
+      |eval instant at 50m resets(http_requests[20m])
+      |  {path="/foo"} 1
+      |  {path="/bar"} 0
+      |  {path="/biz"} 0
+      |
+      |eval instant at 50m changes(http_requests[50m])
+      |  {path="/foo"} 7
+      |  {path="/bar"} 8
+      |  {path="/biz"} 1
+      |
+      |eval instant at 50m delta(http_requests{path="/bar"}[20m])
+      |  {path="/bar"} 4
+      |
+      |eval instant at 45m clamp_max(http_requests, 3)
+      |  {path="/foo"} 0
+      |  {path="/bar"} 3
+      |  {path="/biz"} 1
+      |
+      |eval instant at 45m clamp_min(http_requests, 1)
+      |  {path="/foo"} 1
+      |  {path="/bar"} 5
+      |  {path="/biz"} 1
+      |
+      |eval instant at 45m clamp(http_requests, 1, 3)
+      |  {path="/foo"} 1
+      |  {path="/bar"} 3
+      |  {path="/biz"} 1
+      |
+      |clear
+      |
+      |load 5m
+      |  ctr 0+10x10
+      |
+      |eval instant at 50m rate(ctr[20m])
+      |  {} 0.03333333333333333
+      |
+      |eval instant at 50m increase(ctr[20m])
+      |  {} 40
+      |
+      |eval instant at 50m irate(ctr[10m])
+      |  {} 0.03333333333333333
+      |
+      |eval instant at 50m idelta(ctr[10m])
+      |  {} 10
+      |
+      |eval instant at 50m deriv(ctr[20m])
+      |  {} 0.03333333333333333
+      |
+      |eval instant at 50m predict_linear(ctr[20m], 300)
+      |  {} 110
+      |
+      |clear
+      |
+      |load 5m
+      |  m{x="a"} -2.5
+      |  m{x="b"} 2.5
+      |  m{x="c"} 4
+      |
+      |eval instant at 1m abs(m)
+      |  {x="a"} 2.5
+      |  {x="b"} 2.5
+      |  {x="c"} 4
+      |
+      |eval instant at 1m ceil(m)
+      |  {x="a"} -2
+      |  {x="b"} 3
+      |  {x="c"} 4
+      |
+      |eval instant at 1m floor(m)
+      |  {x="a"} -3
+      |  {x="b"} 2
+      |  {x="c"} 4
+      |
+      |eval instant at 1m round(m)
+      |  {x="a"} -2
+      |  {x="b"} 3
+      |  {x="c"} 4
+      |
+      |eval instant at 1m sgn(m)
+      |  {x="a"} -1
+      |  {x="b"} 1
+      |  {x="c"} 1
+      |
+      |eval instant at 1m sqrt(m{x="c"})
+      |  {x="c"} 2
+      |
+      |eval instant at 1m exp(m{x="c"})
+      |  {x="c"} 54.598150033144236
+      |
+      |eval instant at 1m ln(m{x="c"})
+      |  {x="c"} 1.3862943611198906
+      |
+      |eval instant at 1m log2(m{x="c"})
+      |  {x="c"} 2
+      |
+      |eval instant at 1m label_replace(m{x="a"}, "y", "$1", "x", "(.*)")
+      |  {__name__="m", x="a", y="a"} -2.5
+      |
+      |eval instant at 1m label_join(m{x="a"}, "xy", "-", "x", "x")
+      |  {__name__="m", x="a", xy="a-a"} -2.5
+      |
+      |eval instant at 1m timestamp(m{x="a"})
+      |  {x="a"} 0
+      |
+      |eval instant at 1m vector(1)
+      |  {} 1
+      |
+      |eval instant at 1m scalar(m{x="c"})
+      |  {} 4
+      |
+      |eval instant at 1m absent(nonexistent{job="myjob"})
+      |  {job="myjob"} 1
+      |
+      |eval instant at 1m time()
+      |  {} 60
+      |
+      |eval instant at 1m minute()
+      |  {} 1
+      |
+      |eval instant at 1m day_of_week()
+      |  {} 4
+      |
+      |eval instant at 1m month()
+      |  {} 1
+      |
+      |eval instant at 1m year()
+      |  {} 1970
+      |""".stripMargin
+
+  /** testdata/histograms.test — the classic (le-label) testhistogram_bucket
+    * fixture with upstream's deliberately mixed le spellings (".2", "1e0");
+    * quantile interpolation, first/last-bucket rules, quantile over rate and
+    * over re-summed buckets. */
+  private val histogramsCorpus =
+    """
+      |load 5m
+      |  testhistogram_bucket{le="0.1", start="positive"} 0+5x10
+      |  testhistogram_bucket{le=".2", start="positive"} 0+7x10
+      |  testhistogram_bucket{le="1e0", start="positive"} 0+11x10
+      |  testhistogram_bucket{le="+Inf", start="positive"} 0+12x10
+      |  testhistogram_bucket{le="-.2", start="negative"} 0+1x10
+      |  testhistogram_bucket{le="-0.1", start="negative"} 0+2x10
+      |  testhistogram_bucket{le="0.3", start="negative"} 0+2x10
+      |  testhistogram_bucket{le="+Inf", start="negative"} 0+3x10
+      |
+      |eval instant at 50m histogram_quantile(0.2, testhistogram_bucket)
+      |  {start="positive"} 0.048
+      |  {start="negative"} -0.2
+      |
+      |eval instant at 50m histogram_quantile(0.8, testhistogram_bucket)
+      |  {start="positive"} 0.72
+      |  {start="negative"} 0.3
+      |
+      |eval instant at 50m histogram_quantile(0, testhistogram_bucket)
+      |  {start="positive"} 0
+      |  {start="negative"} -0.2
+      |
+      |eval instant at 50m histogram_quantile(1, testhistogram_bucket)
+      |  {start="positive"} 1
+      |  {start="negative"} 0.3
+      |
+      |eval instant at 50m histogram_quantile(0.2, rate(testhistogram_bucket[10m]))
+      |  {start="positive"} 0.048
+      |  {start="negative"} -0.2
+      |
+      |eval instant at 50m histogram_quantile(0.5, sum by (le, start) (testhistogram_bucket))
+      |  {start="positive"} 0.15
+      |  {start="negative"} -0.15
+      |""".stripMargin
+
+  private def run(name: String, corpus: String, minEvals: Int): Unit = {
+    val segs = parseSegments(corpus)
+    assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
+      s"$name: corpus shrank below its pinned case count")
+    val failures = segs.flatMap { sg =>
+      val samples = toSamples(sg.loaded)
+      checkInstant(samples, sg.evals) ++ checkRange(samples, sg.ranges) ++
+        checkFails(samples, sg.fails)
+    }
+    assert(failures.isEmpty, s"$name:\n" + failures.mkString("\n"))
+  }
+
+  test("upstream operators.test tranche") { run("operators", operatorsCorpus, 28) }
+  test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 20) }
+  test("upstream functions.test tranche") { run("functions", functionsCorpus, 33) }
+  test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 6) }
+}
