@@ -766,6 +766,35 @@ object Tsdb {
           "FROM f ORDER BY uid, step_ms"
       }),
 
+    // Binary op over TWO layer-routed range functions — the dashboard shape
+    // `rate(a)/rate(b)`: tryRoute fires per selector, so both operands serve
+    // from the 1h layer (LayerRouteSpec pins zero raw files in this plan);
+    // the oracle recomputes both sides from raw samples in DuckDB.
+    Q("s5_routed_binop", {
+      val (start, end, step, rng) = (T0 + 2 * DAY, T0 + 28 * DAY, 14400000L, DAY)
+      (t: Tables) => {
+        val spark = t.events.sparkSession
+        val out = java.nio.file.Files.createTempDirectory("graft-routedb").toString
+        val s = samples(t)
+        graft.etl.Downsample.writeLayer(
+          graft.etl.Downsample.layer(s, 3600000L), s"$out/l1h")
+        val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
+        Compiler.compile(
+            Parser.parse("sum_over_time(purchase[1d]) / count_over_time(purchase[1d])"),
+            Compiler.Ctx(s, start, end, step, LB, layers = layers))
+          .select(col("uid"), col("step_ms"), col("value"))
+          .orderBy(col("uid"), col("step_ms"))
+      }},
+      Some {
+        val (start, end, step, rng) = (T0 + 2 * DAY, T0 + 28 * DAY, 14400000L, DAY)
+        s"WITH $S_CTE, " +
+          "sp AS (SELECT uid, ts_ms, value FROM s WHERE __name__ = 'purchase'), " +
+          s"g AS (SELECT UNNEST(range($start, ${end + 1}, $step)) AS step_ms), " +
+          s"j AS (SELECT sp.*, g.step_ms FROM sp JOIN g ON sp.ts_ms > g.step_ms - $rng AND sp.ts_ms <= g.step_ms), " +
+          s"a AS (SELECT uid, step_ms, $DSUM AS sv, count(*) AS cv FROM j GROUP BY 1, 2) " +
+          "SELECT uid, step_ms, sv / cv AS value FROM a ORDER BY uid, step_ms"
+      }),
+
     // Hybrid auto-downsampling for an UNALIGNED grid (the common dashboard
     // shape: start = "now", arbitrary step): each step serves its interior
     // whole 1h windows from the layer and reads raw only the two partial

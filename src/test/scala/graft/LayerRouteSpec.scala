@@ -153,6 +153,29 @@ class LayerRouteSpec extends SparkSpec {
     assert(!routedDirs.exists(_.contains(s"$tmp/l5m")))
   }
 
+  test("binary op over two routed rates: BOTH sides serve from the layer, zero raw files") {
+    // the dashboard shape rate(a[..]) / rate(b[..]): tryRoute fires
+    // per-selector inside the compiler, so each operand routes
+    // independently — pin that no raw file survives in the optimized plan
+    // and that the binop result stays bit-identical to raw
+    val (_, _, tmp, samplesDir) = fixture
+    // both operands select the same series set (ctr) so the 1:1 vector
+    // match is non-empty; each side is an independently routed range fn
+    val q = """rate({__name__="ctr"}[24h]) / increase({__name__="ctr"}[24h])"""
+    val (raw, routed) = compileBoth(q, T0 + 24 * H, T0 + 80 * H, 4 * H)
+    val routedDirs = scannedDirs(routed)
+    assert(routedDirs.exists(_.contains(s"$tmp/l1h")), s"expected l1h in $routedDirs")
+    assert(!routedDirs.exists(_.contains(samplesDir)),
+      s"a raw scan leaked into the binop plan: $routedDirs")
+    assertIdentical(raw, routed)
+    // and/unless compose the same way: both set-op sides route
+    val qs = """sum_over_time({__name__="gau"}[6h]) and on(uid) count_over_time({__name__="gau"}[6h])"""
+    val (rawS, routedS) = compileBoth(qs, T0 + 24 * H, T0 + 80 * H, 6 * H)
+    val dirsS = scannedDirs(routedS)
+    assert(!dirsS.exists(_.contains(samplesDir)), s"raw scan in set-op plan: $dirsS")
+    assertIdentical(rawS, routedS)
+  }
+
   test("matchers prune on the layer; offset and @ route when still aligned") {
     val (start, end, step) = (T0 + 12 * H, T0 + 60 * H, 2 * H)
     Seq(
