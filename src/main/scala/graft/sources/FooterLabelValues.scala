@@ -34,6 +34,38 @@ import org.apache.spark.sql.functions.col
   */
 object FooterLabelValues {
 
+  /** Time-pruned file enumeration: when the relation is date-partitioned
+    * (`date=YYYY-MM-DD`, the converted layout), push the query interval as
+    * a partition filter into `FileIndex.listFiles` so only the overlapping
+    * days' files ever materialize on the driver — a whole-retention label
+    * query over millions of files must not allocate the full path list for
+    * a one-day interval. Unpartitioned (or stream-partitioned) relations
+    * fall back to the full listing, which is then the true candidate set. */
+  private def prunedFiles(
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+      mintMs: Long, maxtMs: Long): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val cap = 253402214400000L // 9999-01-01, the engine's DATE-literal clamp
+    def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val filters = fs.partitionSchema.fields.find(_.name == "date").toSeq.flatMap { f =>
+      // partition values infer as DateType or StringType depending on the
+      // session; ISO day strings compare lexicographically = chronologically
+      val (lo, hi) = f.dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          (Literal(day(mintMs).toEpochDay.toInt, f.dataType),
+            Literal(day(maxtMs).toEpochDay.toInt, f.dataType))
+        case _ =>
+          (Literal(org.apache.spark.unsafe.types.UTF8String.fromString(day(mintMs).toString), f.dataType),
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(day(maxtMs).toString), f.dataType))
+      }
+      val attr = AttributeReference("date", f.dataType)()
+      Seq(And(GreaterThanOrEqual(attr, lo), LessThanOrEqual(attr, hi)))
+    }
+    fs.location.listFiles(filters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+  }
+
   /** Distinct values of `label` among samples with ts_ms ∈ [mintMs, maxtMs],
     * resolved footer-first. None = not applicable (caller falls back). */
   def labelValues(samples: DataFrame, label: String,
@@ -54,7 +86,7 @@ object FooterLabelValues {
           !fs.dataSchema.fieldNames.contains("ts_ms")) None
       else {
         val spark = samples.sparkSession
-        val files = fs.location.inputFiles.toSeq
+        val files = prunedFiles(fs, mintMs, maxtMs)
         if (files.isEmpty) Some(Seq.empty)
         else {
         val par = math.max(1, math.min(files.size,
@@ -114,7 +146,7 @@ object FooterLabelValues {
           !labels.forall(fs.dataSchema.fieldNames.contains)) None
       else {
         val spark = samples.sparkSession
-        val files = fs.location.inputFiles.toSeq
+        val files = prunedFiles(fs, mintMs, maxtMs)
         if (files.isEmpty) Some(Seq.empty)
         else {
           val par = math.max(1, math.min(files.size,
