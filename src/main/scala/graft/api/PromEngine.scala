@@ -134,7 +134,8 @@ final class PromEngine(samples: DataFrame,
     val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
-    finish(Compiler.compileServing(ast, ctx), Compiler.staticWarnings(ast))
+    val (df, mixed) = Compiler.compileServingAnnotated(ast, ctx)
+    finish(df, Compiler.staticWarnings(ast) ++ mixedWarning(mixed))
   }
 
   def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long,
@@ -144,8 +145,17 @@ final class PromEngine(samples: DataFrame,
     val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
-    finish(Compiler.compileServing(ast, ctx), Compiler.staticWarnings(ast))
+    val (df, mixed) = Compiler.compileServingAnnotated(ast, ctx)
+    finish(df, Compiler.staticWarnings(ast) ++ mixedWarning(mixed))
   }
+
+  /** Eval-time MixedFloatsHistograms annotation (Prometheus drops an
+    * aggregation group mixing sample types and warns; the keys frame is
+    * tiny — empty in every pure store — so the existence probe is cheap). */
+  private def mixedWarning(mixed: Option[DataFrame]): Seq[String] =
+    if (mixed.exists(!_.isEmpty))
+      Seq("encountered a mix of histograms and floats for aggregation; mixed groups are dropped from the result")
+    else Nil
 
   private def finish(df: DataFrame, warnings: Seq[String])
       : (Seq[Series], EngineStats, Seq[String]) = {

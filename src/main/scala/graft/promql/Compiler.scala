@@ -124,16 +124,27 @@ object Compiler {
     * plain values). Inner expressions are unaffected: recursion stays on
     * [[compile]], so float functions over histogram series behave as
     * before. */
-  def compileServing(expr: Expr, ctx: Ctx): DataFrame = expr match {
+  def compileServing(expr: Expr, ctx: Ctx): DataFrame =
+    compileServingAnnotated(expr, ctx)._1
+
+  /** [[compileServing]] plus the eval-time annotation hook: the second
+    * element, when present, is a tiny keys frame of (labels, step) groups
+    * that mixed float and histogram samples. Prometheus REMOVES such a
+    * group's result and emits a MixedFloatsHistograms warning annotation
+    * (promql aggregations over mixed sample types have no defined value);
+    * the result frame here already has those groups dropped on BOTH sides,
+    * and [[graft.api.PromEngine]] surfaces the warning when the keys frame
+    * is non-empty. */
+  def compileServingAnnotated(expr: Expr, ctx: Ctx): (DataFrame, Option[DataFrame]) = expr match {
     case sel @ Selector(_, _, None, _, _) if hasHist(ctx) =>
-      histSelector(sel, ctx, "query")
+      (histSelector(sel, ctx, "query"), None)
     // rate/increase/delta over a range selector, and sum/avg over any
     // histogram-servable shape, produce histogram-valued results: series
     // SPLIT by sample type — float series keep the float path verbatim,
     // histogram series evaluate bucket-wise — and the two result sets union
-    // at the serving boundary (Prometheus computes each series by its own
-    // type the same way; a group mixing both yields a float and a histogram
-    // row per step, which the API emits side by side).
+    // at the serving boundary. A group that would yield BOTH a float and a
+    // histogram row at the same step mixed sample types: dropped, with the
+    // keys exposed for the warning annotation (Prometheus semantics).
     case e if hasHist(ctx) && histServable(e) =>
       // the float side tests histogram-absence on the `cnt` LEAF (always set
       // in the model), so nested-schema pruning reads one double instead of
@@ -144,8 +155,21 @@ object Compiler {
           ctx.copy(samples = ctx.samples.filter(col("h").isNotNull)), "query")
         .filter(col("__graft_h").isNotNull)
         .withColumn("value", lit(1.0)) // serving placeholder; __graft_h is the result
-      fDf.unionByName(hDf, allowMissingColumns = true)
-    case _ => compile(expr, ctx)
+      val keyCols = (fDf.columns.toSet intersect hDf.columns.toSet)
+        .diff(Set("value", "__graft_h")).toSeq.sorted
+      if (keyCols.isEmpty) (fDf.unionByName(hDf, allowMissingColumns = true), None)
+      else {
+        // per-series shapes (rate family) never mix — a series is one type
+        // per frame — so `mixed` is empty and the anti-joins are no-ops;
+        // only cross-series aggregation groups (sum/avg) can collide
+        val mixed = fDf.select(keyCols.map(col): _*)
+          .intersect(hDf.select(keyCols.map(col): _*))
+        val clean = fDf.join(mixed, keyCols, "left_anti")
+          .unionByName(hDf.join(mixed, keyCols, "left_anti"),
+            allowMissingColumns = true)
+        (clean, Some(mixed))
+      }
+    case _ => (compile(expr, ctx), None)
   }
 
   /** Shapes [[compileServing]] can evaluate histogram-typed on the hist

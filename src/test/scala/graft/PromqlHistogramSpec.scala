@@ -366,10 +366,17 @@ class PromqlHistogramSpec extends SparkSpec {
     assert(f9.hists.isEmpty && f9.points == Seq((T, 7.0)))
     assert(res.filterNot(_.labels("uid") == "9").forall(s =>
       s.points.isEmpty && s.hists.nonEmpty))
-    // sum() splits by type: one float row (the lone float series) and one
-    // merged histogram row share the empty label set
-    val s = eng.instantQuery("sum(reqs)", T)
-    assert(s.size == 1 && s.head.points == Seq((T, 7.0)) &&
-      s.head.hists.head._2.cnt == 16.0)
+    // sum() mixes both types inside the single {} group: Prometheus removes
+    // such a group's result entirely and emits the MixedFloatsHistograms
+    // warning annotation — no half-float half-histogram answer
+    val (s, _, warns) = eng.instantQueryWithStats("sum(reqs)", T)
+    assert(s.isEmpty, s"mixed-type aggregation group must be dropped, got $s")
+    assert(warns.exists(_.contains("mix of histograms and floats")), warns.toString)
+    // grouping that separates the types keeps every group and stays quiet
+    val (byUid, _, warns2) = eng.instantQueryWithStats("sum by (uid) (reqs)", T)
+    assert(byUid.size == 3)
+    assert(byUid.find(_.labels("uid") == "9").get.points == Seq((T, 7.0)))
+    assert(byUid.filterNot(_.labels("uid") == "9").forall(_.hists.nonEmpty))
+    assert(!warns2.exists(_.contains("mix of histograms")), warns2.toString)
   }
 }
