@@ -658,6 +658,17 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |  {a="foo", pod="nginx-1", __name__="metric"} 21
       |  {b="bar", pod="nginx-2", __name__="metric"} 110
       |
+      |eval instant at 100s limit_ratio(0.5, metric) or limit_ratio(-0.5, metric)
+      |  {a="foo", pod="nginx-1", __name__="metric"} 21
+      |  {b="bar", pod="nginx-2", __name__="metric"} 110
+      |
+      |eval instant at 100s limit_ratio(0.3, http) or limit_ratio(-0.3, http)
+      |  {job="api", code="404", __name__="http"} 30
+      |  {job="api", code="200", __name__="http"} 50
+      |
+      |eval instant at 100s count(limit_ratio(0.7, metric) or limit_ratio(-0.7, metric))
+      |  {} 2
+      |
       |eval instant at 100s round(metric / 40)
       |  {a="foo", pod="nginx-1"} 1
       |  {b="bar", pod="nginx-2"} 3
@@ -753,6 +764,13 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |  pair{p="1"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
       |  pair{p="2"} {{schema:1 count:6 sum:10 buckets:[1 2 1 2] offset:2}}
       |  gaps{t="g"} {{schema:0 count:2 sum:2 buckets:[2]}}x1 _ {{schema:0 count:6 sum:6 buckets:[6]}}
+      |  trio{p="1"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  trio{p="2"} {{schema:1 count:6 sum:10 buckets:[1 2 1 2] offset:2}}
+      |  trio{p="3"} {{schema:2 count:4 sum:8 buckets:[1 1 1 1] offset:4}}
+      |  zmix{q="1"} {{schema:0 count:3 sum:3 z_bucket:2 z_bucket_w:0.25 buckets:[1]}}
+      |  zmix{q="2"} {{schema:0 count:4 sum:4 z_bucket:3 z_bucket_w:0.5 buckets:[1]}}
+      |  npmix{q="1"} {{schema:0 count:4 sum:2 buckets:[2] n_buckets:[2]}}
+      |  npmix{q="2"} {{schema:1 count:2 sum:1 n_buckets:[2] n_offset:2}}
       |
       |eval instant at 1m histogram_count(eh)
       |  {t="e"} 0
@@ -913,6 +931,21 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |eval range from 5m to 15m step 5m histogram_count(ctr)
       |  {t="c"} 8 12 _
       |
+      |eval instant at 1m sum(trio)
+      |  {} {{schema:0 count:14 sum:23 buckets:[1 4 7 2]}}
+      |
+      |eval instant at 1m avg(trio)
+      |  {} {{schema:0 count:4.666666666666667 sum:7.666666666666666 buckets:[0.3333333333333333 1.3333333333333333 2.3333333333333335 0.6666666666666666]}}
+      |
+      |eval instant at 1m sum(zmix)
+      |  {} {{schema:0 count:7 sum:7 z_bucket:5 z_bucket_w:0.5 buckets:[2]}}
+      |
+      |eval instant at 1m sum(npmix)
+      |  {} {{schema:0 count:6 sum:3 buckets:[2] n_buckets:[2 2]}}
+      |
+      |eval instant at 1m avg(zmix)
+      |  {} {{schema:0 count:3.5 sum:3.5 z_bucket:2.5 z_bucket_w:0.5 buckets:[1]}}
+      |
       |clear
       |
       |load 1m
@@ -926,9 +959,85 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |""".stripMargin
 
 
+  /** info() — experimental (Prometheus --enable-feature=promql-experimental-
+    * functions): identity join on (job, instance), data-label enrichment,
+    * v-label precedence on collision, identity-less pass-through, and the
+    * multiple-match data error. */
+  private val infoCorpus =
+    """
+      |load 10s
+      |  svc{job="j1", instance="i1", x="1"} 1+1x10
+      |  svc{job="j1", instance="i2", x="2"} 2+1x10
+      |  svc{job="j2", instance="i1", x="3"} 3+1x10
+      |  target_info{job="j1", instance="i1", env="prod", team="a"} 1+0x10
+      |  target_info{job="j1", instance="i2", env="dev", team="b"} 1+0x10
+      |
+      |eval instant at 30s info(svc)
+      |  {__name__="svc", job="j1", instance="i1", x="1", env="prod", team="a"} 4
+      |  {__name__="svc", job="j1", instance="i2", x="2", env="dev", team="b"} 5
+      |  {__name__="svc", job="j2", instance="i1", x="3"} 6
+      |
+      |eval instant at 30s info(svc, {env="prod"})
+      |  {__name__="svc", job="j1", instance="i1", x="1", env="prod", team="a"} 4
+      |  {__name__="svc", job="j1", instance="i2", x="2"} 5
+      |  {__name__="svc", job="j2", instance="i1", x="3"} 6
+      |
+      |eval instant at 30s sum by (env) (info(svc))
+      |  {env="prod"} 4
+      |  {env="dev"} 5
+      |  {} 6
+      |
+      |eval instant at 30s info(sum by (job, instance) (svc))
+      |  {job="j1", instance="i1", env="prod", team="a"} 4
+      |  {job="j1", instance="i2", env="dev", team="b"} 5
+      |  {job="j2", instance="i1"} 6
+      |
+      |clear
+      |
+      |load 10s
+      |  svc2{job="j", instance="a", x="keep"} 5+0x10
+      |  svc2{job="j", instance="b"} 6+0x10
+      |  target_info{job="j", instance="a", x="info", env="p"} 1+0x10
+      |  target_info{job="j", instance="b", x="bx", env="q"} 1+0x10
+      |
+      |eval instant at 30s info(svc2)
+      |  {__name__="svc2", job="j", instance="a", x="keep", env="p"} 5
+      |  {__name__="svc2", job="j", instance="b", x="bx", env="q"} 6
+      |
+      |clear
+      |
+      |load 10s
+      |  bare{z="1"} 7+0x10
+      |  target_info{job="j", instance="a", env="p"} 1+0x10
+      |
+      |eval instant at 30s info(bare)
+      |  {__name__="bare", z="1"} 7
+      |
+      |clear
+      |
+      |load 10s
+      |  svc3{job="j", instance="a"} 1+0x10
+      |  target_info{job="j", instance="a", env="p"} 1+0x10
+      |  target_info{job="j", instance="a", env="q"} 1+0x10
+      |
+      |eval_fail instant at 30s info(svc3)
+      |  expected_fail_message multiple info series match
+      |""".stripMargin
+
+  test("golden corpus: experimental info() identity-join cases match") {
+    val segs = parseSegments(infoCorpus)
+    assert(segs.map(s => s.evals.size + s.fails.size).sum == 7)
+    val failures = segs.flatMap { sg =>
+      val samples = toSamples(sg.loaded)
+      checkInstant(samples, sg.evals, experimental = true) ++
+        checkFails(samples, sg.fails, experimental = true)
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("golden corpus: load/eval instant cases match") {
     val segs = parseSegments(corpus)
-    assert(segs.map(_.loaded.size).sum == 23 && segs.map(_.evals.size).sum == 206)
+    assert(segs.map(_.loaded.size).sum == 23 && segs.map(_.evals.size).sum == 209)
     assert(segs.map(_.fails.size).sum == 4)
     val failures = segs.filter(sg => sg.evals.nonEmpty || sg.fails.nonEmpty)
       .flatMap { sg =>
@@ -941,7 +1050,7 @@ class PromqlGoldenSpec extends PromqlTestRunner {
   test("golden corpus: native-histogram literal cases match") {
     val segs = parseSegments(nhCorpus)
     assert(segs.size == 2, "clear splits the NH corpus into two segments")
-    assert(segs.map(_.loaded.size).sum == 10 && segs.map(_.evals.size).sum == 52)
+    assert(segs.map(_.loaded.size).sum == 17 && segs.map(_.evals.size).sum == 57)
     assert(toSamples(segs.head.loaded).columns.contains("h"))
     val failures = segs.filter(_.evals.nonEmpty)
       .flatMap(sg => checkInstant(toSamples(sg.loaded), sg.evals))

@@ -261,13 +261,15 @@ trait PromqlTestRunner extends SparkSpec {
     dfs.reduce(_ unionByName _)
   }
 
-  protected def checkInstant(samples: DataFrame, evals: Seq[EvalCase]): Seq[String] =
+  protected def checkInstant(samples: DataFrame, evals: Seq[EvalCase],
+                             experimental: Boolean = false): Seq[String] =
     evals.flatMap { e =>
       // compileServing: identical to compile except whole-query histogram
       // shapes keep their histogram samples (__graft_h) for comparison
       // against `{{…}}` expectations, like promqltest result matching
       val df = Compiler.compileServing(Parser.parse(e.query),
-        Compiler.Ctx(samples, e.atMs, e.atMs, 1000L, lookbackMs = 300000L))
+        Compiler.Ctx(samples, e.atMs, e.atMs, 1000L, lookbackMs = 300000L,
+          experimentalFunctions = experimental))
       val hasH = df.columns.contains("__graft_h")
       val lbls = Compiler.labelCols(df).filterNot(_ == "__graft_h")
       def histOf(r: Row): Option[Hist] =
@@ -303,12 +305,14 @@ trait PromqlTestRunner extends SparkSpec {
       if (ok) None else Some(s"QUERY ${e.query} @${e.atMs}\n  got      ${got ++ gotH}\n  expected ${e.expected ++ e.expectedH}")
     }
 
-  protected def checkFails(samples: DataFrame, fails: Seq[FailCase]): Seq[String] =
+  protected def checkFails(samples: DataFrame, fails: Seq[FailCase],
+                           experimental: Boolean = false): Seq[String] =
     fails.flatMap { f =>
       val thrown =
         try {
           Compiler.compileServing(Parser.parse(f.query),
-            Compiler.Ctx(samples, f.atMs, f.atMs, 1000L, lookbackMs = 300000L)).collect()
+            Compiler.Ctx(samples, f.atMs, f.atMs, 1000L, lookbackMs = 300000L,
+              experimentalFunctions = experimental)).collect()
           None
         } catch { case e: Throwable => Some(e) }
       thrown match {
