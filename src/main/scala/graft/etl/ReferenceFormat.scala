@@ -278,6 +278,66 @@ object ReferenceFormat {
           element_at(split(col("_stem"), "/"), -2).as("date")): _*)
   }
 
+  /** Matcher + time-pruned select over a reference bucket — the serving
+    * path for an EXISTING thanos-parquet-gateway store: day directories
+    * outside [mintMs, maxtMs] are never listed into the read (the layout's
+    * `<hash>/<date>/` partition pruning, driver-bounded by day count, ref
+    * `locate/discover.go:125-305` lists the same way), label matchers
+    * compile onto the labels-file columns and filter BEFORE any chunk cell
+    * is decoded (the reference's constraint→row-range→materialize order,
+    * `search/materialize.go:42-105`), and only surviving rows pay the XOR
+    * decode + ts filter. Output shape = the engine's samples model
+    * (label cols + ts_ms/value/sample_id/series_hash), so
+    * [[graft.api.PromEngine]] serves PromQL straight off the bucket. */
+  def selectReferenceStore(spark: SparkSession, dir: String,
+                           matchers: Seq[graft.promql.LabelMatcher] = Nil,
+                           mintMs: Long = Long.MinValue,
+                           maxtMs: Long = Long.MaxValue): DataFrame = {
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val cap = 253402214400000L
+    def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val (loD, hiD) = (day(mintMs), day(maxtMs))
+    val dayDirs = fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
+      .flatMap(h => fs.listStatus(h.getPath).toSeq.filter(d =>
+        d.isDirectory && d.getPath.getName >= loD && d.getPath.getName <= hiD))
+      .map(_.getPath.toString)
+    if (dayDirs.isEmpty)
+      return spark.emptyDataFrame.withColumn("ts_ms", lit(0L))
+        .withColumn("value", lit(0.0)).limit(0)
+
+    val lbl = spark.read.parquet(dayDirs.map(d => s"$d/*.labels.parquet"): _*)
+      .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
+        lit("\\.labels\\.parquet$"), lit("")))
+      .withColumn("_ri", col("_metadata.row_index"))
+    val chk = spark.read.parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
+      .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
+        lit("\\.chunks\\.parquet$"), lit("")))
+      .withColumn("_ri", col("_metadata.row_index"))
+      .select(Seq(col("_stem"), col("_ri"), col(HashCol)) ++
+        ChunkCols.map(c => coalesce(col(c), lit(Array.empty[Byte])).as(c)): _*)
+
+    val lblNames = lbl.columns.filter(_.startsWith(LabelPrefix)).toSeq.sorted
+    // matcher predicates compile on PLAIN label names over the labels scan —
+    // pushed to parquet (dictionary/bloom pruning) before the zip and decode
+    val plain = lbl.select(Seq(col("_stem"), col("_ri")) ++
+      lblNames.map(c => col(c).as(c.stripPrefix(LabelPrefix))): _*)
+    val filtered =
+      if (matchers.isEmpty) plain
+      else plain.filter(graft.promql.Matchers.compile(plain, matchers))
+
+    val pts = explode(concat(ChunkCols.map(c => PromFramesDecode(col(c))): _*))
+    filtered.join(chk, Seq("_stem", "_ri"))
+      .withColumn("_p", pts)
+      .select(lblNames.map(c => col(c.stripPrefix(LabelPrefix))) ++
+        Seq(col(HashCol).as("series_hash"),
+          col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value")): _*)
+      .filter(col("ts_ms").between(mintMs, maxtMs))
+      // the layout stores ≤1 sample per (series, ts); ts doubles as the
+      // deterministic ingest-order tie-break the model asks for
+      .withColumn("sample_id", col("ts_ms"))
+  }
+
   /** stream.pb sidecars: hash string (directory name) → external label set. */
   def readStreamDescriptors(spark: SparkSession, dir: String): Map[String, Map[String, String]] = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)

@@ -591,6 +591,29 @@ object Tsdb {
         DSUM + " AS sum_v, count(DISTINCT (event_type, user_id)) AS n_series " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Pruned select over the REFERENCE layout: matchers compile onto the
+    // labels-file columns and the day directories outside the interval are
+    // never listed — same constraint→materialize order as s5_chunked_select,
+    // but against the reference's own on-disk format.
+    Q("s5_reference_select",
+      t => {
+        val out = java.nio.file.Files.createTempDirectory("graft-refsel2").toString
+        graft.etl.ReferenceFormat.convertReference(t.spark,
+          TimeSeriesModel.samples(t.events), out, numShards = 2)
+        graft.etl.ReferenceFormat.selectReferenceStore(t.spark, out,
+            Seq(MatchEq("__name__", "purchase"), MatchNotEq("uid", "3")),
+            T0 + 7 * DAY, T0 + 14 * DAY - 1)
+          .groupBy(col("uid"))
+          .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("min_ts"),
+            max(col("ts_ms")).as("max_ts"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("uid"))
+      },
+      Some(s"WITH $S_CTE SELECT uid, count(*) AS n, min(ts_ms) AS min_ts, " +
+        s"max(ts_ms) AS max_ts, $DSUM AS sum_v FROM s " +
+        s"WHERE __name__ = 'purchase' AND uid <> '3' " +
+        s"AND ts_ms BETWEEN ${T0 + 7 * DAY} AND ${T0 + 14 * DAY - 1} " +
+        "GROUP BY uid ORDER BY uid")),
+
     // Chunk-layout persistence roundtrip: the same day-grain audit as s5 but
     // through the Gorilla chunk files (encode → zstd parquet → scan → decode).
     // Proves the STORED bytes reconstruct every sample, not just in-plan ones.

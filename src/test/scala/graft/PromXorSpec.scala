@@ -197,6 +197,40 @@ class PromXorSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("selectReferenceStore: matcher + day pruning, then PromQL off the bucket") {
+    import org.apache.spark.sql.functions._
+    import graft.promql.{MatchEq, MatchRe}
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    val samples = graft.model.TimeSeriesModel.samples(events)
+    val out = java.nio.file.Files.createTempDirectory("graft-refsel").toString
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+
+    val t0 = 1704067200000L; val day = 86400000L
+    val (lo, hi) = (t0 + 2 * day, t0 + 9 * day - 1)
+    val got = ReferenceFormat.selectReferenceStore(spark, out,
+        Seq(MatchEq("__name__", "purchase"), MatchRe("uid", "[0-4]")), lo, hi)
+      .groupBy(col("uid")).agg(count(lit(1)).as("n"), graft.functions.Det.dsum(col("value")).as("s"))
+    val want = samples
+      .filter(col("__name__") === "purchase" && col("uid").rlike("^(?:[0-4])$") &&
+        col("ts_ms").between(lo, hi))
+      .groupBy(col("uid")).agg(count(lit(1)).as("n"), graft.functions.Det.dsum(col("value")).as("s"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty && got.count() > 0)
+
+    // PromQL served straight off the reference bucket equals the engine
+    // over the original samples frame
+    val engBucket = new graft.api.PromEngine(
+      ReferenceFormat.selectReferenceStore(spark, out), lookbackMs = day)
+    val engRaw = new graft.api.PromEngine(samples, lookbackMs = day)
+    val q = """sum by (__name__) ({uid!=""})"""
+    val ti = t0 + 14 * day
+    def res(e: graft.api.PromEngine) =
+      e.instantQuery(q, ti).map(s => s.labels("__name__") -> s.points.head._2).toMap
+    val (a, b) = (res(engBucket), res(engRaw))
+    assert(a.keySet == b.keySet && a.keySet.nonEmpty)
+    a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9, s"$k: ${a(k)} vs ${b(k)}"))
+  }
+
   test("external labels: stream.pb fold + hashed directory") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.normalizeTs(
