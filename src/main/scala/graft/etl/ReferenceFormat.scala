@@ -248,12 +248,10 @@ object ReferenceFormat {
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.labels\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index"))
-    val chk = spark.read.parquet(s"$dir/*/*/*.chunks.parquet")
+    val chk = chunksProjection(spark.read.parquet(s"$dir/*/*/*.chunks.parquet")
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.chunks\\.parquet$"), lit("")))
-      .withColumn("_ri", col("_metadata.row_index"))
-      .select(Seq(col("_stem"), col("_ri"), col(HashCol)) ++
-        ChunkCols.map(c => coalesce(col(c), lit(Array.empty[Byte])).as(c)): _*)
+      .withColumn("_ri", col("_metadata.row_index")))
 
     val lblNames = lbl.columns.filter(_.startsWith(LabelPrefix)).toSeq.sorted
     val joined = lbl.join(chk, Seq("_stem", "_ri"))
@@ -273,9 +271,29 @@ object ReferenceFormat {
     joined
       .withColumn("_p", pts)
       .select(lblNames.map(c => col(c).as(c.stripPrefix(LabelPrefix))) ++ extCols ++
-        Seq(col(HashCol).as("series_hash"),
+        Seq(seriesHashOf(joined, lblNames.map(c => (c.stripPrefix(LabelPrefix), col(c)))).as("series_hash"),
           col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value"),
           element_at(split(col("_stem"), "/"), -2).as("date")): _*)
+  }
+
+  /** Chunks-file projection tolerant of schema V1 (pre-`___cf_meta_hash`,
+    * ref `schema/schema.go:38-49`): a missing hash column reads as null and
+    * [[seriesHashOf]] recomputes it from the labels. */
+  private def chunksProjection(chkRaw: DataFrame): DataFrame = {
+    val hashC = if (chkRaw.columns.contains(HashCol)) col(HashCol)
+                else lit(null).cast("long").as(HashCol)
+    chkRaw.select(Seq(col("_stem"), col("_ri"), hashC.as(HashCol)) ++
+      ChunkCols.map(c => coalesce(col(c), lit(Array.empty[Byte])).as(c)): _*)
+  }
+
+  /** `___cf_meta_hash` when stored (V2), else Prometheus labels.Hash
+    * recomputed over the present labels — identical bytes-in, so V1 and V2
+    * rows of the same series carry one hash. */
+  private def seriesHashOf(df: DataFrame, lbls: Seq[(String, Column)]): Column = {
+    val arr = filter(
+      array(lbls.map { case (n, c) => struct(lit(n).as("name"), c.as("value")) }: _*),
+      x => x.getField("value").isNotNull && x.getField("value") =!= "")
+    coalesce(col(HashCol), PromLabelsHash(arr))
   }
 
   /** Matcher + time-pruned select over a reference bucket — the serving
@@ -310,12 +328,10 @@ object ReferenceFormat {
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.labels\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index"))
-    val chk = spark.read.parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
+    val chk = chunksProjection(spark.read.parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.chunks\\.parquet$"), lit("")))
-      .withColumn("_ri", col("_metadata.row_index"))
-      .select(Seq(col("_stem"), col("_ri"), col(HashCol)) ++
-        ChunkCols.map(c => coalesce(col(c), lit(Array.empty[Byte])).as(c)): _*)
+      .withColumn("_ri", col("_metadata.row_index")))
 
     val lblNames = lbl.columns.filter(_.startsWith(LabelPrefix)).toSeq.sorted
     // matcher predicates compile on PLAIN label names over the labels scan —
@@ -327,10 +343,12 @@ object ReferenceFormat {
       else plain.filter(graft.promql.Matchers.compile(plain, matchers))
 
     val pts = explode(concat(ChunkCols.map(c => PromFramesDecode(col(c))): _*))
-    filtered.join(chk, Seq("_stem", "_ri"))
+    val zipped = filtered.join(chk, Seq("_stem", "_ri"))
+    zipped
       .withColumn("_p", pts)
       .select(lblNames.map(c => col(c.stripPrefix(LabelPrefix))) ++
-        Seq(col(HashCol).as("series_hash"),
+        Seq(seriesHashOf(zipped, lblNames.map(c =>
+            (c.stripPrefix(LabelPrefix), col(c.stripPrefix(LabelPrefix))))).as("series_hash"),
           col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value")): _*)
       .filter(col("ts_ms").between(mintMs, maxtMs))
       // the layout stores ≤1 sample per (series, ts); ts doubles as the

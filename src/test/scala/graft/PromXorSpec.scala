@@ -231,6 +231,41 @@ class PromXorSpec extends SparkSpec {
     a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  test("schema V1 bucket (no ___cf_meta_hash): hash recomputed from labels") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet")).limit(800)
+    val samples = graft.model.TimeSeriesModel.samples(events)
+    val out = java.nio.file.Files.createTempDirectory("graft-refv1").toString
+    ReferenceFormat.convertReference(spark, samples, out)
+    val v2 = ReferenceFormat.openReferenceStore(spark, out)
+      .select("__name__", "uid", "ts_ms", "value", "series_hash").collect().toSet
+
+    // strip the V2 hash column from every chunks file in place → a V1 bucket
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val chunkFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val todo = scala.collection.mutable.ArrayBuffer[String]()
+    chunkFiles.forEachRemaining(p =>
+      if (p.toString.endsWith(".chunks.parquet")) todo += p.toString)
+    todo.foreach { f =>
+      val df = spark.read.parquet(f).drop("___cf_meta_hash")
+      val tmp = f + ".v1tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      fs.rename(part, new org.apache.hadoop.fs.Path(f))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val v1 = ReferenceFormat.openReferenceStore(spark, out)
+      .select("__name__", "uid", "ts_ms", "value", "series_hash").collect().toSet
+    // identical rows INCLUDING the hash: the recomputed Prometheus
+    // labels.Hash equals the stored one byte-for-byte
+    assert(v1 == v2 && v1.nonEmpty)
+  }
+
   test("external labels: stream.pb fold + hashed directory") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.normalizeTs(
