@@ -1,5 +1,6 @@
 package graft.examples
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.api.{HttpApi, PromEngine}
 import graft.model.TimeSeriesModel
@@ -39,9 +40,21 @@ object Serve {
     // the chunk-file layout (<dir>/chunks — decode-on-read; ChunkFramePrune
     // keeps per-query time bounds pruning frames at the scan)
     def isDir(p: String) = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
+    // a thanos-parquet-gateway bucket (<hash>/<date>/<shard>.labels.parquet)
+    // serves directly through the byte-level interop reader — no conversion
+    def isReferenceBucket(p: String): Boolean = isDir(p) && {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p), 3)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.exists(_.getFileName.toString.endsWith(".labels.parquet"))
+      finally s.close()
+    }
     val samples =
       if (isDir(s"$sfDir/chunks")) graft.etl.Ingest.openChunkedSamples(spark, sfDir)
       else if (isDir(s"$sfDir/samples")) graft.etl.Ingest.openSamples(spark, sfDir)
+      else if (isReferenceBucket(sfDir)) {
+        println(s"serving a reference-layout bucket: $sfDir")
+        graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir)
+      }
       else TimeSeriesModel.samples(Tables(spark, sfDir).events)
     // Thanos auto-downsampling: persisted downsample-<res> layers serve
     // aligned long-range queries transparently (graft.promql.LayerRoute)
