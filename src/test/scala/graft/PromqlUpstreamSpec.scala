@@ -449,6 +449,114 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {start="negative"} -0.15
       |""".stripMargin
 
+  /** testdata/at_modifier.test — the 2-series linear fixture; @-pinned
+    * instants, @ with offset in both orders, pinned range functions and
+    * subqueries, start()/end(), @ broadcast onto a range grid. */
+  private val atModifierCorpus =
+    """
+      |load 10s
+      |  metric{job="1"} 0+1x1000
+      |  metric{job="2"} 0+2x1000
+      |
+      |eval instant at 10s metric @ 100
+      |  {__name__="metric", job="1"} 10
+      |  {__name__="metric", job="2"} 20
+      |
+      |eval instant at 10s metric @ 100 offset 50s
+      |  {__name__="metric", job="1"} 5
+      |  {__name__="metric", job="2"} 10
+      |
+      |eval instant at 10s metric offset 50s @ 100
+      |  {__name__="metric", job="1"} 5
+      |  {__name__="metric", job="2"} 10
+      |
+      |eval instant at 10s -metric @ 100
+      |  {job="1"} -10
+      |  {job="2"} -20
+      |
+      |eval instant at 25s sum_over_time(metric{job="1"}[100s] @ 100)
+      |  {job="1"} 55
+      |
+      |eval instant at 10s count_over_time(metric{job="1"}[100s] @ 100)
+      |  {job="1"} 10
+      |
+      |eval instant at 10s metric{job="1"} @ 50 + metric{job="1"} @ 100
+      |  {job="1"} 15
+      |
+      |eval instant at 10s rate(metric{job="1"}[20s] @ 100)
+      |  {job="1"} 0.1
+      |
+      |eval instant at 100s metric{job="1"} offset 50s
+      |  {__name__="metric", job="1"} 5
+      |
+      |eval range from 10s to 30s step 10s metric{job="1"} @ 100
+      |  {__name__="metric", job="1"} 10 10 10
+      |
+      |eval instant at 10s sum(metric @ start())
+      |  {} 3
+      |
+      |eval instant at 10s sum(metric @ end())
+      |  {} 3
+      |""".stripMargin
+
+  /** testdata/subquery.test — aligned inner grids under Prometheus-3
+    * left-open windows, inner expressions, subquery offset. */
+  private val subqueryCorpus =
+    """
+      |load 10s
+      |  metric{job="1"} 0+1x1000
+      |
+      |eval instant at 100s sum_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 40
+      |
+      |eval instant at 100s max_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 10
+      |
+      |eval instant at 100s avg_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 8
+      |
+      |eval instant at 105s sum_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 40
+      |
+      |eval instant at 100s sum_over_time((metric{job="1"} * 2)[50s:10s])
+      |  {job="1"} 80
+      |
+      |eval instant at 100s sum_over_time(metric{job="1"}[50s:10s] offset 10s)
+      |  {job="1"} 35
+      |""".stripMargin
+
+  /** testdata/staleness.test — the stale-marker fixture: a staleness marker
+    * hides the series from instant selection immediately and never counts
+    * as a sample for *_over_time. */
+  private val stalenessCorpus =
+    """
+      |load 10s
+      |  metric 0 1 stale 2
+      |
+      |eval instant at 10s metric
+      |  {__name__="metric"} 1
+      |
+      |eval instant at 20s metric
+      |
+      |eval instant at 30s metric
+      |  {__name__="metric"} 2
+      |
+      |eval instant at 40s metric
+      |  {__name__="metric"} 2
+      |
+      |eval instant at 10s count_over_time(metric[1000s])
+      |  {} 2
+      |
+      |eval instant at 20s count_over_time(metric[1000s])
+      |  {} 2
+      |
+      |eval instant at 30s count_over_time(metric[1000s])
+      |  {} 3
+      |
+      |eval range from 0s to 30s step 10s metric
+      |  {__name__="metric"} 0 1 _ 2
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int): Unit = {
     val segs = parseSegments(corpus)
     assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
@@ -465,4 +573,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 20) }
   test("upstream functions.test tranche") { run("functions", functionsCorpus, 33) }
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 6) }
+  test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 12) }
+  test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 6) }
+  test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }
 }
