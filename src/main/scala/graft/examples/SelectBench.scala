@@ -81,6 +81,45 @@ object SelectBench {
       report("80k", queries.map { case (n, ms) => run(n, samples, ms, repeat) })
     }
 
+    if (mode.contains("r")) {
+      // Reference-LAYOUT interop workload: the same 80k-cardinality fixture
+      // and matcher patterns as workload A, but stored as the reference's
+      // own dual-file bucket and selected through the byte-level interop
+      // reader (labels-scan matcher pushdown → positional zip → XOR decode)
+      // — pins that serving an EXISTING gateway bucket stays in the same
+      // performance class as the engine's native layout.
+      val codes = Seq("200", "202", "300", "404", "400", "429", "500", "503")
+      val gen = spark.range(10000).select(col("id"))
+        .crossJoin(spark.createDataset(codes)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("status_code"))
+        .select(lit("foo").as("__name__"), col("id").cast("string").as("idx"),
+          col("status_code"), lit(0L).as("ts_ms"), rand(42).as("value"),
+          lit(0L).as("sample_id"),
+          xxhash64(col("id").cast("string"), col("status_code")).as("series_hash"))
+      val bkt = s"$tmp/refbucket"
+      val t0 = System.nanoTime()
+      graft.etl.ReferenceFormat.convertReference(spark, gen, bkt, numShards = 4)
+      val convertSecs = (System.nanoTime() - t0) / 1e9
+      val queries = Seq(
+        "ShreddedByStatusCode" -> Seq(MatchEq("__name__", "foo"), MatchRe("status_code", "4..")),
+        "ShreddedByIdx"        -> Seq(MatchEq("__name__", "foo"), MatchRe("idx", ".*2")),
+        "AllSeries"            -> Seq(MatchEq("__name__", "foo")),
+        "SingleSeries"         -> Seq(MatchEq("idx", "500")),
+        "FirstAndLastSeries"   -> Seq(MatchRe("idx", "0|9999")))
+      val rs = queries.map { case (n, ms) =>
+        var rows = 0L
+        val secs = (1 to repeat).map { _ =>
+          val s0 = System.nanoTime()
+          rows = graft.etl.ReferenceFormat.selectReferenceStore(spark, bkt, ms, 0L, 120L)
+            .agg(count(lit(1)), sum(col("value"))).head().getLong(0)
+          (System.nanoTime() - s0) / 1e9
+        }
+        (n, secs.min, rows)
+      }
+      println(f"""{"metric":"select_bench_refbucket_convert","value":$convertSecs%.3f,"unit":"sec"}""")
+      report("refbucket", rs)
+    }
+
     if (mode.contains("b")) { // ref db/db_bench_test.go:155-281
       val gen = spark.range(5).select(col("id").as("m"))
         .crossJoin(spark.range(100).select(col("id").as("i")))
