@@ -62,10 +62,17 @@ object ReferenceFormat {
   private def hashStr(h: Long): String = java.lang.Long.toUnsignedString(h)
 
   /** Convert model samples (label cols + ts_ms/value/sample_id/series_hash)
-    * into the reference's dual-file layout. Returns the written dates. */
+    * into the reference's dual-file layout. Returns the written dates.
+    *
+    * `days` restricts conversion to those UTC dates — the reference's
+    * convert-loop unit of work (`cmd/convert.go` plans and converts one day
+    * at a time): a day re-converts by overwriting exactly its own
+    * `<hash>/<date>/` files, so re-running a planned day after a re-delivery
+    * is idempotent and touches nothing else. */
   def convertReference(spark: SparkSession, samples: DataFrame, outDir: String,
                        externalLabels: Map[String, String] = Map.empty,
-                       numShards: Int = 1): Seq[String] = {
+                       numShards: Int = 1,
+                       days: Option[Seq[String]] = None): Seq[String] = {
     require(numShards >= 1, "numShards must be >= 1")
     samples.schema.fields.find(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
       .foreach { f =>
@@ -90,8 +97,10 @@ object ReferenceFormat {
     val flags = array(lblCols.map(n =>
       col(n).isNotNull && col(n).cast("string") =!= ""): _*)
 
-    val rows = dedup
+    val dated = dedup
       .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+    val picked = days.map(ds => dated.filter(col("date").isin(ds: _*))).getOrElse(dated)
+    val rows = picked
       .groupBy(col("date") +: lblCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ts_ms"),
         col("value").cast("double").as("value")))).as("pts"))
@@ -116,8 +125,11 @@ object ReferenceFormat {
       writeAligned(rows, col(HashCol) +: ChunkCols.map(col), tmpC)
 
       val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
-      val dates = renameShards(fs, tmpL, outDir, eh, "labels.parquet")
-      renameShards(fs, tmpC, outDir, eh, "chunks.parquet")
+      // the labels pass clears each rewritten day dir first, so a re-convert
+      // that now produces fewer populated shards cannot leave a stale
+      // <shard>.*.parquet pair behind (day-overwrite idempotency)
+      val dates = renameShards(fs, tmpL, outDir, eh, "labels.parquet", clearDay = true)
+      renameShards(fs, tmpC, outDir, eh, "chunks.parquet", clearDay = false)
       fs.delete(new Path(tmpL), true); fs.delete(new Path(tmpC), true)
 
       dates.foreach { d =>
@@ -151,11 +163,13 @@ object ReferenceFormat {
   /** `date=D/shard=S/part-*.parquet` → `<eh>/<D>/<S>.<suffix>`; exactly one
     * part file per combo by construction (fails loudly otherwise). */
   private def renameShards(fs: FileSystem, tmpDir: String, outDir: String,
-                           eh: String, suffix: String): Seq[String] = {
+                           eh: String, suffix: String,
+                           clearDay: Boolean): Seq[String] = {
     val dates = fs.listStatus(new Path(tmpDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
     dates.map { dd =>
       val date = dd.getPath.getName.stripPrefix("date=")
+      if (clearDay) fs.delete(new Path(s"$outDir/$eh/$date"), true)
       fs.mkdirs(new Path(s"$outDir/$eh/$date"))
       for (sd <- fs.listStatus(dd.getPath)
            if sd.isDirectory && sd.getPath.getName.startsWith("shard=")) {

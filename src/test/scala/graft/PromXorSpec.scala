@@ -231,6 +231,38 @@ class PromXorSpec extends SparkSpec {
     a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  test("per-day incremental conversion: day overwrite is idempotent and isolated") {
+    import org.apache.spark.sql.functions._
+    val t0 = 1704067200000L; val day = 86400000L
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    val samples = graft.model.TimeSeriesModel.samples(events)
+      .filter(col("ts_ms") < t0 + 2 * day)
+    val (d1, d2) = ("2024-01-01", "2024-01-02")
+    val out = java.nio.file.Files.createTempDirectory("graft-refdays").toString
+
+    assert(ReferenceFormat.convertReference(spark, samples, out,
+      days = Some(Seq(d1))) == Seq(d1))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/0/$d1/0.labels.parquet")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/0/$d2")))
+
+    ReferenceFormat.convertReference(spark, samples, out, days = Some(Seq(d2)))
+    val both = ReferenceFormat.openReferenceStore(spark, out)
+      .select("__name__", "uid", "ts_ms", "value").collect().toSet
+    // re-delivery of day 1: same samples, same store — idempotent, and day 2
+    // untouched
+    ReferenceFormat.convertReference(spark, samples, out, days = Some(Seq(d1)))
+    val after = ReferenceFormat.openReferenceStore(spark, out)
+      .select("__name__", "uid", "ts_ms", "value").collect().toSet
+    assert(after == both && after.nonEmpty)
+    // and the incremental result equals a one-shot conversion
+    val once = java.nio.file.Files.createTempDirectory("graft-refonce").toString
+    ReferenceFormat.convertReference(spark, samples, once)
+    val oneShot = ReferenceFormat.openReferenceStore(spark, once)
+      .select("__name__", "uid", "ts_ms", "value").collect().toSet
+    assert(oneShot == both)
+  }
+
   test("schema V1 bucket (no ___cf_meta_hash): hash recomputed from labels") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.normalizeTs(
