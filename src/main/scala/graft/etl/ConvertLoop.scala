@@ -57,4 +57,42 @@ object ConvertLoop {
     }
     RoundResult(result.toMap)
   }
+
+  /** [[advance]] with the REFERENCE dual-file layout as the sink: the same
+    * discovery→plan→convert round, but each planned day lands as the
+    * reference's own `<extHash>/<date>/<shard>.{labels,chunks}.parquet` +
+    * `meta.pb` (+ `stream.pb` per stream) — a continuous TSDB→gateway-bucket
+    * migration loop the reference's `convert` command runs natively
+    * (`cmd/convert.go:232-330`). Converted-day state is read back from the
+    * bucket's meta.pb files, so the loop resumes from the bucket alone.
+    * Round keys are ext-labels-hash strings (the bucket's directory names). */
+  def advanceReference(spark: SparkSession,
+                       tsdb: TsdbDiscoverer,
+                       outDir: String,
+                       today: LocalDate,
+                       loadSamples: TsdbStream => DataFrame,
+                       graceDays: Int = 2,
+                       maxDays: Int = 2,
+                       numShards: Int = 1,
+                       watermark: Option[Planner.LiveStoreWatermark] = None): RoundResult = {
+    tsdb.discover()
+    val convertedDays = ReferenceFormat.discoverDays(spark, outDir)
+    val result = tsdb.streams.toSeq.sortBy(_._1).map { case (_, stream) =>
+      val eh = java.lang.Long.toUnsignedString(
+        ReferenceFormat.externalLabelsHash(stream.externalLabels))
+      val plan = Planner.planDays(
+        stream.days.map(LocalDate.parse).toSet,
+        convertedDays.getOrElse(eh, Seq.empty).map(LocalDate.parse).toSet,
+        today, graceDays, maxDays, watermark)
+      if (plan.isEmpty) eh -> Seq.empty[String]
+      else {
+        val days = plan.days.map(_.toString)
+        ReferenceFormat.convertReference(spark, loadSamples(stream), outDir,
+          externalLabels = stream.externalLabels, numShards = numShards,
+          days = Some(days))
+        eh -> days
+      }
+    }
+    RoundResult(result.toMap)
+  }
 }

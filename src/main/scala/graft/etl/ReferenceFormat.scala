@@ -370,6 +370,33 @@ object ReferenceFormat {
       .withColumn("sample_id", col("ts_ms"))
   }
 
+  /** Converted-day catalog of a reference bucket: ext-labels-hash string →
+    * sorted dates, a day counting as converted iff its `meta.pb` exists
+    * (the reference's discovery skips meta-less days the same way,
+    * `locate/discover.go:125-305`). Hash-0 meta lives at the top level
+    * (`MetaFileNameForBlock` elides the zero hash). */
+  def discoverDays(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Map.empty
+    val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
+    val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+    fs.listStatus(base).toSeq.filter(_.isDirectory).foreach { top =>
+      val name = top.getPath.getName
+      if (dateRe.matches(name)) {
+        if (fs.exists(new Path(top.getPath, "meta.pb")))
+          out("0") = out.getOrElse("0", Seq.empty) :+ name
+      } else if (name.forall(_.isDigit)) {
+        fs.listStatus(top.getPath).toSeq.filter(_.isDirectory).foreach { d =>
+          if (dateRe.matches(d.getPath.getName) &&
+              fs.exists(new Path(d.getPath, "meta.pb")))
+            out(name) = out.getOrElse(name, Seq.empty) :+ d.getPath.getName
+        }
+      }
+    }
+    out.view.mapValues(_.sorted).toMap
+  }
+
   /** stream.pb sidecars: hash string (directory name) → external label set. */
   def readStreamDescriptors(spark: SparkSession, dir: String): Map[String, Map[String, String]] = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)

@@ -693,6 +693,49 @@ class EtlSpec extends SparkSpec {
     assert(Ingest.openSamples(spark, out).filter(col("date") === "2024-01-01").count() == 0)
   }
 
+  test("convert loop into the REFERENCE layout: incremental, resumable from meta.pb") {
+    import graft.etl.{ConvertLoop, ReferenceFormat, TsdbDiscoverer}
+    import graft.model.TimeSeriesModel
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    val tsdbRoot = Files.createTempDirectory("graft-refloop-tsdb").toString
+    val out = Files.createTempDirectory("graft-refloop-out").toString
+    def put(id: String, mint: Long, maxt: Long, cluster: String): Unit = {
+      val d = Paths.get(s"$tsdbRoot/$id"); Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        s"""{"ulid":"$id","minTime":$mint,"maxTime":$maxt,
+           | "stats":{"numChunks":4},
+           | "thanos":{"labels":{"cluster":"$cluster"},"downsample":{"resolution":0}}}"""
+          .stripMargin)
+    }
+    put("blkA1", jan1, jan1 + 3 * D, "a")
+    val t = Tables(spark, sf())
+    val disc = new TsdbDiscoverer(tsdbRoot, now = () => jan1 + 40 * D)
+    val today = java.time.LocalDate.of(2024, 1, 10)
+    def round() = ConvertLoop.advanceReference(spark, disc, out, today,
+      _ => TimeSeriesModel.samples(t.events), graceDays = 2, maxDays = 2,
+      numShards = 2)
+    val eh = java.lang.Long.toUnsignedString(
+      ReferenceFormat.externalLabelsHash(Map("cluster" -> "a")))
+    // soft cap 2 days/round, newest first; round 3 converged
+    val r1 = round()
+    assert(r1.converted(eh) == Seq("2024-01-03", "2024-01-02"))
+    assert(round().converted(eh) == Seq("2024-01-01"))
+    assert(round().converged)
+    // the bucket IS the converted-day catalog (meta.pb presence)
+    assert(ReferenceFormat.discoverDays(spark, out) ==
+      Map(eh -> Seq("2024-01-01", "2024-01-02", "2024-01-03")))
+    // exact reference filenames under the hashed stream dir + stream.pb
+    assert(Files.exists(Paths.get(s"$out/$eh/2024-01-02/1.labels.parquet")))
+    assert(Files.exists(Paths.get(s"$out/$eh/stream.pb")))
+    // and the bucket serves the three converted days' samples
+    val got = ReferenceFormat.openReferenceStore(spark, out)
+    val want = TimeSeriesModel.samples(t.events)
+      .filter(col("ts_ms") >= jan1 && col("ts_ms") < jan1 + 3 * D).count()
+    assert(got.count() == want)
+    assert(got.select("cluster").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("MiniJson: nested objects, arrays, escapes, numbers") {
     import graft.etl.MiniJson
     val v = MiniJson.parse(
