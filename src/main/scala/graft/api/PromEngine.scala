@@ -135,7 +135,12 @@ final class PromEngine(samples: DataFrame,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
     val (df, mixed) = Compiler.compileServingAnnotated(ast, ctx)
-    finish(df, Compiler.staticWarnings(ast) ++ mixedWarning(mixed))
+    // materialize the (tiny, usually empty) mixed-keys frame ONCE into the
+    // block cache: the warning probe below warms it and the result plan's
+    // anti-joins reuse it instead of re-evaluating both typed subtrees
+    mixed.foreach(_.persist())
+    try finish(df, Compiler.staticWarnings(ast) ++ mixedWarning(mixed))
+    finally mixed.foreach(_.unpersist(false))
   }
 
   def rangeQueryWithStats(promql: String, startMs: Long, endMs: Long, stepMs: Long,
@@ -146,7 +151,12 @@ final class PromEngine(samples: DataFrame,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
     val (df, mixed) = Compiler.compileServingAnnotated(ast, ctx)
-    finish(df, Compiler.staticWarnings(ast) ++ mixedWarning(mixed))
+    // materialize the (tiny, usually empty) mixed-keys frame ONCE into the
+    // block cache: the warning probe below warms it and the result plan's
+    // anti-joins reuse it instead of re-evaluating both typed subtrees
+    mixed.foreach(_.persist())
+    try finish(df, Compiler.staticWarnings(ast) ++ mixedWarning(mixed))
+    finally mixed.foreach(_.unpersist(false))
   }
 
   /** Eval-time MixedFloatsHistograms annotation (Prometheus drops an

@@ -77,18 +77,26 @@ object ConvertLoop {
                        watermark: Option[Planner.LiveStoreWatermark] = None): RoundResult = {
     tsdb.discover()
     val convertedDays = ReferenceFormat.discoverDays(spark, outDir)
-    val result = tsdb.streams.toSeq.sortBy(_._1).map { case (_, stream) =>
-      val eh = java.lang.Long.toUnsignedString(
-        ReferenceFormat.externalLabelsHash(stream.externalLabels))
+    // bucket identity is the EXT-LABELS HASH (the directory name): streams
+    // sharing one external label set share one bucket, so they convert as a
+    // UNION — converting them separately would let the second stream's
+    // day-overwrite clobber the first's freshly written files
+    val byHash = tsdb.streams.toSeq.sortBy(_._1).groupBy { case (_, s) =>
+      java.lang.Long.toUnsignedString(
+        ReferenceFormat.externalLabelsHash(s.externalLabels))
+    }
+    val result = byHash.toSeq.sortBy(_._1).map { case (eh, members) =>
       val plan = Planner.planDays(
-        stream.days.map(LocalDate.parse).toSet,
+        members.flatMap(_._2.days).map(LocalDate.parse).toSet,
         convertedDays.getOrElse(eh, Seq.empty).map(LocalDate.parse).toSet,
         today, graceDays, maxDays, watermark)
       if (plan.isEmpty) eh -> Seq.empty[String]
       else {
         val days = plan.days.map(_.toString)
-        ReferenceFormat.convertReference(spark, loadSamples(stream), outDir,
-          externalLabels = stream.externalLabels, numShards = numShards,
+        val union = members.map(m => loadSamples(m._2))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        ReferenceFormat.convertReference(spark, union, outDir,
+          externalLabels = members.head._2.externalLabels, numShards = numShards,
           days = Some(days))
         eh -> days
       }

@@ -83,9 +83,17 @@ object ReferenceFormat {
     val lblCols = samples.columns.filterNot(Book).toSeq.sorted
     require(lblCols.nonEmpty, "samples carry no label columns")
 
+    // day restriction FIRST: date is a pure function of the dedup grouping
+    // key ts_ms, so filtering before the vertical merge is identical — and
+    // an incremental advanceReference round then shuffles only the planned
+    // days, not the stream's whole history
+    val dated = samples
+      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
+    val picked = days.map(ds => dated.filter(col("date").isin(ds: _*))).getOrElse(dated)
+
     // vertical merge, as convertSamples: deterministic winner = min sample_id
-    val pcols = samples.columns.toSeq
-    val dedup = samples
+    val pcols = picked.columns.toSeq
+    val dedup = picked
       .groupBy(col("series_hash"), col("ts_ms"))
       .agg(min_by(struct(pcols.map(col): _*), col("sample_id")).as("_r"))
       .select(pcols.map(c => col(s"_r.$c")): _*)
@@ -97,10 +105,7 @@ object ReferenceFormat {
     val flags = array(lblCols.map(n =>
       col(n).isNotNull && col(n).cast("string") =!= ""): _*)
 
-    val dated = dedup
-      .withColumn("date", date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd"))
-    val picked = days.map(ds => dated.filter(col("date").isin(ds: _*))).getOrElse(dated)
-    val rows = picked
+    val rows = dedup
       .groupBy(col("date") +: lblCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ts_ms"),
         col("value").cast("double").as("value")))).as("pts"))
@@ -110,9 +115,7 @@ object ReferenceFormat {
       .withColumn("shard",
         pmod(xxhash64(lblCols.map(n => coalesce(col(n).cast("string"), lit(""))): _*),
           lit(numShards.toLong)).cast("int"))
-      .withColumn("lblkey",
-        concat_ws("ÿ", lblCols.map(n => coalesce(col(n).cast("string"), lit(""))): _*))
-      .select(Seq(col("date"), col("shard"), col("lblkey"), col(HashCol), col(IndexCol)) ++
+      .select(Seq(col("date"), col("shard"), col(HashCol), col(IndexCol)) ++
         ChunkCols.zipWithIndex.map { case (c, i) =>
           element_at(col("frames"), i + 1).as(c) } ++
         lblCols.map(n => col(n).cast("string").as(LabelPrefix + n)): _*)
@@ -121,8 +124,14 @@ object ReferenceFormat {
       val eh = hashStr(externalLabelsHash(externalLabels))
       val tmpL = s"$outDir/_tmp_ref_labels"
       val tmpC = s"$outDir/_tmp_ref_chunks"
-      writeAligned(rows, Seq(col(IndexCol)) ++ lblCols.map(n => col(LabelPrefix + n)), tmpL)
-      writeAligned(rows, col(HashCol) +: ChunkCols.map(col), tmpC)
+      // the alignment sort key must be TOTAL: the label columns themselves
+      // (distinct series differ in at least one) — a concatenated key is NOT
+      // collision-free when a label value contains the separator, and a
+      // collision would zip series A's chunks onto series B's labels
+      val sortKey = lblCols.map(n => col(LabelPrefix + n)) :+ col(HashCol)
+      writeAligned(rows, sortKey,
+        Seq(col(IndexCol)) ++ lblCols.map(n => col(LabelPrefix + n)), tmpL)
+      writeAligned(rows, sortKey, col(HashCol) +: ChunkCols.map(col), tmpC)
 
       val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
       // the labels pass clears each rewritten day dir first, so a re-convert
@@ -131,6 +140,35 @@ object ReferenceFormat {
       val dates = renameShards(fs, tmpL, outDir, eh, "labels.parquet", clearDay = true)
       renameShards(fs, tmpC, outDir, eh, "chunks.parquet", clearDay = false)
       fs.delete(new Path(tmpL), true); fs.delete(new Path(tmpC), true)
+
+      // meta.pb advertises `shards = numShards` and the gateway opens every
+      // pair 0..shards-1 (locate/syncer.go readShard) — a day whose series
+      // hash into fewer shards still needs an empty schema-bearing pair for
+      // each unpopulated shard, or the bucket is unreadable by its target
+      val missing = dates.flatMap(d => (0 until numShards).map(s => (d, s)))
+        .filterNot { case (d, s) =>
+          fs.exists(new Path(s"$outDir/$eh/$d/$s.labels.parquet")) }
+      if (missing.nonEmpty) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        def emptyFile(proj: Seq[Column], tmp: String): Path = {
+          rows.limit(0).select(proj: _*).coalesce(1)
+            .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+          fs.listStatus(new Path(tmp)).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no empty part file in $tmp"))
+        }
+        val el = emptyFile(Seq(col(IndexCol)) ++
+          lblCols.map(n => col(LabelPrefix + n)), s"$outDir/_tmp_ref_el")
+        val ec = emptyFile(col(HashCol) +: ChunkCols.map(col), s"$outDir/_tmp_ref_ec")
+        missing.foreach { case (d, s) =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, el, fs,
+            new Path(s"$outDir/$eh/$d/$s.labels.parquet"), false, conf)
+          org.apache.hadoop.fs.FileUtil.copy(fs, ec, fs,
+            new Path(s"$outDir/$eh/$d/$s.chunks.parquet"), false, conf)
+        }
+        fs.delete(new Path(s"$outDir/_tmp_ref_el"), true)
+        fs.delete(new Path(s"$outDir/_tmp_ref_ec"), true)
+      }
 
       dates.foreach { d =>
         val dayStart = java.time.LocalDate.parse(d)
@@ -148,17 +186,24 @@ object ReferenceFormat {
   }
 
   /** Both files must carry identical row order: one hash shuffle on
-    * (date, shard) — each combo whole in one task — then a total
-    * sortWithinPartitions key (lblkey is unique per series-day). */
-  private def writeAligned(rows: DataFrame, cols: Seq[Column], tmpDir: String): Unit =
-    rows.select(Seq(col("date"), col("shard"), col("lblkey")) ++ cols: _*)
+    * (date, shard) — each combo whole in one task — then a TOTAL
+    * sortWithinPartitions key (the label columns + hash; one series-day =
+    * one row, and distinct series differ in some label column). Sort-only
+    * columns ride under reserved temp names and drop before the write. */
+  private def writeAligned(rows: DataFrame, sortKey: Seq[Column],
+                           cols: Seq[Column], tmpDir: String): Unit = {
+    val sortNames = sortKey.indices.map(i => s"__graft_sort_$i")
+    val tagged = rows.select(Seq(col("date"), col("shard")) ++
+      sortKey.zip(sortNames).map { case (c, n) => c.as(n) } ++ cols: _*)
+    tagged
       .repartition(col("date"), col("shard"))
-      .sortWithinPartitions(col("date"), col("shard"), col("lblkey"))
-      .drop("lblkey")
+      .sortWithinPartitions(col("date") +: col("shard") +: sortNames.map(col): _*)
+      .drop(sortNames: _*)
       .write.mode("overwrite").partitionBy("date", "shard")
       .option("compression", "zstd")
       .option(s"parquet.bloom.filter.enabled#${LabelPrefix}__name__", "true")
       .parquet(tmpDir)
+  }
 
   /** `date=D/shard=S/part-*.parquet` → `<eh>/<D>/<S>.<suffix>`; exactly one
     * part file per combo by construction (fails loudly otherwise). */
@@ -330,13 +375,24 @@ object ReferenceFormat {
     def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     val (loD, hiD) = (day(mintMs), day(maxtMs))
-    val dayDirs = fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
-      .flatMap(h => fs.listStatus(h.getPath).toSeq.filter(d =>
-        d.isDirectory && d.getPath.getName >= loD && d.getPath.getName <= hiD))
-      .map(_.getPath.toString)
+    def listDays(bounded: Boolean) =
+      fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
+        .flatMap(h => fs.listStatus(h.getPath).toSeq.filter(d =>
+          d.isDirectory && (!bounded ||
+            (d.getPath.getName >= loD && d.getPath.getName <= hiD))))
+        .map(_.getPath.toString)
+    val inRange = listDays(bounded = true)
+    // schema-correct empty result when no day overlaps: run the same
+    // pipeline over one arbitrary day with an impossible time bound, so
+    // callers keep the full samples-model columns (an AnalysisException on
+    // a merely-empty interval would be wrong); a bucket with no days at
+    // all yields the minimal bookkeeping schema
+    val dayDirs = if (inRange.nonEmpty) inRange else listDays(bounded = false).take(1)
+    val emptyRange = inRange.isEmpty
     if (dayDirs.isEmpty)
-      return spark.emptyDataFrame.withColumn("ts_ms", lit(0L))
-        .withColumn("value", lit(0.0)).limit(0)
+      return spark.range(0).select(col("id").as("series_hash"),
+        col("id").as("ts_ms"), col("id").cast("double").as("value"),
+        col("id").as("sample_id"))
 
     val lbl = spark.read.parquet(dayDirs.map(d => s"$d/*.labels.parquet"): _*)
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
@@ -348,23 +404,37 @@ object ReferenceFormat {
       .withColumn("_ri", col("_metadata.row_index")))
 
     val lblNames = lbl.columns.filter(_.startsWith(LabelPrefix)).toSeq.sorted
-    // matcher predicates compile on PLAIN label names over the labels scan —
+    val plainNames = lblNames.map(_.stripPrefix(LabelPrefix))
+    // file-borne matchers compile on PLAIN label names over the labels scan —
     // pushed to parquet (dictionary/bloom pruning) before the zip and decode
     val plain = lbl.select(Seq(col("_stem"), col("_ri")) ++
       lblNames.map(c => col(c).as(c.stripPrefix(LabelPrefix))): _*)
+    // stream.pb external labels fold in as path-derived columns (file label
+    // wins on collision, the P10 precedence) so matchers on them veto
+    // streams — same semantics as the gateway attaching stream ext labels
+    val streams = readStreamDescriptors(spark, dir)
+    val extKeys = streams.values.flatMap(_.keys).toSeq.distinct.sorted
+      .filterNot(plainNames.contains)
+    val withExt = extKeys.foldLeft(plain) { (df, k) =>
+      val byHash = streams.collect { case (h, m) if m.contains(k) => (h, m(k)) }.toSeq
+      df.withColumn(k, byHash.foldLeft(lit(null).cast("string")) {
+        case (acc, (h, v)) =>
+          when(element_at(split(col("_stem"), "/"), -3) === h, lit(v)).otherwise(acc)
+      })
+    }
     val filtered =
-      if (matchers.isEmpty) plain
-      else plain.filter(graft.promql.Matchers.compile(plain, matchers))
+      if (matchers.isEmpty) withExt
+      else withExt.filter(graft.promql.Matchers.compile(withExt, matchers))
 
     val pts = explode(concat(ChunkCols.map(c => PromFramesDecode(col(c))): _*))
     val zipped = filtered.join(chk, Seq("_stem", "_ri"))
     zipped
       .withColumn("_p", pts)
-      .select(lblNames.map(c => col(c.stripPrefix(LabelPrefix))) ++
-        Seq(seriesHashOf(zipped, lblNames.map(c =>
-            (c.stripPrefix(LabelPrefix), col(c.stripPrefix(LabelPrefix))))).as("series_hash"),
+      .select((plainNames ++ extKeys).map(col) ++
+        Seq(seriesHashOf(zipped, plainNames.map(c => (c, col(c)))).as("series_hash"),
           col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value")): _*)
-      .filter(col("ts_ms").between(mintMs, maxtMs))
+      .filter(if (emptyRange) lit(false)
+              else col("ts_ms").between(mintMs, maxtMs))
       // the layout stores ≤1 sample per (series, ts); ts doubles as the
       // deterministic ingest-order tie-break the model asks for
       .withColumn("sample_id", col("ts_ms"))

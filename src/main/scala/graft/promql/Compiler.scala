@@ -161,12 +161,19 @@ object Compiler {
       else {
         // per-series shapes (rate family) never mix — a series is one type
         // per frame — so `mixed` is empty and the anti-joins are no-ops;
-        // only cross-series aggregation groups (sum/avg) can collide
+        // only cross-series aggregation groups (sum/avg) can collide.
+        // Key comparisons must be null-safe: a group keyed by an ABSENT
+        // label (NULL) is still one group — a plain equi-anti-join would
+        // detect it in `mixed` yet fail to drop its rows
         val mixed = fDf.select(keyCols.map(col): _*)
           .intersect(hDf.select(keyCols.map(col): _*))
-        val clean = fDf.join(mixed, keyCols, "left_anti")
-          .unionByName(hDf.join(mixed, keyCols, "left_anti"),
-            allowMissingColumns = true)
+        def dropMixed(side: DataFrame): DataFrame = {
+          val (sa, ma) = (side.alias("ms"), mixed.alias("mm"))
+          sa.join(ma, keyCols.map(c => col(s"ms.$c") <=> col(s"mm.$c"))
+            .reduce(_ && _), "left_anti")
+        }
+        val clean = dropMixed(fDf)
+          .unionByName(dropMixed(hDf), allowMissingColumns = true)
         (clean, Some(mixed))
       }
     case _ => (compile(expr, ctx), None)

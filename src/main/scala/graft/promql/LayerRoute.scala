@@ -60,19 +60,25 @@ object LayerRoute {
     * layer is declined and raw serves. */
   val MinBenefit: Double = 2.0
 
+  // seeded (sidecar-backed) and probed entries live in SEPARATE maps: the
+  // size cap must never evict a seeded value — losing one silently regresses
+  // a stamped layer to the full-scan probe the sidecar exists to avoid.
+  // Seeded size is bounded by real opened layers; the probed cap only guards
+  // against a pathological churn of throwaway layer frames pinning their
+  // relations (and sessions) for the JVM lifetime.
+  private val seededBenefit =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Double]()
   private val benefitCache =
     new java.util.concurrent.ConcurrentHashMap[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Double]()
-  // a store rarely serves more than a handful of layers; the cap only
-  // guards against a pathological churn of throwaway layer frames pinning
-  // their relations (and sessions) for the JVM lifetime
   private val BenefitCacheCap = 256
 
   /** Seed the admission cache from a persisted `_graft_layer_stats` sidecar
     * ([[graft.etl.Downsample.writeLayer]] stamps Σn/rows during the write
     * job): admission of a stamped layer runs ZERO Spark jobs. */
   def seedBenefit(layer: DataFrame, sumN: Long, rows: Long): Unit =
-    benefitCache.put(layer.queryExecution.analyzed,
+    seededBenefit.put(layer.queryExecution.analyzed,
       if (rows == 0L) 0.0 else sumN.toDouble / rows)
 
   /** Samples-per-row compression ratio of a layer: Σn / rows. Read from the
@@ -86,6 +92,8 @@ object LayerRoute {
     * (never admissible). */
   def benefit(layer: DataFrame): Double = {
     val key = layer.queryExecution.analyzed
+    val seeded = seededBenefit.get(key)
+    if (seeded != null) return seeded.doubleValue
     val cached = benefitCache.get(key)
     if (cached != null) return cached.doubleValue
     val r = layer.agg(sum(col("n")).as("s"), count(lit(1)).as("c")).head()

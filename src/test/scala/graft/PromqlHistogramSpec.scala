@@ -372,6 +372,11 @@ class PromqlHistogramSpec extends SparkSpec {
     val (s, _, warns) = eng.instantQueryWithStats("sum(reqs)", T)
     assert(s.isEmpty, s"mixed-type aggregation group must be dropped, got $s")
     assert(warns.exists(_.contains("mix of histograms and floats")), warns.toString)
+    // a NULL-keyed group (grouping by an absent label) is still ONE mixed
+    // group: the drop must be null-safe, not just the detection
+    val (byNope, _, warnsN) = eng.instantQueryWithStats("sum by (nope) (reqs)", T)
+    assert(byNope.isEmpty, s"null-keyed mixed group must drop, got $byNope")
+    assert(warnsN.exists(_.contains("mix of histograms and floats")), warnsN.toString)
     // grouping that separates the types keeps every group and stays quiet
     val (byUid, _, warns2) = eng.instantQueryWithStats("sum by (uid) (reqs)", T)
     assert(byUid.size == 3)
