@@ -231,6 +231,35 @@ class PromXorSpec extends SparkSpec {
     a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  test("alignment survives separator-colliding label values; empty shards get pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // {a="x", b="yÿz"} and {a="xÿy", b="z"} concatenate identically under a
+    // U+00FF-joined key — the total (per-column) sort key must keep each
+    // series' chunks zipped to its own labels
+    val t0 = 1704067200000L
+    val rows = Seq(
+      ("x", "yÿz", t0 + 1000L, 1.5), ("x", "yÿz", t0 + 2000L, 2.5),
+      ("xÿy", "z", t0 + 1000L, 10.5), ("xÿy", "z", t0 + 2000L, 20.5))
+    val samples = rows.toDF("a", "b", "ts_ms", "value")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash", xxhash64(col("a"), col("b")))
+    val out = java.nio.file.Files.createTempDirectory("graft-refcoll").toString
+    // numShards > series count: some shards are empty, yet the gateway
+    // opens every pair 0..shards-1 advertised by meta.pb
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 8)
+    for (s <- 0 until 8) {
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/0/2024-01-01/$s.labels.parquet")), s"labels $s")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/0/2024-01-01/$s.chunks.parquet")), s"chunks $s")
+    }
+    val got = ReferenceFormat.openReferenceStore(spark, out)
+      .select("a", "b", "ts_ms", "value").as[(String, String, Long, Double)]
+      .collect().toSet
+    assert(got == rows.toSet, s"cross-zipped labels/chunks: $got")
+  }
+
   test("per-day incremental conversion: day overwrite is idempotent and isolated") {
     import org.apache.spark.sql.functions._
     val t0 = 1704067200000L; val day = 86400000L
