@@ -83,7 +83,11 @@ object Matchers {
   private val meta = ".+*?()[]{}^$\\".toSet
   def setMatches(pattern: String): Option[Seq[String]] = {
     if (pattern.isEmpty) None
-    else if (pattern.forall(c => !meta.contains(c))) Some(pattern.split('|').toSeq)
+    // split limit -1: `a|` has the EMPTY string as an alternative (matches a
+    // missing label); Java's default split drops trailing empties, which
+    // silently turned `x=~"a|"` into `x=~"a"`
+    else if (pattern.forall(c => !meta.contains(c)))
+      Some(pattern.split("\\|", -1).toSeq)
     else None
   }
 

@@ -557,6 +557,79 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {__name__="metric"} 0 1 _ 2
       |""".stripMargin
 
+  /** testdata/selectors.test — fully-anchored regex matchers, the
+    * missing-label ≡ "" rule under every matcher type (an empty regex
+    * alternative matches an absent label), name-only regex selectors,
+    * and inline RE2 flags. */
+  private val selectorsCorpus =
+    """
+      |load 5m
+      |  m{x="a"} 0+1x10
+      |  m{x="b"} 0+2x10
+      |  m 0+3x10
+      |  n{x="a"} 0+4x10
+      |
+      |eval instant at 50m m{x=~".*"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m", x="b"} 20
+      |  {__name__="m"} 30
+      |
+      |eval instant at 50m m{x=~".+"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m", x="b"} 20
+      |
+      |eval instant at 50m m{x!~".+"}
+      |  {__name__="m"} 30
+      |
+      |eval instant at 50m m{x=~"a|"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m"} 30
+      |
+      |eval instant at 50m m{x!~"a|"}
+      |  {__name__="m", x="b"} 20
+      |
+      |eval instant at 50m m{x=~"a"}
+      |  {__name__="m", x="a"} 10
+      |
+      |eval instant at 50m m{x=~"(a|b)"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m", x="b"} 20
+      |
+      |eval instant at 50m m{x!="a"}
+      |  {__name__="m", x="b"} 20
+      |  {__name__="m"} 30
+      |
+      |eval instant at 50m m{x=""}
+      |  {__name__="m"} 30
+      |
+      |eval instant at 50m m{x!=""}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m", x="b"} 20
+      |
+      |eval instant at 50m {__name__=~"m|n"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m", x="b"} 20
+      |  {__name__="m"} 30
+      |  {__name__="n", x="a"} 40
+      |
+      |eval instant at 50m {__name__=~"m|n", x="a"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="n", x="a"} 40
+      |
+      |eval instant at 50m {x="a"}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="n", x="a"} 40
+      |
+      |eval instant at 50m m{x=~"A"}
+      |
+      |eval instant at 50m m{x=~"(?i)A"}
+      |  {__name__="m", x="a"} 10
+      |
+      |eval instant at 50m m{x=~"."}
+      |  {__name__="m", x="a"} 10
+      |  {__name__="m", x="b"} 20
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int): Unit = {
     val segs = parseSegments(corpus)
     assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
@@ -576,4 +649,5 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 12) }
   test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 6) }
   test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }
+  test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
 }
