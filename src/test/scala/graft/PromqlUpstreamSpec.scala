@@ -630,6 +630,103 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {__name__="m", x="b"} 20
       |""".stripMargin
 
+  /** testdata/operators.test scalar-arithmetic + testdata/trig_functions.test
+    * tranches: IEEE scalar edges (NaN/Inf under comparison and arithmetic,
+    * Go fmod sign), ^ on negative bases, atan2 as a binop keyword, and the
+    * trig/hyperbolic family on exact values. */
+  private val scalarsTrigCorpus =
+    """
+      |load 5m
+      |  t{l="v"} 1
+      |
+      |eval instant at 1m 1 == bool 1
+      |  {} 1
+      |
+      |eval instant at 1m 1 == bool 2
+      |  {} 0
+      |
+      |eval instant at 1m NaN == bool NaN
+      |  {} 0
+      |
+      |eval instant at 1m NaN != bool NaN
+      |  {} 1
+      |
+      |eval instant at 1m Inf / Inf
+      |  {} NaN
+      |
+      |eval instant at 1m 0 / 0
+      |  {} NaN
+      |
+      |eval instant at 1m 1 / 0
+      |  {} +Inf
+      |
+      |eval instant at 1m -1 / 0
+      |  {} -Inf
+      |
+      |eval instant at 1m 5 % 3
+      |  {} 2
+      |
+      |eval instant at 1m -5 % 3
+      |  {} -2
+      |
+      |eval instant at 1m 2 ^ 0.5
+      |  {} 1.4142135623730951
+      |
+      |eval instant at 1m -1 ^ 0.5
+      |  {} -1
+      |
+      |eval instant at 1m (-1) ^ 0.5
+      |  {} NaN
+      |
+      |eval instant at 1m 5 atan2 5
+      |  {} 0.7853981633974483
+      |
+      |eval instant at 1m pi()
+      |  {} 3.141592653589793
+      |
+      |eval instant at 1m sin(t)
+      |  {l="v"} 0.8414709848078965
+      |
+      |eval instant at 1m cos(t)
+      |  {l="v"} 0.5403023058681398
+      |
+      |eval instant at 1m tan(t)
+      |  {l="v"} 1.5574077246549023
+      |
+      |eval instant at 1m asin(t)
+      |  {l="v"} 1.5707963267948966
+      |
+      |eval instant at 1m acos(t)
+      |  {l="v"} 0
+      |
+      |eval instant at 1m atan(t)
+      |  {l="v"} 0.7853981633974483
+      |
+      |eval instant at 1m sinh(t)
+      |  {l="v"} 1.1752011936438014
+      |
+      |eval instant at 1m cosh(t)
+      |  {l="v"} 1.5430806348152437
+      |
+      |eval instant at 1m tanh(t)
+      |  {l="v"} 0.7615941559557649
+      |
+      |eval instant at 1m asinh(t)
+      |  {l="v"} 0.881373587019543
+      |
+      |eval instant at 1m acosh(t)
+      |  {l="v"} 0
+      |
+      |eval instant at 1m atanh(t - 0.5)
+      |  {l="v"} 0.5493061443340548
+      |
+      |eval instant at 1m asin(t + 1)
+      |  {l="v"} NaN
+      |
+      |eval instant at 1m deg(t) / t
+      |  {l="v"} 57.29577951308232
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int): Unit = {
     val segs = parseSegments(corpus)
     assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
@@ -650,4 +747,5 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 6) }
   test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }
   test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
+  test("upstream scalars + trig tranche") { run("scalars_trig", scalarsTrigCorpus, 28) }
 }
