@@ -365,7 +365,15 @@ object ReferenceFormat {
     * `search/materialize.go:42-105`), and only surviving rows pay the XOR
     * decode + ts filter. Output shape = the engine's samples model
     * (label cols + ts_ms/value/sample_id/series_hash), so
-    * [[graft.api.PromEngine]] serves PromQL straight off the bucket. */
+    * [[graft.api.PromEngine]] serves PromQL straight off the bucket.
+    *
+    * Scale shape of the positional zip: with selective matchers the
+    * filtered labels side is small and AQE converts the (stem, row_index)
+    * join to a broadcast at runtime — the chunks scan is then never
+    * shuffled, only filtered; an unselective select shuffles both sides
+    * once on the zip key, which is the relational cost of the format's
+    * row-position coupling (the reference pays the analogous cost as
+    * row-range materialization I/O). */
   def selectReferenceStore(spark: SparkSession, dir: String,
                            matchers: Seq[graft.promql.LabelMatcher] = Nil,
                            mintMs: Long = Long.MinValue,
