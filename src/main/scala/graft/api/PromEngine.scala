@@ -47,10 +47,29 @@ final class PromEngine(samples: DataFrame,
                        /** Native-histogram downsample layers ([[graft.etl
                          * .Downsample.histLayer]]): aligned histogram
                          * rate/increase/delta serve from these. */
-                       histLayers: Map[Long, DataFrame] = Map.empty) {
+                       histLayers: Map[Long, DataFrame] = Map.empty,
+                       /** Range-aware source: when present, each query binds
+                         * `sourceByRange(lo, hi)` with the AST-derived reach
+                         * ([[Compiler.timeBounds]]) instead of the fixed
+                         * `samples` frame — a day-listed store (the
+                         * reference-bucket reader) then opens only the days
+                         * the query can touch, the per-query Block mint/maxt
+                         * pruning of `db/db.go:252-258`. `samples` stays the
+                         * schema/metadata authority. */
+                       sourceByRange: Option[(Long, Long) => DataFrame] = None) {
   import PromEngine._
 
   private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
+
+  private def boundSamples(ast: graft.promql.Ast.Expr,
+                           startMs: Long, endMs: Long): DataFrame =
+    sourceByRange.fold(samples) { f =>
+      val (lo, hi) = Compiler.timeBounds(ast, startMs, endMs, lookbackMs)
+      f(lo, hi)
+    }
+
+  private def rangedSamples(mintMs: Long, maxtMs: Long): DataFrame =
+    sourceByRange.fold(samples)(_(mintMs, maxtMs))
 
   private def collectRows(df: DataFrame): Seq[Row] =
     quotas.collect(df).toSeq // pre-flight + mid-scan byte charge
@@ -131,7 +150,8 @@ final class PromEngine(samples: DataFrame,
                             maxSourceResMs: Long = Long.MaxValue)
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
-    val ctx = Compiler.Ctx(samples, tMs, tMs, stepMs = 1000L, lookbackMs,
+    val ctx = Compiler.Ctx(boundSamples(ast, tMs, tMs), tMs, tMs,
+      stepMs = 1000L, lookbackMs,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
     val (df, mixed) = Compiler.compileServingAnnotated(ast, ctx)
@@ -147,7 +167,8 @@ final class PromEngine(samples: DataFrame,
                           maxSourceResMs: Long = Long.MaxValue)
       : (Seq[Series], EngineStats, Seq[String]) = {
     val ast = Parser.parse(promql)
-    val ctx = Compiler.Ctx(samples, startMs, endMs, stepMs, lookbackMs,
+    val ctx = Compiler.Ctx(boundSamples(ast, startMs, endMs), startMs, endMs,
+      stepMs, lookbackMs,
       layers = cappedLayers(maxSourceResMs),
       histLayers = cappedHistLayers(maxSourceResMs))
     val (df, mixed) = Compiler.compileServingAnnotated(ast, ctx)
@@ -179,7 +200,7 @@ final class PromEngine(samples: DataFrame,
   def series(matchSets: Seq[Seq[LabelMatcher]], mintMs: Long, maxtMs: Long,
              limit: Int = 0): (Seq[Map[String, String]], Boolean) = {
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
-    val selected = Eval.selectUnion(samples, matchSets, mintMs, maxtMs)
+    val selected = Eval.selectUnion(rangedSamples(mintMs, maxtMs), matchSets, mintMs, maxtMs)
       .select(lbls.map(col): _*)
       .distinct().orderBy(lbls.map(col): _*)
     val rows = (if (limit > 0) selected.limit(limit + 1) else selected).collect().toSeq
@@ -195,10 +216,10 @@ final class PromEngine(samples: DataFrame,
       // actually carry values INSIDE the interval (the reference reads
       // per-block schemas within range, search/search.go:294); falls back
       // to the whole-schema answer for non-file-backed views
-      graft.sources.FooterLabelValues.labelNames(samples, lbls, mintMs, maxtMs)
+      graft.sources.FooterLabelValues.labelNames(rangedSamples(mintMs, maxtMs), lbls, mintMs, maxtMs)
         .getOrElse(lbls.sorted)
     else {
-      val m = Eval.select(samples, matchers, mintMs, maxtMs)
+      val m = Eval.select(rangedSamples(mintMs, maxtMs), matchers, mintMs, maxtMs)
       val counts = m.agg(count(col(lbls.head)).as(lbls.head),
         lbls.tail.map(l => count(col(l)).as(l)): _*).collect()(0)
       lbls.filter(l => counts.getAs[Long](l) > 0).sorted
@@ -212,12 +233,12 @@ final class PromEngine(samples: DataFrame,
     // parquet dictionary pages + footer stats, scanning only the interval's
     // boundary files — exact, falls back to the scan when inapplicable
     if (matchers.isEmpty)
-      graft.sources.FooterLabelValues.labelValues(samples, label, mintMs, maxtMs)
+      graft.sources.FooterLabelValues.labelValues(rangedSamples(mintMs, maxtMs), label, mintMs, maxtMs)
         .foreach { vals =>
           val truncated = limit > 0 && vals.size > limit
           return (if (truncated) vals.take(limit) else vals, truncated)
         }
-    val vals = Eval.select(samples, matchers, mintMs, maxtMs)
+    val vals = Eval.select(rangedSamples(mintMs, maxtMs), matchers, mintMs, maxtMs)
       .select(col(label)).na.drop().distinct().orderBy(col(label))
     val rows = (if (limit > 0) vals.limit(limit + 1) else vals).collect().toSeq
     val truncated = limit > 0 && rows.size > limit

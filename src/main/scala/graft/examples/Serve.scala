@@ -1,7 +1,7 @@
 package graft.examples
 
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.{HttpApi, PromEngine}
 import graft.model.TimeSeriesModel
 import graft.sources.Tables
@@ -56,6 +56,14 @@ object Serve {
         graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir)
       }
       else TimeSeriesModel.samples(Tables(spark, sfDir).events)
+    // reference buckets get the range-aware source: each query lists only
+    // the day directories its AST-derived reach can touch (the per-query
+    // Block mint/maxt pruning, db/db.go:252-258)
+    val byRange: Option[(Long, Long) => DataFrame] =
+      if (isReferenceBucket(sfDir) && !isDir(s"$sfDir/chunks") && !isDir(s"$sfDir/samples"))
+        Some((lo, hi) => graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir,
+          Nil, lo, hi))
+      else None
     // Thanos auto-downsampling: persisted downsample-<res> layers serve
     // aligned long-range queries transparently (graft.promql.LayerRoute)
     val layers = graft.etl.Downsample.discoverLayers(spark, sfDir)
@@ -65,7 +73,8 @@ object Serve {
     if (histLayers.nonEmpty)
       println(s"histogram layers: ${histLayers.keys.toSeq.sorted.mkString(", ")} ms")
     val api = new HttpApi(
-      new PromEngine(samples, lookback, quotas, layers, histLayers), port).start()
+      new PromEngine(samples, lookback, quotas, layers, histLayers, byRange),
+      port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed
   }

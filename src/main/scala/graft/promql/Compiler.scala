@@ -103,6 +103,41 @@ object Compiler {
     walk(e).distinct
   }
 
+  /** Conservative `[earliest, latest]` sample timestamp a query can touch on
+    * the grid `[startMs, endMs]` — the widest selector reach across the AST:
+    * per selector, the `@`-pinned (or grid) instant minus offset minus its
+    * range (or the lookback for instant selectors); subqueries recurse with
+    * their own shifted interval. Used to bound a range-aware samples source
+    * ([[graft.api.PromEngine]]'s `sourceByRange`): day-partitioned or
+    * reference-bucket stores then list only the days a query can read —
+    * the Block mint/maxt pruning the reference applies per query
+    * (`db/db.go:252-258`). Negative offsets widen forward naturally. */
+  def timeBounds(e: Expr, startMs: Long, endMs: Long,
+                 lookbackMs: Long = Eval.DefaultLookbackMs): (Long, Long) = {
+    var lo = Long.MaxValue; var hi = Long.MinValue
+    def pin(at: Option[AtSpec], t0: Long, t1: Long): (Long, Long) = at match {
+      case Some(AtTime(ms)) => (ms, ms)
+      case Some(AtStart)    => (startMs, startMs)
+      case Some(AtEnd)      => (endMs, endMs)
+      case None             => (t0, t1)
+    }
+    def walk(e: Expr, t0: Long, t1: Long): Unit = e match {
+      case Selector(_, _, range, off, at) =>
+        val (a, b) = pin(at, t0, t1)
+        lo = math.min(lo, a - off - range.getOrElse(lookbackMs))
+        hi = math.max(hi, b - off)
+      case Subquery(inner, range, _, off, at) =>
+        val (a, b) = pin(at, t0, t1)
+        walk(inner, a - off - range, b - off)
+      case Call(_, args)       => args.foreach(walk(_, t0, t1))
+      case Agg(_, _, p, child) => p.foreach(walk(_, t0, t1)); walk(child, t0, t1)
+      case BinOp(_, l, r, _, _) => walk(l, t0, t1); walk(r, t0, t1)
+      case _ => ()
+    }
+    walk(e, startMs, endMs)
+    if (lo > hi) (startMs - lookbackMs, endMs) else (lo, hi)
+  }
+
   /** Column names a result frame structurally owns — a PromQL label may
     * legally be called `value` or `step_ms`, but stamping one onto a frame
     * (absent()'s label copying) would clobber the frame's own columns. All

@@ -231,6 +231,50 @@ class PromXorSpec extends SparkSpec {
     a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  test("range-aware source: queries bind only their AST-derived reach") {
+    import org.apache.spark.sql.functions._
+    import graft.promql.{Compiler, Parser}
+    val t0 = 1704067200000L; val day = 86400000L
+    // timeBounds: instant lookback, range windows, offsets (both signs),
+    // @-pins, nested subqueries
+    def tb(q: String, s: Long, e: Long) =
+      Compiler.timeBounds(Parser.parse(q), s, e, lookbackMs = 300000L)
+    assert(tb("m", t0, t0) == (t0 - 300000L, t0))
+    assert(tb("rate(m[1h])", t0, t0 + day) == (t0 - 3600000L, t0 + day))
+    assert(tb("m offset 1h", t0, t0) == (t0 - 3600000L - 300000L, t0 - 3600000L))
+    assert(tb("m offset -1h", t0, t0) == (t0 + 3600000L - 300000L, t0 + 3600000L))
+    assert(tb(s"rate(m[5m] @ ${t0 / 1000})", t0 + 30 * day, t0 + 30 * day) ==
+      (t0 - 300000L, t0))
+    assert(tb("max_over_time(rate(m[5m])[1h:1m])", t0, t0) ==
+      (t0 - 3600000L - 300000L, t0))
+    assert(tb("rate(m[1d]) / rate(m[2d] offset 1d)", t0 + 10 * day, t0 + 10 * day) ==
+      (t0 + 7 * day, t0 + 10 * day))
+
+    // a PromEngine with a recording range source must answer exactly like
+    // the fixed-frame engine while binding only the derived interval
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    val samples = graft.model.TimeSeriesModel.samples(events)
+    var asked = List.empty[(Long, Long)]
+    val src = (lo: Long, hi: Long) => {
+      asked ::= (lo, hi)
+      samples.filter(col("ts_ms").between(lo, hi))
+    }
+    val full = new graft.api.PromEngine(samples, lookbackMs = day)
+    val ranged = new graft.api.PromEngine(samples, lookbackMs = day,
+      sourceByRange = Some(src))
+    val ti = t0 + 14 * day
+    for (q <- Seq("sum by (__name__) ({uid!=\"\"})",
+                  "rate({__name__=\"purchase\"}[2d])")) {
+      val a = full.instantQuery(q, ti).map(s => s.labels -> s.points).toMap
+      val b = ranged.instantQuery(q, ti).map(s => s.labels -> s.points).toMap
+      assert(a == b && a.nonEmpty, q)
+    }
+    // the recorded bounds are the reach, not the whole retention
+    assert(asked.contains((ti - day, ti)))      // instant: lookback
+    assert(asked.contains((ti - 2 * day, ti))) // rate window
+  }
+
   test("alignment survives separator-colliding label values; empty shards get pairs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
