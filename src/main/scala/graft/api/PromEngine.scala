@@ -211,14 +211,18 @@ final class PromEngine(samples: DataFrame,
 
   def labelNames(matchers: Seq[LabelMatcher], mintMs: Long, maxtMs: Long): Seq[String] = {
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
-    if (matchers.isEmpty)
-      // footer fast path first: per-row-group statistics prove which labels
-      // actually carry values INSIDE the interval (the reference reads
-      // per-block schemas within range, search/search.go:294); falls back
-      // to the whole-schema answer for non-file-backed views
-      graft.sources.FooterLabelValues.labelNames(rangedSamples(mintMs, maxtMs), lbls, mintMs, maxtMs)
-        .getOrElse(lbls.sorted)
-    else {
+    // footer fast path first (matcherless only): per-row-group statistics
+    // prove which labels actually carry values INSIDE the interval (the
+    // reference reads per-block schemas within range, search/search.go:294).
+    // Non-file-backed views (decode-on-read stores, bounded bucket frames)
+    // fall through to the count scan — the answer must stay DATA-driven: a
+    // label column existing in the schema is not a label present in range.
+    val viaFooter =
+      if (matchers.isEmpty)
+        graft.sources.FooterLabelValues.labelNames(
+          rangedSamples(mintMs, maxtMs), lbls, mintMs, maxtMs)
+      else None
+    viaFooter.getOrElse {
       val m = Eval.select(rangedSamples(mintMs, maxtMs), matchers, mintMs, maxtMs)
       val counts = m.agg(count(col(lbls.head)).as(lbls.head),
         lbls.tail.map(l => count(col(l)).as(l)): _*).collect()(0)

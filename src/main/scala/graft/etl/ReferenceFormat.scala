@@ -303,11 +303,16 @@ object ReferenceFormat {
     * external labels fold in as constant columns (file label wins on
     * collision, the P10 precedence). */
   def openReferenceStore(spark: SparkSession, dir: String): DataFrame = {
-    val lbl = spark.read.parquet(s"$dir/*/*/*.labels.parquet")
+    // mergeSchema: per-shard schemas are data-driven in real buckets
+    // (schema/schema.go:82-97) — a label present only in some shards must
+    // read as null elsewhere, not vanish with a sampled-file schema
+    val lbl = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/*/*/*.labels.parquet")
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.labels\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index"))
-    val chk = chunksProjection(spark.read.parquet(s"$dir/*/*/*.chunks.parquet")
+    val chk = chunksProjection(spark.read.schema(ChunksSchema)
+      .parquet(s"$dir/*/*/*.chunks.parquet")
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.chunks\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index")))
@@ -355,6 +360,31 @@ object ReferenceFormat {
     coalesce(col(HashCol), PromLabelsHash(arr))
   }
 
+  /** Store-invariant bucket metadata, computed ONCE and reused across
+    * per-query reads ([[selectReferenceStore]]'s `meta` parameter): the
+    * MERGED labels-file schema over every day (real gateway buckets have
+    * per-shard data-driven schemas, `schema/schema.go:82-97` — inferring
+    * from one sampled file would silently fold a label missing there to
+    * "absent" and drop matching series of other days) and the stream.pb
+    * descriptors. */
+  final case class BucketMeta(labelsSchema: org.apache.spark.sql.types.StructType,
+                              streams: Map[String, Map[String, String]])
+
+  def bucketMeta(spark: SparkSession, dir: String): BucketMeta = {
+    val merged = scala.util.Try(
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/*/*/*.labels.parquet")
+        .schema).getOrElse(new org.apache.spark.sql.types.StructType())
+    BucketMeta(merged, readStreamDescriptors(spark, dir))
+  }
+
+  /** The chunks-file schema is FIXED by the format (hash + 3 chunk cells);
+    * imposing it makes V1 files (no hash column) read hash as null. */
+  private val ChunksSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(StructField(HashCol, LongType) +:
+      ChunkCols.map(c => StructField(c, BinaryType)))
+  }
+
   /** Matcher + time-pruned select over a reference bucket — the serving
     * path for an EXISTING thanos-parquet-gateway store: day directories
     * outside [mintMs, maxtMs] are never listed into the read (the layout's
@@ -377,36 +407,43 @@ object ReferenceFormat {
   def selectReferenceStore(spark: SparkSession, dir: String,
                            matchers: Seq[graft.promql.LabelMatcher] = Nil,
                            mintMs: Long = Long.MinValue,
-                           maxtMs: Long = Long.MaxValue): DataFrame = {
+                           maxtMs: Long = Long.MaxValue,
+                           meta: Option[BucketMeta] = None): DataFrame = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
     val cap = 253402214400000L
     def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     val (loD, hiD) = (day(mintMs), day(maxtMs))
-    def listDays(bounded: Boolean) =
-      fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
-        .flatMap(h => fs.listStatus(h.getPath).toSeq.filter(d =>
-          d.isDirectory && (!bounded ||
-            (d.getPath.getName >= loD && d.getPath.getName <= hiD))))
-        .map(_.getPath.toString)
-    val inRange = listDays(bounded = true)
+    // one listing pass; the bounded subset selects in memory
+    val allDays = fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
+      .flatMap(h => fs.listStatus(h.getPath).toSeq.filter(_.isDirectory))
+      .map(_.getPath.toString)
+    val inRange = allDays.filter { d =>
+      val n = d.substring(d.lastIndexOf('/') + 1); n >= loD && n <= hiD
+    }
     // schema-correct empty result when no day overlaps: run the same
     // pipeline over one arbitrary day with an impossible time bound, so
     // callers keep the full samples-model columns (an AnalysisException on
     // a merely-empty interval would be wrong); a bucket with no days at
     // all yields the minimal bookkeeping schema
-    val dayDirs = if (inRange.nonEmpty) inRange else listDays(bounded = false).take(1)
+    val dayDirs = if (inRange.nonEmpty) inRange else allDays.take(1)
     val emptyRange = inRange.isEmpty
     if (dayDirs.isEmpty)
       return spark.range(0).select(col("id").as("series_hash"),
         col("id").as("ts_ms"), col("id").cast("double").as("value"),
         col("id").as("sample_id"))
 
-    val lbl = spark.read.parquet(dayDirs.map(d => s"$d/*.labels.parquet"): _*)
+    // the store-wide MERGED labels schema is imposed on every read: a label
+    // column absent from the listed days' files reads as null (= missing),
+    // instead of vanishing from the frame and folding matchers to false
+    val m = meta.getOrElse(bucketMeta(spark, dir))
+    val lbl = spark.read.schema(m.labelsSchema)
+      .parquet(dayDirs.map(d => s"$d/*.labels.parquet"): _*)
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.labels\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index"))
-    val chk = chunksProjection(spark.read.parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
+    val chk = chunksProjection(spark.read.schema(ChunksSchema)
+      .parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.chunks\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index")))
@@ -420,7 +457,7 @@ object ReferenceFormat {
     // stream.pb external labels fold in as path-derived columns (file label
     // wins on collision, the P10 precedence) so matchers on them veto
     // streams — same semantics as the gateway attaching stream ext labels
-    val streams = readStreamDescriptors(spark, dir)
+    val streams = m.streams
     val extKeys = streams.values.flatMap(_.keys).toSeq.distinct.sorted
       .filterNot(plainNames.contains)
     val withExt = extKeys.foldLeft(plain) { (df, k) =>

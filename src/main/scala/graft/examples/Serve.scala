@@ -48,22 +48,23 @@ object Serve {
         .asScala.exists(_.getFileName.toString.endsWith(".labels.parquet"))
       finally s.close()
     }
-    val samples =
-      if (isDir(s"$sfDir/chunks")) graft.etl.Ingest.openChunkedSamples(spark, sfDir)
-      else if (isDir(s"$sfDir/samples")) graft.etl.Ingest.openSamples(spark, sfDir)
+    val (samples, byRange: Option[(Long, Long) => DataFrame]) =
+      if (isDir(s"$sfDir/chunks"))
+        (graft.etl.Ingest.openChunkedSamples(spark, sfDir), None)
+      else if (isDir(s"$sfDir/samples"))
+        (graft.etl.Ingest.openSamples(spark, sfDir), None)
       else if (isReferenceBucket(sfDir)) {
         println(s"serving a reference-layout bucket: $sfDir")
-        graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir)
+        // store-invariant metadata (merged labels schema, stream.pb) is
+        // computed ONCE and closed over; each query then lists only the day
+        // directories its AST-derived reach can touch (the per-query Block
+        // mint/maxt pruning, db/db.go:252-258)
+        val meta = graft.etl.ReferenceFormat.bucketMeta(spark, sfDir)
+        (graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir, meta = Some(meta)),
+          Some((lo: Long, hi: Long) => graft.etl.ReferenceFormat
+            .selectReferenceStore(spark, sfDir, Nil, lo, hi, meta = Some(meta))))
       }
-      else TimeSeriesModel.samples(Tables(spark, sfDir).events)
-    // reference buckets get the range-aware source: each query lists only
-    // the day directories its AST-derived reach can touch (the per-query
-    // Block mint/maxt pruning, db/db.go:252-258)
-    val byRange: Option[(Long, Long) => DataFrame] =
-      if (isReferenceBucket(sfDir) && !isDir(s"$sfDir/chunks") && !isDir(s"$sfDir/samples"))
-        Some((lo, hi) => graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir,
-          Nil, lo, hi))
-      else None
+      else (TimeSeriesModel.samples(Tables(spark, sfDir).events), None)
     // Thanos auto-downsampling: persisted downsample-<res> layers serve
     // aligned long-range queries transparently (graft.promql.LayerRoute)
     val layers = graft.etl.Downsample.discoverLayers(spark, sfDir)

@@ -231,6 +231,54 @@ class PromXorSpec extends SparkSpec {
     a.keySet.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9, s"$k: ${a(k)} vs ${b(k)}"))
   }
 
+  test("heterogeneous per-day schemas: merged labels schema spans every read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = 1704067200000L; val day = 86400000L
+    def mk(rows: Seq[(String, String, Long, Double)], withB: Boolean) = {
+      val df = rows.toDF("a", "b", "ts_ms", "value")
+      (if (withB) df else df.drop("b"))
+        .withColumn("sample_id", col("ts_ms"))
+        .withColumn("series_hash", xxhash64(col("a")))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-refhet").toString
+    // day 1 carries labels {a,b}; day 2 only {a} — per-day schemas differ,
+    // like a real bucket's per-shard data-driven schemas
+    ReferenceFormat.convertReference(spark,
+      mk(Seq(("s1", "y", t0 + 1000L, 1.0)), withB = true), out)
+    ReferenceFormat.convertReference(spark,
+      mk(Seq(("s1", "", t0 + day + 1000L, 2.0)), withB = false), out,
+      days = Some(Seq("2024-01-02")))
+
+    // full open: b reads null on day 2, not vanished
+    val all = ReferenceFormat.openReferenceStore(spark, out)
+    assert(all.columns.contains("b") && all.count() == 2)
+    assert(all.filter(col("b").isNull).count() == 1)
+
+    // a day-2-bounded read still carries column b (imposed merged schema):
+    // the matcher b="y" folds to FALSE by VALUE, not by AnalysisException,
+    // and b="" matches the missing label
+    import graft.promql.MatchEq
+    val d2 = ReferenceFormat.selectReferenceStore(spark, out,
+      Seq(MatchEq("b", "y")), t0 + day, t0 + 2 * day - 1)
+    assert(d2.columns.contains("b") && d2.count() == 0)
+    val d2b = ReferenceFormat.selectReferenceStore(spark, out,
+      Seq(MatchEq("b", "")), t0 + day, t0 + 2 * day - 1)
+    assert(d2b.count() == 1)
+    // and the PromEngine metadata surface works on the bounded frame
+    val meta = ReferenceFormat.bucketMeta(spark, out)
+    val eng = new graft.api.PromEngine(
+      ReferenceFormat.selectReferenceStore(spark, out, meta = Some(meta)),
+      lookbackMs = day,
+      sourceByRange = Some((lo, hi) =>
+        ReferenceFormat.selectReferenceStore(spark, out, Nil, lo, hi, meta = Some(meta))))
+    val (names, _) = (eng.labelNames(Nil, t0 + day, t0 + 2 * day - 1), ())
+    assert(names.contains("a") && !names.contains("b"),
+      s"day-2 label names must not claim b: $names")
+    val (vals, _2) = eng.labelValues("b", Nil, t0, t0 + 2 * day - 1)
+    assert(vals == Seq("y"))
+  }
+
   test("range-aware source: queries bind only their AST-derived reach") {
     import org.apache.spark.sql.functions._
     import graft.promql.{Compiler, Parser}
