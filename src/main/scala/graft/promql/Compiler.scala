@@ -138,6 +138,20 @@ object Compiler {
     if (lo > hi) (startMs - lookbackMs, endMs) else (lo, hi)
   }
 
+  /** `label_replace`/`label_join` destination validation — Prometheus
+    * rejects a destination that is not a valid label name (model.LabelName);
+    * the engine additionally rejects its frame-reserved column names
+    * (`value`, `step_ms`) LOUDLY, since stamping those would corrupt the
+    * result frame (documented deviation: Prometheus permits a label
+    * literally named "value"). */
+  private def requireDstLabel(fn: String, dst: String): Unit = {
+    if (!dst.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+      throw new ParseException(s"invalid destination label name in $fn(): $dst")
+    if (frameReserved(dst))
+      throw new ParseException(
+        s"$fn(): destination '$dst' is an engine frame column (unsupported)")
+  }
+
   /** Column names a result frame structurally owns — a PromQL label may
     * legally be called `value` or `step_ms`, but stamping one onto a frame
     * (absent()'s label copying) would clobber the frame's own columns. All
@@ -652,7 +666,13 @@ object Compiler {
     case "label_replace" => // (v, dst, replacement, src, regex)
       val v = compile(args.head, ctx)
       val Seq(dst, repl, src, regex) = args.tail.map(strOf)
+      requireDstLabel("label_replace", dst)
       val anchored = "^(?:" + regex + ")$"
+      try java.util.regex.Pattern.compile(anchored)
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        throw new ParseException(
+          s"invalid regular expression in label_replace(): $regex (${e.getDescription})")
+      }
       val srcCol = if (v.columns.contains(src)) coalesce(col(src), lit("")) else lit("")
       // no match → series unchanged (dst keeps its value / stays ABSENT, not
       // ""); a replacement expanding to "" removes dst (Prometheus semantics)
@@ -665,6 +685,7 @@ object Compiler {
     case "label_join" => // (v, dst, sep, src...)
       val v = compile(args.head, ctx)
       val dst = strOf(args(1)); val sep = strOf(args(2))
+      requireDstLabel("label_join", dst)
       val srcs = args.drop(3).map(strOf).map(s =>
         if (v.columns.contains(s)) coalesce(col(s), lit("")) else lit(""))
       v.withColumn(dst, concat_ws(sep, srcs: _*))

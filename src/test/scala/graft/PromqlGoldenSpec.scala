@@ -740,6 +740,15 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |eval_fail instant at 100s info(metric)
       |  expected_fail_message experimental
       |
+      |eval_fail instant at 100s label_replace(metric, "~invalid", "", "", "")
+      |  expected_fail_message invalid destination label name in label_replace
+      |
+      |eval_fail instant at 100s label_replace(metric, "y", "$1", "pod", "(")
+      |  expected_fail_message invalid regular expression in label_replace
+      |
+      |eval_fail instant at 100s label_join(metric, "~bad", "-", "pod")
+      |  expected_fail_message invalid destination label name in label_join
+      |
       |eval_fail instant at 100s metric[5m]
       |  expected_fail_message range vector must be an argument of a range function
       |
@@ -1038,7 +1047,7 @@ class PromqlGoldenSpec extends PromqlTestRunner {
   test("golden corpus: load/eval instant cases match") {
     val segs = parseSegments(corpus)
     assert(segs.map(_.loaded.size).sum == 23 && segs.map(_.evals.size).sum == 209)
-    assert(segs.map(_.fails.size).sum == 4)
+    assert(segs.map(_.fails.size).sum == 7)
     val failures = segs.filter(sg => sg.evals.nonEmpty || sg.fails.nonEmpty)
       .flatMap { sg =>
         val samples = toSamples(sg.loaded)
