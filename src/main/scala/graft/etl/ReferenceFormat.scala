@@ -36,9 +36,13 @@ import graft.functions.{PromFrameCols, PromFramesDecode, PromLabelIndex, PromLab
   * pass to the reference's exact filenames is driver-side but bounded by
   * days × shards, not data.
   *
-  * Float XOR chunks only: the reference also frames native-histogram chunks
-  * (enc 2/3); those fail loudly here on both paths rather than silently
-  * corrupting — see [[PromXorChunk.decodeFrames]].
+  * Chunk encodings: float samples frame as Prometheus XOR chunks (enc 1),
+  * native-histogram samples (an `h` struct column in the pinned
+  * [[graft.functions.HistChunk.HistType]] model) as Prometheus integer /
+  * float histogram chunks (enc 2/3) — the full encoding set the gateway
+  * frames (`api/grpc/thanos.go:462-473`); see
+  * [[graft.functions.PromHistChunk]]. Custom-bound (NHCB) schema −53
+  * still fails loudly on both paths.
   */
 object ReferenceFormat {
 
@@ -74,13 +78,19 @@ object ReferenceFormat {
                        numShards: Int = 1,
                        days: Option[Seq[String]] = None): Seq[String] = {
     require(numShards >= 1, "numShards must be >= 1")
-    samples.schema.fields.find(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val hasH = samples.columns.contains("h") &&
+      samples.schema("h").dataType.catalogString ==
+        graft.functions.HistChunk.HistType.catalogString
+    samples.schema.fields
+      .find(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        !(hasH && f.name == "h"))
       .foreach { f =>
         throw new IllegalArgumentException(
-          s"reference XOR interop covers float samples; struct column '${f.name}' " +
-            "(native histograms?) cannot be framed as enc=1 chunks")
+          s"struct column '${f.name}' is neither float samples nor the pinned " +
+            s"native-histogram model (${graft.functions.HistChunk.HistType.catalogString})")
       }
-    val lblCols = samples.columns.filterNot(Book).toSeq.sorted
+    val lblCols = samples.columns
+      .filterNot(c => Book(c) || (hasH && c == "h")).toSeq.sorted
     require(lblCols.nonEmpty, "samples carry no label columns")
 
     // day restriction FIRST: date is a pure function of the dedup grouping
@@ -105,10 +115,12 @@ object ReferenceFormat {
     val flags = array(lblCols.map(n =>
       col(n).isNotNull && col(n).cast("string") =!= ""): _*)
 
+    val hCol = if (hasH) col("h")
+               else lit(null).cast(graft.functions.HistChunk.HistType)
     val rows = dedup
       .groupBy(col("date") +: lblCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ts_ms"),
-        col("value").cast("double").as("value")))).as("pts"))
+        col("value").cast("double").as("value"), hCol.as("h")))).as("pts"))
       .withColumn("frames", PromFrameCols(col("pts"))).drop("pts")
       .withColumn(HashCol, PromLabelsHash(lblArr))
       .withColumn(IndexCol, PromLabelIndex(flags))
@@ -337,6 +349,7 @@ object ReferenceFormat {
       .select(lblNames.map(c => col(c).as(c.stripPrefix(LabelPrefix))) ++ extCols ++
         Seq(seriesHashOf(joined, lblNames.map(c => (c.stripPrefix(LabelPrefix), col(c)))).as("series_hash"),
           col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value"),
+          col("_p.h").as("h"),
           element_at(split(col("_stem"), "/"), -2).as("date")): _*)
   }
 
@@ -442,11 +455,37 @@ object ReferenceFormat {
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.labels\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index"))
-    val chk = chunksProjection(spark.read.schema(ChunksSchema)
-      .parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
-      .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
-        lit("\\.chunks\\.parquet$"), lit("")))
-      .withColumn("_ri", col("_metadata.row_index")))
+    // chunk-cell projection: cell k of day D holds the chunks STARTING in
+    // [D+8h·k, D+8h·(k+1)) (convert/chunks.go:53-55) and the reference reads
+    // only ChunkColumnIndex(mint)..ChunkColumnIndex(maxt)
+    // (search/materialize.go:317-333) — untouched cells never reach the
+    // parquet scan (a sub-8h query pays one cell's I/O+decode, not three).
+    // Day groups: first/last day may touch fewer cells than interior days,
+    // so ≤3 distinct ranges union below.
+    val colMs = 8L * 3600000L
+    def cellRange(dayDir: String): (Int, Int) = {
+      if (emptyRange) return (0, 0)
+      val d = dayDir.substring(dayDir.lastIndexOf('/') + 1)
+      val dayStart = java.time.LocalDate.parse(d)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      val lo = if (mintMs <= dayStart) 0
+               else math.min(((mintMs - dayStart) / colMs).toInt, 2)
+      val hi = if (maxtMs >= dayStart + 86400000L) 2
+               else math.max(lo, math.min(((maxtMs - dayStart) / colMs).toInt, 2))
+      (lo, hi)
+    }
+    val chk = dayDirs.groupBy(cellRange).map { case ((cLo, cHi), dirs) =>
+      spark.read.schema(ChunksSchema)
+        .parquet(dirs.map(d => s"$d/*.chunks.parquet"): _*)
+        .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
+          lit("\\.chunks\\.parquet$"), lit("")))
+        .withColumn("_ri", col("_metadata.row_index"))
+        .select(Seq(col("_stem"), col("_ri"), col(HashCol)) ++
+          ChunkCols.zipWithIndex.map { case (c, k) =>
+            if (k >= cLo && k <= cHi) coalesce(col(c), lit(Array.empty[Byte])).as(c)
+            else lit(Array.empty[Byte]).as(c)
+          }: _*)
+    }.reduce(_ unionByName _)
 
     val lblNames = lbl.columns.filter(_.startsWith(LabelPrefix)).toSeq.sorted
     val plainNames = lblNames.map(_.stripPrefix(LabelPrefix))
@@ -471,13 +510,18 @@ object ReferenceFormat {
       if (matchers.isEmpty) withExt
       else withExt.filter(graft.promql.Matchers.compile(withExt, matchers))
 
-    val pts = explode(concat(ChunkCols.map(c => PromFramesDecode(col(c))): _*))
+    // frame-header time skip inside surviving cells: frames whose
+    // [mint, maxt] header misses the interval never pay the bit-stream
+    // decode (the native layout's ChunkFramePrune equivalence)
+    val pts = explode(concat(
+      ChunkCols.map(c => PromFramesDecode(col(c), mintMs, maxtMs)): _*))
     val zipped = filtered.join(chk, Seq("_stem", "_ri"))
     zipped
       .withColumn("_p", pts)
       .select((plainNames ++ extKeys).map(col) ++
         Seq(seriesHashOf(zipped, plainNames.map(c => (c, col(c)))).as("series_hash"),
-          col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value")): _*)
+          col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value"),
+          col("_p.h").as("h")): _*)
       .filter(if (emptyRange) lit(false)
               else col("ts_ms").between(mintMs, maxtMs))
       // the layout stores ≤1 sample per (series, ts); ts doubles as the

@@ -42,10 +42,12 @@ import org.apache.spark.unsafe.Platform
   */
 object PromXorChunk {
 
-  val EncXor = 1 // chunkenc.EncXOR
+  val EncXor = 1           // chunkenc.EncXOR
+  val EncHistogram = 2     // chunkenc.EncHistogram
+  val EncFloatHistogram = 3 // chunkenc.EncFloatHistogram
 
   // ------------------------------------------------------------ bit streams
-  private final class BitWriter(cap: Int) {
+  private[functions] final class BitWriter(cap: Int) {
     private[PromXorChunk] var buf = new Array[Byte](cap)
     private[PromXorChunk] var bitPos = 0
     private def ensure(bits: Int): Unit = {
@@ -81,7 +83,7 @@ object PromXorChunk {
     def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, (bitPos + 7) >>> 3)
   }
 
-  private final class BitReader(bytes: Array[Byte], startByte: Int) {
+  private[functions] final class BitReader(bytes: Array[Byte], startByte: Int) {
     private var bitPos = startByte * 8
     def bytePos: Int = (bitPos + 7) >>> 3
     def readBits(n: Int): Long = {
@@ -111,7 +113,8 @@ object PromXorChunk {
   def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
   // ------------------------------------------------------------ chunk codec
-  /** Encode points[from, until) (ts-sorted, ≤65535) as one XOR chunk. */
+  /** Encode points[from, until) (ts-sorted, ≤65535) as one XOR chunk.
+    * Points are the 3-field model structs (ts_ms, value, h); h is ignored. */
   def encodeChunk(points: ArrayData, from: Int, until: Int): Array[Byte] = {
     val n = until - from
     require(n >= 0 && n <= 0xFFFF, s"XOR chunk sample count $n out of uint16")
@@ -121,7 +124,7 @@ object PromXorChunk {
     var leading = 0xFF; var trailing = 0
     var i = from
     while (i < until) {
-      val p = points.getStruct(i, 2)
+      val p = points.getStruct(i, 3)
       val ts = p.getLong(0)
       val bits = java.lang.Double.doubleToRawLongBits(p.getDouble(1))
       if (i == from) {
@@ -152,11 +155,11 @@ object PromXorChunk {
   }
 
   /** Prometheus' asymmetric bucket test: −(2ⁿ⁻¹−1) ≤ x ≤ 2ⁿ⁻¹. */
-  private def bitRange(x: Long, nbits: Int): Boolean =
+  private[functions] def bitRange(x: Long, nbits: Int): Boolean =
     -((1L << (nbits - 1)) - 1) <= x && x <= (1L << (nbits - 1))
 
   /** Returns (leading << 8) | trailing after the write. */
-  private def xorWrite(w: BitWriter, bits: Long, prevBits: Long,
+  private[functions] def xorWrite(w: BitWriter, bits: Long, prevBits: Long,
                        leading: Int, trailing: Int): Int = {
     val delta = bits ^ prevBits
     if (delta == 0L) { w.writeBits(0L, 1); return (leading << 8) | trailing }
@@ -179,7 +182,8 @@ object PromXorChunk {
   }
 
   /** Decode one XOR chunk at bytes[off, off+len) into `out` starting at
-    * `outPos`; returns the new outPos. */
+    * `outPos` as 3-field model rows (ts, value, h=null); returns the new
+    * outPos. */
   def decodeChunkInto(bytes: Array[Byte], off: Int, out: Array[Any], outPos0: Int): Int = {
     val n = ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
     var outPos = outPos0
@@ -187,14 +191,14 @@ object PromXorChunk {
     val r = new BitReader(bytes, off + 2)
     var ts = r.readVarint()
     var bits = r.readBits(64)
-    out(outPos) = InternalRow(ts, java.lang.Double.longBitsToDouble(bits)); outPos += 1
+    out(outPos) = InternalRow(ts, java.lang.Double.longBitsToDouble(bits), null); outPos += 1
     if (n == 1) return outPos
     var delta = r.readUvarint()
     ts += delta
     var leading = 0; var trailing = 0
     var st = xorRead(r, bits, leading, trailing)
     bits = st._1; leading = st._2; trailing = st._3
-    out(outPos) = InternalRow(ts, java.lang.Double.longBitsToDouble(bits)); outPos += 1
+    out(outPos) = InternalRow(ts, java.lang.Double.longBitsToDouble(bits), null); outPos += 1
     var i = 2
     while (i < n) {
       var sz = 0
@@ -215,13 +219,13 @@ object PromXorChunk {
       ts += delta
       st = xorRead(r, bits, leading, trailing)
       bits = st._1; leading = st._2; trailing = st._3
-      out(outPos) = InternalRow(ts, java.lang.Double.longBitsToDouble(bits)); outPos += 1
+      out(outPos) = InternalRow(ts, java.lang.Double.longBitsToDouble(bits), null); outPos += 1
       i += 1
     }
     outPos
   }
 
-  private def xorRead(r: BitReader, prevBits: Long, leading: Int,
+  private[functions] def xorRead(r: BitReader, prevBits: Long, leading: Int,
                       trailing: Int): (Long, Int, Int) = {
     if (r.readBits(1) == 0L) return (prevBits, leading, trailing)
     var lead = leading; var trail = trailing
@@ -253,63 +257,135 @@ object PromXorChunk {
     while (i >= 0) { b.write(((v >>> i) & 0xFF).toInt); i -= 8 }
   }
 
-  /** points (ts-sorted, one UTC day) → the 3 framed 8h chunk-column cells
+  /** points (ts-sorted, one UTC day, 3-field model structs with a nullable
+    * native-histogram `h`) → the 3 framed 8h chunk-column cells
     * (ref convert/chunks.go:46-63): chunks cut at 2h boundaries (and the
     * uint16 cap), each framed [enc][zz mint][zz maxt][len][bytes] into the
-    * column picked by the chunk's first-sample UTC hour. */
+    * column picked by the chunk's first-sample UTC hour. Float runs frame as
+    * enc=1 XOR chunks; histogram runs as enc=2 (integer) or enc=3 (float)
+    * Prometheus histogram chunks, cut additionally on kind change, layout
+    * change (schema / zero threshold) and counter resets — the same events
+    * that end a chunk in the upstream appender
+    * (prometheus tsdb/chunkenc/histogram.go AppendHistogram's appendable
+    * contract; the gateway frames whatever encodings the TSDB handed it,
+    * ref api/grpc/thanos.go:462-473). */
   def encodeColumns(points: ArrayData): ArrayData = {
     val n = points.numElements()
     val cols = Array.fill(3)(new java.io.ByteArrayOutputStream())
     var i = 0
+    var prevCutReason = 0 // 0 first-ever, 1 boundary/kind, 2 layout, 3 reset
     while (i < n) {
-      val mint = points.getStruct(i, 2).getLong(0)
+      val p0 = points.getStruct(i, 3)
+      val mint = p0.getLong(0)
+      val isHist = !p0.isNullAt(2)
       val cut = (Math.floorDiv(mint, ChunkLenMs) + 1) * ChunkLenMs
       var j = i + 1
-      while (j < n && j - i < 0xFFFF &&
-             points.getStruct(j, 2).getLong(0) < cut) j += 1
-      val maxt = points.getStruct(j - 1, 2).getLong(0)
-      val chunk = encodeChunk(points, i, j)
+      var cutReason = 1
+      if (!isHist) {
+        var go = true
+        while (go && j < n && j - i < 0xFFFF) {
+          val pj = points.getStruct(j, 3)
+          if (pj.getLong(0) >= cut) go = false
+          else if (!pj.isNullAt(2)) go = false
+          else j += 1
+        }
+      } else {
+        var go = true
+        while (go && j < n && j - i < 0xFFFF) {
+          val pj = points.getStruct(j, 3)
+          if (pj.getLong(0) >= cut || pj.isNullAt(2)) { go = false; cutReason = 1 }
+          else if (PromHistChunk.sampleIntegral(pj.getStruct(2, 7)) !=
+            PromHistChunk.sampleIntegral(points.getStruct(j - 1, 3).getStruct(2, 7))) {
+            go = false; cutReason = 1 // int↔float type change, upstream cut
+          } else if (!PromHistChunk.sameLayoutKnobs(
+            points.getStruct(j - 1, 3).getStruct(2, 7), pj.getStruct(2, 7))) {
+            go = false; cutReason = 2
+          } else if (PromHistChunk.isCounterReset(
+            points.getStruct(j - 1, 3).getStruct(2, 7), pj.getStruct(2, 7))) {
+            go = false; cutReason = 3
+          } else j += 1
+        }
+      }
+      val maxt = points.getStruct(j - 1, 3).getLong(0)
+      val (enc, chunk) =
+        if (!isHist) (EncXor, encodeChunk(points, i, j))
+        else {
+          // counter-reset header of THIS chunk reflects why the previous
+          // chunk ended (the upstream head appender's hinting)
+          val header = prevCutReason match {
+            case 0 | 2 => PromHistChunk.UnknownCounterReset
+            case 1     => PromHistChunk.NotCounterReset
+            case _     => PromHistChunk.CounterReset
+          }
+          val float = !PromHistChunk.allIntegral(points, i, j)
+          (if (float) EncFloatHistogram else EncHistogram,
+            PromHistChunk.encodeChunk(points, i, j, header, float))
+        }
       val colIdx = ((Math.floorMod(mint, DayMs) / ColLenMs) % 3).toInt
       val b = cols(colIdx)
-      putU32(b, EncXor.toLong)
+      putU32(b, enc.toLong)
       putU64(b, zigzag(mint))
       putU64(b, zigzag(maxt))
       putU32(b, chunk.length.toLong)
       b.write(chunk, 0, chunk.length)
+      prevCutReason = cutReason
       i = j
     }
     new GenericArrayData(Array[Any](cols(0).toByteArray, cols(1).toByteArray,
       cols(2).toByteArray))
   }
 
-  /** One framed chunk-column cell → all its samples, in frame order. */
-  def decodeFrames(bytes: Array[Byte]): ArrayData = {
+  /** One framed chunk-column cell → its samples as 3-field model rows
+    * (ts, value, h), in frame order. Frames whose [mint, maxt] header lies
+    * entirely outside [tMin, tMax] are skipped on the 20-byte header alone —
+    * no bit-stream decode (the native layout's ChunkFramePrune analog for
+    * the reference format). Histogram frames (enc 2/3) decode to the pinned
+    * model struct with value = count. */
+  def decodeFrames(bytes: Array[Byte], tMin: Long, tMax: Long): ArrayData = {
     if (bytes == null || bytes.length == 0) return new GenericArrayData(new Array[Any](0))
-    // first pass: total sample count
+    // first pass: total sample count over surviving frames
     var off = 0; var total = 0
     while (off < bytes.length) {
       val enc = readU32(bytes, off)
-      if (enc != EncXor)
+      if (enc != EncXor && enc != EncHistogram && enc != EncFloatHistogram)
         throw new IllegalArgumentException(
-          s"unsupported chunk encoding $enc (only XOR/1 is implemented; " +
-            "native-histogram chunk interop is not covered)")
+          s"unsupported chunk encoding $enc (XOR/1, histogram/2 and " +
+            "float-histogram/3 are implemented)")
+      val fmint = unzigzag(readU64(bytes, off + 4))
+      val fmaxt = unzigzag(readU64(bytes, off + 12))
       val len = readU32(bytes, off + 20)
-      total += sampleCount(bytes, off + 24)
+      if (fmaxt >= tMin && fmint <= tMax) total += sampleCount(bytes, off + 24)
       off += 24 + len
     }
     val out = new Array[Any](total)
     off = 0; var pos = 0
     while (off < bytes.length) {
+      val enc = readU32(bytes, off)
+      val fmint = unzigzag(readU64(bytes, off + 4))
+      val fmaxt = unzigzag(readU64(bytes, off + 12))
       val len = readU32(bytes, off + 20)
-      pos = decodeChunkInto(bytes, off + 24, out, pos)
+      if (fmaxt >= tMin && fmint <= tMax)
+        pos =
+          if (enc == EncXor) decodeChunkInto(bytes, off + 24, out, pos)
+          else PromHistChunk.decodeChunkInto(bytes, off + 24, out, pos,
+            float = enc == EncFloatHistogram)
       off += 24 + len
     }
     new GenericArrayData(out)
   }
 
+  def decodeFrames(bytes: Array[Byte]): ArrayData =
+    decodeFrames(bytes, Long.MinValue, Long.MaxValue)
+
   private def readU32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def readU64(b: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+    v
+  }
 
   // ------------------------------------------------- label hash + index codec
   /** Prometheus labels.Hash(): XXH64(seed 0) over name 0xff value 0xff per
@@ -379,14 +455,15 @@ object PromXorChunk {
     b.write((v & 0x7F).toInt)
   }
 
-  val PointType: StructType = GorillaChunk.PointType
+  /** The 3-field model point (ts_ms, value, nullable native-histogram h). */
+  val PointType: StructType = HistChunk.PointType
   val LabelType: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
 }
 
-/** array<struct<ts_ms,value>> (ts-sorted, one UTC day) → the 3 framed 8h
-  * chunk-column cells of the reference layout. */
+/** array<struct<ts_ms,value,h>> (ts-sorted, one UTC day) → the 3 framed 8h
+  * chunk-column cells of the reference layout (XOR + histogram chunks). */
 case class PromFrameCols(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -406,24 +483,30 @@ object PromFrameCols {
   }
 }
 
-/** One framed chunk-column cell → array<struct<ts_ms,value>>. */
-case class PromFramesDecode(child: Expression) extends UnaryExpression {
+/** One framed chunk-column cell → array<struct<ts_ms,value,h>>. Frames
+  * entirely outside [tMin, tMax] skip on the frame header without decode. */
+case class PromFramesDecode(child: Expression,
+                            tMin: Long = Long.MinValue,
+                            tMax: Long = Long.MaxValue) extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(PromXorChunk.PointType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "prom_frames_decode"
   override def nullSafeEval(in: Any): Any =
-    PromXorChunk.decodeFrames(in.asInstanceOf[Array[Byte]])
+    PromXorChunk.decodeFrames(in.asInstanceOf[Array[Byte]], tMin, tMax)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PromXorChunk.decodeFrames($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PromXorChunk.decodeFrames($c, ${tMin}L, ${tMax}L)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object PromFramesDecode {
-  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    apply(c, Long.MinValue, Long.MaxValue)
+  def apply(c: org.apache.spark.sql.Column, tMin: Long, tMax: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftshim
-    graftshim.toColumn(PromFramesDecode(graftshim.toExpression(c)))
+    graftshim.toColumn(PromFramesDecode(graftshim.toExpression(c), tMin, tMax))
   }
 }
 

@@ -384,6 +384,55 @@ object Histograms {
         " SELECT r.evt, r.hr AS ts_ms, CAST(r.ccnt AS BIGINT) AS cnt, " +
         "round(CAST(r.cusum AS DOUBLE) / 100.0, 6) AS hsum, round(qq.q, 6) AS q50 " +
         "FROM r JOIN qq ON qq.evt = r.evt ORDER BY r.evt"
-      })
+      }),
+
+    // Native-histogram chunks in the REFERENCE bucket format: the cumulative
+    // histogram series converts into the gateway's dual-file layout —
+    // Prometheus integer histogram chunks (enc 2, counts integral; the sum
+    // field exercises the XOR path) framed beside the layout's varint index
+    // and labels hash — then selectReferenceStore decodes them back and
+    // every per-sample histogram field is audited against DuckDB recomputing
+    // the cumulative walk from raw events, in exact integer space (hsum
+    // recovered as cents via round(·×100)). Proves a real mixed bucket with
+    // histogram chunks serves through the engine (VERDICT r13 order #1).
+    Q("s5_reference_hist",
+      t => {
+        val spark = t.events.sparkSession
+        val out = java.nio.file.Files.createTempDirectory("graft-refhist").toString
+        graft.etl.ReferenceFormat.convertReference(spark, cumulativeHists(t),
+          out, numShards = 2)
+        graft.etl.ReferenceFormat.selectReferenceStore(spark, out)
+          .groupBy(col("evt"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ts_ms")).as("min_ts"), max(col("ts_ms")).as("max_ts"),
+            sum(col("h.cnt").cast("long")).as("sum_cnt"),
+            sum(round(col("h.hsum") * 100.0).cast("long")).as("sum_cents"),
+            sum(col("h.zcnt").cast("long")).as("sum_zcnt"),
+            sum(size(col("h.pos")).cast("long")).as("n_buckets"),
+            sum(aggregate(col("h.pos"), lit(0.0),
+              (acc, x) => acc + x.getField("c")).cast("long")).as("sum_bc"))
+          .orderBy(col("evt"))
+      },
+      Some(
+        "WITH o AS (SELECT event_type AS evt, (epoch_ms(ts) // 3600000) * 3600000 AS hr, " +
+          "CAST(round(value * 100) AS BIGINT) AS obs FROM events), " +
+        "hs AS (SELECT evt, hr, count(*) AS cnt, sum(obs) AS usum, " +
+          "count(*) FILTER (WHERE obs = 0) AS zc FROM o GROUP BY 1, 2), " +
+        "ch AS (SELECT evt, hr, sum(cnt) OVER (PARTITION BY evt ORDER BY hr) AS ccnt, " +
+          "sum(usum) OVER (PARTITION BY evt ORDER BY hr) AS cusum, " +
+          "sum(zc) OVER (PARTITION BY evt ORDER BY hr) AS czc FROM hs), " +
+        "pb AS (SELECT evt, hr, CASE WHEN obs = 1 THEN 0 ELSE length(printf('%b', obs - 1)) END AS idx, " +
+          "count(*) AS c FROM o WHERE obs > 0 GROUP BY 1, 2, 3), " +
+        "cb AS (SELECT s.evt, s.hr, p.idx, sum(p.c) AS cum FROM hs s " +
+          "JOIN pb p ON p.evt = s.evt AND p.hr <= s.hr GROUP BY 1, 2, 3), " +
+        "nb AS (SELECT evt, hr, count(*) AS nb, sum(cum) AS bc FROM cb WHERE cum > 0 GROUP BY 1, 2) " +
+        "SELECT hs.evt, count(*) AS n, min(hs.hr) AS min_ts, max(hs.hr) AS max_ts, " +
+        "CAST(sum(ch.ccnt) AS BIGINT) AS sum_cnt, CAST(sum(ch.cusum) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(ch.czc) AS BIGINT) AS sum_zcnt, " +
+        "CAST(sum(COALESCE(nb.nb, 0)) AS BIGINT) AS n_buckets, " +
+        "CAST(sum(COALESCE(nb.bc, 0)) AS BIGINT) AS sum_bc " +
+        "FROM hs JOIN ch ON ch.evt = hs.evt AND ch.hr = hs.hr " +
+        "LEFT JOIN nb ON nb.evt = hs.evt AND nb.hr = hs.hr " +
+        "GROUP BY 1 ORDER BY 1"))
   )
 }

@@ -13,7 +13,7 @@ import graft.functions.PromXorChunk
 class PromXorSpec extends SparkSpec {
 
   private def arr(pts: Seq[(Long, Double)]) =
-    new GenericArrayData(pts.map { case (t, v) => InternalRow(t, v) }.toArray[Any])
+    new GenericArrayData(pts.map { case (t, v) => InternalRow(t, v, null) }.toArray[Any])
 
   private def decodeChunk(bytes: Array[Byte]): Seq[(Long, Double)] = {
     val n = PromXorChunk.sampleCount(bytes, 0)
@@ -98,7 +98,7 @@ class PromXorSpec extends SparkSpec {
     def dec(i: Int): Seq[(Long, Double)] = {
       val d = PromXorChunk.decodeFrames(cols.getBinary(i))
       (0 until d.numElements()).map { j =>
-        val r = d.getStruct(j, 2); (r.getLong(0), r.getDouble(1))
+        val r = d.getStruct(j, 3); (r.getLong(0), r.getDouble(1))
       }
     }
     // hours 0-7 → col 0, 8-15 → col 1, 16-23 → col 2
@@ -119,10 +119,10 @@ class PromXorSpec extends SparkSpec {
     assert(frames == 4)
   }
 
-  test("decodeFrames rejects non-XOR encodings loudly") {
-    val bad = Array[Byte](0, 0, 0, 2) ++ new Array[Byte](20)
+  test("decodeFrames rejects unknown encodings loudly") {
+    val bad = Array[Byte](0, 0, 0, 5) ++ new Array[Byte](20)
     val e = intercept[IllegalArgumentException](PromXorChunk.decodeFrames(bad))
-    assert(e.getMessage.contains("unsupported chunk encoding 2"))
+    assert(e.getMessage.contains("unsupported chunk encoding 5"))
   }
 
   // ---------------------------------------------------- index + hash codecs
@@ -417,6 +417,67 @@ class PromXorSpec extends SparkSpec {
     // identical rows INCLUDING the hash: the recomputed Prometheus
     // labels.Hash equals the stored one byte-for-byte
     assert(v1 == v2 && v1.nonEmpty)
+  }
+
+  test("native-histogram chunks roundtrip through the reference bucket") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = 1704067200000L
+    // two series: "x" integral counts (enc 2) with a mid-day counter reset;
+    // "y" fractional counts (enc 3); both spanning two 8h cells
+    val rows = for { s <- Seq("x", "y"); k <- 0 until 12 } yield (s, k)
+    val base = rows.toDF("svc", "k")
+      .withColumn("ts_ms", lit(t0) + col("k") * lit(3600000L))
+    val cnt = when(col("svc") === "x",
+        when(col("k") < 6, col("k") + 10).otherwise(col("k") - 3).cast("double"))
+      .otherwise(col("k") * 1.0 + 10.5)
+    val emptyB = array().cast("array<struct<idx:int,c:double>>")
+    val samples = base.select(
+      col("svc"), col("ts_ms"), cnt.as("value"), col("ts_ms").as("sample_id"),
+      xxhash64(col("svc")).as("series_hash"),
+      struct(cnt.as("cnt"), (col("k") * 1.25).as("hsum"),
+        lit(0).as("sch"), lit(0.001953125).as("zthr"),
+        lit(1.0).as("zcnt"),
+        array(struct(lit(0).as("idx"), cnt.as("c")),
+          struct(lit(3).as("idx"), (cnt + 1.0).as("c"))).as("pos"),
+        emptyB.as("neg")).as("h"))
+    val out = java.nio.file.Files.createTempDirectory("graft-refnh").toString
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+
+    // frames carry enc 2 AND enc 3 on disk (mixed bucket)
+    val chunkBytes = spark.read
+      .parquet(s"$out/0/2024-01-01/0.chunks.parquet", s"$out/0/2024-01-01/1.chunks.parquet")
+      .select("___cf_meta_chunk_0").collect()
+      .flatMap(r => Option(r.getAs[Array[Byte]](0))).filter(_.nonEmpty)
+    val encs = chunkBytes.flatMap { b =>
+      var off = 0; val tags = scala.collection.mutable.ArrayBuffer[Int]()
+      while (off < b.length) {
+        tags += ((b(off) & 0xFF) << 24 | (b(off + 1) & 0xFF) << 16 |
+          (b(off + 2) & 0xFF) << 8 | (b(off + 3) & 0xFF))
+        val len = (b(off + 20) & 0xFF) << 24 | (b(off + 21) & 0xFF) << 16 |
+          (b(off + 22) & 0xFF) << 8 | (b(off + 23) & 0xFF)
+        off += 24 + len
+      }
+      tags
+    }.toSet
+    assert(encs == Set(2, 3), s"expected mixed enc 2/3 frames, got $encs")
+
+    val got = ReferenceFormat.selectReferenceStore(spark, out)
+      .select(col("svc"), col("ts_ms"), col("value"),
+        col("h.cnt"), col("h.hsum"), col("h.sch"), col("h.zthr"), col("h.zcnt"),
+        col("h.pos"), col("h.neg"))
+    val want = samples
+      .select(col("svc"), col("ts_ms"), col("value"),
+        col("h.cnt"), col("h.hsum"), col("h.sch"), col("h.zthr"), col("h.zcnt"),
+        col("h.pos"), col("h.neg"))
+    assert(got.count() == 24)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "histogram fields must roundtrip exactly through the reference bucket")
+
+    // time-bounded select decodes only in-range histogram samples
+    val sub = ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, t0 + 2 * 3600000L, t0 + 4 * 3600000L)
+    assert(sub.count() == 6 && sub.filter(col("h").isNull).count() == 0)
   }
 
   test("external labels: stream.pb fold + hashed directory") {
