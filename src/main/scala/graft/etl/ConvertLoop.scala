@@ -74,7 +74,10 @@ object ConvertLoop {
                        graceDays: Int = 2,
                        maxDays: Int = 2,
                        numShards: Int = 1,
-                       watermark: Option[Planner.LiveStoreWatermark] = None): RoundResult = {
+                       watermark: Option[Planner.LiveStoreWatermark] = None,
+                       retentionDays: Option[Int] = None,
+                       consistencyDelayMs: Long = 12L * 3600 * 1000,
+                       nowMs: () => Long = () => System.currentTimeMillis()): RoundResult = {
     tsdb.discover()
     val convertedDays = ReferenceFormat.discoverDays(spark, outDir)
     // bucket identity is the EXT-LABELS HASH (the directory name): streams
@@ -100,6 +103,15 @@ object ConvertLoop {
           days = Some(days))
         eh -> days
       }
+    }
+    // retention rides the same round, as the reference's cron does
+    // (locate/deletion.go:132-169 mark; :40-103 delete after the 12h
+    // consistency delay): expired days turn undiscoverable at mark time —
+    // so the NEXT round's planner won't resurrect them — and their files
+    // drop once the marker has aged past the delay
+    retentionDays.foreach { rd =>
+      ReferenceFormat.markExpiredDays(spark, outDir, today.minusDays(rd.toLong).toString)
+      ReferenceFormat.deleteMarkedDays(spark, outDir, nowMs(), consistencyDelayMs)
     }
     RoundResult(result.toMap)
   }

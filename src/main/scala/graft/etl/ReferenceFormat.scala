@@ -51,6 +51,8 @@ object ReferenceFormat {
   val IndexCol = "___cf_meta_index"
   val HashCol = "___cf_meta_hash"
   val ChunkCols: Seq[String] = (0 until 3).map(i => s"___cf_meta_chunk_$i")
+  /** ref `locate/deletion.go:22`. */
+  val DeletionMarkerName = "deletion-marker.pb"
 
   /** xxhash64(seed 0) over sorted key‖value — schema.ExternalLabels.Hash()
     * (ref `schema/block.go:44-67`); 0 when empty. */
@@ -226,8 +228,16 @@ object ReferenceFormat {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
     dates.map { dd =>
       val date = dd.getPath.getName.stripPrefix("date=")
+      // a deletion marker survives the day overwrite: the reference's
+      // converter uploads into the dir without clearing it, so a marked
+      // day stays invisible even if the planner re-converts it before the
+      // deleter runs (locate/deletion.go marker lifecycle)
+      val markerPath = new Path(s"$outDir/$eh/$date/$DeletionMarkerName")
+      val marker = if (clearDay && fs.exists(markerPath))
+        Some(readAllBytes(fs, markerPath)) else None
       if (clearDay) fs.delete(new Path(s"$outDir/$eh/$date"), true)
       fs.mkdirs(new Path(s"$outDir/$eh/$date"))
+      marker.foreach(writeBytes(fs, markerPath, _))
       for (sd <- fs.listStatus(dd.getPath)
            if sd.isDirectory && sd.getPath.getName.startsWith("shard=")) {
         val shard = sd.getPath.getName.stripPrefix("shard=")
@@ -246,6 +256,17 @@ object ReferenceFormat {
   private def writeBytes(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
     val os = fs.create(p, true)
     try os.write(bytes) finally os.close()
+  }
+
+  private def readAllBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
   }
 
   // ------------------------------------------------------------------- proto
@@ -315,16 +336,21 @@ object ReferenceFormat {
     * external labels fold in as constant columns (file label wins on
     * collision, the P10 precedence). */
   def openReferenceStore(spark: SparkSession, dir: String): DataFrame = {
+    // discovery hygiene: only meta-complete, unmarked days are readable —
+    // a half-written day (crashed converter) or a deletion-marked day is
+    // invisible, as in the reference's Discoverer
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val dayDirs = servableDayDirs(fs, dir)
     // mergeSchema: per-shard schemas are data-driven in real buckets
     // (schema/schema.go:82-97) — a label present only in some shards must
     // read as null elsewhere, not vanish with a sampled-file schema
     val lbl = spark.read.option("mergeSchema", "true")
-      .parquet(s"$dir/*/*/*.labels.parquet")
+      .parquet(dayDirs.map(d => s"$d/*.labels.parquet"): _*)
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.labels\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index"))
     val chk = chunksProjection(spark.read.schema(ChunksSchema)
-      .parquet(s"$dir/*/*/*.chunks.parquet")
+      .parquet(dayDirs.map(d => s"$d/*.chunks.parquet"): _*)
       .withColumn("_stem", regexp_replace(col("_metadata.file_path"),
         lit("\\.chunks\\.parquet$"), lit("")))
       .withColumn("_ri", col("_metadata.row_index")))
@@ -384,9 +410,14 @@ object ReferenceFormat {
                               streams: Map[String, Map[String, String]])
 
   def bucketMeta(spark: SparkSession, dir: String): BucketMeta = {
-    val merged = scala.util.Try(
-      spark.read.option("mergeSchema", "true").parquet(s"$dir/*/*/*.labels.parquet")
-        .schema).getOrElse(new org.apache.spark.sql.types.StructType())
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val days = servableDayDirs(fs, dir)
+    val merged =
+      if (days.isEmpty) new org.apache.spark.sql.types.StructType()
+      else scala.util.Try(
+        spark.read.option("mergeSchema", "true")
+          .parquet(days.map(d => s"$d/*.labels.parquet"): _*).schema)
+        .getOrElse(new org.apache.spark.sql.types.StructType())
     BucketMeta(merged, readStreamDescriptors(spark, dir))
   }
 
@@ -427,10 +458,10 @@ object ReferenceFormat {
     def day(ms: Long) = java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     val (loD, hiD) = (day(mintMs), day(maxtMs))
-    // one listing pass; the bounded subset selects in memory
-    val allDays = fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
-      .flatMap(h => fs.listStatus(h.getPath).toSeq.filter(_.isDirectory))
-      .map(_.getPath.toString)
+    // one listing pass gated on discovery hygiene (meta.pb present, no
+    // deletion marker — ref Discoverer + DeletionMarkerFilter); the bounded
+    // subset selects in memory
+    val allDays = servableDayDirs(fs, dir)
     val inRange = allDays.filter { d =>
       val n = d.substring(d.lastIndexOf('/') + 1); n >= loD && n <= hiD
     }
@@ -529,31 +560,132 @@ object ReferenceFormat {
       .withColumn("sample_id", col("ts_ms"))
   }
 
+  private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
+
+  /** Whether the (hash, date) block is visible to discovery: its `meta.pb`
+    * exists (a meta-less day is a half-written convert,
+    * `locate/discover.go:238-245`) and no `deletion-marker.pb` is present
+    * (`DeletionMarkerFilter.ShouldUnload`, `locate/deletion.go:24-28`).
+    * Hash-0 meta lives at the bucket top level (`MetaFileNameForBlock`
+    * elides the zero hash) while its marker — like its shards — lives under
+    * `0/<date>/`; the reference's path split maps both prefixes to hash 0,
+    * so both spots are honored on both files. */
+  private def blockVisible(fs: FileSystem, dir: String, hash: String,
+                           date: String): Boolean = {
+    def at(p: String) = fs.exists(new Path(p))
+    val meta =
+      if (hash == "0") at(s"$dir/$date/meta.pb") || at(s"$dir/0/$date/meta.pb")
+      else at(s"$dir/$hash/$date/meta.pb")
+    val marked = at(s"$dir/$hash/$date/$DeletionMarkerName") ||
+      (hash == "0" && at(s"$dir/$date/$DeletionMarkerName"))
+    meta && !marked
+  }
+
   /** Converted-day catalog of a reference bucket: ext-labels-hash string →
-    * sorted dates, a day counting as converted iff its `meta.pb` exists
-    * (the reference's discovery skips meta-less days the same way,
-    * `locate/discover.go:125-305`). Hash-0 meta lives at the top level
-    * (`MetaFileNameForBlock` elides the zero hash). */
+    * sorted dates, a day counting as converted iff its `meta.pb` exists and
+    * it carries no deletion marker (the reference's discovery rules,
+    * `locate/discover.go:125-305`, `locate/deletion.go:24-28`). */
   def discoverDays(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
     val base = new Path(dir)
     if (!fs.exists(base)) return Map.empty
-    val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
     val out = scala.collection.mutable.Map.empty[String, Seq[String]]
     fs.listStatus(base).toSeq.filter(_.isDirectory).foreach { top =>
       val name = top.getPath.getName
-      if (dateRe.matches(name)) {
-        if (fs.exists(new Path(top.getPath, "meta.pb")))
+      if (DateRe.matches(name)) {
+        if (blockVisible(fs, dir, "0", name))
           out("0") = out.getOrElse("0", Seq.empty) :+ name
       } else if (name.forall(_.isDigit)) {
         fs.listStatus(top.getPath).toSeq.filter(_.isDirectory).foreach { d =>
-          if (dateRe.matches(d.getPath.getName) &&
-              fs.exists(new Path(d.getPath, "meta.pb")))
-            out(name) = out.getOrElse(name, Seq.empty) :+ d.getPath.getName
+          if (DateRe.matches(d.getPath.getName) &&
+              blockVisible(fs, dir, name, d.getPath.getName))
+            out(name) = (out.getOrElse(name, Seq.empty) :+ d.getPath.getName).distinct
         }
       }
     }
     out.view.mapValues(_.sorted).toMap
+  }
+
+  /** Day directories (`<dir>/<hash>/<date>`) that serving may read: the
+    * shard files always live under the hash directory, visibility per
+    * [[blockVisible]]. Driver-side, bounded by hashes × days. */
+  private def servableDayDirs(fs: FileSystem, dir: String): Seq[String] = {
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
+      .flatMap { h =>
+        fs.listStatus(h.getPath).toSeq.filter(_.isDirectory)
+          .filter(d => DateRe.matches(d.getPath.getName) &&
+            blockVisible(fs, dir, h.getPath.getName, d.getPath.getName))
+          .map(_.getPath.toString)
+      }
+  }
+
+  // -------------------------------------------------------------- retention
+  /** `metapb.DeletionMark{reason = 1}` (ref proto/metapb/meta.proto). */
+  private[graft] def deletionMarkProto(reason: String): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    val rb = reason.getBytes("UTF-8")
+    if (rb.nonEmpty) { b.write(0x0A); putUvarint(b, rb.length.toLong); b.write(rb) }
+    b.toByteArray
+  }
+
+  /** MarkExpiredStreams analog (ref `locate/deletion.go:132-169`): every
+    * discovered day strictly older than `cutoffDate` (UTC day string) gets a
+    * `deletion-marker.pb` under its hash directory. Already-marked and
+    * meta-less days are left alone (discovery no longer reports them).
+    * Returns the (hash, date) pairs marked this pass. */
+  def markExpiredDays(spark: SparkSession, dir: String,
+                      cutoffDate: String,
+                      reason: String = "Retention duration expired"): Seq[(String, String)] = {
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    discoverDays(spark, dir).toSeq.flatMap { case (hash, dates) =>
+      dates.filter(_ < cutoffDate).map { d =>
+        writeBytes(fs, new Path(s"$dir/$hash/$d/$DeletionMarkerName"),
+          deletionMarkProto(reason))
+        (hash, d)
+      }
+    }.sorted
+  }
+
+  /** DeleteMarkedStreams analog (ref `locate/deletion.go:40-103`): drop the
+    * block files of every day whose marker is older than
+    * `consistencyDelayMs` (default the reference's 12h) — meta first (the
+    * day turns undiscoverable immediately even on partial failure), then
+    * the shard pairs, the marker last so an interrupted delete resumes.
+    * Returns the (hash, date) pairs deleted. */
+  def deleteMarkedDays(spark: SparkSession, dir: String, nowMs: Long,
+                       consistencyDelayMs: Long = 12L * 3600 * 1000): Seq[(String, String)] = {
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    if (!fs.exists(base)) return Seq.empty
+    val marked = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
+      .flatMap { h =>
+        fs.listStatus(h.getPath).toSeq.filter(_.isDirectory)
+          .filter(d => DateRe.matches(d.getPath.getName))
+          .flatMap { d =>
+            val mp = new Path(d.getPath, DeletionMarkerName)
+            if (fs.exists(mp) &&
+                nowMs - fs.getFileStatus(mp).getModificationTime >= consistencyDelayMs)
+              Some((h.getPath.getName, d.getPath.getName))
+            else None
+          }
+      }
+    marked.foreach { case (hash, d) =>
+      fs.delete(new Path(s"$dir/$hash/$d/meta.pb"), false)
+      if (hash == "0") fs.delete(new Path(s"$dir/$d/meta.pb"), false)
+      fs.listStatus(new Path(s"$dir/$hash/$d")).toSeq
+        .filter(f => f.getPath.getName.endsWith(".labels.parquet") ||
+          f.getPath.getName.endsWith(".chunks.parquet"))
+        .foreach(f => fs.delete(f.getPath, false))
+      fs.delete(new Path(s"$dir/$hash/$d/$DeletionMarkerName"), false)
+      // empty dirs cleaned opportunistically — an object store has none
+      fs.delete(new Path(s"$dir/$hash/$d"), true)
+      if (hash == "0") fs.delete(new Path(s"$dir/$d"), true)
+    }
+    marked.sorted
   }
 
   /** stream.pb sidecars: hash string (directory name) → external label set. */
@@ -563,17 +695,9 @@ object ReferenceFormat {
     if (!fs.exists(base)) return Map.empty
     fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { d =>
       val sp = new Path(d.getPath, "stream.pb")
-      if (fs.exists(sp)) {
-        val in = fs.open(sp)
-        val bytes = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          var n = in.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          buf.toByteArray
-        } finally in.close()
-        Some(d.getPath.getName -> parseStreamProto(bytes))
-      } else None
+      if (fs.exists(sp))
+        Some(d.getPath.getName -> parseStreamProto(readAllBytes(fs, sp)))
+      else None
     }.toMap
   }
 }

@@ -734,6 +734,84 @@ class EtlSpec extends SparkSpec {
       .filter(col("ts_ms") >= jan1 && col("ts_ms") < jan1 + 3 * D).count()
     assert(got.count() == want)
     assert(got.select("cluster").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+
+    // ---- retention rides the loop: TSDB retention dropped the block, the
+    // parquet days now age out (today=01-10, retention 5d → cutoff 01-05)
+    Files.walk(Paths.get(s"$tsdbRoot/blkA1"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+    val wallNow = System.currentTimeMillis()
+    def roundR(now: Long) = ConvertLoop.advanceReference(spark, disc, out, today,
+      _ => TimeSeriesModel.samples(t.events), graceDays = 2, maxDays = 2,
+      numShards = 2, retentionDays = Some(5), nowMs = () => now)
+    // round 1: every day marked; markers are fresh so nothing deletes —
+    // the files survive the whole consistency window...
+    assert(roundR(wallNow).converged)
+    assert(ReferenceFormat.discoverDays(spark, out).getOrElse(eh, Nil).isEmpty)
+    assert(Files.exists(Paths.get(s"$out/$eh/2024-01-02/1.labels.parquet")))
+    assert(Files.exists(Paths.get(s"$out/$eh/2024-01-02/deletion-marker.pb")))
+    // ...but serving already treats marked days as gone
+    assert(ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, jan1, jan1 + 3 * D).count() == 0)
+    // round 2, 13h later: aged markers → files drop, bucket is empty
+    assert(roundR(wallNow + 13L * 3600 * 1000).converged)
+    assert(!Files.exists(Paths.get(s"$out/$eh/2024-01-02")))
+    assert(!Files.exists(Paths.get(s"$out/$eh/2024-01-01")))
+    assert(ReferenceFormat.discoverDays(spark, out).getOrElse(eh, Nil).isEmpty)
+  }
+
+  test("reference discovery hygiene: meta-less + marked days invisible; marker survives overwrite") {
+    import graft.etl.ReferenceFormat
+    import graft.model.TimeSeriesModel
+    import graft.promql.MatchEq
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    val t = Tables(spark, sf())
+    val out = Files.createTempDirectory("graft-refhyg").toString
+    val samples = TimeSeriesModel.samples(t.events)
+      .filter(col("ts_ms") < jan1 + 3 * D)
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+    val full = ReferenceFormat.openReferenceStore(spark, out).count()
+    def dayCount(d: String) = ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, jan1, jan1 + 3 * D - 1)
+      .filter(col("ts_ms") >= jan1 + (d.takeRight(2).toInt - 1) * D &&
+        col("ts_ms") < jan1 + d.takeRight(2).toInt * D).count()
+
+    // half-written day (crashed converter): no meta.pb → invisible, the
+    // other days still serve (hash-0 meta lives at the bucket top level)
+    Files.delete(Paths.get(s"$out/2024-01-02/meta.pb"))
+    assert(ReferenceFormat.discoverDays(spark, out) ==
+      Map("0" -> Seq("2024-01-01", "2024-01-03")))
+    assert(dayCount("2024-01-02") == 0)
+    assert(dayCount("2024-01-01") > 0 && dayCount("2024-01-03") > 0)
+    assert(ReferenceFormat.openReferenceStore(spark, out).count() < full)
+
+    // mark pass: cutoff 01-03 marks day 1 (upstream marker path 0/<date>/)
+    assert(ReferenceFormat.markExpiredDays(spark, out, "2024-01-03")
+      == Seq(("0", "2024-01-01")))
+    assert(Files.exists(Paths.get(s"$out/0/2024-01-01/deletion-marker.pb")))
+    assert(ReferenceFormat.discoverDays(spark, out) == Map("0" -> Seq("2024-01-03")))
+    assert(dayCount("2024-01-01") == 0)
+
+    // fresh marker: delete pass is a no-op inside the consistency window
+    assert(ReferenceFormat.deleteMarkedDays(spark, out,
+      System.currentTimeMillis() + 3600 * 1000).isEmpty)
+    assert(Files.exists(Paths.get(s"$out/0/2024-01-01/0.labels.parquet")))
+
+    // day overwrite (re-convert) keeps the marker: still invisible
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2,
+      days = Some(Seq("2024-01-01")))
+    assert(Files.exists(Paths.get(s"$out/0/2024-01-01/deletion-marker.pb")))
+    assert(dayCount("2024-01-01") == 0)
+
+    // aged marker: the day's meta, shards and marker drop
+    assert(ReferenceFormat.deleteMarkedDays(spark, out,
+      System.currentTimeMillis() + 13L * 3600 * 1000) == Seq(("0", "2024-01-01")))
+    assert(!Files.exists(Paths.get(s"$out/0/2024-01-01")))
+    assert(!Files.exists(Paths.get(s"$out/2024-01-01")))
+    // surviving day still serves with matchers compiled as usual
+    assert(ReferenceFormat.selectReferenceStore(spark, out,
+      Seq(MatchEq("__name__", "purchase")), jan1, jan1 + 3 * D).count() > 0)
   }
 
   test("MiniJson: nested objects, arrays, escapes, numbers") {

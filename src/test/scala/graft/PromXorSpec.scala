@@ -480,6 +480,47 @@ class PromXorSpec extends SparkSpec {
     assert(sub.count() == 6 && sub.filter(col("h").isNull).count() == 0)
   }
 
+  test("chunk-cell projection: a sub-8h query scans one chunk column") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val samples = (0 until 24).map(h => ("svc1", t0 + h * 3600000L, h.toDouble))
+      .toDF("svc", "ts_ms", "value")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash", xxhash64(col("svc")))
+    val out = java.nio.file.Files.createTempDirectory("graft-refcell").toString
+    ReferenceFormat.convertReference(spark, samples, out)
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: QueryStageExec        => scansOf(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => (p.children ++ p.subqueries).flatMap(scansOf)
+      }
+    def chunkColsRead(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      df.collect()
+      scansOf(df.queryExecution.executedPlan)
+        .flatMap(_.requiredSchema.fieldNames)
+        .filter(_.startsWith("___cf_meta_chunk")).toSet
+    }
+
+    // hours 9–10 live in cell 1 (chunk starts 8h–16h); only that column scans
+    val sub = ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, t0 + 9 * 3600000L, t0 + 10 * 3600000L)
+    assert(sub.count() == 2)
+    assert(chunkColsRead(sub) == Set("___cf_meta_chunk_1"))
+
+    // a full-day query still reads all three cells
+    val full = ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, t0, t0 + 86400000L - 1)
+    assert(full.count() == 24)
+    assert(chunkColsRead(full) ==
+      Set("___cf_meta_chunk_0", "___cf_meta_chunk_1", "___cf_meta_chunk_2"))
+  }
+
   test("external labels: stream.pb fold + hashed directory") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.normalizeTs(
