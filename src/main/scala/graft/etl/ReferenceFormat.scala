@@ -53,6 +53,10 @@ object ReferenceFormat {
   val ChunkCols: Seq[String] = (0 until 3).map(i => s"___cf_meta_chunk_$i")
   /** ref `locate/deletion.go:22`. */
   val DeletionMarkerName = "deletion-marker.pb"
+  /** Engine-side bucket-meta sidecar (underscore-prefixed: Spark file
+    * indexes and the gateway both ignore it): the union of label columns
+    * ever written, so opening an OWN bucket needs no footer union. */
+  val BucketMetaFile = "_graft_bucket_meta.json"
 
   /** xxhash64(seed 0) over sorted key‖value — schema.ExternalLabels.Hash()
     * (ref `schema/block.go:44-67`); 0 when empty. */
@@ -195,9 +199,50 @@ object ReferenceFormat {
       }
       if (externalLabels.nonEmpty)
         writeBytes(fs, new Path(s"$outDir/$eh/stream.pb"), streamProto(externalLabels))
+      // stamp/refresh the bucket-meta sidecar: label-set union over every
+      // convert (incremental days and multi-stream buckets accumulate), so
+      // bucketMeta reads one tiny JSON instead of unioning footers — a
+      // retention-shrunk label set over-approximates, which is harmless
+      // (an all-null label column ≡ the label missing everywhere)
+      updateBucketMetaSidecar(spark, fs, outDir, lblCols.map(LabelPrefix + _))
       dates
     } finally rows.unpersist(blocking = false)
   }
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def updateBucketMetaSidecar(spark: SparkSession, fs: FileSystem,
+                                      dir: String, cols: Seq[String]): Unit = {
+    val p = new Path(s"$dir/$BucketMetaFile")
+    val existing = readSidecarCols(fs, p).getOrElse {
+      // first stamp of a bucket that predates the sidecar (or lost it):
+      // seed with the one-time footer union so the invariant
+      // sidecar ⊇ every label column in the bucket holds from here on
+      val days = servableDayDirs(fs, dir)
+      if (days.isEmpty) Nil
+      else scala.util.Try(
+        spark.read.option("mergeSchema", "true")
+          .parquet(days.map(d => s"$d/*.labels.parquet"): _*)
+          .schema.fieldNames.filter(_.startsWith(LabelPrefix)).toSeq)
+        .getOrElse(Seq.empty[String])
+    }
+    val union = (existing ++ cols).distinct.sorted
+    writeBytes(fs, p,
+      ("{\"labels\":[" + union.map(jsonStr).mkString(",") + "]}").getBytes("UTF-8"))
+  }
+
+  private def readSidecarCols(fs: FileSystem, p: Path): Option[Seq[String]] =
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      MiniJson.parse(new String(readAllBytes(fs, p), "UTF-8"))
+        .asInstanceOf[Map[String, Any]]("labels")
+        .asInstanceOf[Vector[Any]].map(_.toString).toSeq
+    }.toOption
 
   /** Both files must carry identical row order: one hash shuffle on
     * (date, shard) — each combo whole in one task — then a TOTAL
@@ -410,15 +455,24 @@ object ReferenceFormat {
                               streams: Map[String, Map[String, String]])
 
   def bucketMeta(spark: SparkSession, dir: String): BucketMeta = {
+    import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    val days = servableDayDirs(fs, dir)
-    val merged =
-      if (days.isEmpty) new org.apache.spark.sql.types.StructType()
-      else scala.util.Try(
-        spark.read.option("mergeSchema", "true")
-          .parquet(days.map(d => s"$d/*.labels.parquet"): _*).schema)
-        .getOrElse(new org.apache.spark.sql.types.StructType())
-    BucketMeta(merged, readStreamDescriptors(spark, dir))
+    // own buckets: the stamped sidecar replaces the footer union — open-time
+    // cost is one small read, independent of days × shards; foreign buckets
+    // (gateway-written, no sidecar) fall back to mergeSchema
+    val schema = readSidecarCols(fs, new Path(s"$dir/$BucketMetaFile")) match {
+      case Some(cols) =>
+        StructType(StructField(IndexCol, BinaryType) +:
+          cols.map(c => StructField(c, StringType)))
+      case None =>
+        val days = servableDayDirs(fs, dir)
+        if (days.isEmpty) new StructType()
+        else scala.util.Try(
+          spark.read.option("mergeSchema", "true")
+            .parquet(days.map(d => s"$d/*.labels.parquet"): _*).schema)
+          .getOrElse(new StructType())
+    }
+    BucketMeta(schema, readStreamDescriptors(spark, dir))
   }
 
   /** The chunks-file schema is FIXED by the format (hash + 3 chunk cells);

@@ -480,6 +480,54 @@ class PromXorSpec extends SparkSpec {
     assert(sub.count() == 6 && sub.filter(col("h").isNull).count() == 0)
   }
 
+  test("bucket-meta sidecar: schema without footer reads; seeded rebuild; foreign fallback") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = 1704067200000L; val day = 86400000L
+    def mk(rows: Seq[(String, String, Long, Double)], withB: Boolean) = {
+      val df = rows.toDF("a", "b", "ts_ms", "value")
+      (if (withB) df else df.drop("b"))
+        .withColumn("sample_id", col("ts_ms"))
+        .withColumn("series_hash", xxhash64(col("a")))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-refside").toString
+    ReferenceFormat.convertReference(spark,
+      mk(Seq(("s1", "y", t0 + 1000L, 1.0)), withB = true), out)
+    ReferenceFormat.convertReference(spark,
+      mk(Seq(("s1", "", t0 + day + 1000L, 2.0)), withB = false), out,
+      days = Some(Seq("2024-01-02")))
+    val sidecar = java.nio.file.Paths.get(s"$out/_graft_bucket_meta.json")
+    assert(java.nio.file.Files.isRegularFile(sidecar))
+
+    val labelFields = Set("___cf_meta_index", "___cf_meta_label_a", "___cf_meta_label_b")
+    val mSide = ReferenceFormat.bucketMeta(spark, out)
+    assert(mSide.labelsSchema.fieldNames.toSet == labelFields)
+
+    // fallback (sidecar gone = foreign bucket): footer union, same fields
+    java.nio.file.Files.delete(sidecar)
+    val mMerge = ReferenceFormat.bucketMeta(spark, out)
+    assert(mMerge.labelsSchema.fieldNames.toSet == labelFields)
+
+    // an incremental convert re-stamps the sidecar SEEDED from the footer
+    // union — day 3 carries only {a}, yet b survives in the sidecar
+    ReferenceFormat.convertReference(spark,
+      mk(Seq(("s1", "", t0 + 2 * day + 1000L, 3.0)), withB = false), out,
+      days = Some(Seq("2024-01-03")))
+    assert(ReferenceFormat.bucketMeta(spark, out)
+      .labelsSchema.fieldNames.toSet == labelFields)
+
+    // the sidecar path reads NO parquet footer: corrupt every labels file;
+    // bucketMeta must still produce the full schema from the JSON alone
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining { p =>
+        if (p.toString.endsWith(".labels.parquet"))
+          java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      }
+    assert(ReferenceFormat.bucketMeta(spark, out)
+      .labelsSchema.fieldNames.toSet == labelFields)
+  }
+
   test("chunk-cell projection: a sub-8h query scans one chunk column") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

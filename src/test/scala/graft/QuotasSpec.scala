@@ -54,6 +54,48 @@ class QuotasSpec extends SparkSpec {
       s"under-quota collect added ${overheadMs}ms over a bare collect")
   }
 
+  test("quotas charge PromQL served off a reference bucket (resourceExhausted path)") {
+    import org.apache.spark.sql.functions._
+    import graft.etl.ReferenceFormat
+    val t0 = 1704067200000L; val day = 86400000L
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    val samples = graft.model.TimeSeriesModel.samples(events)
+      .filter(col("ts_ms") < t0 + 3 * day)
+    val out = java.nio.file.Files.createTempDirectory("graft-refquota").toString
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+    val meta = ReferenceFormat.bucketMeta(spark, out)
+    def engine(q: Quotas) = new graft.api.PromEngine(
+      ReferenceFormat.selectReferenceStore(spark, out, meta = Some(meta)),
+      lookbackMs = day, quotas = q,
+      sourceByRange = Some((lo, hi) =>
+        ReferenceFormat.selectReferenceStore(spark, out, Nil, lo, hi, Some(meta))))
+    val (q, ti) = ("""sum by (__name__) ({uid!=""})""", t0 + 2 * day)
+
+    // the rangedSamples indirection still routes through Quotas.collect:
+    // a mid-scan byte ceiling trips on the bucket's chunk bytes...
+    val exB = intercept[QuotaExceededException](
+      engine(Quotas(maxBytes = Some(1L << 40), maxBytesMidScan = Some(16L)))
+        .instantQuery(q, ti))
+    assert(exB.getMessage.contains("mid-scan quota"))
+    // ...and the pre-flight row probe trips before materialization
+    assertThrows[QuotaExceededException](
+      engine(Quotas(maxRows = Some(1L))).instantQuery(q, ti))
+
+    // generous quotas answer exactly like the unlimited engine
+    val lim = engine(Quotas(maxBytesMidScan = Some(1L << 40))).instantQuery(q, ti)
+    val free = engine(Quotas()).instantQuery(q, ti)
+    assert(lim == free && lim.nonEmpty)
+
+    // the gRPC body surface maps the same way: StoreApi over the bucket
+    // frame raises QuotaExceededException (the transport's ResourceExhausted)
+    val api = new graft.api.StoreApi(
+      ReferenceFormat.selectReferenceStore(spark, out, meta = Some(meta)),
+      quotas = Quotas(maxBytes = Some(1L << 40), maxBytesMidScan = Some(16L)))
+    assertThrows[QuotaExceededException](
+      api.query(graft.api.StoreApi.QueryRequest(q, timeSeconds = ti / 1000)))
+  }
+
   test("query gate bounds concurrency and times out when saturated") {
     val gate = new QueryGate(maxConcurrent = 1)
     val r = gate.run()(42)
