@@ -569,6 +569,100 @@ class PromXorSpec extends SparkSpec {
       Set("___cf_meta_chunk_0", "___cf_meta_chunk_1", "___cf_meta_chunk_2"))
   }
 
+  test("mixed V1/V2 shards in one bucket: one series identity at query granularity") {
+    import org.apache.spark.sql.functions._
+    import graft.promql.MatchEq
+    val t0 = 1704067200000L; val day = 86400000L
+    val events = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    val samples = graft.model.TimeSeriesModel.samples(events)
+      .filter(col("ts_ms") < t0 + 2 * day)
+    val out = java.nio.file.Files.createTempDirectory("graft-refmix").toString
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+    val pure = ReferenceFormat.selectReferenceStore(spark, out,
+        Seq(MatchEq("__name__", "purchase")), t0, t0 + 2 * day - 1)
+      .select("uid", "ts_ms", "value", "series_hash").collect().toSet
+
+    // strip ___cf_meta_hash from DAY 1's chunks files only → V1 day beside
+    // a V2 day in one bucket (schema/schema.go:38-49 version skew)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    for (s <- 0 until 2) {
+      val f = s"$out/0/2024-01-01/$s.chunks.parquet"
+      val df = spark.read.parquet(f).drop("___cf_meta_hash")
+      val tmp = f + ".v1tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      fs.rename(part, new org.apache.hadoop.fs.Path(f))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+
+    val mixed = ReferenceFormat.selectReferenceStore(spark, out,
+      Seq(MatchEq("__name__", "purchase")), t0, t0 + 2 * day - 1)
+    // identical rows INCLUDING series_hash: the V1 day's recomputed
+    // Prometheus labels.Hash equals the V2 day's stored one, so one series
+    // spanning both days keeps ONE identity
+    assert(mixed.select("uid", "ts_ms", "value", "series_hash")
+      .collect().toSet == pure && pure.nonEmpty)
+    val multiId = mixed.groupBy(col("uid"))
+      .agg(count_distinct(col("series_hash")).as("n")).filter(col("n") > 1)
+    assert(multiId.isEmpty, "a series split identities across V1/V2 days")
+    // a lookback-crossing PromQL query stitches the two days into one series
+    val eng = new graft.api.PromEngine(mixed, lookbackMs = day)
+    val res = eng.instantQuery("""count by (__name__) ({__name__="purchase"})""",
+      t0 + 2 * day - 1)
+    assert(res.size == 1)
+  }
+
+  test("varint index: empty-vs-absent labels and boundary-byte values through the store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.promql.MatchEq
+    val t0 = 1704067200000L
+    // b="" (empty ≡ absent), b missing (null), b="ÿ" (U+00FF — the char
+    // whose UTF-8 bytes sit next to the 0xff hash separator), and a pair
+    // that would collide under a naive separator-less hash
+    val rows = Seq(
+      ("s1", "", t0 + 1000L, 1.0), ("s2", null, t0 + 2000L, 2.0),
+      ("s3", "ÿ", t0 + 3000L, 3.0), ("sÿ4", "v", t0 + 4000L, 4.0),
+      ("s", "ÿ4v", t0 + 5000L, 5.0))
+    val samples = rows.toDF("a", "b", "ts_ms", "value")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash", xxhash64(col("a"), col("b")))
+    val out = java.nio.file.Files.createTempDirectory("graft-refidx").toString
+    ReferenceFormat.convertReference(spark, samples, out)
+
+    // the stored varint index flags exactly the NON-EMPTY labels: schema is
+    // [index, a, b] → positions 1=a, 2=b; b="" and b=null both omit 2
+    val lbl = spark.read.parquet(s"$out/0/2024-01-01/0.labels.parquet")
+    val idx = lbl.select("___cf_meta_index", "___cf_meta_label_a")
+      .collect().map { r =>
+        r.getString(1) ->
+          PromXorChunk.decodeLabelIndex(r.getAs[Array[Byte]](0)).toSeq
+      }.toMap
+    def ixOf(a: String) = idx(a)
+    assert(ixOf("s1") == Seq(1), s"empty b must be absent from the index: $idx")
+    assert(ixOf("s2") == Seq(1))
+    assert(ixOf("s3") == Seq(1, 2))
+    assert(ixOf("sÿ4") == Seq(1, 2))
+    assert(ixOf("s") == Seq(1, 2))
+
+    // query granularity: b="" matches the empty AND the missing label;
+    // b="ÿ" only its own series; the ÿ-boundary trio keeps 3 identities
+    def sel(ms: graft.promql.LabelMatcher*) =
+      ReferenceFormat.selectReferenceStore(spark, out, ms.toSeq)
+    assert(sel(MatchEq("b", "")).select("a").as[String].collect().toSet ==
+      Set("s1", "s2"))
+    assert(sel(MatchEq("b", "ÿ")).select("a").as[String].collect().toSet == Set("s3"))
+    assert(sel().select("series_hash").distinct().count() == 5)
+    // the three ÿ-boundary series carry three DISTINCT Prometheus hashes
+    assert(sel(MatchEq("b", "ÿ")).union(sel(MatchEq("a", "sÿ4")))
+      .union(sel(MatchEq("a", "s")))
+      .select("series_hash").distinct().count() == 3)
+  }
+
   test("external labels: stream.pb fold + hashed directory") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.normalizeTs(

@@ -727,6 +727,182 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {l="v"} 57.29577951308232
       |""".stripMargin
 
+  /** testdata/name_label_dropping.test — the file the REFERENCE skips
+    * wholesale ("feature unsupported in promql-engine",
+    * db/db_test.go:60-63); this engine implements the Prometheus 3
+    * name-dropping matrix, so the core of the file runs here. Documented
+    * divergence: the upstream quartet relabeling the dropped `__name__`
+    * through `label_replace`/`label_join` over `rate({env="1"}[10m])`
+    * depends on DELAYED name removal (the promql-delayed-name-removal
+    * feature: `__name__` stays visible to the relabeling function after the
+    * rate conceptually dropped it). This engine drops the column eagerly,
+    * so those four cases would read an absent source label — they are not
+    * transcribed as passing cases. */
+  private val nameLabelDroppingCorpus =
+    """
+      |load 5m
+      |  metric{env="1"} 0 60 120
+      |  another_metric{env="1"} 60 120 180
+      |
+      |eval instant at 10m metric{env="1"}
+      |  {__name__="metric", env="1"} 120
+      |
+      |eval instant at 10m -metric
+      |  {env="1"} -120
+      |
+      |eval instant at 10m metric + another_metric
+      |  {env="1"} 300
+      |
+      |eval instant at 10m metric <= another_metric
+      |  {__name__="metric", env="1"} 120
+      |
+      |eval instant at 10m metric <= bool another_metric
+      |  {env="1"} 1
+      |
+      |eval instant at 10m metric * 2
+      |  {env="1"} 240
+      |
+      |eval instant at 10m clamp(metric, 0, 100)
+      |  {env="1"} 100
+      |
+      |eval instant at 10m rate(metric{env="1"}[10m])
+      |  {env="1"} 0.2
+      |
+      |eval instant at 10m last_over_time(metric{env="1"}[10m])
+      |  {__name__="metric", env="1"} 120
+      |
+      |eval instant at 10m max_over_time(metric{env="1"}[10m])
+      |  {env="1"} 120
+      |
+      |eval instant at 10m sum by (__name__, env) (metric{env="1"})
+      |  {__name__="metric", env="1"} 120
+      |""".stripMargin
+
+  /** testdata/limit.test — limitk / limit_ratio (added upstream with the
+    * experimental aggregations). Adaptation, noted: upstream's limitk keeps
+    * engine arrival order (implementation-defined) and limit_ratio uses Go's
+    * labels-hash uniform; this engine picks by a deterministic label hash of
+    * its own. The transcribed cases are the file's ORDER-INDEPENDENT
+    * invariants (count bounds, k ≤ 0 emptiness, pass-through of series
+    * identity, ratio 1/-1 totality, r ∪ −(1−r) partition completeness and
+    * disjointness), which hold under any per-series uniform. */
+  private val limitCorpus =
+    """
+      |load 5m
+      |  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+      |  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+      |  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+      |  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+      |  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+      |  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+      |  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+      |  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+      |
+      |eval instant at 50m count(limitk by (group) (0, http_requests))
+      |
+      |eval instant at 50m count(limitk by (group) (-1, http_requests))
+      |
+      |eval instant at 50m count(limitk by (group) (1, http_requests) and http_requests)
+      |  {} 2
+      |
+      |eval instant at 50m count(limitk by (group) (2, http_requests) and http_requests)
+      |  {} 4
+      |
+      |eval instant at 50m count(limitk(100, http_requests) and http_requests)
+      |  {} 8
+      |
+      |eval instant at 50m count(limitk(2, http_requests))
+      |  {} 2
+      |
+      |eval instant at 50m limitk(100, http_requests{job="api-server", instance="0"})
+      |  {__name__="http_requests", job="api-server", instance="0", group="production"} 100
+      |  {__name__="http_requests", job="api-server", instance="0", group="canary"} 300
+      |
+      |eval instant at 50m count(limit_ratio(1.0, http_requests) and http_requests)
+      |  {} 8
+      |
+      |eval instant at 50m count(limit_ratio(-1.0, http_requests) and http_requests)
+      |  {} 8
+      |
+      |eval instant at 50m count(limit_ratio(0.33, http_requests) or limit_ratio(-0.67, http_requests))
+      |  {} 8
+      |
+      |eval instant at 50m limit_ratio(0.33, http_requests) and limit_ratio(-0.67, http_requests)
+      |
+      |eval instant at 50m count(limit_ratio(0.8, http_requests) or limit_ratio(-0.2, http_requests))
+      |  {} 8
+      |""".stripMargin
+
+  /** testdata/range_queries.test — step-grid evaluation: left-open
+    * sum_over_time windows at each step, trailing-value truncation, gaps in
+    * `or` short-circuits, and name dropping on the grid. */
+  private val rangeQueriesCorpus =
+    """
+      |load 30s
+      |  bar 0 1 10 100 1000
+      |
+      |eval range from 0s to 2m step 1m sum_over_time(bar[30s])
+      |  {} 0 10 1000
+      |
+      |clear
+      |
+      |load 30s
+      |  bar 0 1 10 100 1000 0 0 0 0
+      |
+      |eval range from 0s to 2m step 1m sum_over_time(bar[30s])
+      |  {} 0 10 1000
+      |
+      |clear
+      |
+      |load 30s
+      |  bar 0 1 10 100 1000 10000 100000 1000000 10000000
+      |
+      |eval range from 0s to 4m step 1m sum_over_time(bar[30s])
+      |  {} 0 10 1000 100000 10000000
+      |
+      |clear
+      |
+      |load 30s
+      |  bar 5 17 42 2 7 905 51
+      |
+      |eval range from 0s to 3m step 1m sum_over_time(bar[30s])
+      |  {} 5 42 7 51
+      |
+      |clear
+      |
+      |load 30s
+      |  metric 1+1x4
+      |
+      |eval range from 0s to 2m step 1m metric
+      |  {__name__="metric"} 1 3 5
+      |
+      |clear
+      |
+      |load 30s
+      |  metric 1+1x8
+      |
+      |eval range from 0s to 2m step 1m metric
+      |  {__name__="metric"} 1 3 5
+      |
+      |clear
+      |
+      |load 30s
+      |  foo{job="1"} 1+1x4
+      |  bar{job="2"} 1+1x4
+      |
+      |eval range from 0s to 2m step 1m foo > 2 or bar
+      |  {__name__="foo", job="1"} _ 3 5
+      |  {__name__="bar", job="2"} 1 3 5
+      |
+      |clear
+      |
+      |load 30s
+      |  requests{job="1", __address__="bar"} 100
+      |
+      |eval range from 0s to 2m step 1m requests * 2
+      |  {job="1", __address__="bar"} 200 200 200
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int): Unit = {
     val segs = parseSegments(corpus)
     assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
@@ -748,4 +924,9 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }
   test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
   test("upstream scalars + trig tranche") { run("scalars_trig", scalarsTrigCorpus, 28) }
+  test("upstream name_label_dropping.test tranche (file the reference skips)") {
+    run("name_label_dropping", nameLabelDroppingCorpus, 11)
+  }
+  test("upstream limit.test tranche") { run("limit", limitCorpus, 12) }
+  test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 8) }
 }
