@@ -569,6 +569,53 @@ class PromXorSpec extends SparkSpec {
       Set("___cf_meta_chunk_0", "___cf_meta_chunk_1", "___cf_meta_chunk_2"))
   }
 
+  test("PromQL histogram functions served off a reference bucket match the raw frame") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = 1704067200000L
+    // two cumulative (counter) histogram series, hourly over a day — enc 2
+    // chunks in the bucket; rate()/histogram_count/sum route through the
+    // real compiler path on BOTH engines
+    val rows = for { s <- Seq("x", "y"); k <- 0 until 24 } yield (s, k)
+    val base = rows.toDF("svc", "k")
+      .withColumn("ts_ms", lit(t0) + col("k") * lit(3600000L))
+    val mult = when(col("svc") === "x", 2.0).otherwise(5.0)
+    val cnt = (col("k") + 1) * mult
+    val emptyB = array().cast("array<struct<idx:int,c:double>>")
+    val samples = base.select(
+      lit("m").as("__name__"), col("svc"), col("ts_ms"), cnt.as("value"),
+      col("ts_ms").as("sample_id"),
+      xxhash64(lit("m"), col("svc")).as("series_hash"),
+      struct(cnt.as("cnt"), (cnt * 3.5).as("hsum"),
+        lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
+        array(struct(lit(1).as("idx"), cnt.as("c"))).as("pos"),
+        emptyB.as("neg")).as("h"))
+    val out = java.nio.file.Files.createTempDirectory("graft-refnhq").toString
+    ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
+
+    val day = 86400000L
+    val meta = ReferenceFormat.bucketMeta(spark, out)
+    val engBucket = new graft.api.PromEngine(
+      ReferenceFormat.selectReferenceStore(spark, out, meta = Some(meta)),
+      lookbackMs = 3600000L,
+      sourceByRange = Some((lo, hi) =>
+        ReferenceFormat.selectReferenceStore(spark, out, Nil, lo, hi, Some(meta))))
+    val engRaw = new graft.api.PromEngine(samples, lookbackMs = 3600000L)
+    val ti = t0 + 20 * 3600000L
+    for (q <- Seq("histogram_count(rate(m[4h]))", "histogram_sum(rate(m[4h]))",
+                  "histogram_quantile(0.9, sum by (svc) (rate(m[4h])))")) {
+      val a = engBucket.instantQuery(q, ti).map(s => s.labels -> s.points).toMap
+      val b = engRaw.instantQuery(q, ti).map(s => s.labels -> s.points).toMap
+      assert(a.keySet == b.keySet && a.nonEmpty, s"$q: ${a.keySet} vs ${b.keySet}")
+      a.keySet.foreach { k =>
+        val (pa, pb) = (a(k), b(k))
+        assert(pa.map(_._1) == pb.map(_._1), s"$q/$k timestamps")
+        pa.zip(pb).foreach { case ((_, va), (_, vb)) =>
+          assert(math.abs(va - vb) < 1e-9, s"$q/$k: $va vs $vb") }
+      }
+    }
+  }
+
   test("mixed V1/V2 shards in one bucket: one series identity at query granularity") {
     import org.apache.spark.sql.functions._
     import graft.promql.MatchEq

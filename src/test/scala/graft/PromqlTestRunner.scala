@@ -56,10 +56,15 @@ trait PromqlTestRunner extends SparkSpec {
   }
 
   protected def parseSeries(line: String, stepMs: Long): Loaded = {
-    val (sel, vals) = line.splitAt(line.indexOf('}') + 1) match {
-      case ("", _) => (line.split("\\s+", 2)(0), line.split("\\s+", 2)(1))
-      case (a, b) => (a, b)
-    }
+    // a label set exists only when '{' appears before the first whitespace;
+    // otherwise any brace belongs to a `{{…}}` histogram value literal
+    // (e.g. upstream's bare `empty_histogram {{}}`)
+    val firstBrace = line.indexOf('{')
+    val wsIdx = line.indexWhere(_.isWhitespace)
+    val (sel, vals) =
+      if (firstBrace >= 0 && (wsIdx < 0 || firstBrace < wsIdx))
+        line.splitAt(line.indexOf('}') + 1)
+      else (line.split("\\s+", 2)(0), line.split("\\s+", 2)(1))
     val (name, lblStr) =
       if (sel.contains("{")) (sel.takeWhile(_ != '{'),
         sel.dropWhile(_ != '{').stripPrefix("{").stripSuffix("}"))

@@ -903,6 +903,95 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {job="1", __address__="bar"} 200 200 200
       |""".stripMargin
 
+  /** testdata/native_histograms.test — sparse exponential-bucket histogram
+    * literals (`{{schema:… count:… sum:… buckets:[…]}}`): scalar extraction
+    * (count/sum/avg), fraction and quantile over single histograms,
+    * bucket-wise aggregation (sum/avg/count over histogram series), and the
+    * counter rate over increasing native histograms. Adaptations noted: the
+    * quantile expectations follow Prometheus 3's EXPONENTIAL intra-bucket
+    * interpolation (2^(idx-1+frac), the engine's pinned convention);
+    * `+{{…}}xN` incremental-series notation is spelled out as explicit
+    * literals (the runner loads literal samples), and stddev/stdvar cases
+    * are not transcribed (expected constants not re-derived). */
+  private val nativeHistogramsCorpus =
+    """
+      |load 5m
+      |  empty_histogram {{}}
+      |
+      |eval instant at 1m empty_histogram
+      |  {__name__="empty_histogram"} {{}}
+      |
+      |eval instant at 1m histogram_count(empty_histogram)
+      |  {} 0
+      |
+      |eval instant at 1m histogram_sum(empty_histogram)
+      |  {} 0
+      |
+      |eval instant at 1m histogram_avg(empty_histogram)
+      |  {} NaN
+      |
+      |eval instant at 1m histogram_fraction(0, 8, empty_histogram)
+      |  {} NaN
+      |
+      |clear
+      |
+      |load 5m
+      |  single_histogram {{schema:0 sum:5 count:4 buckets:[1 2 1]}}
+      |
+      |eval instant at 1m single_histogram
+      |  {__name__="single_histogram"} {{schema:0 sum:5 count:4 buckets:[1 2 1]}}
+      |
+      |eval instant at 1m histogram_count(single_histogram)
+      |  {} 4
+      |
+      |eval instant at 1m histogram_sum(single_histogram)
+      |  {} 5
+      |
+      |eval instant at 1m histogram_avg(single_histogram)
+      |  {} 1.25
+      |
+      |eval instant at 1m histogram_fraction(1, 2, single_histogram)
+      |  {} 0.5
+      |
+      |eval instant at 1m histogram_quantile(0.5, single_histogram)
+      |  {} 1.4142135623730951
+      |
+      |clear
+      |
+      |load 5m
+      |  ha{l="x"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  ha{l="y"} {{schema:0 count:2 sum:3 buckets:[1 1]}}
+      |
+      |eval instant at 1m histogram_count(sum(ha))
+      |  {} 6
+      |
+      |eval instant at 1m histogram_sum(sum(ha))
+      |  {} 8
+      |
+      |eval instant at 1m sum(ha)
+      |  {} {{schema:0 count:6 sum:8 buckets:[2 3 1]}}
+      |
+      |eval instant at 1m avg(ha)
+      |  {} {{schema:0 count:3 sum:4 buckets:[1 1.5 0.5]}}
+      |
+      |eval instant at 1m count(ha)
+      |  {} 2
+      |
+      |eval instant at 1m histogram_quantile(0.5, sum(ha))
+      |  {} 1.2599210498948732
+      |
+      |clear
+      |
+      |load 5m
+      |  incr_histogram {{schema:0 count:4 sum:5 buckets:[1 2 1]}} {{schema:0 count:6 sum:8 buckets:[1 3 2]}} {{schema:0 count:10 sum:14 buckets:[2 5 3]}}
+      |
+      |eval instant at 10m histogram_count(rate(incr_histogram[10m]))
+      |  {} 0.013333333333333334
+      |
+      |eval instant at 10m histogram_sum(rate(incr_histogram[10m]))
+      |  {} 0.02
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int): Unit = {
     val segs = parseSegments(corpus)
     assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
@@ -928,5 +1017,8 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
     run("name_label_dropping", nameLabelDroppingCorpus, 11)
   }
   test("upstream limit.test tranche") { run("limit", limitCorpus, 12) }
+  test("upstream native_histograms.test tranche") {
+    run("native_histograms", nativeHistogramsCorpus, 17)
+  }
   test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 8) }
 }
