@@ -62,7 +62,8 @@ object Compiler {
   }
 
   def labelCols(df: DataFrame): Seq[String] =
-    df.columns.filterNot(c => c == "step_ms" || c == "value").toSeq
+    df.columns.filterNot(c =>
+      c == "step_ms" || c == "value" || c == OldName).toSeq
 
   /** Static analyzer warnings for a parsed query — the engine-side analog of
     * Prometheus' annotation channel (the reference streams these ahead of the
@@ -673,22 +674,34 @@ object Compiler {
         throw new ParseException(
           s"invalid regular expression in label_replace(): $regex (${e.getDescription})")
       }
-      val srcCol = if (v.columns.contains(src)) coalesce(col(src), lit("")) else lit("")
+      // delayed name removal: a dropped __name__ is still readable as a src
+      val srcCol =
+        if (v.columns.contains(src)) coalesce(col(src), lit(""))
+        else if (src == "__name__" && v.columns.contains(OldName))
+          coalesce(col(OldName), lit(""))
+        else lit("")
       // no match → series unchanged (dst keeps its value / stays ABSENT, not
       // ""); a replacement expanding to "" removes dst (Prometheus semantics)
       val dstCur = if (v.columns.contains(dst)) col(dst) else lit(null).cast("string")
       val replaced = regexp_replace(srcCol, anchored, repl)
-      v.withColumn(dst,
+      val out = v.withColumn(dst,
         when(srcCol.rlike(anchored),
           when(replaced === "", lit(null).cast("string")).otherwise(replaced))
           .otherwise(dstCur))
+      // writing __name__ back clears the pending drop (upstream semantics)
+      if (dst == "__name__") out.drop(OldName) else out
     case "label_join" => // (v, dst, sep, src...)
       val v = compile(args.head, ctx)
       val dst = strOf(args(1)); val sep = strOf(args(2))
       requireDstLabel("label_join", dst)
-      val srcs = args.drop(3).map(strOf).map(s =>
-        if (v.columns.contains(s)) coalesce(col(s), lit("")) else lit(""))
-      v.withColumn(dst, concat_ws(sep, srcs: _*))
+      val srcs = args.drop(3).map(strOf).map { s =>
+        if (v.columns.contains(s)) coalesce(col(s), lit(""))
+        else if (s == "__name__" && v.columns.contains(OldName))
+          coalesce(col(OldName), lit("")) // delayed name removal
+        else lit("")
+      }
+      val out = v.withColumn(dst, concat_ws(sep, srcs: _*))
+      if (dst == "__name__") out.drop(OldName) else out
 
     // -------------------------------------------------- native histograms
     // Instant-vector functions over histogram-typed samples (samples frame
@@ -1095,8 +1108,18 @@ object Compiler {
     case StringLit(s) => s
     case _ => throw new ParseException("string literal expected")
   }
+  /** Delayed name removal (Prometheus 3's promql-delayed-name-removal):
+    * operators that "drop" `__name__` stash it in this reserved column
+    * instead — invisible to matching, grouping and output ([[labelCols]]
+    * excludes it) but still readable as a `label_replace`/`label_join`
+    * SOURCE label, and cleared when one of them writes `__name__` back.
+    * Mirrors the upstream behavior name_label_dropping.test exercises. */
+  private[promql] val OldName = "__graft_oldname"
+
   private def dropName(df: DataFrame): DataFrame =
-    if (df.columns.contains("__name__")) df.drop("__name__") else df
+    if (df.columns.contains("__name__"))
+      df.drop(OldName).withColumnRenamed("__name__", OldName)
+    else df
 
   /** Go log-family semantics over Spark's null-for-nonpositive log builtins:
     * x>0 delegates (Inf → Inf), ±0 → -Inf, negative/NaN → NaN. */

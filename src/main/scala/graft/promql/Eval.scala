@@ -29,7 +29,8 @@ object Eval {
     * so sources with extra labels (e.g. histogram `le`) work unchanged. */
   def labelColsOf(samples: DataFrame): Seq[org.apache.spark.sql.Column] =
     samples.columns
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date"))
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date",
+        "__graft_oldname"))
       .filterNot(c => isHistCol(samples, c))
       .toSeq.map(col)
 

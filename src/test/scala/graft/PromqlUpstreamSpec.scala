@@ -730,14 +730,11 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   /** testdata/name_label_dropping.test — the file the REFERENCE skips
     * wholesale ("feature unsupported in promql-engine",
     * db/db_test.go:60-63); this engine implements the Prometheus 3
-    * name-dropping matrix, so the core of the file runs here. Documented
-    * divergence: the upstream quartet relabeling the dropped `__name__`
-    * through `label_replace`/`label_join` over `rate({env="1"}[10m])`
-    * depends on DELAYED name removal (the promql-delayed-name-removal
-    * feature: `__name__` stays visible to the relabeling function after the
-    * rate conceptually dropped it). This engine drops the column eagerly,
-    * so those four cases would read an absent source label — they are not
-    * transcribed as passing cases. */
+    * name-dropping matrix INCLUDING delayed name removal
+    * (promql-delayed-name-removal): the dropped `__name__` rides a hidden
+    * column, stays readable as a `label_replace`/`label_join` source after
+    * rate() conceptually dropped it, and is reinstated when one of them
+    * writes `__name__` back — the quartet at the end of the file. */
   private val nameLabelDroppingCorpus =
     """
       |load 5m
@@ -776,6 +773,22 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 10m sum by (__name__, env) (metric{env="1"})
       |  {__name__="metric", env="1"} 120
+      |
+      |eval instant at 10m label_replace(rate({env="1"}[10m]), "my_name", "rate_$1", "__name__", "(.+)")
+      |  {my_name="rate_metric", env="1"} 0.2
+      |  {my_name="rate_another_metric", env="1"} 0.2
+      |
+      |eval instant at 10m label_replace(rate({env="1"}[10m]), "__name__", "rate_$1", "__name__", "(.+)")
+      |  {__name__="rate_metric", env="1"} 0.2
+      |  {__name__="rate_another_metric", env="1"} 0.2
+      |
+      |eval instant at 10m label_join(rate({env="1"}[10m]), "my_name", "_", "__name__")
+      |  {my_name="metric", env="1"} 0.2
+      |  {my_name="another_metric", env="1"} 0.2
+      |
+      |eval instant at 10m label_join(rate({env="1"}[10m]), "__name__", "_", "__name__", "env")
+      |  {__name__="metric_1", env="1"} 0.2
+      |  {__name__="another_metric_1", env="1"} 0.2
       |""".stripMargin
 
   /** testdata/limit.test — limitk / limit_ratio (added upstream with the
@@ -1014,7 +1027,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
   test("upstream scalars + trig tranche") { run("scalars_trig", scalarsTrigCorpus, 28) }
   test("upstream name_label_dropping.test tranche (file the reference skips)") {
-    run("name_label_dropping", nameLabelDroppingCorpus, 11)
+    run("name_label_dropping", nameLabelDroppingCorpus, 15)
   }
   test("upstream limit.test tranche") { run("limit", limitCorpus, 12) }
   test("upstream native_histograms.test tranche") {
