@@ -216,6 +216,13 @@ object ReferenceFormat {
     case c => c.toString
   } + "\""
 
+  /** Single-writer assumption: the sidecar is a read-modify-write union, so
+    * two concurrent convertReference runs into the SAME bucket can lose one
+    * run's labels (last stamp wins) — same single-converter-per-bucket
+    * contract the reference's convert loop has. The loss is self-healing:
+    * the lost run's day files are then NEWER than the winning stamp, so
+    * [[bucketMeta]]'s staleness guard demotes the sidecar to the footer
+    * union until the next re-stamp. */
   private def updateBucketMetaSidecar(spark: SparkSession, fs: FileSystem,
                                       dir: String, cols: Seq[String]): Unit = {
     val p = new Path(s"$dir/$BucketMetaFile")
@@ -458,14 +465,30 @@ object ReferenceFormat {
     import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
     // own buckets: the stamped sidecar replaces the footer union — open-time
-    // cost is one small read, independent of days × shards; foreign buckets
-    // (gateway-written, no sidecar) fall back to mergeSchema
-    val schema = readSidecarCols(fs, new Path(s"$dir/$BucketMetaFile")) match {
+    // cost is one flat listing + one small read, independent of days ×
+    // shards; foreign buckets (gateway-written, no sidecar) fall back to
+    // mergeSchema. Staleness guard: the sidecar's "⊇ every label column"
+    // invariant only holds when all writes go through convertReference
+    // (which re-stamps after each day write); a gateway/Go-converter
+    // writing into the same bucket after the stamp could introduce a label
+    // column the sidecar under-reports — and the imposed schema would
+    // silently read that label as absent. Day files newer than the sidecar
+    // therefore demote it to the footer union (the catalog listing happens
+    // at open anyway, so the guard is ~free).
+    val sidecarPath = new Path(s"$dir/$BucketMetaFile")
+    val catalog = scanCatalog(fs, dir)
+    val sidecarFresh = readSidecarCols(fs, sidecarPath).filter { _ =>
+      val stampMs = fs.getFileStatus(sidecarPath).getModificationTime
+      catalog.values.forall(_.maxFileMtime <= stampMs)
+    }
+    val schema = sidecarFresh match {
       case Some(cols) =>
         StructType(StructField(IndexCol, BinaryType) +:
           cols.map(c => StructField(c, StringType)))
       case None =>
-        val days = servableDayDirs(fs, dir)
+        val days = catalog.toSeq
+          .collect { case ((hash, date), f) if f.meta && !f.marked && f.shardFiles =>
+            s"$dir/$hash/$date" }.sorted
         if (days.isEmpty) new StructType()
         else scala.util.Try(
           spark.read.option("mergeSchema", "true")
@@ -616,65 +639,85 @@ object ReferenceFormat {
 
   private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
 
-  /** Whether the (hash, date) block is visible to discovery: its `meta.pb`
-    * exists (a meta-less day is a half-written convert,
-    * `locate/discover.go:238-245`) and no `deletion-marker.pb` is present
-    * (`DeletionMarkerFilter.ShouldUnload`, `locate/deletion.go:24-28`).
-    * Hash-0 meta lives at the bucket top level (`MetaFileNameForBlock`
-    * elides the zero hash) while its marker — like its shards — lives under
-    * `0/<date>/`; the reference's path split maps both prefixes to hash 0,
-    * so both spots are honored on both files. */
-  private def blockVisible(fs: FileSystem, dir: String, hash: String,
-                           date: String): Boolean = {
-    def at(p: String) = fs.exists(new Path(p))
-    val meta =
-      if (hash == "0") at(s"$dir/$date/meta.pb") || at(s"$dir/0/$date/meta.pb")
-      else at(s"$dir/$hash/$date/meta.pb")
-    val marked = at(s"$dir/$hash/$date/$DeletionMarkerName") ||
-      (hash == "0" && at(s"$dir/$date/$DeletionMarkerName"))
-    meta && !marked
+  /** Visibility facts for one (hash, date) block, folded out of a single
+    * flat listing. `meta`/`marked` honor BOTH the hash-0 top-level spot
+    * (`MetaFileNameForBlock` elides the zero hash) and the `0/<date>/`
+    * shard spot, exactly as [[blockVisible]]-era discovery did;
+    * `shardFiles` records that at least one object exists under
+    * `<hash>/<date>/` (serving needs the shard pair there);
+    * `shardMarkerMtime` is the `deletion-marker.pb` modification time at
+    * the shard spot only — the one the deleter ages against. */
+  private case class DayFacts(meta: Boolean = false, marked: Boolean = false,
+                              shardFiles: Boolean = false,
+                              shardMarkerMtime: Option[Long] = None,
+                              maxFileMtime: Long = 0L)
+
+  /** Logical list RPCs issued by discovery since JVM start. Pinned by
+    * EtlSpec: opening an N-day bucket must cost O(1) listings, not the
+    * 2–3 `exists` HEADs per day the pre-r15 discoverer issued (a 1000-day
+    * S3 bucket would otherwise pay ~3000 sequential HEADs per open). */
+  private[graft] val discoveryListCalls = new java.util.concurrent.atomic.AtomicLong
+
+  /** One recursive listing of the bucket → per-(hash, date) [[DayFacts]].
+    * The reference's discoverer parses exactly one flat bucket listing
+    * (`locate/discover.go:125-305`); on an object store this is one
+    * paginated LIST instead of a HEAD fan. */
+  private def scanCatalog(fs: FileSystem, dir: String): Map[(String, String), DayFacts] = {
+    val base = new Path(dir)
+    discoveryListCalls.incrementAndGet()
+    if (!fs.exists(base)) return Map.empty
+    val basePath = fs.makeQualified(base).toUri.getPath.stripSuffix("/")
+    val facts = scala.collection.mutable.Map.empty[(String, String), DayFacts]
+    def upd(hash: String, date: String)(f: DayFacts => DayFacts): Unit =
+      facts((hash, date)) = f(facts.getOrElse((hash, date), DayFacts()))
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = fs.makeQualified(st.getPath).toUri.getPath
+        .stripPrefix(basePath).stripPrefix("/")
+      rel.split('/') match {
+        case Array(date, fname) if DateRe.matches(date) =>
+          if (fname == "meta.pb") upd("0", date)(_.copy(meta = true))
+          else if (fname == DeletionMarkerName) upd("0", date)(_.copy(marked = true))
+        case Array(hash, date, fname)
+            if hash.nonEmpty && hash.forall(_.isDigit) && DateRe.matches(date) =>
+          val m = st.getModificationTime
+          if (fname == "meta.pb")
+            upd(hash, date)(f => f.copy(meta = true, shardFiles = true,
+              maxFileMtime = math.max(f.maxFileMtime, m)))
+          else if (fname == DeletionMarkerName)
+            upd(hash, date)(_.copy(marked = true, shardMarkerMtime = Some(m)))
+          else upd(hash, date)(f => f.copy(shardFiles = true,
+            maxFileMtime = math.max(f.maxFileMtime, m)))
+        case _ => ()
+      }
+    }
+    facts.toMap
   }
 
   /** Converted-day catalog of a reference bucket: ext-labels-hash string →
-    * sorted dates, a day counting as converted iff its `meta.pb` exists and
-    * it carries no deletion marker (the reference's discovery rules,
-    * `locate/discover.go:125-305`, `locate/deletion.go:24-28`). */
+    * sorted distinct dates, a day counting as converted iff its `meta.pb`
+    * exists (a meta-less day is a half-written convert,
+    * `locate/discover.go:238-245`) and it carries no deletion marker
+    * (`DeletionMarkerFilter.ShouldUnload`, `locate/deletion.go:24-28`).
+    * Keyed by (hash, date) so the hash-0 top-level meta and its `0/<date>/`
+    * shard dir fold into ONE entry, never a duplicate date. */
   def discoverDays(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    val base = new Path(dir)
-    if (!fs.exists(base)) return Map.empty
-    val out = scala.collection.mutable.Map.empty[String, Seq[String]]
-    fs.listStatus(base).toSeq.filter(_.isDirectory).foreach { top =>
-      val name = top.getPath.getName
-      if (DateRe.matches(name)) {
-        if (blockVisible(fs, dir, "0", name))
-          out("0") = out.getOrElse("0", Seq.empty) :+ name
-      } else if (name.forall(_.isDigit)) {
-        fs.listStatus(top.getPath).toSeq.filter(_.isDirectory).foreach { d =>
-          if (DateRe.matches(d.getPath.getName) &&
-              blockVisible(fs, dir, name, d.getPath.getName))
-            out(name) = (out.getOrElse(name, Seq.empty) :+ d.getPath.getName).distinct
-        }
-      }
-    }
-    out.view.mapValues(_.sorted).toMap
+    scanCatalog(fs, dir).toSeq
+      .collect { case ((hash, date), f) if f.meta && !f.marked => (hash, date) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
   }
 
   /** Day directories (`<dir>/<hash>/<date>`) that serving may read: the
-    * shard files always live under the hash directory, visibility per
-    * [[blockVisible]]. Driver-side, bounded by hashes × days. */
-  private def servableDayDirs(fs: FileSystem, dir: String): Seq[String] = {
-    val base = new Path(dir)
-    if (!fs.exists(base)) return Seq.empty
-    fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
-      .flatMap { h =>
-        fs.listStatus(h.getPath).toSeq.filter(_.isDirectory)
-          .filter(d => DateRe.matches(d.getPath.getName) &&
-            blockVisible(fs, dir, h.getPath.getName, d.getPath.getName))
-          .map(_.getPath.toString)
-      }
-  }
+    * shard files always live under the hash directory; visible iff meta
+    * present, unmarked, and the shard dir is non-empty. One flat listing,
+    * driver-side. */
+  private def servableDayDirs(fs: FileSystem, dir: String): Seq[String] =
+    scanCatalog(fs, dir).toSeq
+      .collect { case ((hash, date), f) if f.meta && !f.marked && f.shardFiles =>
+        s"$dir/$hash/$date" }
+      .sorted
 
   // -------------------------------------------------------------- retention
   /** `metapb.DeletionMark{reason = 1}` (ref proto/metapb/meta.proto). */
@@ -712,21 +755,11 @@ object ReferenceFormat {
   def deleteMarkedDays(spark: SparkSession, dir: String, nowMs: Long,
                        consistencyDelayMs: Long = 12L * 3600 * 1000): Seq[(String, String)] = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    val base = new Path(dir)
-    if (!fs.exists(base)) return Seq.empty
-    val marked = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
-      .flatMap { h =>
-        fs.listStatus(h.getPath).toSeq.filter(_.isDirectory)
-          .filter(d => DateRe.matches(d.getPath.getName))
-          .flatMap { d =>
-            val mp = new Path(d.getPath, DeletionMarkerName)
-            if (fs.exists(mp) &&
-                nowMs - fs.getFileStatus(mp).getModificationTime >= consistencyDelayMs)
-              Some((h.getPath.getName, d.getPath.getName))
-            else None
-          }
-      }
+    val marked = scanCatalog(fs, dir).toSeq.collect {
+      case ((hash, date), f)
+          if f.shardMarkerMtime.exists(nowMs - _ >= consistencyDelayMs) =>
+        (hash, date)
+    }
     marked.foreach { case (hash, d) =>
       fs.delete(new Path(s"$dir/$hash/$d/meta.pb"), false)
       if (hash == "0") fs.delete(new Path(s"$dir/$d/meta.pb"), false)

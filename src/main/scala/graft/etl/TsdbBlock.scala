@@ -1,0 +1,418 @@
+package graft.etl
+
+import java.util.zip.CRC32C
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.PromXorChunk
+
+/** The public Prometheus TSDB block format — index file (TOC, symbol table,
+  * series section, label/postings offset tables) and chunk segment files —
+  * as pure byte codecs, so the migration loop can ingest an ACTUAL
+  * Prometheus/Thanos bucket instead of requiring a user-supplied sample
+  * loader (the reference opens blocks with `tsdb.OpenBlock`,
+  * `cmd/convert.go:472`, after download/repair `cmd/convert.go:443-591`).
+  *
+  * Format source: the published Prometheus TSDB docs
+  * (`tsdb/docs/format/index.md`, `tsdb/docs/format/chunks.md`) — index
+  * version 2, chunk-segment version 1. All checksums are CRC-32C
+  * (Castagnoli), big-endian section framing, Go-style varints.
+  *
+  * The struct here is deliberately split:
+  *   - [[readSeries]] / [[readChunkFrame]] are executor-safe pure byte
+  *     functions — [[graft.sources.TsdbBlockReader]] distributes them
+  *     (one task per index file, one forward scan per chunk segment);
+  *   - [[writeBlock]] is the driver-side fixture/interop writer (writing
+  *     TSDB blocks is not a serving-path operation; blocks are bounded —
+  *     the reference's converter likewise opens one block per node). It
+  *     reuses [[PromXorChunk.encodeColumns]] for the chunk cut points
+  *     (2h boundary, uint16 cap, histogram kind/layout/reset), so written
+  *     chunks carry the same upstream-appender cut semantics and
+  *     counter-reset headers as the engine's reference-bucket sink.
+  */
+object TsdbBlock {
+
+  val IndexMagic = 0xBAAAD700
+  val IndexVersion = 2
+  val ChunksMagic = 0x85BD40DD
+  val ChunksVersion = 1
+  /** TOC size: 6 u64 section refs + CRC32. */
+  private val TocLen = 6 * 8 + 4
+
+  /** One chunk's index entry: time range + packed ref
+    * (segment-position << 32 | byte offset of the chunk's len field). */
+  final case class ChunkRef(mint: Long, maxt: Long, ref: Long) {
+    def segment: Int = (ref >>> 32).toInt
+    def offset: Long = ref & 0xFFFFFFFFL
+  }
+
+  /** One decoded series-section entry. */
+  final case class SeriesEntry(labels: Map[String, String], chunks: Seq[ChunkRef])
+
+  // ------------------------------------------------------------ primitives
+  private def crc32c(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new CRC32C()
+    c.update(bytes, off, len)
+    c.getValue.toInt
+  }
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(o + i) & 0xFFL))
+
+  /** Growable byte sink with big-endian + Go-varint writers. */
+  private final class Buf {
+    private val out = new java.io.ByteArrayOutputStream()
+    def size: Int = out.size()
+    def putByte(v: Int): Unit = out.write(v & 0xFF)
+    def putU32(v: Long): Unit = {
+      out.write(((v >>> 24) & 0xFF).toInt); out.write(((v >>> 16) & 0xFF).toInt)
+      out.write(((v >>> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def putU64(v: Long): Unit = { var i = 56; while (i >= 0) { out.write(((v >>> i) & 0xFF).toInt); i -= 8 } }
+    def putUvarint(v0: Long): Unit = {
+      var v = v0
+      while (java.lang.Long.compareUnsigned(v, 0x80L) >= 0) {
+        out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7
+      }
+      out.write((v & 0x7F).toInt)
+    }
+    def putVarint(v: Long): Unit = putUvarint(PromXorChunk.zigzag(v))
+    def putBytes(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    def putString(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); putUvarint(b.length.toLong); putBytes(b)
+    }
+    /** zero-pad so the next write lands on a multiple of `n`. */
+    def align(n: Int): Unit = while (size % n != 0) out.write(0)
+    def toBytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Go-varint reader over a byte array with an external cursor. */
+  private final class Cursor(val b: Array[Byte], var pos: Int) {
+    def uvarint(): Long = {
+      var v = 0L; var shift = 0; var x = 0L
+      do { x = b(pos).toLong & 0xFF; pos += 1; v |= (x & 0x7F) << shift; shift += 7 }
+      while ((x & 0x80) != 0)
+      v
+    }
+    def varint(): Long = PromXorChunk.unzigzag(uvarint())
+  }
+
+  // ---------------------------------------------------------------- reader
+  /** Parse a whole index file's series section: every series' label set +
+    * chunk refs, in on-disk (labelset-sorted) order. Walks the series
+    * section directly off the TOC — postings are not needed for a
+    * full-block read, which is the only read conversion does (the
+    * reference converter also iterates ALL series of a block). CRCs are
+    * verified on the TOC, symbol table and every series entry. */
+  def readSeries(idx: Array[Byte]): Seq[SeriesEntry] = {
+    require(idx.length > 5 + TocLen, s"index file too short (${idx.length} bytes)")
+    require(be32(idx, 0) == IndexMagic,
+      f"bad index magic 0x${be32(idx, 0)}%08x (want 0xbaaad700)")
+    require((idx(4) & 0xFF) == IndexVersion,
+      s"unsupported index version ${idx(4) & 0xFF} (only v2)")
+    val tocOff = idx.length - TocLen
+    require(be32(idx, tocOff + 48) == crc32c(idx, tocOff, 48), "index TOC CRC mismatch")
+    val symOff = be64(idx, tocOff).toInt
+    val seriesOff = be64(idx, tocOff + 8).toInt
+    // the series section is bounded by whichever section follows it
+    val followers = Seq(be64(idx, tocOff + 16), be64(idx, tocOff + 24),
+      be64(idx, tocOff + 32), be64(idx, tocOff + 40), tocOff.toLong)
+    val seriesEnd = followers.filter(o => o > seriesOff && o > 0).min.toInt
+
+    // symbol table: len | #symbols | (uvarint len, utf8)... | crc
+    val symLen = be32(idx, symOff)
+    require(be32(idx, symOff + 8 + symLen - 4) == crc32c(idx, symOff + 4, symLen),
+      "index symbol table CRC mismatch")
+    val nSym = be32(idx, symOff + 4)
+    val symbols = new Array[String](nSym)
+    val sc = new Cursor(idx, symOff + 8)
+    var i = 0
+    while (i < nSym) {
+      val l = sc.uvarint().toInt
+      symbols(i) = new String(idx, sc.pos, l, "UTF-8")
+      sc.pos += l
+      i += 1
+    }
+
+    // series section: 16-aligned entries, id = offset / 16
+    val out = Seq.newBuilder[SeriesEntry]
+    var pos = seriesOff
+    while (pos + 1 < seriesEnd) {
+      val c = new Cursor(idx, pos)
+      val len = c.uvarint().toInt
+      if (len == 0) { pos = seriesEnd } // trailing padding
+      else {
+        val contentStart = c.pos
+        require(be32(idx, contentStart + len) == crc32c(idx, contentStart, len),
+          s"series entry CRC mismatch at offset $pos")
+        val nLbl = c.uvarint().toInt
+        val lbls = Map.newBuilder[String, String]
+        var j = 0
+        while (j < nLbl) {
+          val n = symbols(c.uvarint().toInt)
+          val v = symbols(c.uvarint().toInt)
+          lbls += n -> v
+          j += 1
+        }
+        val nChk = c.uvarint().toInt
+        val chunks = Seq.newBuilder[ChunkRef]
+        var prevMaxt = 0L; var prevRef = 0L
+        j = 0
+        while (j < nChk) {
+          val mint = if (j == 0) c.varint() else prevMaxt + c.varint()
+          val maxt = mint + c.uvarint()
+          val ref = if (j == 0) c.uvarint() else prevRef + c.varint()
+          chunks += ChunkRef(mint, maxt, ref)
+          prevMaxt = maxt; prevRef = ref
+          j += 1
+        }
+        out += SeriesEntry(lbls.result(), chunks.result())
+        pos = ((contentStart + len + 4 + 15) / 16) * 16
+      }
+    }
+    out.result()
+  }
+
+  /** Read ONE chunk out of a segment file via positional reads and wrap it
+    * as a reference-layout frame `[enc u32][zz mint][zz maxt][len u32]
+    * [data]`, so [[graft.functions.PromFramesDecode]] — the same codegen'd
+    * decoder the reference-bucket serving path uses — decodes it with no
+    * new decode surface. Segment chunk layout (`tsdb/docs/format/
+    * chunks.md`): `len uvarint | encoding 1B | data | CRC32C(enc+data)`.
+    * `readAt(filePos, dst, dstLen)` must fill dst[0, dstLen). */
+  def readChunkFrame(readAt: (Long, Array[Byte], Int) => Unit, fileLen: Long,
+                     offset: Long, mint: Long, maxt: Long): Array[Byte] = {
+    val headLen = math.min(8L, fileLen - offset).toInt
+    require(headLen > 0, s"chunk offset $offset beyond segment end $fileLen")
+    val head = new Array[Byte](headLen)
+    readAt(offset, head, headLen)
+    var dataLen = 0L; var shift = 0; var w = 0; var more = true
+    while (more) {
+      val x = head(w).toLong & 0xFF; w += 1
+      dataLen |= (x & 0x7F) << shift; shift += 7
+      more = (x & 0x80) != 0
+    }
+    val body = new Array[Byte]((1 + dataLen + 4).toInt) // enc + data + crc
+    readAt(offset + w, body, body.length)
+    require(be32(body, 1 + dataLen.toInt) == crc32c(body, 0, 1 + dataLen.toInt),
+      s"chunk CRC mismatch at segment offset $offset")
+    val enc = body(0) & 0xFF
+    require(enc == PromXorChunk.EncXor || enc == PromXorChunk.EncHistogram ||
+      enc == PromXorChunk.EncFloatHistogram, s"unsupported chunk encoding $enc")
+    val f = new Buf
+    f.putU32(enc.toLong)
+    f.putU64(PromXorChunk.zigzag(mint))
+    f.putU64(PromXorChunk.zigzag(maxt))
+    f.putU32(dataLen)
+    val frame = new Array[Byte](24 + dataLen.toInt)
+    System.arraycopy(f.toBytes, 0, frame, 0, 24)
+    System.arraycopy(body, 1, frame, 24, dataLen.toInt)
+    frame
+  }
+
+  // ---------------------------------------------------------------- writer
+  private final case class RawChunk(enc: Int, mint: Long, maxt: Long, data: Array[Byte])
+
+  /** Unpack one frame cell back into raw chunks (writer-internal: the frame
+    * codec owns the cut logic; the block writer just re-frames). */
+  private def unpackFrames(cell: Array[Byte]): Seq[RawChunk] = {
+    var off = 0
+    val out = Seq.newBuilder[RawChunk]
+    while (off < cell.length) {
+      val enc = be32(cell, off)
+      val mint = PromXorChunk.unzigzag(be64(cell, off + 4))
+      val maxt = PromXorChunk.unzigzag(be64(cell, off + 12))
+      val len = be32(cell, off + 20)
+      out += RawChunk(enc, mint, maxt, java.util.Arrays.copyOfRange(cell, off + 24, off + 24 + len))
+      off += 24 + len
+    }
+    out.result()
+  }
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Write one complete TSDB block `<root>/<ulid>/{meta.json, index,
+    * chunks/000001}` from model points (the 3-field ts/value/h structs,
+    * ts-sorted per series). Series are sorted into on-disk labelset order;
+    * the index carries the full v2 surface — symbols, 16-aligned series
+    * entries, per-label value indices + label offset table, per-(label,
+    * value) postings plus the all-postings `("", "")` entry, postings
+    * offset table, TOC — all CRC-32C checksummed, so foreign readers (and
+    * [[readSeries]]) open it as a regular Prometheus block. */
+  def writeBlock(root: String, ulid: String,
+                 series: Seq[(Map[String, String], ArrayData)],
+                 externalLabels: Map[String, String] = Map.empty,
+                 conf: Configuration = new Configuration()): Unit = {
+    require(series.nonEmpty, "a TSDB block must contain at least one series")
+    val dir = new Path(s"$root/$ulid")
+    val fs = FileSystem.get(dir.toUri, conf)
+
+    val sorted = series.map { case (lbls, pts) => (lbls.toSeq.sortBy(_._1), pts) }
+      .sortBy(_._1.map { case (n, v) => n + " " + v }.mkString(""))
+
+    // ---- chunks/000001: cut via the shared frame encoder, re-framed raw
+    val seg = new Buf
+    seg.putU32(ChunksMagic.toLong)
+    seg.putByte(ChunksVersion)
+    seg.putByte(0); seg.putByte(0); seg.putByte(0)
+    var numChunks = 0L; var numSamples = 0L
+    val perSeries: Seq[Seq[ChunkRef]] = sorted.map { case (_, pts) =>
+      numSamples += pts.numElements()
+      val cols = PromXorChunk.encodeColumns(pts)
+      val raw = (0 until 3).flatMap(i => unpackFrames(cols.getBinary(i)))
+        .sortBy(c => (c.mint, c.maxt))
+      raw.map { c =>
+        val off = seg.size.toLong
+        seg.putUvarint(c.data.length.toLong)
+        seg.putByte(c.enc)
+        seg.putBytes(c.data)
+        val crcBuf = new Array[Byte](1 + c.data.length)
+        crcBuf(0) = c.enc.toByte
+        System.arraycopy(c.data, 0, crcBuf, 1, c.data.length)
+        seg.putU32(crc32c(crcBuf, 0, crcBuf.length).toLong & 0xFFFFFFFFL)
+        numChunks += 1
+        ChunkRef(c.mint, c.maxt, (0L << 32) | off) // single segment → file 000001
+      }
+    }
+    writeFile(fs, new Path(dir, f"chunks/${1}%06d"), seg.toBytes)
+
+    // ---- index
+    val names = sorted.flatMap(_._1.map(_._1)).distinct.sorted
+    val symbols = sorted.flatMap(_._1.flatMap { case (n, v) => Seq(n, v) }).distinct.sorted
+    val symIdx = symbols.zipWithIndex.toMap
+
+    val ix = new Buf
+    ix.putU32(IndexMagic.toLong)
+    ix.putByte(IndexVersion)
+
+    // symbol table
+    val symOff = ix.size
+    val symContent = new Buf
+    symContent.putU32(symbols.size.toLong)
+    symbols.foreach(symContent.putString)
+    writeSection(ix, symContent)
+
+    // series entries, 16-aligned; id = offset / 16
+    ix.align(16)
+    val seriesOff = ix.size
+    val seriesIds = new Array[Long](sorted.size)
+    sorted.zipWithIndex.foreach { case ((lbls, _), si) =>
+      ix.align(16)
+      seriesIds(si) = ix.size.toLong / 16
+      val e = new Buf
+      e.putUvarint(lbls.size.toLong)
+      lbls.foreach { case (n, v) =>
+        e.putUvarint(symIdx(n).toLong); e.putUvarint(symIdx(v).toLong)
+      }
+      val chunks = perSeries(si)
+      e.putUvarint(chunks.size.toLong)
+      var prevMaxt = 0L; var prevRef = 0L
+      chunks.zipWithIndex.foreach { case (c, j) =>
+        if (j == 0) { e.putVarint(c.mint); e.putUvarint(c.maxt - c.mint); e.putUvarint(c.ref) }
+        else { e.putVarint(c.mint - prevMaxt); e.putUvarint(c.maxt - c.mint); e.putVarint(c.ref - prevRef) }
+        prevMaxt = c.maxt; prevRef = c.ref
+      }
+      val content = e.toBytes
+      ix.putUvarint(content.length.toLong)
+      ix.putBytes(content)
+      ix.putU32(crc32c(content, 0, content.length).toLong & 0xFFFFFFFFL)
+    }
+    ix.align(16)
+
+    // per-label value indices + offsets for the label offset table
+    val labelIndicesOff = ix.size
+    val labelSectionOff = names.map { n =>
+      val off = ix.size
+      val vals = sorted.flatMap(_._1.collect { case (`n`, v) => v }).distinct.sorted
+      val c = new Buf
+      c.putU32(1L)
+      c.putU32(vals.size.toLong)
+      vals.foreach(v => c.putU32(symIdx(v).toLong))
+      writeSection(ix, c)
+      n -> off
+    }
+
+    // label offset table
+    val labelOffTableOff = ix.size
+    val lot = new Buf
+    lot.putU32(names.size.toLong)
+    labelSectionOff.foreach { case (n, off) =>
+      lot.putUvarint(1L); lot.putString(n); lot.putUvarint(off.toLong)
+    }
+    writeSection(ix, lot)
+
+    // postings: the all-postings ("","") entry first, then (name, value)
+    val postingsOff = ix.size
+    val pairs = ("" -> "") +: names.flatMap(n =>
+      sorted.flatMap(_._1.collect { case (`n`, v) => v }).distinct.sorted.map(n -> _))
+    val postingSectionOff = pairs.map { case (n, v) =>
+      val off = ix.size
+      val ids = sorted.zipWithIndex.collect {
+        case ((lbls, _), si) if (n.isEmpty && v.isEmpty) || lbls.contains(n -> v) =>
+          seriesIds(si)
+      }.sorted
+      val c = new Buf
+      c.putU32(ids.size.toLong)
+      ids.foreach(id => c.putU32(id))
+      writeSection(ix, c)
+      (n, v, off)
+    }
+
+    // postings offset table
+    val postingsOffTableOff = ix.size
+    val pot = new Buf
+    pot.putU32(pairs.size.toLong)
+    postingSectionOff.foreach { case (n, v, off) =>
+      pot.putUvarint(2L); pot.putString(n); pot.putString(v); pot.putUvarint(off.toLong)
+    }
+    writeSection(ix, pot)
+
+    // TOC
+    val tocStart = ix.size
+    ix.putU64(symOff.toLong)
+    ix.putU64(seriesOff.toLong)
+    ix.putU64(labelIndicesOff.toLong)
+    ix.putU64(labelOffTableOff.toLong)
+    ix.putU64(postingsOff.toLong)
+    ix.putU64(postingsOffTableOff.toLong)
+    val all = ix.toBytes
+    val withCrc = new Buf
+    withCrc.putBytes(all)
+    withCrc.putU32(crc32c(all, tocStart, 48).toLong & 0xFFFFFFFFL)
+    writeFile(fs, new Path(dir, "index"), withCrc.toBytes)
+
+    // ---- meta.json (Thanos-shaped: TsdbBlockMeta.parse reads this back)
+    val mint = perSeries.flatten.map(_.mint).min
+    val maxt = perSeries.flatten.map(_.maxt).max + 1
+    val extJson = externalLabels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
+    val meta =
+      s"""{"ulid":${jsonStr(ulid)},"minTime":$mint,"maxTime":$maxt,"version":1,
+         | "stats":{"numSamples":$numSamples,"numSeries":${sorted.size},"numChunks":$numChunks},
+         | "compaction":{"level":1,"sources":[${jsonStr(ulid)}]},
+         | "thanos":{"labels":{$extJson},"downsample":{"resolution":0}}}""".stripMargin
+    writeFile(fs, new Path(dir, "meta.json"), meta.getBytes("UTF-8"))
+  }
+
+  /** `len u32 | content | crc32c(content)` section framing. */
+  private def writeSection(ix: Buf, content: Buf): Unit = {
+    val b = content.toBytes
+    ix.putU32(b.length.toLong)
+    ix.putBytes(b)
+    ix.putU32(crc32c(b, 0, b.length).toLong & 0xFFFFFFFFL)
+  }
+
+  private def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+}

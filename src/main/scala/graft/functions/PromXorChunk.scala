@@ -273,13 +273,16 @@ object PromXorChunk {
     val n = points.numElements()
     val cols = Array.fill(3)(new java.io.ByteArrayOutputStream())
     var i = 0
-    var prevCutReason = 0 // 0 first-ever, 1 boundary/kind, 2 layout, 3 reset
+    var prevCutReason = 0 // 0 first-ever, 1 boundary, 2 layout, 3 reset, 4 kind
     while (i < n) {
       val p0 = points.getStruct(i, 3)
       val mint = p0.getLong(0)
       val isHist = !p0.isNullAt(2)
       val cut = (Math.floorDiv(mint, ChunkLenMs) + 1) * ChunkLenMs
       var j = i + 1
+      // 0 first-ever, 1 boundary/cap (series continues), 2 layout change,
+      // 3 counter reset, 4 kind change (float↔hist or int↔float — no
+      // appendable continuity exists, so the next header must be Unknown)
       var cutReason = 1
       if (!isHist) {
         var go = true
@@ -289,6 +292,9 @@ object PromXorChunk {
           else if (!pj.isNullAt(2)) go = false
           else j += 1
         }
+        // a histogram chunk after a float chunk has no histogram predecessor
+        // to be "not reset" against — upstream stamps Unknown
+        cutReason = 4
       } else {
         var go = true
         while (go && j < n && j - i < 0xFFFF) {
@@ -296,7 +302,7 @@ object PromXorChunk {
           if (pj.getLong(0) >= cut || pj.isNullAt(2)) { go = false; cutReason = 1 }
           else if (PromHistChunk.sampleIntegral(pj.getStruct(2, 7)) !=
             PromHistChunk.sampleIntegral(points.getStruct(j - 1, 3).getStruct(2, 7))) {
-            go = false; cutReason = 1 // int↔float type change, upstream cut
+            go = false; cutReason = 4 // int↔float type change, upstream cut
           } else if (!PromHistChunk.sameLayoutKnobs(
             points.getStruct(j - 1, 3).getStruct(2, 7), pj.getStruct(2, 7))) {
             go = false; cutReason = 2
@@ -304,6 +310,20 @@ object PromXorChunk {
             points.getStruct(j - 1, 3).getStruct(2, 7), pj.getStruct(2, 7))) {
             go = false; cutReason = 3
           } else j += 1
+        }
+        // the run can also end at the 2h boundary, the uint16 cap or a kind
+        // change with the NEXT sample still being an actual counter reset —
+        // upstream checks appendability at every append, so a reset that
+        // coincides with a boundary cut still yields a CounterReset header
+        if ((cutReason == 1 || cutReason == 4) && j < n) {
+          val pj = points.getStruct(j, 3)
+          if (!pj.isNullAt(2)) {
+            val prevH = points.getStruct(j - 1, 3).getStruct(2, 7)
+            val nextH = pj.getStruct(2, 7)
+            if (PromHistChunk.isCounterReset(prevH, nextH)) cutReason = 3
+            else if (PromHistChunk.sampleIntegral(prevH) !=
+              PromHistChunk.sampleIntegral(nextH)) cutReason = 4
+          } else cutReason = 4 // float sample follows: kind change
         }
       }
       val maxt = points.getStruct(j - 1, 3).getLong(0)
@@ -313,9 +333,9 @@ object PromXorChunk {
           // counter-reset header of THIS chunk reflects why the previous
           // chunk ended (the upstream head appender's hinting)
           val header = prevCutReason match {
-            case 0 | 2 => PromHistChunk.UnknownCounterReset
-            case 1     => PromHistChunk.NotCounterReset
-            case _     => PromHistChunk.CounterReset
+            case 0 | 2 | 4 => PromHistChunk.UnknownCounterReset
+            case 1         => PromHistChunk.NotCounterReset
+            case _         => PromHistChunk.CounterReset
           }
           val float = !PromHistChunk.allIntegral(points, i, j)
           (if (float) EncFloatHistogram else EncHistogram,

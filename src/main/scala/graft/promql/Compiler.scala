@@ -1305,10 +1305,24 @@ object Compiler {
           if (gr) rLbls.filterNot(_ == "__name__").filterNot(inc.contains)
           else if (gl) inc.filter(rLbls.contains)
           else Seq.empty
+        // delayed name removal rides along with whichever side's label set
+        // the output keeps: a filter-form comparison (or group_left) passes
+        // the lhs series through unchanged, so its stashed [[OldName]] must
+        // stay readable downstream (label_replace source); group_right
+        // symmetrically carries the rhs stash. labelCols excludes the stash
+        // column, so without this the l2/r2 selects would silently drop it.
+        val oldNameSide =
+          if (((compOps.contains(b.op) && !b.bool) || gl) &&
+              lhs.columns.contains(OldName)) 1
+          else if (gr && rhs.columns.contains(OldName)) 2
+          else 0
         val l2 = lhs.select((on.map(col) ++
-          (keepL.filterNot(on.contains)).map(col) :+ col("value")): _*)
+          (keepL.filterNot(on.contains)).map(col) ++
+          (if (oldNameSide == 1) Seq(col(OldName)) else Nil) :+ col("value")): _*)
         val r2 = rhs.select((on.map(col) ++
-          (keepR.filterNot(on.contains)).map(col) :+ col("value").as("rvalue")): _*)
+          (keepR.filterNot(on.contains)).map(col) ++
+          (if (oldNameSide == 2) Seq(col(OldName)) else Nil) :+
+          col("value").as("rvalue")): _*)
         // group_left requires the rhs (the "one" side) be UNIQUE per match
         // group — group_right symmetrically for the lhs. A many-to-many match
         // must error, not silently multiply rows (promql-engine raises
@@ -1329,7 +1343,8 @@ object Compiler {
         val (joined0, la, _) = nullSafeJoin(l2g, r2g, on, "inner")
         // project the lhs copy of the key columns (they are <=>-equal)
         val keyCols = on.map(c => la(c).as(c))
-        val extraCols = (keepL ++ keepR).filterNot(on.contains).distinct.map(col)
+        val extraCols = ((keepL ++ keepR).filterNot(on.contains).distinct ++
+          (if (oldNameSide != 0) Seq(OldName) else Nil)).map(col)
         val joined = joined0.select((keyCols ++ extraCols :+
           col("value") :+ col("rvalue")): _*)
         val result = joined.withColumn("out",

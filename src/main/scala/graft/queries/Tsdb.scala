@@ -123,6 +123,46 @@ object Tsdb {
       Some(s"WITH $S_CTE SELECT __name__, uid, ts_ms, value FROM s " +
         "ORDER BY __name__, uid, ts_ms, value")),
 
+    // Real Prometheus TSDB block as migration source: the samples (deduped
+    // to the layout's ≤1-per-(series,ts) invariant) are written as an
+    // actual TSDB block — index v2 (TOC/symbols/series/postings, CRC-32C)
+    // + chunk segment file — then read back DISTRIBUTED (binaryFile index
+    // parse → per-segment forward chunk scan → shared PromFramesDecode),
+    // the end-to-end the reference runs via tsdb.OpenBlock
+    // (cmd/convert.go:472). Oracle = the same dedup over the raw table, so
+    // any index-walk slip, chunk-ref misresolution or codec bit-slip
+    // hash-mismatches. Block build is the documented driver-side fixture
+    // seam; the READ under test is fully distributed.
+    Q("s1_tsdb_block",
+      t => {
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        val ded = samples(t)
+          .groupBy(col("__name__"), col("uid"), col("ts_ms"))
+          .agg(min_by(col("value"), col("sample_id")).as("value"))
+        val series = ded.collect()
+          .groupBy(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+          .map { case ((n, u), rs) =>
+            Map("__name__" -> n, "uid" -> u) -> (new GenericArrayData(
+              rs.sortBy(_.getLong(2)).map(r =>
+                InternalRow(r.getLong(2), r.getDouble(3), null)).toArray[Any])
+              : org.apache.spark.sql.catalyst.util.ArrayData)
+          }
+        val root = java.nio.file.Files.createTempDirectory("graft-tsdbq").toString
+        graft.etl.TsdbBlock.writeBlock(root, "01HV0ORACLEBLOCK0000000000", series)
+        graft.sources.TsdbBlockReader
+          .loadSamples(t.spark, Seq(s"$root/01HV0ORACLEBLOCK0000000000"))
+          .groupBy(date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("date"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
+            count_distinct(col("__name__"), col("uid")).as("n_series"))
+          .orderBy(col("date"))
+      },
+      Some(s"WITH $S_CTE, d AS (SELECT __name__, uid, ts_ms, " +
+        "min_by(value, sample_id) AS value FROM s GROUP BY 1, 2, 3) " +
+        "SELECT strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS date, " +
+        s"count(*) AS n, $DSUM AS sum_v, " +
+        "count(DISTINCT (__name__, uid)) AS n_series FROM d GROUP BY 1 ORDER BY 1")),
+
     // ------------------------------------------------------------------ P1/P2
     Q("p1_matchers_select",
       t => Eval.select(samples(t),

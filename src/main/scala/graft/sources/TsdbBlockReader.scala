@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{TsdbBlock, TsdbStream}
+import graft.functions.{PromFramesDecode, PromLabelsHash}
+
+/** Distributed read of Prometheus TSDB blocks into the engine's samples
+  * model — the migration-loop source the reference implements with
+  * `tsdb.OpenBlock` on one node (`cmd/convert.go:472`); here each stage is
+  * a cluster job:
+  *
+  *   1. index parse: `binaryFile` puts each block's `index` on ONE executor
+  *      task ([[TsdbBlock.readSeries]] walks TOC → symbols → series
+  *      section); output is small ref rows (labels + chunk time range +
+  *      segment/offset), never chunk bytes — so a 1000-block bucket parses
+  *      1000 indexes in parallel with no driver involvement;
+  *   2. label-name union: one tiny aggregate over the ref rows (the
+  *      dynamic samples-model schema — label COUNT is bounded, label rows
+  *      are not);
+  *   3. chunk fetch: refs hash-partition on (block, segment) and sort by
+  *      offset, so each task forward-scans its segment files via
+  *      positional reads — the access pattern an object store serves as
+  *      sequential ranged GETs. Each chunk is CRC-checked and re-framed
+  *      into the reference layout's frame cell, and the SAME codegen'd
+  *      [[PromFramesDecode]] the serving path uses explodes it to points —
+  *      no second decode surface;
+  *   4. model projection: label strings to columns, `ts_ms` doubling as
+  *      the ingest tie-break `sample_id` (the layout stores ≤1 sample per
+  *      series-ts), `series_hash` = Prometheus `labels.Hash()`.
+  *
+  * Scale notes: per-task memory is one index file (step 1) or one chunk
+  * (step 3) — upstream blocks cap indexes well under the 2 GB `binaryFile`
+  * row limit, and segment files cap at 512 MB with ~tens of KB chunks.
+  * Overlapping blocks are fine: the convert sink's vertical-merge dedup
+  * (min `sample_id`) collapses duplicate (series, ts) pairs exactly as the
+  * reference's compact-on-convert does. */
+object TsdbBlockReader {
+
+  /** Hadoop Configuration is not Serializable; ship it by key-value. */
+  private final class SerializableConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Index-derived chunk pointer (public: Catalyst's generated encoder code
+    * must be able to construct it). */
+  final case class Ref(block: String, segment: Int, offset: Long,
+                       mint: Long, maxt: Long, labels: Map[String, String])
+
+  /** All samples of the given block directories, as the samples model:
+    * one string column per label name seen in any block, plus
+    * `ts_ms, value, h, sample_id, series_hash`. Feed the result straight
+    * to `ConvertLoop.advance*` via [[loader]]. */
+  def loadSamples(spark: SparkSession, blockDirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(blockDirs.nonEmpty, "no TSDB block directories to read")
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConf(spark.sparkContext.hadoopConfiguration))
+
+    val refs = spark.read.format("binaryFile")
+      .load(blockDirs.map(d => s"$d/index"): _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val block = path.stripSuffix("/index")
+        TsdbBlock.readSeries(bytes).iterator.flatMap { s =>
+          s.chunks.iterator.map(c =>
+            Ref(block, c.segment, c.offset, c.mint, c.maxt, s.labels))
+        }
+      }
+
+    val labelNames = refs.select(explode(map_keys(col("labels"))).as("n"))
+      .distinct().as[String].collect().sorted.toSeq
+
+    val frames = refs
+      .repartition(col("block"), col("segment"))
+      .sortWithinPartitions(col("block"), col("segment"), col("offset"))
+      .as[Ref]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        // per-(block, segment) forward scan; streams close on key change
+        // and at task end
+        var curBlock: String = null
+        var segNames: IndexedSeq[String] = IndexedSeq.empty
+        var curSeg = -1
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        var fileLen = 0L
+        def closeIn(): Unit = if (in != null) { in.close(); in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+        it.map { r =>
+          if (r.block != curBlock) {
+            closeIn()
+            val chunksDir = new Path(s"${r.block}/chunks")
+            val fs = chunksDir.getFileSystem(conf)
+            segNames = fs.listStatus(chunksDir).map(_.getPath.getName)
+              .sorted.toIndexedSeq
+            curBlock = r.block; curSeg = -1
+          }
+          if (r.segment != curSeg) {
+            closeIn()
+            val p = new Path(s"${r.block}/chunks/${segNames(r.segment)}")
+            val fs = p.getFileSystem(conf)
+            fileLen = fs.getFileStatus(p).getLen
+            in = fs.open(p)
+            curSeg = r.segment
+          }
+          val frame = TsdbBlock.readChunkFrame(
+            (pos, dst, n) => in.readFully(pos, dst, 0, n),
+            fileLen, r.offset, r.mint, r.maxt)
+          (r.labels, frame)
+        }
+      }
+      .toDF("labels", "frame")
+
+    val pts = frames
+      .select(col("labels"), explode(PromFramesDecode(col("frame"))).as("p"))
+    pts.select(
+      labelNames.map(n => try_element_at(col("labels"), lit(n)).as(n)) ++ Seq(
+        col("p.ts_ms").as("ts_ms"),
+        col("p.value").as("value"),
+        col("p.h").as("h"),
+        col("p.ts_ms").as("sample_id"),
+        PromLabelsHash(array_sort(map_entries(col("labels")))).as("series_hash")): _*)
+  }
+
+  /** `loadSamples` shaped as `ConvertLoop.advance*`'s `loadSamples`
+    * parameter: reads the stream's discovered blocks under `<root>/<ulid>`.
+    * With this, `advanceReference(spark, discoverer, out, today,
+    * TsdbBlockReader.loader(spark, root), ...)` migrates an actual
+    * Prometheus/Thanos bucket end-to-end. */
+  def loader(spark: SparkSession, root: String): TsdbStream => DataFrame =
+    stream => loadSamples(spark, stream.metas.map(m => s"$root/${m.ulid}"))
+}

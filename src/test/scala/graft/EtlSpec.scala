@@ -814,6 +814,159 @@ class EtlSpec extends SparkSpec {
       Seq(MatchEq("__name__", "purchase")), jan1, jan1 + 3 * D).count() > 0)
   }
 
+  test("TSDB block format: byte-level pins, CRC guards, series walk") {
+    import graft.etl.TsdbBlock
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts(pts: Seq[(Long, Double)]) =
+      new GenericArrayData(pts.map { case (t, v) => InternalRow(t, v, null) }.toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbpin").toString
+    val ulid = "01HV0TESTBLOCK000000000000"
+    TsdbBlock.writeBlock(root, ulid, Seq(
+      Map("__name__" -> "up", "job" -> "api") -> fpts(Seq(jan1 + 1000L -> 1.0, jan1 + 2000L -> 0.0)),
+      Map("__name__" -> "up", "job" -> "db") -> fpts(Seq(jan1 + 1500L -> 1.0))),
+      externalLabels = Map("cluster" -> "a"))
+
+    val idx = Files.readAllBytes(Paths.get(s"$root/$ulid/index"))
+    // public index format pins: magic BAAAD700, version 2
+    assert(((idx(0) & 0xFF) << 24 | (idx(1) & 0xFF) << 16 |
+      (idx(2) & 0xFF) << 8 | (idx(3) & 0xFF)) == 0xBAAAD700)
+    assert(idx(4) == 2)
+    val seg = Files.readAllBytes(Paths.get(s"$root/$ulid/chunks/000001"))
+    // chunk segment pins: magic 85BD40DD, version 1, 3 zero pad bytes
+    assert(((seg(0) & 0xFF) << 24 | (seg(1) & 0xFF) << 16 |
+      (seg(2) & 0xFF) << 8 | (seg(3) & 0xFF)) == 0x85BD40DD)
+    assert(seg(4) == 1 && seg(5) == 0 && seg(6) == 0 && seg(7) == 0)
+
+    // series walk: on-disk labelset order, refs resolvable, meta readable
+    val series = TsdbBlock.readSeries(idx)
+    assert(series.map(_.labels) == Seq(
+      Map("__name__" -> "up", "job" -> "api"),
+      Map("__name__" -> "up", "job" -> "db")))
+    assert(series.head.chunks.head.mint == jan1 + 1000L &&
+      series.head.chunks.head.maxt == jan1 + 2000L)
+    val meta = graft.etl.TsdbBlockMeta.parse(Files.readString(Paths.get(s"$root/$ulid/meta.json")))
+    assert(meta.ulid == ulid && meta.minTime == jan1 + 1000L &&
+      meta.maxTime == jan1 + 2001L && meta.numChunks == 2 &&
+      meta.externalLabels == Map("cluster" -> "a"))
+
+    // CRC tamper guard: flip one byte inside the series section
+    val bad = idx.clone()
+    val tocOff = bad.length - 52
+    val seriesOff = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (bad(tocOff + 8 + i) & 0xFFL)).toInt
+    bad(seriesOff + 3) = (bad(seriesOff + 3) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](TsdbBlock.readSeries(bad))
+  }
+
+  test("TSDB block → distributed read → advanceReference: real-bucket migration end-to-end") {
+    import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
+    import graft.model.TimeSeriesModel
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    val t = Tables(spark, sf())
+    val raw = TimeSeriesModel.samples(t.events).filter(col("ts_ms") < jan1 + 3 * D)
+    // the layout stores ≤1 sample per (series, ts): dedup by min sample_id
+    // up front so block content, read-back and the reference bucket agree
+    val want = raw.groupBy(col("__name__"), col("uid"), col("ts_ms"))
+      .agg(min_by(col("value"), col("sample_id")).as("value"))
+
+    val root = Files.createTempDirectory("graft-tsdbsrc").toString
+    val ulid = "01HV0MIGRATEBLOCK000000000"
+    val series = want.collect()
+      .groupBy(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+      .map { case ((n, u), rs) =>
+        Map("__name__" -> n, "uid" -> u) -> (new GenericArrayData(
+          rs.sortBy(_.getLong(2)).map(r =>
+            InternalRow(r.getLong(2), r.getDouble(3), null)).toArray[Any])
+          : org.apache.spark.sql.catalyst.util.ArrayData)
+      }
+    TsdbBlock.writeBlock(root, ulid, series, Map("cluster" -> "a"))
+
+    // 1) the distributed read returns exactly the block's samples
+    val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+    assert(got.columns.toSeq ==
+      Seq("__name__", "uid", "ts_ms", "value", "h", "sample_id", "series_hash"))
+    val g4 = got.select("__name__", "uid", "ts_ms", "value")
+    assert(g4.exceptAll(want).isEmpty && want.exceptAll(g4).isEmpty,
+      "block read-back must match the raw samples exactly")
+
+    // 2) the full migration loop: discover → plan → convert → serve
+    val out = Files.createTempDirectory("graft-tsdbmig").toString
+    val disc = new TsdbDiscoverer(root, now = () => jan1 + 40 * D)
+    val today = LocalDate.of(2024, 1, 10)
+    def round() = ConvertLoop.advanceReference(spark, disc, out, today,
+      TsdbBlockReader.loader(spark, root), graceDays = 2, maxDays = 5, numShards = 2)
+    assert(round().stepCount == 3)
+    assert(round().converged)
+    val served = ReferenceFormat.selectReferenceStore(spark, out)
+      .select("__name__", "uid", "ts_ms", "value")
+    assert(served.exceptAll(want).isEmpty && want.exceptAll(served).isEmpty,
+      "bucket serve must hash-match the TSDB block's raw samples")
+    assert(ReferenceFormat.openReferenceStore(spark, out)
+      .select("cluster").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("TSDB block read: histogram chunks (enc 2/3) decode through the shared frame path") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def hrow(cnt: Double, hsum: Double, buckets: Seq[(Int, Double)]) =
+      InternalRow(cnt, hsum, 0, 0.0, 0.0,
+        new GenericArrayData(buckets.map { case (i, c) => InternalRow(i, c) }.toArray[Any]),
+        new GenericArrayData(Array.empty[Any]))
+    val pts = new GenericArrayData(Array[Any](
+      InternalRow(jan1 + 1000L, 4.0, hrow(4, 1.5, Seq(0 -> 4.0))),
+      InternalRow(jan1 + 2000L, 6.0, hrow(6, 2.5, Seq(0 -> 6.0))),
+      InternalRow(jan1 + 3000L, 6.5, hrow(6.5, 2.75, Seq(0 -> 6.5)))))
+    val root = Files.createTempDirectory("graft-tsdbhist").toString
+    TsdbBlock.writeBlock(root, "01HV0HISTBLOCK000000000000",
+      Seq(Map("__name__" -> "lat") -> pts))
+    val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/01HV0HISTBLOCK000000000000"))
+      .orderBy("ts_ms").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Double]("value")).toSeq == Seq(4.0, 6.0, 6.5))
+    val h0 = got(0).getStruct(got(0).fieldIndex("h"))
+    assert(h0.getDouble(0) == 4.0 && h0.getDouble(1) == 1.5)
+    val h2 = got(2).getStruct(got(2).fieldIndex("h"))
+    assert(h2.getDouble(0) == 6.5 && h2.getDouble(1) == 2.75)
+  }
+
+  test("reference discovery: one flat listing per open, never a per-day exists fan") {
+    import graft.etl.ReferenceFormat
+    import graft.model.TimeSeriesModel
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    val t = Tables(spark, sf())
+    val out = Files.createTempDirectory("graft-reflist").toString
+    ReferenceFormat.convertReference(spark,
+      TimeSeriesModel.samples(t.events).filter(col("ts_ms") < jan1 + D), out)
+    // fan the converted day out to 20 more — pure FS clones; the pre-r15
+    // discoverer paid 2–3 exists RPCs per day here (~3000 HEADs on a
+    // 1000-day S3 bucket), the flat-listing one pays exactly one LIST
+    for (i <- 1 to 20) {
+      val d = f"2024-02-$i%02d"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$out/0/2024-01-01"), new java.io.File(s"$out/0/$d"))
+      Files.createDirectories(Paths.get(s"$out/$d"))
+      Files.copy(Paths.get(s"$out/2024-01-01/meta.pb"), Paths.get(s"$out/$d/meta.pb"))
+    }
+    val before = ReferenceFormat.discoveryListCalls.get()
+    val days = ReferenceFormat.discoverDays(spark, out)
+    assert(days("0").size == 21)
+    // hash-0 days fold the top-level meta spot and the 0/<date>/ shard dir
+    // into one keyed entry — never a duplicate date, whatever the order
+    // the listing yields them in
+    assert(days.values.forall(ds => ds == ds.distinct.sorted))
+    assert(ReferenceFormat.discoveryListCalls.get() - before == 1,
+      "discovering a 21-day bucket must cost exactly one listing")
+  }
+
   test("MiniJson: nested objects, arrays, escapes, numbers") {
     import graft.etl.MiniJson
     val v = MiniJson.parse(

@@ -280,6 +280,63 @@ class PromHistSpec extends AnyFunSuite {
       Seq(0, 1, 1))
   }
 
+  test("reset coinciding with a 2h boundary cut still stamps CounterReset") {
+    val day = 1704067200000L
+    // the boundary ends the run before the reset check used to fire —
+    // upstream checks appendability at every append, so the next chunk
+    // must still carry the reset hint (ADVICE r14)
+    val points = pts(Seq(
+      day + 1000L -> hist(10, 1.0, 0, 0.0, 0, Seq(0 -> 10.0)),
+      day + 2 * 3600000L + 1000L -> hist(3, 0.5, 0, 0.0, 0, Seq(0 -> 3.0)),
+      day + 2 * 3600000L + 2000L -> hist(5, 0.8, 0, 0.0, 0, Seq(0 -> 5.0))))
+    val cell = PromXorChunk.encodeColumns(points).getBinary(0)
+    val fs = frames(cell)
+    assert(fs.size == 2)
+    assert(PromHistChunk.counterResetHeader(cell, fs(1)._4) ==
+      PromHistChunk.CounterReset)
+
+    // continuity across the boundary (no reset) stays NotCounterReset
+    val cont = pts(Seq(
+      day + 1000L -> hist(10, 1.0, 0, 0.0, 0, Seq(0 -> 10.0)),
+      day + 2 * 3600000L + 1000L -> hist(12, 1.5, 0, 0.0, 0, Seq(0 -> 12.0))))
+    val cell2 = PromXorChunk.encodeColumns(cont).getBinary(0)
+    val cfs = frames(cell2)
+    assert(cfs.size == 2)
+    assert(PromHistChunk.counterResetHeader(cell2, cfs(1)._4) ==
+      PromHistChunk.NotCounterReset)
+  }
+
+  test("histogram after a float chunk or kind change stamps Unknown, not NotCounterReset") {
+    val day = 1704067200000L
+    val floatPt = (t: Long, v: Double) => InternalRow(t, v, null): Any
+    val histPt = (t: Long, h: InternalRow) => InternalRow(t, h.getDouble(0), h): Any
+    val hInt = hist(5, 1.0, 0, 0.0, 0, Seq(0 -> 5.0))
+    val hFlt = hist(5.5, 1.0, 0, 0.0, 0, Seq(0 -> 5.5))
+    // a histogram chunk after a FLOAT chunk has no histogram predecessor to
+    // be "not reset" against; an int→float kind change without a reset is
+    // likewise Unknown continuity
+    val points = new GenericArrayData(Array[Any](
+      floatPt(day + 1000L, 1.0),
+      histPt(day + 2000L, hInt),
+      histPt(day + 3000L, hFlt)))
+    val cell = PromXorChunk.encodeColumns(points).getBinary(0)
+    val fs = frames(cell)
+    assert(fs.map(_._1) == Seq(1, 2, 3))
+    assert(PromHistChunk.counterResetHeader(cell, fs(1)._4) ==
+      PromHistChunk.UnknownCounterReset)
+    assert(PromHistChunk.counterResetHeader(cell, fs(2)._4) ==
+      PromHistChunk.UnknownCounterReset)
+
+    // an int→float kind change that IS a reset still stamps CounterReset
+    val hFltReset = hist(2.5, 0.3, 0, 0.0, 0, Seq(0 -> 2.5))
+    val p2 = pts(Seq(day + 1000L -> hInt, day + 2000L -> hFltReset))
+    val cell3 = PromXorChunk.encodeColumns(p2).getBinary(0)
+    val fs2 = frames(cell3)
+    assert(fs2.map(_._1) == Seq(2, 3))
+    assert(PromHistChunk.counterResetHeader(cell3, fs2(1)._4) ==
+      PromHistChunk.CounterReset)
+  }
+
   test("frame-header time skip: out-of-range frames never decode") {
     val day = 1704067200000L
     // two 2h-cut float chunks in cell 0: [0h,2h) and [2h,4h)

@@ -516,13 +516,49 @@ class PromXorSpec extends SparkSpec {
     assert(ReferenceFormat.bucketMeta(spark, out)
       .labelsSchema.fieldNames.toSet == labelFields)
 
-    // the sidecar path reads NO parquet footer: corrupt every labels file;
-    // bucketMeta must still produce the full schema from the JSON alone
+    // staleness guard: a FOREIGN writer dropping a new day (with a label
+    // column the sidecar has never seen) after the stamp must demote the
+    // sidecar to the footer union — the imposed schema would otherwise
+    // silently read label c as absent everywhere
+    val foreignDf = Seq(("s9", "zz")).toDF("a", "c")
+      .select(lit(Array[Byte](2, 1, 2)).as("___cf_meta_index"),
+        col("a").as("___cf_meta_label_a"), col("c").as("___cf_meta_label_c"))
+    val ftmp = java.nio.file.Files.createTempDirectory("graft-foreign").toString
+    foreignDf.coalesce(1).write.mode("overwrite").parquet(ftmp)
+    val part = {
+      var found: java.nio.file.Path = null
+      java.nio.file.Files.list(java.nio.file.Paths.get(ftmp)).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .forEachRemaining(p => if (p.toString.endsWith(".parquet")) found = p)
+      found
+    }
+    val fday = java.nio.file.Paths.get(s"$out/0/2024-01-04")
+    java.nio.file.Files.createDirectories(fday)
+    java.nio.file.Files.copy(part, fday.resolve("0.labels.parquet"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/2024-01-04"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$out/2024-01-02/meta.pb"),
+      java.nio.file.Paths.get(s"$out/2024-01-04/meta.pb"))
+    assert(ReferenceFormat.bucketMeta(spark, out)
+      .labelsSchema.fieldNames.toSet == (labelFields + "___cf_meta_label_c"))
+    // remove the foreign day: everything left predates the stamp again
+    org.apache.commons.io.FileUtils.deleteDirectory(fday.toFile)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/2024-01-04/meta.pb"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out/2024-01-04"))
+
+    // the FRESH sidecar path reads NO parquet footer: corrupt every labels
+    // file in place (mtimes pinned back before the stamp, so the guard
+    // still sees an untouched bucket); bucketMeta must produce the full
+    // schema from the JSON alone
+    val stamp = java.nio.file.Files.getLastModifiedTime(sidecar)
+    val older = java.nio.file.attribute.FileTime.fromMillis(
+      stamp.toMillis - 60000L)
     java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
       .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
       .forEachRemaining { p =>
-        if (p.toString.endsWith(".labels.parquet"))
+        if (p.toString.endsWith(".labels.parquet")) {
           java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+          java.nio.file.Files.setLastModifiedTime(p, older)
+        }
       }
     assert(ReferenceFormat.bucketMeta(spark, out)
       .labelsSchema.fieldNames.toSet == labelFields)

@@ -789,6 +789,9 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |eval instant at 10m label_join(rate({env="1"}[10m]), "__name__", "_", "__name__", "env")
       |  {__name__="metric_1", env="1"} 0.2
       |  {__name__="another_metric_1", env="1"} 0.2
+      |
+      |eval instant at 10m label_replace((rate(metric{env="1"}[10m]) <= another_metric), "my_name", "rate_$1", "__name__", "(.+)")
+      |  {my_name="rate_metric", env="1"} 0.2
       |""".stripMargin
 
   /** testdata/limit.test — limitk / limit_ratio (added upstream with the
@@ -1027,7 +1030,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
   test("upstream scalars + trig tranche") { run("scalars_trig", scalarsTrigCorpus, 28) }
   test("upstream name_label_dropping.test tranche (file the reference skips)") {
-    run("name_label_dropping", nameLabelDroppingCorpus, 15)
+    run("name_label_dropping", nameLabelDroppingCorpus, 16)
   }
   test("upstream limit.test tranche") { run("limit", limitCorpus, 12) }
   test("upstream native_histograms.test tranche") {
