@@ -51,13 +51,20 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
     * bucket (closed both, rule 3), positive (open-left, rule 0). */
   private def histJson(ts: Long, h: graft.api.PromEngine.HistPoint): String = {
     val w = math.pow(2.0, -h.sch) // log2 of the bucket growth base
+    val nhcb = h.sch == -53
     def bound(i: Int) = math.pow(2.0, i * w)
+    // NHCB (schema -53): bucket bounds come from the custom-bounds array —
+    // upper(i) = cb(i) (+Inf past the end), lower(i) = cb(i-1) (-Inf for
+    // bucket 0) — and buckets are closed-right like classic `le` buckets
+    def cUp(i: Int) = if (i < h.cb.size) h.cb(i) else Double.PositiveInfinity
+    def cLo(i: Int) = if (i <= 0) Double.NegativeInfinity else h.cb(i - 1)
     val negB = h.neg.sortBy(-_._1).map { case (i, c) =>
       s"""[1,"${fmt(-bound(i))}","${fmt(-bound(i - 1))}","${fmt(c)}"]""" }
     val zeroB = if (h.zcnt != 0.0)
       Seq(s"""[3,"${fmt(-h.zthr)}","${fmt(h.zthr)}","${fmt(h.zcnt)}"]""") else Nil
     val posB = h.pos.sortBy(_._1).map { case (i, c) =>
-      s"""[0,"${fmt(bound(i - 1))}","${fmt(bound(i))}","${fmt(c)}"]""" }
+      if (nhcb) s"""[0,"${fmt(cLo(i))}","${fmt(cUp(i))}","${fmt(c)}"]"""
+      else s"""[0,"${fmt(bound(i - 1))}","${fmt(bound(i))}","${fmt(c)}"]""" }
     s"""[${tsStr(ts)},{"count":"${fmt(h.cnt)}","sum":"${fmt(h.hsum)}",""" +
       s""""buckets":[${(negB ++ zeroB ++ posB).mkString(",")}]}]"""
   }

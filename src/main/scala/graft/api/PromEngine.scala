@@ -12,7 +12,8 @@ object PromEngine {
     * [[graft.promql.NativeHistograms]]). */
   final case class HistPoint(cnt: Double, hsum: Double, sch: Int, zthr: Double,
                              zcnt: Double, pos: Seq[(Int, Double)],
-                             neg: Seq[(Int, Double)])
+                             neg: Seq[(Int, Double)],
+                             cb: Seq[Double] = Nil) // NHCB custom bounds
 
   /** `points` carries float samples, `hists` native-histogram samples — a
     * series normally has one or the other, but a type switch mid-series
@@ -86,7 +87,9 @@ final class PromEngine(samples: DataFrame,
             .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c")))
         Some(HistPoint(h.getAs[Double]("cnt"), h.getAs[Double]("hsum"),
           h.getAs[Int]("sch"), h.getAs[Double]("zthr"), h.getAs[Double]("zcnt"),
-          side("pos"), side("neg")))
+          side("pos"), side("neg"),
+          Option(h.getAs[scala.collection.Seq[Double]]("cb"))
+            .map(_.toSeq).getOrElse(Nil)))
       }
     rows
       .filter(r => !r.isNullAt(r.fieldIndex("value")))

@@ -570,6 +570,12 @@ object ReferenceFormat {
     // parquet scan (a sub-8h query pays one cell's I/O+decode, not three).
     // Day groups: first/last day may touch fewer cells than interior days,
     // so ≤3 distinct ranges union below.
+    // Bug-compatible fidelity: a FOREIGN chunk spanning an 8h boundary
+    // (the Go converter places by MinTime, convert/chunks.go:53-55) is
+    // invisible to an interval touching only the later window — the
+    // reference's ChunkColumnIndex read misses it identically (pinned in
+    // PromXorSpec "foreign boundary-spanning chunk"); own-writer buckets
+    // cut chunks at window boundaries and are exact.
     val colMs = 8L * 3600000L
     def cellRange(dayDir: String): (Int, Int) = {
       if (emptyRange) return (0, 0)
@@ -635,6 +641,99 @@ object ReferenceFormat {
       // the layout stores ≤1 sample per (series, ts); ts doubles as the
       // deterministic ingest-order tie-break the model asks for
       .withColumn("sample_id", col("ts_ms"))
+  }
+
+  // ------------------------------------- label metadata over the bucket
+  private def dayStr(ms: Long): String = {
+    val cap = 253402214400000L
+    java.time.Instant.ofEpochMilli(ms.max(0L).min(cap))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+  }
+
+  /** labels files of the servable days overlapping [mintMs, maxtMs] —
+    * day-directory granularity, which IS the block granularity the
+    * reference's no-constraint shortcuts work at. */
+  private def inRangeLabelFiles(fs: FileSystem, dir: String,
+                                mintMs: Long, maxtMs: Long): Seq[String] = {
+    val (loD, hiD) = (dayStr(mintMs), dayStr(maxtMs))
+    servableDayDirs(fs, dir)
+      .filter { d => val n = d.substring(d.lastIndexOf('/') + 1); n >= loD && n <= hiD }
+      .flatMap(d => fs.globStatus(new Path(s"$d/*.labels.parquet"))
+        .map(_.getPath.toString))
+  }
+
+  private def streamsInRange(spark: SparkSession, dir: String,
+                             mintMs: Long, maxtMs: Long): Map[String, Map[String, String]] = {
+    val (loD, hiD) = (dayStr(mintMs), dayStr(maxtMs))
+    val hashes = discoverDays(spark, dir).collect {
+      case (h, ds) if ds.exists(d => d >= loD && d <= hiD) => h
+    }.toSet
+    readStreamDescriptors(spark, dir).filter { case (h, _) => hashes(h) }
+  }
+
+  /** Matcherless `label_values(label)` over a reference bucket — the
+    * reference's no-constraint dictionary shortcut (`search/search.go:
+    * 173-201`: with no constraints, values come from the parquet DICTIONARY
+    * pages of the labels files, never a data page and never a chunks file).
+    * Block(= day-dir)-granular like the reference: a value is reported when
+    * its series exists in ANY overlapping day. Files whose label chunk is
+    * not dictionary-complete fall back to a pruned single-column scan —
+    * still labels-files-only. External (stream.pb) label values of streams
+    * with an in-range day union in, as the gateway's fold attaches them. */
+  def referenceLabelValues(spark: SparkSession, dir: String, label: String,
+                           mintMs: Long = Long.MinValue,
+                           maxtMs: Long = Long.MaxValue): Seq[String] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val files = inRangeLabelFiles(fs, dir, mintMs, maxtMs)
+    val colName = LabelPrefix + label
+    val oneCol = StructType(Seq(StructField(colName, StringType)))
+    def scan(fsq: Seq[String]): Seq[String] =
+      if (fsq.isEmpty) Nil
+      else spark.read.schema(oneCol).parquet(fsq: _*)
+        .select(col(colName)).na.drop().distinct()
+        .collect().map(_.getString(0)).toSeq
+    val fromFiles: Seq[String] =
+      graft.sources.FooterLabelValues.fileDictValues(spark, files, colName) match {
+        case Some((dictVals, scanFiles)) => dictVals.toSeq ++ scan(scanFiles)
+        case None                        => scan(files)
+      }
+    val extVals = streamsInRange(spark, dir, mintMs, maxtMs).values
+      .flatMap(_.get(label))
+    (fromFiles ++ extVals).filter(v => v != null && v.nonEmpty).distinct.sorted
+  }
+
+  /** Matcherless `label_names()` over a reference bucket: candidates come
+    * from the bucket-meta sidecar (or footer union), presence is PROVEN
+    * from footer null counts alone (`valueCount − numNulls > 0`), files
+    * without usable stats fall back to a count scan of the remaining
+    * candidates — labels files only, chunks never touched. Stream ext-label
+    * keys of in-range streams union in. */
+  def referenceLabelNames(spark: SparkSession, dir: String,
+                          mintMs: Long = Long.MinValue,
+                          maxtMs: Long = Long.MaxValue): Seq[String] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val files = inRangeLabelFiles(fs, dir, mintMs, maxtMs)
+    val candidates = bucketMeta(spark, dir).labelsSchema.fieldNames
+      .filter(_.startsWith(LabelPrefix)).toSeq
+    val (proven, scanFiles) =
+      graft.sources.FooterLabelValues.filePresence(spark, files, candidates)
+    val remaining = candidates.filterNot(proven)
+    val scanned: Set[String] =
+      if (remaining.isEmpty || scanFiles.isEmpty) Set.empty
+      else {
+        val schema = StructType(remaining.map(c => StructField(c, StringType)))
+        val counts = spark.read.schema(schema).parquet(scanFiles: _*)
+          .agg(count(col(remaining.head)).as(remaining.head),
+            remaining.tail.map(l => count(col(l)).as(l)): _*).head()
+        remaining.filter(l => counts.getAs[Long](l) > 0).toSet
+      }
+    val fileNames = candidates.filter(l => proven(l) || scanned(l))
+      .map(_.stripPrefix(LabelPrefix))
+    val extNames = streamsInRange(spark, dir, mintMs, maxtMs).values
+      .flatMap(_.keys)
+    (fileNames ++ extNames).distinct.sorted
   }
 
   private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r

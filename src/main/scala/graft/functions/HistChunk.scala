@@ -48,7 +48,12 @@ object HistChunk {
     StructField("zthr", DoubleType),
     StructField("zcnt", DoubleType),
     StructField("pos", ArrayType(BucketType, containsNull = false)),
-    StructField("neg", ArrayType(BucketType, containsNull = false))))
+    StructField("neg", ArrayType(BucketType, containsNull = false)),
+    // custom bucket bounds (NHCB, schema -53): upper bound per positive
+    // bucket index, ascending; null for standard exponential schemas
+    StructField("cb", ArrayType(DoubleType, containsNull = false))))
+  /** Number of fields in [[HistType]] (the InternalRow accessor arity). */
+  val HistArity: Int = HistType.length
   val PointType: StructType = StructType(Seq(
     StructField("ts_ms", LongType, nullable = false),
     StructField("value", DoubleType, nullable = false),
@@ -179,6 +184,7 @@ object HistChunk {
     var prevTs = 0L; var prevDelta = 0L
     var pv = 0L; var pCnt = 0L; var pSum = 0L; var pZc = 0L; var pZt = 0L
     var pSch = Int.MinValue
+    var pCb: Array[Long] = new Array[Long](0); var pCbN = 0
     var i = 0
     while (i < n) {
       val p = points.getStruct(i, 3)
@@ -199,7 +205,7 @@ object HistChunk {
       }
       val vBits = java.lang.Double.doubleToRawLongBits(p.getDouble(1))
       writeXor(w, vBits, pv); pv = vBits
-      val h = p.getStruct(2, 7)
+      val h = p.getStruct(2, HistChunk.HistArity)
       val cnt = java.lang.Double.doubleToRawLongBits(h.getDouble(0))
       val hsum = java.lang.Double.doubleToRawLongBits(h.getDouble(1))
       val sch = h.getInt(2)
@@ -213,6 +219,33 @@ object HistChunk {
       else { w.write(1L, 1); w.write(sch.toLong & 0xFFFFFFFFL, 32); pSch = sch }
       writeBuckets(w, h.getArray(5))
       writeBuckets(w, h.getArray(6))
+      // custom bounds (NHCB): '0' = same as previous sample (the universal
+      // scrape-to-scrape case — bounds are layout), else '1' + u16 count +
+      // raw f64 bounds; null ≡ empty
+      val cb = if (h.isNullAt(7)) null else h.getArray(7)
+      val cbN = if (cb == null) 0 else cb.numElements()
+      val same = i > 0 && cbN == pCbN && {
+        var k = 0; var eq = true
+        while (eq && k < cbN) {
+          eq = java.lang.Double.doubleToRawLongBits(cb.getDouble(k)) == pCb(k)
+          k += 1
+        }
+        eq
+      }
+      if (same) w.write(0L, 1)
+      else {
+        w.write(1L, 1)
+        require(cbN < 65536, s"custom-bounds array too large: $cbN")
+        w.write(cbN.toLong, 16)
+        pCb = new Array[Long](cbN)
+        var k = 0
+        while (k < cbN) {
+          pCb(k) = java.lang.Double.doubleToRawLongBits(cb.getDouble(k))
+          w.write(pCb(k), 64)
+          k += 1
+        }
+        pCbN = cbN
+      }
       i += 1
     }
     w.toBytes
@@ -226,6 +259,7 @@ object HistChunk {
     var ts = 0L; var delta = 0L
     var pv = 0L; var pCnt = 0L; var pSum = 0L; var pZc = 0L; var pZt = 0L
     var pSch = 0
+    var pCbArr: ArrayData = null
     var i = 0
     while (i < n) {
       if (i == 0) ts = r.read(64)
@@ -247,13 +281,24 @@ object HistChunk {
       if (r.read(1) == 1L) pSch = r.read(32).toInt
       val pos = readBuckets(r)
       val neg = readBuckets(r)
+      if (r.read(1) == 1L) {
+        val m = r.read(16).toInt
+        pCbArr =
+          if (m == 0) null
+          else {
+            val vals = new Array[Any](m)
+            var k = 0
+            while (k < m) { vals(k) = java.lang.Double.longBitsToDouble(r.read(64)); k += 1 }
+            new GenericArrayData(vals)
+          }
+      }
       val h = InternalRow(
         java.lang.Double.longBitsToDouble(pCnt),
         java.lang.Double.longBitsToDouble(pSum),
         pSch,
         java.lang.Double.longBitsToDouble(pZt),
         java.lang.Double.longBitsToDouble(pZc),
-        pos, neg)
+        pos, neg, pCbArr)
       out(i) = InternalRow(ts, java.lang.Double.longBitsToDouble(pv), h)
       i += 1
     }

@@ -44,8 +44,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   * appender converges to when later samples add buckets — with absent
   * buckets encoded as zero counts; decode drops zero-count buckets again
   * (semantically the identical histogram, and the engine's canonical form).
-  * Custom-bound (NHCB) schema −53 is rejected loudly on both paths: the
-  * model carries no custom bounds.
+  * Custom-bound (NHCB) schema −53 carries its bounds array in the model's
+  * `cb` field; on disk the bounds follow the span lists (upstream
+  * `writeHistogramChunkLayout` / `readHistogramChunkLayout` with
+  * [[putCustomBound]]'s doubled-integer varbit scheme).
   */
 object PromHistChunk {
 
@@ -55,7 +57,38 @@ object PromHistChunk {
   val CounterReset = 0x80
   val GaugeType = 0xC0
 
-  private val CustomBucketsSchema = -53
+  private[functions] val CustomBucketsSchema = -53
+
+  // ------------------------------------------------- custom bounds (NHCB)
+  /** Upstream `putCustomBound` (prometheus tsdb/chunkenc/histogram_meta.go):
+    * a bound whose doubled value is a non-negative integer ≤ 33554430
+    * (2²⁵ − 2, so it always fits the ≤25-bit varbit-uint buckets) stores as
+    * varbit uint of `bound * 2`; anything else stores as the 8-ones varbit
+    * prefix followed by the raw 64 float bits — the reader disambiguates on
+    * the prefix depth alone. */
+  private[functions] def putCustomBound(w: PromXorChunk.BitWriter, f: Double): Unit = {
+    val tf = f * 2
+    if (tf < 0 || tf > 33554430 || tf != Math.rint(tf) || tf.isNaN) {
+      w.writeBits(0xFFL, 8)
+      w.writeBits(java.lang.Double.doubleToRawLongBits(f), 64)
+    } else putVarbitUint(w, tf.toLong)
+  }
+
+  private[functions] def readCustomBound(r: PromXorChunk.BitReader): Double = {
+    var d = 0
+    while (d < 8 && r.readBits(1) == 1L) d += 1
+    d match {
+      case 0 => 0.0
+      case 1 => r.readBits(3) / 2.0
+      case 2 => r.readBits(6) / 2.0
+      case 3 => r.readBits(9) / 2.0
+      case 4 => r.readBits(12) / 2.0
+      case 5 => r.readBits(18) / 2.0
+      case 6 => r.readBits(25) / 2.0
+      case 7 => r.readBits(56) / 2.0
+      case _ => java.lang.Double.longBitsToDouble(r.readBits(64))
+    }
+  }
 
   // --------------------------------------------------------------- varbit
   private[functions] def putVarbitInt(w: PromXorChunk.BitWriter, v: Long): Unit = {
@@ -190,7 +223,7 @@ object PromHistChunk {
     val set = new java.util.TreeSet[Integer]()
     var i = from
     while (i < until) {
-      val a = points.getStruct(i, 3).getStruct(2, 7).getArray(f)
+      val a = points.getStruct(i, 3).getStruct(2, graft.functions.HistChunk.HistArity).getArray(f)
       if (a != null) {
         var k = 0
         while (k < a.numElements()) { set.add(a.getStruct(k, 2).getInt(0)); k += 1 }
@@ -220,12 +253,27 @@ object PromHistChunk {
     out
   }
 
-  /** schema and zero threshold must be chunk-constant upstream — a change
-    * cuts a new chunk (recoding covers only bucket-set growth). */
+  /** schema, zero threshold and (for NHCB) the custom-bounds array must be
+    * chunk-constant upstream — a change cuts a new chunk (recoding covers
+    * only bucket-set growth). */
   private[functions] def sameLayoutKnobs(a: InternalRow, b: InternalRow): Boolean =
     a.getInt(2) == b.getInt(2) &&
       java.lang.Double.doubleToRawLongBits(a.getDouble(3)) ==
-        java.lang.Double.doubleToRawLongBits(b.getDouble(3))
+        java.lang.Double.doubleToRawLongBits(b.getDouble(3)) && {
+      val ca = if (a.isNullAt(7)) null else a.getArray(7)
+      val cb = if (b.isNullAt(7)) null else b.getArray(7)
+      val na = if (ca == null) 0 else ca.numElements()
+      val nb = if (cb == null) 0 else cb.numElements()
+      na == nb && {
+        var k = 0; var eq = true
+        while (eq && k < na) {
+          eq = java.lang.Double.doubleToRawLongBits(ca.getDouble(k)) ==
+            java.lang.Double.doubleToRawLongBits(cb.getDouble(k))
+          k += 1
+        }
+        eq
+      }
+    }
 
   /** Counter reset between consecutive samples: total, zero-bucket or any
     * regular bucket count decreasing (absent = 0), as upstream appendable. */
@@ -286,7 +334,7 @@ object PromHistChunk {
   private[functions] def allIntegral(points: ArrayData, from: Int, until: Int): Boolean = {
     var i = from
     while (i < until) {
-      if (!sampleIntegral(points.getStruct(i, 3).getStruct(2, 7))) return false
+      if (!sampleIntegral(points.getStruct(i, 3).getStruct(2, graft.functions.HistChunk.HistArity))) return false
       i += 1
     }
     true
@@ -300,10 +348,8 @@ object PromHistChunk {
                   header: Int, float: Boolean): Array[Byte] = {
     val n = until - from
     require(n >= 1 && n <= 0xFFFF, s"histogram chunk sample count $n out of uint16")
-    val h0 = points.getStruct(from, 3).getStruct(2, 7)
+    val h0 = points.getStruct(from, 3).getStruct(2, graft.functions.HistChunk.HistArity)
     val sch = h0.getInt(2)
-    require(sch != CustomBucketsSchema,
-      "custom-bound (NHCB) histogram schema -53 is not supported by the model")
     val posIdx = unionIdxs(points, from, until, 5)
     val negIdx = unionIdxs(points, from, until, 6)
     val mP = posIdx.length; val mN = negIdx.length
@@ -315,6 +361,17 @@ object PromHistChunk {
     putVarbitInt(w, sch.toLong)
     putSpans(w, posIdx)
     putSpans(w, negIdx)
+    // custom-bucket layout (NHCB, schema -53): the bounds array follows the
+    // span lists (upstream writeHistogramChunkLayout); it is layout — a
+    // change cuts a chunk (sameLayoutKnobs), so one copy per chunk
+    if (sch == CustomBucketsSchema) {
+      require(!h0.isNullAt(7),
+        "NHCB histogram (schema -53) carries no custom-bounds array")
+      val cb = h0.getArray(7)
+      putVarbitUint(w, cb.numElements().toLong)
+      var k = 0
+      while (k < cb.numElements()) { putCustomBound(w, cb.getDouble(k)); k += 1 }
+    }
 
     // per-field encoder state
     var prevT = 0L; var tDelta = 0L
@@ -332,7 +389,7 @@ object PromHistChunk {
     while (i < until) {
       val p = points.getStruct(i, 3)
       val t = p.getLong(0)
-      val h = p.getStruct(2, 7)
+      val h = p.getStruct(2, graft.functions.HistChunk.HistArity)
       val cnt = h.getDouble(0); val sum = h.getDouble(1); val zcnt = h.getDouble(4)
       val pAbs = absCounts(h, 5, posIdx)
       val nAbs = absCounts(h, 6, negIdx)
@@ -425,12 +482,19 @@ object PromHistChunk {
     val r = new PromXorChunk.BitReader(bytes, off + 3) // byte 2 = reset header
     val zthr = readZeroThreshold(r)
     val sch = readVarbitInt(r).toInt
-    if (sch == CustomBucketsSchema)
-      throw new IllegalArgumentException(
-        "custom-bound (NHCB) histogram schema -53 is not supported by the model")
     val posIdx = readSpans(r)
     val negIdx = readSpans(r)
     val mP = posIdx.length; val mN = negIdx.length
+    // custom-bucket bounds follow the span lists for schema -53 (upstream
+    // readHistogramChunkLayout)
+    val cbArr: GenericArrayData =
+      if (sch == CustomBucketsSchema) {
+        val m = readVarbitUint(r).toInt
+        val vals = new Array[Any](m)
+        var k = 0
+        while (k < m) { vals(k) = readCustomBound(r); k += 1 }
+        new GenericArrayData(vals)
+      } else null
 
     var t = 0L; var tDelta = 0L
     var cnt = 0.0; var zcnt = 0.0; var sum = 0.0
@@ -443,7 +507,7 @@ object PromHistChunk {
 
     def emit(): Unit = {
       val h = InternalRow(cnt, sum, sch, zthr, zcnt,
-        bucketArr(posIdx, pAbs), bucketArr(negIdx, nAbs))
+        bucketArr(posIdx, pAbs), bucketArr(negIdx, nAbs), cbArr)
       out(outPos) = InternalRow(t, cnt, h); outPos += 1
     }
 

@@ -300,14 +300,14 @@ object PromXorChunk {
         while (go && j < n && j - i < 0xFFFF) {
           val pj = points.getStruct(j, 3)
           if (pj.getLong(0) >= cut || pj.isNullAt(2)) { go = false; cutReason = 1 }
-          else if (PromHistChunk.sampleIntegral(pj.getStruct(2, 7)) !=
-            PromHistChunk.sampleIntegral(points.getStruct(j - 1, 3).getStruct(2, 7))) {
+          else if (PromHistChunk.sampleIntegral(pj.getStruct(2, graft.functions.HistChunk.HistArity)) !=
+            PromHistChunk.sampleIntegral(points.getStruct(j - 1, 3).getStruct(2, graft.functions.HistChunk.HistArity))) {
             go = false; cutReason = 4 // int↔float type change, upstream cut
           } else if (!PromHistChunk.sameLayoutKnobs(
-            points.getStruct(j - 1, 3).getStruct(2, 7), pj.getStruct(2, 7))) {
+            points.getStruct(j - 1, 3).getStruct(2, graft.functions.HistChunk.HistArity), pj.getStruct(2, graft.functions.HistChunk.HistArity))) {
             go = false; cutReason = 2
           } else if (PromHistChunk.isCounterReset(
-            points.getStruct(j - 1, 3).getStruct(2, 7), pj.getStruct(2, 7))) {
+            points.getStruct(j - 1, 3).getStruct(2, graft.functions.HistChunk.HistArity), pj.getStruct(2, graft.functions.HistChunk.HistArity))) {
             go = false; cutReason = 3
           } else j += 1
         }
@@ -318,8 +318,8 @@ object PromXorChunk {
         if ((cutReason == 1 || cutReason == 4) && j < n) {
           val pj = points.getStruct(j, 3)
           if (!pj.isNullAt(2)) {
-            val prevH = points.getStruct(j - 1, 3).getStruct(2, 7)
-            val nextH = pj.getStruct(2, 7)
+            val prevH = points.getStruct(j - 1, 3).getStruct(2, graft.functions.HistChunk.HistArity)
+            val nextH = pj.getStruct(2, graft.functions.HistChunk.HistArity)
             if (PromHistChunk.isCounterReset(prevH, nextH)) cutReason = 3
             else if (PromHistChunk.sampleIntegral(prevH) !=
               PromHistChunk.sampleIntegral(nextH)) cutReason = 4

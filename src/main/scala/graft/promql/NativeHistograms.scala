@@ -84,11 +84,41 @@ object NativeHistograms {
     (lower, upper)
   }
 
+  /** histogram_quantile(φ, h) for CUSTOM-bucket histograms (NHCB, schema
+    * −53): the classic `bucketQuantile` walk over `cb` upper bounds —
+    * rank in the +Inf bucket (idx = len(cb)) returns the last finite
+    * bound, rank in bucket 0 with a non-positive bound returns that bound,
+    * otherwise LINEAR interpolation between the bucket's bounds with
+    * bucket 0 starting at 0 (promql/quantile.go's custom-values path
+    * reproduces classic semantics). Absent sparse buckets count 0 — they
+    * can't hold a rank crossing, so the walk over present buckets is the
+    * walk over all. */
+  private def nhcbQuantile(phi: Column, h: Column): Column = {
+    val cnt = h.getField("cnt")
+    val pos = h.getField("pos")
+    val cb = h.getField("cb")
+    val m = size(cb)
+    val rank = phi * cnt
+    val hit = crossing(pos, rank)
+    val idx = hit.getField("idx")
+    val upper = element_at(cb, idx + 1) // cb[idx], 1-based accessor
+    val lower = when(idx <= 0, lit(0.0)).otherwise(element_at(cb, idx))
+    val prevCum = hit.getField("cum") - hit.getField("c")
+    val interp = lower + (upper - lower) * ((rank - prevCum) / hit.getField("c"))
+    when(isnan(phi) || cnt === 0.0 || m === 0, lit(Double.NaN))
+      .when(phi < 0.0, lit(Double.NegativeInfinity))
+      .when(phi > 1.0, lit(Double.PositiveInfinity))
+      .when(idx >= m, element_at(cb, m)) // +Inf bucket → last finite bound
+      .when(idx === 0 && element_at(cb, 1) <= 0.0, element_at(cb, 1))
+      .otherwise(interp)
+  }
+
   /** histogram_quantile(φ, h) for native histograms.
     * Walks buckets in value order (most-negative → zero → positive), finds
     * the bucket holding rank φ·count, then interpolates: exponentially
     * inside exponential buckets (value = 2^(w·(idx−1+f)) on the positive
-    * side, mirrored on the negative side), linearly inside the zero bucket. */
+    * side, mirrored on the negative side), linearly inside the zero bucket.
+    * Custom-bucket histograms (schema −53) route to [[nhcbQuantile]]. */
   def quantile(phi: Column, h: Column): Column = {
     val cnt  = h.getField("cnt")
     val zcnt = h.getField("zcnt")
@@ -114,7 +144,8 @@ object NativeHistograms {
     val fPos = (target - (posHit.getField("cum") - posHit.getField("c"))) / posHit.getField("c")
     val qPos = pow(lit(2.0), (posHit.getField("idx").cast("double") - 1.0 + fPos) * ww)
 
-    when(isnan(phi) || cnt === 0.0, lit(Double.NaN))
+    when(h.getField("sch") === lit(-53), nhcbQuantile(phi, h))
+      .when(isnan(phi) || cnt === 0.0, lit(Double.NaN))
       .when(phi < 0.0, lit(Double.NegativeInfinity))
       .when(phi > 1.0, lit(Double.PositiveInfinity))
       .when(rank <= negTot && size(neg) > 0, qNeg)
@@ -171,7 +202,30 @@ object NativeHistograms {
 
     // association matters for oracle determinism: integer-valued parts sum
     // exactly first, the single fractional straddle term is added last
-    ((negPart + zeroPart) + posFullG) + posStraddleG
+    when(h.getField("sch") === lit(-53), nhcbRankAt(v, h))
+      .otherwise(((negPart + zeroPart) + posFullG) + posStraddleG)
+  }
+
+  /** ≤-v rank for custom-bucket histograms: full counts for buckets whose
+    * `cb` upper bound ≤ v, plus one linearly-interpolated straddler —
+    * bucket 0 starts at 0 and the +Inf bucket (idx = len(cb)) contributes
+    * nothing partial (its width is infinite), matching [[nhcbQuantile]]'s
+    * classic-compatible interpolation. */
+  private def nhcbRankAt(v: Column, h: Column): Column = {
+    val pos = h.getField("pos")
+    val cb = h.getField("cb")
+    val m = size(cb)
+    def up(b: Column): Column =
+      when(b.getField("idx") >= m, lit(Double.PositiveInfinity))
+        .otherwise(element_at(cb, least(b.getField("idx"), m - 1) + 1))
+    def lo(b: Column): Column =
+      when(b.getField("idx") <= 0, lit(0.0))
+        .otherwise(element_at(cb, least(b.getField("idx"), m)))
+    val full = totalOf(filter(pos, b => up(b) <= v))
+    val straddle = sumArr(transform(
+      filter(pos, b => lo(b) < v && up(b) > v),
+      b => b.getField("c") * (v - lo(b)) / (up(b) - lo(b))))
+    full + straddle
   }
 
   /** histogram_fraction(lo, hi, h): estimated fraction of observations in
@@ -258,14 +312,17 @@ object NativeHistograms {
           b.getField("c"))))))
   }
 
-  /** `h` converted to (coarser-or-equal) schema `sch`. */
+  /** `h` converted to (coarser-or-equal) schema `sch`. Custom-bucket
+    * histograms (schema −53) never mix with exponential schemas — upstream
+    * treats the combination as an error/reset — so `cb` passes through. */
   def toSchema(h: Column, sch: Column): Column =
     when(h.getField("sch") <=> sch, h).otherwise(struct(
       h.getField("cnt").as("cnt"), h.getField("hsum").as("hsum"),
       sch.as("sch"), h.getField("zthr").as("zthr"),
       h.getField("zcnt").as("zcnt"),
       reduceBuckets(h.getField("pos"), h.getField("sch") - sch).as("pos"),
-      reduceBuckets(h.getField("neg"), h.getField("sch") - sch).as("neg")))
+      reduceBuckets(h.getField("neg"), h.getField("sch") - sch).as("neg"),
+      h.getField("cb").as("cb")))
 
   /** A counter reset happened iff any count shrank (total, zero bucket, or
     * any exponential bucket — a vanished bucket counts as a drop). Mixed
@@ -310,8 +367,13 @@ object NativeHistograms {
     val prevT = struct(
       prev.getField("cnt").as("cnt"), prev.getField("hsum").as("hsum"),
       pSch.as("sch"), pz.as("zthr"), prev.getField("zcnt").as("zcnt"),
-      trim(prev.getField("pos")).as("pos"), trim(prev.getField("neg")).as("neg"))
-    curr.getField("sch") > prev.getField("sch") ||
+      trim(prev.getField("pos")).as("pos"), trim(prev.getField("neg")).as("neg"),
+      prev.getField("cb").as("cb"))
+    // custom-bounds mismatch (incl. NHCB↔exponential switches) is a reset —
+    // upstream FloatHistogram.DetectReset's UsesCustomBuckets/
+    // FloatBucketsMatch guard
+    !(curr.getField("cb") <=> prev.getField("cb")) ||
+      curr.getField("sch") > prev.getField("sch") ||
       curr.getField("cnt") < prev.getField("cnt") ||
       cz < pz ||
       when(widened,
@@ -358,7 +420,8 @@ object NativeHistograms {
       last.getField("zthr").as("zthr"),
       (last.getField("zcnt") - first.getField("zcnt") + sumF("zcnt")).as("zcnt"),
       mToBuckets(mAdd(mSub(bmap(last.getField("pos")), bmap(first.getField("pos"))), sumM("pos"))).as("pos"),
-      mToBuckets(mAdd(mSub(bmap(last.getField("neg")), bmap(first.getField("neg"))), sumM("neg"))).as("neg"))
+      mToBuckets(mAdd(mSub(bmap(last.getField("neg")), bmap(first.getField("neg"))), sumM("neg"))).as("neg"),
+      last.getField("cb").as("cb"))
   }
 
   /** Mixed-resolution window delta, staged through NAMED columns: every
@@ -444,7 +507,8 @@ object NativeHistograms {
     transform(h.getField("pos"), b =>
       struct(b.getField("idx").as("idx"), (b.getField("c") * f).as("c"))).as("pos"),
     transform(h.getField("neg"), b =>
-      struct(b.getField("idx").as("idx"), (b.getField("c") * f).as("c"))).as("neg"))
+      struct(b.getField("idx").as("idx"), (b.getField("c") * f).as("c"))).as("neg"),
+    h.getField("cb").as("cb"))
 
   /** Build per-group native histograms from non-negative integer
     * observations (`obsUnits`, e.g. cents), schema 0 (base-2 buckets).
@@ -481,7 +545,8 @@ object NativeHistograms {
         lit(zthr).as("zthr"),
         col("zcnt"),
         coalesce(col("pos"), array().cast("array<struct<idx:int,c:double>>")).as("pos"),
-        array().cast("array<struct<idx:int,c:double>>").as("neg")).as("h"): _*)
+        array().cast("array<struct<idx:int,c:double>>").as("neg"),
+        lit(null).cast("array<double>").as("cb")).as("h"): _*)
   }
 
   /** Bucket-wise histogram sum across rows of a group (the `sum()` PromQL
@@ -512,13 +577,16 @@ object NativeHistograms {
       sum(col("__graft_hm.hsum")).as("hsum"),
       min(col("__graft_hm.sch")).as("sch"),
       max(col("__graft_hm.zthr")).as("zthr"),
-      sum(col("__graft_hm.zcnt")).as("zcnt"))
+      sum(col("__graft_hm.zcnt")).as("zcnt"),
+      // NHCB participants of one group must share bounds (upstream Add
+      // errors on a custom-bounds mismatch), so any row's copy is THE copy
+      first(col("__graft_hm.cb")).as("cb"))
     val empty = array().cast("array<struct<idx:int,c:double>>")
     scal.join(side("pos"), keyCols, "left").join(side("neg"), keyCols, "left")
       .select(key :+ struct(
         col("cnt"), col("hsum"), col("sch"), col("zthr"), col("zcnt"),
         coalesce(col("pos"), empty).as("pos"),
-        coalesce(col("neg"), empty).as("neg")).as(hCol): _*)
+        coalesce(col("neg"), empty).as("neg"), col("cb")).as(hCol): _*)
   }
 
 }

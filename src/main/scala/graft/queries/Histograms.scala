@@ -119,7 +119,8 @@ object Histograms {
           (col("cusum").cast("double") / 100.0).as("hsum"),
           lit(0).as("sch"), lit(ZTHR).as("zthr"),
           col("czc").cast("double").as("zcnt"),
-          coalesce(col("pos"), empty).as("pos"), empty.as("neg")).as("h"))
+          coalesce(col("pos"), empty).as("pos"), empty.as("neg"),
+          lit(null).cast("array<double>").as("cb")).as("h"))
   }
 
   def entries: Seq[Q] = Seq(
@@ -433,6 +434,66 @@ object Histograms {
         "CAST(sum(COALESCE(nb.bc, 0)) AS BIGINT) AS sum_bc " +
         "FROM hs JOIN ch ON ch.evt = hs.evt AND ch.hr = hs.hr " +
         "LEFT JOIN nb ON nb.evt = hs.evt AND nb.hr = hs.hr " +
-        "GROUP BY 1 ORDER BY 1"))
+        "GROUP BY 1 ORDER BY 1")),
+
+    // NHCB (custom-bucket, schema -53) histograms: classic `le`-style
+    // bounds carried in the model's cb field; histogram_quantile runs the
+    // classic bucket walk — LINEAR interpolation, +Inf bucket → last
+    // finite bound (promql/quantile.go's custom-values path). The oracle
+    // replays the identical walk in SQL over the same fixed bounds, so
+    // any slip in bucket indexing, crossing selection or interpolation
+    // order hash-mismatches. Prometheus 3.x buckets that converted
+    // classic→NHCB serve through this exact path.
+    {
+      val bounds = Seq(1.0, 5.0, 20.0, 100.0)
+      val loCase = "CASE x.idx WHEN 0 THEN 0.0e0 " + bounds.dropRight(1).zipWithIndex
+        .map { case (b, i) => s"WHEN ${i + 1} THEN ${dbl(b)}" }.mkString(" ") + " END"
+      val upCase = "CASE x.idx " + bounds.zipWithIndex
+        .map { case (b, i) => s"WHEN $i THEN ${dbl(b)}" }.mkString(" ") + " END"
+      val idxSql = bounds.map(b =>
+        s"CASE WHEN CAST(cents AS DOUBLE) / 100.0e0 > ${dbl(b)} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      Q("nh_nhcb",
+        t => {
+          val tsMs = unix_millis(col("ts"))
+          val e = t.events.select(
+            col("event_type").as("__name__"),
+            (tsMs - pmod(tsMs, lit(HOUR))).as("hr"),
+            round(col("value") * 100.0).cast("long").as("cents"))
+          val obsD = col("cents").cast("double") / 100.0
+          val idx = bounds.foldLeft(lit(0))((acc, b) =>
+            acc + when(obsD > lit(b), 1).otherwise(0)).cast("int")
+          val pb = e.groupBy(col("__name__"), col("hr"), idx.as("idx"))
+            .agg(count(lit(1)).cast("double").as("c"))
+            .groupBy(col("__name__"), col("hr"))
+            .agg(sort_array(collect_list(struct(col("idx"), col("c")))).as("pos"))
+          val hs = e.groupBy(col("__name__"), col("hr")).agg(
+            count(lit(1)).cast("double").as("cnt"),
+            (sum(col("cents")).cast("double") / 100.0).as("hsum"))
+          val h = struct(col("cnt"), col("hsum"), lit(-53).as("sch"),
+            lit(0.0).as("zthr"), lit(0.0).as("zcnt"), col("pos"),
+            array().cast("array<struct<idx:int,c:double>>").as("neg"),
+            array(bounds.map(lit): _*).as("cb"))
+          hs.join(pb, Seq("__name__", "hr"))
+            .select(col("__name__"), col("hr"),
+              round(NativeHistograms.quantile(lit(0.9), h), 6).as("q90"),
+              col("cnt").cast("long").as("cnt"))
+            .orderBy(col("__name__"), col("hr"))
+        },
+        Some(
+          "WITH o AS (SELECT event_type AS __name__, (epoch_ms(ts) // 3600000) * 3600000 AS hr, " +
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+          s"b AS (SELECT __name__, hr, ($idxSql) AS idx, count(*) AS c, " +
+            "CAST(count(*) AS DOUBLE) AS cd FROM o GROUP BY 1, 2, 3), " +
+          "cum AS (SELECT __name__, hr, idx, cd AS c, " +
+            "CAST(SUM(cd) OVER (PARTITION BY __name__, hr ORDER BY idx) AS DOUBLE) AS cum FROM b), " +
+          "hs AS (SELECT __name__, hr, CAST(count(*) AS DOUBLE) AS cnt FROM o GROUP BY 1, 2), " +
+          "x AS (SELECT h.__name__, h.hr, h.cnt, c.idx, c.c, c.cum, 0.9e0 * h.cnt AS rank " +
+            "FROM hs h JOIN cum c ON c.__name__ = h.__name__ AND c.hr = h.hr " +
+            "AND c.cum >= 0.9e0 * h.cnt AND c.cum - c.c < 0.9e0 * h.cnt) " +
+          s"SELECT x.__name__, x.hr, round(CASE WHEN x.idx >= ${bounds.size} THEN ${dbl(bounds.last)} " +
+            s"ELSE $loCase + ($upCase - $loCase) * ((x.rank - (x.cum - x.c)) / x.c) END, 6) AS q90, " +
+          "CAST(x.cnt AS BIGINT) AS cnt FROM x ORDER BY __name__, hr"))
+    }
   )
 }

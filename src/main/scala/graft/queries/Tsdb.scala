@@ -496,6 +496,24 @@ object Tsdb {
         "UNION ALL SELECT 'uid', count(user_id) FROM events WHERE user_id = 3) t " +
         "WHERE c > 0 ORDER BY label")),
 
+    // label_values over a REFERENCE bucket via the no-constraint dictionary
+    // shortcut (search/search.go:173-201): values come from the labels
+    // files' parquet dictionary pages — chunks files are never opened
+    // (PromXorSpec pins that by deleting them). Oracle = distinct uid of
+    // the raw table, so a dictionary slip, day-pruning slip or lost scan
+    // fallback hash-mismatches.
+    Q("a3_reference_label_values",
+      t => {
+        import t.spark.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft-reflv").toString
+        graft.etl.ReferenceFormat.convertReference(t.spark,
+          TimeSeriesModel.samples(t.events), out, numShards = 2)
+        graft.etl.ReferenceFormat
+          .referenceLabelValues(t.spark, out, "uid", T0, T0 + 31 * DAY)
+          .toDF("uid").orderBy(col("uid"))
+      },
+      Some("SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events ORDER BY uid")),
+
     // ------------------------------------------------------------------ O1-O4
     Q("o3_series_limit",
       t => TimeSeriesModel.series(t.events)

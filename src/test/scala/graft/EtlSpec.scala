@@ -130,7 +130,7 @@ class EtlSpec extends SparkSpec {
         lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(2.0).as("zcnt"),
         array(struct(lit(0).as("idx"), col("value").as("c")),
           struct(lit(3).as("idx"), (col("value") + 1.0).as("c"))).as("pos"),
-        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+        array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb")))
     val flt = (for (i <- 0 until 60) yield {
       val ts = T0 + i * 1490000L
       ("fm", "9", ts, rnd.nextDouble() * 100, ts)
@@ -254,7 +254,7 @@ class EtlSpec extends SparkSpec {
       .withColumn("h", struct(col("value").as("cnt"), col("value").as("hsum"),
         lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
         array(struct(lit(1).as("idx"), col("value").as("c"))).as("pos"),
-        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+        array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb")))
     val flt = (0 until 40).map(i => ("fm", "2", T0 + i * 1490000L, i * 2.0, 100L + i))
       .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
       .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
@@ -472,7 +472,7 @@ class EtlSpec extends SparkSpec {
         col("c0").as("cnt"), (col("c0") * 2).as("hsum"), lit(0).as("sch"),
         lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
         array(struct(lit(1).as("idx"), col("c0").as("c"))).as("pos"),
-        expr("array()").cast("array<struct<idx:int,c:double>>").as("neg")))
+        expr("array()").cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb")))
       .drop("c0")
     Ingest.convertSamples(spark, hs, out)
 
@@ -919,7 +919,7 @@ class EtlSpec extends SparkSpec {
     def hrow(cnt: Double, hsum: Double, buckets: Seq[(Int, Double)]) =
       InternalRow(cnt, hsum, 0, 0.0, 0.0,
         new GenericArrayData(buckets.map { case (i, c) => InternalRow(i, c) }.toArray[Any]),
-        new GenericArrayData(Array.empty[Any]))
+        new GenericArrayData(Array.empty[Any]), null)
     val pts = new GenericArrayData(Array[Any](
       InternalRow(jan1 + 1000L, 4.0, hrow(4, 1.5, Seq(0 -> 4.0))),
       InternalRow(jan1 + 2000L, 6.0, hrow(6, 2.5, Seq(0 -> 6.0))),
@@ -1086,7 +1086,7 @@ class EtlSpec extends SparkSpec {
         col("sch").as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
         when(col("c") > 0, array(struct(lit(2).as("idx"), col("c").as("c"))))
           .otherwise(array().cast("array<struct<idx:int,c:double>>")).as("pos"),
-        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+        array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb")))
       .drop("sch", "c")
     val fine = Downsample.histLayer(samples, Downsample.Res5m)
     val derived = Downsample.histOverTime(fine, Downsample.Res1h, Downsample.Res5m)

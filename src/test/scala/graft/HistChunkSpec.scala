@@ -19,14 +19,14 @@ class HistChunkSpec extends AnyFunSuite {
   private def row(p: P): InternalRow =
     InternalRow(p.ts, p.v,
       InternalRow(p.h.cnt, p.h.hsum, p.h.sch, p.h.zthr, p.h.zcnt,
-        bkt(p.h.pos), bkt(p.h.neg)))
+        bkt(p.h.pos), bkt(p.h.neg), null))
   private def arr(ps: Seq[P]) = new GenericArrayData(ps.map(row).toArray[Any])
 
   private def roundtrip(ps: Seq[P]): Seq[P] = {
     val dec = HistChunk.decode(HistChunk.encode(arr(ps)))
     (0 until dec.numElements()).map { i =>
       val r = dec.getStruct(i, 3)
-      val h = r.getStruct(2, 7)
+      val h = r.getStruct(2, graft.functions.HistChunk.HistArity)
       def buckets(a: org.apache.spark.sql.catalyst.util.ArrayData) =
         (0 until a.numElements()).map { j =>
           val b = a.getStruct(j, 2); (b.getInt(0), b.getDouble(1))

@@ -59,7 +59,7 @@ class HistLayerRouteSpec extends SparkSpec {
         $"z".as("zcnt"),
         filter(array(b(0, $"c0"), b(2, $"c1"), b(5, $"c2")),
           e => e.getField("c") =!= 0.0).as("pos"),
-        array().cast("array<struct<idx:int,c:double>>").as("neg")))
+        array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb")))
       .drop("sch", "c0", "c1", "c2", "z", "hs")
     val tmp = java.nio.file.Files.createTempDirectory("graft-hroute").toString
     df.repartitionByRange(4, col("ts_ms")).sortWithinPartitions(col("ts_ms"))

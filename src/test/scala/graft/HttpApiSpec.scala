@@ -78,7 +78,7 @@ class HttpApiSpec extends SparkSpec {
     val h = struct(lit(4.0).as("cnt"), lit(5.0).as("hsum"), lit(0).as("sch"),
       lit(0.001).as("zthr"), lit(1.0).as("zcnt"),
       array(struct(lit(1).as("idx"), lit(3.0).as("c"))).as("pos"),
-      array().cast("array<struct<idx:int,c:double>>").as("neg"))
+      array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb"))
     val df = Seq(("hreq", "a", 1000L, 1L, 1.0))
       .toDF("__name__", "uid", "ts_ms", "sample_id", "value")
       .withColumn("series_hash", xxhash64($"__name__", $"uid"))

@@ -52,14 +52,15 @@ class NativeHistogramPropSpec extends SparkSpec {
     StructField("cnt", DoubleType), StructField("hsum", DoubleType),
     StructField("sch", IntegerType), StructField("zthr", DoubleType),
     StructField("zcnt", DoubleType), StructField("pos", bucketT),
-    StructField("neg", bucketT)))
+    StructField("neg", bucketT),
+    StructField("cb", ArrayType(DoubleType))))
 
   test("quantile/fraction invariants over 60 random histograms") {
     val hs = gen(42)
     val rows = hs.zipWithIndex.map { case (h, i) =>
       Row(i, Row(h.cnt, h.cnt * 1.5, h.sch, ZT, h.zcnt,
         h.pos.map { case (x, c) => Row(x, c) },
-        h.neg.map { case (x, c) => Row(x, c) }))
+        h.neg.map { case (x, c) => Row(x, c) }, null))
     }
     val schema = StructType(Seq(StructField("id", IntegerType), StructField("h", hT)))
     val d = spark.createDataFrame(
@@ -113,10 +114,10 @@ class NativeHistogramPropSpec extends SparkSpec {
       Row(i,
         Seq(Row(1000L, 1L, Row(h.cnt, 1.0, h.sch, ZT, h.zcnt,
               h.pos.map { case (x, c) => Row(x, c) },
-              h.neg.map { case (x, c) => Row(x, c) })),
+              h.neg.map { case (x, c) => Row(x, c) }, null)),
             Row(2000L, 2L, Row(h.cnt + gSum, 2.0, h.sch, ZT, h.zcnt,
               h2pos.map { case (x, c) => Row(x, c) },
-              h.neg.map { case (x, c) => Row(x, c) }))),
+              h.neg.map { case (x, c) => Row(x, c) }, null))),
         gSum)
     }
     val ptT = ArrayType(StructType(Seq(

@@ -16,7 +16,7 @@ class NativeHistogramSpec extends SparkSpec {
     struct(
       lit(cnt).as("cnt"), lit(hsum).as("hsum"), lit(sch).as("sch"),
       lit(zthr).as("zthr"), lit(zcnt).as("zcnt"),
-      arr(pos).as("pos"), arr(neg).as("neg"))
+      arr(pos).as("pos"), arr(neg).as("neg"), lit(null).cast("array<double>").as("cb"))
 
   private def arr(b: Seq[(Int, Double)]): Column =
     if (b.isEmpty) array().cast("array<struct<idx:int,c:double>>")

@@ -18,7 +18,7 @@ class PromHistSpec extends AnyFunSuite {
   private def hist(cnt: Double, hsum: Double, sch: Int, zthr: Double,
                    zcnt: Double, pos: Seq[(Int, Double)],
                    neg: Seq[(Int, Double)] = Nil): InternalRow =
-    InternalRow(cnt, hsum, sch, zthr, zcnt, bkt(pos: _*), bkt(neg: _*))
+    InternalRow(cnt, hsum, sch, zthr, zcnt, bkt(pos: _*), bkt(neg: _*), null)
 
   private def pts(samples: Seq[(Long, InternalRow)]): GenericArrayData =
     new GenericArrayData(samples.map { case (t, h) =>
@@ -29,7 +29,7 @@ class PromHistSpec extends AnyFunSuite {
     val n = PromXorChunk.sampleCount(bytes, 0)
     val out = new Array[Any](n)
     PromHistChunk.decodeChunkInto(bytes, 0, out, 0, float)
-    out.toSeq.map { case r: InternalRow => (r.getLong(0), r.getStruct(2, 7)) }
+    out.toSeq.map { case r: InternalRow => (r.getLong(0), r.getStruct(2, graft.functions.HistChunk.HistArity)) }
   }
 
   private def bktMap(a: org.apache.spark.sql.catalyst.util.ArrayData): Map[Int, Double] =
@@ -260,7 +260,7 @@ class PromHistSpec extends AnyFunSuite {
     assert(PromHistChunk.counterResetHeader(cols.getBinary(0), fs(1)._4) ==
       PromHistChunk.CounterReset)
     val dec = PromXorChunk.decodeFrames(cols.getBinary(0))
-    assert((0 until 4).map(i => dec.getStruct(i, 3).getStruct(2, 7).getDouble(0)) ==
+    assert((0 until 4).map(i => dec.getStruct(i, 3).getStruct(2, graft.functions.HistChunk.HistArity).getDouble(0)) ==
       Seq(10.0, 12.0, 3.0, 5.0))
   }
 
@@ -276,7 +276,7 @@ class PromHistSpec extends AnyFunSuite {
     assert(PromHistChunk.counterResetHeader(cols.getBinary(0), fs(1)._4) ==
       PromHistChunk.UnknownCounterReset)
     val dec = PromXorChunk.decodeFrames(cols.getBinary(0))
-    assert((0 until 3).map(i => dec.getStruct(i, 3).getStruct(2, 7).getInt(2)) ==
+    assert((0 until 3).map(i => dec.getStruct(i, 3).getStruct(2, graft.functions.HistChunk.HistArity).getInt(2)) ==
       Seq(0, 1, 1))
   }
 
@@ -352,10 +352,111 @@ class PromHistSpec extends AnyFunSuite {
     assert(none.numElements() == 0)
   }
 
-  test("NHCB schema -53 is rejected loudly on both paths") {
-    val h = hist(4, 1.0, -53, 0.0, 0, Seq(0 -> 4.0))
-    val e = intercept[IllegalArgumentException](
-      PromHistChunk.encodeChunk(pts(Seq(1000L -> h)), 0, 1, 0, float = false))
-    assert(e.getMessage.contains("-53"))
+  // ----------------------------------------------------------- NHCB (-53)
+  private def nhcb(cnt: Double, hsum: Double, pos: Seq[(Int, Double)],
+                   bounds: Seq[Double]): InternalRow =
+    InternalRow(cnt, hsum, CB_SCHEMA, 0.0, 0.0, bkt(pos: _*), bkt(),
+      new GenericArrayData(bounds.toArray[Any]))
+  private val CB_SCHEMA = -53
+
+  test("pinned: custom-bound codec — doubled-integer varbit vs raw-float escape") {
+    def rt(v: Double): (Double, Int) = {
+      val w = new PromXorChunk.BitWriter(16)
+      PromHistChunk.putCustomBound(w, v)
+      val bytes = w.toBytes
+      val r = new PromXorChunk.BitReader(bytes, 0)
+      (PromHistChunk.readCustomBound(r), bytes.length)
+    }
+    // 0.5 → tf=1 → varbit uint '10'+3 bits = 1 byte; 1.0 → tf=2 likewise
+    assert(rt(0.5) == ((0.5, 1)))
+    assert(rt(1.0) == ((1.0, 1)))
+    assert(rt(0.0) == ((0.0, 1)))     // tf=0 → single 0 bit
+    assert(rt(10.0) == ((10.0, 2)))   // tf=20 → 3-bit prefix + 6-bit payload
+    assert(rt(16777215.0) == ((16777215.0, 4)))  // tf = 2^25-2, 25-bit bucket
+    // not a half-integer / too large / negative → 8-ones prefix + raw f64
+    assert(rt(0.001) == ((0.001, 9)))
+    assert(rt(16777215.5) == ((16777215.5, 9)))  // tf = 33554431 > the cap
+    assert(rt(-1.0) == ((-1.0, 9)))
+    assert(rt(Double.PositiveInfinity) == ((Double.PositiveInfinity, 9)))
+  }
+
+  test("NHCB chunk roundtrips with custom bounds (enc 2 and enc 3)") {
+    val bounds = Seq(0.1, 0.5, 1.0, 2.5)
+    val samples = Seq(
+      1000L -> nhcb(10, 4.5, Seq(0 -> 2.0, 1 -> 5.0, 4 -> 3.0), bounds),
+      2000L -> nhcb(14, 6.0, Seq(0 -> 3.0, 1 -> 7.0, 4 -> 4.0), bounds),
+      3000L -> nhcb(21, 9.5, Seq(0 -> 5.0, 1 -> 11.0, 4 -> 5.0), bounds))
+    val enc = PromHistChunk.encodeChunk(pts(samples), 0, 3,
+      PromHistChunk.UnknownCounterReset, float = false)
+    val dec = decodeChunk(enc, float = false)
+    samples.zip(dec).foreach { case ((t, h), (dt, dh)) =>
+      assert(t == dt); assert(sameHist(h, dh), s"at $t")
+      assert(dh.getArray(7).toDoubleArray().toSeq == bounds, s"bounds at $t")
+    }
+    // float path: fractional counts force enc 3
+    val fs = Seq(
+      1000L -> nhcb(10.5, 4.5, Seq(0 -> 2.5, 2 -> 8.0), bounds),
+      2000L -> nhcb(14.25, 6.0, Seq(0 -> 3.25, 2 -> 11.0), bounds))
+    val fenc = PromHistChunk.encodeChunk(pts(fs), 0, 2,
+      PromHistChunk.UnknownCounterReset, float = true)
+    val fdec = decodeChunk(fenc, float = true)
+    fs.zip(fdec).foreach { case ((t, h), (dt, dh)) =>
+      assert(t == dt); assert(sameHist(h, dh), s"float at $t")
+      assert(dh.getArray(7).toDoubleArray().toSeq == bounds)
+    }
+  }
+
+  test("NHCB: custom-bounds change is a layout cut; frame columns roundtrip") {
+    val day = 1704067200000L
+    val b1 = Seq(0.5, 1.0); val b2 = Seq(0.5, 1.0, 5.0)
+    val points = pts(Seq(
+      day + 1000L -> nhcb(4, 1.0, Seq(0 -> 4.0), b1),
+      day + 2000L -> nhcb(6, 2.0, Seq(0 -> 6.0), b1),
+      day + 3000L -> nhcb(8, 3.0, Seq(0 -> 6.0, 2 -> 2.0), b2)))
+    val cell = PromXorChunk.encodeColumns(points).getBinary(0)
+    var off = 0; var frames = 0
+    while (off < cell.length) {
+      val len = ((cell(off + 20) & 0xFF) << 24) | ((cell(off + 21) & 0xFF) << 16) |
+        ((cell(off + 22) & 0xFF) << 8) | (cell(off + 23) & 0xFF)
+      frames += 1; off += 24 + len
+    }
+    assert(frames == 2, "bounds change must cut a chunk")
+    val dec = PromXorChunk.decodeFrames(cell)
+    assert(dec.numElements() == 3)
+    val h2 = dec.getStruct(2, 3).getStruct(2, graft.functions.HistChunk.HistArity)
+    assert(h2.getArray(7).toDoubleArray().toSeq == b2)
+  }
+
+  test("property: random NHCB runs roundtrip (bounds, sparse buckets, both encs)") {
+    val genBounds = for {
+      m <- Gen.chooseNum(1, 8)
+      raw <- Gen.listOfN(m, Gen.oneOf(
+        Gen.chooseNum(1, 2000).map(_ / 2.0),   // varbit-favored half-integers
+        Gen.chooseNum(0.0001, 100.0)))         // raw-escape floats
+    } yield raw.distinct.sorted
+    val genRun = for {
+      bounds <- genBounds
+      n <- Gen.chooseNum(1, 40)
+      t0 <- Gen.chooseNum(0L, 1700000000000L)
+      ds <- Gen.listOfN(n - 1, Gen.chooseNum(1L, 120000L))
+      css <- Gen.listOfN(n, Gen.listOfN(bounds.size + 1, Gen.chooseNum(0L, 100000L)))
+    } yield {
+      val ts = ds.scanLeft(t0)(_ + _)
+      ts.zip(css).map { case (t, cs) =>
+        val pos = cs.zipWithIndex.collect { case (c, i) if c > 0 => i -> c.toDouble }
+        t -> nhcb(cs.map(_.toDouble).sum, cs.sum / 10.0, pos, bounds)
+      }
+    }
+    val prop = Prop.forAll(genRun) { run =>
+      val float = false
+      val enc = PromHistChunk.encodeChunk(pts(run), 0, run.size, 0, float)
+      val dec = decodeChunk(enc, float)
+      dec.size == run.size && run.zip(dec).forall { case ((t, h), (dt, dh)) =>
+        t == dt && sameHist(h, dh) &&
+          dh.getArray(7).toDoubleArray().toSeq == h.getArray(7).toDoubleArray().toSeq
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(res.passed, res.status.toString)
   }
 }

@@ -440,7 +440,7 @@ class PromXorSpec extends SparkSpec {
         lit(1.0).as("zcnt"),
         array(struct(lit(0).as("idx"), cnt.as("c")),
           struct(lit(3).as("idx"), (cnt + 1.0).as("c"))).as("pos"),
-        emptyB.as("neg")).as("h"))
+        emptyB.as("neg"), lit(null).cast("array<double>").as("cb")).as("h"))
     val out = java.nio.file.Files.createTempDirectory("graft-refnh").toString
     ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
 
@@ -564,6 +564,114 @@ class PromXorSpec extends SparkSpec {
       .labelsSchema.fieldNames.toSet == labelFields)
   }
 
+  test("reference label_values/names: labels-file dictionaries only — chunks files can be gone") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 1704067200000L
+    val D = 86400000L
+    val df = Seq(
+      ("a", "x", day + 1000L, 1.0),
+      ("b", "", day + 2000L, 2.0),          // empty ≡ missing: never a value
+      ("b", "y", day + D + 1000L, 3.0))     // env=y exists only on day 2
+      .toDF("svc", "env", "ts_ms", "value")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash", xxhash64(col("svc"), col("env")))
+    val out = java.nio.file.Files.createTempDirectory("graft-reflvn").toString
+    ReferenceFormat.convertReference(spark, df, out,
+      externalLabels = Map("cluster" -> "us"), numShards = 1)
+
+    // the metadata paths read labels files ONLY (the reference's
+    // no-constraint dictionary shortcut, search/search.go:173-201): delete
+    // every chunks file — if any path touched one, it would throw
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining { p =>
+        if (p.toString.endsWith(".chunks.parquet")) java.nio.file.Files.delete(p)
+      }
+
+    assert(ReferenceFormat.referenceLabelValues(spark, out, "svc") == Seq("a", "b"))
+    assert(ReferenceFormat.referenceLabelValues(spark, out, "env") == Seq("x", "y"))
+    // stream ext label folds in; file labels + ext labels in the name set
+    assert(ReferenceFormat.referenceLabelValues(spark, out, "cluster") == Seq("us"))
+    assert(ReferenceFormat.referenceLabelNames(spark, out) ==
+      Seq("cluster", "env", "svc"))
+    // day-granular interval pruning: day 1 never sees env=y
+    assert(ReferenceFormat.referenceLabelValues(spark, out, "env",
+      day, day + D - 1) == Seq("x"))
+    assert(ReferenceFormat.referenceLabelValues(spark, out, "env",
+      day + D, day + 2 * D - 1) == Seq("y"))
+  }
+
+  test("bug-compatible: foreign boundary-spanning chunk invisible to cell-pruned reads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 1704067200000L
+    val h = 3600000L
+    // own store with one series, sample in hour 7 → structure with cell 0
+    val out = java.nio.file.Files.createTempDirectory("graft-refspan").toString
+    val seed = Seq(("a", day + 7 * h, 1.0)).toDF("svc", "ts_ms", "value")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash", xxhash64(col("svc")))
+    ReferenceFormat.convertReference(spark, seed, out)
+
+    // foreign-style chunk: the Go converter places a chunk by MinTime
+    // (convert/chunks.go:53-55), so a chunk STARTING in hour 7 lands whole
+    // in cell 0 even when it runs into hour 8 — our own writer would have
+    // cut it at the window boundary instead
+    val pts = Seq((day + 7 * h + 1000L, 7.5), (day + 8 * h + 1000L, 8.5))
+    val chunk = PromXorChunk.encodeChunk(arr(pts), 0, 2)
+    val frame = java.nio.ByteBuffer.allocate(24 + chunk.length)
+    frame.putInt(1) // enc XOR
+    frame.putLong(PromXorChunk.zigzag(day + 7 * h + 1000L))
+    frame.putLong(PromXorChunk.zigzag(day + 8 * h + 1000L))
+    frame.putInt(chunk.length)
+    frame.put(chunk)
+    val chunksPath = s"$out/0/2024-01-01/0.chunks.parquet"
+    val hash = spark.read.parquet(chunksPath).select("___cf_meta_hash").head.getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-refspan-tmp").toString
+    Seq((hash, frame.array(), Array.empty[Byte], Array.empty[Byte]))
+      .toDF("___cf_meta_hash", "___cf_meta_chunk_0", "___cf_meta_chunk_1",
+        "___cf_meta_chunk_2")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = {
+      var found: java.nio.file.Path = null
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .forEachRemaining(p => if (p.toString.endsWith(".parquet")) found = p)
+      found
+    }
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(chunksPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the Hadoop LocalFileSystem checksum sidecar the nio copy bypassed
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out/0/2024-01-01/.0.chunks.parquet.crc"))
+
+    // an interval inside hour 8 selects cell 1 only (ChunkColumnIndex,
+    // search/materialize.go:317-333): the spanning chunk in cell 0 is
+    // INVISIBLE — the reference misses these samples identically, and this
+    // pin keeps the engines bug-compatible rather than "fixed" on one side
+    assert(ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, day + 8 * h, day + 9 * h).count() == 0)
+    // an interval touching hour 7 reads cell 0: both samples serve
+    val both = ReferenceFormat.selectReferenceStore(spark, out,
+      Nil, day + 7 * h, day + 9 * h)
+    assert(both.select("ts_ms", "value").orderBy("ts_ms").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((day + 7 * h + 1000L, 7.5), (day + 8 * h + 1000L, 8.5)))
+
+    // an OWN-writer bucket never hits this: encodeColumns cuts at the 8h
+    // boundary, so the same two samples convert into separate cells and the
+    // hour-8 interval serves the hour-8 sample
+    val out2 = java.nio.file.Files.createTempDirectory("graft-refspan2").toString
+    val own = Seq(("a", day + 7 * h + 1000L, 7.5), ("a", day + 8 * h + 1000L, 8.5))
+      .toDF("svc", "ts_ms", "value")
+      .withColumn("sample_id", col("ts_ms"))
+      .withColumn("series_hash", xxhash64(col("svc")))
+    ReferenceFormat.convertReference(spark, own, out2)
+    assert(ReferenceFormat.selectReferenceStore(spark, out2,
+      Nil, day + 8 * h, day + 9 * h).count() == 1)
+  }
+
   test("chunk-cell projection: a sub-8h query scans one chunk column") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -625,7 +733,7 @@ class PromXorSpec extends SparkSpec {
       struct(cnt.as("cnt"), (cnt * 3.5).as("hsum"),
         lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
         array(struct(lit(1).as("idx"), cnt.as("c"))).as("pos"),
-        emptyB.as("neg")).as("h"))
+        emptyB.as("neg"), lit(null).cast("array<double>").as("cb")).as("h"))
     val out = java.nio.file.Files.createTempDirectory("graft-refnhq").toString
     ReferenceFormat.convertReference(spark, samples, out, numShards = 2)
 

@@ -77,7 +77,8 @@ class PromqlHistogramFuzzSpec extends SparkSpec {
     StructField("cnt", DoubleType), StructField("hsum", DoubleType),
     StructField("sch", IntegerType), StructField("zthr", DoubleType),
     StructField("zcnt", DoubleType), StructField("pos", bucketT),
-    StructField("neg", bucketT)))
+    StructField("neg", bucketT),
+    StructField("cb", ArrayType(DoubleType))))
 
   test("30 seeded random histogram rate/increase/delta agree with the naive fold") {
     val ss = gen(1234)
@@ -85,7 +86,7 @@ class PromqlHistogramFuzzSpec extends SparkSpec {
       Row("m", s.uid, s.ts, i.toLong, 1.0, s.uid.toLong,
         Row(s.cnt, s.hsum, 0, 0.001953125, s.zcnt,
           s.pos.toSeq.sortBy(_._1).map { case (x, c) => Row(x, c) },
-          Seq.empty[Row]))
+          Seq.empty[Row], null))
     }
     val schema = StructType(Seq(
       StructField("__name__", StringType), StructField("uid", StringType),

@@ -21,7 +21,7 @@ class PromqlHistogramSpec extends SparkSpec {
       (if (pos.isEmpty) array().cast("array<struct<idx:int,c:double>>")
        else array(pos.map { case (i, c) =>
          struct(lit(i).as("idx"), lit(c).as("c")) }: _*)).as("pos"),
-      array().cast("array<struct<idx:int,c:double>>").as("neg"))
+      array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb"))
 
   // series (reqs,1): two histogram samples; series (reqs,2): one, all-zero
   private lazy val samples: DataFrame =
@@ -227,7 +227,7 @@ class PromqlHistogramSpec extends SparkSpec {
       (if (pos.isEmpty) array().cast("array<struct<idx:int,c:double>>")
        else array(pos.map { case (i, c) =>
          struct(lit(i).as("idx"), lit(c).as("c")) }: _*)).as("pos"),
-      array().cast("array<struct<idx:int,c:double>>").as("neg"))
+      array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb"))
 
   test("schema reduction mid-window coarsens buckets; schema increase is a reset") {
     // t1 at schema 1 (finer), t2 at schema 0 (coarser) — Prometheus'
@@ -271,7 +271,7 @@ class PromqlHistogramSpec extends SparkSpec {
         (if (pos.isEmpty) array().cast("array<struct<idx:int,c:double>>")
          else array(pos.map { case (i, c) =>
            struct(lit(i).as("idx"), lit(c).as("c")) }: _*)).as("pos"),
-        array().cast("array<struct<idx:int,c:double>>").as("neg"))
+        array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb"))
     def series(h1: Column, h2: Column) =
       Seq(("mz", "1", 10000L, 1L), ("mz", "1", 40000L, 2L))
         .toDF("__name__", "uid", "ts_ms", "sample_id")

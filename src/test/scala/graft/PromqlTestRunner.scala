@@ -238,7 +238,7 @@ trait PromqlTestRunner extends SparkSpec {
   protected def hCol(h: Hist): org.apache.spark.sql.Column = struct(
     lit(h.cnt).as("cnt"), lit(h.hsum).as("hsum"), lit(h.sch).as("sch"),
     lit(h.zthr).as("zthr"), lit(h.zcnt).as("zcnt"),
-    bucketArr(h.pos).as("pos"), bucketArr(h.neg).as("neg"))
+    bucketArr(h.pos).as("pos"), bucketArr(h.neg).as("neg"), lit(null).cast("array<double>").as("cb"))
 
   protected def toSamples(loaded: Seq[Loaded]) = {
     import spark.implicits._

@@ -424,6 +424,29 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  testhistogram_bucket{le="0.3", start="negative"} 0+2x10
       |  testhistogram_bucket{le="+Inf", start="negative"} 0+3x10
       |
+      |load 5m
+      |  testhistogram2_bucket{le="0"} 0+1x10
+      |  testhistogram2_bucket{le="2"} 0+2x10
+      |  testhistogram2_bucket{le="4"} 0+2x10
+      |  testhistogram2_bucket{le="6"} 0+2x10
+      |  testhistogram2_bucket{le="+Inf"} 0+3x10
+      |  testhistogram2_sum 0+1.25x10
+      |  testhistogram2_count 0+3x10
+      |
+      |load 5m
+      |  request_duration_seconds_bucket{job="job1", instance="ins1", le="0.1"} 0+1x10
+      |  request_duration_seconds_bucket{job="job1", instance="ins1", le="0.2"} 0+3x10
+      |  request_duration_seconds_bucket{job="job1", instance="ins1", le="+Inf"} 0+4x10
+      |  request_duration_seconds_bucket{job="job1", instance="ins2", le="0.1"} 0+2x10
+      |  request_duration_seconds_bucket{job="job1", instance="ins2", le="0.2"} 0+5x10
+      |  request_duration_seconds_bucket{job="job1", instance="ins2", le="+Inf"} 0+6x10
+      |  request_duration_seconds_bucket{job="job2", instance="ins1", le="0.1"} 0+3x10
+      |  request_duration_seconds_bucket{job="job2", instance="ins1", le="0.2"} 0+4x10
+      |  request_duration_seconds_bucket{job="job2", instance="ins1", le="+Inf"} 0+6x10
+      |  request_duration_seconds_bucket{job="job2", instance="ins2", le="0.1"} 0+4x10
+      |  request_duration_seconds_bucket{job="job2", instance="ins2", le="0.2"} 0+7x10
+      |  request_duration_seconds_bucket{job="job2", instance="ins2", le="+Inf"} 0+9x10
+      |
       |eval instant at 50m histogram_quantile(0.2, testhistogram_bucket)
       |  {start="positive"} 0.048
       |  {start="negative"} -0.2
@@ -447,6 +470,115 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |eval instant at 50m histogram_quantile(0.5, sum by (le, start) (testhistogram_bucket))
       |  {start="positive"} 0.15
       |  {start="negative"} -0.15
+      |
+      |eval instant at 50m histogram_quantile(0.9, testhistogram_bucket)
+      |  {start="positive"} 0.96
+      |  {start="negative"} 0.3
+      |
+      |eval instant at 50m histogram_quantile(0.5, testhistogram_bucket)
+      |  {start="positive"} 0.15
+      |  {start="negative"} -0.15
+      |
+      |eval instant at 50m histogram_quantile(0.2, sum by (le, start) (testhistogram_bucket))
+      |  {start="positive"} 0.048
+      |  {start="negative"} -0.2
+      |
+      |eval instant at 50m histogram_quantile(0.8, rate(testhistogram_bucket[10m]))
+      |  {start="positive"} 0.72
+      |  {start="negative"} 0.3
+      |
+      |eval instant at 50m histogram_quantile(0.9, rate(testhistogram_bucket[10m]))
+      |  {start="positive"} 0.96
+      |  {start="negative"} 0.3
+      |
+      |eval instant at 50m histogram_quantile(1.5, testhistogram_bucket)
+      |  {start="positive"} Inf
+      |  {start="negative"} Inf
+      |
+      |eval instant at 50m histogram_quantile(-0.5, testhistogram_bucket)
+      |  {start="positive"} -Inf
+      |  {start="negative"} -Inf
+      |
+      |eval instant at 50m testhistogram_bucket{le="0.1", start="positive"}
+      |  {__name__="testhistogram_bucket", le="0.1", start="positive"} 50
+      |
+      |eval instant at 50m histogram_quantile(0, testhistogram2_bucket)
+      |  {} 0
+      |
+      |eval instant at 50m histogram_quantile(0.3, testhistogram2_bucket)
+      |  {} 0
+      |
+      |eval instant at 50m histogram_quantile(0.5, testhistogram2_bucket)
+      |  {} 1
+      |
+      |eval instant at 50m histogram_quantile(0.8, testhistogram2_bucket)
+      |  {} 6
+      |
+      |eval instant at 50m histogram_quantile(1, testhistogram2_bucket)
+      |  {} 6
+      |
+      |eval instant at 50m histogram_quantile(0.5, testhistogram2_bucket offset 5m)
+      |  {} 1
+      |
+      |eval instant at 50m histogram_quantile(0.8, testhistogram2_bucket offset 10m)
+      |  {} 6
+      |
+      |eval instant at 50m histogram_quantile(0.5, rate(testhistogram2_bucket[10m]))
+      |  {} 1
+      |
+      |eval instant at 50m testhistogram2_sum / testhistogram2_count
+      |  {} 0.4166666666666667
+      |
+      |eval instant at 50m rate(testhistogram2_sum[10m]) / rate(testhistogram2_count[10m])
+      |  {} 0.4166666666666667
+      |
+      |eval instant at 50m histogram_quantile(0.5, request_duration_seconds_bucket)
+      |  {job="job1", instance="ins1"} 0.15
+      |  {job="job1", instance="ins2"} 0.13333333333333333
+      |  {job="job2", instance="ins1"} 0.1
+      |  {job="job2", instance="ins2"} 0.11666666666666667
+      |
+      |eval instant at 50m histogram_quantile(0.5, rate(request_duration_seconds_bucket[10m]))
+      |  {job="job1", instance="ins1"} 0.15
+      |  {job="job1", instance="ins2"} 0.13333333333333333
+      |  {job="job2", instance="ins1"} 0.1
+      |  {job="job2", instance="ins2"} 0.11666666666666667
+      |
+      |eval instant at 50m histogram_quantile(0.9, rate(request_duration_seconds_bucket[10m]))
+      |  {job="job1", instance="ins1"} 0.2
+      |  {job="job1", instance="ins2"} 0.2
+      |  {job="job2", instance="ins1"} 0.2
+      |  {job="job2", instance="ins2"} 0.2
+      |
+      |eval instant at 50m histogram_quantile(0.1, rate(request_duration_seconds_bucket[10m]))
+      |  {job="job1", instance="ins1"} 0.04
+      |  {job="job1", instance="ins2"} 0.03
+      |  {job="job2", instance="ins1"} 0.02
+      |  {job="job2", instance="ins2"} 0.0225
+      |
+      |eval instant at 50m histogram_quantile(0.2, rate(request_duration_seconds_bucket[10m]))
+      |  {job="job1", instance="ins1"} 0.08
+      |  {job="job1", instance="ins2"} 0.06
+      |  {job="job2", instance="ins1"} 0.04
+      |  {job="job2", instance="ins2"} 0.045
+      |
+      |eval instant at 50m histogram_quantile(0.99, request_duration_seconds_bucket{job="job1", instance="ins1"})
+      |  {job="job1", instance="ins1"} 0.2
+      |
+      |eval instant at 50m histogram_quantile(0.5, sum by (le) (rate(request_duration_seconds_bucket[10m])))
+      |  {} 0.12777777777777777
+      |
+      |eval instant at 50m histogram_quantile(0.5, sum by (le, job) (request_duration_seconds_bucket))
+      |  {job="job1"} 0.14
+      |  {job="job2"} 0.1125
+      |
+      |eval instant at 50m histogram_quantile(0.5, sum by (le, instance) (request_duration_seconds_bucket))
+      |  {instance="ins1"} 0.13333333333333333
+      |  {instance="ins2"} 0.125
+      |
+      |eval instant at 50m histogram_quantile(0.9, sum by (le, job) (rate(request_duration_seconds_bucket[10m])))
+      |  {job="job1"} 0.2
+      |  {job="job2"} 0.2
       |""".stripMargin
 
   /** testdata/at_modifier.test — the 2-series linear fixture; @-pinned
@@ -1023,7 +1155,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream operators.test tranche") { run("operators", operatorsCorpus, 28) }
   test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 20) }
   test("upstream functions.test tranche") { run("functions", functionsCorpus, 33) }
-  test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 6) }
+  test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
   test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 12) }
   test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 6) }
   test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }

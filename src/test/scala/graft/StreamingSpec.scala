@@ -283,7 +283,7 @@ class StreamingSpec extends SparkSpec {
         .withColumn("h", struct(col("value").as("cnt"), (col("value") * 1.5).as("hsum"),
           lit(0).as("sch"), lit(0.001953125).as("zthr"), lit(0.0).as("zcnt"),
           array(struct(lit(1).as("idx"), col("value").as("c"))).as("pos"),
-          array().cast("array<struct<idx:int,c:double>>").as("neg")))
+          array().cast("array<struct<idx:int,c:double>>").as("neg"), lit(null).cast("array<double>").as("cb")))
       val flt = (0 until 120).map(i => ("fm", "2", T0 + i * 1490000L, i * 2.0, 1000L + i)).toSeq
         .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
         .withColumn("series_hash", xxhash64(col("__name__"), col("uid")))
