@@ -324,6 +324,90 @@ object SelectBench {
         s"""{"raw_unaligned_increase":$rawS,"hybrid_unaligned_increase":$hybS},""" +
         s""""scanned_rows":{"raw":$rawRows,"hybrid":$hybRows}}""")
     }
+    if (mode.contains("x")) {
+      // ---- 10× scale rehearsal (r15): workload B at 15M series and the
+      // reference interop bucket at 10 days × 80k series / 4 shards. The
+      // target is the DRIVER-side shape — day listing, bucket-meta
+      // resolution and the rename pass must stay O(days·shards) with small
+      // constants, and driver heap must not balloon with data volume —
+      // surfaced here before a real 100× store would.
+      def heapPeakMb: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+      }
+      val genX = spark.range(5).select(col("id").as("m"))
+        .crossJoin(spark.range(1000).select(col("id").as("i"))) // ×10 instances
+        .crossJoin(spark.range(5).select(col("id").as("r")))
+        .crossJoin(spark.range(10).select(col("id").as("z")))
+        .crossJoin(spark.range(20).select(col("id").as("s")))
+        .crossJoin(spark.range(3).select(col("id").as("e")))
+        .select(
+          concat(lit("test_metric_"), col("m")).as("__name__"),
+          concat(lit("instance-"), col("i")).as("instance"),
+          concat(lit("region-"), col("r")).as("region"),
+          concat(lit("zone-"), col("z")).as("zone"),
+          concat(lit("service-"), col("s")).as("service"),
+          concat(lit("environment-"), col("e")).as("environment"),
+          lit(0L).as("ts_ms"), rand(42).as("value"))
+        .withColumn("series_hash", xxhash64(col("__name__"), col("instance"),
+          col("region"), col("zone"), col("service"), col("environment")))
+      val w0 = System.nanoTime()
+      val samplesX = writeSorted(genX, s"$tmp/x_b", Seq("__name__", "instance", "region"))
+      val writeSecs = (System.nanoTime() - w0) / 1e9
+      val queriesX = Seq(
+        "SingleMetricAllSeries" -> Seq(MatchEq("__name__", "test_metric_1")),
+        "SingleMetricSparseSeries" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchEq("service", "service-1"), MatchEq("environment", "environment-0")),
+        "NegativeRegexSingleMetric" -> Seq(MatchEq("__name__", "test_metric_1"),
+          MatchNotRe("instance", "(instance-1.*|instance-2.*)")))
+      report("15m_series", queriesX.map { case (n, ms) => run(n, samplesX, ms, repeat) })
+
+      // reference bucket at 10× volume: 10 days × 80k series, 4 shards
+      val codes = Seq("200", "202", "300", "404", "400", "429", "500", "503")
+      val day = 86400000L
+      val t0d = 1704067200000L
+      val genR = spark.range(10000).select(col("id"))
+        .crossJoin(spark.createDataset(codes)(org.apache.spark.sql.Encoders.STRING)
+          .toDF("status_code"))
+        .crossJoin(spark.range(10).select((lit(t0d) + col("id") * day).as("ts_ms")))
+        .select(lit("foo").as("__name__"), col("id").cast("string").as("idx"),
+          col("status_code"), col("ts_ms"), rand(42).as("value"),
+          col("ts_ms").as("sample_id"),
+          xxhash64(col("id").cast("string"), col("status_code")).as("series_hash"))
+      val bkt = s"$tmp/x_ref"
+      val c0 = System.nanoTime()
+      graft.etl.ReferenceFormat.convertReference(spark, genR, bkt, numShards = 4)
+      val convertSecs = (System.nanoTime() - c0) / 1e9
+      val l0 = System.nanoTime()
+      val nDays = graft.etl.ReferenceFormat.discoverDays(spark, bkt)
+        .values.map(_.size).sum
+      val listSecs = (System.nanoTime() - l0) / 1e9
+      val m0 = System.nanoTime()
+      val meta = graft.etl.ReferenceFormat.bucketMeta(spark, bkt)
+      val metaSecs = (System.nanoTime() - m0) / 1e9
+      val refQs = Seq(
+        "ShreddedByStatusCode" -> Seq(MatchEq("__name__", "foo"), MatchRe("status_code", "4..")),
+        "SingleSeries"         -> Seq(MatchEq("idx", "500")))
+      val rs = refQs.map { case (n, ms) =>
+        var rows = 0L
+        val secs = (1 to repeat).map { _ =>
+          val s0 = System.nanoTime()
+          rows = graft.etl.ReferenceFormat.selectReferenceStore(spark, bkt, ms,
+              t0d, t0d + 10 * day, meta = Some(meta))
+            .agg(count(lit(1)), sum(col("value"))).head().getLong(0)
+          (System.nanoTime() - s0) / 1e9
+        }
+        (n, secs.min, rows)
+      }
+      report("refbucket_10x", rs)
+      println(f"""{"metric":"scale_rehearsal_10x","unit":"sec","queries":""" +
+        f"""{"write_15m":$writeSecs%.3f,"convert_10d":$convertSecs%.3f,""" +
+        f""""discover_days":$listSecs%.3f,"bucket_meta":$metaSecs%.3f},""" +
+        f""""days":$nDays,"driver_heap_peak_mb":$heapPeakMb}""")
+    }
+
     spark.stop()
   }
 }

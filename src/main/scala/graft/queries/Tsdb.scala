@@ -137,7 +137,11 @@ object Tsdb {
       t => {
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.util.GenericArrayData
+        // 3-day slice: the fixture WRITER is the documented driver-side
+        // seam, so the timed query bounds what it hands the driver; the
+        // READ under test stays fully distributed
         val ded = samples(t)
+          .filter(col("ts_ms") < T0 + 3 * DAY)
           .groupBy(col("__name__"), col("uid"), col("ts_ms"))
           .agg(min_by(col("value"), col("sample_id")).as("value"))
         val series = ded.collect()
@@ -158,7 +162,8 @@ object Tsdb {
           .orderBy(col("date"))
       },
       Some(s"WITH $S_CTE, d AS (SELECT __name__, uid, ts_ms, " +
-        "min_by(value, sample_id) AS value FROM s GROUP BY 1, 2, 3) " +
+        s"min_by(value, sample_id) AS value FROM s WHERE ts_ms < ${T0 + 3 * DAY} " +
+        "GROUP BY 1, 2, 3) " +
         "SELECT strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS date, " +
         s"count(*) AS n, $DSUM AS sum_v, " +
         "count(DISTINCT (__name__, uid)) AS n_series FROM d GROUP BY 1 ORDER BY 1")),

@@ -111,4 +111,23 @@ class HistChunkSpec extends AnyFunSuite {
       HistChunk.encode(new GenericArrayData(Array[Any](ok, bad))))
     assert(ex.getMessage.contains("all-histogram or all-float"))
   }
+
+  test("NHCB custom bounds ride the same-as-previous flag and roundtrip") {
+    val cb = new GenericArrayData(Array[Any](0.5, 1.0))
+    val h = InternalRow(4.0, 2.0, -53, 0.0, 0.0,
+      bkt(Seq(0 -> 3.0, 2 -> 1.0)), bkt(Nil), cb)
+    val pts = new GenericArrayData(Array[Any](
+      InternalRow(1000L, 4.0, h), InternalRow(2000L, 4.0, h)))
+    val dec = HistChunk.decode(HistChunk.encode(pts))
+    (0 until 2).foreach { i =>
+      val hh = dec.getStruct(i, 3).getStruct(2, HistChunk.HistArity)
+      assert(hh.getInt(2) == -53)
+      assert(hh.getArray(7).toDoubleArray().toSeq == Seq(0.5, 1.0), s"sample $i")
+    }
+    // standard histograms keep a null cb through the roundtrip
+    val std = row(P(1000L, 1.0, H(1, 1, 0, 0.1, 0, Seq(0 -> 1.0), Nil)))
+    val dec2 = HistChunk.decode(HistChunk.encode(
+      new GenericArrayData(Array[Any](std))))
+    assert(dec2.getStruct(0, 3).getStruct(2, HistChunk.HistArity).isNullAt(7))
+  }
 }

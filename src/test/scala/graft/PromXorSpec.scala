@@ -564,6 +564,36 @@ class PromXorSpec extends SparkSpec {
       .labelsSchema.fieldNames.toSet == labelFields)
   }
 
+  test("NHCB histograms roundtrip through the reference bucket (enc 2 custom values)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 1704067200000L
+    val df = Seq((day + 1000L, 4.0, 2.0), (day + 2000L, 7.0, 4.0), (day + 3000L, 9.0, 5.0))
+      .toDF("ts_ms", "cnt", "b0")
+      .select(lit("lat").as("__name__"), col("ts_ms"), col("cnt").as("value"),
+        col("ts_ms").as("sample_id"), xxhash64(lit("lat")).as("series_hash"),
+        struct(col("cnt").as("cnt"), (col("cnt") * 0.5).as("hsum"),
+          lit(-53).as("sch"), lit(0.0).as("zthr"), lit(0.0).as("zcnt"),
+          array(struct(lit(0).as("idx"), col("b0").as("c")),
+            struct(lit(3).as("idx"), (col("cnt") - col("b0")).as("c"))).as("pos"),
+          array().cast("array<struct<idx:int,c:double>>").as("neg"),
+          array(lit(0.5), lit(1.0), lit(5.0)).as("cb")).as("h"))
+    val out = java.nio.file.Files.createTempDirectory("graft-refnhcb").toString
+    ReferenceFormat.convertReference(spark, df, out)
+    val got = ReferenceFormat.selectReferenceStore(spark, out)
+      .orderBy("ts_ms").collect()
+    assert(got.length == 3)
+    got.zip(Seq((4.0, 2.0), (7.0, 4.0), (9.0, 5.0))).foreach { case (r, (cnt, b0)) =>
+      val h = r.getStruct(r.fieldIndex("h"))
+      assert(h.getAs[Int]("sch") == -53)
+      assert(h.getAs[Double]("cnt") == cnt)
+      assert(h.getAs[scala.collection.Seq[Double]]("cb").toSeq == Seq(0.5, 1.0, 5.0))
+      val pos = h.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("pos")
+        .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c"))).toSeq
+      assert(pos == Seq((0, b0), (3, cnt - b0)))
+    }
+  }
+
   test("reference label_values/names: labels-file dictionaries only — chunks files can be gone") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -20,7 +20,8 @@ trait PromqlTestRunner extends SparkSpec {
     * (base^(i-1), base^i] / [-base^i, -base^(i-1))). */
   protected case class Hist(cnt: Double, hsum: Double, sch: Int, zthr: Double,
                           zcnt: Double, pos: Seq[(Int, Double)],
-                          neg: Seq[(Int, Double)])
+                          neg: Seq[(Int, Double)],
+                          cb: Seq[Double] = Nil) // NHCB custom bounds
   protected case class Loaded(labels: Map[String, String], points: Seq[(Long, Double)],
                             hists: Seq[(Long, Hist)] = Nil)
   protected case class EvalCase(atMs: Long, query: String,
@@ -52,7 +53,8 @@ trait PromqlTestRunner extends SparkSpec {
     }
     Hist(num("count"), num("sum"), kv.get("schema").map(_.toInt).getOrElse(0),
       num("z_bucket_w"), num("z_bucket"),
-      side("buckets", "offset"), side("n_buckets", "n_offset"))
+      side("buckets", "offset"), side("n_buckets", "n_offset"),
+      arr("custom_values"))
   }
 
   protected def parseSeries(line: String, stepMs: Long): Loaded = {
@@ -238,7 +240,9 @@ trait PromqlTestRunner extends SparkSpec {
   protected def hCol(h: Hist): org.apache.spark.sql.Column = struct(
     lit(h.cnt).as("cnt"), lit(h.hsum).as("hsum"), lit(h.sch).as("sch"),
     lit(h.zthr).as("zthr"), lit(h.zcnt).as("zcnt"),
-    bucketArr(h.pos).as("pos"), bucketArr(h.neg).as("neg"), lit(null).cast("array<double>").as("cb"))
+    bucketArr(h.pos).as("pos"), bucketArr(h.neg).as("neg"),
+    (if (h.cb.isEmpty) lit(null).cast("array<double>")
+     else array(h.cb.map(lit): _*).cast("array<double>")).as("cb"))
 
   protected def toSamples(loaded: Seq[Loaded]) = {
     import spark.implicits._
@@ -286,7 +290,9 @@ trait PromqlTestRunner extends SparkSpec {
               .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c")))
           Some(Hist(h.getAs[Double]("cnt"), h.getAs[Double]("hsum"),
             h.getAs[Int]("sch"), h.getAs[Double]("zthr"),
-            h.getAs[Double]("zcnt"), side("pos"), side("neg")))
+            h.getAs[Double]("zcnt"), side("pos"), side("neg"),
+            Option(h.getAs[scala.collection.Seq[Double]]("cb"))
+              .map(_.toSeq).getOrElse(Nil)))
         }
       val rows = df.collect().toSeq.map { r =>
         (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,
@@ -301,7 +307,8 @@ trait PromqlTestRunner extends SparkSpec {
           eq(a.zthr, b.zthr) && eq(a.zcnt, b.zcnt) &&
           a.pos.map(_._1) == b.pos.map(_._1) && a.neg.map(_._1) == b.neg.map(_._1) &&
           a.pos.zip(b.pos).forall(p => eq(p._1._2, p._2._2)) &&
-          a.neg.zip(b.neg).forall(p => eq(p._1._2, p._2._2))
+          a.neg.zip(b.neg).forall(p => eq(p._1._2, p._2._2)) &&
+          a.cb.size == b.cb.size && a.cb.zip(b.cb).forall(p => eq(p._1, p._2))
       val ok = got.size == e.expected.size && e.expected.forall { case (lbl, v) =>
         got.exists { case (gl, gv) => gl == lbl && eq(gv, v) }
       } && gotH.size == e.expectedH.size && e.expectedH.forall { case (lbl, h) =>
@@ -338,7 +345,8 @@ trait PromqlTestRunner extends SparkSpec {
         eq(a.zthr, b.zthr) && eq(a.zcnt, b.zcnt) &&
         a.pos.map(_._1) == b.pos.map(_._1) && a.neg.map(_._1) == b.neg.map(_._1) &&
         a.pos.zip(b.pos).forall(p => eq(p._1._2, p._2._2)) &&
-        a.neg.zip(b.neg).forall(p => eq(p._1._2, p._2._2))
+        a.neg.zip(b.neg).forall(p => eq(p._1._2, p._2._2)) &&
+        a.cb.size == b.cb.size && a.cb.zip(b.cb).forall(p => eq(p._1, p._2))
     ranges.flatMap { rc =>
       val df = Compiler.compileServing(Parser.parse(rc.query),
         Compiler.Ctx(samples, rc.startMs, rc.endMs, rc.stepMs, lookbackMs = 300000L))
@@ -353,7 +361,9 @@ trait PromqlTestRunner extends SparkSpec {
               .map(b => (b.getAs[Int]("idx"), b.getAs[Double]("c")))
           Some(Hist(h.getAs[Double]("cnt"), h.getAs[Double]("hsum"),
             h.getAs[Int]("sch"), h.getAs[Double]("zthr"),
-            h.getAs[Double]("zcnt"), side("pos"), side("neg")))
+            h.getAs[Double]("zcnt"), side("pos"), side("neg"),
+            Option(h.getAs[scala.collection.Seq[Double]]("cb"))
+              .map(_.toSeq).getOrElse(Nil)))
         }
       val rows = df.collect().toSeq.map { r =>
         (lbls.flatMap(l => Option(r.getAs[Any](l)).map(v => l -> v.toString)).toMap,

@@ -261,6 +261,58 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 50m sum by (nonexistent) (http_requests)
       |  {} 3600
+      |
+      |load 5m
+      |  version{instance="0", job="api-server"} 6
+      |  version{instance="1", job="api-server"} 6
+      |  version{instance="2", job="api-server"} 7
+      |  version{instance="0", job="app-server"} 6
+      |  version{instance="1", job="app-server"} 7
+      |
+      |eval instant at 50m sum by (group) (http_requests)
+      |  {group="production"} 1400
+      |  {group="canary"} 2200
+      |
+      |eval instant at 50m avg by (group) (http_requests)
+      |  {group="production"} 350
+      |  {group="canary"} 550
+      |
+      |eval instant at 50m stddev by (group) (http_requests{job="api-server"})
+      |  {group="production"} 50
+      |  {group="canary"} 50
+      |
+      |eval instant at 50m stdvar by (group) (http_requests{job="api-server"})
+      |  {group="production"} 2500
+      |  {group="canary"} 2500
+      |
+      |eval instant at 50m quantile by (group) (0.5, http_requests{job="api-server"})
+      |  {group="production"} 150
+      |  {group="canary"} 350
+      |
+      |eval instant at 50m quantile(0, http_requests)
+      |  {} 100
+      |
+      |eval instant at 50m quantile(1, http_requests)
+      |  {} 800
+      |
+      |eval instant at 50m topk(1, http_requests)
+      |  {__name__="http_requests", group="canary", instance="1", job="app-server"} 800
+      |
+      |eval instant at 50m bottomk(1, http_requests)
+      |  {__name__="http_requests", group="production", instance="0", job="api-server"} 100
+      |
+      |eval instant at 1m count_values("version", version)
+      |  {version="6"} 3
+      |  {version="7"} 2
+      |
+      |eval instant at 1m count_values by (job) ("version", version)
+      |  {job="api-server", version="6"} 2
+      |  {job="api-server", version="7"} 1
+      |  {job="app-server", version="6"} 1
+      |  {job="app-server", version="7"} 1
+      |
+      |eval instant at 50m group(http_requests)
+      |  {} 1
       |""".stripMargin
 
   /** testdata/functions.test — the resets/changes literal fixture (values
@@ -1064,6 +1116,35 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   private val nativeHistogramsCorpus =
     """
       |load 5m
+      |  custom_buckets_histogram {{schema:-53 sum:5 count:4 custom_values:[5 10] buckets:[1 2 1]}}x10
+      |
+      |eval instant at 5m histogram_count(custom_buckets_histogram)
+      |  {} 4
+      |
+      |eval instant at 5m histogram_sum(custom_buckets_histogram)
+      |  {} 5
+      |
+      |eval instant at 5m histogram_avg(custom_buckets_histogram)
+      |  {} 1.25
+      |
+      |eval instant at 5m histogram_quantile(0.25, custom_buckets_histogram)
+      |  {} 5
+      |
+      |eval instant at 5m histogram_quantile(0.5, custom_buckets_histogram)
+      |  {} 7.5
+      |
+      |eval instant at 5m histogram_quantile(1, custom_buckets_histogram)
+      |  {} 10
+      |
+      |eval instant at 5m histogram_fraction(0, 5, custom_buckets_histogram)
+      |  {} 0.25
+      |
+      |eval instant at 5m histogram_fraction(0, 7.5, custom_buckets_histogram)
+      |  {} 0.5
+      |
+      |clear
+      |
+      |load 5m
       |  empty_histogram {{}}
       |
       |eval instant at 1m empty_histogram
@@ -1153,7 +1234,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   }
 
   test("upstream operators.test tranche") { run("operators", operatorsCorpus, 28) }
-  test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 20) }
+  test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 32) }
   test("upstream functions.test tranche") { run("functions", functionsCorpus, 33) }
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
   test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 12) }
@@ -1166,7 +1247,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   }
   test("upstream limit.test tranche") { run("limit", limitCorpus, 12) }
   test("upstream native_histograms.test tranche") {
-    run("native_histograms", nativeHistogramsCorpus, 17)
+    run("native_histograms", nativeHistogramsCorpus, 25)
   }
   test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 8) }
 }
