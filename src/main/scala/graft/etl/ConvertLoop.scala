@@ -32,6 +32,15 @@ object ConvertLoop {
     def stepCount: Int = converted.valuesIterator.map(_.size).sum
   }
 
+  /** [min-day start, max-day end) of a planned day set — the interval a
+    * ranged loader may prune chunk refs to (a superset of the plan when
+    * the planned days are non-contiguous; the conversion's own day filter
+    * stays exact either way). */
+  private def planInterval(days: Seq[String]): (Long, Long) = {
+    val ds = days.map(d => LocalDate.parse(d).toEpochDay)
+    (ds.min * 86400000L, (ds.max + 1) * 86400000L - 1)
+  }
+
   def advance(spark: SparkSession,
               tsdb: TsdbDiscoverer,
               outDir: String,
@@ -39,7 +48,8 @@ object ConvertLoop {
               loadSamples: TsdbStream => DataFrame,
               graceDays: Int = 2,
               maxDays: Int = 2,
-              watermark: Option[Planner.LiveStoreWatermark] = None): RoundResult = {
+              watermark: Option[Planner.LiveStoreWatermark] = None,
+              loadSamplesRanged: Option[(TsdbStream, Long, Long) => DataFrame] = None): RoundResult = {
     tsdb.discover()
     val convertedDays = Ingest.discoverStreamDays(outDir)
     val result = tsdb.streams.toSeq.sortBy(_._1).map { case (id, stream) =>
@@ -50,7 +60,10 @@ object ConvertLoop {
       if (plan.isEmpty) id -> Seq.empty[String]
       else {
         val days = plan.days.map(_.toString)
-        Ingest.convertSamples(spark, loadSamples(stream), outDir,
+        val src = loadSamplesRanged.fold(loadSamples(stream)) { f =>
+          val (lo, hi) = planInterval(days); f(stream, lo, hi)
+        }
+        Ingest.convertSamples(spark, src, outDir,
           days = Some(days), externalLabels = stream.externalLabels)
         id -> days
       }
@@ -77,7 +90,8 @@ object ConvertLoop {
                        watermark: Option[Planner.LiveStoreWatermark] = None,
                        retentionDays: Option[Int] = None,
                        consistencyDelayMs: Long = 12L * 3600 * 1000,
-                       nowMs: () => Long = () => System.currentTimeMillis()): RoundResult = {
+                       nowMs: () => Long = () => System.currentTimeMillis(),
+                       loadSamplesRanged: Option[(TsdbStream, Long, Long) => DataFrame] = None): RoundResult = {
     tsdb.discover()
     val convertedDays = ReferenceFormat.discoverDays(spark, outDir)
     // bucket identity is the EXT-LABELS HASH (the directory name): streams
@@ -96,7 +110,11 @@ object ConvertLoop {
       if (plan.isEmpty) eh -> Seq.empty[String]
       else {
         val days = plan.days.map(_.toString)
-        val union = members.map(m => loadSamples(m._2))
+        def load(s: TsdbStream): DataFrame =
+          loadSamplesRanged.fold(loadSamples(s)) { f =>
+            val (lo, hi) = planInterval(days); f(s, lo, hi)
+          }
+        val union = members.map(m => load(m._2))
           .reduce(_.unionByName(_, allowMissingColumns = true))
         ReferenceFormat.convertReference(spark, union, outDir,
           externalLabels = members.head._2.externalLabels, numShards = numShards,

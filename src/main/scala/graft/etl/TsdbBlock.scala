@@ -251,19 +251,30 @@ object TsdbBlock {
   def writeBlock(root: String, ulid: String,
                  series: Seq[(Map[String, String], ArrayData)],
                  externalLabels: Map[String, String] = Map.empty,
-                 conf: Configuration = new Configuration()): Unit = {
+                 conf: Configuration = new Configuration(),
+                 segmentBytes: Long = 512L * 1024 * 1024): Unit = {
     require(series.nonEmpty, "a TSDB block must contain at least one series")
     val dir = new Path(s"$root/$ulid")
     val fs = FileSystem.get(dir.toUri, conf)
 
     val sorted = series.map { case (lbls, pts) => (lbls.toSeq.sortBy(_._1), pts) }
-      .sortBy(_._1.map { case (n, v) => n + " " + v }.mkString(""))
+      .sortBy(_._1.map { case (n, v) => n + "\u0000" + v }.mkString("\u0001"))
 
-    // ---- chunks/000001: cut via the shared frame encoder, re-framed raw
-    val seg = new Buf
-    seg.putU32(ChunksMagic.toLong)
-    seg.putByte(ChunksVersion)
-    seg.putByte(0); seg.putByte(0); seg.putByte(0)
+    // ---- chunks/000001..N: cut via the shared frame encoder, re-framed
+    // raw; a new segment file starts when the current one would exceed
+    // `segmentBytes` (upstream caps segments at 512 MB). A ref's upper 32
+    // bits are the POSITION in the name-sorted segment list, exactly how
+    // upstream readers resolve them.
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Buf]
+    def newSeg(): Buf = {
+      val b = new Buf
+      b.putU32(ChunksMagic.toLong)
+      b.putByte(ChunksVersion)
+      b.putByte(0); b.putByte(0); b.putByte(0)
+      segs += b
+      b
+    }
+    var seg = newSeg()
     var numChunks = 0L; var numSamples = 0L
     val perSeries: Seq[Seq[ChunkRef]] = sorted.map { case (_, pts) =>
       numSamples += pts.numElements()
@@ -271,6 +282,9 @@ object TsdbBlock {
       val raw = (0 until 3).flatMap(i => unpackFrames(cols.getBinary(i)))
         .sortBy(c => (c.mint, c.maxt))
       raw.map { c =>
+        val need = 5L + 1L + c.data.length + 4L
+        if (seg.size > 8 && seg.size + need > segmentBytes) seg = newSeg()
+        val segIdx = (segs.size - 1).toLong
         val off = seg.size.toLong
         seg.putUvarint(c.data.length.toLong)
         seg.putByte(c.enc)
@@ -280,10 +294,12 @@ object TsdbBlock {
         System.arraycopy(c.data, 0, crcBuf, 1, c.data.length)
         seg.putU32(crc32c(crcBuf, 0, crcBuf.length).toLong & 0xFFFFFFFFL)
         numChunks += 1
-        ChunkRef(c.mint, c.maxt, (0L << 32) | off) // single segment → file 000001
+        ChunkRef(c.mint, c.maxt, (segIdx << 32) | off)
       }
     }
-    writeFile(fs, new Path(dir, f"chunks/${1}%06d"), seg.toBytes)
+    segs.zipWithIndex.foreach { case (b, i) =>
+      writeFile(fs, new Path(dir, f"chunks/${i + 1}%06d"), b.toBytes)
+    }
 
     // ---- index
     val names = sorted.flatMap(_._1.map(_._1)).distinct.sorted

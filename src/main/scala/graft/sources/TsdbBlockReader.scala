@@ -57,11 +57,20 @@ object TsdbBlockReader {
   final case class Ref(block: String, segment: Int, offset: Long,
                        mint: Long, maxt: Long, labels: Map[String, String])
 
-  /** All samples of the given block directories, as the samples model:
-    * one string column per label name seen in any block, plus
-    * `ts_ms, value, h, sample_id, series_hash`. Feed the result straight
-    * to `ConvertLoop.advance*` via [[loader]]. */
-  def loadSamples(spark: SparkSession, blockDirs: Seq[String]): DataFrame = {
+  /** All samples of the given block directories with ts ∈ [mintMs, maxtMs],
+    * as the samples model: one string column per label name seen in any
+    * block, plus `ts_ms, value, h, sample_id, series_hash`. Time pruning is
+    * CHUNK-granular off the index alone — refs whose [mint, maxt] miss the
+    * interval never reach the segment fetch (the reference's block scan
+    * filters to series with ≥1 chunk in range the same way,
+    * `convert/convert.go:419-436`), so a day-incremental migration over a
+    * multi-week block pays one day's chunk I/O, not the block's. Surviving
+    * chunks additionally header-skip inside [[PromFramesDecode]] and the
+    * exact bound applies post-decode. Feed the result straight to
+    * `ConvertLoop.advance*` via [[loader]]/[[rangedLoader]]. */
+  def loadSamples(spark: SparkSession, blockDirs: Seq[String],
+                  mintMs: Long = Long.MinValue,
+                  maxtMs: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     require(blockDirs.nonEmpty, "no TSDB block directories to read")
     val confBc = spark.sparkContext.broadcast(
@@ -74,8 +83,9 @@ object TsdbBlockReader {
       .flatMap { case (path, bytes) =>
         val block = path.stripSuffix("/index")
         TsdbBlock.readSeries(bytes).iterator.flatMap { s =>
-          s.chunks.iterator.map(c =>
-            Ref(block, c.segment, c.offset, c.mint, c.maxt, s.labels))
+          s.chunks.iterator
+            .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
+            .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.labels))
         }
       }
 
@@ -124,7 +134,8 @@ object TsdbBlockReader {
       .toDF("labels", "frame")
 
     val pts = frames
-      .select(col("labels"), explode(PromFramesDecode(col("frame"))).as("p"))
+      .select(col("labels"),
+        explode(PromFramesDecode(col("frame"), mintMs, maxtMs)).as("p"))
     pts.select(
       labelNames.map(n => try_element_at(col("labels"), lit(n)).as(n)) ++ Seq(
         col("p.ts_ms").as("ts_ms"),
@@ -132,6 +143,7 @@ object TsdbBlockReader {
         col("p.h").as("h"),
         col("p.ts_ms").as("sample_id"),
         PromLabelsHash(array_sort(map_entries(col("labels")))).as("series_hash")): _*)
+      .filter(col("ts_ms").between(mintMs, maxtMs))
   }
 
   /** `loadSamples` shaped as `ConvertLoop.advance*`'s `loadSamples`
@@ -141,4 +153,17 @@ object TsdbBlockReader {
     * Prometheus/Thanos bucket end-to-end. */
   def loader(spark: SparkSession, root: String): TsdbStream => DataFrame =
     stream => loadSamples(spark, stream.metas.map(m => s"$root/${m.ulid}"))
+
+  /** Ranged form for `ConvertLoop.advance*`'s `loadSamplesRanged`
+    * parameter: only blocks overlapping the planned interval are opened at
+    * all, and inside them only overlapping chunk refs are fetched — the
+    * incremental migration's per-round I/O tracks the PLANNED days, not
+    * the blocks' full spans. */
+  def rangedLoader(spark: SparkSession, root: String)
+      : (TsdbStream, Long, Long) => DataFrame = (stream, mintMs, maxtMs) => {
+    val dirs = stream.metas
+      .filter(m => m.maxTime > mintMs && m.minTime <= maxtMs)
+      .map(m => s"$root/${m.ulid}")
+    loadSamples(spark, dirs, mintMs, maxtMs)
+  }
 }

@@ -910,6 +910,67 @@ class EtlSpec extends SparkSpec {
       .select("cluster").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("TSDB block: multi-segment chunk files and time-ranged chunk pruning") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    // 4 series × 3 days × hourly samples → many 2h chunks; a tiny segment
+    // cap forces several chunk files, refs spanning segment positions
+    val series = (0 until 4).map { u =>
+      Map("__name__" -> "m", "uid" -> u.toString) ->
+        (new GenericArrayData((0 until 72).map(h =>
+          InternalRow(jan1 + h * 3600000L, (u * 100 + h).toDouble, null)).toArray[Any])
+          : org.apache.spark.sql.catalyst.util.ArrayData)
+    }
+    val root = Files.createTempDirectory("graft-tsdbseg").toString
+    val ulid = "01HV0MULTISEGBLOCK00000000"
+    TsdbBlock.writeBlock(root, ulid, series, segmentBytes = 2048L)
+    val segFiles = Files.list(Paths.get(s"$root/$ulid/chunks")).count()
+    assert(segFiles > 1, s"expected multiple segment files, got $segFiles")
+
+    // full read resolves refs across all segments
+    val all = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+    assert(all.count() == 4 * 72)
+
+    // chunk-granular time pruning: a 1-day bound reads only that day's
+    // chunks (2h cuts → chunk spans never cross the bound by construction)
+    val day2 = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"),
+      jan1 + D, jan1 + 2 * D - 1)
+    assert(day2.count() == 4 * 24)
+    assert(day2.agg(min(col("ts_ms")), max(col("ts_ms"))).head() ==
+      org.apache.spark.sql.Row(jan1 + D, jan1 + 2 * D - 3600000L))
+
+    // ranged loader through the migration loop: identical bucket as the
+    // unranged path, day by day
+    val disc = new graft.etl.TsdbDiscoverer(root, now = () => jan1 + 40 * D)
+    val today = java.time.LocalDate.of(2024, 1, 10)
+    val outA = Files.createTempDirectory("graft-tsdbsegA").toString
+    val outB = Files.createTempDirectory("graft-tsdbsegB").toString
+    def drain(out: String, ranged: Boolean): Unit = {
+      var go = true
+      while (go) {
+        val r = graft.etl.ConvertLoop.advanceReference(spark, disc, out, today,
+          TsdbBlockReader.loader(spark, root), graceDays = 2, maxDays = 1,
+          numShards = 2,
+          loadSamplesRanged =
+            if (ranged) Some(TsdbBlockReader.rangedLoader(spark, root)) else None)
+        go = !r.converged
+      }
+    }
+    drain(outA, ranged = false)
+    drain(outB, ranged = true)
+    val a = graft.etl.ReferenceFormat.openReferenceStore(spark, outA)
+      .select("__name__", "uid", "ts_ms", "value")
+    val b = graft.etl.ReferenceFormat.openReferenceStore(spark, outB)
+      .select("__name__", "uid", "ts_ms", "value")
+    assert(a.count() == 4 * 72)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "ranged and unranged migrations must produce identical buckets")
+  }
+
   test("TSDB block read: histogram chunks (enc 2/3) decode through the shared frame path") {
     import graft.etl.TsdbBlock
     import graft.sources.TsdbBlockReader
