@@ -36,6 +36,7 @@ object TsdbBlock {
   val IndexVersion = 2
   val ChunksMagic = 0x85BD40DD
   val ChunksVersion = 1
+  val TombstonesMagic = 0x0130BA30
   /** TOC size: 6 u64 section refs + CRC32. */
   private val TocLen = 6 * 8 + 4
 
@@ -46,8 +47,10 @@ object TsdbBlock {
     def offset: Long = ref & 0xFFFFFFFFL
   }
 
-  /** One decoded series-section entry. */
-  final case class SeriesEntry(labels: Map[String, String], chunks: Seq[ChunkRef])
+  /** One decoded series-section entry; `ref` is the series id
+    * (entry offset / 16) — the key tombstones address series by. */
+  final case class SeriesEntry(ref: Long, labels: Map[String, String],
+                               chunks: Seq[ChunkRef])
 
   // ------------------------------------------------------------ primitives
   private def crc32c(bytes: Array[Byte], off: Int, len: Int): Int = {
@@ -170,11 +173,56 @@ object TsdbBlock {
           prevMaxt = maxt; prevRef = ref
           j += 1
         }
-        out += SeriesEntry(lbls.result(), chunks.result())
+        out += SeriesEntry(pos.toLong / 16, lbls.result(), chunks.result())
         pos = ((contentStart + len + 4 + 15) / 16) * 16
       }
     }
     out.result()
+  }
+
+  /** Parse a block's `tombstones` file (`tsdb/docs/format/tombstones.md`):
+    * magic u32, version 1, then per stone `series ref uvarint | mint varint
+    * | maxt varint`, closed by CRC-32C over the stones region. Returns
+    * series ref → deleted [mint, maxt] intervals (inclusive, as upstream
+    * `intervals.IsInRange`); an absent/empty file means no deletions. The
+    * reference's converter applies these through `tsdb.OpenBlock`'s
+    * querier, so a faithful block read must drop the covered samples. */
+  def readTombstones(bytes: Array[Byte]): Map[Long, Seq[(Long, Long)]] = {
+    if (bytes == null || bytes.length == 0) return Map.empty
+    require(be32(bytes, 0) == TombstonesMagic,
+      f"bad tombstones magic 0x${be32(bytes, 0)}%08x")
+    require((bytes(4) & 0xFF) == 1, s"unsupported tombstones version ${bytes(4)}")
+    val end = bytes.length - 4
+    require(be32(bytes, end) == crc32c(bytes, 5, end - 5), "tombstones CRC mismatch")
+    val c = new Cursor(bytes, 5)
+    val out = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    while (c.pos < end) {
+      val ref = c.uvarint()
+      val mint = c.varint()
+      val maxt = c.varint()
+      out(ref) = (mint, maxt) :: out.getOrElse(ref, Nil)
+    }
+    out.view.mapValues(_.reverse.toSeq).toMap
+  }
+
+  /** Write a `tombstones` file (fixture side of [[readTombstones]];
+    * `stones` = (series ref, mint, maxt) with inclusive bounds). */
+  def writeTombstones(root: String, ulid: String,
+                      stones: Seq[(Long, Long, Long)],
+                      conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(s"$root/$ulid/tombstones")
+    val fs = FileSystem.get(p.toUri, conf)
+    val b = new Buf
+    b.putU32(TombstonesMagic.toLong)
+    b.putByte(1)
+    stones.foreach { case (ref, mint, maxt) =>
+      b.putUvarint(ref); b.putVarint(mint); b.putVarint(maxt)
+    }
+    val body = b.toBytes
+    val out = new Buf
+    out.putBytes(body)
+    out.putU32(crc32c(body, 5, body.length - 5).toLong & 0xFFFFFFFFL)
+    writeFile(fs, p, out.toBytes)
   }
 
   /** Read ONE chunk out of a segment file via positional reads and wrap it
@@ -405,6 +453,9 @@ object TsdbBlock {
     withCrc.putBytes(all)
     withCrc.putU32(crc32c(all, tocStart, 48).toLong & 0xFFFFFFFFL)
     writeFile(fs, new Path(dir, "index"), withCrc.toBytes)
+
+    // every real block carries a tombstones file, even when empty
+    writeTombstones(root, ulid, Nil, conf)
 
     // ---- meta.json (Thanos-shaped: TsdbBlockMeta.parse reads this back)
     val mint = perSeries.flatten.map(_.mint).min

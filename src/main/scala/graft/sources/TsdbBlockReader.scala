@@ -53,9 +53,11 @@ object TsdbBlockReader {
   }
 
   /** Index-derived chunk pointer (public: Catalyst's generated encoder code
-    * must be able to construct it). */
+    * must be able to construct it). `sref` = the series id tombstones
+    * address. */
   final case class Ref(block: String, segment: Int, offset: Long,
-                       mint: Long, maxt: Long, labels: Map[String, String])
+                       mint: Long, maxt: Long, sref: Long,
+                       labels: Map[String, String])
 
   /** All samples of the given block directories with ts ∈ [mintMs, maxtMs],
     * as the samples model: one string column per label name seen in any
@@ -85,9 +87,35 @@ object TsdbBlockReader {
         TsdbBlock.readSeries(bytes).iterator.flatMap { s =>
           s.chunks.iterator
             .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
-            .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.labels))
+            .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,
+              s.labels))
         }
       }
+
+    // tombstones: per-block deleted (series, interval) pairs — the
+    // reference applies them through tsdb.OpenBlock's querier, so a
+    // faithful read drops the covered samples. Files are tiny (bounded by
+    // delete requests); read driver-side like the reference does
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stones: Seq[(String, Long, Long, Long)] = blockDirs.flatMap { d =>
+      val p = new Path(s"$d/tombstones")
+      val fs = p.getFileSystem(hconf)
+      // key by the QUALIFIED dir — the refs' `block` comes from
+      // binaryFile's fully-qualified path strings
+      val qd = fs.makeQualified(new Path(d)).toString
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf, 0, len)
+          TsdbBlock.readTombstones(buf).toSeq.flatMap { case (ref, ivs) =>
+            ivs.map { case (lo, hi) => (qd, ref, lo, hi) }
+          }
+        } finally in.close()
+      }
+    }
 
     val labelNames = refs.select(explode(map_keys(col("labels"))).as("n"))
       .distinct().as[String].collect().sorted.toSeq
@@ -128,15 +156,27 @@ object TsdbBlockReader {
           val frame = TsdbBlock.readChunkFrame(
             (pos, dst, n) => in.readFully(pos, dst, 0, n),
             fileLen, r.offset, r.mint, r.maxt)
-          (r.labels, frame)
+          (r.block, r.sref, r.labels, frame)
         }
       }
-      .toDF("labels", "frame")
+      .toDF("block", "sref", "labels", "frame")
 
     val pts = frames
-      .select(col("labels"),
+      .select(col("block"), col("sref"), col("labels"),
         explode(PromFramesDecode(col("frame"), mintMs, maxtMs)).as("p"))
-    pts.select(
+    // deleted intervals drop via a broadcast ANTI join on (block, series):
+    // the stone side is tiny, the equi keys make it a hash anti join, and
+    // with no tombstones anywhere the plan is untouched
+    val masked =
+      if (stones.isEmpty) pts
+      else {
+        val sdf = broadcast(stones.toDF("s_block", "s_ref", "s_mint", "s_maxt"))
+        pts.join(sdf,
+          col("block") === col("s_block") && col("sref") === col("s_ref") &&
+            col("p.ts_ms").between(col("s_mint"), col("s_maxt")),
+          "left_anti")
+      }
+    masked.select(
       labelNames.map(n => try_element_at(col("labels"), lit(n)).as(n)) ++ Seq(
         col("p.ts_ms").as("ts_ms"),
         col("p.value").as("value"),

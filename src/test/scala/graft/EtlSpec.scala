@@ -971,6 +971,45 @@ class EtlSpec extends SparkSpec {
       "ranged and unranged migrations must produce identical buckets")
   }
 
+  test("TSDB tombstones: deleted intervals never serve; CRC and absent-file handling") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts(pts: Seq[(Long, Double)]) =
+      new GenericArrayData(pts.map { case (t, v) => InternalRow(t, v, null) }.toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbtomb").toString
+    val ulid = "01HV0TOMBSTONEBLOCK0000000"
+    TsdbBlock.writeBlock(root, ulid, Seq(
+      Map("__name__" -> "a") -> fpts((0 until 10).map(i => (jan1 + i * 60000L, i.toDouble))),
+      Map("__name__" -> "b") -> fpts((0 until 10).map(i => (jan1 + i * 60000L, i + 100.0)))))
+    // the writer emits an (empty) tombstones file, like every real block
+    assert(Files.exists(Paths.get(s"$root/$ulid/tombstones")))
+    assert(TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid")).count() == 20)
+
+    // delete minutes 2..5 of series "a" only — its on-disk series ref comes
+    // from the index walk, exactly how tombstones address series
+    val idx = Files.readAllBytes(Paths.get(s"$root/$ulid/index"))
+    val refA = TsdbBlock.readSeries(idx)
+      .find(_.labels == Map("__name__" -> "a")).get.ref
+    TsdbBlock.writeTombstones(root, ulid,
+      Seq((refA, jan1 + 2 * 60000L, jan1 + 5 * 60000L)))
+    val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+    assert(got.count() == 16)
+    assert(got.filter(col("__name__") === "a").count() == 6)
+    assert(got.filter(col("__name__") === "a")
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(0.0, 1.0, 6.0, 7.0, 8.0, 9.0))
+    assert(got.filter(col("__name__") === "b").count() == 10)
+
+    // corrupt CRC fails loudly, never silently serves deleted data
+    val tp = Paths.get(s"$root/$ulid/tombstones")
+    val tb = Files.readAllBytes(tp)
+    tb(tb.length - 1) = (tb(tb.length - 1) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](TsdbBlock.readTombstones(tb))
+  }
+
   test("TSDB block read: histogram chunks (enc 2/3) decode through the shared frame path") {
     import graft.etl.TsdbBlock
     import graft.sources.TsdbBlockReader
