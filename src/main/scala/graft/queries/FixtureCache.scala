@@ -6,7 +6,7 @@ package graft.queries
   *
   * The reference's own benchmarks split ETL from serving: `BenchmarkConverter`
   * times conversion once, the select benchmarks then run against the
-  * pre-built bucket (`search/*_test.go`). Our store-backed queries originally
+  * pre-built bucket (the `search` package tests). Our store-backed queries originally
   * re-converted inside every invocation, so a sweep re-paid identical ETL
   * work several times over — three queries build the very same 2-shard
   * reference bucket — and repeat runs measured conversion, not serving.
@@ -19,19 +19,41 @@ package graft.queries
   * that determinism every round), and the stores are read-only after build.
   */
 object FixtureCache {
-  private val dirs = scala.collection.mutable.HashMap.empty[(String, String), String]
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try {
+        stream.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } finally stream.close()
+    }
+  }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    dirs.values.forEach { d =>
+      try deleteRecursively(java.nio.file.Paths.get(d))
+      catch { case _: Exception => () }
+    }
+  }))
 
   /** The cached store directory for `name` built from `dataDir`'s tables;
     * `build` runs at most once per JVM per key, writing into a fresh temp
-    * directory. Builds are serialized — the oracle harness runs queries
-    * sequentially, and a duplicate concurrent build would only waste work. */
+    * directory. Per-key locking via computeIfAbsent: unrelated fixtures
+    * build independently; a failed build deletes its partial temp dir and
+    * leaves no cache entry, so the next caller retries cleanly. All cached
+    * dirs are removed by a JVM shutdown hook. */
   def dir(dataDir: String, name: String)(build: String => Unit): String =
-    synchronized {
-      dirs.getOrElseUpdate((dataDir, name), {
-        val out = java.nio.file.Files
-          .createTempDirectory(s"graft-fx-$name-").toString
-        build(out)
-        out
-      })
-    }
+    dirs.computeIfAbsent((dataDir, name), { _ =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft-fx-$name-")
+      try { build(out.toString); out.toString }
+      catch {
+        case e: Throwable =>
+          try deleteRecursively(out) catch { case _: Exception => () }
+          throw e
+      }
+    })
 }
