@@ -7,7 +7,38 @@ import org.apache.spark.sql.SparkSession
   * A warmup action first (JVM/codegen/catalog) so per-query numbers measure
   * the engine, not classloading — mirrors the reference's benchstat runs. */
 object Bench {
-  def main(args: Array[String]): Unit = {
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def writeLine(line: String): Unit = {
+    println(line)
+    // also persist the line: log tails get truncated, files don't. Path
+    // overridable for ad-hoc runs that shouldn't clobber the round artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
+  }
+
+  /** The artifact must exist even when the sweep dies (r14's was lost to a
+    * log tail truncation, r15's to a compile break upstream of main — the
+    * former is fixed by the file write, and any in-main failure lands here
+    * with an `error` field instead of leaving last round's file in place). */
+  def main(args: Array[String]): Unit =
+    try run(args)
+    catch {
+      case e: Throwable =>
+        writeLine(s"""{"metric":"total","value":-1,"unit":"sec",""" +
+          s""""error":${jsonStr(e.toString)}}""")
+        throw e
+    }
+
+  private def run(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // profiling aids: `runMain graft.Bench q1 q2` limits to those queries;
     // SPARK_GRAFT_REPEAT=n times each query n times (min reported)
@@ -33,9 +64,12 @@ object Bench {
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); errors.remove(name) }
+      catch { case e: Throwable => errors(name) = e.toString.take(300) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persist()s — NOT timed
       dt
@@ -43,7 +77,7 @@ object Bench {
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val raw = picked.map { case (name, fn) =>
-      name -> (1 to repeat).map(_ => timeOnce(fn)).min
+      name -> (1 to repeat).map(_ => timeOnce(name, fn)).min
     }
     // self-defense against machine-load contamination: a long single-pass
     // sweep on a shared machine can inflate individual queries 3-10× (the
@@ -58,7 +92,7 @@ object Bench {
       if (t <= threshold) name -> t
       else {
         val best = math.min(t, (1 to 3).map(_ =>
-          timeOnce(SparkEntry.queries(name))).min)
+          timeOnce(name, SparkEntry.queries(name))).min)
         reruns(name) = best
         name -> best
       }
@@ -66,17 +100,15 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (confirmed.nonEmpty) confirmed.map(_._2).sum else 0.0
+    val errObj = if (errors.isEmpty) ""
+      else s""""errors":${errors.toSeq.sorted.map { case (k, v) =>
+        "\"" + k + "\":" + jsonStr(v) }.mkString("{", ",", "}")},"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${obj(confirmed)},"queries_raw":${obj(raw)},""" +
       s""""reconfirmed":${reruns.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      errObj +
       s""""sf":"$sfDir"}"""
-    println(line)
-    // also persist the line: log tails get truncated, files don't. Path
-    // overridable for ad-hoc runs that shouldn't clobber the round artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
+    writeLine(line)
     // self-documenting artifact: rewrite the auto section of BENCH_NOTES.md
     // with this sweep's self-defense report (raw vs confirmed per rerun
     // query), so the reconfirmation evidence never needs hand-editing

@@ -105,6 +105,11 @@ object TsdbBlock {
   }
 
   // ---------------------------------------------------------------- reader
+  /** How many times [[readSeries]] has run in this JVM — local-mode specs
+    * pin that a block load parses each index ONCE (the refs dataset is
+    * consumed twice but persisted, so the parse must not repeat). */
+  private[graft] val seriesParses = new java.util.concurrent.atomic.AtomicLong()
+
   /** Parse a whole index file's series section: every series' label set +
     * chunk refs, in on-disk (labelset-sorted) order. Walks the series
     * section directly off the TOC — postings are not needed for a
@@ -112,6 +117,7 @@ object TsdbBlock {
     * reference converter also iterates ALL series of a block). CRCs are
     * verified on the TOC, symbol table and every series entry. */
   def readSeries(idx: Array[Byte]): Seq[SeriesEntry] = {
+    seriesParses.incrementAndGet() // test-observable (local-mode) parse count
     require(idx.length > 5 + TocLen, s"index file too short (${idx.length} bytes)")
     require(be32(idx, 0) == IndexMagic,
       f"bad index magic 0x${be32(idx, 0)}%08x (want 0xbaaad700)")

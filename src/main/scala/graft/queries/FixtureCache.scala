@@ -40,6 +40,16 @@ object FixtureCache {
     }
   }))
 
+  /** An UNCACHED temp directory, registered for the same shutdown-hook
+    * cleanup as cached fixtures. For queries that must re-run their build
+    * every invocation (the conversion benchmark: timing the ETL is the
+    * point, so caching would change what the bench measures). */
+  def scratch(name: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-fx-$name-")
+    dirs.put((out.toString, "scratch"), out.toString)
+    out.toString
+  }
+
   /** The cached store directory for `name` built from `dataDir`'s tables;
     * `build` runs at most once per JVM per key, writing into a fresh temp
     * directory. Per-key locking via computeIfAbsent: unrelated fixtures

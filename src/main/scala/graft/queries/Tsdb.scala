@@ -622,12 +622,13 @@ object Tsdb {
     // ------------------------------------------------------------------ S5/S6
     // the convert ETL under the gate: day-split + dedup + sorted dual-table
     // write, then read back through the partitioned layout (also the
-    // BenchmarkConverter analog - bench times include the conversion)
+    // BenchmarkConverter analog - bench times include the conversion).
+    // Deliberately NOT FixtureCached: repeat bench invocations must re-pay
+    // the conversion, since timing the ETL is what this query is for.
     Q("s5_convert_roundtrip",
       t => {
-        val out = FixtureCache.dir(t.dir, "convflat") { d =>
-          graft.etl.Ingest.convert(t.spark, t.events, d)
-        }
+        val out = FixtureCache.scratch("convflat")
+        graft.etl.Ingest.convert(t.spark, t.events, out)
         graft.etl.Ingest.openSamples(t.spark, out)
           .groupBy(col("date").cast("string").as("date"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),

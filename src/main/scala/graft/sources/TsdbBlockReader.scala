@@ -38,6 +38,8 @@ import graft.functions.{PromFramesDecode, PromLabelsHash}
   * reference's compact-on-convert does. */
 object TsdbBlockReader {
 
+  private var prevRefs: Option[org.apache.spark.sql.Dataset[Ref]] = None
+
   /** Hadoop Configuration is not Serializable; ship it by key-value. */
   private final class SerializableConf(@transient var value: org.apache.hadoop.conf.Configuration)
     extends Serializable {
@@ -78,6 +80,13 @@ object TsdbBlockReader {
     val confBc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
 
+    // refs are consumed TWICE — the label-name union below and the chunk
+    // fetch — so persist them: one binaryFile read + index parse per block
+    // per load, not two (the reference parses each index once,
+    // `tsdb.OpenBlock` via `cmd/convert.go:472`). Refs are ~48 B + labels
+    // per chunk, bounded far below the raw index bytes; MEMORY_AND_DISK so
+    // an outsized block spills instead of evicting. The labelNames collect
+    // materializes the cache before the fetch plan is even built.
     val refs = spark.read.format("binaryFile")
       .load(blockDirs.map(d => s"$d/index"): _*)
       .select(col("path"), col("content"))
@@ -91,6 +100,15 @@ object TsdbBlockReader {
               s.labels))
         }
       }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bound cache growth across migration rounds: drop the previous load's
+    // refs (consumed by then — ConvertLoop materializes each round before
+    // the next; a stale unpersist can only cost a recompute, never wrong
+    // results)
+    synchronized {
+      prevRefs.foreach(_.unpersist(blocking = false))
+      prevRefs = Some(refs)
+    }
 
     // tombstones: per-block deleted (series, interval) pairs — the
     // reference applies them through tsdb.OpenBlock's querier, so a

@@ -971,6 +971,32 @@ class EtlSpec extends SparkSpec {
       "ranged and unranged migrations must produce identical buckets")
   }
 
+  test("TSDB block load parses each index ONCE (refs persisted across both consumers)") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts(n: Int, base: Double) =
+      new GenericArrayData((0 until n).map(i =>
+        InternalRow(jan1 + i * 60000L, base + i, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbonce").toString
+    val ulids = Seq("01HV0PARSEONCEBLOCKA000000", "01HV0PARSEONCEBLOCKB000000")
+    ulids.zipWithIndex.foreach { case (u, i) =>
+      TsdbBlock.writeBlock(root, u, Seq(
+        Map("__name__" -> "m", "blk" -> i.toString) -> fpts(30, i * 1000.0)))
+    }
+    // loadSamples consumes the ref dataset twice (label-name union, chunk
+    // fetch) — the persist must keep that at ONE readSeries per block.
+    // Local mode shares the JVM, so the executor-side counter is visible.
+    val before = TsdbBlock.seriesParses.get()
+    val got = TsdbBlockReader.loadSamples(spark, ulids.map(u => s"$root/$u"))
+    assert(got.count() == 60)
+    val parses = TsdbBlock.seriesParses.get() - before
+    assert(parses == ulids.size.toLong,
+      s"expected ${ulids.size} index parses (one per block), got $parses")
+  }
+
   test("TSDB tombstones: deleted intervals never serve; CRC and absent-file handling") {
     import graft.etl.TsdbBlock
     import graft.sources.TsdbBlockReader
