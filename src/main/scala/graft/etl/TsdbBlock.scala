@@ -110,14 +110,15 @@ object TsdbBlock {
     * consumed twice but persisted, so the parse must not repeat). */
   private[graft] val seriesParses = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Parse a whole index file's series section: every series' label set +
-    * chunk refs, in on-disk (labelset-sorted) order. Walks the series
-    * section directly off the TOC — postings are not needed for a
-    * full-block read, which is the only read conversion does (the
-    * reference converter also iterates ALL series of a block). CRCs are
-    * verified on the TOC, symbol table and every series entry. */
-  def readSeries(idx: Array[Byte]): Seq[SeriesEntry] = {
-    seriesParses.incrementAndGet() // test-observable (local-mode) parse count
+  /** How many series ENTRIES were decoded in this JVM — local-mode specs
+    * pin that a postings-pruned load decodes only the matching series, not
+    * the whole section. */
+  private[graft] val seriesDecoded = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Validated TOC: the 6 section offsets
+    * (symbols, series, label indices, label offset table, postings,
+    * postings offset table). */
+  private def tocOffsets(idx: Array[Byte]): Array[Long] = {
     require(idx.length > 5 + TocLen, s"index file too short (${idx.length} bytes)")
     require(be32(idx, 0) == IndexMagic,
       f"bad index magic 0x${be32(idx, 0)}%08x (want 0xbaaad700)")
@@ -125,14 +126,11 @@ object TsdbBlock {
       s"unsupported index version ${idx(4) & 0xFF} (only v2)")
     val tocOff = idx.length - TocLen
     require(be32(idx, tocOff + 48) == crc32c(idx, tocOff, 48), "index TOC CRC mismatch")
-    val symOff = be64(idx, tocOff).toInt
-    val seriesOff = be64(idx, tocOff + 8).toInt
-    // the series section is bounded by whichever section follows it
-    val followers = Seq(be64(idx, tocOff + 16), be64(idx, tocOff + 24),
-      be64(idx, tocOff + 32), be64(idx, tocOff + 40), tocOff.toLong)
-    val seriesEnd = followers.filter(o => o > seriesOff && o > 0).min.toInt
+    Array.tabulate(6)(i => be64(idx, tocOff + 8 * i)) :+ tocOff.toLong
+  }
 
-    // symbol table: len | #symbols | (uvarint len, utf8)... | crc
+  /** Symbol table at `symOff`: len | #symbols | (uvarint len, utf8)… | crc. */
+  private def readSymbols(idx: Array[Byte], symOff: Int): Array[String] = {
     val symLen = be32(idx, symOff)
     require(be32(idx, symOff + 8 + symLen - 4) == crc32c(idx, symOff + 4, symLen),
       "index symbol table CRC mismatch")
@@ -146,6 +144,131 @@ object TsdbBlock {
       sc.pos += l
       i += 1
     }
+    symbols
+  }
+
+  /** Decode ONE 16-aligned series entry at `pos` (id = pos/16). */
+  private def readSeriesEntry(idx: Array[Byte], symbols: Array[String],
+                              pos: Int): SeriesEntry = {
+    seriesDecoded.incrementAndGet()
+    val c = new Cursor(idx, pos)
+    val len = c.uvarint().toInt
+    val contentStart = c.pos
+    require(be32(idx, contentStart + len) == crc32c(idx, contentStart, len),
+      s"series entry CRC mismatch at offset $pos")
+    val nLbl = c.uvarint().toInt
+    val lbls = Map.newBuilder[String, String]
+    var j = 0
+    while (j < nLbl) {
+      val n = symbols(c.uvarint().toInt)
+      val v = symbols(c.uvarint().toInt)
+      lbls += n -> v
+      j += 1
+    }
+    val nChk = c.uvarint().toInt
+    val chunks = Seq.newBuilder[ChunkRef]
+    var prevMaxt = 0L; var prevRef = 0L
+    j = 0
+    while (j < nChk) {
+      val mint = if (j == 0) c.varint() else prevMaxt + c.varint()
+      val maxt = mint + c.uvarint()
+      val ref = if (j == 0) c.uvarint() else prevRef + c.varint()
+      chunks += ChunkRef(mint, maxt, ref)
+      prevMaxt = maxt; prevRef = ref
+      j += 1
+    }
+    SeriesEntry(pos.toLong / 16, lbls.result(), chunks.result())
+  }
+
+  /** One CRC-checked postings list at `off`: ascending series ids. */
+  private def readPostingList(idx: Array[Byte], off: Int): Array[Long] = {
+    val len = be32(idx, off)
+    require(be32(idx, off + 4 + len) == crc32c(idx, off + 4, len),
+      s"postings list CRC mismatch at offset $off")
+    val n = be32(idx, off + 4)
+    Array.tabulate(n)(i => be32(idx, off + 8 + 4 * i).toLong & 0xFFFFFFFFL)
+  }
+
+  /** Series ids satisfying the label constraints, off the index's postings
+    * sections ALONE — no series entry is decoded (the selective-read half
+    * the reference leaves to `tsdb.OpenBlock`'s PostingsForMatchers).
+    * `constraints` maps label name → allowed values: union within a name,
+    * intersection across names — the eq and set(IN) matcher forms, which is
+    * what a partial migration pushes down. An allowed value of `""` keeps
+    * the engine's missing≡"" semantics: it selects the series WITHOUT that
+    * label (all-postings minus the union of every posted value of the
+    * name). Empty constraints → every series (the all-postings entry). */
+  def readPostings(idx: Array[Byte],
+                   constraints: Map[String, Seq[String]]): Seq[Long] = {
+    val toc = tocOffsets(idx)
+    val potOff = toc(5).toInt
+    // postings offset table: len | #entries | (nkeys=2, name, value, off)… | crc
+    val potLen = be32(idx, potOff)
+    require(be32(idx, potOff + 8 + potLen - 4) == crc32c(idx, potOff + 4, potLen),
+      "postings offset table CRC mismatch")
+    val nEnt = be32(idx, potOff + 4)
+    val c = new Cursor(idx, potOff + 8)
+    // name → (value → postings section offset), insertion = on-disk order
+    val table = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, Int]]
+    var i = 0
+    while (i < nEnt) {
+      val nk = c.uvarint().toInt
+      require(nk == 2, s"postings offset table entry with $nk keys (want 2)")
+      val nl = c.uvarint().toInt
+      val name = new String(idx, c.pos, nl, "UTF-8"); c.pos += nl
+      val vl = c.uvarint().toInt
+      val value = new String(idx, c.pos, vl, "UTF-8"); c.pos += vl
+      val off = c.uvarint().toInt
+      table.getOrElseUpdate(name, scala.collection.mutable.Map.empty)
+        .update(value, off)
+      i += 1
+    }
+    def allIds: Array[Long] =
+      table.get("").flatMap(_.get("")).map(readPostingList(idx, _))
+        .getOrElse(Array.empty[Long])
+    if (constraints.isEmpty) return allIds.toSeq
+    val perName = constraints.toSeq.map { case (name, values) =>
+      val posted = table.getOrElse(name,
+        scala.collection.mutable.Map.empty[String, Int])
+      val (missing, present) = values.distinct.partition(_.isEmpty)
+      val hits = present.flatMap(posted.get).map(readPostingList(idx, _))
+      val union = hits.foldLeft(Set.empty[Long])(_ ++ _)
+      if (missing.isEmpty) union
+      else { // value "" ⇒ series lacking the label entirely
+        val anyValue = posted.valuesIterator
+          .map(readPostingList(idx, _)).foldLeft(Set.empty[Long])(_ ++ _)
+        union ++ (allIds.toSet -- anyValue)
+      }
+    }
+    perName.reduce(_ intersect _).toSeq.sorted
+  }
+
+  /** Decode ONLY the series entries with the given ids (id = entry offset /
+    * 16 — the postings address space), 16-byte-aligned direct seeks instead
+    * of a full section walk. Pair with [[readPostings]] for matcher-pushdown
+    * block reads. */
+  def readSeriesByIds(idx: Array[Byte], ids: Seq[Long]): Seq[SeriesEntry] = {
+    seriesParses.incrementAndGet()
+    if (ids.isEmpty) return Seq.empty
+    val toc = tocOffsets(idx)
+    val symbols = readSymbols(idx, toc(0).toInt)
+    ids.sorted.map(id => readSeriesEntry(idx, symbols, (id * 16).toInt))
+  }
+
+  /** Parse a whole index file's series section: every series' label set +
+    * chunk refs, in on-disk (labelset-sorted) order. Walks the series
+    * section directly off the TOC — postings are not needed for a
+    * full-block read, which is the only read conversion does (the
+    * reference converter also iterates ALL series of a block). CRCs are
+    * verified on the TOC, symbol table and every series entry. */
+  def readSeries(idx: Array[Byte]): Seq[SeriesEntry] = {
+    seriesParses.incrementAndGet() // test-observable (local-mode) parse count
+    val toc = tocOffsets(idx)
+    val symbols = readSymbols(idx, toc(0).toInt)
+    val seriesOff = toc(1).toInt
+    // the series section is bounded by whichever section follows it
+    val seriesEnd = toc.drop(2).filter(o => o > seriesOff && o > 0).min.toInt
 
     // series section: 16-aligned entries, id = offset / 16
     val out = Seq.newBuilder[SeriesEntry]
@@ -155,32 +278,8 @@ object TsdbBlock {
       val len = c.uvarint().toInt
       if (len == 0) { pos = seriesEnd } // trailing padding
       else {
-        val contentStart = c.pos
-        require(be32(idx, contentStart + len) == crc32c(idx, contentStart, len),
-          s"series entry CRC mismatch at offset $pos")
-        val nLbl = c.uvarint().toInt
-        val lbls = Map.newBuilder[String, String]
-        var j = 0
-        while (j < nLbl) {
-          val n = symbols(c.uvarint().toInt)
-          val v = symbols(c.uvarint().toInt)
-          lbls += n -> v
-          j += 1
-        }
-        val nChk = c.uvarint().toInt
-        val chunks = Seq.newBuilder[ChunkRef]
-        var prevMaxt = 0L; var prevRef = 0L
-        j = 0
-        while (j < nChk) {
-          val mint = if (j == 0) c.varint() else prevMaxt + c.varint()
-          val maxt = mint + c.uvarint()
-          val ref = if (j == 0) c.uvarint() else prevRef + c.varint()
-          chunks += ChunkRef(mint, maxt, ref)
-          prevMaxt = maxt; prevRef = ref
-          j += 1
-        }
-        out += SeriesEntry(pos.toLong / 16, lbls.result(), chunks.result())
-        pos = ((contentStart + len + 4 + 15) / 16) * 16
+        out += readSeriesEntry(idx, symbols, pos)
+        pos = ((c.pos + len + 4 + 15) / 16) * 16
       }
     }
     out.result()

@@ -1,0 +1,139 @@
+package graft.examples
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.limits.QueryGate
+import graft.promql.{Eval, LabelMatcher, MatchEq, MatchRe}
+
+/** Concurrent mixed-query soak against the SelectBench workload-B store —
+  * the serving-concurrency half the reference gets from its HTTP handler
+  * pool behind the query semaphore (`cmd/serve.go:111`,
+  * `api/http/query.go:438-442`): N client threads issue a mixed stream of
+  * matcher selects and step-grid range aggregations through [[QueryGate]],
+  * and the report is per-shape p50/p95/max latency plus the wall-clock vs
+  * sum-of-latencies ratio (the driver-contention signal — if the scheduler
+  * or catalog serializes queries, wall approaches the sum instead of
+  * sum/threads).
+  *
+  * Usage: `runMain graft.examples.ConcurrentSoak [threads] [itersPerThread]
+  * [scale]` — scale multiplies workload B's 1.5M series (10 → the 15M-series
+  * rehearsal store). One JSON line at the end; a table for BENCH_NOTES.md.
+  */
+object ConcurrentSoak {
+
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) Double.NaN
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  def main(args: Array[String]): Unit = {
+    val threads = if (args.length > 0) args(0).toInt else 12
+    val iters = if (args.length > 1) args(1).toInt else 8
+    val scale = if (args.length > 2) args(2).toInt else 1
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR") // serving pools share fairly
+      .getOrCreate()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ graft.plans.GraftRules.all
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
+
+    // workload B's series shape (db/db_bench_test.go:155-281) × scale, with
+    // a 5-point ts grid per series so range queries have a window to walk
+    val metrics = Seq("foo", "bar", "baz", "qux", "quux")
+    val nInstances = 100 * scale
+    val gen = spark.createDataset(metrics)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("__name__")
+      .crossJoin(spark.range(nInstances.toLong).select(
+        concat(lit("instance-"), col("id")).as("instance"),
+        (col("id") % 5).cast("string").as("region"),
+        (col("id") % 10).cast("string").as("zone"),
+        (col("id") % 20).cast("string").as("service"),
+        (col("id") % 3).cast("string").as("env")))
+      .crossJoin(spark.range(30).select((col("id") * 15000L).as("ts_ms")))
+      .select(col("__name__"), col("instance"), col("region"), col("zone"),
+        col("service"), col("env"), col("ts_ms"),
+        rand(7).as("value"),
+        xxhash64(col("__name__"), col("instance")).as("series_hash"))
+    gen.repartitionByRange(32, col("__name__"), col("instance"))
+      .sortWithinPartitions(col("__name__"), col("instance"), col("ts_ms"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#__name__", "true")
+      .parquet(s"$tmp/b")
+    val samples = spark.read.parquet(s"$tmp/b")
+    val nSeries = metrics.size.toLong * nInstances
+
+    def drain(ms: Seq[LabelMatcher]): Unit = {
+      Eval.select(samples, ms, 0L, 450000L)
+        .agg(count(lit(1)), sum(col("value"))).head()
+      ()
+    }
+    // the mixed shapes: 2 selective scans, 1 full-metric drain, 1 shuffled
+    // aggregation, 1 instant vector (lookback max_by), 1 step-grid range
+    // aggregation — selects + routed range queries, per the soak's brief
+    val shapes: Seq[(String, () => Unit)] = Seq(
+      "select_region" -> (() => drain(Seq(MatchEq("__name__", "foo"), MatchEq("region", "1")))),
+      "select_regex" -> (() => drain(Seq(MatchEq("__name__", "bar"), MatchRe("instance", "instance-1.*")))),
+      "select_metric" -> (() => drain(Seq(MatchEq("__name__", "baz")))),
+      "agg_by_region" -> (() => {
+        Eval.select(samples, Seq(MatchEq("__name__", "qux")), 0L, 450000L)
+          .groupBy(col("region")).agg(sum(col("value")), count(lit(1)))
+          .collect(); ()
+      }),
+      "instant_vector" -> (() => {
+        Eval.instantVector(samples, Seq(MatchEq("__name__", "quux")), 450000L, 300000L)
+          .agg(count(lit(1)), sum(col("value"))).head(); ()
+      }),
+      "range_grid" -> (() => {
+        // step-grid sum: 4 steps × 60s windows over the 5-metric store
+        val stepMs = 60000L
+        Eval.select(samples, Seq(MatchEq("__name__", "foo"), MatchEq("env", "2")), 0L, 450000L)
+          .withColumn("step", (ceil(col("ts_ms") / stepMs) * stepMs).cast("long"))
+          .groupBy(col("step")).agg(sum(col("value")), count(lit(1)))
+          .collect(); ()
+      }))
+
+    val gate = new QueryGate(16)
+    val lat = new ConcurrentLinkedQueue[(String, Double)]()
+    val errs = new java.util.concurrent.atomic.AtomicLong()
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(threads)
+    val ts = (0 until threads).map { ti =>
+      new Thread(() => {
+        start.await()
+        var i = 0
+        while (i < iters) {
+          val (name, fn) = shapes((ti + i) % shapes.size)
+          val t0 = System.nanoTime()
+          try gate.run(120000L)(fn())
+          catch { case _: Exception => errs.incrementAndGet() }
+          lat.add(name -> (System.nanoTime() - t0) / 1e9)
+          i += 1
+        }
+        done.countDown()
+      })
+    }
+    ts.foreach(_.start())
+    val w0 = System.nanoTime()
+    start.countDown()
+    done.await()
+    val wall = (System.nanoTime() - w0) / 1e9
+
+    import scala.jdk.CollectionConverters._
+    val byShape = lat.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val total = lat.asScala.map(_._2).sum
+    def f(v: Double) = f"$v%.2f"
+    val shapeJson = byShape.toSeq.sortBy(_._1).map { case (n, xs) =>
+      s""""$n":{"n":${xs.size},"p50":${f(pct(xs, 0.5))},"p95":${f(pct(xs, 0.95))},"max":${f(xs.max)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"concurrent_soak","unit":"sec","threads":$threads,""" +
+      s""""iters":$iters,"series":$nSeries,"wall":${f(wall)},""" +
+      s""""latency_sum":${f(total)},"parallel_speedup":${f(total / wall)},""" +
+      s""""errors":${errs.get()},"shapes":$shapeJson}""")
+    spark.stop()
+  }
+}

@@ -98,6 +98,33 @@ object Tsdb {
       s"FROM s WHERE ts_ms > ${tms - lb} AND ts_ms <= $tms GROUP BY __name__, uid)"
   private val DSUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)"
 
+  /** The shared TSDB-block fixture (3-day dedup slice written as a real
+    * index-v2 block); returns the block directory. The WRITER is the
+    * documented driver-side seam — it bounds what it hands the driver —
+    * while every READ under test stays fully distributed. Shared by
+    * `s1_tsdb_block` (full-section walk) and `s1_tsdb_postings`
+    * (postings-pruned walk), built once per JVM via [[FixtureCache]]. */
+  private def tsdbBlockFixture(t: Tables): String = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val root = FixtureCache.dir(t.dir, "tsdbblock") { out =>
+      val ded = samples(t)
+        .filter(col("ts_ms") < T0 + 3 * DAY)
+        .groupBy(col("__name__"), col("uid"), col("ts_ms"))
+        .agg(min_by(col("value"), col("sample_id")).as("value"))
+      val series = ded.collect()
+        .groupBy(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+        .map { case ((n, u), rs) =>
+          Map("__name__" -> n, "uid" -> u) -> (new GenericArrayData(
+            rs.sortBy(_.getLong(2)).map(r =>
+              InternalRow(r.getLong(2), r.getDouble(3), null)).toArray[Any])
+            : org.apache.spark.sql.catalyst.util.ArrayData)
+        }
+      graft.etl.TsdbBlock.writeBlock(out, "01HV0ORACLEBLOCK0000000000", series)
+    }
+    s"$root/01HV0ORACLEBLOCK0000000000"
+  }
+
   def entries: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------ S1
@@ -135,28 +162,8 @@ object Tsdb {
     // seam; the READ under test is fully distributed.
     Q("s1_tsdb_block",
       t => {
-        import org.apache.spark.sql.catalyst.InternalRow
-        import org.apache.spark.sql.catalyst.util.GenericArrayData
-        val root = FixtureCache.dir(t.dir, "tsdbblock") { out =>
-          // 3-day slice: the fixture WRITER is the documented driver-side
-          // seam, so the build bounds what it hands the driver; the READ
-          // under test stays fully distributed
-          val ded = samples(t)
-            .filter(col("ts_ms") < T0 + 3 * DAY)
-            .groupBy(col("__name__"), col("uid"), col("ts_ms"))
-            .agg(min_by(col("value"), col("sample_id")).as("value"))
-          val series = ded.collect()
-            .groupBy(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
-            .map { case ((n, u), rs) =>
-              Map("__name__" -> n, "uid" -> u) -> (new GenericArrayData(
-                rs.sortBy(_.getLong(2)).map(r =>
-                  InternalRow(r.getLong(2), r.getDouble(3), null)).toArray[Any])
-                : org.apache.spark.sql.catalyst.util.ArrayData)
-            }
-          graft.etl.TsdbBlock.writeBlock(out, "01HV0ORACLEBLOCK0000000000", series)
-        }
         graft.sources.TsdbBlockReader
-          .loadSamples(t.spark, Seq(s"$root/01HV0ORACLEBLOCK0000000000"))
+          .loadSamples(t.spark, Seq(tsdbBlockFixture(t)))
           .groupBy(date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd").as("date"))
           .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"),
             count_distinct(col("__name__"), col("uid")).as("n_series"))
@@ -168,6 +175,29 @@ object Tsdb {
         "SELECT strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%d') AS date, " +
         s"count(*) AS n, $DSUM AS sum_v, " +
         "count(DISTINCT (__name__, uid)) AS n_series FROM d GROUP BY 1 ORDER BY 1")),
+
+    // Postings-pruned block read: the matcher set resolves INSIDE the index
+    // task via the postings sections (readPostings → readSeriesByIds), so
+    // only the matched metric's series entries are decoded and only their
+    // chunks are fetched — the selective-read half the reference gets from
+    // tsdb.OpenBlock's PostingsForMatchers. Oracle = the same dedup slice
+    // filtered post-hoc, so a postings slip (wrong id space, bad
+    // intersection, missed entry) hash-mismatches. Shares s1_tsdb_block's
+    // cached fixture: only the READ differs between the two queries.
+    Q("s1_tsdb_postings",
+      t => {
+        graft.sources.TsdbBlockReader
+          .loadSamples(t.spark, Seq(tsdbBlockFixture(t)),
+            matchers = Map("__name__" -> Seq("purchase")))
+          .groupBy(col("uid"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("uid"))
+      },
+      Some(s"WITH $S_CTE, d AS (SELECT __name__, uid, ts_ms, " +
+        s"min_by(value, sample_id) AS value FROM s WHERE ts_ms < ${T0 + 3 * DAY} " +
+        "GROUP BY 1, 2, 3) " +
+        s"SELECT uid, count(*) AS n, $DSUM AS sum_v FROM d " +
+        "WHERE __name__ = 'purchase' GROUP BY 1 ORDER BY 1")),
 
     // ------------------------------------------------------------------ P1/P2
     Q("p1_matchers_select",

@@ -72,9 +72,18 @@ object TsdbBlockReader {
     * chunks additionally header-skip inside [[PromFramesDecode]] and the
     * exact bound applies post-decode. Feed the result straight to
     * `ConvertLoop.advance*` via [[loader]]/[[rangedLoader]]. */
+  /** `matchers` (optional): label name → allowed values, the eq/set(IN)
+    * matcher forms a partial migration pushes down. Resolved INSIDE the
+    * per-block index task via the index's postings sections
+    * ([[TsdbBlock.readPostings]]): only matching series entries are
+    * decoded, so a 1-metric pull from a 10M-series block decodes that
+    * metric's series, not 10M — and non-matching series never produce
+    * refs, never reach the shuffle or the chunk fetch. Value `""` keeps
+    * missing≡"" semantics (selects series WITHOUT the label). */
   def loadSamples(spark: SparkSession, blockDirs: Seq[String],
                   mintMs: Long = Long.MinValue,
-                  maxtMs: Long = Long.MaxValue): DataFrame = {
+                  maxtMs: Long = Long.MaxValue,
+                  matchers: Map[String, Seq[String]] = Map.empty): DataFrame = {
     import spark.implicits._
     require(blockDirs.nonEmpty, "no TSDB block directories to read")
     val confBc = spark.sparkContext.broadcast(
@@ -93,7 +102,11 @@ object TsdbBlockReader {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val block = path.stripSuffix("/index")
-        TsdbBlock.readSeries(bytes).iterator.flatMap { s =>
+        val entries =
+          if (matchers.isEmpty) TsdbBlock.readSeries(bytes)
+          else TsdbBlock.readSeriesByIds(bytes,
+            TsdbBlock.readPostings(bytes, matchers))
+        entries.iterator.flatMap { s =>
           s.chunks.iterator
             .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
             .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,

@@ -997,6 +997,129 @@ class EtlSpec extends SparkSpec {
       s"expected ${ulids.size} index parses (one per block), got $parses")
   }
 
+  test("TSDB postings: matcher pushdown decodes only matching series") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts(base: Double) =
+      new GenericArrayData((0 until 10).map(i =>
+        InternalRow(jan1 + i * 60000L, base + i, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbpost").toString
+    val ulid = "01HV0POSTINGSBLOCK00000000"
+    // 20 up-series across 2 jobs, 5 other-metric series, 2 label-less-job
+    // series — exercises eq, IN, and the missing≡"" complement
+    val series =
+      (0 until 20).map(i => Map("__name__" -> "up",
+        "job" -> (if (i < 12) "api" else "db"), "i" -> i.toString) -> fpts(i)) ++
+      (0 until 5).map(i => Map("__name__" -> "down", "i" -> i.toString) -> fpts(1000.0 + i)) ++
+      (0 until 2).map(i => Map("__name__" -> "up", "i" -> s"nojob$i") -> fpts(2000.0 + i))
+    TsdbBlock.writeBlock(root, ulid,
+      series.map { case (l, p) => l -> (p: org.apache.spark.sql.catalyst.util.ArrayData) })
+    val idx = Files.readAllBytes(Paths.get(s"$root/$ulid/index"))
+
+    // pure postings algebra: eq, IN (union within name), intersection
+    // across names, missing≡"" complement, unknown value → empty
+    assert(TsdbBlock.readPostings(idx, Map.empty).size == 27)
+    assert(TsdbBlock.readPostings(idx, Map("__name__" -> Seq("up"))).size == 22)
+    assert(TsdbBlock.readPostings(idx,
+      Map("__name__" -> Seq("up"), "job" -> Seq("api"))).size == 12)
+    assert(TsdbBlock.readPostings(idx,
+      Map("job" -> Seq("api", "db"))).size == 20)
+    assert(TsdbBlock.readPostings(idx,
+      Map("__name__" -> Seq("up"), "job" -> Seq(""))).size == 2)
+    assert(TsdbBlock.readPostings(idx,
+      Map("__name__" -> Seq("nosuch"))).isEmpty)
+
+    // pushdown through the distributed read: only matching series entries
+    // are DECODED (the counter), and only their samples return
+    val before = TsdbBlock.seriesDecoded.get()
+    val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"),
+      matchers = Map("__name__" -> Seq("up"), "job" -> Seq("db")))
+    assert(got.count() == 8 * 10)
+    assert(got.select("i").distinct().count() == 8)
+    val decoded = TsdbBlock.seriesDecoded.get() - before
+    assert(decoded == 8,
+      s"expected 8 series entries decoded (postings-pruned), got $decoded")
+
+    // pushed and post-hoc filtering agree exactly
+    val full = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+      .filter(col("__name__") === "up" && col("job") === "db")
+      .select("__name__", "i", "ts_ms", "value")
+    val push = got.select("__name__", "i", "ts_ms", "value")
+    assert(push.exceptAll(full).isEmpty && full.exceptAll(push).isEmpty)
+  }
+
+  test("BlockFetch: resumable download repairs a truncated segment tail-only") {
+    import graft.etl.{BlockFetch, TsdbBlock}
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    val remote = Files.createTempDirectory("graft-bfremote").toString
+    val local = Files.createTempDirectory("graft-bflocal").toString
+    val ulid = "01HV0FETCHBLOCK00000000000"
+    val series = (0 until 4).map { u =>
+      Map("__name__" -> "m", "uid" -> u.toString) ->
+        (new GenericArrayData((0 until 48).map(h =>
+          InternalRow(jan1 + h * 3600000L, (u * 100 + h).toDouble, null)).toArray[Any])
+          : org.apache.spark.sql.catalyst.util.ArrayData)
+    }
+    // small segment cap → several chunk files, so "untouched segments not
+    // re-read" is observable
+    TsdbBlock.writeBlock(remote, ulid, series, segmentBytes = 2048L)
+    def totalBytes(dir: String): Long = {
+      // exclude Hadoop LocalFileSystem's hidden .crc sidecars — listFiles
+      // (and thus BlockFetch) never sees them
+      val s = Files.walk(Paths.get(dir))
+      try s.filter(Files.isRegularFile(_))
+        .filter(p => !p.getFileName.toString.startsWith("."))
+        .mapToLong(Files.size(_)).sum
+      finally s.close()
+    }
+
+    // cold fetch moves every byte once
+    val b0 = BlockFetch.bytesFetched.get()
+    val dir = BlockFetch.ensureLocal(remote, ulid, local)
+    assert(BlockFetch.bytesFetched.get() - b0 == totalBytes(s"$remote/$ulid"))
+    assert(TsdbBlockReader.loadSamples(spark, Seq(dir)).count() == 4 * 48)
+
+    // warm fetch is free: nothing opened, nothing read
+    val b1 = BlockFetch.bytesFetched.get(); val f1 = BlockFetch.filesOpened.get()
+    BlockFetch.ensureLocal(remote, ulid, local)
+    assert(BlockFetch.bytesFetched.get() == b1 && BlockFetch.filesOpened.get() == f1)
+
+    // truncate one cached segment by 100 bytes → repair fetches exactly
+    // the 100-byte tail of exactly that one file
+    val segs = Files.list(Paths.get(s"$dir/chunks")).sorted().iterator()
+    val victim = segs.next()
+    val fullLen = Files.size(victim)
+    val ch = java.nio.channels.FileChannel.open(victim,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(fullLen - 100) finally ch.close()
+    val b2 = BlockFetch.bytesFetched.get(); val f2 = BlockFetch.filesOpened.get()
+    BlockFetch.ensureLocal(remote, ulid, local)
+    assert(BlockFetch.bytesFetched.get() - b2 == 100,
+      s"expected a 100-byte tail repair, fetched ${BlockFetch.bytesFetched.get() - b2}")
+    assert(BlockFetch.filesOpened.get() - f2 == 1,
+      "only the truncated segment may be re-opened")
+    assert(Files.size(victim) == fullLen)
+
+    // the repaired cache byte-matches the remote and still serves
+    assert(TsdbBlockReader.loadSamples(spark, Seq(dir)).count() == 4 * 48)
+    val remoteBytes = Files.readAllBytes(
+      Paths.get(s"$remote/$ulid/chunks/${victim.getFileName}"))
+    assert(java.util.Arrays.equals(Files.readAllBytes(victim), remoteBytes))
+
+    // a LONGER local file (corrupt overwrite) is re-fetched whole
+    Files.write(victim, new Array[Byte](fullLen.toInt + 50))
+    val b3 = BlockFetch.bytesFetched.get()
+    BlockFetch.ensureLocal(remote, ulid, local)
+    assert(BlockFetch.bytesFetched.get() - b3 == fullLen)
+    assert(java.util.Arrays.equals(Files.readAllBytes(victim), remoteBytes))
+  }
+
   test("TSDB tombstones: deleted intervals never serve; CRC and absent-file handling") {
     import graft.etl.TsdbBlock
     import graft.sources.TsdbBlockReader

@@ -634,8 +634,10 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |""".stripMargin
 
   /** testdata/at_modifier.test — the 2-series linear fixture; @-pinned
-    * instants, @ with offset in both orders, pinned range functions and
-    * subqueries, start()/end(), @ broadcast onto a range grid. */
+    * instants, @ with offset in both orders (incl. NEGATIVE offset), pinned
+    * range functions and subqueries, name-preserving last_over_time @,
+    * timestamp() of an @-pinned selector, start()/end() pinned across a
+    * range grid (start stays the grid's first step, end its last). */
   private val atModifierCorpus =
     """
       |load 10s
@@ -681,10 +683,61 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 10s sum(metric @ end())
       |  {} 3
+      |
+      |eval instant at 5s metric @ 100
+      |  {__name__="metric", job="1"} 10
+      |  {__name__="metric", job="2"} 20
+      |
+      |eval instant at 1000s metric @ 100
+      |  {__name__="metric", job="1"} 10
+      |  {__name__="metric", job="2"} 20
+      |
+      |eval instant at 10s sum(metric @ 100)
+      |  {} 30
+      |
+      |eval instant at 10s avg_over_time(metric{job="1"}[100s] @ 100)
+      |  {job="1"} 5.5
+      |
+      |eval instant at 10s min_over_time(metric{job="1"}[100s] @ 100)
+      |  {job="1"} 1
+      |
+      |eval instant at 10s max_over_time(metric{job="1"}[100s] @ 100)
+      |  {job="1"} 10
+      |
+      |eval instant at 10s last_over_time(metric{job="1"}[100s] @ 100)
+      |  {__name__="metric", job="1"} 10
+      |
+      |eval instant at 10s timestamp(metric{job="1"} @ 100)
+      |  {job="1"} 100
+      |
+      |eval instant at 10s metric @ 100 offset -50s
+      |  {__name__="metric", job="1"} 15
+      |  {__name__="metric", job="2"} 30
+      |
+      |eval instant at 100s metric offset -50s
+      |  {__name__="metric", job="1"} 15
+      |  {__name__="metric", job="2"} 30
+      |
+      |eval instant at 10s sum_over_time(metric{job="1"}[50s:10s] @ 100)
+      |  {job="1"} 40
+      |
+      |eval instant at 10s count_over_time(metric{job="1"}[100s:10s] @ 100)
+      |  {job="1"} 10
+      |
+      |eval range from 10s to 30s step 10s sum(metric @ start())
+      |  {} 3 3 3
+      |
+      |eval range from 10s to 30s step 10s sum(metric @ end())
+      |  {} 9 9 9
       |""".stripMargin
 
   /** testdata/subquery.test — aligned inner grids under Prometheus-3
-    * left-open windows, inner expressions, subquery offset. */
+    * left-open windows, inner expressions, subquery offset; plus the
+    * thinly-covered corners: NESTED subqueries (a subquery over a
+    * sum_over_time-of-subquery), rate() as the inner expression, default
+    * resolution = the 1m NoStepSubqueryInterval (cmd/serve.go:213) incl.
+    * the empty-grid case, quantile/last/present_over_time over subqueries,
+    * and an aggregated (label-less) inner vector. */
   private val subqueryCorpus =
     """
       |load 10s
@@ -707,6 +760,41 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 100s sum_over_time(metric{job="1"}[50s:10s] offset 10s)
       |  {job="1"} 35
+      |
+      |eval instant at 100s min_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 6
+      |
+      |eval instant at 100s count_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 5
+      |
+      |eval instant at 100s present_over_time(metric{job="1"}[50s:10s])
+      |  {job="1"} 1
+      |
+      |eval instant at 100s last_over_time(metric{job="1"}[50s:10s])
+      |  {__name__="metric", job="1"} 10
+      |
+      |eval instant at 100s quantile_over_time(0.5, metric{job="1"}[50s:10s])
+      |  {job="1"} 8
+      |
+      |eval instant at 100s sum_over_time(sum_over_time(metric{job="1"}[20s:10s])[40s:20s])
+      |  {job="1"} 34
+      |
+      |eval instant at 100s max_over_time(rate(metric{job="1"}[20s])[40s:10s])
+      |  {job="1"} 0.1
+      |
+      |eval instant at 120s sum_over_time(metric{job="1"}[50s:10s] offset 20s)
+      |  {job="1"} 40
+      |
+      |eval instant at 100s sum_over_time((sum(metric))[50s:10s])
+      |  {} 40
+      |
+      |eval instant at 100s sum_over_time(metric{job="1"}[30s:])
+      |
+      |eval instant at 120s sum_over_time(metric{job="1"}[30s:])
+      |  {job="1"} 12
+      |
+      |eval instant at 300s sum_over_time(metric{job="1"}[300s:60s])
+      |  {job="1"} 90
       |""".stripMargin
 
   /** testdata/staleness.test — the stale-marker fixture: a staleness marker
@@ -1237,8 +1325,8 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 32) }
   test("upstream functions.test tranche") { run("functions", functionsCorpus, 33) }
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
-  test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 12) }
-  test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 6) }
+  test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 26) }
+  test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 18) }
   test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }
   test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
   test("upstream scalars + trig tranche") { run("scalars_trig", scalarsTrigCorpus, 28) }
