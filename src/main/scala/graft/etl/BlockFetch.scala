@@ -94,4 +94,17 @@ object BlockFetch {
   def cachedDirs(remoteRoot: String, ulids: Seq[String], localRoot: String,
                  conf: Configuration = new Configuration()): Seq[String] =
     ulids.map(ensureLocal(remoteRoot, _, localRoot, conf))
+
+  /** [[graft.sources.TsdbBlockReader.loader]] with this cache in front —
+    * the exact composition the reference's convert loop runs (download/
+    * repair, then open): each planned block is mirrored (resuming partials)
+    * and the distributed read runs against the local copies. */
+  def cachedLoader(spark: org.apache.spark.sql.SparkSession, remoteRoot: String,
+                   localRoot: String,
+                   matchers: Map[String, Seq[String]] = Map.empty)
+      : TsdbStream => org.apache.spark.sql.DataFrame = stream => {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = cachedDirs(remoteRoot, stream.metas.map(_.ulid), localRoot, conf)
+    graft.sources.TsdbBlockReader.loadSamples(spark, dirs, matchers = matchers)
+  }
 }

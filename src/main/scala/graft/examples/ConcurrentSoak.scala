@@ -42,33 +42,36 @@ object ConcurrentSoak {
     spark.sparkContext.setLogLevel("WARN")
     val tmp = java.nio.file.Files.createTempDirectory("graft-soak").toString
 
-    // workload B's series shape (db/db_bench_test.go:155-281) × scale, with
-    // a 5-point ts grid per series so range queries have a window to walk
+    // workload B's series CROSS PRODUCT (db/db_bench_test.go:155-281):
+    // 5 metrics × (100·scale instances × 5 regions × 10 zones × 20 services
+    // × 3 envs) = 1.5M·scale series, a 10-point ts grid per series so range
+    // queries have a window to walk
     val metrics = Seq("foo", "bar", "baz", "qux", "quux")
-    val nInstances = 100 * scale
+    val combos = 100L * scale * 5 * 10 * 20 * 3
     val gen = spark.createDataset(metrics)(org.apache.spark.sql.Encoders.STRING)
       .toDF("__name__")
-      .crossJoin(spark.range(nInstances.toLong).select(
-        concat(lit("instance-"), col("id")).as("instance"),
-        (col("id") % 5).cast("string").as("region"),
-        (col("id") % 10).cast("string").as("zone"),
-        (col("id") % 20).cast("string").as("service"),
-        (col("id") % 3).cast("string").as("env")))
-      .crossJoin(spark.range(30).select((col("id") * 15000L).as("ts_ms")))
+      .crossJoin(spark.range(combos).select(
+        concat(lit("instance-"), col("id") % (100L * scale)).as("instance"),
+        ((col("id") / (100L * scale)) % 5).cast("string").as("region"),
+        ((col("id") / (500L * scale)) % 10).cast("string").as("zone"),
+        ((col("id") / (5000L * scale)) % 20).cast("string").as("service"),
+        ((col("id") / (100000L * scale)) % 3).cast("string").as("env")))
+      .crossJoin(spark.range(10).select((col("id") * 15000L).as("ts_ms")))
       .select(col("__name__"), col("instance"), col("region"), col("zone"),
         col("service"), col("env"), col("ts_ms"),
         rand(7).as("value"),
-        xxhash64(col("__name__"), col("instance")).as("series_hash"))
+        xxhash64(col("__name__"), col("instance"), col("region"), col("zone"),
+          col("service"), col("env")).as("series_hash"))
     gen.repartitionByRange(32, col("__name__"), col("instance"))
       .sortWithinPartitions(col("__name__"), col("instance"), col("ts_ms"))
       .write.mode("overwrite").option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#__name__", "true")
       .parquet(s"$tmp/b")
     val samples = spark.read.parquet(s"$tmp/b")
-    val nSeries = metrics.size.toLong * nInstances
+    val nSeries = metrics.size.toLong * combos
 
     def drain(ms: Seq[LabelMatcher]): Unit = {
-      Eval.select(samples, ms, 0L, 450000L)
+      Eval.select(samples, ms, 0L, 150000L)
         .agg(count(lit(1)), sum(col("value"))).head()
       ()
     }
@@ -80,18 +83,18 @@ object ConcurrentSoak {
       "select_regex" -> (() => drain(Seq(MatchEq("__name__", "bar"), MatchRe("instance", "instance-1.*")))),
       "select_metric" -> (() => drain(Seq(MatchEq("__name__", "baz")))),
       "agg_by_region" -> (() => {
-        Eval.select(samples, Seq(MatchEq("__name__", "qux")), 0L, 450000L)
+        Eval.select(samples, Seq(MatchEq("__name__", "qux")), 0L, 150000L)
           .groupBy(col("region")).agg(sum(col("value")), count(lit(1)))
           .collect(); ()
       }),
       "instant_vector" -> (() => {
-        Eval.instantVector(samples, Seq(MatchEq("__name__", "quux")), 450000L, 300000L)
+        Eval.instantVector(samples, Seq(MatchEq("__name__", "quux")), 150000L, 60000L)
           .agg(count(lit(1)), sum(col("value"))).head(); ()
       }),
       "range_grid" -> (() => {
         // step-grid sum: 4 steps × 60s windows over the 5-metric store
         val stepMs = 60000L
-        Eval.select(samples, Seq(MatchEq("__name__", "foo"), MatchEq("env", "2")), 0L, 450000L)
+        Eval.select(samples, Seq(MatchEq("__name__", "foo"), MatchEq("env", "2")), 0L, 150000L)
           .withColumn("step", (ceil(col("ts_ms") / stepMs) * stepMs).cast("long"))
           .groupBy(col("step")).agg(sum(col("value")), count(lit(1)))
           .collect(); ()

@@ -222,19 +222,23 @@ object TsdbBlockReader {
     * With this, `advanceReference(spark, discoverer, out, today,
     * TsdbBlockReader.loader(spark, root), ...)` migrates an actual
     * Prometheus/Thanos bucket end-to-end. */
-  def loader(spark: SparkSession, root: String): TsdbStream => DataFrame =
-    stream => loadSamples(spark, stream.metas.map(m => s"$root/${m.ulid}"))
+  def loader(spark: SparkSession, root: String,
+             matchers: Map[String, Seq[String]] = Map.empty)
+      : TsdbStream => DataFrame =
+    stream => loadSamples(spark, stream.metas.map(m => s"$root/${m.ulid}"),
+      matchers = matchers)
 
   /** Ranged form for `ConvertLoop.advance*`'s `loadSamplesRanged`
     * parameter: only blocks overlapping the planned interval are opened at
     * all, and inside them only overlapping chunk refs are fetched — the
     * incremental migration's per-round I/O tracks the PLANNED days, not
     * the blocks' full spans. */
-  def rangedLoader(spark: SparkSession, root: String)
+  def rangedLoader(spark: SparkSession, root: String,
+                   matchers: Map[String, Seq[String]] = Map.empty)
       : (TsdbStream, Long, Long) => DataFrame = (stream, mintMs, maxtMs) => {
     val dirs = stream.metas
       .filter(m => m.maxTime > mintMs && m.minTime <= maxtMs)
       .map(m => s"$root/${m.ulid}")
-    loadSamples(spark, dirs, mintMs, maxtMs)
+    loadSamples(spark, dirs, mintMs, maxtMs, matchers)
   }
 }

@@ -382,6 +382,23 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |eval instant at 50m predict_linear(ctr[20m], 300)
       |  {} 110
       |
+      |eval instant at 50m double_exponential_smoothing(ctr[20m], 0.01, 0.1)
+      |  {} 100
+      |
+      |clear
+      |
+      |load 10s
+      |  spiky 0 10 20 100
+      |
+      |eval instant at 30s double_exponential_smoothing(spiky[30s], 0.5, 0.5)
+      |  {} 65
+      |
+      |eval instant at 30s holt_winters(spiky[30s], 0.5, 0.5)
+      |  {} 65
+      |
+      |eval instant at 30s mad_over_time(spiky[30s])
+      |  {} 10
+      |
       |clear
       |
       |load 5m
@@ -1323,7 +1340,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
 
   test("upstream operators.test tranche") { run("operators", operatorsCorpus, 28) }
   test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 32) }
-  test("upstream functions.test tranche") { run("functions", functionsCorpus, 33) }
+  test("upstream functions.test tranche") { run("functions", functionsCorpus, 37) }
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
   test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 26) }
   test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 18) }
