@@ -244,6 +244,46 @@ object TsdbBlock {
     perName.reduce(_ intersect _).toSeq.sorted
   }
 
+  /** Distinct values of label `name` in the block, off the label-index
+    * section alone (the per-label value dictionary upstream's
+    * `index.LabelValues` reads) — no series entry is decoded. Lets regex /
+    * negated matchers be resolved to a value SET per block, which
+    * [[readPostings]] then intersects, the same decomposition upstream's
+    * `PostingsForMatchers` performs. */
+  def readLabelValues(idx: Array[Byte], name: String): Seq[String] = {
+    val toc = tocOffsets(idx)
+    // label offset table: len | #entries | (nkeys=1, name, offset)… | crc
+    val lotOff = toc(3).toInt
+    val lotLen = be32(idx, lotOff)
+    require(be32(idx, lotOff + 4 + lotLen) == crc32c(idx, lotOff + 4, lotLen),
+      "label offset table CRC mismatch")
+    val n = be32(idx, lotOff + 4)
+    val c = new Cursor(idx, lotOff + 8)
+    var found = -1
+    var i = 0
+    while (i < n && found < 0) {
+      val nk = c.uvarint().toInt
+      require(nk == 1, s"label offset table entry with $nk keys (want 1)")
+      val nl = c.uvarint().toInt
+      val nm = new String(idx, c.pos, nl, "UTF-8"); c.pos += nl
+      val off = c.uvarint().toInt
+      if (nm == name) found = off
+      i += 1
+    }
+    if (found < 0) Seq.empty
+    else {
+      // label index section: len | #names | #entries | symbol refs… | crc
+      val len = be32(idx, found)
+      require(be32(idx, found + 4 + len) == crc32c(idx, found + 4, len),
+        s"label index CRC mismatch at offset $found")
+      val symbols = readSymbols(idx, toc(0).toInt)
+      val width = be32(idx, found + 4)
+      require(width == 1, s"label index with $width names per entry (want 1)")
+      val cnt = be32(idx, found + 8)
+      (0 until cnt).map(j => symbols(be32(idx, found + 12 + 4 * j)))
+    }
+  }
+
   /** Decode ONLY the series entries with the given ids (id = entry offset /
     * 16 — the postings address space), 16-byte-aligned direct seeks instead
     * of a full section walk. Pair with [[readPostings]] for matcher-pushdown

@@ -83,7 +83,40 @@ object TsdbBlockReader {
   def loadSamples(spark: SparkSession, blockDirs: Seq[String],
                   mintMs: Long = Long.MinValue,
                   maxtMs: Long = Long.MaxValue,
-                  matchers: Map[String, Seq[String]] = Map.empty): DataFrame = {
+                  matchers: Map[String, Seq[String]] = Map.empty): DataFrame =
+    loadImpl(spark, blockDirs, mintMs, maxtMs,
+      if (matchers.isEmpty) bytes => TsdbBlock.readSeries(bytes)
+      else bytes => TsdbBlock.readSeriesByIds(bytes,
+        TsdbBlock.readPostings(bytes, matchers)))
+
+  /** [[loadSamples]] with FULL matcher semantics pushed into the index
+    * task — eq resolves directly on the postings sections; regex and
+    * negated matchers resolve per block by enumerating the label's value
+    * dictionary ([[TsdbBlock.readLabelValues]]) and filtering with the
+    * engine's anchored-RE2 matcher, then intersecting posting lists — the
+    * `PostingsForMatchers` decomposition upstream performs. The missing
+    * label ≡ "" rule holds exactly: "" is offered to every matcher, and an
+    * accepting matcher keeps the series WITHOUT that label. */
+  def loadSamplesMatching(spark: SparkSession, blockDirs: Seq[String],
+                          ms: Seq[graft.promql.LabelMatcher],
+                          mintMs: Long = Long.MinValue,
+                          maxtMs: Long = Long.MaxValue): DataFrame =
+    loadImpl(spark, blockDirs, mintMs, maxtMs,
+      if (ms.isEmpty) bytes => TsdbBlock.readSeries(bytes)
+      else bytes => {
+        val constraints = ms.groupBy(_.label).map { case (name, mset) =>
+          val vals = (TsdbBlock.readLabelValues(bytes, name) :+ "").distinct
+          name -> vals.filter(v => mset.forall(_.matches(v)))
+        }
+        if (constraints.values.exists(_.isEmpty)) Seq.empty
+        else TsdbBlock.readSeriesByIds(bytes,
+          TsdbBlock.readPostings(bytes, constraints))
+      })
+
+  private def loadImpl(spark: SparkSession, blockDirs: Seq[String],
+                       mintMs: Long, maxtMs: Long,
+                       entriesOf: Array[Byte] => Seq[TsdbBlock.SeriesEntry])
+      : DataFrame = {
     import spark.implicits._
     require(blockDirs.nonEmpty, "no TSDB block directories to read")
     val confBc = spark.sparkContext.broadcast(
@@ -102,11 +135,7 @@ object TsdbBlockReader {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val block = path.stripSuffix("/index")
-        val entries =
-          if (matchers.isEmpty) TsdbBlock.readSeries(bytes)
-          else TsdbBlock.readSeriesByIds(bytes,
-            TsdbBlock.readPostings(bytes, matchers))
-        entries.iterator.flatMap { s =>
+        entriesOf(bytes).iterator.flatMap { s =>
           s.chunks.iterator
             .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
             .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,

@@ -1049,6 +1049,33 @@ class EtlSpec extends SparkSpec {
       .select("__name__", "i", "ts_ms", "value")
     val push = got.select("__name__", "i", "ts_ms", "value")
     assert(push.exceptAll(full).isEmpty && full.exceptAll(push).isEmpty)
+
+    // label-value dictionary off the index alone
+    assert(TsdbBlock.readLabelValues(idx, "job").sorted == Seq("api", "db"))
+    assert(TsdbBlock.readLabelValues(idx, "__name__").sorted == Seq("down", "up"))
+    assert(TsdbBlock.readLabelValues(idx, "nosuch").isEmpty)
+
+    // FULL matcher pushdown: regex resolves via the value dictionary,
+    // negation honors missing≡"" (series without the label survive !=)
+    import graft.promql.{MatchEq, MatchNotEq, MatchRe}
+    val b2 = TsdbBlock.seriesDecoded.get()
+    val re = TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(MatchEq("__name__", "up"), MatchRe("job", "a.*")))
+    assert(re.count() == 12 * 10)
+    assert(TsdbBlock.seriesDecoded.get() - b2 == 12,
+      "regex pushdown must decode only the dictionary-matched series")
+    val neg = TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(MatchEq("__name__", "up"), MatchNotEq("job", "api")))
+    assert(neg.count() == (8 + 2) * 10,
+      "!= must keep the db series AND the label-less series (missing ≡ \"\")")
+    val rematch = TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(MatchRe("i", "nojob.*")))
+    assert(rematch.count() == 2 * 10)
+    // matcher set with an impossible constraint → empty, no decode
+    val b3 = TsdbBlock.seriesDecoded.get()
+    assert(TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(MatchEq("__name__", "up"), MatchEq("__name__", "down"))).count() == 0)
+    assert(TsdbBlock.seriesDecoded.get() - b3 == 0)
   }
 
   test("BlockFetch: resumable download repairs a truncated segment tail-only") {
