@@ -537,11 +537,26 @@ object TsdbBlock {
     }
     ix.align(16)
 
+    // one pass over the series: per-label value sets and per-(label, value)
+    // series-id lists (a 100k-series fixture block writes in seconds, not
+    // the minutes a rescan-per-pair would take)
+    val valuesByName = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.SortedSet[String]]
+    val idsByPair = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Long]]
+    sorted.zipWithIndex.foreach { case ((lbls, _), si) =>
+      lbls.foreach { case (n, v) =>
+        valuesByName.getOrElseUpdate(n, scala.collection.mutable.SortedSet.empty) += v
+        idsByPair.getOrElseUpdate((n, v), scala.collection.mutable.ArrayBuffer.empty) +=
+          seriesIds(si)
+      }
+    }
+
     // per-label value indices + offsets for the label offset table
     val labelIndicesOff = ix.size
     val labelSectionOff = names.map { n =>
       val off = ix.size
-      val vals = sorted.flatMap(_._1.collect { case (`n`, v) => v }).distinct.sorted
+      val vals = valuesByName(n).toSeq
       val c = new Buf
       c.putU32(1L)
       c.putU32(vals.size.toLong)
@@ -561,14 +576,12 @@ object TsdbBlock {
 
     // postings: the all-postings ("","") entry first, then (name, value)
     val postingsOff = ix.size
-    val pairs = ("" -> "") +: names.flatMap(n =>
-      sorted.flatMap(_._1.collect { case (`n`, v) => v }).distinct.sorted.map(n -> _))
+    val pairs = ("" -> "") +: names.flatMap(n => valuesByName(n).toSeq.map(n -> _))
     val postingSectionOff = pairs.map { case (n, v) =>
       val off = ix.size
-      val ids = sorted.zipWithIndex.collect {
-        case ((lbls, _), si) if (n.isEmpty && v.isEmpty) || lbls.contains(n -> v) =>
-          seriesIds(si)
-      }.sorted
+      val ids =
+        if (n.isEmpty && v.isEmpty) seriesIds.toSeq.sorted
+        else idsByPair((n, v)).toSeq.sorted
       val c = new Buf
       c.putU32(ids.size.toLong)
       ids.foreach(id => c.putU32(id))

@@ -1,0 +1,84 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import graft.etl.TsdbBlock
+import graft.promql.{MatchEq, MatchRe}
+import graft.sources.TsdbBlockReader
+
+/** Scale probe for the distributed TSDB-block source: one real index-v2
+  * block (S series × 10 metrics × 2 days of hourly XOR chunks), then the
+  * four read shapes a migration actually issues —
+  *
+  *   - `full`: every series, every chunk (what convert does);
+  *   - `postings`: one metric via eq-matcher pushdown (readPostings →
+  *     readSeriesByIds) — should cost ~1/10th of full, and DECODE exactly
+  *     S/10 series entries;
+  *   - `regex`: same selectivity via the value dictionary
+  *     (readLabelValues + anchored RE2 → postings);
+  *   - `ranged`: day 2 only — chunk-granular pruning off the index.
+  *
+  * Usage: `runMain graft.examples.TsdbReadBench [series] [repeat]`.
+  * Prints one JSON line with min-of-repeat seconds, row and decode counts.
+  */
+object TsdbReadBench {
+
+  def main(args: Array[String]): Unit = {
+    val nSeries = if (args.length > 0) args(0).toInt else 50000
+    val repeat = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jan1 = 1704067200000L
+    val day = 86400000L
+    val hours = 48
+    // 10 metrics × nSeries/10 uids, 2 days of hourly samples per series
+    val series = (0 until nSeries).map { i =>
+      val pts = new GenericArrayData((0 until hours).map(h =>
+        InternalRow(jan1 + h * 3600000L, (i % 97 + h).toDouble, null)).toArray[Any])
+      Map("__name__" -> s"m${i % 10}", "uid" -> (i / 10).toString) ->
+        (pts: org.apache.spark.sql.catalyst.util.ArrayData)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-tsdbbench").toString
+    val ulid = "01HV0READBENCHBLOCK0000000"
+    val w0 = System.nanoTime()
+    TsdbBlock.writeBlock(root, ulid, series)
+    val writeSec = (System.nanoTime() - w0) / 1e9
+    val dir = s"$root/$ulid"
+
+    def time(fn: () => Long): (Double, Long, Long) = {
+      var rows = 0L; var decoded = 0L
+      val secs = (1 to repeat).map { _ =>
+        val d0 = TsdbBlock.seriesDecoded.get()
+        val t0 = System.nanoTime()
+        rows = fn()
+        val dt = (System.nanoTime() - t0) / 1e9
+        decoded = TsdbBlock.seriesDecoded.get() - d0
+        dt
+      }
+      (secs.min, rows, decoded)
+    }
+    val shapes = Seq[(String, () => Long)](
+      "full" -> (() => TsdbBlockReader.loadSamples(spark, Seq(dir)).count()),
+      "postings" -> (() => TsdbBlockReader.loadSamples(spark, Seq(dir),
+        matchers = Map("__name__" -> Seq("m3"))).count()),
+      "regex" -> (() => TsdbBlockReader.loadSamplesMatching(spark, Seq(dir),
+        Seq(MatchRe("__name__", "m3"), MatchEq("uid", "0"))).count()),
+      "ranged" -> (() => TsdbBlockReader.loadSamples(spark, Seq(dir),
+        jan1 + day, jan1 + 2 * day - 1).count()))
+    val results = shapes.map { case (n, fn) => (n, time(fn)) }
+    def f(v: Double) = f"$v%.2f"
+    val body = results.map { case (n, (s, r, d)) =>
+      s""""$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d}""" }.mkString(",")
+    println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
+      s""""samples":${nSeries.toLong * hours},"write_sec":${f(writeSec)},$body}""")
+    spark.stop()
+  }
+}

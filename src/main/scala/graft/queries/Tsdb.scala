@@ -199,6 +199,30 @@ object Tsdb {
         s"SELECT uid, count(*) AS n, $DSUM AS sum_v FROM d " +
         "WHERE __name__ = 'purchase' GROUP BY 1 ORDER BY 1")),
 
+    // Download-then-open: the block is mirrored through BlockFetch's
+    // resumable cache (the reference's convert-loop fetch,
+    // cmd/convert.go:443-591) and the distributed read runs against the
+    // LOCAL copy — so the driver gate also proves the fetch layer moves
+    // every byte faithfully (any copy slip changes the hash). Repeat
+    // invocations are zero-read cache hits on both layers.
+    Q("s1_tsdb_cached",
+      t => {
+        val remote = tsdbBlockFixture(t)
+        val ulid = remote.substring(remote.lastIndexOf('/') + 1)
+        val remoteRoot = remote.substring(0, remote.lastIndexOf('/'))
+        val cacheRoot = FixtureCache.dir(t.dir, "tsdbfetchcache") { _ => () }
+        val local = graft.etl.BlockFetch.ensureLocal(remoteRoot, ulid, cacheRoot)
+        graft.sources.TsdbBlockReader.loadSamples(t.spark, Seq(local))
+          .groupBy(col("__name__"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("__name__"))
+      },
+      Some(s"WITH $S_CTE, d AS (SELECT __name__, uid, ts_ms, " +
+        s"min_by(value, sample_id) AS value FROM s WHERE ts_ms < ${T0 + 3 * DAY} " +
+        "GROUP BY 1, 2, 3) " +
+        s"SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM d " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // ------------------------------------------------------------------ P1/P2
     Q("p1_matchers_select",
       t => Eval.select(samples(t),

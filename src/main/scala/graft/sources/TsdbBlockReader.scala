@@ -19,10 +19,11 @@ import graft.functions.{PromFramesDecode, PromLabelsHash}
   *   2. label-name union: one tiny aggregate over the ref rows (the
   *      dynamic samples-model schema — label COUNT is bounded, label rows
   *      are not);
-  *   3. chunk fetch: refs hash-partition on (block, segment) and sort by
-  *      offset, so each task forward-scans its segment files via
-  *      positional reads — the access pattern an object store serves as
-  *      sequential ranged GETs. Each chunk is CRC-checked and re-framed
+  *   3. chunk fetch: refs RANGE-partition on (block, segment, offset) and
+  *      sort by offset, so a huge segment fans out across tasks as
+  *      contiguous offset slices and each task forward-scans its byte
+  *      range through a 4 MB look-ahead buffer — large sequential ranged
+  *      GETs, each byte fetched once. Each chunk is CRC-checked and re-framed
   *      into the reference layout's frame cell, and the SAME codegen'd
   *      [[PromFramesDecode]] the serving path uses explodes it to points —
   *      no second decode surface;
@@ -180,20 +181,41 @@ object TsdbBlockReader {
     val labelNames = refs.select(explode(map_keys(col("labels"))).as("n"))
       .distinct().as[String].collect().sorted.toSeq
 
+    // RANGE partition on (block, segment, offset): the global sorted order
+    // splits into contiguous offset slices, so a single huge segment fans
+    // out across tasks (hash-by-segment would pin it to ONE task) while
+    // every task still forward-scans one contiguous byte range — the
+    // sequential-ranged-GET pattern an object store wants
     val frames = refs
-      .repartition(col("block"), col("segment"))
+      .repartitionByRange(col("block"), col("segment"), col("offset"))
       .sortWithinPartitions(col("block"), col("segment"), col("offset"))
       .as[Ref]
       .mapPartitions { it =>
         val conf = confBc.value.value
         // per-(block, segment) forward scan; streams close on key change
-        // and at task end
+        // and at task end. Reads go through a 4 MB look-ahead buffer:
+        // ascending offsets make refills strictly sequential, so each
+        // segment byte is read ONCE in large blocks — per-chunk positional
+        // reads on a checksummed/remote FS would re-fetch and re-verify
+        // the surrounding window for every one of the millions of chunks
         var curBlock: String = null
         var segNames: IndexedSeq[String] = IndexedSeq.empty
         var curSeg = -1
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         var fileLen = 0L
+        val buf = new Array[Byte](4 << 20)
+        var bufStart = 0L
+        var bufLen = 0
         def closeIn(): Unit = if (in != null) { in.close(); in = null }
+        def readAt(pos: Long, dst: Array[Byte], n: Int): Unit = {
+          if (pos < bufStart || pos + n > bufStart + bufLen) {
+            if (n > buf.length) { in.readFully(pos, dst, 0, n); return }
+            bufStart = pos
+            bufLen = math.min(buf.length.toLong, fileLen - pos).toInt
+            in.readFully(pos, buf, 0, bufLen)
+          }
+          System.arraycopy(buf, (pos - bufStart).toInt, dst, 0, n)
+        }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
         it.map { r =>
@@ -212,9 +234,9 @@ object TsdbBlockReader {
             fileLen = fs.getFileStatus(p).getLen
             in = fs.open(p)
             curSeg = r.segment
+            bufStart = 0L; bufLen = 0
           }
-          val frame = TsdbBlock.readChunkFrame(
-            (pos, dst, n) => in.readFully(pos, dst, 0, n),
+          val frame = TsdbBlock.readChunkFrame(readAt,
             fileLen, r.offset, r.mint, r.maxt)
           (r.block, r.sref, r.labels, frame)
         }
