@@ -934,6 +934,12 @@ class EtlSpec extends SparkSpec {
     // full read resolves refs across all segments
     val all = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
     assert(all.count() == 4 * 72)
+    // plan pin: the chunk fetch must RANGE-partition (block, segment,
+    // offset) — hash-by-segment would serialize a whole segment file onto
+    // one task (the r16 scale bug)
+    assert(all.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"),
+      "chunk fetch lost its range partitioning (segment fan-out)")
 
     // chunk-granular time pruning: a 1-day bound reads only that day's
     // chunks (2h cuts → chunk spans never cross the bound by construction)
@@ -1076,6 +1082,42 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
       Seq(MatchEq("__name__", "up"), MatchEq("__name__", "down"))).count() == 0)
     assert(TsdbBlock.seriesDecoded.get() - b3 == 0)
+  }
+
+  test("partial migration: matcher-pushdown loader converts only the matched series") {
+    import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    def fpts(base: Double) =
+      new GenericArrayData((0 until 24).map(h =>
+        InternalRow(jan1 + h * 3600000L, base + h, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbpartial").toString
+    val ulid = "01HV0PARTIALBLOCK000000000"
+    val series = (0 until 6).map(i => Map("__name__" -> (if (i < 4) "keep" else "drop"),
+      "uid" -> i.toString) -> (fpts(i * 100.0): org.apache.spark.sql.catalyst.util.ArrayData))
+    TsdbBlock.writeBlock(root, ulid, series)
+
+    // the pushdown loader feeds the SAME convert loop; the resulting bucket
+    // contains only the matched metric, end to end
+    val out = Files.createTempDirectory("graft-tsdbpartialout").toString
+    val disc = new TsdbDiscoverer(root, now = () => jan1 + 40 * D)
+    val today = LocalDate.of(2024, 1, 10)
+    var go = true
+    while (go) {
+      val r = ConvertLoop.advanceReference(spark, disc, out, today,
+        TsdbBlockReader.loader(spark, root,
+          matchers = Map("__name__" -> Seq("keep"))),
+        graceDays = 2, maxDays = 5, numShards = 1)
+      go = !r.converged
+    }
+    val served = ReferenceFormat.openReferenceStore(spark, out)
+    assert(served.count() == 4 * 24)
+    assert(served.select("__name__").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("keep"))
+    assert(served.select("uid").distinct().count() == 4)
   }
 
   test("BlockFetch: resumable download repairs a truncated segment tail-only") {
