@@ -37,14 +37,20 @@ object BlockFetch {
   private[graft] val filesOpened = new java.util.concurrent.atomic.AtomicLong()
 
   /** Mirror `<remoteRoot>/<ulid>` into `<localRoot>/<ulid>`, resuming
-    * partials; returns the local block directory. */
+    * partials; returns the local block directory. Files transfer
+    * CONCURRENTLY (`parallelism` streams, like the reference's concurrent
+    * block download) — per-file resume logic is independent, so
+    * parallelism changes throughput, never bytes moved. */
   def ensureLocal(remoteRoot: String, ulid: String, localRoot: String,
-                  conf: Configuration = new Configuration()): String = {
+                  conf: Configuration = new Configuration(),
+                  parallelism: Int = 4): String = {
     val remoteDir = new Path(s"$remoteRoot/$ulid")
     val fs = remoteDir.getFileSystem(conf)
     // listFiles returns QUALIFIED paths; qualify the base the same way so
     // the prefix strip below is exact
     val qualified = fs.makeQualified(remoteDir).toString
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.hadoop.fs.Path, String, Long)]
     val it = fs.listFiles(remoteDir, true)
     while (it.hasNext) {
       val st = it.next()
@@ -52,39 +58,52 @@ object BlockFetch {
         val full = st.getPath.toString
         require(full.startsWith(qualified + "/"),
           s"listed file $full outside block dir $qualified")
-        val rel = full.stripPrefix(qualified + "/")
-        val local = Paths.get(localRoot, ulid, rel)
-        Files.createDirectories(local.getParent)
-        val localLen = if (Files.isRegularFile(local)) Files.size(local) else -1L
-        val remoteLen = st.getLen
-        if (localLen != remoteLen) {
-          val resumeAt = if (localLen > 0 && localLen < remoteLen) localLen else 0L
-          if (resumeAt == 0L) Files.deleteIfExists(local)
-          filesOpened.incrementAndGet()
-          val in = fs.open(st.getPath)
-          try {
-            if (resumeAt > 0) in.seek(resumeAt)
-            val out = Files.newOutputStream(local,
-              StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-              if (resumeAt > 0) StandardOpenOption.APPEND
-              else StandardOpenOption.TRUNCATE_EXISTING)
-            try {
-              val buf = new Array[Byte](1 << 20)
-              var remaining = remoteLen - resumeAt
-              while (remaining > 0) {
-                val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
-                require(n > 0, s"remote ${st.getPath} truncated mid-fetch " +
-                  s"(expected $remaining more bytes)")
-                out.write(buf, 0, n)
-                bytesFetched.addAndGet(n.toLong)
-                remaining -= n
-              }
-            } finally out.close()
-          } finally in.close()
-        }
+        files += ((st.getPath, full.stripPrefix(qualified + "/"), st.getLen))
       }
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, files.size)))
+    try {
+      val futures = files.map { case (path, rel, remoteLen) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = fetchOne(fs, path, remoteLen,
+            Paths.get(localRoot, ulid, rel))
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
     Paths.get(localRoot, ulid).toString
+  }
+
+  /** One file's resume-or-fetch (see [[ensureLocal]] semantics). */
+  private def fetchOne(fs: FileSystem, path: Path, remoteLen: Long,
+                       local: java.nio.file.Path): Unit = {
+    Files.createDirectories(local.getParent)
+    val localLen = if (Files.isRegularFile(local)) Files.size(local) else -1L
+    if (localLen == remoteLen) return
+    val resumeAt = if (localLen > 0 && localLen < remoteLen) localLen else 0L
+    if (resumeAt == 0L) Files.deleteIfExists(local)
+    filesOpened.incrementAndGet()
+    val in = fs.open(path)
+    try {
+      if (resumeAt > 0) in.seek(resumeAt)
+      val out = Files.newOutputStream(local,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        if (resumeAt > 0) StandardOpenOption.APPEND
+        else StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var remaining = remoteLen - resumeAt
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, s"remote $path truncated mid-fetch " +
+            s"(expected $remaining more bytes)")
+          out.write(buf, 0, n)
+          bytesFetched.addAndGet(n.toLong)
+          remaining -= n
+        }
+      } finally out.close()
+    } finally in.close()
   }
 
   /** Fetch every block dir through the local cache, returning the LOCAL
