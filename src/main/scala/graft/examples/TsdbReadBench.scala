@@ -20,7 +20,12 @@ import graft.sources.TsdbBlockReader
   *     (readLabelValues + anchored RE2 → postings);
   *   - `ranged`: day 2 only — chunk-granular pruning off the index.
   *
-  * Usage: `runMain graft.examples.TsdbReadBench [series] [repeat]`.
+  * With `blocks > 1` the same series set is split across N blocks (the
+  * multi-block bucket shape): the read's index-parse stage runs one task
+  * PER BLOCK, so wall time should approach the single-block cost of a
+  * 1/N-size block, not N× it.
+  *
+  * Usage: `runMain graft.examples.TsdbReadBench [series] [repeat] [blocks]`.
   * Prints one JSON line with min-of-repeat seconds, row and decode counts.
   */
 object TsdbReadBench {
@@ -28,6 +33,7 @@ object TsdbReadBench {
   def main(args: Array[String]): Unit = {
     val nSeries = if (args.length > 0) args(0).toInt else 50000
     val repeat = if (args.length > 1) args(1).toInt else 3
+    val nBlocks = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,11 +53,15 @@ object TsdbReadBench {
         (pts: org.apache.spark.sql.catalyst.util.ArrayData)
     }
     val root = java.nio.file.Files.createTempDirectory("graft-tsdbbench").toString
-    val ulid = "01HV0READBENCHBLOCK0000000"
     val w0 = System.nanoTime()
-    TsdbBlock.writeBlock(root, ulid, series)
+    val dirs = (0 until nBlocks).map { b =>
+      val ulid = f"01HV0READBENCHBLOCK${b}%07d"
+      TsdbBlock.writeBlock(root, ulid,
+        series.zipWithIndex.collect { case (s, i) if i % nBlocks == b => s })
+      s"$root/$ulid"
+    }
     val writeSec = (System.nanoTime() - w0) / 1e9
-    val dir = s"$root/$ulid"
+    val dir: Seq[String] = dirs
 
     def time(fn: () => Long): (Double, Long, Long) = {
       var rows = 0L; var decoded = 0L
@@ -66,19 +76,20 @@ object TsdbReadBench {
       (secs.min, rows, decoded)
     }
     val shapes = Seq[(String, () => Long)](
-      "full" -> (() => TsdbBlockReader.loadSamples(spark, Seq(dir)).count()),
-      "postings" -> (() => TsdbBlockReader.loadSamples(spark, Seq(dir),
+      "full" -> (() => TsdbBlockReader.loadSamples(spark, dir).count()),
+      "postings" -> (() => TsdbBlockReader.loadSamples(spark, dir,
         matchers = Map("__name__" -> Seq("m3"))).count()),
-      "regex" -> (() => TsdbBlockReader.loadSamplesMatching(spark, Seq(dir),
+      "regex" -> (() => TsdbBlockReader.loadSamplesMatching(spark, dir,
         Seq(MatchRe("__name__", "m3"), MatchEq("uid", "0"))).count()),
-      "ranged" -> (() => TsdbBlockReader.loadSamples(spark, Seq(dir),
+      "ranged" -> (() => TsdbBlockReader.loadSamples(spark, dir,
         jan1 + day, jan1 + 2 * day - 1).count()))
     val results = shapes.map { case (n, fn) => (n, time(fn)) }
     def f(v: Double) = f"$v%.2f"
     val body = results.map { case (n, (s, r, d)) =>
       s""""$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d}""" }.mkString(",")
     println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
-      s""""samples":${nSeries.toLong * hours},"write_sec":${f(writeSec)},$body}""")
+      s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +
+      s""""write_sec":${f(writeSec)},$body}""")
     spark.stop()
   }
 }
