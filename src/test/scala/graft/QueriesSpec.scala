@@ -253,4 +253,33 @@ class QueriesSpec extends SparkSpec {
       .repartition(4).write.parquet(s"$dir/documents.parquet")
     checkHygiene(dir)
   }
+
+  test("FixtureCache: keyed sharing, per-dataDir rebuild, failure retry, fresh scratch") {
+    import graft.queries.FixtureCache
+    // two queries sharing a (dataDir, fixture) key get the SAME dir and the
+    // build runs once — the serving-vs-ETL split the bench relies on
+    var builds = 0
+    val d1 = FixtureCache.dir("/data/a", "fxspec")(_ => builds += 1)
+    val d2 = FixtureCache.dir("/data/a", "fxspec")(_ => builds += 1)
+    assert(d1 == d2 && builds == 1)
+    // a different dataDir is a different store: rebuilt, distinct dir
+    val d3 = FixtureCache.dir("/data/b", "fxspec")(_ => builds += 1)
+    assert(d3 != d1 && builds == 2)
+    // a failed build caches nothing and removes its partial dir; the next
+    // caller retries cleanly
+    var tries = 0
+    val boom = intercept[RuntimeException](
+      FixtureCache.dir("/data/c", "fxspec") { out =>
+        tries += 1
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "partial"), "x")
+        throw new RuntimeException("boom")
+      })
+    assert(boom.getMessage == "boom")
+    val d4 = FixtureCache.dir("/data/c", "fxspec")(_ => tries += 1)
+    assert(tries == 2 && java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(d4)))
+    // scratch never caches: every call is a fresh dir
+    assert(FixtureCache.scratch("fxspec") != FixtureCache.scratch("fxspec"))
+  }
 }
