@@ -1084,6 +1084,40 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlock.seriesDecoded.get() - b3 == 0)
   }
 
+  test("TSDB block roundtrip preserves stale-marker NaN payloads bit-exactly") {
+    import graft.etl.TsdbBlock
+    import graft.functions.IsStale
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    val root = Files.createTempDirectory("graft-tsdbstale").toString
+    val ulid = "01HV0STALEBLOCK00000000000"
+    // a stale marker is a REGULAR sample in the block (Prometheus appends
+    // it on target disappearance); its NaN payload must survive the
+    // write → chunk → frame → decode path bit-exactly, or serving would
+    // treat it as an ordinary NaN value instead of hiding the series
+    TsdbBlock.writeBlock(root, ulid, Seq(
+      Map("__name__" -> "m") -> (new GenericArrayData(Array[Any](
+        InternalRow(jan1, 1.0, null),
+        InternalRow(jan1 + 60000L, IsStale.StaleNaN, null),
+        InternalRow(jan1 + 120000L, 2.0, null)))
+        : org.apache.spark.sql.catalyst.util.ArrayData)))
+    val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+    assert(got.count() == 3)
+    val mid = got.filter(col("ts_ms") === (jan1 + 60000L))
+      .select("value").head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(mid) ==
+      java.lang.Double.doubleToRawLongBits(IsStale.StaleNaN),
+      "stale-marker payload must roundtrip bit-exactly")
+    // and the engine's lookback selection HIDES the series at the marker
+    // (while an ordinary NaN would serve) — Prometheus staleness semantics
+    import graft.promql.Eval
+    assert(Eval.instantVector(got, Nil, jan1 + 90000L, 3600000L).count() == 0)
+    assert(Eval.instantVector(got, Nil, jan1 + 30000L, 3600000L).count() == 1)
+    assert(Eval.instantVector(got, Nil, jan1 + 150000L, 3600000L).count() == 1)
+  }
+
   test("partial migration: matcher-pushdown loader converts only the matched series") {
     import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
     import graft.sources.TsdbBlockReader
