@@ -15,14 +15,19 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  private def writeLine(line: String): Unit = {
+  /** Print + persist the full line, then print `summary` as the FINAL
+    * stdout line: the full per-query line runs thousands of characters and
+    * the driver's bounded log tail truncates it mid-object (three rounds of
+    * `parsed: null`), so the last thing on stdout must be a short,
+    * self-contained JSON object. The complete line still lands in the
+    * `SPARK_GRAFT_BENCH_OUT` file (log tails get truncated, files don't). */
+  private def writeLine(line: String, summary: Option[String] = None): Unit = {
     println(line)
-    // also persist the line: log tails get truncated, files don't. Path
-    // overridable for ad-hoc runs that shouldn't clobber the round artifact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: $e") }
+    summary.foreach(println)
   }
 
   /** The artifact must exist even when the sweep dies (r14's was lost to a
@@ -108,7 +113,9 @@ object Bench {
       s""""reconfirmed":${reruns.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       errObj +
       s""""sf":"$sfDir"}"""
-    writeLine(line)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n":${confirmed.size},$errObj"sf":"$sfDir"}"""
+    writeLine(line, Some(summary))
     // self-documenting artifact: rewrite the auto section of BENCH_NOTES.md
     // with this sweep's self-defense report (raw vs confirmed per rerun
     // query), so the reconfirmation evidence never needs hand-editing

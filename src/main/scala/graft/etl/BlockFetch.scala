@@ -6,17 +6,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Resumable TSDB-block download with partial-file repair — the local-cache
   * layer the reference puts in front of block opens for flaky object stores
-  * (`cmd/convert.go:443-591`: each block file is downloaded to local disk,
-  * and an interrupted file RESUMES at its current length, `:551-557`, so a
-  * crashed 500 MB segment download re-fetches the missing tail, not the
-  * whole file).
+  * (`cmd/convert.go:443-591`). The reference's cache-validity check is
+  * length equality: a file whose local size matches meta.json's SizeBytes
+  * is skipped, anything else is re-downloaded WHOLE via a truncating
+  * `os.Create` (`cmd/convert.go:543-557`). This layer keeps that
+  * length-equality check and ADDS tail resume on top: a crashed 500 MB
+  * segment download re-fetches only its missing tail — a deliberate
+  * extension, not the reference's behavior.
   *
   * Semantics, per file under `<remoteRoot>/<ulid>`:
   *   - local length == remote length → cache hit, the remote file is NOT
   *     opened (zero read bytes);
   *   - local shorter → resume: one positional ranged read of just the
   *     missing `[localLen, remoteLen)` tail, appended;
-  *   - local longer (corrupt/partial overwrite) or absent → full fetch.
+  *   - local longer (corrupt/partial overwrite) or absent → full fetch,
+  *     written to a `.fetch-tmp` sibling and atomically renamed into place
+  *     so a torn full fetch can never alias a complete file.
   *
   * Integrity: the readers CRC-check every region they touch — index TOC /
   * symbols / series entries ([[TsdbBlock.readSeries]]), every chunk
@@ -71,7 +76,17 @@ object BlockFetch {
         })
       }
       futures.foreach(_.get()) // propagate the first failure
-    } finally pool.shutdown()
+    } finally {
+      // On failure no transfer may outlive this call: a retrying caller
+      // would otherwise race a still-running background writer on the same
+      // local file (one APPEND, one TRUNCATE) — and a torn interleaving that
+      // lands at exactly the remote length would pass the length-only cache
+      // check forever. shutdownNow interrupts in-flight transfers (Hadoop
+      // stream reads surface the interrupt as IOException) and the await
+      // bounds teardown before control returns.
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
     Paths.get(localRoot, ulid).toString
   }
 
@@ -82,12 +97,18 @@ object BlockFetch {
     val localLen = if (Files.isRegularFile(local)) Files.size(local) else -1L
     if (localLen == remoteLen) return
     val resumeAt = if (localLen > 0 && localLen < remoteLen) localLen else 0L
-    if (resumeAt == 0L) Files.deleteIfExists(local)
+    // A resume must append to the partial in place; a FULL fetch goes to a
+    // temp sibling and renames in atomically, so an interrupted/torn full
+    // fetch never leaves a file that could pass the length cache check.
+    val target =
+      if (resumeAt > 0) local
+      else local.resolveSibling(local.getFileName.toString + ".fetch-tmp")
+    if (resumeAt == 0L) { Files.deleteIfExists(local); Files.deleteIfExists(target) }
     filesOpened.incrementAndGet()
     val in = fs.open(path)
     try {
       if (resumeAt > 0) in.seek(resumeAt)
-      val out = Files.newOutputStream(local,
+      val out = Files.newOutputStream(target,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE,
         if (resumeAt > 0) StandardOpenOption.APPEND
         else StandardOpenOption.TRUNCATE_EXISTING)
@@ -103,6 +124,10 @@ object BlockFetch {
           remaining -= n
         }
       } finally out.close()
+      if (resumeAt == 0L)
+        Files.move(target, local,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally in.close()
   }
 

@@ -58,7 +58,10 @@ object ConvertLoop {
         convertedDays.getOrElse(id, Seq.empty).map(LocalDate.parse).toSet,
         today, graceDays, maxDays, watermark)
       if (plan.isEmpty) id -> Seq.empty[String]
-      else {
+      // scopedLoads: this round owns its TSDB index parses — the refs cache
+      // a block loader persists during the load is released right after the
+      // sink materializes, so concurrent migrations never evict each other
+      else graft.sources.TsdbBlockReader.scopedLoads {
         val days = plan.days.map(_.toString)
         val src = loadSamplesRanged.fold(loadSamples(stream)) { f =>
           val (lo, hi) = planInterval(days); f(stream, lo, hi)
@@ -108,7 +111,7 @@ object ConvertLoop {
         convertedDays.getOrElse(eh, Seq.empty).map(LocalDate.parse).toSet,
         today, graceDays, maxDays, watermark)
       if (plan.isEmpty) eh -> Seq.empty[String]
-      else {
+      else graft.sources.TsdbBlockReader.scopedLoads {
         val days = plan.days.map(_.toString)
         def load(s: TsdbStream): DataFrame =
           loadSamplesRanged.fold(loadSamples(s)) { f =>

@@ -286,23 +286,27 @@ object TsdbBlock {
 
   /** Decode ONLY the series entries with the given ids (id = entry offset /
     * 16 — the postings address space), 16-byte-aligned direct seeks instead
-    * of a full section walk. Pair with [[readPostings]] for matcher-pushdown
-    * block reads. */
-  def readSeriesByIds(idx: Array[Byte], ids: Seq[Long]): Seq[SeriesEntry] = {
+    * of a full section walk, streamed lazily. Pair with [[readPostings]]
+    * for matcher-pushdown block reads. */
+  def readSeriesByIds(idx: Array[Byte], ids: Seq[Long]): Iterator[SeriesEntry] = {
     seriesParses.incrementAndGet()
-    if (ids.isEmpty) return Seq.empty
+    if (ids.isEmpty) return Iterator.empty
     val toc = tocOffsets(idx)
     val symbols = readSymbols(idx, toc(0).toInt)
-    ids.sorted.map(id => readSeriesEntry(idx, symbols, (id * 16).toInt))
+    ids.sorted.iterator.map(id => readSeriesEntry(idx, symbols, (id * 16).toInt))
   }
 
   /** Parse a whole index file's series section: every series' label set +
-    * chunk refs, in on-disk (labelset-sorted) order. Walks the series
-    * section directly off the TOC — postings are not needed for a
-    * full-block read, which is the only read conversion does (the
-    * reference converter also iterates ALL series of a block). CRCs are
-    * verified on the TOC, symbol table and every series entry. */
-  def readSeries(idx: Array[Byte]): Seq[SeriesEntry] = {
+    * chunk refs, in on-disk (labelset-sorted) order, as a LAZY iterator —
+    * a task mapping a 10M-series block's index holds the index byte array
+    * plus ONE decoded entry at a time, never the whole entry list (upstream
+    * streams the same way: `indexReaderSeries.Next()`,
+    * `convert/convert.go:161-183`). Walks the series section directly off
+    * the TOC — postings are not needed for a full-block read, which is the
+    * only read conversion does (the reference converter also iterates ALL
+    * series of a block). CRCs are verified on the TOC, symbol table and
+    * every series entry as the walk reaches it. */
+  def readSeries(idx: Array[Byte]): Iterator[SeriesEntry] = {
     seriesParses.incrementAndGet() // test-observable (local-mode) parse count
     val toc = tocOffsets(idx)
     val symbols = readSymbols(idx, toc(0).toInt)
@@ -311,18 +315,28 @@ object TsdbBlock {
     val seriesEnd = toc.drop(2).filter(o => o > seriesOff && o > 0).min.toInt
 
     // series section: 16-aligned entries, id = offset / 16
-    val out = Seq.newBuilder[SeriesEntry]
-    var pos = seriesOff
-    while (pos + 1 < seriesEnd) {
-      val c = new Cursor(idx, pos)
-      val len = c.uvarint().toInt
-      if (len == 0) { pos = seriesEnd } // trailing padding
-      else {
-        out += readSeriesEntry(idx, symbols, pos)
-        pos = ((c.pos + len + 4 + 15) / 16) * 16
+    new Iterator[SeriesEntry] {
+      private var pos = seriesOff
+      private var pending: SeriesEntry = _
+      private def advance(): Unit = {
+        pending = null
+        while (pending == null && pos + 1 < seriesEnd) {
+          val c = new Cursor(idx, pos)
+          val len = c.uvarint().toInt
+          if (len == 0) pos = seriesEnd // trailing padding
+          else {
+            pending = readSeriesEntry(idx, symbols, pos)
+            pos = ((c.pos + len + 4 + 15) / 16) * 16
+          }
+        }
+      }
+      advance()
+      def hasNext: Boolean = pending != null
+      def next(): SeriesEntry = {
+        if (pending == null) throw new NoSuchElementException("series section exhausted")
+        val e = pending; advance(); e
       }
     }
-    out.result()
   }
 
   /** Parse a block's `tombstones` file (`tsdb/docs/format/tombstones.md`):

@@ -43,11 +43,35 @@ object FixtureCache {
   /** An UNCACHED temp directory, registered for the same shutdown-hook
     * cleanup as cached fixtures. For queries that must re-run their build
     * every invocation (the conversion benchmark: timing the ETL is the
-    * point, so caching would change what the bench measures). */
+    * point, so caching would change what the bench measures).
+    *
+    * Re-entry hygiene: one long JVM sweeping with repeats would otherwise
+    * accumulate a dir per invocation until shutdown, so the PREVIOUS
+    * scratch of the same name is deleted (and deregistered) before the new
+    * one is handed out — at most one live scratch dir per name. */
   def scratch(name: String): String = {
     val out = java.nio.file.Files.createTempDirectory(s"graft-fx-$name-")
+    val prev = scratchByName.put(name, out.toString)
+    if (prev != null) {
+      dirs.remove((prev, "scratch"))
+      try deleteRecursively(java.nio.file.Paths.get(prev))
+      catch { case _: Exception => () }
+    }
     dirs.put((out.toString, "scratch"), out.toString)
     out.toString
+  }
+
+  private val scratchByName =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test-observable: live (registered, on-disk) scratch dirs for `name`. */
+  private[graft] def liveScratchDirs(name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    dirs.asScala.collect {
+      case ((d, "scratch"), _)
+        if d.contains(s"graft-fx-$name-") && java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(d)) => d
+    }.toSeq
   }
 
   /** The cached store directory for `name` built from `dataDir`'s tables;

@@ -39,7 +39,53 @@ import graft.functions.{PromFramesDecode, PromLabelsHash}
   * reference's compact-on-convert does. */
 object TsdbBlockReader {
 
-  private var prevRefs: Option[org.apache.spark.sql.Dataset[Ref]] = None
+  // -------------------------------------------------- refs cache lifecycle
+  // Each load persists its refs dataset (consumed twice: label-name union +
+  // chunk fetch). Ownership is PER LOAD, never a shared slot — a shared
+  // "previous" slot let a concurrent load unpersist another load's refs
+  // mid-consumption and silently re-parse every index. Two release paths:
+  //   - [[scopedLoads]]: the caller (the migration loop) brackets
+  //     load+materialize and every refs persisted inside the bracket is
+  //     unpersisted on exit — the reference analog is each convert step
+  //     owning its blocks (`cmd/convert.go:273-304`);
+  //   - unscoped loads (ad-hoc/registry queries) enter a bounded FIFO: the
+  //     newest `MaxUnscopedRefs` stay cached, older ones unpersist. Cache
+  //     growth stays bounded across rounds, and concurrent loads are safe
+  //     up to the window size (a stale unpersist can only cost a recompute,
+  //     never wrong results — but within the window it costs nothing).
+  private val MaxUnscopedRefs = 8
+  private val unscopedRefs =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[Ref]]()
+  private val scopeRefs =
+    new ThreadLocal[scala.collection.mutable.Buffer[org.apache.spark.sql.Dataset[Ref]]]()
+
+  /** Run `body`; every refs cache persisted by loads STARTED ON THIS THREAD
+    * inside `body` is unpersisted when it completes (success or failure).
+    * Wrap a load-then-materialize round in this so each migration round
+    * owns — and releases — exactly its own index parses. */
+  def scopedLoads[T](body: => T): T = {
+    val outer = scopeRefs.get()
+    val mine = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.Dataset[Ref]]
+    scopeRefs.set(mine)
+    try body
+    finally {
+      scopeRefs.set(outer)
+      mine.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private def trackRefs(refs: org.apache.spark.sql.Dataset[Ref]): Unit = {
+    val scope = scopeRefs.get()
+    if (scope != null) scope += refs
+    else {
+      unscopedRefs.add(refs)
+      while (unscopedRefs.size > MaxUnscopedRefs) {
+        val old = unscopedRefs.poll()
+        if (old != null) old.unpersist(blocking = false)
+      }
+    }
+  }
 
   /** Hadoop Configuration is not Serializable; ship it by key-value. */
   private final class SerializableConf(@transient var value: org.apache.hadoop.conf.Configuration)
@@ -109,14 +155,14 @@ object TsdbBlockReader {
           val vals = (TsdbBlock.readLabelValues(bytes, name) :+ "").distinct
           name -> vals.filter(v => mset.forall(_.matches(v)))
         }
-        if (constraints.values.exists(_.isEmpty)) Seq.empty
+        if (constraints.values.exists(_.isEmpty)) Iterator.empty
         else TsdbBlock.readSeriesByIds(bytes,
           TsdbBlock.readPostings(bytes, constraints))
       })
 
   private def loadImpl(spark: SparkSession, blockDirs: Seq[String],
                        mintMs: Long, maxtMs: Long,
-                       entriesOf: Array[Byte] => Seq[TsdbBlock.SeriesEntry])
+                       entriesOf: Array[Byte] => Iterator[TsdbBlock.SeriesEntry])
       : DataFrame = {
     import spark.implicits._
     require(blockDirs.nonEmpty, "no TSDB block directories to read")
@@ -136,7 +182,7 @@ object TsdbBlockReader {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val block = path.stripSuffix("/index")
-        entriesOf(bytes).iterator.flatMap { s =>
+        entriesOf(bytes).flatMap { s =>
           s.chunks.iterator
             .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
             .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,
@@ -144,14 +190,7 @@ object TsdbBlockReader {
         }
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bound cache growth across migration rounds: drop the previous load's
-    // refs (consumed by then — ConvertLoop materializes each round before
-    // the next; a stale unpersist can only cost a recompute, never wrong
-    // results)
-    synchronized {
-      prevRefs.foreach(_.unpersist(blocking = false))
-      prevRefs = Some(refs)
-    }
+    trackRefs(refs)
 
     // tombstones: per-block deleted (series, interval) pairs — the
     // reference applies them through tsdb.OpenBlock's querier, so a
@@ -208,6 +247,11 @@ object TsdbBlockReader {
         var bufLen = 0
         def closeIn(): Unit = if (in != null) { in.close(); in = null }
         def readAt(pos: Long, dst: Array[Byte], n: Int): Unit = {
+          // truncation (or a corrupt chunk length varint) must fail as a
+          // truncation error, not as stale buffer bytes masquerading as a
+          // chunk and surfacing downstream as a misleading CRC mismatch
+          require(pos + n <= fileLen,
+            s"read past EOF of segment ($pos+$n > $fileLen)")
           if (pos < bufStart || pos + n > bufStart + bufLen) {
             if (n > buf.length) { in.readFully(pos, dst, 0, n); return }
             bufStart = pos
@@ -291,5 +335,28 @@ object TsdbBlockReader {
       .filter(m => m.maxTime > mintMs && m.minTime <= maxtMs)
       .map(m => s"$root/${m.ulid}")
     loadSamples(spark, dirs, mintMs, maxtMs, matchers)
+  }
+
+  /** [[loader]] with FULL matcher semantics ([[loadSamplesMatching]]):
+    * a partial migration driven by `=~`/`!~`/`!=` matchers pushes them into
+    * each block's index task (value-dictionary resolve → postings
+    * intersection), so `ConvertLoop.advance*` with this loader decodes and
+    * fetches ONLY the matching slice of every source block — the reference
+    * analog is `PostingsForMatchers` taking full matchers. */
+  def matchingLoader(spark: SparkSession, root: String,
+                     ms: Seq[graft.promql.LabelMatcher])
+      : TsdbStream => DataFrame =
+    stream => loadSamplesMatching(spark,
+      stream.metas.map(m => s"$root/${m.ulid}"), ms)
+
+  /** Ranged form of [[matchingLoader]] for `loadSamplesRanged`: block list
+    * prunes to the planned interval AND matchers push into the index. */
+  def matchingRangedLoader(spark: SparkSession, root: String,
+                           ms: Seq[graft.promql.LabelMatcher])
+      : (TsdbStream, Long, Long) => DataFrame = (stream, mintMs, maxtMs) => {
+    val dirs = stream.metas
+      .filter(m => m.maxTime > mintMs && m.minTime <= maxtMs)
+      .map(m => s"$root/${m.ulid}")
+    loadSamplesMatching(spark, dirs, ms, mintMs, maxtMs)
   }
 }

@@ -840,7 +840,7 @@ class EtlSpec extends SparkSpec {
     assert(seg(4) == 1 && seg(5) == 0 && seg(6) == 0 && seg(7) == 0)
 
     // series walk: on-disk labelset order, refs resolvable, meta readable
-    val series = TsdbBlock.readSeries(idx)
+    val series = TsdbBlock.readSeries(idx).toSeq
     assert(series.map(_.labels) == Seq(
       Map("__name__" -> "up", "job" -> "api"),
       Map("__name__" -> "up", "job" -> "db")))
@@ -1001,6 +1001,111 @@ class EtlSpec extends SparkSpec {
     val parses = TsdbBlock.seriesParses.get() - before
     assert(parses == ulids.size.toLong,
       s"expected ${ulids.size} index parses (one per block), got $parses")
+  }
+
+  test("CONCURRENT TSDB block loads each parse each index exactly once") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts(n: Int, base: Double) =
+      new GenericArrayData((0 until n).map(i =>
+        InternalRow(jan1 + i * 60000L, base + i, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbconc").toString
+    val ulids = Seq("01HV0CONCURRENTBLOCKA00000", "01HV0CONCURRENTBLOCKB00000")
+    ulids.zipWithIndex.foreach { case (u, i) =>
+      TsdbBlock.writeBlock(root, u, Seq(
+        Map("__name__" -> "m", "blk" -> i.toString) -> fpts(30, i * 1000.0)))
+    }
+    val dirs = ulids.map(u => s"$root/$u")
+    // The killer interleaving under a shared "previous refs" slot: load B
+    // starts (and evicts A's refs) BETWEEN A's index parse and A's chunk
+    // fetch, so A's fetch recomputes — and re-parses — every index. Build
+    // both loads interleaved, then consume both concurrently: per-load refs
+    // ownership must keep it at exactly ONE parse per block per load.
+    val before = TsdbBlock.seriesParses.get()
+    val a = TsdbBlockReader.loadSamples(spark, dirs) // parses 2 indexes
+    val b = TsdbBlockReader.loadSamples(spark, dirs) // parses 2 indexes
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ts = Seq(a, b).map(df => new Thread(() => counts.add(df.count())))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    locally {
+      import scala.jdk.CollectionConverters._
+      assert(counts.asScala.toSeq == Seq(60L, 60L))
+    }
+    val parses = TsdbBlock.seriesParses.get() - before
+    assert(parses == 2L * ulids.size,
+      s"expected ${2 * ulids.size} index parses (one per block per load, " +
+        s"no recompute-driven re-parse), got $parses")
+
+    // scopedLoads: a bracketed load owns its refs cache and releases it on
+    // exit — the migration loop's per-round lifecycle
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    TsdbBlockReader.scopedLoads {
+      val c = TsdbBlockReader.loadSamples(spark, dirs)
+      assert(c.count() == 60)
+      assert(spark.sparkContext.getPersistentRDDs.size > persisted0,
+        "refs must be persisted while the scope is live")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted0,
+      "scope exit must unpersist exactly the refs it created")
+  }
+
+  test("migration loop pushes FULL matchers (regex) into the block source") {
+    import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
+    import graft.promql.{MatchEq, MatchRe}
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    def fpts(n: Int, base: Double) =
+      new GenericArrayData((0 until n).map(i =>
+        InternalRow(jan1 + i * 3600000L, base + i, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbmatch").toString
+    val ulid = "01HV0MATCHMIGRATEBLOCK0000"
+    // 6 http_* series worth keeping, 14 noise series a partial migration
+    // must never decode or fetch
+    val series =
+      (0 until 3).map(i => Map("__name__" -> "http_requests",
+        "path" -> s"/a$i") -> fpts(24, i * 10.0)) ++
+      (0 until 3).map(i => Map("__name__" -> "http_errors",
+        "path" -> s"/e$i") -> fpts(24, 100.0 + i)) ++
+      (0 until 14).map(i => Map("__name__" -> s"noise_$i") -> fpts(24, 1000.0 + i))
+    TsdbBlock.writeBlock(root, ulid,
+      series.map { case (l, p) =>
+        l -> (p: org.apache.spark.sql.catalyst.util.ArrayData) },
+      externalLabels = Map("cluster" -> "m"))
+
+    val disc = new TsdbDiscoverer(root, now = () => jan1 + 40 * D)
+    val out = Files.createTempDirectory("graft-tsdbmatchout").toString
+    val before = TsdbBlock.seriesDecoded.get()
+    var go = true
+    while (go) {
+      val r = ConvertLoop.advanceReference(spark, disc, out,
+        LocalDate.of(2024, 1, 10),
+        TsdbBlockReader.matchingLoader(spark, root,
+          Seq(MatchRe("__name__", "http_.*"))),
+        graceDays = 2, maxDays = 1,
+        loadSamplesRanged = Some(TsdbBlockReader.matchingRangedLoader(spark,
+          root, Seq(MatchRe("__name__", "http_.*")))))
+      go = !r.converged
+    }
+    // one planned day covers the block's single day → ONE converting round
+    // opens the index once and decodes exactly the 6 regex-matched series
+    val decoded = TsdbBlock.seriesDecoded.get() - before
+    assert(decoded == 6,
+      s"regex-matched migration must decode only matching series, got $decoded")
+    val got = ReferenceFormat.openReferenceStore(spark, out)
+    assert(got.count() == 6 * 24)
+    assert(got.select("__name__").distinct().as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq ==
+      Seq("http_errors", "http_requests"))
+    // mixed matcher forms compose: regex + eq intersect in the index task
+    val one = TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(MatchRe("__name__", "http_.*"), MatchEq("path", "/a1")))
+    assert(one.count() == 24)
   }
 
   test("TSDB postings: matcher pushdown decodes only matching series") {
