@@ -230,11 +230,16 @@ object ReferenceFormat {
       // first stamp of a bucket that predates the sidecar (or lost it):
       // seed with the one-time footer union so the invariant
       // sidecar ⊇ every label column in the bucket holds from here on
-      val days = servableDayDirs(fs, dir)
-      if (days.isEmpty) Nil
+      // list driver-side first: an empty glob would make spark.read throw
+      // (and log at ERROR) before the Try catches it — resolving the file
+      // list here keeps a racing/empty day quiet and skips the read cleanly
+      val files = servableDayDirs(fs, dir).flatMap { d =>
+        scala.util.Try(fs.globStatus(new Path(s"$d/*.labels.parquet")).toSeq)
+          .getOrElse(Seq.empty).map(_.getPath.toString)
+      }
+      if (files.isEmpty) Nil
       else scala.util.Try(
-        spark.read.option("mergeSchema", "true")
-          .parquet(days.map(d => s"$d/*.labels.parquet"): _*)
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
           .schema.fieldNames.filter(_.startsWith(LabelPrefix)).toSeq)
         .getOrElse(Seq.empty[String])
     }
@@ -489,10 +494,16 @@ object ReferenceFormat {
         val days = catalog.toSeq
           .collect { case ((hash, date), f) if f.meta && !f.marked && f.shardFiles =>
             s"$dir/$hash/$date" }.sorted
-        if (days.isEmpty) new StructType()
+        // resolve the file list driver-side (see updateBucketMetaSidecar):
+        // an empty/racing glob must degrade quietly, not ERROR-log through
+        // spark.read before the Try catches it
+        val files = days.flatMap { d =>
+          scala.util.Try(fs.globStatus(new Path(s"$d/*.labels.parquet")).toSeq)
+            .getOrElse(Seq.empty).map(_.getPath.toString)
+        }
+        if (files.isEmpty) new StructType()
         else scala.util.Try(
-          spark.read.option("mergeSchema", "true")
-            .parquet(days.map(d => s"$d/*.labels.parquet"): _*).schema)
+          spark.read.option("mergeSchema", "true").parquet(files: _*).schema)
           .getOrElse(new StructType())
     }
     BucketMeta(schema, readStreamDescriptors(spark, dir))

@@ -16,9 +16,19 @@ import graft.promql.{Eval, LabelMatcher, MatchEq, MatchRe}
   * or catalog serializes queries, wall approaches the sum instead of
   * sum/threads).
   *
+  * The soak runs TWO phases: the query mix alone, then the SAME mix while a
+  * TSDB-block migration loop (`ConvertLoop.advanceReference` over
+  * `BlockFetch.cachedLoader`) cycles concurrently — the real operational
+  * shape the reference runs as separate convert and serve processes against
+  * one cluster. The comparison of per-shape p50/p95 across phases is the
+  * serve-under-migration interference signal; the FAIR scheduler pool keeps
+  * the convert job from starving the query pool.
+  *
   * Usage: `runMain graft.examples.ConcurrentSoak [threads] [itersPerThread]
-  * [scale]` — scale multiplies workload B's 1.5M series (10 → the 15M-series
-  * rehearsal store). One JSON line at the end; a table for BENCH_NOTES.md.
+  * [scale] [migSeries]` — scale multiplies workload B's 1.5M series (10 →
+  * the 15M-series rehearsal store); migSeries sizes the migration's source
+  * block (0 skips the mixed phase). One JSON line at the end; a table for
+  * BENCH_NOTES.md.
   */
 object ConcurrentSoak {
 
@@ -30,6 +40,7 @@ object ConcurrentSoak {
     val threads = if (args.length > 0) args(0).toInt else 12
     val iters = if (args.length > 1) args(1).toInt else 8
     val scale = if (args.length > 2) args(2).toInt else 1
+    val migSeries = if (args.length > 3) args(3).toInt else 100000
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -101,42 +112,125 @@ object ConcurrentSoak {
       }))
 
     val gate = new QueryGate(16)
-    val lat = new ConcurrentLinkedQueue[(String, Double)]()
-    val errs = new java.util.concurrent.atomic.AtomicLong()
-    val start = new CountDownLatch(1)
-    val done = new CountDownLatch(threads)
-    val ts = (0 until threads).map { ti =>
-      new Thread(() => {
-        start.await()
-        var i = 0
-        while (i < iters) {
-          val (name, fn) = shapes((ti + i) % shapes.size)
-          val t0 = System.nanoTime()
-          try gate.run(120000L)(fn())
-          catch { case _: Exception => errs.incrementAndGet() }
-          lat.add(name -> (System.nanoTime() - t0) / 1e9)
-          i += 1
-        }
-        done.countDown()
-      })
-    }
-    ts.foreach(_.start())
-    val w0 = System.nanoTime()
-    start.countDown()
-    done.await()
-    val wall = (System.nanoTime() - w0) / 1e9
 
-    import scala.jdk.CollectionConverters._
-    val byShape = lat.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val total = lat.asScala.map(_._2).sum
+    /** One full N-thread mixed-query pass; returns per-shape latencies,
+      * wall seconds, and gate/exec error count. */
+    def runMix(): (Map[String, Seq[Double]], Double, Long) = {
+      val lat = new ConcurrentLinkedQueue[(String, Double)]()
+      val errs = new java.util.concurrent.atomic.AtomicLong()
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(threads)
+      val ts = (0 until threads).map { ti =>
+        new Thread(() => {
+          start.await()
+          var i = 0
+          while (i < iters) {
+            val (name, fn) = shapes((ti + i) % shapes.size)
+            val t0 = System.nanoTime()
+            try gate.run(120000L)(fn())
+            catch { case _: Exception => errs.incrementAndGet() }
+            lat.add(name -> (System.nanoTime() - t0) / 1e9)
+            i += 1
+          }
+          done.countDown()
+        })
+      }
+      ts.foreach(_.start())
+      val w0 = System.nanoTime()
+      start.countDown()
+      done.await()
+      val wall = (System.nanoTime() - w0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val byShape = lat.asScala.toSeq.groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      (byShape, wall, errs.get())
+    }
+
+    // migration source: a real TSDB block bucket (index v2 + XOR chunks),
+    // migrated through the resumable fetch cache — the convert half of the
+    // reference's convert+serve pair, on the same cluster
+    val migRoot = java.nio.file.Files.createTempDirectory("graft-soakmig").toString
+    if (migSeries > 0) {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val jan1 = 1704067200000L
+      (0 until 2).foreach { b =>
+        val series = (0 until migSeries / 2).map { i =>
+          val pts = new GenericArrayData((0 until 24).map(h =>
+            InternalRow(jan1 + b * 86400000L + h * 3600000L,
+              (i % 89 + h).toDouble, null)).toArray[Any])
+          Map("__name__" -> s"mig_m${i % 10}", "uid" -> (i / 10).toString) ->
+            (pts: org.apache.spark.sql.catalyst.util.ArrayData)
+        }
+        graft.etl.TsdbBlock.writeBlock(s"$migRoot/src", f"01HV0SOAKMIGRATE${b}%010d",
+          series, externalLabels = Map("cluster" -> "soak"))
+      }
+    }
+    val migCycles = new java.util.concurrent.atomic.AtomicLong()
+    val migRoundsTotal = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var migStop = false
+    def migrateOnce(cycle: Long): Unit = {
+      val out = s"$migRoot/out$cycle"
+      val cache = s"$migRoot/cache" // warm after cycle 0: length-equal skip
+      val disc = new graft.etl.TsdbDiscoverer(s"$migRoot/src",
+        now = () => 1704067200000L + 40L * 86400000L)
+      var go = true
+      while (go && !migStop) {
+        val r = graft.etl.ConvertLoop.advanceReference(spark, disc, out,
+          java.time.LocalDate.of(2024, 1, 10),
+          graft.etl.BlockFetch.cachedLoader(spark, s"$migRoot/src", cache),
+          graceDays = 2, maxDays = 1, numShards = 2)
+        migRoundsTotal.incrementAndGet()
+        go = !r.converged
+      }
+    }
+
+    // warmup: one serial pass of every shape, so the baseline phase
+    // measures serving, not first-touch codegen/scan warmup (the migration
+    // comparison would otherwise flatter phase 2)
+    shapes.foreach { case (_, fn) => fn() }
+
+    // phase 1: queries alone (baseline)
+    val (baseShapes, baseWall, baseErrs) = runMix()
+
+    // phase 2: the SAME query mix while the migration loop cycles — the
+    // migration thread keeps converting (fresh out dir per cycle, warm
+    // fetch cache) until the query pass completes, guaranteeing overlap
+    var mixShapes = Map.empty[String, Seq[Double]]
+    var mixWall = 0.0; var mixErrs = 0L; var migWall = 0.0
+    if (migSeries > 0) {
+      val m0 = System.nanoTime()
+      val migThread = new Thread(() => {
+        while (!migStop) { migrateOnce(migCycles.getAndIncrement()); }
+      })
+      migThread.setDaemon(true)
+      migThread.start()
+      val r = runMix()
+      migStop = true
+      migThread.join(120000L)
+      migWall = (System.nanoTime() - m0) / 1e9
+      mixShapes = r._1; mixWall = r._2; mixErrs = r._3
+    }
+
     def f(v: Double) = f"$v%.2f"
-    val shapeJson = byShape.toSeq.sortBy(_._1).map { case (n, xs) =>
-      s""""$n":{"n":${xs.size},"p50":${f(pct(xs, 0.5))},"p95":${f(pct(xs, 0.95))},"max":${f(xs.max)}}"""
-    }.mkString("{", ",", "}")
+    def phaseJson(byShape: Map[String, Seq[Double]], wall: Double,
+                  errs: Long): String = {
+      val total = byShape.values.flatten.sum
+      val shapeJson = byShape.toSeq.sortBy(_._1).map { case (n, xs) =>
+        s""""$n":{"n":${xs.size},"p50":${f(pct(xs, 0.5))},"p95":${f(pct(xs, 0.95))},"max":${f(xs.max)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"wall":${f(wall)},"latency_sum":${f(total)},""" +
+        s""""parallel_speedup":${f(total / wall)},"errors":$errs,""" +
+        s""""shapes":$shapeJson}"""
+    }
+    val mixJson =
+      if (migSeries == 0) ""
+      else s""","with_migration":${phaseJson(mixShapes, mixWall, mixErrs)},""" +
+        s""""migration":{"series":$migSeries,"cycles":${migCycles.get()},""" +
+        s""""rounds":${migRoundsTotal.get()},"wall":${f(migWall)}}"""
     println(s"""{"metric":"concurrent_soak","unit":"sec","threads":$threads,""" +
-      s""""iters":$iters,"series":$nSeries,"wall":${f(wall)},""" +
-      s""""latency_sum":${f(total)},"parallel_speedup":${f(total / wall)},""" +
-      s""""errors":${errs.get()},"shapes":$shapeJson}""")
+      s""""iters":$iters,"series":$nSeries,""" +
+      s""""queries_only":${phaseJson(baseShapes, baseWall, baseErrs)}$mixJson}""")
     spark.stop()
   }
 }

@@ -68,7 +68,9 @@ object TsdbReadBench {
       val secs = (1 to repeat).map { _ =>
         val d0 = TsdbBlock.seriesDecoded.get()
         val t0 = System.nanoTime()
-        rows = fn()
+        // scopedLoads: each shape owns and releases its refs cache, so a
+        // shape's timing never pays cache pressure from earlier shapes
+        rows = TsdbBlockReader.scopedLoads(fn())
         val dt = (System.nanoTime() - t0) / 1e9
         decoded = TsdbBlock.seriesDecoded.get() - d0
         dt
@@ -84,12 +86,35 @@ object TsdbReadBench {
       "ranged" -> (() => TsdbBlockReader.loadSamples(spark, dir,
         jan1 + day, jan1 + 2 * day - 1).count()))
     val results = shapes.map { case (n, fn) => (n, time(fn)) }
+
+    // streaming series-walk memory probe: consume one block's whole index
+    // through the LAZY readSeries iterator, sampling heap growth over the
+    // baseline as the walk advances. The walk holds the index array plus
+    // one decoded entry, so the peak must stay flat as the series count
+    // scales — the old materialize-the-section walk grew linearly (all
+    // entries alongside the index bytes).
+    val idxBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirs.head, "index"))
+    val rt = Runtime.getRuntime
+    def heapUsed(): Long = { System.gc(); rt.totalMemory() - rt.freeMemory() }
+    val h0 = heapUsed()
+    var walked = 0L; var peakB = 0L
+    val walk = TsdbBlock.readSeries(idxBytes)
+    while (walk.hasNext) {
+      walk.next(); walked += 1
+      if (walked % 100000 == 0)
+        peakB = math.max(peakB, heapUsed() - h0)
+    }
+    peakB = math.max(peakB, heapUsed() - h0)
+
     def f(v: Double) = f"$v%.2f"
     val body = results.map { case (n, (s, r, d)) =>
       s""""$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d}""" }.mkString(",")
     println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
       s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +
-      s""""write_sec":${f(writeSec)},$body}""")
+      s""""write_sec":${f(writeSec)},""" +
+      s""""walk":{"entries":$walked,"index_mb":${f(idxBytes.length / 1048576.0)},""" +
+      s""""peak_extra_heap_mb":${f(peakB / 1048576.0)}},$body}""")
     spark.stop()
   }
 }

@@ -810,37 +810,58 @@ object Compiler {
     // --enable-feature=promql-experimental-functions — mirrored by
     // Ctx.experimentalFunctions): enrich each sample of v with the DATA
     // labels of the info series — default `target_info` — sharing its
-    // IDENTIFYING labels (job, instance) at the same step. Samples with no
-    // matching info series pass through unchanged; existing labels on v are
-    // never overwritten; more than one info series per identity group
-    // errors (stricter than upstream, which only errors on conflicting
-    // data labels — documented deviation).
+    // IDENTIFYING labels (job, instance) at the same step. The optional
+    // second argument is upstream's data-label selector: `__name__`
+    // matchers pick the info metric, every OTHER matcher RESTRICTS the
+    // copied labels — only labels named by a matcher are copied, and only
+    // where the info series' value fulfils every matcher on that label
+    // (promql/info.go dataLabelMatchers). Samples with no matching info
+    // series pass through unchanged; existing labels on v are never
+    // overwritten; more than one info series per identity group errors
+    // (stricter than upstream, which only errors on conflicting data
+    // labels — documented deviation).
     case "info" =>
       if (!ctx.experimentalFunctions) throw new ParseException(
         "info() is experimental: enable Ctx.experimentalFunctions " +
           "(Prometheus: --enable-feature=promql-experimental-functions)")
       val v = compile(args.head, ctx)
-      val infoSel = args.lift(1) match {
-        case None => Selector(Some("target_info"), Nil, None)
-        case Some(s @ Selector(None, ms, None, _, _))
-          if !ms.exists(_.label == "__name__") => s.copy(name = Some("target_info"))
-        case Some(s @ Selector(_, _, None, _, _)) => s
+      val (infoName, dataMs) = args.lift(1) match {
+        case None => ("target_info", Seq.empty[LabelMatcher])
+        case Some(Selector(nameOpt, ms, None, _, _)) =>
+          val (nameMs, rest) = ms.partition(_.label == "__name__")
+          val named = nameOpt.orElse(nameMs.collectFirst {
+            case MatchEq(_, value) => value })
+          if (nameOpt.isEmpty && nameMs.exists(!_.isInstanceOf[MatchEq]))
+            throw new ParseException(
+              "info() __name__ matcher must be an equality")
+          (named.getOrElse("target_info"), rest)
         case Some(_) => throw new ParseException(
           "info() second argument must be a plain instant selector")
       }
-      val infoV = compile(infoSel, ctx)
+      val infoV = compile(Selector(Some(infoName), Nil, None), ctx)
       val identity = Seq("job", "instance")
         .filter(l => labelCols(v).contains(l) && labelCols(infoV).contains(l))
-      val dataLbls = labelCols(infoV).filterNot(c =>
+      val dataLbls0 = labelCols(infoV).filterNot(c =>
         identity.contains(c) || c == "__name__" || c == "step_ms" ||
           c.startsWith("__graft_"))
+      val dataLbls =
+        if (dataMs.isEmpty) dataLbls0
+        else dataLbls0.filter(c => dataMs.exists(_.label == c))
       if (identity.isEmpty || dataLbls.isEmpty) v
       else {
         val keys = identity :+ "step_ms"
+        // per-label value gate: a restricted label is copied only where its
+        // value fulfils every matcher on that label (else it's simply not
+        // added — the sample itself still passes through)
+        def gated(c: String): org.apache.spark.sql.Column = {
+          val ms = dataMs.filter(_.label == c)
+          if (ms.isEmpty) col(c)
+          else when(ms.map(_.toPredicate(infoV)).reduce(_ && _), col(c))
+        }
         // exact duplicates collapse first (several targets exposing the same
         // info set is normal); surviving duplicates per identity group error
         val slim = infoV.select((keys.map(col) ++
-          dataLbls.map(c => col(c).as(s"__graft_info_$c"))): _*).distinct()
+          dataLbls.map(c => gated(c).as(s"__graft_info_$c"))): _*).distinct()
         val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
         val guarded = slim
           .withColumn("__graft_card", count(lit(1)).over(w))

@@ -50,10 +50,13 @@ object TsdbBlockReader {
   //     owning its blocks (`cmd/convert.go:273-304`);
   //   - unscoped loads (ad-hoc/registry queries) enter a bounded FIFO: the
   //     newest `MaxUnscopedRefs` stay cached, older ones unpersist. Cache
-  //     growth stays bounded across rounds, and concurrent loads are safe
-  //     up to the window size (a stale unpersist can only cost a recompute,
-  //     never wrong results — but within the window it costs nothing).
-  private val MaxUnscopedRefs = 8
+  //     growth stays bounded across rounds — the window is deliberately
+  //     SMALL, because each retained load of a big bucket pins tens of
+  //     millions of Ref rows (a 1M-series × 24-chunk block is ~24M rows;
+  //     an 8-deep window measurably slowed the 4-shape read bench) — and
+  //     concurrent loads are safe up to the window size (a stale unpersist
+  //     can only cost a recompute, never wrong results).
+  private val MaxUnscopedRefs = 2
   private val unscopedRefs =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[Ref]]()
   private val scopeRefs =

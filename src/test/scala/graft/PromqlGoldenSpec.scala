@@ -987,7 +987,7 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |  {__name__="svc", job="j2", instance="i1", x="3"} 6
       |
       |eval instant at 30s info(svc, {env="prod"})
-      |  {__name__="svc", job="j1", instance="i1", x="1", env="prod", team="a"} 4
+      |  {__name__="svc", job="j1", instance="i1", x="1", env="prod"} 4
       |  {__name__="svc", job="j1", instance="i2", x="2"} 5
       |  {__name__="svc", job="j2", instance="i1", x="3"} 6
       |

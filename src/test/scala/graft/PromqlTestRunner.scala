@@ -338,7 +338,8 @@ trait PromqlTestRunner extends SparkSpec {
           else None
       }
     }
-  protected def checkRange(samples: DataFrame, ranges: Seq[RangeCase]): Seq[String] = {
+  protected def checkRange(samples: DataFrame, ranges: Seq[RangeCase],
+                           experimental: Boolean = false): Seq[String] = {
     def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b || math.abs(a - b) < 1e-9
     def hEq(a: Hist, b: Hist) =
       eq(a.cnt, b.cnt) && eq(a.hsum, b.hsum) && a.sch == b.sch &&
@@ -349,7 +350,8 @@ trait PromqlTestRunner extends SparkSpec {
         a.cb.size == b.cb.size && a.cb.zip(b.cb).forall(p => eq(p._1, p._2))
     ranges.flatMap { rc =>
       val df = Compiler.compileServing(Parser.parse(rc.query),
-        Compiler.Ctx(samples, rc.startMs, rc.endMs, rc.stepMs, lookbackMs = 300000L))
+        Compiler.Ctx(samples, rc.startMs, rc.endMs, rc.stepMs, lookbackMs = 300000L,
+          experimentalFunctions = experimental))
       val hasH = df.columns.contains("__graft_h")
       val lbls = Compiler.labelCols(df).filterNot(c => c == "step_ms" || c == "__graft_h")
       def histOf(r: Row): Option[Hist] =

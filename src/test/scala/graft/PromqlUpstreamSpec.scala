@@ -173,6 +173,57 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 50m vector_matching_a * vector_matching_b
       |  {l="x"} 400
+      |
+      |eval instant at 50m sum(http_requests) by (job) + min(http_requests) by (job) + max(http_requests) by (job) + avg(http_requests) by (job)
+      |  {job="api-server"} 1750
+      |  {job="app-server"} 4550
+      |
+      |eval instant at 50m 1 == bool 1
+      |  {} 1
+      |
+      |eval instant at 50m 1 == bool 2
+      |  {} 0
+      |
+      |eval instant at 50m 1 != bool 1
+      |  {} 0
+      |
+      |eval instant at 50m 0 == bool 1
+      |  {} 0
+      |
+      |eval instant at 50m http_requests{job="api-server", instance="0", group="production"} == bool 100
+      |  {group="production", instance="0", job="api-server"} 1
+      |
+      |eval instant at 50m sum by (instance, job)(http_requests) / on(instance, job) group_right http_requests
+      |  {group="production", instance="0", job="api-server"} 4
+      |  {group="canary", instance="0", job="api-server"} 1.3333333333333333
+      |  {group="production", instance="1", job="api-server"} 3
+      |  {group="canary", instance="1", job="api-server"} 1.5
+      |  {group="production", instance="0", job="app-server"} 2.4
+      |  {group="canary", instance="0", job="app-server"} 1.7142857142857142
+      |  {group="production", instance="1", job="app-server"} 2.3333333333333335
+      |  {group="canary", instance="1", job="app-server"} 1.75
+      |
+      |clear
+      |
+      |# atan2 block: evaluated at 4m (not upstream's 5m) — the engine pins
+      |# Prometheus 3 left-open lookback, under which a sample exactly
+      |# lookback-delta old is excluded; 4m keeps the single t=0 sample live.
+      |load 5m
+      |  trigy{} 10
+      |  trigx{} 20
+      |  trigNaN{} NaN
+      |
+      |eval instant at 4m trigy atan2 trigx
+      |  {} 0.4636476090008061
+      |
+      |eval instant at 4m trigy atan2 trigNaN
+      |  {} NaN
+      |
+      |eval instant at 4m 10 atan2 20
+      |  {} 0.4636476090008061
+      |
+      |eval instant at 4m 10 atan2 NaN
+      |  {} NaN
       |""".stripMargin
 
   /** testdata/aggregators.test — same http_requests fixture; every
@@ -1326,19 +1377,158 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {} 0.02
       |""".stripMargin
 
-  private def run(name: String, corpus: String, minEvals: Int): Unit = {
+  /** testdata/info.test — Prometheus' experimental info() corpus: the
+    * canonical metric / metric_not_matching_target_info / target_info
+    * fixture, default and data-label-selector forms. Adaptations noted in
+    * the file header apply, plus: multiple info series per identity group
+    * error outright (upstream errors only on conflicting data labels —
+    * documented deviation, promql/Compiler.scala info() Scaladoc), and a
+    * data-label matcher that matches nothing simply adds no labels. */
+  private val infoCorpus =
+    """
+      |load 5m
+      |  metric{instance="a", job="1", label="value"} 0 1 2
+      |  metric_not_matching_target_info{instance="a", job="2", label="value"} 0 1 2
+      |  target_info{instance="a", job="1", data="info", another_data="another info"} 1 1 1
+      |
+      |eval instant at 10m info(metric)
+      |  {__name__="metric", instance="a", job="1", label="value", data="info", another_data="another info"} 2
+      |
+      |eval instant at 10m info(metric, {data=~".+"})
+      |  {__name__="metric", instance="a", job="1", label="value", data="info"} 2
+      |
+      |eval instant at 10m info(metric, {another_data=~".+"})
+      |  {__name__="metric", instance="a", job="1", label="value", another_data="another info"} 2
+      |
+      |eval instant at 10m info(metric, {data=~".+", another_data=~".+"})
+      |  {__name__="metric", instance="a", job="1", label="value", data="info", another_data="another info"} 2
+      |
+      |eval instant at 10m info(metric_not_matching_target_info)
+      |  {__name__="metric_not_matching_target_info", instance="a", job="2", label="value"} 2
+      |
+      |eval instant at 10m info(metric, {non_existent=~".+"})
+      |  {__name__="metric", instance="a", job="1", label="value"} 2
+      |
+      |eval instant at 10m info(metric, {data=~"nope.*"})
+      |  {__name__="metric", instance="a", job="1", label="value"} 2
+      |
+      |eval instant at 10m sum by (data) (info(metric))
+      |  {data="info"} 2
+      |
+      |eval range from 0s to 10m step 5m info(metric, {data=~".+"})
+      |  {__name__="metric", instance="a", job="1", label="value", data="info"} 0 1 2
+      |
+      |eval_fail instant at 10m info(metric, "foo")
+      |  expected_fail_message plain instant selector
+      |
+      |eval_fail instant at 10m info(metric, {__name__=~"c.*"})
+      |  expected_fail_message must be an equality
+      |
+      |clear
+      |
+      |load 5m
+      |  metric{instance="a", job="1", label="value"} 0 1 2
+      |  custom_info{instance="a", job="1", custom="yes"} 1 1 1
+      |
+      |eval instant at 10m info(metric, {__name__="custom_info"})
+      |  {__name__="metric", instance="a", job="1", label="value", custom="yes"} 2
+      |
+      |eval instant at 10m info(metric, {__name__="custom_info", custom=~"y.*"})
+      |  {__name__="metric", instance="a", job="1", label="value", custom="yes"} 2
+      |
+      |eval instant at 10m info(metric, {__name__="custom_info", custom=~"n.*"})
+      |  {__name__="metric", instance="a", job="1", label="value"} 2
+      |
+      |clear
+      |
+      |load 5m
+      |  metric{instance="a", job="1", label="value"} 0 1 2
+      |  target_info{instance="a", job="1", label="info-value", data="info"} 1 1 1
+      |
+      |eval instant at 10m info(metric)
+      |  {__name__="metric", instance="a", job="1", label="value", data="info"} 2
+      |
+      |clear
+      |
+      |load 5m
+      |  metric{instance="a", job="1"} 0 1 2
+      |  target_info{instance="a", job="1", data="x"} 1 1 1
+      |  target_info{instance="a", job="1", data="y"} 1 1 1
+      |
+      |eval_fail instant at 10m info(metric)
+      |  expected_fail_message multiple info series match
+      |""".stripMargin
+
+  /** Prometheus 3.x duration expressions (`--enable-feature=
+    * promql-duration-expr`): arithmetic in range brackets, subquery steps
+    * and offsets — bare numbers are seconds. Every equivalent spelling of
+    * [1m] must count the same 6 left-open samples at 10s scrape. */
+  private val durationExprCorpus =
+    """
+      |load 10s
+      |  metric{l="x"} 0+1x100
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[1m])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[30s+30s])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[2*30s])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[120s/2])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[(90s-30s)])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[60])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[3*20])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[1m30s-30s])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[2^3*10s])
+      |  {l="x"} 8
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[5m%2m])
+      |  {l="x"} 6
+      |
+      |eval instant at 10m metric{l="x"} offset (2*30s)
+      |  {__name__="metric", l="x"} 54
+      |
+      |eval instant at 10m metric{l="x"} offset -(30s+30s)
+      |  {__name__="metric", l="x"} 66
+      |
+      |eval instant at 10m count_over_time(metric{l="x"}[2*30s:10s])
+      |  {l="x"} 6
+      |
+      |eval_fail instant at 10m count_over_time(metric{l="x"}[30s-30s])
+      |  expected_fail_message range must be positive
+      |
+      |eval_fail instant at 10m count_over_time(metric{l="x"}[30s-60s])
+      |  expected_fail_message range must be positive
+      |""".stripMargin
+
+  private def run(name: String, corpus: String, minEvals: Int,
+                  experimental: Boolean = false): Unit = {
     val segs = parseSegments(corpus)
     assert(segs.map(s => s.evals.size + s.ranges.size + s.fails.size).sum >= minEvals,
       s"$name: corpus shrank below its pinned case count")
     val failures = segs.flatMap { sg =>
       val samples = toSamples(sg.loaded)
-      checkInstant(samples, sg.evals) ++ checkRange(samples, sg.ranges) ++
-        checkFails(samples, sg.fails)
+      checkInstant(samples, sg.evals, experimental) ++
+        checkRange(samples, sg.ranges, experimental) ++
+        checkFails(samples, sg.fails, experimental)
     }
     assert(failures.isEmpty, s"$name:\n" + failures.mkString("\n"))
   }
 
-  test("upstream operators.test tranche") { run("operators", operatorsCorpus, 28) }
+  test("upstream operators.test tranche") { run("operators", operatorsCorpus, 39) }
   test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 32) }
   test("upstream functions.test tranche") { run("functions", functionsCorpus, 37) }
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
@@ -1355,4 +1545,10 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
     run("native_histograms", nativeHistogramsCorpus, 25)
   }
   test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 8) }
+  test("upstream info.test tranche (experimental info())") {
+    run("info", infoCorpus, 16, experimental = true)
+  }
+  test("upstream duration-expression tranche (promql-duration-expr)") {
+    run("duration_expr", durationExprCorpus, 15)
+  }
 }

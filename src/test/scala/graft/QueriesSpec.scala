@@ -279,7 +279,21 @@ class QueriesSpec extends SparkSpec {
     val d4 = FixtureCache.dir("/data/c", "fxspec")(_ => tries += 1)
     assert(tries == 2 && java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(d4)))
-    // scratch never caches: every call is a fresh dir
-    assert(FixtureCache.scratch("fxspec") != FixtureCache.scratch("fxspec"))
+    // scratch never caches: every call is a fresh dir — and re-entry
+    // deletes the previous same-name scratch, so a long sweeping JVM
+    // (repeat bench invocations of s5_convert_roundtrip) holds ONE live
+    // scratch dir per name, not one per invocation
+    val s1 = FixtureCache.scratch("fxscr")
+    val s2 = FixtureCache.scratch("fxscr")
+    assert(s1 != s2)
+    val last = (1 to 4).map(_ => FixtureCache.scratch("fxscr")).last
+    assert(FixtureCache.liveScratchDirs("fxscr") == Seq(last),
+      "N scratch invocations must leave exactly the newest dir live")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s1)) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s2)))
+    // distinct names don't interfere
+    val other = FixtureCache.scratch("fxscr2")
+    assert(FixtureCache.liveScratchDirs("fxscr") == Seq(last) &&
+      FixtureCache.liveScratchDirs("fxscr2") == Seq(other))
   }
 }
