@@ -151,4 +151,17 @@ object BlockFetch {
     val dirs = cachedDirs(remoteRoot, stream.metas.map(_.ulid), localRoot, conf)
     graft.sources.TsdbBlockReader.loadSamples(spark, dirs, matchers = matchers)
   }
+
+  /** [[cachedLoader]] with FULL matcher pushdown
+    * ([[graft.sources.TsdbBlockReader.loadSamplesMatching]]): a partial
+    * migration over a flaky store composes resume-on-retry with
+    * regex/negation matchers resolved inside each block's index task. */
+  def cachedMatchingLoader(spark: org.apache.spark.sql.SparkSession,
+                           remoteRoot: String, localRoot: String,
+                           ms: Seq[graft.promql.LabelMatcher])
+      : TsdbStream => org.apache.spark.sql.DataFrame = stream => {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirs = cachedDirs(remoteRoot, stream.metas.map(_.ulid), localRoot, conf)
+    graft.sources.TsdbBlockReader.loadSamplesMatching(spark, dirs, ms)
+  }
 }

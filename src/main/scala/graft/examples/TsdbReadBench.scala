@@ -45,19 +45,24 @@ object TsdbReadBench {
     val jan1 = 1704067200000L
     val day = 86400000L
     val hours = 48
-    // 10 metrics × nSeries/10 uids, 2 days of hourly samples per series
-    val series = (0 until nSeries).map { i =>
-      val pts = new GenericArrayData((0 until hours).map(h =>
-        InternalRow(jan1 + h * 3600000L, (i % 97 + h).toDouble, null)).toArray[Any])
-      Map("__name__" -> s"m${i % 10}", "uid" -> (i / 10).toString) ->
-        (pts: org.apache.spark.sql.catalyst.util.ArrayData)
-    }
     val root = java.nio.file.Files.createTempDirectory("graft-tsdbbench").toString
+    // 10 metrics × nSeries/10 uids, 2 days of hourly samples per series.
+    // The fixture is built PER BLOCK and dropped after each write: a
+    // 1M-series in-memory series list is multiple GB of InternalRows, and
+    // retaining it through the timed reads puts GC drag on every number
+    // this bench exists to measure.
+    def mkSeries(b: Int): Seq[(Map[String, String],
+        org.apache.spark.sql.catalyst.util.ArrayData)] =
+      (0 until nSeries).collect { case i if i % nBlocks == b =>
+        val pts = new GenericArrayData((0 until hours).map(h =>
+          InternalRow(jan1 + h * 3600000L, (i % 97 + h).toDouble, null)).toArray[Any])
+        Map("__name__" -> s"m${i % 10}", "uid" -> (i / 10).toString) ->
+          (pts: org.apache.spark.sql.catalyst.util.ArrayData)
+      }
     val w0 = System.nanoTime()
     val dirs = (0 until nBlocks).map { b =>
       val ulid = f"01HV0READBENCHBLOCK${b}%07d"
-      TsdbBlock.writeBlock(root, ulid,
-        series.zipWithIndex.collect { case (s, i) if i % nBlocks == b => s })
+      TsdbBlock.writeBlock(root, ulid, mkSeries(b))
       s"$root/$ulid"
     }
     val writeSec = (System.nanoTime() - w0) / 1e9

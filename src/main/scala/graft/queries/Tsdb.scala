@@ -199,6 +199,30 @@ object Tsdb {
         s"SELECT uid, count(*) AS n, $DSUM AS sum_v FROM d " +
         "WHERE __name__ = 'purchase' GROUP BY 1 ORDER BY 1")),
 
+    // FULL matcher pushdown (regex + negation) through the same distributed
+    // read: =~ resolves per block against the index's label-value
+    // dictionary (TsdbBlock.readLabelValues) and != honors missing≡"" —
+    // the PostingsForMatchers decomposition, now under the oracle gate
+    // (EtlSpec pins the decode counts; this pins the VALUES). Oracle
+    // filters the dedup slice post-hoc in SQL, so a dictionary slip, bad
+    // anchoring, or wrong complement hash-mismatches.
+    Q("s1_tsdb_matchers",
+      t => {
+        graft.sources.TsdbBlockReader
+          .loadSamplesMatching(t.spark, Seq(tsdbBlockFixture(t)),
+            Seq(graft.promql.MatchRe("__name__", "p.*|v.*"),
+              graft.promql.MatchNotEq("uid", "3")))
+          .groupBy(col("__name__"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("__name__"))
+      },
+      Some(s"WITH $S_CTE, d AS (SELECT __name__, uid, ts_ms, " +
+        s"min_by(value, sample_id) AS value FROM s WHERE ts_ms < ${T0 + 3 * DAY} " +
+        "GROUP BY 1, 2, 3) " +
+        s"SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM d " +
+        "WHERE regexp_full_match(__name__, 'p.*|v.*') AND uid <> '3' " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // Download-then-open: the block is mirrored through BlockFetch's
     // resumable cache (the reference's convert-loop fetch,
     // cmd/convert.go:443-591) and the distributed read runs against the
