@@ -1514,6 +1514,60 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  expected_fail_message range must be positive
       |""".stripMargin
 
+  /** testdata/literals.test — scalar literal forms: scientific notation,
+    * leading-dot floats, signed literals, hex ints, Inf/NaN keywords.
+    * (The dummy series only anchors the segment; literals don't read it.) */
+  private val literalsCorpus =
+    """
+      |load 5m
+      |  dummy 0+1x10
+      |
+      |eval instant at 50m 12.34e6
+      |  {} 12340000
+      |
+      |eval instant at 50m 12.34e+6
+      |  {} 12340000
+      |
+      |eval instant at 50m 12.34e-6
+      |  {} 0.00001234
+      |
+      |eval instant at 50m 1+1
+      |  {} 2
+      |
+      |eval instant at 50m 1-1
+      |  {} 0
+      |
+      |eval instant at 50m 1 - -1
+      |  {} 2
+      |
+      |eval instant at 50m .2
+      |  {} 0.2
+      |
+      |eval instant at 50m +0.2
+      |  {} 0.2
+      |
+      |eval instant at 50m -0.2e-6
+      |  {} -0.0000002
+      |
+      |eval instant at 50m 0x162
+      |  {} 354
+      |
+      |eval instant at 50m 0X162
+      |  {} 354
+      |
+      |eval instant at 50m Inf
+      |  {} Inf
+      |
+      |eval instant at 50m +Inf
+      |  {} Inf
+      |
+      |eval instant at 50m -Inf
+      |  {} -Inf
+      |
+      |eval instant at 50m NaN
+      |  {} NaN
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int,
                   experimental: Boolean = false): Unit = {
     val segs = parseSegments(corpus)
@@ -1551,4 +1605,5 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream duration-expression tranche (promql-duration-expr)") {
     run("duration_expr", durationExprCorpus, 15)
   }
+  test("upstream literals.test tranche") { run("literals", literalsCorpus, 15) }
 }
