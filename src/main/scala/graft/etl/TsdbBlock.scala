@@ -115,47 +115,85 @@ object TsdbBlock {
     * the whole section. */
   private[graft] val seriesDecoded = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Positional view of an index file for SELECTIVE reads: `fetch(pos, n)`
+    * must return exactly n bytes. [[IndexReadAt.ofBytes]] wraps a whole
+    * in-memory file (the full-walk path); the distributed matcher path
+    * ([[graft.sources.TsdbBlockReader]]) wraps Hadoop positional reads so
+    * only the TOUCHED sections of a multi-hundred-MB index are ever
+    * fetched — TOC, symbols, the offset tables, the matched posting lists
+    * and the matched series entries — instead of the whole file. */
+  final class IndexReadAt(fetch0: (Long, Int) => Array[Byte], val length: Long) {
+    def fetch(pos: Long, n: Int): Array[Byte] = {
+      require(pos >= 0 && n >= 0 && pos + n <= length,
+        s"index read out of bounds ($pos+$n > $length)")
+      fetch0(pos, n)
+    }
+  }
+  object IndexReadAt {
+    def ofBytes(b: Array[Byte]): IndexReadAt =
+      new IndexReadAt((p, n) =>
+        java.util.Arrays.copyOfRange(b, p.toInt, p.toInt + n), b.length.toLong)
+  }
+
   /** Validated TOC: the 6 section offsets
     * (symbols, series, label indices, label offset table, postings,
     * postings offset table). */
-  private def tocOffsets(idx: Array[Byte]): Array[Long] = {
-    require(idx.length > 5 + TocLen, s"index file too short (${idx.length} bytes)")
-    require(be32(idx, 0) == IndexMagic,
-      f"bad index magic 0x${be32(idx, 0)}%08x (want 0xbaaad700)")
-    require((idx(4) & 0xFF) == IndexVersion,
-      s"unsupported index version ${idx(4) & 0xFF} (only v2)")
-    val tocOff = idx.length - TocLen
-    require(be32(idx, tocOff + 48) == crc32c(idx, tocOff, 48), "index TOC CRC mismatch")
-    Array.tabulate(6)(i => be64(idx, tocOff + 8 * i)) :+ tocOff.toLong
+  private def tocOffsetsAt(ix: IndexReadAt): Array[Long] = {
+    require(ix.length > 5 + TocLen, s"index file too short (${ix.length} bytes)")
+    val head = ix.fetch(0, 5)
+    require(be32(head, 0) == IndexMagic,
+      f"bad index magic 0x${be32(head, 0)}%08x (want 0xbaaad700)")
+    require((head(4) & 0xFF) == IndexVersion,
+      s"unsupported index version ${head(4) & 0xFF} (only v2)")
+    val tocOff = ix.length - TocLen
+    val toc = ix.fetch(tocOff, TocLen)
+    require(be32(toc, 48) == crc32c(toc, 0, 48), "index TOC CRC mismatch")
+    Array.tabulate(6)(i => be64(toc, 8 * i)) :+ tocOff
+  }
+
+  private def tocOffsets(idx: Array[Byte]): Array[Long] =
+    tocOffsetsAt(IndexReadAt.ofBytes(idx))
+
+  /** One `len u32 | content | crc32c(content)` section, CRC-checked;
+    * returns the CONTENT bytes. */
+  private def sectionAt(ix: IndexReadAt, off: Long, what: String): Array[Byte] = {
+    val len = be32(ix.fetch(off, 4), 0)
+    val body = ix.fetch(off + 4, len + 4)
+    require(be32(body, len) == crc32c(body, 0, len),
+      s"$what CRC mismatch at offset $off")
+    java.util.Arrays.copyOfRange(body, 0, len)
   }
 
   /** Symbol table at `symOff`: len | #symbols | (uvarint len, utf8)… | crc. */
-  private def readSymbols(idx: Array[Byte], symOff: Int): Array[String] = {
-    val symLen = be32(idx, symOff)
-    require(be32(idx, symOff + 8 + symLen - 4) == crc32c(idx, symOff + 4, symLen),
-      "index symbol table CRC mismatch")
-    val nSym = be32(idx, symOff + 4)
+  private def symbolsAt(ix: IndexReadAt, symOff: Long): Array[String] = {
+    val content = sectionAt(ix, symOff, "index symbol table")
+    val nSym = be32(content, 0)
     val symbols = new Array[String](nSym)
-    val sc = new Cursor(idx, symOff + 8)
+    val sc = new Cursor(content, 4)
     var i = 0
     while (i < nSym) {
       val l = sc.uvarint().toInt
-      symbols(i) = new String(idx, sc.pos, l, "UTF-8")
+      symbols(i) = new String(content, sc.pos, l, "UTF-8")
       sc.pos += l
       i += 1
     }
     symbols
   }
 
-  /** Decode ONE 16-aligned series entry at `pos` (id = pos/16). */
-  private def readSeriesEntry(idx: Array[Byte], symbols: Array[String],
-                              pos: Int): SeriesEntry = {
+  private def readSymbols(idx: Array[Byte], symOff: Int): Array[String] =
+    symbolsAt(IndexReadAt.ofBytes(idx), symOff.toLong)
+
+  /** Decode ONE series entry from `buf` at local offset `pos`; `absPos` is
+    * its absolute file offset (id = absPos/16 — the postings address
+    * space, and the key tombstones use). */
+  private def readSeriesEntry(buf: Array[Byte], symbols: Array[String],
+                              pos: Int, absPos: Long): SeriesEntry = {
     seriesDecoded.incrementAndGet()
-    val c = new Cursor(idx, pos)
+    val c = new Cursor(buf, pos)
     val len = c.uvarint().toInt
     val contentStart = c.pos
-    require(be32(idx, contentStart + len) == crc32c(idx, contentStart, len),
-      s"series entry CRC mismatch at offset $pos")
+    require(be32(buf, contentStart + len) == crc32c(buf, contentStart, len),
+      s"series entry CRC mismatch at offset $absPos")
     val nLbl = c.uvarint().toInt
     val lbls = Map.newBuilder[String, String]
     var j = 0
@@ -177,16 +215,14 @@ object TsdbBlock {
       prevMaxt = maxt; prevRef = ref
       j += 1
     }
-    SeriesEntry(pos.toLong / 16, lbls.result(), chunks.result())
+    SeriesEntry(absPos / 16, lbls.result(), chunks.result())
   }
 
   /** One CRC-checked postings list at `off`: ascending series ids. */
-  private def readPostingList(idx: Array[Byte], off: Int): Array[Long] = {
-    val len = be32(idx, off)
-    require(be32(idx, off + 4 + len) == crc32c(idx, off + 4, len),
-      s"postings list CRC mismatch at offset $off")
-    val n = be32(idx, off + 4)
-    Array.tabulate(n)(i => be32(idx, off + 8 + 4 * i).toLong & 0xFFFFFFFFL)
+  private def postingListAt(ix: IndexReadAt, off: Long): Array[Long] = {
+    val content = sectionAt(ix, off, "postings list")
+    val n = be32(content, 0)
+    Array.tabulate(n)(i => be32(content, 4 + 4 * i).toLong & 0xFFFFFFFFL)
   }
 
   /** Series ids satisfying the label constraints, off the index's postings
@@ -199,45 +235,48 @@ object TsdbBlock {
     * label (all-postings minus the union of every posted value of the
     * name). Empty constraints → every series (the all-postings entry). */
   def readPostings(idx: Array[Byte],
-                   constraints: Map[String, Seq[String]]): Seq[Long] = {
-    val toc = tocOffsets(idx)
-    val potOff = toc(5).toInt
+                   constraints: Map[String, Seq[String]]): Seq[Long] =
+    readPostingsAt(IndexReadAt.ofBytes(idx), constraints)
+
+  /** [[readPostings]] over a positional view — the selective path fetches
+    * the postings offset table and ONLY the matched posting lists. */
+  def readPostingsAt(ix: IndexReadAt,
+                     constraints: Map[String, Seq[String]]): Seq[Long] = {
+    val toc = tocOffsetsAt(ix)
     // postings offset table: len | #entries | (nkeys=2, name, value, off)… | crc
-    val potLen = be32(idx, potOff)
-    require(be32(idx, potOff + 8 + potLen - 4) == crc32c(idx, potOff + 4, potLen),
-      "postings offset table CRC mismatch")
-    val nEnt = be32(idx, potOff + 4)
-    val c = new Cursor(idx, potOff + 8)
+    val pot = sectionAt(ix, toc(5), "postings offset table")
+    val nEnt = be32(pot, 0)
+    val c = new Cursor(pot, 4)
     // name → (value → postings section offset), insertion = on-disk order
     val table = scala.collection.mutable.Map
-      .empty[String, scala.collection.mutable.Map[String, Int]]
+      .empty[String, scala.collection.mutable.Map[String, Long]]
     var i = 0
     while (i < nEnt) {
       val nk = c.uvarint().toInt
       require(nk == 2, s"postings offset table entry with $nk keys (want 2)")
       val nl = c.uvarint().toInt
-      val name = new String(idx, c.pos, nl, "UTF-8"); c.pos += nl
+      val name = new String(pot, c.pos, nl, "UTF-8"); c.pos += nl
       val vl = c.uvarint().toInt
-      val value = new String(idx, c.pos, vl, "UTF-8"); c.pos += vl
-      val off = c.uvarint().toInt
+      val value = new String(pot, c.pos, vl, "UTF-8"); c.pos += vl
+      val off = c.uvarint()
       table.getOrElseUpdate(name, scala.collection.mutable.Map.empty)
         .update(value, off)
       i += 1
     }
     def allIds: Array[Long] =
-      table.get("").flatMap(_.get("")).map(readPostingList(idx, _))
+      table.get("").flatMap(_.get("")).map(postingListAt(ix, _))
         .getOrElse(Array.empty[Long])
     if (constraints.isEmpty) return allIds.toSeq
     val perName = constraints.toSeq.map { case (name, values) =>
       val posted = table.getOrElse(name,
-        scala.collection.mutable.Map.empty[String, Int])
+        scala.collection.mutable.Map.empty[String, Long])
       val (missing, present) = values.distinct.partition(_.isEmpty)
-      val hits = present.flatMap(posted.get).map(readPostingList(idx, _))
+      val hits = present.flatMap(posted.get).map(postingListAt(ix, _))
       val union = hits.foldLeft(Set.empty[Long])(_ ++ _)
       if (missing.isEmpty) union
       else { // value "" ⇒ series lacking the label entirely
         val anyValue = posted.valuesIterator
-          .map(readPostingList(idx, _)).foldLeft(Set.empty[Long])(_ ++ _)
+          .map(postingListAt(ix, _)).foldLeft(Set.empty[Long])(_ ++ _)
         union ++ (allIds.toSet -- anyValue)
       }
     }
@@ -250,37 +289,37 @@ object TsdbBlock {
     * negated matchers be resolved to a value SET per block, which
     * [[readPostings]] then intersects, the same decomposition upstream's
     * `PostingsForMatchers` performs. */
-  def readLabelValues(idx: Array[Byte], name: String): Seq[String] = {
-    val toc = tocOffsets(idx)
+  def readLabelValues(idx: Array[Byte], name: String): Seq[String] =
+    readLabelValuesAt(IndexReadAt.ofBytes(idx), name)
+
+  /** [[readLabelValues]] over a positional view — fetches the label offset
+    * table, ONE label-index section and the symbol table. */
+  def readLabelValuesAt(ix: IndexReadAt, name: String): Seq[String] = {
+    val toc = tocOffsetsAt(ix)
     // label offset table: len | #entries | (nkeys=1, name, offset)… | crc
-    val lotOff = toc(3).toInt
-    val lotLen = be32(idx, lotOff)
-    require(be32(idx, lotOff + 4 + lotLen) == crc32c(idx, lotOff + 4, lotLen),
-      "label offset table CRC mismatch")
-    val n = be32(idx, lotOff + 4)
-    val c = new Cursor(idx, lotOff + 8)
-    var found = -1
+    val lot = sectionAt(ix, toc(3), "label offset table")
+    val n = be32(lot, 0)
+    val c = new Cursor(lot, 4)
+    var found = -1L
     var i = 0
     while (i < n && found < 0) {
       val nk = c.uvarint().toInt
       require(nk == 1, s"label offset table entry with $nk keys (want 1)")
       val nl = c.uvarint().toInt
-      val nm = new String(idx, c.pos, nl, "UTF-8"); c.pos += nl
-      val off = c.uvarint().toInt
+      val nm = new String(lot, c.pos, nl, "UTF-8"); c.pos += nl
+      val off = c.uvarint()
       if (nm == name) found = off
       i += 1
     }
     if (found < 0) Seq.empty
     else {
       // label index section: len | #names | #entries | symbol refs… | crc
-      val len = be32(idx, found)
-      require(be32(idx, found + 4 + len) == crc32c(idx, found + 4, len),
-        s"label index CRC mismatch at offset $found")
-      val symbols = readSymbols(idx, toc(0).toInt)
-      val width = be32(idx, found + 4)
+      val li = sectionAt(ix, found, "label index")
+      val symbols = symbolsAt(ix, toc(0))
+      val width = be32(li, 0)
       require(width == 1, s"label index with $width names per entry (want 1)")
-      val cnt = be32(idx, found + 8)
-      (0 until cnt).map(j => symbols(be32(idx, found + 12 + 4 * j)))
+      val cnt = be32(li, 4)
+      (0 until cnt).map(j => symbols(be32(li, 8 + 4 * j)))
     }
   }
 
@@ -288,12 +327,57 @@ object TsdbBlock {
     * 16 — the postings address space), 16-byte-aligned direct seeks instead
     * of a full section walk, streamed lazily. Pair with [[readPostings]]
     * for matcher-pushdown block reads. */
-  def readSeriesByIds(idx: Array[Byte], ids: Seq[Long]): Iterator[SeriesEntry] = {
+  def readSeriesByIds(idx: Array[Byte], ids: Seq[Long]): Iterator[SeriesEntry] =
+    readSeriesByIdsAt(IndexReadAt.ofBytes(idx), ids)
+
+  /** [[readSeriesByIds]] over a positional view. Sorted ids COALESCE into
+    * ranged fetches: labels sort `__name__` first, so one metric's series
+    * are CONTIGUOUS in the labelset-sorted section and a matched run
+    * usually collapses into a single ranged read — clusters split when the
+    * gap exceeds 256 KB (don't drag unmatched middle) or a fetch would
+    * pass 8 MB (bound per-read memory). The final entry of a cluster reads
+    * a 4 KB tail guess and re-fetches exactly if it overflows. */
+  def readSeriesByIdsAt(ix: IndexReadAt, ids: Seq[Long]): Iterator[SeriesEntry] = {
     seriesParses.incrementAndGet()
     if (ids.isEmpty) return Iterator.empty
-    val toc = tocOffsets(idx)
-    val symbols = readSymbols(idx, toc(0).toInt)
-    ids.sorted.iterator.map(id => readSeriesEntry(idx, symbols, (id * 16).toInt))
+    val toc = tocOffsetsAt(ix)
+    val symbols = symbolsAt(ix, toc(0))
+    val Gap = 256L * 1024
+    val MaxFetch = 8L * 1024 * 1024
+    val Tail = 4096L
+    val sorted = ids.sorted
+    // clusters of entry positions (pos = id * 16)
+    val clusters = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(sorted.head * 16))
+    sorted.tail.foreach { id =>
+      val pos = id * 16
+      val cur = clusters.last
+      if (pos - cur.last > Gap || pos - cur.head > MaxFetch - Tail)
+        clusters += scala.collection.mutable.ArrayBuffer(pos)
+      else cur += pos
+    }
+    clusters.iterator.flatMap { cl =>
+      val start = cl.head
+      val span = math.min(cl.last - start + Tail, ix.length - start).toInt
+      val buf = ix.fetch(start, span)
+      cl.iterator.map { pos =>
+        val local = (pos - start).toInt
+        // entry = uvarint len | content | crc32c(content); if the tail
+        // guess truncated this entry, re-fetch exactly its span
+        var len = 0L; var shift = 0; var w = local; var more = true
+        while (more) {
+          val x = buf(w).toLong & 0xFF; w += 1
+          len |= (x & 0x7F) << shift; shift += 7
+          more = (x & 0x80) != 0
+        }
+        val end = w - local + len.toInt + 4
+        if (local + end <= buf.length) readSeriesEntry(buf, symbols, local, pos)
+        else {
+          val exact = ix.fetch(pos, end)
+          readSeriesEntry(exact, symbols, 0, pos)
+        }
+      }
+    }
   }
 
   /** Parse a whole index file's series section: every series' label set +
@@ -325,7 +409,7 @@ object TsdbBlock {
           val len = c.uvarint().toInt
           if (len == 0) pos = seriesEnd // trailing padding
           else {
-            pending = readSeriesEntry(idx, symbols, pos)
+            pending = readSeriesEntry(idx, symbols, pos, pos.toLong)
             pos = ((c.pos + len + 4 + 15) / 16) * 16
           }
         }

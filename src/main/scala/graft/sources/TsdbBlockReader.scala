@@ -130,14 +130,31 @@ object TsdbBlockReader {
     * metric's series, not 10M — and non-matching series never produce
     * refs, never reach the shuffle or the chunk fetch. Value `""` keeps
     * missing≡"" semantics (selects series WITHOUT the label). */
+  /** Bytes fetched by SELECTIVE (ranged) index reads in this JVM — specs
+    * pin that a matcher-pushdown load touches sections (TOC, symbols,
+    * offset tables, matched postings + entries), not whole index files. */
+  private[graft] val rangedIndexBytes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** How an index task turns a block's index into series entries. */
+  private sealed trait EntrySource extends Serializable
+  /** Whole-file streaming walk (no matchers): `binaryFile` reads the index
+    * once and [[TsdbBlock.readSeries]] streams every entry. */
+  private case object FullWalk extends EntrySource
+  /** Matcher-pushed: positional reads fetch ONLY the touched index
+    * sections — at bucket scale a 1-metric pull reads kilobytes of a
+    * multi-hundred-MB index instead of the whole file. */
+  private final case class Selective(
+    resolve: TsdbBlock.IndexReadAt => Iterator[TsdbBlock.SeriesEntry])
+    extends EntrySource
+
   def loadSamples(spark: SparkSession, blockDirs: Seq[String],
                   mintMs: Long = Long.MinValue,
                   maxtMs: Long = Long.MaxValue,
                   matchers: Map[String, Seq[String]] = Map.empty): DataFrame =
     loadImpl(spark, blockDirs, mintMs, maxtMs,
-      if (matchers.isEmpty) bytes => TsdbBlock.readSeries(bytes)
-      else bytes => TsdbBlock.readSeriesByIds(bytes,
-        TsdbBlock.readPostings(bytes, matchers)))
+      if (matchers.isEmpty) FullWalk
+      else Selective(ix => TsdbBlock.readSeriesByIdsAt(ix,
+        TsdbBlock.readPostingsAt(ix, matchers))))
 
   /** [[loadSamples]] with FULL matcher semantics pushed into the index
     * task — eq resolves directly on the postings sections; regex and
@@ -152,46 +169,82 @@ object TsdbBlockReader {
                           mintMs: Long = Long.MinValue,
                           maxtMs: Long = Long.MaxValue): DataFrame =
     loadImpl(spark, blockDirs, mintMs, maxtMs,
-      if (ms.isEmpty) bytes => TsdbBlock.readSeries(bytes)
-      else bytes => {
+      if (ms.isEmpty) FullWalk
+      else Selective { ix =>
         val constraints = ms.groupBy(_.label).map { case (name, mset) =>
-          val vals = (TsdbBlock.readLabelValues(bytes, name) :+ "").distinct
+          val vals = (TsdbBlock.readLabelValuesAt(ix, name) :+ "").distinct
           name -> vals.filter(v => mset.forall(_.matches(v)))
         }
         if (constraints.values.exists(_.isEmpty)) Iterator.empty
-        else TsdbBlock.readSeriesByIds(bytes,
-          TsdbBlock.readPostings(bytes, constraints))
+        else TsdbBlock.readSeriesByIdsAt(ix,
+          TsdbBlock.readPostingsAt(ix, constraints))
       })
 
   private def loadImpl(spark: SparkSession, blockDirs: Seq[String],
                        mintMs: Long, maxtMs: Long,
-                       entriesOf: Array[Byte] => Iterator[TsdbBlock.SeriesEntry])
-      : DataFrame = {
+                       source: EntrySource): DataFrame = {
     import spark.implicits._
     require(blockDirs.nonEmpty, "no TSDB block directories to read")
     val confBc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
 
+    def refRows(block: String, s: TsdbBlock.SeriesEntry): Iterator[Ref] =
+      s.chunks.iterator
+        .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
+        .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,
+          s.labels))
+
     // refs are consumed TWICE — the label-name union below and the chunk
-    // fetch — so persist them: one binaryFile read + index parse per block
-    // per load, not two (the reference parses each index once,
-    // `tsdb.OpenBlock` via `cmd/convert.go:472`). Refs are ~48 B + labels
-    // per chunk, bounded far below the raw index bytes; MEMORY_AND_DISK so
-    // an outsized block spills instead of evicting. The labelNames collect
-    // materializes the cache before the fetch plan is even built.
-    val refs = spark.read.format("binaryFile")
-      .load(blockDirs.map(d => s"$d/index"): _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val block = path.stripSuffix("/index")
-        entriesOf(bytes).flatMap { s =>
-          s.chunks.iterator
-            .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
-            .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,
-              s.labels))
-        }
-      }
+    // fetch — so persist them: one index parse per block per load, not two
+    // (the reference parses each index once, `tsdb.OpenBlock` via
+    // `cmd/convert.go:472`). Refs are ~48 B + labels per chunk, bounded far
+    // below the raw index bytes; MEMORY_AND_DISK so an outsized block
+    // spills instead of evicting. The labelNames collect materializes the
+    // cache before the fetch plan is even built.
+    val refs = (source match {
+      case FullWalk =>
+        // whole-file read is RIGHT here: a full walk touches every byte of
+        // the symbols + series sections anyway, and binaryFile gives one
+        // executor task per block with the streamed entry walk on top
+        spark.read.format("binaryFile")
+          .load(blockDirs.map(d => s"$d/index"): _*)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val block = path.stripSuffix("/index")
+            TsdbBlock.readSeries(bytes).flatMap(refRows(block, _))
+          }
+      case Selective(resolve) =>
+        // positional reads, one task per block: TOC + offset tables +
+        // matched posting lists + coalesced matched entries — the index
+        // I/O of a selective migration scales with what it MATCHES, not
+        // with index size (a 1-metric pull from a 10k-block bucket reads
+        // MBs of index, where whole-file reads would move terabytes)
+        spark.createDataset(blockDirs)
+          .repartition(blockDirs.size)
+          .mapPartitions { dirs =>
+            val conf = confBc.value.value
+            dirs.flatMap { d =>
+              val dir = new Path(d)
+              val fs = dir.getFileSystem(conf)
+              val block = fs.makeQualified(dir).toString
+              val p = new Path(s"$block/index")
+              val len = fs.getFileStatus(p).getLen
+              val in = fs.open(p)
+              try {
+                val ix = new TsdbBlock.IndexReadAt((pos, n) => {
+                  val b = new Array[Byte](n)
+                  in.readFully(pos, b, 0, n)
+                  rangedIndexBytes.addAndGet(n.toLong)
+                  b
+                }, len)
+                // materialize before closing the stream; matched refs are
+                // bounded by the match, the thing this path exists to bound
+                resolve(ix).flatMap(refRows(block, _)).toVector
+              } finally in.close()
+            }
+          }
+    })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackRefs(refs)
 

@@ -1189,6 +1189,48 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlock.seriesDecoded.get() - b3 == 0)
   }
 
+  test("selective block read fetches index SECTIONS, not the whole file") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts(base: Double) =
+      new GenericArrayData((0 until 4).map(i =>
+        InternalRow(jan1 + i * 60000L, base + i, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbranged").toString
+    val ulid = "01HV0RANGEDINDEXBLOCK00000"
+    // 50 metrics × 100 uids: the series SECTION dominates the index, so a
+    // 1-metric pull through the positional path must fetch a small
+    // fraction of the file (TOC + symbols + offset tables + one posting
+    // list + the metric's coalesced contiguous entry run)
+    val series = (0 until 5000).map(i =>
+      Map("__name__" -> s"m${i / 100}", "uid" -> (i % 100).toString) ->
+        (fpts(i.toDouble): org.apache.spark.sql.catalyst.util.ArrayData))
+    TsdbBlock.writeBlock(root, ulid, series)
+    val idxLen = Files.size(Paths.get(s"$root/$ulid/index"))
+
+    val b0 = TsdbBlockReader.rangedIndexBytes.get()
+    val d0 = TsdbBlock.seriesDecoded.get()
+    val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"),
+      matchers = Map("__name__" -> Seq("m7")))
+    assert(got.count() == 100 * 4)
+    assert(TsdbBlock.seriesDecoded.get() - d0 == 100)
+    val read = TsdbBlockReader.rangedIndexBytes.get() - b0
+    assert(read > 0, "selective path must go through ranged index reads")
+    assert(read < idxLen / 4,
+      s"selective read fetched $read of $idxLen index bytes — " +
+        "whole-file read amplification snuck back in")
+
+    // regex path too: dictionary + postings resolve positionally
+    val b1 = TsdbBlockReader.rangedIndexBytes.get()
+    val re = TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(graft.promql.MatchRe("__name__", "m7"),
+        graft.promql.MatchEq("uid", "31")))
+    assert(re.count() == 4)
+    assert(TsdbBlockReader.rangedIndexBytes.get() - b1 < idxLen / 4)
+  }
+
   test("TSDB block roundtrip preserves stale-marker NaN payloads bit-exactly") {
     import graft.etl.TsdbBlock
     import graft.functions.IsStale
