@@ -68,11 +68,12 @@ object TsdbReadBench {
     val writeSec = (System.nanoTime() - w0) / 1e9
     val dir: Seq[String] = dirs
 
-    def time(fn: () => Long): (Double, Long, Long, Long) = {
-      var rows = 0L; var decoded = 0L; var idxBytes = 0L
+    def time(fn: () => Long): (Double, Long, Long, Long, Long) = {
+      var rows = 0L; var decoded = 0L; var idxBytes = 0L; var segBytes = 0L
       val secs = (1 to repeat).map { _ =>
         val d0 = TsdbBlock.seriesDecoded.get()
         val r0 = TsdbBlockReader.rangedIndexBytes.get()
+        val g0 = TsdbBlockReader.segmentBytesRead.get()
         val t0 = System.nanoTime()
         // scopedLoads: each shape owns and releases its refs cache, so a
         // shape's timing never pays cache pressure from earlier shapes
@@ -80,9 +81,10 @@ object TsdbReadBench {
         val dt = (System.nanoTime() - t0) / 1e9
         decoded = TsdbBlock.seriesDecoded.get() - d0
         idxBytes = TsdbBlockReader.rangedIndexBytes.get() - r0
+        segBytes = TsdbBlockReader.segmentBytesRead.get() - g0
         dt
       }
-      (secs.min, rows, decoded, idxBytes)
+      (secs.min, rows, decoded, idxBytes, segBytes)
     }
     val shapes = Seq[(String, () => Long)](
       "full" -> (() => TsdbBlockReader.loadSamples(spark, dir).count()),
@@ -117,9 +119,10 @@ object TsdbReadBench {
     def f(v: Double) = f"$v%.2f"
     // ranged_index_mb: bytes the SELECTIVE shapes fetched from index files
     // (0 for whole-file shapes) — the read-amplification signal at scale
-    val body = results.map { case (n, (s, r, d, ib)) =>
+    val body = results.map { case (n, (s, r, d, ib, gb)) =>
       s""""$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d""" +
-        s""","ranged_index_mb":${f(ib / 1048576.0)}}""" }.mkString(",")
+        s""","ranged_index_mb":${f(ib / 1048576.0)}""" +
+        s""","segment_mb":${f(gb / 1048576.0)}}""" }.mkString(",")
     println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
       s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +
       s""""write_sec":${f(writeSec)},""" +

@@ -22,8 +22,10 @@ import graft.functions.{PromFramesDecode, PromLabelsHash}
   *   3. chunk fetch: refs RANGE-partition on (block, segment, offset) and
   *      sort by offset, so a huge segment fans out across tasks as
   *      contiguous offset slices and each task forward-scans its byte
-  *      range through a 4 MB look-ahead buffer — large sequential ranged
-  *      GETs, each byte fetched once. Each chunk is CRC-checked and re-framed
+  *      range through an ADAPTIVE look-ahead buffer (64 KB, doubling to
+  *      4 MB while the scan stays sequential, reset on seek) — a dense
+  *      migration reads each byte once in large ranged GETs, a selective
+  *      load fetches ~matched bytes. Each chunk is CRC-checked and re-framed
   *      into the reference layout's frame cell, and the SAME codegen'd
   *      [[PromFramesDecode]] the serving path uses explodes it to points —
   *      no second decode surface;
@@ -135,6 +137,11 @@ object TsdbBlockReader {
     * offset tables, matched postings + entries), not whole index files. */
   private[graft] val rangedIndexBytes = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Segment (chunk-file) bytes fetched in this JVM, refills + direct
+    * reads — pins that the adaptive look-ahead keeps a selective load's
+    * chunk I/O near the matched bytes, not 4 MB per matched chunk. */
+  private[graft] val segmentBytesRead = new java.util.concurrent.atomic.AtomicLong()
+
   /** How an index task turns a block's index into series entries. */
   private sealed trait EntrySource extends Serializable
   /** Whole-file streaming walk (no matchers): `binaryFile` reads the index
@@ -224,6 +231,16 @@ object TsdbBlockReader {
           .repartition(blockDirs.size)
           .mapPartitions { dirs =>
             val conf = confBc.value.value
+            // entries STREAM out of the positional reader (a match-all
+            // selective read must not re-materialize what the full walk
+            // streams), so index streams stay open until the task ends —
+            // at one block per partition that is one open stream
+            val open = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.hadoop.fs.FSDataInputStream]
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit] { _ =>
+                open.foreach(s => try s.close() catch { case _: Exception => () })
+              })
             dirs.flatMap { d =>
               val dir = new Path(d)
               val fs = dir.getFileSystem(conf)
@@ -231,17 +248,14 @@ object TsdbBlockReader {
               val p = new Path(s"$block/index")
               val len = fs.getFileStatus(p).getLen
               val in = fs.open(p)
-              try {
-                val ix = new TsdbBlock.IndexReadAt((pos, n) => {
-                  val b = new Array[Byte](n)
-                  in.readFully(pos, b, 0, n)
-                  rangedIndexBytes.addAndGet(n.toLong)
-                  b
-                }, len)
-                // materialize before closing the stream; matched refs are
-                // bounded by the match, the thing this path exists to bound
-                resolve(ix).flatMap(refRows(block, _)).toVector
-              } finally in.close()
+              open += in
+              val ix = new TsdbBlock.IndexReadAt((pos, n) => {
+                val b = new Array[Byte](n)
+                in.readFully(pos, b, 0, n)
+                rangedIndexBytes.addAndGet(n.toLong)
+                b
+              }, len)
+              resolve(ix).flatMap(refRows(block, _))
             }
           }
     })
@@ -301,6 +315,16 @@ object TsdbBlockReader {
         val buf = new Array[Byte](4 << 20)
         var bufStart = 0L
         var bufLen = 0
+        // ADAPTIVE refill: dense scans (full migration — every chunk in
+        // offset order) double the window up to 4 MB, so each segment byte
+        // is read once in large sequential blocks; a SEEK past the window
+        // (selective load — matched chunks scattered through the segment)
+        // resets it to 64 KB, so a 1-series read fetches ~chunk-sized
+        // ranges instead of 4 MB per matched chunk (60× less I/O on an
+        // object store, where bandwidth is the cost and a ranged GET's
+        // latency is flat across these sizes)
+        val MinRefill = 64 << 10
+        var refill = MinRefill
         def closeIn(): Unit = if (in != null) { in.close(); in = null }
         def readAt(pos: Long, dst: Array[Byte], n: Int): Unit = {
           // truncation (or a corrupt chunk length varint) must fail as a
@@ -309,10 +333,20 @@ object TsdbBlockReader {
           require(pos + n <= fileLen,
             s"read past EOF of segment ($pos+$n > $fileLen)")
           if (pos < bufStart || pos + n > bufStart + bufLen) {
-            if (n > buf.length) { in.readFully(pos, dst, 0, n); return }
+            if (n > buf.length) {
+              in.readFully(pos, dst, 0, n)
+              segmentBytesRead.addAndGet(n.toLong)
+              return
+            }
+            val sequential = bufLen > 0 && pos >= bufStart + bufLen &&
+              pos - (bufStart + bufLen) < MinRefill
+            refill =
+              if (sequential) math.min(refill * 2, buf.length)
+              else MinRefill
             bufStart = pos
-            bufLen = math.min(buf.length.toLong, fileLen - pos).toInt
+            bufLen = math.min(math.max(refill, n).toLong, fileLen - pos).toInt
             in.readFully(pos, buf, 0, bufLen)
+            segmentBytesRead.addAndGet(bufLen.toLong)
           }
           System.arraycopy(buf, (pos - bufStart).toInt, dst, 0, n)
         }
