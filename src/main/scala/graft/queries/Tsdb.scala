@@ -580,6 +580,21 @@ object Tsdb {
         "UNION ALL SELECT 'uid', count(user_id) FROM events WHERE user_id = 3) t " +
         "WHERE c > 0 ORDER BY label")),
 
+    // label_values over a RAW TSDB block via the index's label-index
+    // section alone (the per-label value dictionary): one small positional
+    // read per block — TOC + label offset table + one label-index section
+    // + symbols — never a series entry, never the whole index file. The
+    // raw-bucket twin of the reference's parquet dictionary shortcut.
+    Q("a3_tsdb_label_values",
+      t => {
+        import t.spark.implicits._
+        graft.sources.TsdbBlockReader
+          .labelValues(t.spark, Seq(tsdbBlockFixture(t)), "uid")
+          .toDF("uid").orderBy(col("uid"))
+      },
+      Some(s"WITH $S_CTE SELECT DISTINCT uid FROM s " +
+        s"WHERE ts_ms < ${T0 + 3 * DAY} ORDER BY uid")),
+
     // label_values over a REFERENCE bucket via the no-constraint dictionary
     // shortcut (search/search.go:173-201): values come from the labels
     // files' parquet dictionary pages — chunks files are never opened

@@ -1229,6 +1229,17 @@ class EtlSpec extends SparkSpec {
         graft.promql.MatchEq("uid", "31")))
     assert(re.count() == 4)
     assert(TsdbBlockReader.rangedIndexBytes.get() - b1 < idxLen / 4)
+
+    // distributed label_values off the label-index section alone: correct
+    // values, no series entry decoded, tiny ranged fetch
+    val b2 = TsdbBlockReader.rangedIndexBytes.get()
+    val d1 = TsdbBlock.seriesDecoded.get()
+    assert(TsdbBlockReader.labelValues(spark, Seq(s"$root/$ulid"), "__name__")
+      == (0 until 50).map(i => s"m$i").sorted)
+    assert(TsdbBlock.seriesDecoded.get() - d1 == 0,
+      "label_values must never decode a series entry")
+    assert(TsdbBlockReader.rangedIndexBytes.get() - b2 < idxLen / 4)
+    assert(TsdbBlockReader.labelValues(spark, Seq(s"$root/$ulid"), "nosuch").isEmpty)
   }
 
   test("TSDB block roundtrip preserves stale-marker NaN payloads bit-exactly") {
