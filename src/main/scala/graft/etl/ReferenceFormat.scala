@@ -433,6 +433,11 @@ object ReferenceFormat {
         Seq(seriesHashOf(joined, lblNames.map(c => (c.stripPrefix(LabelPrefix), col(c)))).as("series_hash"),
           col("_p.ts_ms").as("ts_ms"), col("_p.value").as("value"),
           col("_p.h").as("h"),
+          // the layout stores ≤1 sample per (series, ts) — vertical-merge
+          // dedup collapsed ties at convert — so ts_ms is a valid ingest
+          // tie-break, and the samples-model contract (PromEngine's range
+          // functions order on it) holds over an opened bucket
+          col("_p.ts_ms").as("sample_id"),
           element_at(split(col("_stem"), "/"), -2).as("date")): _*)
   }
 

@@ -463,6 +463,70 @@ object TsdbBlockReader {
       .distinct().collect().sorted.toSeq
   }
 
+  /** Distinct label NAMES across TSDB blocks, off each block's label
+    * offset table alone — even cheaper than [[labelValues]] (no
+    * label-index section, no symbols). */
+  def labelNames(spark: SparkSession, blockDirs: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    require(blockDirs.nonEmpty, "no TSDB block directories to read")
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConf(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(blockDirs)
+      .repartition(blockDirs.size)
+      .mapPartitions { dirs =>
+        val conf = confBc.value.value
+        dirs.flatMap { d =>
+          val p = new Path(s"$d/index")
+          val fs = p.getFileSystem(conf)
+          val len = fs.getFileStatus(p).getLen
+          val in = fs.open(p)
+          try {
+            val ix = new TsdbBlock.IndexReadAt((pos, n) => {
+              val b = new Array[Byte](n)
+              in.readFully(pos, b, 0, n)
+              rangedIndexBytes.addAndGet(n.toLong)
+              b
+            }, len)
+            TsdbBlock.readLabelNamesAt(ix)
+          } finally in.close()
+        }
+      }
+      .distinct().collect().sorted.toSeq
+  }
+
+  /** PromQL serving straight off a RAW TSDB bucket: a `(samples,
+    * sourceByRange)` pair ready for `graft.api.PromEngine` — the fixed
+    * frame loads every listed block (the schema/metadata authority), and
+    * `sourceByRange` re-opens ONLY the blocks overlapping a query's
+    * AST-derived reach, with chunk-granular pruning inside them. An
+    * UNMIGRATED bucket then serves the same queries, with the same
+    * per-query block mint/maxt pruning, as a migrated one
+    * (`db/db.go:252-258`) — the "query it before the convert loop gets to
+    * it" half of a live migration. */
+  def promSource(spark: SparkSession, root: String, ulids: Seq[String])
+      : (DataFrame, (Long, Long) => DataFrame) = {
+    require(ulids.nonEmpty, "no TSDB blocks to serve")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metas = ulids.map { u =>
+      val p = new Path(s"$root/$u/meta.json")
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+        graft.etl.TsdbBlockMeta.parse(out.toString("UTF-8"))
+      } finally in.close()
+    }
+    val all = loadSamples(spark, ulids.map(u => s"$root/$u"))
+    val byRange = (lo: Long, hi: Long) => {
+      val dirs = metas.filter(m => m.maxTime > lo && m.minTime <= hi)
+        .map(m => s"$root/${m.ulid}")
+      if (dirs.isEmpty) all.limit(0)
+      else loadSamples(spark, dirs, lo, hi)
+    }
+    (all, byRange)
+  }
+
   /** [[loader]] with FULL matcher semantics ([[loadSamplesMatching]]):
     * a partial migration driven by `=~`/`!~`/`!=` matchers pushes them into
     * each block's index task (value-dictionary resolve → postings

@@ -1242,6 +1242,61 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlockReader.labelValues(spark, Seq(s"$root/$ulid"), "nosuch").isEmpty)
   }
 
+  test("PromQL serves identically from a RAW TSDB bucket and its migrated copy") {
+    import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    def fpts(day: Int, base: Double) =
+      new GenericArrayData((0 until 24).map(h =>
+        InternalRow(jan1 + day * D + h * 3600000L, base + h, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbserve").toString
+    val ulids = Seq("01HV0SERVEPARITYBLOCKA0000", "01HV0SERVEPARITYBLOCKB0000")
+    ulids.zipWithIndex.foreach { case (u, day) =>
+      val series = (0 until 2).flatMap(m => (0 until 3).map(i =>
+        Map("__name__" -> s"pm$m", "uid" -> i.toString) ->
+          (fpts(day, m * 100.0 + i * 10.0)
+            : org.apache.spark.sql.catalyst.util.ArrayData)))
+      TsdbBlock.writeBlock(root, u, series)
+    }
+    // migrate the bucket, then serve the SAME queries from both sides
+    val out = Files.createTempDirectory("graft-tsdbserveout").toString
+    val disc = new TsdbDiscoverer(root, now = () => jan1 + 40 * D)
+    var go = true
+    while (go) {
+      val r = ConvertLoop.advanceReference(spark, disc, out,
+        java.time.LocalDate.of(2024, 1, 10),
+        TsdbBlockReader.loader(spark, root), graceDays = 2, maxDays = 2,
+        loadSamplesRanged = Some(TsdbBlockReader.rangedLoader(spark, root)))
+      go = !r.converged
+    }
+    val migrated = new graft.api.PromEngine(
+      ReferenceFormat.openReferenceStore(spark, out))
+    val (raw, byRange) = TsdbBlockReader.promSource(spark, root, ulids)
+    val live = new graft.api.PromEngine(raw, sourceByRange = Some(byRange))
+
+    def norm(ss: Seq[graft.api.PromEngine.Series]) =
+      ss.map(s => (s.labels, s.points.sortBy(_._1))).sortBy(_._1.toSeq.sorted.mkString(","))
+    val at = jan1 + D + 20 * 3600000L
+    for (q <- Seq(
+      """sum by (__name__) ({uid=~".+"})""",
+      """pm0{uid="1"}""",
+      """rate(pm1{uid="2"}[2h])""",
+      """max(pm0) - min(pm0)""")) {
+      assert(norm(live.instantQuery(q, at)) == norm(migrated.instantQuery(q, at)),
+        s"instant '$q' diverges between raw-block and migrated serving")
+    }
+    assert(
+      norm(live.rangeQuery("sum(pm0)", jan1 + 2 * 3600000L, at, 4 * 3600000L)) ==
+        norm(migrated.rangeQuery("sum(pm0)", jan1 + 2 * 3600000L, at, 4 * 3600000L)))
+    // the range-aware source opens only overlapping blocks: a day-1 query
+    // must not touch block B (day 2) at all
+    val day1 = byRange(jan1, jan1 + D - 1)
+    assert(day1.agg(max(col("ts_ms"))).head().getLong(0) < jan1 + D)
+  }
+
   test("TSDB block roundtrip preserves stale-marker NaN payloads bit-exactly") {
     import graft.etl.TsdbBlock
     import graft.functions.IsStale
