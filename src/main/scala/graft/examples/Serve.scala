@@ -42,6 +42,16 @@ object Serve {
     def isDir(p: String) = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
     // a thanos-parquet-gateway bucket (<hash>/<date>/<shard>.labels.parquet)
     // serves directly through the byte-level interop reader — no conversion
+    def tsdbUlids(p: String): Seq[String] =
+      if (!isDir(p)) Nil
+      else {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        try s.iterator().asScala.filter(d =>
+          java.nio.file.Files.isRegularFile(d.resolve("index")) &&
+            java.nio.file.Files.isRegularFile(d.resolve("meta.json")))
+          .map(_.getFileName.toString).toSeq.sorted
+        finally s.close()
+      }
     def isReferenceBucket(p: String): Boolean = isDir(p) && {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p), 3)
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
@@ -63,6 +73,16 @@ object Serve {
         (graft.etl.ReferenceFormat.selectReferenceStore(spark, sfDir, meta = Some(meta)),
           Some((lo: Long, hi: Long) => graft.etl.ReferenceFormat
             .selectReferenceStore(spark, sfDir, Nil, lo, hi, meta = Some(meta))))
+      }
+      else if (tsdbUlids(sfDir).nonEmpty) {
+        // a RAW Prometheus/Thanos TSDB bucket (<ulid>/{meta.json,index,
+        // chunks/}) serves directly through the distributed block reader —
+        // "query it before the convert loop gets to it": per-query block
+        // mint/maxt pruning via meta.json, chunk-granular pruning inside
+        val ulids = tsdbUlids(sfDir)
+        println(s"serving a RAW TSDB bucket: $sfDir (${ulids.size} blocks)")
+        val (all, byR) = graft.sources.TsdbBlockReader.promSource(spark, sfDir, ulids)
+        (all, Some(byR))
       }
       else (TimeSeriesModel.samples(Tables(spark, sfDir).events), None)
     // Thanos auto-downsampling: persisted downsample-<res> layers serve

@@ -1242,6 +1242,42 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlockReader.labelValues(spark, Seq(s"$root/$ulid"), "nosuch").isEmpty)
   }
 
+  test("positional readSeriesByIdsAt equals the full walk filtered (randomized)") {
+    import graft.etl.TsdbBlock
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    val jan1 = 1704067200000L
+    // adversarial entry sizes: random label counts, one series with a 10 KB
+    // value (entry span far past the 4 KB tail guess → exact re-fetch), and
+    // random chunk counts so entry lengths vary
+    val series = (0 until 300).map { i =>
+      val nPts = 1 + rnd.nextInt(120)
+      val pts = new GenericArrayData((0 until nPts).map(k =>
+        InternalRow(jan1 + k * 60000L, rnd.nextDouble() * 100, null)).toArray[Any])
+      val extra = (0 until rnd.nextInt(4)).map(j =>
+        s"l$j" -> rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString).toMap
+      val big = if (i == 137) Map("huge" -> ("x" * 10240)) else Map.empty
+      (Map("__name__" -> s"m${i % 7}", "i" -> i.toString) ++ extra ++ big) ->
+        (pts: org.apache.spark.sql.catalyst.util.ArrayData)
+    }
+    val root = Files.createTempDirectory("graft-tsdbfuzz").toString
+    val ulid = "01HV0FUZZBYIDSBLOCK0000000"
+    TsdbBlock.writeBlock(root, ulid, series)
+    val idx = Files.readAllBytes(Paths.get(s"$root/$ulid/index"))
+    val all = TsdbBlock.readSeries(idx).toVector
+    assert(all.size == 300)
+    (1 to 25).foreach { _ =>
+      val ids = rnd.shuffle(all.map(_.ref)).take(rnd.nextInt(all.size + 1))
+      val got = TsdbBlock.readSeriesByIds(idx, ids).toVector
+      val want = all.filter(e => ids.contains(e.ref)).sortBy(_.ref)
+      assert(got == want, s"byIds(${ids.size} ids) diverged from the full walk")
+    }
+    // empty and singleton sets
+    assert(TsdbBlock.readSeriesByIds(idx, Nil).isEmpty)
+    assert(TsdbBlock.readSeriesByIds(idx, Seq(all.last.ref)).toSeq == Seq(all.last))
+  }
+
   test("PromQL serves identically from a RAW TSDB bucket and its migrated copy") {
     import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
     import graft.sources.TsdbBlockReader
