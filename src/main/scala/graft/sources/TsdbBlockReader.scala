@@ -195,6 +195,9 @@ object TsdbBlockReader {
     val confBc = spark.sparkContext.broadcast(
       new SerializableConf(spark.sparkContext.hadoopConfiguration))
 
+    // local def (not an object method): the executor closures below must
+    // not capture the TsdbBlockReader module, which is deliberately
+    // non-Serializable (it owns the refs-cache queue)
     def refRows(block: String, s: TsdbBlock.SeriesEntry): Iterator[Ref] =
       s.chunks.iterator
         .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
@@ -209,18 +212,7 @@ object TsdbBlockReader {
     // spills instead of evicting. The labelNames collect materializes the
     // cache before the fetch plan is even built.
     val refs = (source match {
-      case FullWalk =>
-        // whole-file read is RIGHT here: a full walk touches every byte of
-        // the symbols + series sections anyway, and binaryFile gives one
-        // executor task per block with the streamed entry walk on top
-        spark.read.format("binaryFile")
-          .load(blockDirs.map(d => s"$d/index"): _*)
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .flatMap { case (path, bytes) =>
-            val block = path.stripSuffix("/index")
-            TsdbBlock.readSeries(bytes).flatMap(refRows(block, _))
-          }
+      case FullWalk => fullWalkRefs(spark, blockDirs, mintMs, maxtMs)
       case Selective(resolve) =>
         // positional reads, one task per block: TOC + offset tables +
         // matched posting lists + coalesced matched entries — the index
@@ -261,13 +253,41 @@ object TsdbBlockReader {
     })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackRefs(refs)
+    samplesFromRefs(spark, refs, readStones(spark, blockDirs),
+      mintMs, maxtMs, confBc)
+  }
 
-    // tombstones: per-block deleted (series, interval) pairs — the
-    // reference applies them through tsdb.OpenBlock's querier, so a
-    // faithful read drops the covered samples. Files are tiny (bounded by
-    // delete requests); read driver-side like the reference does
+  /** Whole-index refs build: whole-file read is RIGHT for a full walk —
+    * it touches every byte of the symbols + series sections anyway, and
+    * binaryFile gives one executor task per block with the streamed entry
+    * walk on top. */
+  private def fullWalkRefs(spark: SparkSession, blockDirs: Seq[String],
+                           mintMs: Long, maxtMs: Long)
+      : org.apache.spark.sql.Dataset[Ref] = {
+    import spark.implicits._
+    def refRows(block: String, s: TsdbBlock.SeriesEntry): Iterator[Ref] =
+      s.chunks.iterator
+        .filter(c => c.maxt >= mintMs && c.mint <= maxtMs)
+        .map(c => Ref(block, c.segment, c.offset, c.mint, c.maxt, s.ref,
+          s.labels))
+    spark.read.format("binaryFile")
+      .load(blockDirs.map(d => s"$d/index"): _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val block = path.stripSuffix("/index")
+        TsdbBlock.readSeries(bytes).flatMap(refRows(block, _))
+      }
+  }
+
+  /** Driver-side tombstones read: per-block deleted (series, interval)
+    * pairs — the reference applies them through tsdb.OpenBlock's querier,
+    * so a faithful read drops the covered samples. Files are tiny
+    * (bounded by delete requests). */
+  private def readStones(spark: SparkSession, blockDirs: Seq[String])
+      : Seq[(String, Long, Long, Long)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val stones: Seq[(String, Long, Long, Long)] = blockDirs.flatMap { d =>
+    blockDirs.flatMap { d =>
       val p = new Path(s"$d/tombstones")
       val fs = p.getFileSystem(hconf)
       // key by the QUALIFIED dir — the refs' `block` comes from
@@ -286,9 +306,22 @@ object TsdbBlockReader {
         } finally in.close()
       }
     }
+  }
 
-    val labelNames = refs.select(explode(map_keys(col("labels"))).as("n"))
-      .distinct().as[String].collect().sorted.toSeq
+  /** The pipeline downstream of a (persisted) refs dataset: label-name
+    * union, range-partitioned chunk fetch, decode, tombstone mask, model
+    * projection. Callers own the refs' persist lifecycle. */
+  private def samplesFromRefs(spark: SparkSession,
+                              refs: org.apache.spark.sql.Dataset[Ref],
+                              stones: Seq[(String, Long, Long, Long)],
+                              mintMs: Long, maxtMs: Long,
+                              confBc: org.apache.spark.broadcast.Broadcast[SerializableConf],
+                              labelNamesKnown: Option[Seq[String]] = None)
+      : DataFrame = {
+    import spark.implicits._
+    val labelNames = labelNamesKnown.getOrElse(
+      refs.select(explode(map_keys(col("labels"))).as("n"))
+        .distinct().as[String].collect().sorted.toSeq)
 
     // RANGE partition on (block, segment, offset): the global sorted order
     // splits into contiguous offset slices, so a single huge segment fans
@@ -505,8 +538,46 @@ object TsdbBlockReader {
     * it" half of a live migration. */
   def promSource(spark: SparkSession, root: String, ulids: Seq[String])
       : (DataFrame, (Long, Long) => DataFrame) = {
+    val bucket = openBucket(spark, root, ulids)
+    (bucket.select(), (lo: Long, hi: Long) => bucket.select(lo, hi))
+  }
+
+  /** An OPEN raw-TSDB bucket for repeated serving — the Syncer/open-block
+    * cache analog (`locate/syncer.go:115-218`): every block's index parses
+    * ONCE at open (refs persisted + materialized), the label schema and
+    * tombstones resolve once, and each query slices the CACHED refs by its
+    * time bounds — serving a query against an open bucket re-reads no
+    * index file. `close()` releases the refs cache. */
+  final class OpenTsdbBucket private[sources] (
+      spark: SparkSession,
+      metas: Seq[graft.etl.TsdbBlockMeta],
+      refs: org.apache.spark.sql.Dataset[Ref],
+      stones: Seq[(String, Long, Long, Long)],
+      labelNames: Seq[String],
+      confBc: org.apache.spark.broadcast.Broadcast[SerializableConf])
+      extends AutoCloseable {
+    /** Samples with ts ∈ [mintMs, maxtMs]: chunk-granular pruning via the
+      * cached refs' bounds (which subsumes block mint/maxt pruning — a
+      * non-overlapping block contributes no surviving ref). The label
+      * schema is the bucket-wide union, so every slice binds the same
+      * columns. */
+    def select(mintMs: Long = Long.MinValue,
+               maxtMs: Long = Long.MaxValue): DataFrame =
+      samplesFromRefs(spark,
+        refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs),
+        stones, mintMs, maxtMs, confBc, Some(labelNames))
+    def blockCount: Int = metas.size
+    override def close(): Unit = refs.unpersist(blocking = false)
+  }
+
+  /** Open `<root>/<ulid>` blocks for serving; see [[OpenTsdbBucket]]. */
+  def openBucket(spark: SparkSession, root: String,
+                 ulids: Seq[String]): OpenTsdbBucket = {
+    import spark.implicits._
     require(ulids.nonEmpty, "no TSDB blocks to serve")
     val conf = spark.sparkContext.hadoopConfiguration
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConf(conf))
     val metas = ulids.map { u =>
       val p = new Path(s"$root/$u/meta.json")
       val fs = p.getFileSystem(conf)
@@ -517,14 +588,14 @@ object TsdbBlockReader {
         graft.etl.TsdbBlockMeta.parse(out.toString("UTF-8"))
       } finally in.close()
     }
-    val all = loadSamples(spark, ulids.map(u => s"$root/$u"))
-    val byRange = (lo: Long, hi: Long) => {
-      val dirs = metas.filter(m => m.maxTime > lo && m.minTime <= hi)
-        .map(m => s"$root/${m.ulid}")
-      if (dirs.isEmpty) all.limit(0)
-      else loadSamples(spark, dirs, lo, hi)
-    }
-    (all, byRange)
+    val dirs = ulids.map(u => s"$root/$u")
+    val refs = fullWalkRefs(spark, dirs, Long.MinValue, Long.MaxValue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache AND resolves the bucket-wide label schema
+    val labelNames = refs.select(explode(map_keys(col("labels"))).as("n"))
+      .distinct().as[String].collect().sorted.toSeq
+    new OpenTsdbBucket(spark, metas, refs, readStones(spark, dirs),
+      labelNames, confBc)
   }
 
   /** [[loader]] with FULL matcher semantics ([[loadSamplesMatching]]):

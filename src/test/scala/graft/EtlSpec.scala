@@ -1278,6 +1278,44 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlock.readSeriesByIds(idx, Seq(all.last.ref)).toSeq == Seq(all.last))
   }
 
+  test("OpenTsdbBucket: indexes parse once at open, queries serve from cached refs") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    def fpts(day: Int, base: Double) =
+      new GenericArrayData((0 until 24).map(h =>
+        InternalRow(jan1 + day * D + h * 3600000L, base + h, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbopen").toString
+    val ulids = Seq("01HV0OPENBUCKETBLOCKA00000", "01HV0OPENBUCKETBLOCKB00000")
+    ulids.zipWithIndex.foreach { case (u, day) =>
+      TsdbBlock.writeBlock(root, u, (0 until 5).map(i =>
+        Map("__name__" -> "ob", "uid" -> i.toString) ->
+          (fpts(day, i * 10.0): org.apache.spark.sql.catalyst.util.ArrayData)))
+    }
+    val before = TsdbBlock.seriesParses.get()
+    val bucket = TsdbBlockReader.openBucket(spark, root, ulids)
+    assert(bucket.blockCount == 2)
+    assert(TsdbBlock.seriesParses.get() - before == 2,
+      "open must parse each index exactly once")
+    val all = bucket.select().count()
+    val day1 = bucket.select(jan1, jan1 + D - 1)
+    val day2 = bucket.select(jan1 + D, Long.MaxValue)
+    assert(all == 5 * 48 && day1.count() == 5 * 24 && day2.count() == 5 * 24)
+    // repeated + sliced queries never touch an index file again
+    assert(TsdbBlock.seriesParses.get() - before == 2,
+      "queries must serve from the cached refs, not re-parse indexes")
+    // a slice matches a direct ranged load exactly
+    val direct = TsdbBlockReader.loadSamples(spark,
+      ulids.map(u => s"$root/$u"), jan1, jan1 + D - 1)
+      .select("__name__", "uid", "ts_ms", "value")
+    val sliced = day1.select("__name__", "uid", "ts_ms", "value")
+    assert(sliced.exceptAll(direct).isEmpty && direct.exceptAll(sliced).isEmpty)
+    bucket.close()
+  }
+
   test("PromQL serves identically from a RAW TSDB bucket and its migrated copy") {
     import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
     import graft.sources.TsdbBlockReader
