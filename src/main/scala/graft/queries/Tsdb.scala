@@ -98,6 +98,12 @@ object Tsdb {
       s"FROM s WHERE ts_ms > ${tms - lb} AND ts_ms <= $tms GROUP BY __name__, uid)"
   private val DSUM = "CAST(CAST(SUM(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)"
 
+  /** Open-bucket cache for the serving-path queries: one
+    * [[graft.sources.TsdbBlockReader.OpenTsdbBucket]] per fixture dir per
+    * JVM (parse-once is the thing the query measures). */
+  private val openBuckets = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.sources.TsdbBlockReader.OpenTsdbBucket]()
+
   /** The shared TSDB-block fixture (3-day dedup slice written as a real
     * index-v2 block); returns the block directory. The WRITER is the
     * documented driver-side seam — it bounds what it hands the driver —
@@ -221,6 +227,30 @@ object Tsdb {
         "GROUP BY 1, 2, 3) " +
         s"SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM d " +
         "WHERE regexp_full_match(__name__, 'p.*|v.*') AND uid <> '3' " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // serving-cache slice: an OPEN bucket (indexes parsed once per JVM,
+    // refs cached — the Syncer/open-block analog) answers a day-2 time
+    // slice from the cached refs alone. Oracle = the same dedup slice
+    // bounded in SQL, so a refs-bound slip (off-by-one day edges, lost
+    // chunk pruning) hash-mismatches.
+    Q("s1_tsdb_open",
+      t => {
+        val dir = tsdbBlockFixture(t)
+        val (root, ulid) = (dir.substring(0, dir.lastIndexOf('/')),
+          dir.substring(dir.lastIndexOf('/') + 1))
+        openBuckets.computeIfAbsent(dir, _ =>
+          graft.sources.TsdbBlockReader.openBucket(t.spark, root, Seq(ulid)))
+          .select(T0 + DAY, T0 + 2 * DAY - 1)
+          .groupBy(col("__name__"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_v"))
+          .orderBy(col("__name__"))
+      },
+      Some(s"WITH $S_CTE, d AS (SELECT __name__, uid, ts_ms, " +
+        s"min_by(value, sample_id) AS value FROM s WHERE ts_ms < ${T0 + 3 * DAY} " +
+        "GROUP BY 1, 2, 3) " +
+        s"SELECT __name__, count(*) AS n, $DSUM AS sum_v FROM d " +
+        s"WHERE ts_ms BETWEEN ${T0 + DAY} AND ${T0 + 2 * DAY - 1} " +
         "GROUP BY 1 ORDER BY 1")),
 
     // Download-then-open: the block is mirrored through BlockFetch's

@@ -598,6 +598,32 @@ object TsdbBlockReader {
       labelNames, confBc)
   }
 
+  /** `loadSamplesRanged` loader backed by [[OpenTsdbBucket]]s: a
+    * multi-round migration over the same blocks parses each index ONCE
+    * TOTAL — rounds slice the cached refs — instead of once per
+    * overlapping round. Buckets key on the stream's ULID set; when
+    * discovery changes the set (new/vanished blocks), the stale bucket
+    * closes and a fresh one opens. Single-converter-per-loader, like the
+    * reference's convert process. */
+  def openRangedLoader(spark: SparkSession, root: String)
+      : (TsdbStream, Long, Long) => DataFrame = {
+    val cache = scala.collection.mutable.Map.empty[Seq[String], OpenTsdbBucket]
+    (stream, mintMs, maxtMs) => {
+      val ulids = stream.metas.map(_.ulid).sorted
+      val bucket = cache.synchronized {
+        cache.getOrElseUpdate(ulids, {
+          // the stream's block set changed: release superseded buckets
+          // (subset/superset of the new set — stale discovery states)
+          val stale = cache.keys.filter(k => k.forall(ulids.contains) ||
+            ulids.forall(k.contains)).toSeq
+          stale.foreach { k => cache.remove(k).foreach(_.close()) }
+          openBucket(spark, root, ulids)
+        })
+      }
+      bucket.select(mintMs, maxtMs)
+    }
+  }
+
   /** [[loader]] with FULL matcher semantics ([[loadSamplesMatching]]):
     * a partial migration driven by `=~`/`!~`/`!=` matchers pushes them into
     * each block's index task (value-dictionary resolve → postings

@@ -1316,6 +1316,49 @@ class EtlSpec extends SparkSpec {
     bucket.close()
   }
 
+  test("openRangedLoader: a multi-round migration parses each index once TOTAL") {
+    import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    // one block spanning 3 days → maxDays=1 forces 3 converting rounds
+    // over the SAME block; the open-bucket loader must parse its index
+    // once, where the plain ranged loader re-parses it every round
+    val root = Files.createTempDirectory("graft-tsdbopenmig").toString
+    val ulid = "01HV0OPENMIGRATEBLOCK00000"
+    TsdbBlock.writeBlock(root, ulid, (0 until 4).map { i =>
+      val pts = new GenericArrayData((0 until 72).map(h =>
+        InternalRow(jan1 + h * 3600000L, i * 100.0 + h, null)).toArray[Any])
+      Map("__name__" -> "om", "uid" -> i.toString) ->
+        (pts: org.apache.spark.sql.catalyst.util.ArrayData)
+    })
+    val disc = new TsdbDiscoverer(root, now = () => jan1 + 40 * D)
+    val out = Files.createTempDirectory("graft-tsdbopenmigout").toString
+    val before = TsdbBlock.seriesParses.get()
+    // ONE loader instance across the whole loop — its bucket cache is what
+    // carries the parse across rounds (per-round loaders would re-open)
+    val ranged = TsdbBlockReader.openRangedLoader(spark, root)
+    var rounds = 0
+    var go = true
+    while (go) {
+      val r = ConvertLoop.advanceReference(spark, disc, out,
+        LocalDate.of(2024, 1, 10),
+        TsdbBlockReader.loader(spark, root), graceDays = 2, maxDays = 1,
+        loadSamplesRanged = Some(ranged))
+      rounds += r.stepCount
+      go = !r.converged
+    }
+    assert(rounds == 3, s"expected 3 converted day-rounds, got $rounds")
+    val parses = TsdbBlock.seriesParses.get() - before
+    assert(parses == 1,
+      s"open-bucket loader must parse the index once across rounds, got $parses")
+    val got = ReferenceFormat.openReferenceStore(spark, out)
+    assert(got.count() == 4 * 72)
+    assert(got.select("date").distinct().count() == 3)
+  }
+
   test("PromQL serves identically from a RAW TSDB bucket and its migrated copy") {
     import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
     import graft.sources.TsdbBlockReader
