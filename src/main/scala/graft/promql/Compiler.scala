@@ -643,15 +643,21 @@ object Compiler {
         if (fn == "sort_by_label") col(l).asc_nulls_first else col(l).desc_nulls_last)
       v.orderBy(ord: _*)
     // clamp family: Go's math.Min/Max propagate NaN (either operand), and
-    // funcClamp yields NaN when min > max — Spark's least/greatest instead
-    // rank NaN greatest (least() silently DROPS it), so guard explicitly
+    // funcClamp: max < min returns the EMPTY vector (`if maxVal < minVal {
+    // return enh.Out }`); a NaN bound propagates NaN through math.Max/Min
+    // (the < is false for NaN, so that path never empties). Spark's
+    // least/greatest instead rank NaN greatest (least() silently DROPS
+    // it), so the NaN cases are guarded explicitly.
     case "clamp" =>
       val v = compile(args.head, ctx)
       val (lo, hi) = (scalarOf(args(1)), scalarOf(args(2)))
-      val out = if (lo > hi || lo.isNaN || hi.isNaN) lit(Double.NaN)
-        else when(isnan(col("value")), lit(Double.NaN))
-          .otherwise(least(greatest(col("value"), lit(lo)), lit(hi)))
-      dropName(v.withColumn("value", out))
+      if (hi < lo) dropName(v.filter(lit(false)))
+      else {
+        val out = if (lo.isNaN || hi.isNaN) lit(Double.NaN)
+          else when(isnan(col("value")), lit(Double.NaN))
+            .otherwise(least(greatest(col("value"), lit(lo)), lit(hi)))
+        dropName(v.withColumn("value", out))
+      }
     case "clamp_min" =>
       val lo = scalarOf(args(1))
       dropName(compile(args.head, ctx).withColumn("value",

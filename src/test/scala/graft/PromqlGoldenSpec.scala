@@ -407,9 +407,8 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |eval instant at 100s metric{pod="nginx-1"} + on() group_left(b) metric{pod="nginx-2"}
       |  {a="foo", pod="nginx-1", b="bar"} 131
       |
+      |# upstream funcClamp: max < min returns the EMPTY vector
       |eval instant at 100s clamp(metric, 60, 30)
-      |  {a="foo", pod="nginx-1"} NaN
-      |  {b="bar", pod="nginx-2"} NaN
       |
       |eval instant at 100s clamp_min(metric, 50)
       |  {a="foo", pod="nginx-1"} 50

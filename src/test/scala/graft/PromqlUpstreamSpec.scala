@@ -410,6 +410,9 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {path="/bar"} 3
       |  {path="/biz"} 1
       |
+      |# max < min → empty vector (funcClamp's first special case)
+      |eval instant at 45m clamp(http_requests, 3, 1)
+      |
       |clear
       |
       |load 5m
