@@ -96,6 +96,20 @@ object TsdbReadBench {
         jan1 + day, jan1 + 2 * day - 1).count()))
     val results = shapes.map { case (n, fn) => (n, time(fn)) }
 
+    // open-bucket SERVING shape: open once (the index-parse cost), then
+    // repeated day slices answer from the cached refs — the latency a
+    // query pays once a bucket is open, vs the per-load cost above
+    val ulids = (0 until nBlocks).map(b => f"01HV0READBENCHBLOCK${b}%07d")
+    val o0 = System.nanoTime()
+    val bucket = TsdbBlockReader.openBucket(spark, root, ulids)
+    val openSec = (System.nanoTime() - o0) / 1e9
+    val sliceSec = (1 to math.max(2, repeat)).map { _ =>
+      val t0 = System.nanoTime()
+      bucket.select(jan1 + day, jan1 + 2 * day - 1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    bucket.close()
+
     // streaming series-walk memory probe: consume one block's whole index
     // through the LAZY readSeries iterator, sampling heap growth over the
     // baseline as the walk advances. The walk holds the index array plus
@@ -126,6 +140,7 @@ object TsdbReadBench {
     println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
       s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +
       s""""write_sec":${f(writeSec)},""" +
+      s""""open":{"open_sec":${f(openSec)},"slice_sec":${f(sliceSec)}},""" +
       s""""walk":{"entries":$walked,"index_mb":${f(idxBytes.length / 1048576.0)},""" +
       s""""peak_extra_heap_mb":${f(peakB / 1048576.0)}},$body}""")
     spark.stop()
