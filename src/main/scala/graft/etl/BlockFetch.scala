@@ -85,7 +85,15 @@ object BlockFetch {
       // stream reads surface the interrupt as IOException) and the await
       // bounds teardown before control returns.
       pool.shutdownNow()
-      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      // The await's RESULT matters: returning while a writer thread is still
+      // live hands a retrying caller exactly that race. A transfer that
+      // ignores interrupt for 60 s is wedged I/O — fail loudly rather than
+      // return with a live writer behind the caller's back.
+      if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new java.io.IOException(
+          s"block fetch for $remoteRoot/$ulid did not terminate within 60s " +
+            "after interrupt; a transfer thread is wedged — refusing to " +
+            "return while a background writer may still touch the cache")
     }
     Paths.get(localRoot, ulid).toString
   }

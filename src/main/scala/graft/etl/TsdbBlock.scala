@@ -225,6 +225,71 @@ object TsdbBlock {
     Array.tabulate(n)(i => be32(content, 4 + 4 * i).toLong & 0xFFFFFFFFL)
   }
 
+  // Postings algebra over ASCENDING Array[Long] lists (the on-disk order) —
+  // two-pointer merges, zero boxing. Upstream evaluates the same algebra
+  // lazily over index.Postings iterators (Intersect/Merge/Without); eager
+  // primitive arrays give the same O(n) passes without per-element iterator
+  // dispatch, and a broad or negated matcher on an upstream-max ~10M-series
+  // block stays ~80 MB of longs instead of hundreds of MB of boxed Set nodes.
+
+  /** Merge-union of two ascending, duplicate-free arrays (output likewise). */
+  private[graft] def unionSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      val av = a(i); val bv = b(j)
+      if (av < bv) { out(k) = av; i += 1 }
+      else if (av > bv) { out(k) = bv; j += 1 }
+      else { out(k) = av; i += 1; j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Merge-intersection of two ascending arrays. */
+  private[graft] def intersectSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty || b.isEmpty) return Array.emptyLongArray
+    val out = new Array[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      val av = a(i); val bv = b(j)
+      if (av < bv) i += 1
+      else if (av > bv) j += 1
+      else { out(k) = av; i += 1; j += 1; k += 1 }
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Merge-difference a ∖ b of two ascending arrays. */
+  private[graft] def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty || b.isEmpty) return a
+    val out = new Array[Long](a.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length) {
+      val av = a(i)
+      while (j < b.length && b(j) < av) j += 1
+      if (j >= b.length || b(j) != av) { out(k) = av; k += 1 }
+      i += 1
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Union of k ascending lists, paired divide-and-conquer: O(n log k)
+    * total, so a negation that unions EVERY posted value of a
+    * high-cardinality name doesn't degrade to O(n·k) repeated re-merges. */
+  private[graft] def unionAllSorted(lists: Seq[Array[Long]]): Array[Long] =
+    lists.size match {
+      case 0 => Array.emptyLongArray
+      case 1 => lists.head
+      case n =>
+        val (l, r) = lists.splitAt(n / 2)
+        unionSorted(unionAllSorted(l), unionAllSorted(r))
+    }
+
   /** Series ids satisfying the label constraints, off the index's postings
     * sections ALONE — no series entry is decoded (the selective-read half
     * the reference leaves to `tsdb.OpenBlock`'s PostingsForMatchers).
@@ -267,20 +332,23 @@ object TsdbBlock {
       table.get("").flatMap(_.get("")).map(postingListAt(ix, _))
         .getOrElse(Array.empty[Long])
     if (constraints.isEmpty) return allIds.toSeq
+    // per-name union, cross-name intersection — two-pointer merges over the
+    // ascending on-disk lists (see the postings algebra above); the result
+    // stays ascending end-to-end, so no terminal sort either
     val perName = constraints.toSeq.map { case (name, values) =>
       val posted = table.getOrElse(name,
         scala.collection.mutable.Map.empty[String, Long])
       val (missing, present) = values.distinct.partition(_.isEmpty)
-      val hits = present.flatMap(posted.get).map(postingListAt(ix, _))
-      val union = hits.foldLeft(Set.empty[Long])(_ ++ _)
+      val union = unionAllSorted(
+        present.flatMap(posted.get).map(postingListAt(ix, _)))
       if (missing.isEmpty) union
       else { // value "" ⇒ series lacking the label entirely
-        val anyValue = posted.valuesIterator
-          .map(postingListAt(ix, _)).foldLeft(Set.empty[Long])(_ ++ _)
-        union ++ (allIds.toSet -- anyValue)
+        val anyValue = unionAllSorted(
+          posted.valuesIterator.map(postingListAt(ix, _)).toSeq)
+        unionSorted(union, diffSorted(allIds, anyValue))
       }
     }
-    perName.reduce(_ intersect _).toSeq.sorted
+    perName.reduce(intersectSorted).toSeq
   }
 
   /** Distinct values of label `name` in the block, off the label-index

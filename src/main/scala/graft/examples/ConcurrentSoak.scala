@@ -16,13 +16,17 @@ import graft.promql.{Eval, LabelMatcher, MatchEq, MatchRe}
   * or catalog serializes queries, wall approaches the sum instead of
   * sum/threads).
   *
-  * The soak runs TWO phases: the query mix alone, then the SAME mix while a
+  * The soak runs THREE phases: the query mix alone; the SAME mix while a
   * TSDB-block migration loop (`ConvertLoop.advanceReference` over
   * `BlockFetch.cachedLoader`) cycles concurrently — the real operational
   * shape the reference runs as separate convert and serve processes against
-  * one cluster. The comparison of per-shape p50/p95 across phases is the
-  * serve-under-migration interference signal; the FAIR scheduler pool keeps
-  * the convert job from starving the query pool.
+  * one cluster; then an OPEN-BUCKET phase, the same thread count
+  * stampeding time slices against one `OpenTsdbBucket` over the raw TSDB
+  * source (serving an unmigrated bucket) — whose printed
+  * `query_parses_delta` must be 0: concurrent queries slice the cached
+  * refs, never re-parse an index. The comparison of per-shape p50/p95
+  * across phases is the serve-under-migration interference signal; the
+  * FAIR scheduler pool keeps the convert job from starving the query pool.
   *
   * Usage: `runMain graft.examples.ConcurrentSoak [threads] [itersPerThread]
   * [scale] [migSeries]` — scale multiplies workload B's 1.5M series (10 →
@@ -115,7 +119,8 @@ object ConcurrentSoak {
 
     /** One full N-thread mixed-query pass; returns per-shape latencies,
       * wall seconds, and gate/exec error count. */
-    def runMix(): (Map[String, Seq[Double]], Double, Long) = {
+    def runMix(mix: Seq[(String, () => Unit)] = shapes)
+        : (Map[String, Seq[Double]], Double, Long) = {
       val lat = new ConcurrentLinkedQueue[(String, Double)]()
       val errs = new java.util.concurrent.atomic.AtomicLong()
       val start = new CountDownLatch(1)
@@ -125,7 +130,7 @@ object ConcurrentSoak {
           start.await()
           var i = 0
           while (i < iters) {
-            val (name, fn) = shapes((ti + i) % shapes.size)
+            val (name, fn) = mix((ti + i) % mix.size)
             val t0 = System.nanoTime()
             try gate.run(120000L)(fn())
             catch { case _: Exception => errs.incrementAndGet() }
@@ -212,6 +217,41 @@ object ConcurrentSoak {
       mixShapes = r._1; mixWall = r._2; mixErrs = r._3
     }
 
+    // phase 3: OPEN-BUCKET serving under concurrency — the same N threads
+    // stampede time slices against ONE OpenTsdbBucket over the raw TSDB
+    // source blocks (no parquet store in the path). The serving-cache
+    // contract: indexes parse ONCE at open; no concurrent query may
+    // re-parse (the printed parse delta must be 0 — the EtlSpec pin, here
+    // measured at soak scale and thread count).
+    var openShapes = Map.empty[String, Seq[Double]]
+    var openWall = 0.0; var openErrs = 0L
+    var openSec = 0.0; var openParses = 0L; var openQueryParses = 0L
+    if (migSeries > 0) {
+      val jan1 = 1704067200000L; val day = 86400000L
+      val ulids = (0 until 2).map(b => f"01HV0SOAKMIGRATE${b}%010d")
+      val p0 = graft.etl.TsdbBlock.seriesParses.get()
+      val t0 = System.nanoTime()
+      val bucket = graft.sources.TsdbBlockReader
+        .openBucket(spark, s"$migRoot/src", ulids)
+      openSec = (System.nanoTime() - t0) / 1e9
+      openParses = graft.etl.TsdbBlock.seriesParses.get() - p0
+      def drainSlice(lo: Long, hi: Long): Unit = {
+        bucket.select(lo, hi).agg(count(lit(1)), sum(col("value"))).head(); ()
+      }
+      val openMix: Seq[(String, () => Unit)] = Seq(
+        "open_day1" -> (() => drainSlice(jan1, jan1 + day - 1)),
+        "open_day2" -> (() => drainSlice(jan1 + day, jan1 + 2 * day - 1)),
+        "open_2h" -> (() => drainSlice(jan1 + 6 * 3600000L,
+          jan1 + 8 * 3600000L - 1)),
+        "open_full" -> (() => drainSlice(Long.MinValue, Long.MaxValue)))
+      openMix.foreach { case (_, fn) => fn() } // warmup, as for phase 1
+      val q0 = graft.etl.TsdbBlock.seriesParses.get()
+      val r = runMix(openMix)
+      openQueryParses = graft.etl.TsdbBlock.seriesParses.get() - q0
+      bucket.close()
+      openShapes = r._1; openWall = r._2; openErrs = r._3
+    }
+
     def f(v: Double) = f"$v%.2f"
     def phaseJson(byShape: Map[String, Seq[Double]], wall: Double,
                   errs: Long): String = {
@@ -227,7 +267,10 @@ object ConcurrentSoak {
       if (migSeries == 0) ""
       else s""","with_migration":${phaseJson(mixShapes, mixWall, mixErrs)},""" +
         s""""migration":{"series":$migSeries,"cycles":${migCycles.get()},""" +
-        s""""rounds":${migRoundsTotal.get()},"wall":${f(migWall)}}"""
+        s""""rounds":${migRoundsTotal.get()},"wall":${f(migWall)}},""" +
+        s""""open_bucket":{"open_sec":${f(openSec)},"open_parses":$openParses,""" +
+        s""""query_parses_delta":$openQueryParses,""" +
+        s""""phase":${phaseJson(openShapes, openWall, openErrs)}}"""
     println(s"""{"metric":"concurrent_soak","unit":"sec","threads":$threads,""" +
       s""""iters":$iters,"series":$nSeries,""" +
       s""""queries_only":${phaseJson(baseShapes, baseWall, baseErrs)}$mixJson}""")

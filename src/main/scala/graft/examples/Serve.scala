@@ -81,8 +81,12 @@ object Serve {
         // mint/maxt pruning via meta.json, chunk-granular pruning inside
         val ulids = tsdbUlids(sfDir)
         println(s"serving a RAW TSDB bucket: $sfDir (${ulids.size} blocks)")
-        val (all, byR) = graft.sources.TsdbBlockReader.promSource(spark, sfDir, ulids)
-        (all, Some(byR))
+        // the open bucket pins a persisted refs dataset for the server's
+        // life (correct for serving); release it on shutdown so embedding
+        // callers that run Serve.main in-JVM don't leak the cache
+        val bucket = graft.sources.TsdbBlockReader.openBucket(spark, sfDir, ulids)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => bucket.close()))
+        (bucket.select(), Some((lo: Long, hi: Long) => bucket.select(lo, hi)))
       }
       else (TimeSeriesModel.samples(Tables(spark, sfDir).events), None)
     // Thanos auto-downsampling: persisted downsample-<res> layers serve

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import graft.etl.TsdbBlock
-import graft.promql.{MatchEq, MatchRe}
+import graft.promql.{MatchEq, MatchNotRe, MatchRe}
 import graft.sources.TsdbBlockReader
 
 /** Scale probe for the distributed TSDB-block source: one real index-v2
@@ -25,7 +25,17 @@ import graft.sources.TsdbBlockReader
   * PER BLOCK, so wall time should approach the single-block cost of a
   * 1/N-size block, not N× it.
   *
-  * Usage: `runMain graft.examples.TsdbReadBench [series] [repeat] [blocks]`.
+  * A fifth shape probes the worst-case postings ALGEBRA rather than I/O:
+  *
+  *   - `negated`: a `!~` matcher keeping ~90% of series — the negation
+  *     resolves as allIds ∖ (union of every posted value), the shape that
+  *     used to materialize boxed Set[Long]s and now runs as two-pointer
+  *     merges over the sorted posting arrays.
+  *
+  * Usage: `runMain graft.examples.TsdbReadBench [series] [repeat] [blocks]
+  * [mode]` — mode `open` skips the load shapes and runs only the
+  * open-bucket serving section (open cost + slice cost at three widths),
+  * for block-count scaling rehearsals where writing is the bound.
   * Prints one JSON line with min-of-repeat seconds, row and decode counts.
   */
 object TsdbReadBench {
@@ -34,6 +44,7 @@ object TsdbReadBench {
     val nSeries = if (args.length > 0) args(0).toInt else 50000
     val repeat = if (args.length > 1) args(1).toInt else 3
     val nBlocks = if (args.length > 2) args(2).toInt else 1
+    val openOnly = args.length > 3 && args(3) == "open"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -86,28 +97,39 @@ object TsdbReadBench {
       }
       (secs.min, rows, decoded, idxBytes, segBytes)
     }
-    val shapes = Seq[(String, () => Long)](
+    val shapes = if (openOnly) Nil else Seq[(String, () => Long)](
       "full" -> (() => TsdbBlockReader.loadSamples(spark, dir).count()),
       "postings" -> (() => TsdbBlockReader.loadSamples(spark, dir,
         matchers = Map("__name__" -> Seq("m3"))).count()),
       "regex" -> (() => TsdbBlockReader.loadSamplesMatching(spark, dir,
         Seq(MatchRe("__name__", "m3"), MatchEq("uid", "0"))).count()),
+      // worst-case postings algebra: !~ keeps 9 of 10 metrics, so the index
+      // task unions EVERY posted __name__ list and differences against
+      // allIds — the merge-algebra heap/CPU probe at broad negation
+      "negated" -> (() => TsdbBlockReader.loadSamplesMatching(spark, dir,
+        Seq(MatchNotRe("__name__", "m3"))).count()),
       "ranged" -> (() => TsdbBlockReader.loadSamples(spark, dir,
         jan1 + day, jan1 + 2 * day - 1).count()))
     val results = shapes.map { case (n, fn) => (n, time(fn)) }
 
     // open-bucket SERVING shape: open once (the index-parse cost), then
-    // repeated day slices answer from the cached refs — the latency a
-    // query pays once a bucket is open, vs the per-load cost above
+    // repeated slices answer from the cached refs — the latency a query
+    // pays once a bucket is open, vs the per-load cost above. Three slice
+    // widths pin that slice cost tracks the WIDTH (surviving refs), while
+    // open cost tracks the BLOCK COUNT.
     val ulids = (0 until nBlocks).map(b => f"01HV0READBENCHBLOCK${b}%07d")
     val o0 = System.nanoTime()
     val bucket = TsdbBlockReader.openBucket(spark, root, ulids)
     val openSec = (System.nanoTime() - o0) / 1e9
-    val sliceSec = (1 to math.max(2, repeat)).map { _ =>
-      val t0 = System.nanoTime()
-      bucket.select(jan1 + day, jan1 + 2 * day - 1).count()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    def sliceMin(lo: Long, hi: Long): Double =
+      (1 to math.max(2, repeat)).map { _ =>
+        val t0 = System.nanoTime()
+        bucket.select(lo, hi).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val slice2h = sliceMin(jan1 + day, jan1 + day + 2 * 3600000L - 1)
+    val sliceSec = sliceMin(jan1 + day, jan1 + 2 * day - 1)
+    val sliceFull = sliceMin(Long.MinValue, Long.MaxValue)
     bucket.close()
 
     // streaming series-walk memory probe: consume one block's whole index
@@ -134,15 +156,16 @@ object TsdbReadBench {
     // ranged_index_mb: bytes the SELECTIVE shapes fetched from index files
     // (0 for whole-file shapes) — the read-amplification signal at scale
     val body = results.map { case (n, (s, r, d, ib, gb)) =>
-      s""""$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d""" +
+      s""","$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d""" +
         s""","ranged_index_mb":${f(ib / 1048576.0)}""" +
-        s""","segment_mb":${f(gb / 1048576.0)}}""" }.mkString(",")
+        s""","segment_mb":${f(gb / 1048576.0)}}""" }.mkString
     println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
       s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +
       s""""write_sec":${f(writeSec)},""" +
-      s""""open":{"open_sec":${f(openSec)},"slice_sec":${f(sliceSec)}},""" +
+      s""""open":{"open_sec":${f(openSec)},"slice_2h_sec":${f(slice2h)},""" +
+      s""""slice_sec":${f(sliceSec)},"slice_full_sec":${f(sliceFull)}},""" +
       s""""walk":{"entries":$walked,"index_mb":${f(idxBytes.length / 1048576.0)},""" +
-      s""""peak_extra_heap_mb":${f(peakB / 1048576.0)}},$body}""")
+      s""""peak_extra_heap_mb":${f(peakB / 1048576.0)}}$body}""")
     spark.stop()
   }
 }

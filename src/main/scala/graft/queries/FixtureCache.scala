@@ -49,17 +49,20 @@ object FixtureCache {
     * accumulate a dir per invocation until shutdown, so the PREVIOUS
     * scratch of the same name is deleted (and deregistered) before the new
     * one is handed out — at most one live scratch dir per name. */
-  def scratch(name: String): String = {
-    val out = java.nio.file.Files.createTempDirectory(s"graft-fx-$name-")
-    val prev = scratchByName.put(name, out.toString)
-    if (prev != null) {
-      dirs.remove((prev, "scratch"))
-      try deleteRecursively(java.nio.file.Paths.get(prev))
-      catch { case _: Exception => () }
-    }
-    dirs.put((out.toString, "scratch"), out.toString)
-    out.toString
-  }
+  def scratch(name: String): String =
+    // create + delete-previous run atomically per name (ConcurrentHashMap
+    // locks the bin during compute): two concurrent scratch(name) calls
+    // serialize, so neither can delete a dir the other just handed out
+    scratchByName.compute(name, (_, prev) => {
+      if (prev != null) {
+        dirs.remove((prev, "scratch"))
+        try deleteRecursively(java.nio.file.Paths.get(prev))
+        catch { case _: Exception => () }
+      }
+      val out = java.nio.file.Files.createTempDirectory(s"graft-fx-$name-")
+      dirs.put((out.toString, "scratch"), out.toString)
+      out.toString
+    })
 
   private val scratchByName =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

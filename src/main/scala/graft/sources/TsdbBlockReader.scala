@@ -345,44 +345,11 @@ object TsdbBlockReader {
         var curSeg = -1
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         var fileLen = 0L
-        val buf = new Array[Byte](4 << 20)
-        var bufStart = 0L
-        var bufLen = 0
-        // ADAPTIVE refill: dense scans (full migration — every chunk in
-        // offset order) double the window up to 4 MB, so each segment byte
-        // is read once in large sequential blocks; a SEEK past the window
-        // (selective load — matched chunks scattered through the segment)
-        // resets it to 64 KB, so a 1-series read fetches ~chunk-sized
-        // ranges instead of 4 MB per matched chunk (60× less I/O on an
-        // object store, where bandwidth is the cost and a ranged GET's
-        // latency is flat across these sizes)
-        val MinRefill = 64 << 10
-        var refill = MinRefill
+        val look = new LookAheadBuffer(4 << 20)
+        var rawRead: (Long, Array[Byte], Int) => Unit = null
         def closeIn(): Unit = if (in != null) { in.close(); in = null }
-        def readAt(pos: Long, dst: Array[Byte], n: Int): Unit = {
-          // truncation (or a corrupt chunk length varint) must fail as a
-          // truncation error, not as stale buffer bytes masquerading as a
-          // chunk and surfacing downstream as a misleading CRC mismatch
-          require(pos + n <= fileLen,
-            s"read past EOF of segment ($pos+$n > $fileLen)")
-          if (pos < bufStart || pos + n > bufStart + bufLen) {
-            if (n > buf.length) {
-              in.readFully(pos, dst, 0, n)
-              segmentBytesRead.addAndGet(n.toLong)
-              return
-            }
-            val sequential = bufLen > 0 && pos >= bufStart + bufLen &&
-              pos - (bufStart + bufLen) < MinRefill
-            refill =
-              if (sequential) math.min(refill * 2, buf.length)
-              else MinRefill
-            bufStart = pos
-            bufLen = math.min(math.max(refill, n).toLong, fileLen - pos).toInt
-            in.readFully(pos, buf, 0, bufLen)
-            segmentBytesRead.addAndGet(bufLen.toLong)
-          }
-          System.arraycopy(buf, (pos - bufStart).toInt, dst, 0, n)
-        }
+        def readAt(pos: Long, dst: Array[Byte], n: Int): Unit =
+          look.readAt(rawRead, fileLen, pos, dst, n)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
         it.map { r =>
@@ -399,9 +366,14 @@ object TsdbBlockReader {
             val p = new Path(s"${r.block}/chunks/${segNames(r.segment)}")
             val fs = p.getFileSystem(conf)
             fileLen = fs.getFileStatus(p).getLen
-            in = fs.open(p)
+            val inSeg = fs.open(p)
+            in = inSeg
+            rawRead = (pos, arr, n) => {
+              inSeg.readFully(pos, arr, 0, n)
+              segmentBytesRead.addAndGet(n.toLong)
+            }
             curSeg = r.segment
-            bufStart = 0L; bufLen = 0
+            look.reset()
           }
           val frame = TsdbBlock.readChunkFrame(readAt,
             fileLen, r.offset, r.mint, r.maxt)
@@ -410,9 +382,27 @@ object TsdbBlockReader {
       }
       .toDF("block", "sref", "labels", "frame")
 
-    val pts = frames
-      .select(col("block"), col("sref"), col("labels"),
+    // series_hash and the per-label extraction are functions of `labels`
+    // ALONE, so they compute here — once per CHUNK row — and ride through
+    // the explode as plain attributes, instead of once per decoded SAMPLE
+    // (~120× per chunk, each with its own map-entries sort; at a 100 TB
+    // migration that is 48M vs 400k hash+sort evaluations per 48M samples).
+    // Two selects on purpose: a single select(exprs…, explode(…)) has
+    // ExtractGenerator place the OTHER expressions in a Project ABOVE the
+    // Generate — i.e. per sample, exactly what this hoist removes — while
+    // an explode over plain attributes leaves the projection below.
+    // Internal `_g_…` names sidestep collisions with user label names
+    // ("block", "series_hash", …) until the final rename.
+    val perChunk = frames.select(
+      col("block") +: col("sref") +: col("frame") +:
+        PromLabelsHash(array_sort(map_entries(col("labels"))))
+          .as("_g_series_hash") +:
+        labelNames.zipWithIndex.map { case (n, i) =>
+          try_element_at(col("labels"), lit(n)).as(s"_g_l$i") }: _*)
+    val pts = perChunk
+      .select(col("*"),
         explode(PromFramesDecode(col("frame"), mintMs, maxtMs)).as("p"))
+      .drop("frame")
     // deleted intervals drop via a broadcast ANTI join on (block, series):
     // the stone side is tiny, the equi keys make it a hash anti join, and
     // with no tombstones anywhere the plan is untouched
@@ -426,12 +416,12 @@ object TsdbBlockReader {
           "left_anti")
       }
     masked.select(
-      labelNames.map(n => try_element_at(col("labels"), lit(n)).as(n)) ++ Seq(
+      labelNames.zipWithIndex.map { case (n, i) => col(s"_g_l$i").as(n) } ++ Seq(
         col("p.ts_ms").as("ts_ms"),
         col("p.value").as("value"),
         col("p.h").as("h"),
         col("p.ts_ms").as("sample_id"),
-        PromLabelsHash(array_sort(map_entries(col("labels")))).as("series_hash")): _*)
+        col("_g_series_hash").as("series_hash")): _*)
       .filter(col("ts_ms").between(mintMs, maxtMs))
   }
 
@@ -567,7 +557,13 @@ object TsdbBlockReader {
         refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs),
         stones, mintMs, maxtMs, confBc, Some(labelNames))
     def blockCount: Int = metas.size
+    /** Release the refs cache. Idempotent; a closed bucket's `select` still
+      * answers (the refs dataset recomputes uncached) — close is a resource
+      * release, not an invalidation. */
     override def close(): Unit = refs.unpersist(blocking = false)
+    /** Test-observable: NONE once [[close]] released the cache. */
+    private[graft] def refsStorageLevel: org.apache.spark.storage.StorageLevel =
+      refs.storageLevel
   }
 
   /** Open `<root>/<ulid>` blocks for serving; see [[OpenTsdbBucket]]. */
@@ -611,14 +607,24 @@ object TsdbBlockReader {
     (stream, mintMs, maxtMs) => {
       val ulids = stream.metas.map(_.ulid).sorted
       val bucket = cache.synchronized {
-        cache.getOrElseUpdate(ulids, {
-          // the stream's block set changed: release superseded buckets
-          // (subset/superset of the new set — stale discovery states)
-          val stale = cache.keys.filter(k => k.forall(ulids.contains) ||
-            ulids.forall(k.contains)).toSeq
-          stale.foreach { k => cache.remove(k).foreach(_.close()) }
-          openBucket(spark, root, ulids)
-        })
+        cache.get(ulids) match {
+          case Some(b) => b
+          case None =>
+            // the stream's block set changed: this loader is single-converter
+            // (one discovery state at a time, like the reference's convert
+            // process), so EVERY previously open bucket is superseded —
+            // normal compaction churn replaces some blocks while adding
+            // others, an overlapping-but-neither set that a subset/superset
+            // test would leak forever, each leak pinning a persisted refs
+            // dataset. Evict-all-then-open keeps the cache at exactly one
+            // live bucket. Look-up / evict / open / put are separate steps:
+            // never mutate a map inside its own getOrElseUpdate default.
+            cache.values.foreach(_.close())
+            cache.clear()
+            val b = openBucket(spark, root, ulids)
+            cache.update(ulids, b)
+            b
+        }
       }
       bucket.select(mintMs, maxtMs)
     }

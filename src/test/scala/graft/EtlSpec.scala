@@ -1359,6 +1359,155 @@ class EtlSpec extends SparkSpec {
     assert(got.select("date").distinct().count() == 3)
   }
 
+  test("postings merge algebra: two-pointer merges match set semantics exactly") {
+    import graft.etl.TsdbBlock
+    val rnd = new scala.util.Random(1833)
+    def arb(): Array[Long] =
+      Array.fill(rnd.nextInt(50))(rnd.nextInt(80).toLong).distinct.sorted
+    for (_ <- 1 to 300) {
+      val a = arb(); val b = arb()
+      assert(TsdbBlock.unionSorted(a, b).toSeq == (a.toSet ++ b.toSet).toSeq.sorted)
+      assert(TsdbBlock.intersectSorted(a, b).toSeq ==
+        (a.toSet & b.toSet).toSeq.sorted)
+      assert(TsdbBlock.diffSorted(a, b).toSeq == (a.toSet -- b.toSet).toSeq.sorted)
+      // outputs stay ascending and duplicate-free (the posting-list invariant
+      // every downstream merge relies on)
+      val u = TsdbBlock.unionSorted(a, b)
+      assert(u.sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+    }
+    // k-way union (the negation path unions EVERY posted value of a name)
+    val many = Seq.fill(17)(arb())
+    assert(TsdbBlock.unionAllSorted(many).toSeq ==
+      many.flatten.distinct.sorted)
+    assert(TsdbBlock.unionAllSorted(Nil).isEmpty)
+    assert(TsdbBlock.unionAllSorted(Seq(Array(3L, 9L))).toSeq == Seq(3L, 9L))
+  }
+
+  test("OpenTsdbBucket: concurrent selects never re-parse; close releases the refs cache") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val D = 86400000L
+    val jan1 = 1704067200000L
+    def fpts(day: Int, base: Double) =
+      new GenericArrayData((0 until 24).map(h =>
+        InternalRow(jan1 + day * D + h * 3600000L, base + h, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbconc").toString
+    val ulids = Seq("01HV0CONCBUCKETBLOCKA00000", "01HV0CONCBUCKETBLOCKB00000")
+    ulids.zipWithIndex.foreach { case (u, day) =>
+      TsdbBlock.writeBlock(root, u, (0 until 6).map(i =>
+        Map("__name__" -> "cb", "uid" -> i.toString) ->
+          (fpts(day, i * 10.0): org.apache.spark.sql.catalyst.util.ArrayData)))
+    }
+    val before = TsdbBlock.seriesParses.get()
+    val bucket = TsdbBlockReader.openBucket(spark, root, ulids)
+    val openParses = TsdbBlock.seriesParses.get() - before
+    assert(openParses == 2, "open parses each index exactly once")
+    // a stampede of concurrent queries on one open bucket — the serving
+    // shape under concurrency — must answer entirely from the cached refs
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            bucket.select(jan1 + (i % 2) * D, jan1 + (i % 2 + 1) * D - 1).count()
+        })
+      }
+      assert(futs.map(_.get()).forall(_ == 6 * 24))
+    } finally { pool.shutdownNow(); pool.awaitTermination(60,
+      java.util.concurrent.TimeUnit.SECONDS) }
+    assert(TsdbBlock.seriesParses.get() - before == openParses,
+      "concurrent selects must not re-parse any index")
+    // close() releases the persisted refs (the serve-path lifecycle seam)
+    assert(bucket.refsStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    bucket.close()
+    assert(bucket.refsStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "close() must unpersist the refs cache")
+  }
+
+  test("openRangedLoader: compaction churn evicts superseded buckets (no refs-cache leak)") {
+    import graft.etl.{TsdbBlock, TsdbBlockMeta, TsdbStream}
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    def fpts() = new GenericArrayData((0 until 12).map(h =>
+      InternalRow(jan1 + h * 3600000L, h.toDouble, null)).toArray[Any])
+    val root = Files.createTempDirectory("graft-tsdbchurn").toString
+    val ulids = Seq("01HV0CHURNBUCKETBLOCKA0000", "01HV0CHURNBUCKETBLOCKB0000",
+      "01HV0CHURNBUCKETBLOCKC0000")
+    ulids.foreach { u =>
+      TsdbBlock.writeBlock(root, u, Seq(
+        Map("__name__" -> "ch", "b" -> u.takeRight(5)) ->
+          (fpts(): org.apache.spark.sql.catalyst.util.ArrayData)))
+    }
+    def stream(us: Seq[String]) = TsdbStream(Map.empty,
+      us.map(u => TsdbBlockMeta(u, jan1, jan1 + 86400000L, 0, 1, Map.empty)),
+      Seq("2024-01-01"))
+    val Seq(a, b, c) = ulids
+    val loader = TsdbBlockReader.openRangedLoader(spark, root)
+    val rdds0 = spark.sparkContext.getPersistentRDDs.size
+    val before = TsdbBlock.seriesParses.get()
+    assert(loader(stream(Seq(a, b)), jan1, jan1 + 86400000L).count() == 2 * 12)
+    assert(TsdbBlock.seriesParses.get() - before == 2)
+    assert(spark.sparkContext.getPersistentRDDs.size == rdds0 + 1)
+    // compaction churn: {A,B} → {B,C} is overlapping-but-neither — the
+    // superseded bucket MUST close (a subset/superset test would leak its
+    // persisted refs forever on a long-running migration)
+    assert(loader(stream(Seq(b, c)), jan1, jan1 + 86400000L).count() == 2 * 12)
+    assert(TsdbBlock.seriesParses.get() - before == 4)
+    assert(spark.sparkContext.getPersistentRDDs.size == rdds0 + 1,
+      "churn must evict the superseded bucket's persisted refs")
+    // returning to {A,B} re-opens (proves the old bucket really closed) and
+    // still holds exactly one live bucket
+    assert(loader(stream(Seq(a, b)), jan1, jan1 + 86400000L).count() == 2 * 12)
+    assert(TsdbBlock.seriesParses.get() - before == 6)
+    assert(spark.sparkContext.getPersistentRDDs.size == rdds0 + 1)
+    // repeat rounds on the CURRENT set stay parse-free (the cache's point)
+    assert(loader(stream(Seq(a, b)), jan1, jan1 + 3600000L).count() == 2 * 2)
+    assert(TsdbBlock.seriesParses.get() - before == 6)
+  }
+
+  test("TSDB read plan: series_hash and label extraction sit BELOW the sample explode") {
+    import graft.etl.TsdbBlock
+    import graft.sources.TsdbBlockReader
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val jan1 = 1704067200000L
+    val root = Files.createTempDirectory("graft-tsdbhoist").toString
+    val ulid = "01HV0HOISTPLANBLOCK0000000"
+    TsdbBlock.writeBlock(root, ulid, (0 until 3).map { i =>
+      val pts = new GenericArrayData((0 until 24).map(h =>
+        InternalRow(jan1 + h * 3600000L, i + h * 1.0, null)).toArray[Any])
+      Map("__name__" -> "hp", "uid" -> i.toString) ->
+        (pts: org.apache.spark.sql.catalyst.util.ArrayData)
+    })
+    val df = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+    def hashCount(p: LogicalPlan): Int = p.collect { case n =>
+      n.expressions.map { e =>
+        var c = 0
+        e.foreach(x => if (x.isInstanceOf[graft.functions.PromLabelsHash]) c += 1)
+        c
+      }.sum
+    }.sum
+    val plan = df.queryExecution.optimizedPlan
+    val gen = plan.collectFirst { case g: Generate => g }
+    assert(gen.nonEmpty, "expected the sample explode as a Generate node")
+    // the hash is a function of the chunk row's labels alone: it must
+    // compute once per CHUNK (below the Generate), never once per SAMPLE
+    assert(hashCount(gen.get.child) == 1,
+      "series_hash must be computed below the explode (once per chunk)")
+    assert(hashCount(plan) == 1,
+      "no series_hash evaluation may remain above the explode")
+    // and the result is unchanged: hash groups exactly the 3 series
+    assert(df.select("series_hash").distinct().count() == 3)
+    assert(df.groupBy("series_hash", "uid").count().count() == 3)
+  }
+
   test("PromQL serves identically from a RAW TSDB bucket and its migrated copy") {
     import graft.etl.{ConvertLoop, ReferenceFormat, TsdbBlock, TsdbDiscoverer}
     import graft.sources.TsdbBlockReader
