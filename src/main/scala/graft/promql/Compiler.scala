@@ -600,7 +600,8 @@ object Compiler {
       val out1 = if (f == "last_over_time") out0 else dropName(out0)
       // fns needing ≥2 samples yield NULL otherwise → drop those points
       val out2 = if (Set("rate", "irate", "increase", "delta", "idelta",
-          "deriv", "predict_linear").contains(f))
+          "deriv", "predict_linear", "holt_winters",
+          "double_exponential_smoothing").contains(f))
         out1.filter(col("value").isNotNull) else out1
       restore(out2)
 
@@ -1127,8 +1128,25 @@ object Compiler {
     case AtEnd      => ctx.qEndMs
   }
 
+  /** Constant scalar parameter (aggregation φ/k, predict_linear's horizon,
+    * smoothing factors): Prometheus accepts any scalar EXPRESSION here, so
+    * fold literal arithmetic — `quantile(1-0.2, …)`, `topk(2*2, …)` — the
+    * forms its own test corpus uses. Data-dependent params (`scalar(foo)`)
+    * stay unsupported: they would need per-step evaluation. */
   private def scalarOf(e: Expr): Double = e match {
     case NumberLit(v) => v
+    case Call("scalar", Seq(x)) => scalarOf(x)
+    case BinOp(op, l, r, _, _) =>
+      val (a, b) = (scalarOf(l), scalarOf(r))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b // JVM double % == Go math.Mod (truncated remainder)
+        case "^" => math.pow(a, b)
+        case _ => throw new ParseException(s"scalar literal expected, got op '$op'")
+      }
     case _ => throw new ParseException("scalar literal expected")
   }
   private def strOf(e: Expr): String = e match {

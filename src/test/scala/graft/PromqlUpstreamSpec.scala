@@ -1571,6 +1571,262 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {} NaN
       |""".stripMargin
 
+  /** testdata/functions.test tail — least-squares family (deriv,
+    * predict_linear) and double-exponential smoothing (holt_winters's
+    * Prometheus-3 name). Linear fixtures make every expectation exact: a
+    * perfectly linear series has least-squares slope = its step slope, and
+    * the smoothing recursion reproduces the last sample value exactly
+    * (s_i = x_i, b_i = c by induction), so the answers don't depend on
+    * window-alignment minutiae. `flat` pins the constant-series fixpoints
+    * (slope 0, smoothed value = the constant). Single-sample windows must
+    * yield NO point (upstream: these functions need ≥2 samples). */
+  private val functionsTailCorpus =
+    """
+      |load 10s
+      |  http_requests{job="api-server", instance="0", group="production"} 0+10x1000
+      |  http_requests{job="api-server", instance="1", group="production"} 0+20x1000
+      |  http_requests{job="api-server", instance="0", group="canary"} 0+30x1000
+      |  http_requests{job="api-server", instance="1", group="canary"} 0+40x1000
+      |
+      |load 10s
+      |  flat{l="c"} 10 10 10 10 10 10 10 10 10 10
+      |
+      |eval instant at 8000s double_exponential_smoothing(http_requests[1m], 0.01, 0.1)
+      |  {job="api-server", instance="0", group="production"} 8000
+      |  {job="api-server", instance="1", group="production"} 16000
+      |  {job="api-server", instance="0", group="canary"} 24000
+      |  {job="api-server", instance="1", group="canary"} 32000
+      |
+      |eval instant at 8000s holt_winters(http_requests[1m], 0.01, 0.1)
+      |  {job="api-server", instance="0", group="production"} 8000
+      |  {job="api-server", instance="1", group="production"} 16000
+      |  {job="api-server", instance="0", group="canary"} 24000
+      |  {job="api-server", instance="1", group="canary"} 32000
+      |
+      |eval instant at 8000s deriv(http_requests{group="production"}[50m])
+      |  {job="api-server", instance="0", group="production"} 1
+      |  {job="api-server", instance="1", group="production"} 2
+      |
+      |eval instant at 8000s predict_linear(http_requests{group="production", instance="0"}[50m], 3600)
+      |  {job="api-server", instance="0", group="production"} 11600
+      |
+      |eval instant at 8000s predict_linear(http_requests{group="production", instance="0"}[50m], 0)
+      |  {job="api-server", instance="0", group="production"} 8000
+      |
+      |eval instant at 8000s predict_linear(http_requests{group="production", instance="0"}[50m], -3600)
+      |  {job="api-server", instance="0", group="production"} 4400
+      |
+      |eval instant at 8000s predict_linear(http_requests{group="production", instance="0"}[50m], 2*1800)
+      |  {job="api-server", instance="0", group="production"} 11600
+      |
+      |eval instant at 10s predict_linear(http_requests{group="production", instance="0"}[10s], 3600)
+      |
+      |eval instant at 10s double_exponential_smoothing(http_requests{group="production", instance="0"}[10s], 0.01, 0.1)
+      |
+      |eval instant at 90s double_exponential_smoothing(flat[1m], 0.1, 0.5)
+      |  {l="c"} 10
+      |
+      |eval instant at 90s deriv(flat[1m])
+      |  {l="c"} 0
+      |
+      |eval instant at 90s predict_linear(flat[1m], 600)
+      |  {l="c"} 10
+      |""".stripMargin
+
+  /** testdata/functions.test date-function corner cases — leap years
+    * (including the ÷400 century rule via 2000-02), month/year boundaries,
+    * epoch dow, and the zero-arg forms (which default to the eval time).
+    * Timestamps verified by hand against the proleptic Gregorian calendar:
+    * 1454284800 = 2016-02-01 (Mon), 1485907200 = 2017-02-01 (Wed),
+    * 1456790399 = 2016-02-29T23:59:59, 1456790400 = 2016-03-01,
+    * 1483142400 = 2016-12-31, 1483228800 = 2017-01-01,
+    * 949363200 = 2000-02-01. */
+  private val dateFunctionsCorpus =
+    """
+      |load 5m
+      |  dummy 0+1x10
+      |
+      |eval instant at 1m year(vector(0))
+      |  {} 1970
+      |
+      |eval instant at 1m month(vector(0))
+      |  {} 1
+      |
+      |eval instant at 1m day_of_month(vector(0))
+      |  {} 1
+      |
+      |eval instant at 1m day_of_week(vector(0))
+      |  {} 4
+      |
+      |eval instant at 1m day_of_year(vector(0))
+      |  {} 1
+      |
+      |eval instant at 1m days_in_month(vector(0))
+      |  {} 31
+      |
+      |eval instant at 1m hour(vector(0))
+      |  {} 0
+      |
+      |eval instant at 1m minute(vector(0))
+      |  {} 0
+      |
+      |eval instant at 1m days_in_month(vector(1454284800))
+      |  {} 29
+      |
+      |eval instant at 1m days_in_month(vector(1485907200))
+      |  {} 28
+      |
+      |eval instant at 1m days_in_month(vector(949363200))
+      |  {} 29
+      |
+      |eval instant at 1m day_of_week(vector(1454284800))
+      |  {} 1
+      |
+      |eval instant at 1m day_of_week(vector(1485907200))
+      |  {} 3
+      |
+      |eval instant at 1m day_of_month(vector(1456790399))
+      |  {} 29
+      |
+      |eval instant at 1m day_of_year(vector(1456790399))
+      |  {} 60
+      |
+      |eval instant at 1m month(vector(1456790399))
+      |  {} 2
+      |
+      |eval instant at 1m month(vector(1456790400))
+      |  {} 3
+      |
+      |eval instant at 1m day_of_year(vector(1456790400))
+      |  {} 61
+      |
+      |eval instant at 1m day_of_year(vector(1483142400))
+      |  {} 366
+      |
+      |eval instant at 1m day_of_year(vector(1483228800))
+      |  {} 1
+      |
+      |eval instant at 1m hour(vector(1456790399))
+      |  {} 23
+      |
+      |eval instant at 1m minute(vector(1456790399))
+      |  {} 59
+      |
+      |eval instant at 1m year(vector(1456790399))
+      |  {} 2016
+      |
+      |eval instant at 10m minute()
+      |  {} 10
+      |
+      |eval instant at 25h hour()
+      |  {} 1
+      |
+      |eval instant at 25h day_of_week()
+      |  {} 5
+      |""".stripMargin
+
+  /** testdata/aggregators.test count_values + quantile edge blocks. The
+    * version fixture's counts are computed from the load lines; quantile's
+    * interpolation is rank = φ·(n−1) over the sorted group; φ outside
+    * [0, 1] short-circuits to ±Inf and NaN to NaN for every group
+    * (upstream marks those eval_warn — warnings aren't modeled here, the
+    * VALUES are what's pinned). `1-0.2` as a φ parameter pins constant
+    * scalar-expression parameter folding. */
+  private val aggregatorsEdgeCorpus =
+    """
+      |load 5m
+      |  version{job="api-server", instance="0", group="production"} 6
+      |  version{job="api-server", instance="1", group="production"} 6
+      |  version{job="api-server", instance="2", group="production"} 7
+      |  version{job="api-server", instance="0", group="canary"} 8
+      |  version{job="api-server", instance="1", group="canary"} 8
+      |  version{job="app-server", instance="0", group="production"} 6
+      |  version{job="app-server", instance="1", group="production"} 6
+      |  version{job="app-server", instance="0", group="canary"} 7
+      |  version{job="app-server", instance="1", group="canary"} 7
+      |
+      |eval instant at 1m count_values("version", version)
+      |  {version="6"} 4
+      |  {version="7"} 3
+      |  {version="8"} 2
+      |
+      |eval instant at 1m count_values without (instance)("version", version)
+      |  {job="api-server", group="production", version="6"} 2
+      |  {job="api-server", group="production", version="7"} 1
+      |  {job="api-server", group="canary", version="8"} 2
+      |  {job="app-server", group="production", version="6"} 2
+      |  {job="app-server", group="canary", version="7"} 2
+      |
+      |eval instant at 1m count_values without (job)("job", version)
+      |  {instance="0", group="production", job="6"} 2
+      |  {instance="1", group="production", job="6"} 2
+      |  {instance="2", group="production", job="7"} 1
+      |  {instance="0", group="canary", job="8"} 1
+      |  {instance="0", group="canary", job="7"} 1
+      |  {instance="1", group="canary", job="8"} 1
+      |  {instance="1", group="canary", job="7"} 1
+      |
+      |eval instant at 1m count_values("v", version / 2)
+      |  {v="3"} 4
+      |  {v="3.5"} 3
+      |  {v="4"} 2
+      |
+      |clear
+      |
+      |load 10s
+      |  data{test="two samples", point="a"} 0
+      |  data{test="two samples", point="b"} 1
+      |  data{test="three samples", point="a"} 0
+      |  data{test="three samples", point="b"} 1
+      |  data{test="three samples", point="c"} 2
+      |  data{test="uneven samples", point="a"} 0
+      |  data{test="uneven samples", point="b"} 1
+      |  data{test="uneven samples", point="c"} 4
+      |
+      |eval instant at 1m quantile without(point)(0.8, data)
+      |  {test="two samples"} 0.8
+      |  {test="three samples"} 1.6
+      |  {test="uneven samples"} 2.8
+      |
+      |eval instant at 1m quantile without(point)(1-0.2, data)
+      |  {test="two samples"} 0.8
+      |  {test="three samples"} 1.6
+      |  {test="uneven samples"} 2.8
+      |
+      |eval instant at 1m quantile without(point)(0.5, data)
+      |  {test="two samples"} 0.5
+      |  {test="three samples"} 1
+      |  {test="uneven samples"} 1
+      |
+      |eval instant at 1m quantile without(point)(0, data)
+      |  {test="two samples"} 0
+      |  {test="three samples"} 0
+      |  {test="uneven samples"} 0
+      |
+      |eval instant at 1m quantile without(point)(1, data)
+      |  {test="two samples"} 1
+      |  {test="three samples"} 2
+      |  {test="uneven samples"} 4
+      |
+      |eval instant at 1m quantile without(point)(-1, data)
+      |  {test="two samples"} -Inf
+      |  {test="three samples"} -Inf
+      |  {test="uneven samples"} -Inf
+      |
+      |eval instant at 1m quantile without(point)(2, data)
+      |  {test="two samples"} +Inf
+      |  {test="three samples"} +Inf
+      |  {test="uneven samples"} +Inf
+      |
+      |eval instant at 1m quantile without(point)(NaN, data)
+      |  {test="two samples"} NaN
+      |  {test="three samples"} NaN
+      |  {test="uneven samples"} NaN
+      |
+      |eval instant at 1m quantile(0.8, data)
+      |  {} 1.6
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int,
                   experimental: Boolean = false): Unit = {
     val segs = parseSegments(corpus)
@@ -1609,4 +1865,13 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
     run("duration_expr", durationExprCorpus, 15)
   }
   test("upstream literals.test tranche") { run("literals", literalsCorpus, 15) }
+  test("upstream functions.test smoothing/linear tranche") {
+    run("functions_tail", functionsTailCorpus, 12)
+  }
+  test("upstream functions.test date-function tranche") {
+    run("date_functions", dateFunctionsCorpus, 26)
+  }
+  test("upstream aggregators.test count_values/quantile tranche") {
+    run("aggregators_edge", aggregatorsEdgeCorpus, 13)
+  }
 }
