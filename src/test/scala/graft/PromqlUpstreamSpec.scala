@@ -1825,6 +1825,48 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 1m quantile(0.8, data)
       |  {} 1.6
+      |
+      |clear
+      |
+      |load 10s
+      |  extreme{test="bigzero", group="1"} -9.988465674311579e+307
+      |  extreme{test="bigzero", group="2"} 9.988465674311579e+307
+      |  extreme{test="big", group="1"} 9.988465674311579e+307
+      |  extreme{test="big", group="2"} 9.988465674311579e+307
+      |  extreme{test="e100", group="1"} 1e+100
+      |  extreme{test="e100", group="2"} -1e+100
+      |  extreme{test="ts", group="1"} 1e15
+      |  extreme{test="ts", group="2"} 1000000000000004
+      |
+      |eval instant at 1m avg without(group) (extreme{test="bigzero"})
+      |  {test="bigzero"} 0
+      |
+      |eval instant at 1m avg without(group) (extreme{test="big"})
+      |  {test="big"} 9.988465674311579e+307
+      |
+      |eval instant at 1m sum without(group) (extreme{test="big"})
+      |  {test="big"} +Inf
+      |
+      |eval instant at 1m sum without(group) (extreme{test="bigzero"})
+      |  {test="bigzero"} 0
+      |
+      |eval instant at 1m stddev without(group) (extreme{test="e100"})
+      |  {test="e100"} 1e+100
+      |
+      |eval instant at 1m stdvar without(group) (extreme{test="e100"})
+      |  {test="e100"} 1e+200
+      |
+      |eval instant at 1m avg without(group) (extreme{test="e100"})
+      |  {test="e100"} 0
+      |
+      |eval instant at 1m stddev without(group) (extreme{test="ts"})
+      |  {test="ts"} 2
+      |
+      |eval instant at 1m stdvar without(group) (extreme{test="ts"})
+      |  {test="ts"} 4
+      |
+      |eval instant at 1m sum without(group) (extreme{test="ts"})
+      |  {test="ts"} 2000000000000004
       |""".stripMargin
 
   private def run(name: String, corpus: String, minEvals: Int,
@@ -1871,7 +1913,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream functions.test date-function tranche") {
     run("date_functions", dateFunctionsCorpus, 26)
   }
-  test("upstream aggregators.test count_values/quantile tranche") {
-    run("aggregators_edge", aggregatorsEdgeCorpus, 13)
+  test("upstream aggregators.test count_values/quantile/extreme-values tranche") {
+    run("aggregators_edge", aggregatorsEdgeCorpus, 23)
   }
 }
