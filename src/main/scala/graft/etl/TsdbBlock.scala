@@ -128,6 +128,12 @@ object TsdbBlock {
         s"index read out of bounds ($pos+$n > $length)")
       fetch0(pos, n)
     }
+    /** Symbol-table parse memoized per view: one matcher-pushed read
+      * touches symbols from several directions (value dictionary resolve,
+      * series decode), and re-parsing a multi-MB table per direction is
+      * pure waste. A view is per-task per-block — no sharing, no races. */
+    private[TsdbBlock] var symCacheOff: Long = -1L
+    private[TsdbBlock] var symCache: Array[String] = _
   }
   object IndexReadAt {
     def ofBytes(b: Array[Byte]): IndexReadAt =
@@ -166,6 +172,7 @@ object TsdbBlock {
 
   /** Symbol table at `symOff`: len | #symbols | (uvarint len, utf8)… | crc. */
   private def symbolsAt(ix: IndexReadAt, symOff: Long): Array[String] = {
+    if (ix.symCacheOff == symOff && ix.symCache != null) return ix.symCache
     val content = sectionAt(ix, symOff, "index symbol table")
     val nSym = be32(content, 0)
     val symbols = new Array[String](nSym)
@@ -177,6 +184,8 @@ object TsdbBlock {
       sc.pos += l
       i += 1
     }
+    ix.symCacheOff = symOff
+    ix.symCache = symbols
     symbols
   }
 
@@ -223,6 +232,53 @@ object TsdbBlock {
     val content = sectionAt(ix, off, "postings list")
     val n = be32(content, 0)
     Array.tabulate(n)(i => be32(content, 4 + 4 * i).toLong & 0xFFFFFFFFL)
+  }
+
+  /** Many posting lists with COALESCED ranged reads (the same 256 KB-gap /
+    * 8 MB-cap clustering as [[readSeriesByIdsAt]]): a broad regex on a
+    * high-cardinality label matches tens of thousands of values, and lists
+    * sit adjacent in (name, value) order in the postings section — one
+    * ranged GET per tiny list would be tens of thousands of GETs where a
+    * handful of sequential fetches moves the same bytes. Lists whose tail
+    * guess truncates re-fetch exactly. Order of the returned lists is
+    * unspecified (callers union/intersect — commutative). */
+  private def postingListsAt(ix: IndexReadAt, offs: Seq[Long]): Seq[Array[Long]] = {
+    if (offs.isEmpty) return Seq.empty
+    if (offs.size == 1) return Seq(postingListAt(ix, offs.head))
+    val Gap = 256L * 1024
+    val MaxFetch = 8L * 1024 * 1024
+    val Tail = 4096L
+    val sorted = offs.toArray
+    java.util.Arrays.sort(sorted)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 1
+    while (i < sorted.length) {
+      if (sorted(i) - sorted(i - 1) > Gap ||
+          sorted(i) - sorted(starts.last) > MaxFetch - Tail) starts += i
+      i += 1
+    }
+    starts += sorted.length
+    (0 until starts.length - 1).flatMap { k =>
+      val lo = starts(k); val hi = starts(k + 1)
+      val start = sorted(lo)
+      val span = math.min(sorted(hi - 1) - start + Tail, ix.length - start).toInt
+      val buf = ix.fetch(start, span)
+      (lo until hi).map { j =>
+        val local = (sorted(j) - start).toInt
+        if (local + 8 > buf.length) postingListAt(ix, sorted(j))
+        else {
+          val len = be32(buf, local)
+          if (local + 8 + len > buf.length) postingListAt(ix, sorted(j))
+          else {
+            require(be32(buf, local + 4 + len) == crc32c(buf, local + 4, len),
+              s"postings list CRC mismatch at offset ${sorted(j)}")
+            val n = be32(buf, local + 4)
+            Array.tabulate(n)(x =>
+              be32(buf, local + 8 + 4 * x).toLong & 0xFFFFFFFFL)
+          }
+        }
+      }
+    }
   }
 
   // Postings algebra over ASCENDING Array[Long] lists (the on-disk order) —
@@ -340,11 +396,11 @@ object TsdbBlock {
         scala.collection.mutable.Map.empty[String, Long])
       val (missing, present) = values.distinct.partition(_.isEmpty)
       val union = unionAllSorted(
-        present.flatMap(posted.get).map(postingListAt(ix, _)))
+        postingListsAt(ix, present.flatMap(posted.get)))
       if (missing.isEmpty) union
       else { // value "" ⇒ series lacking the label entirely
         val anyValue = unionAllSorted(
-          posted.valuesIterator.map(postingListAt(ix, _)).toSeq)
+          postingListsAt(ix, posted.values.toSeq))
         unionSorted(union, diffSorted(allIds, anyValue))
       }
     }
@@ -430,22 +486,28 @@ object TsdbBlock {
     val Gap = 256L * 1024
     val MaxFetch = 8L * 1024 * 1024
     val Tail = 4096L
-    val sorted = ids.sorted
-    // clusters of entry positions (pos = id * 16)
-    val clusters = scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.ArrayBuffer(sorted.head * 16))
-    sorted.tail.foreach { id =>
-      val pos = id * 16
-      val cur = clusters.last
-      if (pos - cur.last > Gap || pos - cur.head > MaxFetch - Tail)
-        clusters += scala.collection.mutable.ArrayBuffer(pos)
-      else cur += pos
+    // primitive sort over the (already near-sorted) id array — a broad or
+    // negated matcher passes MILLIONS of ids through here, so no boxing
+    val sorted: Array[Long] = ids.toArray
+    java.util.Arrays.sort(sorted)
+    // clusters as index RANGES over `sorted` (no per-id boxed buffers)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var ci = 1
+    while (ci < sorted.length) {
+      if (sorted(ci) * 16 - sorted(ci - 1) * 16 > Gap ||
+          sorted(ci) * 16 - sorted(starts.last) * 16 > MaxFetch - Tail)
+        starts += ci
+      ci += 1
     }
-    clusters.iterator.flatMap { cl =>
-      val start = cl.head
-      val span = math.min(cl.last - start + Tail, ix.length - start).toInt
+    starts += sorted.length
+    (0 until starts.length - 1).iterator.flatMap { k =>
+      val lo = starts(k); val hi = starts(k + 1)
+      val start = sorted(lo) * 16
+      val span = math.min(sorted(hi - 1) * 16 - start + Tail,
+        ix.length - start).toInt
       val buf = ix.fetch(start, span)
-      cl.iterator.map { pos =>
+      (lo until hi).iterator.map { j =>
+        val pos = sorted(j) * 16
         val local = (pos - start).toInt
         // entry = uvarint len | content | crc32c(content); if the tail
         // guess truncated this entry, re-fetch exactly its span

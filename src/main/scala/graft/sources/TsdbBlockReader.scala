@@ -137,6 +137,11 @@ object TsdbBlockReader {
     * offset tables, matched postings + entries), not whole index files. */
   private[graft] val rangedIndexBytes = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Ranged index READS (fetch calls) in this JVM — specs pin that batched
+    * posting-list/series fetches COALESCE (a broad matcher's many tiny
+    * lists must not mean one GET per list on an object store). */
+  private[graft] val rangedIndexReads = new java.util.concurrent.atomic.AtomicLong()
+
   /** Segment (chunk-file) bytes fetched in this JVM, refills + direct
     * reads — pins that the adaptive look-ahead keeps a selective load's
     * chunk I/O near the matched bytes, not 4 MB per matched chunk. */
@@ -245,6 +250,7 @@ object TsdbBlockReader {
                 val b = new Array[Byte](n)
                 in.readFully(pos, b, 0, n)
                 rangedIndexBytes.addAndGet(n.toLong)
+                rangedIndexReads.incrementAndGet()
                 b
               }, len)
               resolve(ix).flatMap(refRows(block, _))
@@ -477,6 +483,7 @@ object TsdbBlockReader {
               val b = new Array[Byte](n)
               in.readFully(pos, b, 0, n)
               rangedIndexBytes.addAndGet(n.toLong)
+              rangedIndexReads.incrementAndGet()
               b
             }, len)
             TsdbBlock.readLabelValuesAt(ix, label)
@@ -508,6 +515,7 @@ object TsdbBlockReader {
               val b = new Array[Byte](n)
               in.readFully(pos, b, 0, n)
               rangedIndexBytes.addAndGet(n.toLong)
+              rangedIndexReads.incrementAndGet()
               b
             }, len)
             TsdbBlock.readLabelNamesAt(ix)

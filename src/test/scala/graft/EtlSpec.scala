@@ -1187,6 +1187,18 @@ class EtlSpec extends SparkSpec {
     assert(TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
       Seq(MatchEq("__name__", "up"), MatchEq("__name__", "down"))).count() == 0)
     assert(TsdbBlock.seriesDecoded.get() - b3 == 0)
+
+    // batched posting-list fetch: an IN over 20 values COALESCES into a
+    // handful of ranged index reads (adjacent lists in one cluster), never
+    // one-or-two GETs per value — the object-store shape for broad matchers
+    val rb4 = TsdbBlockReader.rangedIndexReads.get()
+    val inSet = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"),
+      matchers = Map("__name__" -> Seq("up"),
+        "i" -> (0 until 20).map(_.toString)))
+    assert(inSet.count() == 20 * 10)
+    val reads = TsdbBlockReader.rangedIndexReads.get() - rb4
+    assert(reads <= 24,
+      s"posting-list fetches must coalesce, got $reads ranged index reads")
   }
 
   test("selective block read fetches index SECTIONS, not the whole file") {
