@@ -57,20 +57,38 @@ final class PromEngine(samples: DataFrame,
                          * the query can touch, the per-query Block mint/maxt
                          * pruning of `db/db.go:252-258`. `samples` stays the
                          * schema/metadata authority. */
-                       sourceByRange: Option[(Long, Long) => DataFrame] = None) {
+                       sourceByRange: Option[(Long, Long) => DataFrame] = None,
+                       /** Matcher-aware range source: like [[sourceByRange]]
+                         * but additionally handed the query's selector
+                         * matcher SETS ([[Compiler.selectorMatcherSets]] —
+                         * OR of per-selector ANDs is the sound prune), so a
+                         * raw-block source drops non-matching series before
+                         * any chunk I/O, the `PostingsForMatchers` shape.
+                         * Preferred over [[sourceByRange]] when both are
+                         * set. */
+                       sourceByRangeMatching:
+                         Option[(Long, Long, Seq[Seq[LabelMatcher]]) => DataFrame] = None) {
   import PromEngine._
 
   private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
 
   private def boundSamples(ast: graft.promql.Ast.Expr,
                            startMs: Long, endMs: Long): DataFrame =
-    sourceByRange.fold(samples) { f =>
-      val (lo, hi) = Compiler.timeBounds(ast, startMs, endMs, lookbackMs)
-      f(lo, hi)
+    sourceByRangeMatching match {
+      case Some(f) =>
+        val (lo, hi) = Compiler.timeBounds(ast, startMs, endMs, lookbackMs)
+        f(lo, hi, Compiler.selectorMatcherSets(ast))
+      case None =>
+        sourceByRange.fold(samples) { f =>
+          val (lo, hi) = Compiler.timeBounds(ast, startMs, endMs, lookbackMs)
+          f(lo, hi)
+        }
     }
 
-  private def rangedSamples(mintMs: Long, maxtMs: Long): DataFrame =
-    sourceByRange.fold(samples)(_(mintMs, maxtMs))
+  private def rangedSamples(mintMs: Long, maxtMs: Long,
+                            sets: Seq[Seq[LabelMatcher]] = Seq.empty): DataFrame =
+    sourceByRangeMatching.map(_(mintMs, maxtMs, sets))
+      .getOrElse(sourceByRange.fold(samples)(_(mintMs, maxtMs)))
 
   private def collectRows(df: DataFrame): Seq[Row] =
     quotas.collect(df).toSeq // pre-flight + mid-scan byte charge
@@ -203,7 +221,7 @@ final class PromEngine(samples: DataFrame,
   def series(matchSets: Seq[Seq[LabelMatcher]], mintMs: Long, maxtMs: Long,
              limit: Int = 0): (Seq[Map[String, String]], Boolean) = {
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
-    val selected = Eval.selectUnion(rangedSamples(mintMs, maxtMs), matchSets, mintMs, maxtMs)
+    val selected = Eval.selectUnion(rangedSamples(mintMs, maxtMs, matchSets), matchSets, mintMs, maxtMs)
       .select(lbls.map(col): _*)
       .distinct().orderBy(lbls.map(col): _*)
     val rows = (if (limit > 0) selected.limit(limit + 1) else selected).collect().toSeq
@@ -226,7 +244,7 @@ final class PromEngine(samples: DataFrame,
           rangedSamples(mintMs, maxtMs), lbls, mintMs, maxtMs)
       else None
     viaFooter.getOrElse {
-      val m = Eval.select(rangedSamples(mintMs, maxtMs), matchers, mintMs, maxtMs)
+      val m = Eval.select(rangedSamples(mintMs, maxtMs, Seq(matchers)), matchers, mintMs, maxtMs)
       val counts = m.agg(count(col(lbls.head)).as(lbls.head),
         lbls.tail.map(l => count(col(l)).as(l)): _*).collect()(0)
       lbls.filter(l => counts.getAs[Long](l) > 0).sorted
@@ -245,7 +263,7 @@ final class PromEngine(samples: DataFrame,
           val truncated = limit > 0 && vals.size > limit
           return (if (truncated) vals.take(limit) else vals, truncated)
         }
-    val vals = Eval.select(rangedSamples(mintMs, maxtMs), matchers, mintMs, maxtMs)
+    val vals = Eval.select(rangedSamples(mintMs, maxtMs, Seq(matchers)), matchers, mintMs, maxtMs)
       .select(col(label)).na.drop().distinct().orderBy(col(label))
     val rows = (if (limit > 0) vals.limit(limit + 1) else vals).collect().toSeq
     val truncated = limit > 0 && rows.size > limit

@@ -58,6 +58,8 @@ object Serve {
         .asScala.exists(_.getFileName.toString.endsWith(".labels.parquet"))
       finally s.close()
     }
+    type ByMatching = (Long, Long, Seq[Seq[graft.promql.LabelMatcher]]) => DataFrame
+    var byMatching: Option[ByMatching] = None
     val (samples, byRange: Option[(Long, Long) => DataFrame]) =
       if (isDir(s"$sfDir/chunks"))
         (graft.etl.Ingest.openChunkedSamples(spark, sfDir), None)
@@ -86,6 +88,9 @@ object Serve {
         // callers that run Serve.main in-JVM don't leak the cache
         val bucket = graft.sources.TsdbBlockReader.openBucket(spark, sfDir, ulids)
         Runtime.getRuntime.addShutdownHook(new Thread(() => bucket.close()))
+        // matcher-aware source: each query's selector sets prune the cached
+        // refs before any chunk I/O (the serving PostingsForMatchers shape)
+        byMatching = Some((lo, hi, sets) => bucket.select(lo, hi, sets))
         (bucket.select(), Some((lo: Long, hi: Long) => bucket.select(lo, hi)))
       }
       else (TimeSeriesModel.samples(Tables(spark, sfDir).events), None)
@@ -98,7 +103,8 @@ object Serve {
     if (histLayers.nonEmpty)
       println(s"histogram layers: ${histLayers.keys.toSeq.sorted.mkString(", ")} ms")
     val api = new HttpApi(
-      new PromEngine(samples, lookback, quotas, layers, histLayers, byRange),
+      new PromEngine(samples, lookback, quotas, layers, histLayers, byRange,
+        byMatching),
       port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed

@@ -139,6 +139,38 @@ object Compiler {
     if (lo > hi) (startMs - lookbackMs, endMs) else (lo, hi)
   }
 
+  /** The full matcher set (metric name included) of every vector selector
+    * in the expression — the source-pushdown contract: a series can reach
+    * the query only by satisfying at least ONE of these sets, so a
+    * range-aware source may prune to their OR ([[Matchers
+    * .mapSetsPredicate]]). Extra sets only weaken the prune, never the
+    * result, so `info()`'s SYNTHESIZED info-metric selector (not an AST
+    * node) is added explicitly. Empty result (a selector-free scalar
+    * expression) means nothing may be pruned. */
+  def selectorMatcherSets(e: Expr): Seq[Seq[LabelMatcher]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[LabelMatcher]]
+    def walk(e: Expr): Unit = e match {
+      case Selector(name, ms, _, _, _) =>
+        out += (name.map(n => MatchEq("__name__", n)).toSeq ++ ms)
+      case Subquery(inner, _, _, _, _) => walk(inner)
+      case Call("info", args) =>
+        args.foreach(walk)
+        val infoName = args.lift(1) match {
+          case Some(Selector(nameOpt, ms, _, _, _)) =>
+            nameOpt.orElse(ms.collectFirst {
+              case MatchEq("__name__", v) => v }).getOrElse("target_info")
+          case _ => "target_info"
+        }
+        out += Seq(MatchEq("__name__", infoName))
+      case Call(_, args)        => args.foreach(walk)
+      case Agg(_, _, p, child)  => p.foreach(walk); walk(child)
+      case BinOp(_, l, r, _, _) => walk(l); walk(r)
+      case _ => ()
+    }
+    walk(e)
+    out.toSeq
+  }
+
   /** `label_replace`/`label_join` destination validation — Prometheus
     * rejects a destination that is not a valid label name (model.LabelName);
     * the engine additionally rejects its frame-reserved column names

@@ -109,4 +109,28 @@ object Matchers {
     * ordering is the optimizer's job and data layout does the pruning. */
   def compile(df: DataFrame, matchers: Seq[LabelMatcher]): Column =
     matchers.map(_.toPredicate(df)).reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Matcher predicate over a labels MAP column (missing key ≡ "") — the
+    * refs-level form the open-bucket TSDB source prunes with BEFORE any
+    * segment I/O: a ref whose label map fails every selector never reaches
+    * the chunk fetch (the reference gets the same effect from
+    * `PostingsForMatchers` when serving raw blocks). */
+  def mapPredicate(labels: Column, m: LabelMatcher): Column = {
+    val v = coalesce(try_element_at(labels, lit(m.label)), lit(""))
+    m match {
+      case MatchEq(_, value)    => v === value
+      case MatchNotEq(_, value) => v =!= value
+      case MatchRe(_, p)        => v.rlike("^(?:" + p + ")$")
+      case MatchNotRe(_, p)     => !v.rlike("^(?:" + p + ")$")
+    }
+  }
+
+  /** OR over selector matcher sets (AND within a set) on a labels map —
+    * the sound query-wide pushdown: a series can reach a query only by
+    * satisfying at least ONE of its selectors' full matcher sets. No sets
+    * (or an empty set) → `true`: nothing may be pruned. */
+  def mapSetsPredicate(labels: Column, sets: Seq[Seq[LabelMatcher]]): Column =
+    sets.map(s => s.map(mapPredicate(labels, _)).reduceOption(_ && _)
+        .getOrElse(lit(true)))
+      .reduceOption(_ || _).getOrElse(lit(true))
 }

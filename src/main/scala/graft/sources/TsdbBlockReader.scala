@@ -558,11 +558,22 @@ object TsdbBlockReader {
       * cached refs' bounds (which subsumes block mint/maxt pruning — a
       * non-overlapping block contributes no surviving ref). The label
       * schema is the bucket-wide union, so every slice binds the same
-      * columns. */
+      * columns.
+      *
+      * `matcherSets` (optional, OR of per-selector ANDs — see
+      * [[graft.promql.Compiler.selectorMatcherSets]]): label pruning AT THE
+      * REFS, before any segment I/O — a 1-series query over an open
+      * million-series bucket fetches that series' chunks, not the
+      * window's. This is the serving-side `PostingsForMatchers` analog;
+      * with the refs already parsed and cached, a map-predicate scan of
+      * the in-memory refs replaces the postings algebra. */
     def select(mintMs: Long = Long.MinValue,
-               maxtMs: Long = Long.MaxValue): DataFrame =
+               maxtMs: Long = Long.MaxValue,
+               matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+        : DataFrame =
       samplesFromRefs(spark,
-        refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs),
+        refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+          graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets)),
         stones, mintMs, maxtMs, confBc, Some(labelNames))
     def blockCount: Int = metas.size
     /** Release the refs cache. Idempotent; a closed bucket's `select` still

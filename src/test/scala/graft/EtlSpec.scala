@@ -1573,6 +1573,49 @@ class EtlSpec extends SparkSpec {
     // must not touch block B (day 2) at all
     val day1 = byRange(jan1, jan1 + D - 1)
     assert(day1.agg(max(col("ts_ms"))).head().getLong(0) < jan1 + D)
+
+    // MATCHER-AWARE serving: the query's selector sets prune the cached
+    // refs before any chunk I/O (Compiler.selectorMatcherSets →
+    // OpenTsdbBucket.select(lo, hi, sets)) — identical answers, and a
+    // 1-series query fetches ~that series' share of segment bytes, not
+    // the whole window's
+    val bucket = TsdbBlockReader.openBucket(spark, root, ulids)
+    val matching = new graft.api.PromEngine(raw,
+      sourceByRangeMatching =
+        Some((lo, hi, sets) => bucket.select(lo, hi, sets)))
+    for (q <- Seq(
+      """sum by (__name__) ({uid=~".+"})""",
+      """pm0{uid="1"}""",
+      """rate(pm1{uid="2"}[2h])""",
+      """max(pm0) - min(pm0)""")) {
+      assert(norm(matching.instantQuery(q, at)) == norm(migrated.instantQuery(q, at)),
+        s"matcher-pruned serving of '$q' diverges from the migrated store")
+    }
+    val g0 = TsdbBlockReader.segmentBytesRead.get()
+    matching.instantQuery("""pm0{uid="1"}""", at)
+    val oneSeries = TsdbBlockReader.segmentBytesRead.get() - g0
+    val g1 = TsdbBlockReader.segmentBytesRead.get()
+    matching.instantQuery("""sum by (__name__) ({uid=~".+"})""", at)
+    val allSeries = TsdbBlockReader.segmentBytesRead.get() - g1
+    assert(oneSeries > 0 && oneSeries * 4 <= allSeries,
+      s"a 1-of-6-series query must fetch ~1/6 of the segment bytes " +
+        s"(got $oneSeries vs $allSeries for all series)")
+    bucket.close()
+  }
+
+  test("selectorMatcherSets: every selector contributes its full set (name included)") {
+    import graft.promql._
+    val sets = Compiler.selectorMatcherSets(
+      Parser.parse("""rate(pm1{uid="2"}[2h]) + sum(pm0{job!="x"})"""))
+    assert(sets.toSet == Set(
+      Seq(MatchEq("__name__", "pm1"), MatchEq("uid", "2")),
+      Seq(MatchEq("__name__", "pm0"), MatchNotEq("job", "x"))))
+    // subquery + scalar param selectors are walked too
+    val sub = Compiler.selectorMatcherSets(
+      Parser.parse("""quantile(0.9, max_over_time(m{a=~"b.*"}[1h:5m]))"""))
+    assert(sub == Seq(Seq(MatchEq("__name__", "m"), MatchRe("a", "b.*"))))
+    // a selector-free expression yields NO sets (nothing may be pruned)
+    assert(Compiler.selectorMatcherSets(Parser.parse("1 + 2")).isEmpty)
   }
 
   test("TSDB block roundtrip preserves stale-marker NaN payloads bit-exactly") {
