@@ -1260,6 +1260,35 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval range from 0s to 2m step 1m requests * 2
       |  {job="1", __address__="bar"} 200 200 200
+      |
+      |clear
+      |
+      |load 5m
+      |  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+      |  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+      |  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+      |  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+      |
+      |eval range from 0s to 20m step 10m sum by (job) (http_requests)
+      |  {job="api-server"} 0 60 120
+      |  {job="app-server"} 0 220 440
+      |
+      |eval range from 0s to 20m step 10m sum by (job) (http_requests) / count by (job) (http_requests)
+      |  {job="api-server"} 0 30 60
+      |  {job="app-server"} 0 110 220
+      |
+      |eval range from 10m to 30m step 10m count_over_time(http_requests{instance="0"}[10m])
+      |  {job="api-server", group="production", instance="0"} 2 2 2
+      |  {job="app-server", group="production", instance="0"} 2 2 2
+      |
+      |eval range from 10m to 30m step 10m max_over_time(http_requests{job="api-server", instance="1"}[10m])
+      |  {group="production", instance="1", job="api-server"} 40 80 120
+      |
+      |eval range from 0s to 30m step 15m http_requests{job="app-server", instance="1"}
+      |  {__name__="http_requests", group="production", instance="1", job="app-server"} 0 180 360
+      |
+      |eval range from 10m to 30m step 10m topk(1, http_requests{job="api-server"})
+      |  {__name__="http_requests", group="production", instance="1", job="api-server"} 40 80 120
       |""".stripMargin
 
   /** testdata/native_histograms.test — sparse exponential-bucket histogram
@@ -1899,7 +1928,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream native_histograms.test tranche") {
     run("native_histograms", nativeHistogramsCorpus, 25)
   }
-  test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 8) }
+  test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 14) }
   test("upstream info.test tranche (experimental info())") {
     run("info", infoCorpus, 16, experimental = true)
   }
