@@ -211,6 +211,77 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("30 seeded random deriv/predict_linear/smoothing queries agree with the naive evaluator") {
+    // independent reimplementations over plain collections: least squares
+    // as Prometheus' linearRegression (promql/functions.go — x relative to
+    // a reference ts, intercept at that ts) and the double-exponential
+    // smoothing recursion exactly as funcDoubleExponentialSmoothing orders
+    // its trend/level updates. Shares nothing with the engine's
+    // window-relative moment formulation.
+    def linReg(pts: Seq[(Long, Double)], tRefMs: Long): (Double, Double) = {
+      val xs = pts.map(p => (p._1 - tRefMs) / 1000.0)
+      val ys = pts.map(_._2)
+      val n = pts.length
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (slope, sy / n - slope * sx / n)
+    }
+    def naiveDexp(vs: Seq[Double], sf: Double, tf: Double): Option[Double] = {
+      if (vs.length < 2) return None
+      var s0 = 0.0; var s1 = vs(0)
+      var b = vs(1) - vs(0)
+      for (i <- 1 until vs.length) {
+        val x = sf * vs(i)
+        if (i > 1) b = tf * (s1 - s0) + (1 - tf) * b
+        val y = (1 - sf) * (s1 + b)
+        s0 = s1; s1 = x + y
+      }
+      Some(s1)
+    }
+    val rnd = new Random(57)
+    val names = Seq("click", "view", "purchase", "signup", "error")
+    val failures = (1 to 30).flatMap { i =>
+      val kind = rnd.nextInt(3)
+      val name = names(rnd.nextInt(5))
+      val t = T0 + (5 + rnd.nextInt(20)) * DAY + rnd.nextInt(86400) * 1000L
+      val wH = Seq(6L, 12L, 24L, 48L)(rnd.nextInt(4))
+      val w = wH * 3600000L
+      val aheadS = Seq(-3600L, 0L, 1800L, 7200L)(rnd.nextInt(4))
+      val (q, naiveOf) = kind match {
+        case 0 => (s"""deriv({__name__="$name"}[${wH}h])""",
+          (pts: Seq[(Long, Double)]) =>
+            if (pts.length < 2) None
+            else Some(linReg(pts, pts.head._1)._1))
+        case 1 => (s"""predict_linear({__name__="$name"}[${wH}h], $aheadS)""",
+          (pts: Seq[(Long, Double)]) =>
+            if (pts.length < 2) None
+            else { val (sl, ic) = linReg(pts, t); Some(ic + sl * aheadS) })
+        case _ => (s"""double_exponential_smoothing({__name__="$name"}[${wH}h], 0.2, 0.4)""",
+          (pts: Seq[(Long, Double)]) => naiveDexp(pts.map(_._2), 0.2, 0.4))
+      }
+      val engine = Compiler.compile(Parser.parse(q),
+          Compiler.Ctx(samples, t, t, 1000L, DAY))
+        .collect().map(r => r.getAs[String]("uid") -> r.getAs[Double]("value")).toMap
+      val naive = mem
+        .filter { case (n, _, ts, _) => n == name && ts > t - w && ts <= t }
+        .groupBy(_._2)
+        .flatMap { case (u, ss) =>
+          naiveOf(ss.map(s => (s._3, s._4)).sortBy(_._1)).map(u -> _)
+        }
+      // different (but both exact) formulations of the same least squares:
+      // engine moments are window-relative, naive x is reference-relative —
+      // agreement to 1e-6 relative is the conditioning-aware bound
+      val ok = engine.keySet == naive.keySet && naive.forall { case (k, v) =>
+        math.abs(engine(k) - v) <= 1e-6 * math.max(1.0, math.abs(v))
+      }
+      if (ok) None
+      else Some(s"#$i  $q @$t\n  engine=$engine\n  naive =$naive")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("25 seeded random subquery windows agree with the naive evaluator (step alignment)") {
     // Prometheus evaluates subquery steps at absolute multiples of the
     // resolution (promql/eval.go aligns the inner start timestamp), and the
