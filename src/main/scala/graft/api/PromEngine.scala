@@ -30,6 +30,19 @@ object PromEngine {
     * evaluation holds the whole result grid at once, so the result IS the
     * peak). */
   final case class EngineStats(samplesTotal: Long, peakSamples: Long)
+
+  /** Dictionary-style label introspection a source may provide: answers at
+    * chunk/row-group granularity (series with data NEAR the interval — the
+    * same contract as the reference's dictionary-resolved label_values,
+    * `search/search.go:173-201`, and the parquet-footer shortcut). When
+    * present, `/labels` and `/label/:name/values` serve from it with ZERO
+    * sample decode — an open raw-TSDB bucket answers off its cached refs. */
+  trait LabelIntrospection {
+    def labelValues(label: String, matchers: Seq[LabelMatcher],
+                    mintMs: Long, maxtMs: Long): Seq[String]
+    def labelNames(matchers: Seq[LabelMatcher],
+                   mintMs: Long, maxtMs: Long): Seq[String]
+  }
 }
 
 /** Query-engine facade: PromQL string → evaluated result rows (the driver-side
@@ -67,7 +80,12 @@ final class PromEngine(samples: DataFrame,
                          * Preferred over [[sourceByRange]] when both are
                          * set. */
                        sourceByRangeMatching:
-                         Option[(Long, Long, Seq[Seq[LabelMatcher]]) => DataFrame] = None) {
+                         Option[(Long, Long, Seq[Seq[LabelMatcher]]) => DataFrame] = None,
+                       /** When present, label endpoints answer from it with
+                         * zero sample decode; see
+                         * [[PromEngine.LabelIntrospection]]. */
+                       labelIntrospection:
+                         Option[PromEngine.LabelIntrospection] = None) {
   import PromEngine._
 
   private def run(df: DataFrame): Seq[Series] = seriesOf(collectRows(df), df)
@@ -231,6 +249,9 @@ final class PromEngine(samples: DataFrame,
   }
 
   def labelNames(matchers: Seq[LabelMatcher], mintMs: Long, maxtMs: Long): Seq[String] = {
+    labelIntrospection.foreach { li =>
+      return li.labelNames(matchers, mintMs, maxtMs).sorted
+    }
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
     // footer fast path first (matcherless only): per-row-group statistics
     // prove which labels actually carry values INSIDE the interval (the
@@ -254,6 +275,11 @@ final class PromEngine(samples: DataFrame,
   def labelValues(label: String, matchers: Seq[LabelMatcher], mintMs: Long,
                   maxtMs: Long, limit: Int = 0): (Seq[String], Boolean) = {
     if (!samples.columns.contains(label)) return (Seq.empty, false)
+    labelIntrospection.foreach { li =>
+      val vals = li.labelValues(label, matchers, mintMs, maxtMs)
+      val truncated = limit > 0 && vals.size > limit
+      return (if (truncated) vals.take(limit) else vals, truncated)
+    }
     // no-matcher shortcut (ref search/search.go:173-201): resolve from the
     // parquet dictionary pages + footer stats, scanning only the interval's
     // boundary files — exact, falls back to the scan when inapplicable

@@ -60,6 +60,7 @@ object Serve {
     }
     type ByMatching = (Long, Long, Seq[Seq[graft.promql.LabelMatcher]]) => DataFrame
     var byMatching: Option[ByMatching] = None
+    var labelIntro: Option[PromEngine.LabelIntrospection] = None
     val (samples, byRange: Option[(Long, Long) => DataFrame]) =
       if (isDir(s"$sfDir/chunks"))
         (graft.etl.Ingest.openChunkedSamples(spark, sfDir), None)
@@ -89,8 +90,19 @@ object Serve {
         val bucket = graft.sources.TsdbBlockReader.openBucket(spark, sfDir, ulids)
         Runtime.getRuntime.addShutdownHook(new Thread(() => bucket.close()))
         // matcher-aware source: each query's selector sets prune the cached
-        // refs before any chunk I/O (the serving PostingsForMatchers shape)
+        // refs before any chunk I/O (the serving PostingsForMatchers shape);
+        // label endpoints answer from the refs alone (dictionary contract)
         byMatching = Some((lo, hi, sets) => bucket.select(lo, hi, sets))
+        labelIntro = Some(new PromEngine.LabelIntrospection {
+          def labelValues(label: String, ms: Seq[graft.promql.LabelMatcher],
+                          lo: Long, hi: Long): Seq[String] =
+            bucket.labelValues(label, lo, hi,
+              if (ms.isEmpty) Seq.empty else Seq(ms))
+          def labelNames(ms: Seq[graft.promql.LabelMatcher],
+                         lo: Long, hi: Long): Seq[String] =
+            bucket.labelNamesIn(lo, hi,
+              if (ms.isEmpty) Seq.empty else Seq(ms))
+        })
         (bucket.select(), Some((lo: Long, hi: Long) => bucket.select(lo, hi)))
       }
       else (TimeSeriesModel.samples(Tables(spark, sfDir).events), None)
@@ -104,7 +116,7 @@ object Serve {
       println(s"histogram layers: ${histLayers.keys.toSeq.sorted.mkString(", ")} ms")
     val api = new HttpApi(
       new PromEngine(samples, lookback, quotas, layers, histLayers, byRange,
-        byMatching),
+        byMatching, labelIntro),
       port).start()
     println(s"SERVING on http://127.0.0.1:${api.boundPort}/api/v1/query")
     Thread.currentThread().join() // serve until killed

@@ -576,6 +576,35 @@ object TsdbBlockReader {
           graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets)),
         stones, mintMs, maxtMs, confBc, Some(labelNames))
     def blockCount: Int = metas.size
+
+    /** Distinct values of `label` among series with a chunk overlapping
+      * [mintMs, maxtMs] and matching `matcherSets` — answered ENTIRELY off
+      * the cached refs: zero chunk I/O, zero index I/O (the reference's
+      * label_values is likewise dictionary-resolved, chunk/row-group
+      * granular rather than per-sample — `search/search.go:173-201`). */
+    def labelValues(label: String,
+                    mintMs: Long = Long.MinValue, maxtMs: Long = Long.MaxValue,
+                    matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+        : Seq[String] = {
+      import spark.implicits._
+      refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+          graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
+        .select(try_element_at(col("labels"), lit(label)).as("v"))
+        .filter(col("v").isNotNull)
+        .distinct().as[String].collect().sorted.toSeq
+    }
+
+    /** Distinct label names, same refs-only contract as [[labelValues]]. */
+    def labelNamesIn(mintMs: Long = Long.MinValue, maxtMs: Long = Long.MaxValue,
+                     matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+        : Seq[String] = {
+      import spark.implicits._
+      refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+          graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
+        .select(explode(map_keys(col("labels"))).as("n"))
+        .distinct().as[String].collect().sorted.toSeq
+    }
+
     /** Release the refs cache. Idempotent; a closed bucket's `select` still
       * answers (the refs dataset recomputes uncached) — close is a resource
       * release, not an invalidation. */

@@ -1600,6 +1600,39 @@ class EtlSpec extends SparkSpec {
     assert(oneSeries > 0 && oneSeries * 4 <= allSeries,
       s"a 1-of-6-series query must fetch ~1/6 of the segment bytes " +
         s"(got $oneSeries vs $allSeries for all series)")
+
+    // label INTROSPECTION off the cached refs: exact answers (matchers
+    // honored with full semantics), ZERO chunk I/O — the dictionary-only
+    // label_values contract the reference serves from parquet dictionaries
+    val g2 = TsdbBlockReader.segmentBytesRead.get()
+    assert(bucket.labelValues("__name__") == Seq("pm0", "pm1"))
+    assert(bucket.labelValues("uid") == Seq("0", "1", "2"))
+    assert(bucket.labelValues("uid",
+      matcherSets = Seq(Seq(graft.promql.MatchEq("__name__", "pm1"),
+        graft.promql.MatchRe("uid", "[01]")))) == Seq("0", "1"))
+    assert(bucket.labelNamesIn() == Seq("__name__", "uid"))
+    // day-2 slice still sees both blocks' union? no — chunk-granular: only
+    // block B's series overlap day 2, but labels are identical across
+    // blocks in this fixture, so the answer is unchanged
+    assert(bucket.labelValues("uid", jan1 + D, Long.MaxValue) == Seq("0", "1", "2"))
+    assert(TsdbBlockReader.segmentBytesRead.get() - g2 == 0,
+      "label introspection must not touch segment files")
+    // the engine-level hook serves the same answers
+    val withIntro = new graft.api.PromEngine(raw,
+      sourceByRangeMatching =
+        Some((lo, hi, sets) => bucket.select(lo, hi, sets)),
+      labelIntrospection = Some(new graft.api.PromEngine.LabelIntrospection {
+        def labelValues(l: String, ms: Seq[graft.promql.LabelMatcher],
+                        lo: Long, hi: Long): Seq[String] =
+          bucket.labelValues(l, lo, hi, if (ms.isEmpty) Seq.empty else Seq(ms))
+        def labelNames(ms: Seq[graft.promql.LabelMatcher],
+                       lo: Long, hi: Long): Seq[String] =
+          bucket.labelNamesIn(lo, hi, if (ms.isEmpty) Seq.empty else Seq(ms))
+      }))
+    assert(withIntro.labelNames(Nil, jan1, at) ==
+      migrated.labelNames(Nil, jan1, at))
+    assert(withIntro.labelValues("uid", Nil, jan1, at)._1 ==
+      migrated.labelValues("uid", Nil, jan1, at)._1)
     bucket.close()
   }
 
