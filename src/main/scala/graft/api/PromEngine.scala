@@ -42,6 +42,10 @@ object PromEngine {
                     mintMs: Long, maxtMs: Long): Seq[String]
     def labelNames(matchers: Seq[LabelMatcher],
                    mintMs: Long, maxtMs: Long): Seq[String]
+    /** Distinct label sets matching the union of matcher sets — the
+      * `/api/v1/series` answer, same zero-decode contract. */
+    def series(matchSets: Seq[Seq[LabelMatcher]],
+               mintMs: Long, maxtMs: Long): Seq[Map[String, String]]
   }
 }
 
@@ -238,6 +242,12 @@ final class PromEngine(samples: DataFrame,
     * `api/http/query.go:627-633`), dedup across sets. */
   def series(matchSets: Seq[Seq[LabelMatcher]], mintMs: Long, maxtMs: Long,
              limit: Int = 0): (Seq[Map[String, String]], Boolean) = {
+    labelIntrospection.foreach { li =>
+      val all = li.series(matchSets, mintMs, maxtMs)
+        .sortBy(_.toSeq.sorted.mkString(","))
+      val truncated = limit > 0 && all.size > limit
+      return (if (truncated) all.take(limit) else all, truncated)
+    }
     val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
     val selected = Eval.selectUnion(rangedSamples(mintMs, maxtMs, matchSets), matchSets, mintMs, maxtMs)
       .select(lbls.map(col): _*)

@@ -102,6 +102,9 @@ object Serve {
                          lo: Long, hi: Long): Seq[String] =
             bucket.labelNamesIn(lo, hi,
               if (ms.isEmpty) Seq.empty else Seq(ms))
+          def series(sets: Seq[Seq[graft.promql.LabelMatcher]],
+                     lo: Long, hi: Long): Seq[Map[String, String]] =
+            bucket.seriesIn(lo, hi, sets)
         })
         (bucket.select(), Some((lo: Long, hi: Long) => bucket.select(lo, hi)))
       }

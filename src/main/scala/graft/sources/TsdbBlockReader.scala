@@ -605,6 +605,20 @@ object TsdbBlockReader {
         .distinct().as[String].collect().sorted.toSeq
     }
 
+    /** Distinct label SETS matching the union of matcher sets — the
+      * `/api/v1/series` answer, same refs-only zero-decode contract. */
+    def seriesIn(mintMs: Long = Long.MinValue, maxtMs: Long = Long.MaxValue,
+                 matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+        : Seq[Map[String, String]] = {
+      import spark.implicits._
+      // set-ops don't support MapType: canonicalize to sorted entry arrays
+      refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+          graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
+        .select(array_sort(map_entries(col("labels"))).as("kv"))
+        .distinct()
+        .as[Seq[(String, String)]].collect().map(_.toMap).toSeq
+    }
+
     /** Release the refs cache. Idempotent; a closed bucket's `select` still
       * answers (the refs dataset recomputes uncached) — close is a resource
       * release, not an invalidation. */

@@ -1628,11 +1628,22 @@ class EtlSpec extends SparkSpec {
         def labelNames(ms: Seq[graft.promql.LabelMatcher],
                        lo: Long, hi: Long): Seq[String] =
           bucket.labelNamesIn(lo, hi, if (ms.isEmpty) Seq.empty else Seq(ms))
+        def series(sets: Seq[Seq[graft.promql.LabelMatcher]],
+                   lo: Long, hi: Long): Seq[Map[String, String]] =
+          bucket.seriesIn(lo, hi, sets)
       }))
     assert(withIntro.labelNames(Nil, jan1, at) ==
       migrated.labelNames(Nil, jan1, at))
     assert(withIntro.labelValues("uid", Nil, jan1, at)._1 ==
       migrated.labelValues("uid", Nil, jan1, at)._1)
+    // /series off the refs alone: matches the migrated store's answer and
+    // honors matcher-set union + limit/truncation
+    val setQ = Seq(Seq(graft.promql.MatchEq("__name__", "pm0")),
+      Seq(graft.promql.MatchEq("__name__", "pm1"),
+        graft.promql.MatchEq("uid", "0")))
+    assert(withIntro.series(setQ, jan1, at) == migrated.series(setQ, jan1, at))
+    val (lim, trunc) = withIntro.series(setQ, jan1, at, limit = 2)
+    assert(lim.size == 2 && trunc)
     bucket.close()
   }
 
