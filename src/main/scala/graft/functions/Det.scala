@@ -35,16 +35,17 @@ object Det {
   val dec: DecimalType = DecimalType(38, 9)
 
   /** Finite |v| at/above this leaves the decimal sum route (cast ceiling
-    * ~1e29, minus ~1e11 rows of group-sum headroom). */
+    * ~1e29, minus ~1e11 rows of group-sum headroom). The LOW end is NOT
+    * banded: DECIMAL(38,9) quantizes at 1e-9 absolute — a documented
+    * precision floor — because any data-dependent reroute to float
+    * arithmetic breaks the engine's bit-identity contracts (layer-routed ≡
+    * raw, run ≡ run) for ordinary data the moment one tiny sample lands in
+    * a group. Determinism wins below the quantum; Prometheus-float
+    * semantics win above the ceiling, where decimal would THROW. */
   private val SumSafe = 1e18
-  /** …and below this too: DECIMAL(38,9) quantizes at 1e-9 absolute, so a
-    * group of sub-1e-6 values would sum with percent-level error (or to
-    * plain 0). Zero itself is decimal-exact and stays in band. */
-  private val SumTiny = 1e-6
   /** The moments square each value, so their band is the square root of the
-    * sum band on both ends. */
+    * sum band. */
   private val MomentSafe = 1e9
-  private val MomentTiny = 1e-3
   /** Exact power-of-two rescale for the big-band mean: scaling is lossless
     * for normal doubles, and 2⁻⁶⁴ keeps even near-max values summable
     * across ~1e19 rows without overflow. */
@@ -57,11 +58,6 @@ object Det {
   /** Any finite group member at/above `bound` (aggregate predicate). */
   private def anyAbove(c: Column, bound: Double): Column =
     max(when(isFinite(c) && abs(c) >= bound, true).otherwise(false))
-
-  /** Any finite NONZERO group member below `bound` (zero is decimal-exact
-    * and stays in band). */
-  private def anyTiny(c: Column, bound: Double): Column =
-    max(when(isFinite(c) && c =!= 0.0 && abs(c) < bound, true).otherwise(false))
 
   /** The value where it is decimal-safe, NULL outside — the only shape that
     * may reach a decimal cast (ANSI would throw on the raw value). */
@@ -86,7 +82,7 @@ object Det {
     * semantics (±Inf on overflow, huge values kept) outside the safe band. */
   def dsum(c: Column): Column = {
     val dbl = sum(when(isFinite(c), c))
-    ieee(c, when(anyAbove(c, SumSafe) || anyTiny(c, SumTiny), dbl)
+    ieee(c, when(anyAbove(c, SumSafe), dbl)
       .otherwise(sum(inBand(c, SumSafe).cast(dec)).cast("double")))
   }
 
@@ -96,13 +92,8 @@ object Det {
     * of near-max values is near-max, not +Inf). */
   def davg(c: Column): Column = {
     val n = count(c)
-    // the 2⁻⁶⁴ rescale is for the BIG band only — on tiny values it would
-    // push into subnormals and shed precision; the tiny band takes a plain
-    // double mean (double is MORE accurate than scale-9 decimal there)
     val dblBig = sum(when(isFinite(c), c) * lit(Scale)) / n * lit(InvScale)
-    val dblTiny = sum(when(isFinite(c), c)) / n
     ieee(c, when(anyAbove(c, SumSafe), dblBig)
-      .when(anyTiny(c, SumTiny), dblTiny)
       .otherwise(sum(inBand(c, SumSafe).cast(dec)).cast("double") / n))
   }
 
@@ -120,8 +111,7 @@ object Det {
   private def varPopSafe(c: Column): Column = {
     val n = count(c)
     when(n > 0,
-      when(anyAbove(c, MomentSafe) || anyTiny(c, MomentTiny),
-        coalesce(var_pop(c), lit(0.0)))
+      when(anyAbove(c, MomentSafe), coalesce(var_pop(c), lit(0.0)))
         .otherwise(decMoment(c, n)))
   }
 

@@ -1424,7 +1424,25 @@ object Compiler {
           (if (oldNameSide != 0) Seq(OldName) else Nil)).map(col)
         val joined = joined0.select((keyCols ++ extraCols :+
           col("value") :+ col("rvalue")): _*)
-        val result = joined.withColumn("out",
+        // plain 1:1 matching requires BOTH sides unique per match group —
+        // a group yielding >1 joined row means one side had duplicates
+        // (L×R > 1), which Prometheus rejects rather than silently
+        // multiplying. One window on the join's own keys: a sort-merge
+        // join's output already carries that partitioning, so the check
+        // rides the existing exchange.
+        val joinedG =
+          if (gl || gr) joined
+          else {
+            val w = Window.partitionBy(on.map(col): _*)
+            joined.withColumn("__graft_card", count(lit(1)).over(w))
+              .withColumn("value", when(col("__graft_card") > 1,
+                  raise_error(lit("found duplicate series for the match " +
+                    "group: many-to-one matching must be explicit " +
+                    "(group_left/group_right)")))
+                .otherwise(col("value")))
+              .drop("__graft_card")
+          }
+        val result = joinedG.withColumn("out",
           toDouble(b.op, arith(b.op)(col("value"), col("rvalue")), b.bool))
         val filtered =
           if (compOps.contains(b.op) && !b.bool)

@@ -3,21 +3,23 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.Det
 
-/** The deterministic aggregate helpers' magnitude bands: the decimal route
-  * serves the common band exactly; groups containing values outside it
-  * (either end) must take the float fallback and stay CORRECT — not throw
-  * an ANSI decimal-overflow, not silently drop the value, not quantize a
-  * sub-1e-9 group to zero. The fixture values are powers of ten so the
-  * in-band decimal results are exact and the expectations are closed-form:
-  * values {1,2,3,4}·10^k per group → sum 10·10^k, avg 2.5·10^k,
-  * pop-variance 1.25·10^2k. */
+/** The deterministic aggregate helpers' magnitude bands. Above the decimal
+  * CEILING, groups take a Prometheus-float fallback and must stay correct —
+  * not throw an ANSI decimal-overflow, not silently drop the value. Below
+  * the decimal QUANTUM (1e-9 absolute) values quantize — the documented
+  * precision floor, deliberately NOT rerouted to float: a data-dependent
+  * reroute broke the bit-identity contracts (layer-routed ≡ raw) for
+  * ordinary data the moment one tiny sample landed in a group. The fixture
+  * values are powers of ten so the in-band decimal results are exact and
+  * the expectations are closed-form: values {1,2,3,4}·10^k per group →
+  * sum 10·10^k, avg 2.5·10^k, pop-variance 1.25·10^2k. */
 class DetSpec extends SparkSpec {
 
   private def relErr(got: Double, want: Double): Double =
     if (want == 0.0) math.abs(got)
     else math.abs(got - want) / math.abs(want)
 
-  test("magnitude sweep: sum/avg/stddev/stdvar correct across both decimal band edges") {
+  test("magnitude sweep: exact in band, float-correct above it, quantized below the quantum") {
     import spark.implicits._
     val ks = Seq(-300, -30, -12, -9, -6, -3, 0, 3, 9, 15, 18, 20, 100, 290)
     val rows = for { k <- ks; i <- 1 to 4 } yield (k, i * math.pow(10.0, k))
@@ -31,10 +33,16 @@ class DetSpec extends SparkSpec {
     for (k <- ks) {
       val m = math.pow(10.0, k)
       val (s, a, sd, vr) = got(k)
-      assert(relErr(s, 10 * m) < 1e-9, s"sum at 1e$k: got $s")
-      assert(relErr(a, 2.5 * m) < 1e-9, s"avg at 1e$k: got $a")
-      // variance under/overflows double outside ~1e±150; pin the normal range
-      if (k >= -140 && k <= 140) {
+      if (k >= -9) { // at/above the quantum: exact (float-exact above 1e18)
+        assert(relErr(s, 10 * m) < 1e-9, s"sum at 1e$k: got $s")
+        assert(relErr(a, 2.5 * m) < 1e-9, s"avg at 1e$k: got $a")
+      } else { // below the quantum: deterministic quantization to zero
+        assert(s == 0.0, s"sub-quantum sum at 1e$k must quantize: got $s")
+        assert(a == 0.0, s"sub-quantum avg at 1e$k must quantize: got $a")
+      }
+      // moments additionally square the values (quantum at |v| ~ 3e-5) and
+      // under/overflow double outside ~1e±150
+      if (k >= -3 && k <= 140) {
         assert(relErr(sd, math.sqrt(1.25) * m) < 1e-6, s"stddev at 1e$k: got $sd")
         assert(relErr(vr, 1.25 * m * m) < 1e-6, s"stdvar at 1e$k: got $vr")
       }

@@ -203,6 +203,12 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {group="production", instance="1", job="app-server"} 2.3333333333333335
       |  {group="canary", instance="1", job="app-server"} 1.75
       |
+      |# Many-to-many matching is not allowed: both sides have 2 series per
+      |# instance group, so plain 1:1 matching must error, not silently
+      |# multiply rows.
+      |eval_fail instant at 50m http_requests{group="production"} + on(instance) http_requests{group="canary"}
+      |  expected_fail_message duplicate series
+      |
       |clear
       |
       |# atan2 block: evaluated at 4m (not upstream's 5m) — the engine pins
@@ -1896,6 +1902,26 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 1m sum without(group) (extreme{test="ts"})
       |  {test="ts"} 2000000000000004
+      |
+      |clear
+      |
+      |load 5m
+      |  nd{point="a"} 2
+      |  nd{point="b"} NaN
+      |  nd{point="c"} 5
+      |
+      |eval instant at 1m topk(2, nd)
+      |  {__name__="nd", point="c"} 5
+      |  {__name__="nd", point="a"} 2
+      |
+      |eval instant at 1m bottomk(2, nd)
+      |  {__name__="nd", point="a"} 2
+      |  {__name__="nd", point="c"} 5
+      |
+      |eval instant at 1m topk(3, nd)
+      |  {__name__="nd", point="c"} 5
+      |  {__name__="nd", point="a"} 2
+      |  {__name__="nd", point="b"} NaN
       |""".stripMargin
 
   private def run(name: String, corpus: String, minEvals: Int,
@@ -1912,7 +1938,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
     assert(failures.isEmpty, s"$name:\n" + failures.mkString("\n"))
   }
 
-  test("upstream operators.test tranche") { run("operators", operatorsCorpus, 39) }
+  test("upstream operators.test tranche") { run("operators", operatorsCorpus, 40) }
   test("upstream aggregators.test tranche") { run("aggregators", aggregatorsCorpus, 32) }
   test("upstream functions.test tranche") { run("functions", functionsCorpus, 37) }
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
@@ -1943,6 +1969,6 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
     run("date_functions", dateFunctionsCorpus, 26)
   }
   test("upstream aggregators.test count_values/quantile/extreme-values tranche") {
-    run("aggregators_edge", aggregatorsEdgeCorpus, 23)
+    run("aggregators_edge", aggregatorsEdgeCorpus, 26)
   }
 }
