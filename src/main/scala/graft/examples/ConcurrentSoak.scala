@@ -243,7 +243,15 @@ object ConcurrentSoak {
         "open_day2" -> (() => drainSlice(jan1 + day, jan1 + 2 * day - 1)),
         "open_2h" -> (() => drainSlice(jan1 + 6 * 3600000L,
           jan1 + 8 * 3600000L - 1)),
-        "open_full" -> (() => drainSlice(Long.MinValue, Long.MaxValue)))
+        "open_full" -> (() => drainSlice(Long.MinValue, Long.MaxValue)),
+        // matcher-pruned slice: the selector set prunes the cached refs
+        // BEFORE chunk I/O — the r18 serving shape; its latency should sit
+        // well under the matching unpruned slice at the same width
+        "open_matched" -> (() => {
+          bucket.select(Long.MinValue, Long.MaxValue,
+            Seq(Seq(MatchEq("__name__", "mig_m3"))))
+            .agg(count(lit(1)), sum(col("value"))).head(); ()
+        }))
       openMix.foreach { case (_, fn) => fn() } // warmup, as for phase 1
       val q0 = graft.etl.TsdbBlock.seriesParses.get()
       val r = runMix(openMix)
