@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes RAW to stdout (no sbt "[info] " prefix):
+// graft.Bench's contract is machine-parsed JSON lines, and the prefix is
+// what kept the driver's bench parse at `parsed: null` for five rounds.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,14 +38,21 @@ object PromEngine {
     * present, `/labels` and `/label/:name/values` serve from it with ZERO
     * sample decode — an open raw-TSDB bucket answers off its cached refs. */
   trait LabelIntrospection {
+    /** `limit > 0` ⇒ return AT MOST limit+1 entries in canonical sorted
+      * order (one extra so the caller can flag truncation), with the bound
+      * pushed into the source — an implementation must never materialize
+      * the full distinct set just to truncate it afterwards (the reference
+      * truncates during materialization, `search/materialize.go:53-58`).
+      * Canonical series order = element-wise comparison of the sorted
+      * (name, value) pairs, never a concatenated string (collides). */
     def labelValues(label: String, matchers: Seq[LabelMatcher],
-                    mintMs: Long, maxtMs: Long): Seq[String]
+                    mintMs: Long, maxtMs: Long, limit: Int = 0): Seq[String]
     def labelNames(matchers: Seq[LabelMatcher],
-                   mintMs: Long, maxtMs: Long): Seq[String]
+                   mintMs: Long, maxtMs: Long, limit: Int = 0): Seq[String]
     /** Distinct label sets matching the union of matcher sets — the
       * `/api/v1/series` answer, same zero-decode contract. */
     def series(matchSets: Seq[Seq[LabelMatcher]],
-               mintMs: Long, maxtMs: Long): Seq[Map[String, String]]
+               mintMs: Long, maxtMs: Long, limit: Int = 0): Seq[Map[String, String]]
   }
 }
 
@@ -243,15 +250,31 @@ final class PromEngine(samples: DataFrame,
   def series(matchSets: Seq[Seq[LabelMatcher]], mintMs: Long, maxtMs: Long,
              limit: Int = 0): (Seq[Map[String, String]], Boolean) = {
     labelIntrospection.foreach { li =>
-      val all = li.series(matchSets, mintMs, maxtMs)
-        .sortBy(_.toSeq.sorted.mkString(","))
-      val truncated = limit > 0 && all.size > limit
-      return (if (truncated) all.take(limit) else all, truncated)
+      // limit is PUSHED to the source: the introspection contract returns
+      // ≤ limit+1 canonically-sorted entries, never the full distinct set
+      val got = li.series(matchSets, mintMs, maxtMs, limit)
+      val truncated = limit > 0 && got.size > limit
+      return (if (truncated) got.take(limit) else got, truncated)
     }
-    val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+    // labels are the STRING columns: a native-histogram payload column (h,
+    // struct) is a sample value, not a label — it must not leak into the
+    // /series label sets (nor can it type-check inside the canonical key)
+    val lbls = samples.schema.fields.iterator
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+    // canonical order = element-wise comparison of the sorted (name, value)
+    // pairs — the SAME key the introspection backends sort by, so a limited
+    // /series returns the same subset regardless of which backend answers.
+    // (Ordering by the raw label columns nulls-first disagrees with pair
+    // order for absent labels; a concatenated string key collides.)
+    val kvKey = filter(
+      array(lbls.sorted.map(l =>
+        struct(lit(l).as("key"), col(l).as("value"))): _*),
+      e => e.getField("value").isNotNull)
     val selected = Eval.selectUnion(rangedSamples(mintMs, maxtMs, matchSets), matchSets, mintMs, maxtMs)
       .select(lbls.map(col): _*)
-      .distinct().orderBy(lbls.map(col): _*)
+      .distinct().withColumn("__graft_kv", kvKey).orderBy(col("__graft_kv"))
     val rows = (if (limit > 0) selected.limit(limit + 1) else selected).collect().toSeq
     val truncated = limit > 0 && rows.size > limit
     val out = (if (truncated) rows.take(limit) else rows).map(rowToLabels(lbls, _))
@@ -286,7 +309,7 @@ final class PromEngine(samples: DataFrame,
                   maxtMs: Long, limit: Int = 0): (Seq[String], Boolean) = {
     if (!samples.columns.contains(label)) return (Seq.empty, false)
     labelIntrospection.foreach { li =>
-      val vals = li.labelValues(label, matchers, mintMs, maxtMs)
+      val vals = li.labelValues(label, matchers, mintMs, maxtMs, limit)
       val truncated = limit > 0 && vals.size > limit
       return (if (truncated) vals.take(limit) else vals, truncated)
     }

@@ -115,6 +115,11 @@ object TsdbBlock {
     * the whole section. */
   private[graft] val seriesDecoded = new java.util.concurrent.atomic.AtomicLong()
 
+  /** How many selective index views PROMOTED to a whole-file fetch (the
+    * near-full fallback) in this JVM — specs pin that a negated matcher
+    * keeping ~all series promotes, and a narrow pull never does. */
+  private[graft] val wholeFilePromotions = new java.util.concurrent.atomic.AtomicLong()
+
   /** Positional view of an index file for SELECTIVE reads: `fetch(pos, n)`
     * must return exactly n bytes. [[IndexReadAt.ofBytes]] wraps a whole
     * in-memory file (the full-walk path); the distributed matcher path
@@ -122,12 +127,34 @@ object TsdbBlock {
     * only the TOUCHED sections of a multi-hundred-MB index are ever
     * fetched — TOC, symbols, the offset tables, the matched posting lists
     * and the matched series entries — instead of the whole file. */
-  final class IndexReadAt(fetch0: (Long, Int) => Array[Byte], val length: Long) {
+  final class IndexReadAt(fetch0: (Long, Int) => Array[Byte], val length: Long,
+                          whole: Boolean = false) {
+    private var f = fetch0
+    private var isWhole = whole
+    private var fetched = 0L
     def fetch(pos: Long, n: Int): Array[Byte] = {
       require(pos >= 0 && n >= 0 && pos + n <= length,
         s"index read out of bounds ($pos+$n > $length)")
-      fetch0(pos, n)
+      fetched += n
+      f(pos, n)
     }
+    /** Whole-file fallback for NEAR-FULL selective reads: when the bytes a
+      * read has already fetched plus the bytes it is ABOUT to fetch reach
+      * half the file, one sequential whole-file GET beats dozens-to-hundreds
+      * of ranged GETs on an object store (a negated matcher keeping 90% of
+      * a block fetched 246 MB of a 286 MB index as ranged reads — r18 bench).
+      * Subsequent fetches serve from the in-memory copy; counters see ONE
+      * underlying read of `length` bytes. No-op for views already backed by
+      * whole files and for indexes too large to buffer (>~2 GB: outside the
+      * upstream block-size envelope; such a read stays ranged). */
+    private[TsdbBlock] def promoteIfNearFull(plannedBytes: Long): Unit =
+      if (!isWhole && length <= (Int.MaxValue - 64).toLong &&
+          (fetched + plannedBytes) * 2 >= length) {
+        val all = fetch0(0, length.toInt)
+        f = (p, n) => java.util.Arrays.copyOfRange(all, p.toInt, p.toInt + n)
+        isWhole = true
+        wholeFilePromotions.incrementAndGet()
+      }
     /** Symbol-table parse memoized per view: one matcher-pushed read
       * touches symbols from several directions (value dictionary resolve,
       * series decode), and re-parsing a multi-MB table per direction is
@@ -138,7 +165,8 @@ object TsdbBlock {
   object IndexReadAt {
     def ofBytes(b: Array[Byte]): IndexReadAt =
       new IndexReadAt((p, n) =>
-        java.util.Arrays.copyOfRange(b, p.toInt, p.toInt + n), b.length.toLong)
+        java.util.Arrays.copyOfRange(b, p.toInt, p.toInt + n), b.length.toLong,
+        whole = true)
   }
 
   /** Validated TOC: the 6 section offsets
@@ -258,6 +286,11 @@ object TsdbBlock {
       i += 1
     }
     starts += sorted.length
+    // near-full read? one sequential whole-file fetch instead of many GETs
+    ix.promoteIfNearFull((0 until starts.length - 1).map { k =>
+      val start = sorted(starts(k))
+      math.min(sorted(starts(k + 1) - 1) - start + Tail, ix.length - start)
+    }.sum)
     (0 until starts.length - 1).flatMap { k =>
       val lo = starts(k); val hi = starts(k + 1)
       val start = sorted(lo)
@@ -500,6 +533,12 @@ object TsdbBlock {
       ci += 1
     }
     starts += sorted.length
+    // near-full read (broad/negated matchers keeping most series)? one
+    // sequential whole-file fetch instead of dozens of 8 MB ranged GETs
+    ix.promoteIfNearFull((0 until starts.length - 1).map { k =>
+      val start = sorted(starts(k)) * 16
+      math.min(sorted(starts(k + 1) - 1) * 16 - start + Tail, ix.length - start)
+    }.sum)
     (0 until starts.length - 1).iterator.flatMap { k =>
       val lo = starts(k); val hi = starts(k + 1)
       val start = sorted(lo) * 16

@@ -251,6 +251,23 @@ object ConcurrentSoak {
           bucket.select(Long.MinValue, Long.MaxValue,
             Seq(Seq(MatchEq("__name__", "mig_m3"))))
             .agg(count(lit(1)), sum(col("value"))).head(); ()
+        }),
+        // introspection under stampede (r19): /labels, /label/:name/values
+        // and a LIMITED matcherless /series, all answered off the cached
+        // refs with the bound pushed into the DataFrame — the limited
+        // /series must collect ≤ limit+1 label sets however many series the
+        // bucket holds, and none of these may re-parse an index
+        "open_labels" -> (() => {
+          val names = bucket.labelNamesIn()
+          require(names == Seq("__name__", "uid"), s"labels: $names"); ()
+        }),
+        "open_label_values" -> (() => {
+          val vals = bucket.labelValues("__name__", limit = 4)
+          require(vals.size == 5 && vals.head == "mig_m0", s"values: $vals"); ()
+        }),
+        "open_series_limited" -> (() => {
+          val got = bucket.seriesIn(limit = 64)
+          require(got.size == 65, s"series limit leaked: ${got.size}"); ()
         }))
       openMix.foreach { case (_, fn) => fn() } // warmup, as for phase 1
       val q0 = graft.etl.TsdbBlock.seriesParses.get()

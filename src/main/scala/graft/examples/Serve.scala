@@ -95,16 +95,16 @@ object Serve {
         byMatching = Some((lo, hi, sets) => bucket.select(lo, hi, sets))
         labelIntro = Some(new PromEngine.LabelIntrospection {
           def labelValues(label: String, ms: Seq[graft.promql.LabelMatcher],
-                          lo: Long, hi: Long): Seq[String] =
+                          lo: Long, hi: Long, limit: Int): Seq[String] =
             bucket.labelValues(label, lo, hi,
-              if (ms.isEmpty) Seq.empty else Seq(ms))
+              if (ms.isEmpty) Seq.empty else Seq(ms), limit)
           def labelNames(ms: Seq[graft.promql.LabelMatcher],
-                         lo: Long, hi: Long): Seq[String] =
+                         lo: Long, hi: Long, limit: Int): Seq[String] =
             bucket.labelNamesIn(lo, hi,
-              if (ms.isEmpty) Seq.empty else Seq(ms))
+              if (ms.isEmpty) Seq.empty else Seq(ms), limit)
           def series(sets: Seq[Seq[graft.promql.LabelMatcher]],
-                     lo: Long, hi: Long): Seq[Map[String, String]] =
-            bucket.seriesIn(lo, hi, sets)
+                     lo: Long, hi: Long, limit: Int): Seq[Map[String, String]] =
+            bucket.seriesIn(lo, hi, sets, limit)
         })
         (bucket.select(), Some((lo: Long, hi: Long) => bucket.select(lo, hi)))
       }

@@ -79,11 +79,14 @@ object TsdbReadBench {
     val writeSec = (System.nanoTime() - w0) / 1e9
     val dir: Seq[String] = dirs
 
-    def time(fn: () => Long): (Double, Long, Long, Long, Long) = {
+    def time(fn: () => Long): (Double, Long, Long, Long, Long, Long, Long) = {
       var rows = 0L; var decoded = 0L; var idxBytes = 0L; var segBytes = 0L
+      var idxReads = 0L; var promos = 0L
       val secs = (1 to repeat).map { _ =>
         val d0 = TsdbBlock.seriesDecoded.get()
         val r0 = TsdbBlockReader.rangedIndexBytes.get()
+        val n0 = TsdbBlockReader.rangedIndexReads.get()
+        val p0 = TsdbBlock.wholeFilePromotions.get()
         val g0 = TsdbBlockReader.segmentBytesRead.get()
         val t0 = System.nanoTime()
         // scopedLoads: each shape owns and releases its refs cache, so a
@@ -92,10 +95,12 @@ object TsdbReadBench {
         val dt = (System.nanoTime() - t0) / 1e9
         decoded = TsdbBlock.seriesDecoded.get() - d0
         idxBytes = TsdbBlockReader.rangedIndexBytes.get() - r0
+        idxReads = TsdbBlockReader.rangedIndexReads.get() - n0
+        promos = TsdbBlock.wholeFilePromotions.get() - p0
         segBytes = TsdbBlockReader.segmentBytesRead.get() - g0
         dt
       }
-      (secs.min, rows, decoded, idxBytes, segBytes)
+      (secs.min, rows, decoded, idxBytes, segBytes, idxReads, promos)
     }
     val shapes = if (openOnly) Nil else Seq[(String, () => Long)](
       "full" -> (() => TsdbBlockReader.loadSamples(spark, dir).count()),
@@ -154,10 +159,14 @@ object TsdbReadBench {
 
     def f(v: Double) = f"$v%.2f"
     // ranged_index_mb: bytes the SELECTIVE shapes fetched from index files
-    // (0 for whole-file shapes) — the read-amplification signal at scale
-    val body = results.map { case (n, (s, r, d, ib, gb)) =>
+    // (0 for whole-file shapes); ranged_index_gets: fetch CALLS — the GET
+    // count an object store would bill, the coalescing + whole-file-
+    // promotion signal (a near-full shape should show a handful of GETs,
+    // not an 8 MB GET train over 90% of the file)
+    val body = results.map { case (n, (s, r, d, ib, gb, ir, pr)) =>
       s""","$n":{"sec":${f(s)},"rows":$r,"series_decoded":$d""" +
         s""","ranged_index_mb":${f(ib / 1048576.0)}""" +
+        s""","ranged_index_gets":$ir,"whole_file_promotions":$pr""" +
         s""","segment_mb":${f(gb / 1048576.0)}}""" }.mkString
     println(s"""{"metric":"tsdb_read_bench","unit":"sec","series":$nSeries,""" +
       s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +

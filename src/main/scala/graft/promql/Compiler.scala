@@ -1167,7 +1167,14 @@ object Compiler {
     * stay unsupported: they would need per-step evaluation. */
   private def scalarOf(e: Expr): Double = e match {
     case NumberLit(v) => v
-    case Call("scalar", Seq(x)) => scalarOf(x)
+    // scalar() takes an instant vector — over a literal it is an upstream
+    // TYPE error, and over a vector it is data-dependent (per-step value)
+    // which this constant-folding parameter path cannot express; neither
+    // may silently fold (r18 folded scalar(2), accepting queries
+    // Prometheus rejects)
+    case Call("scalar", _) => throw new ParseException(
+      "unsupported data-dependent scalar parameter: scalar(...) must be " +
+        "evaluated per step (and scalar() over a literal is a type error)")
     case BinOp(op, l, r, _, _) =>
       val (a, b) = (scalarOf(l), scalarOf(r))
       op match {
@@ -1406,17 +1413,68 @@ object Compiler {
         // "matching labels must be unique on one side"; SURVEY §2.3 J3). The
         // count window shuffles on the same keys the join hashes on, so the
         // exchange is reused, not added.
-        def uniqueGuard(df: DataFrame, valueCol: String): DataFrame = {
+        // The raise rides the JOIN KEY column (step_ms), not the value:
+        // hash joins defer the STREAMED side's non-key columns until a row
+        // matches, so a value-column guard silently skips duplicates whose
+        // group never matches — Prometheus rejects duplicates on the hashed
+        // side regardless of matching (engine.go rightSigs). Key evaluation
+        // is the one thing every join strategy does for every row.
+        def keyGuard(df: DataFrame, card: Column, msg: String): DataFrame =
+          df.withColumn(on.head, when(card > 1,
+              raise_error(lit(msg)).cast(df.schema(on.head).dataType))
+            .otherwise(col(on.head)))
+        def uniqueGuard(df: DataFrame): DataFrame = {
           val w = Window.partitionBy(on.map(col): _*)
-          df.withColumn("__graft_card", count(lit(1)).over(w))
-            .withColumn(valueCol, when(col("__graft_card") > 1,
-                raise_error(lit("many-to-many matching not allowed: " +
-                  "matching labels must be unique on one side")))
-              .otherwise(col(valueCol)))
+          keyGuard(df.withColumn("__graft_card", count(lit(1)).over(w)),
+            col("__graft_card"),
+            "many-to-many matching not allowed: " +
+              "matching labels must be unique on one side")
             .drop("__graft_card")
         }
-        val l2g = if (gr) uniqueGuard(l2, "value") else l2
-        val r2g = if (gl) uniqueGuard(r2, "rvalue") else r2
+        // Plain 1:1 matching (and filter-form comparisons): Prometheus
+        // hashes the rhs and rejects a duplicate there WHILE BUILDING the
+        // table — before knowing whether the group ever matches (engine.go
+        // VectorBinop, rightSigs). Fold that check into a pre-join
+        // aggregation of the rhs: one row per match group survives,
+        // carrying the group's cardinality; > 1 raises in the projection,
+        // which the inner join evaluates for every rhs row regardless of
+        // matching. No window over the joined output — a broadcast-hash
+        // join keeps its shuffle-free shape (the r18 check shuffled the
+        // whole joined result when the join broadcast), and GROUP BY treats
+        // NULL keys as equal, matching the <=> join semantics. In valid
+        // data every group has exactly one row, so first() is exact.
+        def rhsDupGuard(df: DataFrame): DataFrame = {
+          val valAggs = df.columns.filterNot(on.contains).map(c =>
+            first(col(c)).as(c))
+          val aggs = valAggs :+ count(lit(1)).as("__graft_rc")
+          keyGuard(df.groupBy(on.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*),
+            col("__graft_rc"),
+            "found duplicate series for the match group on the right " +
+              "hand-side of the operation; many-to-many matching not " +
+              "allowed: matching labels must be unique on one side")
+            .drop("__graft_rc")
+        }
+        val plain11 = !gl && !gr
+        // Static dup-impossibility: a compiled vector frame is unique per
+        // (step_ms, visible labelset) — selectors read one row per series
+        // per step, aggregations key their output by the grouping labels.
+        // When the match keys COVER a side's whole visible label set, two
+        // rows sharing the keys would be two rows sharing the full labelset
+        // — impossible — so that side's duplicate check is statically
+        // unnecessary and compiles to NOTHING. This keeps the default 1:1
+        // binop (all labels shared, names stashed) zero-overhead; the
+        // guards remain exactly where duplicates can exist: on()/ignoring()
+        // projections and name-keeping comparisons. (Series distinguished
+        // ONLY by a stashed __name__ escape this — upstream rejects such
+        // vectors as "same labelset" before any binop, so no silent
+        // multiplication is reachable through the gap.)
+        val lhsCovered = lLbls.forall(on.contains)
+        val rhsCovered = rLbls.forall(on.contains)
+        val l2g = if (gr && !lhsCovered) uniqueGuard(l2) else l2
+        val r2g =
+          if (gl && !rhsCovered) uniqueGuard(r2)
+          else if (plain11 && !rhsCovered) rhsDupGuard(r2)
+          else r2
         val (joined0, la, _) = nullSafeJoin(l2g, r2g, on, "inner")
         // project the lhs copy of the key columns (they are <=>-equal)
         val keyCols = on.map(c => la(c).as(c))
@@ -1424,23 +1482,42 @@ object Compiler {
           (if (oldNameSide != 0) Seq(OldName) else Nil)).map(col)
         val joined = joined0.select((keyCols ++ extraCols :+
           col("value") :+ col("rvalue")): _*)
-        // plain 1:1 matching requires BOTH sides unique per match group —
-        // a group yielding >1 joined row means one side had duplicates
-        // (L×R > 1), which Prometheus rejects rather than silently
-        // multiplying. One window on the join's own keys: a sort-merge
-        // join's output already carries that partitioning, so the check
-        // rides the existing exchange.
+        // Plain 1:1: the lhs rejects duplicates only when they MATCH — two
+        // lhs samples reaching the same rhs sample error, but duplicate lhs
+        // series whose group has no rhs counterpart pass silently
+        // (engine.go matchedSigs: the check runs after the rightSigs
+        // lookup). Detect them with a semi-join against the (small,
+        // deduplicated) rhs key set, then a map-side-combinable count —
+        // again no window over the joined rows; the normally-EMPTY
+        // violation row is unioned into the result so the error surfaces
+        // lazily at collect whatever strategy the main join picked. This
+        // re-evaluates the lhs subtree once; the alternative (counting the
+        // joined output) re-executes the join itself, and a pre-join lhs
+        // aggregate would shuffle the full lhs a broadcast join never
+        // needed.
         val joinedG =
-          if (gl || gr) joined
+          if (!plain11 || lhsCovered) joined
           else {
-            val w = Window.partitionBy(on.map(col): _*)
-            joined.withColumn("__graft_card", count(lit(1)).over(w))
-              .withColumn("value", when(col("__graft_card") > 1,
-                  raise_error(lit("found duplicate series for the match " +
-                    "group: many-to-one matching must be explicit " +
-                    "(group_left/group_right)")))
-                .otherwise(col("value")))
-              .drop("__graft_card")
+            val rKeys = r2.select(on.map(col): _*).distinct()
+            val lDup = nullSafeJoin(l2, rKeys, on, "left_semi")._1
+              .groupBy(on.map(col): _*).agg(count(lit(1)).as("__graft_c"))
+              .filter(col("__graft_c") > 1).limit(1)
+            val msg = "found duplicate series for the match group on the " +
+              "left hand-side of the operation; many-to-many matching not " +
+              "allowed: matching labels must be unique on one side"
+            // the raise rides a double-typed CASE on the count column, and
+            // the sentinel's OTHER value column must be non-null: downstream
+            // computes arith(value, rvalue), and NullPropagation soundly
+            // folds `raise + null` to null — erasing the error and LEAKING
+            // the sentinel row into the result (caught by the continuation
+            // tranche's dup-matching cases)
+            val raise = when(col("__graft_c") > 1,
+              raise_error(lit(msg)).cast("double")).otherwise(lit(0.0))
+            joined.unionByName(lDup.select(joined.schema.fields.toSeq.map { f =>
+              (if (f.name == "value") raise.cast(f.dataType)
+               else if (f.name == "rvalue") lit(0.0).cast(f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)
+            }: _*))
           }
         val result = joinedG.withColumn("out",
           toDouble(b.op, arith(b.op)(col("value"), col("rvalue")), b.bool))

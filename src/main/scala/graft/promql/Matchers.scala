@@ -120,9 +120,22 @@ object Matchers {
     m match {
       case MatchEq(_, value)    => v === value
       case MatchNotEq(_, value) => v =!= value
-      case MatchRe(_, p)        => v.rlike("^(?:" + p + ")$")
-      case MatchNotRe(_, p)     => !v.rlike("^(?:" + p + ")$")
+      case MatchRe(_, p)        => mapRegex(v, p, negate = false)
+      case MatchNotRe(_, p)     => mapRegex(v, p, negate = true)
     }
+  }
+
+  /** Regex over an already-coalesced map value: the same set-match
+    * extraction the column path uses (P3) — `=~"a|b|c"` evaluates as an
+    * `isin` instead of a per-row regex. On a million-ref cached scan the
+    * regex engine is the constant factor; `v` is never NULL here so the
+    * empty alternative needs no null special-casing. */
+  private def mapRegex(v: Column, pattern: String, negate: Boolean): Column = {
+    val pos = setMatches(pattern) match {
+      case Some(values) => v.isin(values: _*)
+      case None         => v.rlike("^(?:" + pattern + ")$")
+    }
+    if (negate) !pos else pos
   }
 
   /** OR over selector matcher sets (AND within a set) on a labels map —

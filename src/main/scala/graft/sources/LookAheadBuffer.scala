@@ -27,6 +27,14 @@ private[graft] final class LookAheadBuffer(bufBytes: Int) {
   private var bufStart = 0L
   private var bufLen = 0
   private var refill = MinRefill
+  // Sequentiality baseline: [winStart, winEnd) of the LAST fetched range,
+  // whether buffered or an oversized bypass — a bypass must advance the
+  // baseline too, or a dense scan interleaving chunks larger than the
+  // buffer keeps being judged against the stale pre-bypass window and
+  // resets to 64 KB refills between every big chunk. winEnd < 0 = no
+  // history yet.
+  private var winStart = 0L
+  private var winEnd = -1L
 
   /** Ranged reads issued against the underlying stream (test-observable:
     * a dense scan of an L-byte file must approach L/bufBytes, not
@@ -36,7 +44,10 @@ private[graft] final class LookAheadBuffer(bufBytes: Int) {
   private[graft] def window: Int = refill
 
   /** Forget the buffered window (switching to a new file/stream). */
-  def reset(): Unit = { bufStart = 0L; bufLen = 0; refill = MinRefill }
+  def reset(): Unit = {
+    bufStart = 0L; bufLen = 0; refill = MinRefill
+    winStart = 0L; winEnd = -1L
+  }
 
   /** Copy `n` bytes at `pos` into `dst(0 until n)`, refilling through `raw`
     * (which must read exactly its `n` bytes at `pos` into `arr(0 until n)`)
@@ -49,13 +60,20 @@ private[graft] final class LookAheadBuffer(bufBytes: Int) {
     require(pos + n <= fileLen,
       s"read past EOF of segment ($pos+$n > $fileLen)")
     if (pos < bufStart || pos + n > bufStart + bufLen) {
-      if (n > buf.length) { // oversized read bypasses the buffer
+      val sequential = winEnd >= 0 && pos >= winStart &&
+        pos - winEnd < MinRefill
+      if (n > buf.length) { // oversized read bypasses the buffer...
         raw(pos, dst, n)
         rangedReads += 1
+        // ...but still advances the sequentiality baseline (and keeps a
+        // dense scan's grown window): the bytes just read ARE the last
+        // fetched range, the buffer simply never held them. The buffered
+        // window stays valid for backward re-reads (file is immutable).
+        if (sequential) refill = math.min(refill * 2, buf.length)
+        winStart = pos
+        winEnd = pos + n
         return
       }
-      val sequential = bufLen > 0 && pos >= bufStart &&
-        pos - (bufStart + bufLen) < MinRefill
       refill =
         if (sequential) math.min(refill * 2, buf.length)
         else MinRefill
@@ -63,6 +81,8 @@ private[graft] final class LookAheadBuffer(bufBytes: Int) {
       bufLen = math.min(math.max(refill, n).toLong, fileLen - pos).toInt
       raw(pos, buf, bufLen)
       rangedReads += 1
+      winStart = bufStart
+      winEnd = bufStart + bufLen
     }
     System.arraycopy(buf, (pos - bufStart).toInt, dst, 0, n)
   }

@@ -584,40 +584,68 @@ object TsdbBlockReader {
       * granular rather than per-sample — `search/search.go:173-201`). */
     def labelValues(label: String,
                     mintMs: Long = Long.MinValue, maxtMs: Long = Long.MaxValue,
-                    matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+                    matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty,
+                    limit: Int = 0)
         : Seq[String] = {
       import spark.implicits._
-      refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+      bounded(refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
           graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
         .select(try_element_at(col("labels"), lit(label)).as("v"))
         .filter(col("v").isNotNull)
-        .distinct().as[String].collect().sorted.toSeq
+        .distinct().orderBy(col("v")), limit).as[String].collect().toSeq
     }
 
     /** Distinct label names, same refs-only contract as [[labelValues]]. */
     def labelNamesIn(mintMs: Long = Long.MinValue, maxtMs: Long = Long.MaxValue,
-                     matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+                     matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty,
+                     limit: Int = 0)
         : Seq[String] = {
       import spark.implicits._
-      refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+      bounded(refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
           graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
         .select(explode(map_keys(col("labels"))).as("n"))
-        .distinct().as[String].collect().sorted.toSeq
+        .distinct().orderBy(col("n")), limit).as[String].collect().toSeq
     }
 
     /** Distinct label SETS matching the union of matcher sets — the
-      * `/api/v1/series` answer, same refs-only zero-decode contract. */
+      * `/api/v1/series` answer, same refs-only zero-decode contract.
+      *
+      * `limit > 0` bounds the DRIVER collect to `limit + 1` rows (one extra
+      * so callers can flag truncation) with both the canonical sort and the
+      * limit pushed into the DataFrame — the reference likewise truncates
+      * during materialization, before serialization
+      * (`search/materialize.go:53-58`, `api/http/query.go:636-641`); a
+      * matcherless `/series` against a 100M-series bucket must never
+      * materialize the full label-set universe on the driver. */
     def seriesIn(mintMs: Long = Long.MinValue, maxtMs: Long = Long.MaxValue,
-                 matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty)
+                 matcherSets: Seq[Seq[graft.promql.LabelMatcher]] = Seq.empty,
+                 limit: Int = 0)
         : Seq[Map[String, String]] = {
       import spark.implicits._
-      // set-ops don't support MapType: canonicalize to sorted entry arrays
-      refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
-          graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
-        .select(array_sort(map_entries(col("labels"))).as("kv"))
-        .distinct()
+      seriesFrame(mintMs, maxtMs, matcherSets, limit)
         .as[Seq[(String, String)]].collect().map(_.toMap).toSeq
     }
+
+    /** The bounded `/series` plan (test-observable: `limit > 0` puts a
+      * GlobalLimit of limit+1 ABOVE the sort in the optimized plan, so the
+      * executed shape is a top-K per partition + a (limit+1)-row collect,
+      * never a full global sort or a full driver materialization).
+      *
+      * Ordering: the sorted entry ARRAY is both the distinct key and the
+      * canonical order — element-wise (name, value) pair comparison, the
+      * same key every backend sorts by. A concatenated-string key would
+      * collide across different label sets (("a","b,c") vs ("a,b","c")). */
+    private[graft] def seriesFrame(mintMs: Long, maxtMs: Long,
+        matcherSets: Seq[Seq[graft.promql.LabelMatcher]], limit: Int)
+        : DataFrame =
+      bounded(refs.filter(col("maxt") >= mintMs && col("mint") <= maxtMs &&
+          graft.promql.Matchers.mapSetsPredicate(col("labels"), matcherSets))
+        // set-ops don't support MapType: canonicalize to sorted entry arrays
+        .select(array_sort(map_entries(col("labels"))).as("kv"))
+        .distinct().orderBy(col("kv")), limit)
+
+    private def bounded(df: DataFrame, limit: Int): DataFrame =
+      if (limit > 0) df.limit(limit + 1) else df
 
     /** Release the refs cache. Idempotent; a closed bucket's `select` still
       * answers (the refs dataset recomputes uncached) — close is a resource

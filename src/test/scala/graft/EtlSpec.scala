@@ -1224,6 +1224,7 @@ class EtlSpec extends SparkSpec {
 
     val b0 = TsdbBlockReader.rangedIndexBytes.get()
     val d0 = TsdbBlock.seriesDecoded.get()
+    val promos0 = TsdbBlock.wholeFilePromotions.get()
     val got = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"),
       matchers = Map("__name__" -> Seq("m7")))
     assert(got.count() == 100 * 4)
@@ -1252,6 +1253,24 @@ class EtlSpec extends SparkSpec {
       "label_values must never decode a series entry")
     assert(TsdbBlockReader.rangedIndexBytes.get() - b2 < idxLen / 4)
     assert(TsdbBlockReader.labelValues(spark, Seq(s"$root/$ulid"), "nosuch").isEmpty)
+
+    // r19 whole-file fallback: a negated matcher keeping 98% of the series
+    // plans ranged fetches covering most of the file — the view must
+    // PROMOTE to one sequential whole-file read (r18 bench: the negated
+    // shape fetched 246 of 286 MB as ranged GET trains; on an object store
+    // one GET beats dozens). The narrow pulls above must NOT have promoted.
+    assert(TsdbBlock.wholeFilePromotions.get() == promos0,
+      "narrow selective pulls must never promote to whole-file reads")
+    val negated = TsdbBlockReader.loadSamplesMatching(spark, Seq(s"$root/$ulid"),
+      Seq(graft.promql.MatchNotEq("__name__", "m7")))
+    assert(negated.count() == 4900 * 4)
+    assert(TsdbBlock.wholeFilePromotions.get() == promos0 + 1,
+      "a near-full selective read must promote to ONE whole-file fetch")
+    // promoted path stays exact: same rows as the post-hoc filtered walk
+    val negWalk = TsdbBlockReader.loadSamples(spark, Seq(s"$root/$ulid"))
+      .filter(col("__name__") =!= "m7").select("__name__", "uid", "ts_ms", "value")
+    val negPush = negated.select("__name__", "uid", "ts_ms", "value")
+    assert(negPush.exceptAll(negWalk).isEmpty && negWalk.exceptAll(negPush).isEmpty)
   }
 
   test("positional readSeriesByIdsAt equals the full walk filtered (randomized)") {
@@ -1623,14 +1642,16 @@ class EtlSpec extends SparkSpec {
         Some((lo, hi, sets) => bucket.select(lo, hi, sets)),
       labelIntrospection = Some(new graft.api.PromEngine.LabelIntrospection {
         def labelValues(l: String, ms: Seq[graft.promql.LabelMatcher],
-                        lo: Long, hi: Long): Seq[String] =
-          bucket.labelValues(l, lo, hi, if (ms.isEmpty) Seq.empty else Seq(ms))
+                        lo: Long, hi: Long, limit: Int): Seq[String] =
+          bucket.labelValues(l, lo, hi,
+            if (ms.isEmpty) Seq.empty else Seq(ms), limit)
         def labelNames(ms: Seq[graft.promql.LabelMatcher],
-                       lo: Long, hi: Long): Seq[String] =
-          bucket.labelNamesIn(lo, hi, if (ms.isEmpty) Seq.empty else Seq(ms))
+                       lo: Long, hi: Long, limit: Int): Seq[String] =
+          bucket.labelNamesIn(lo, hi,
+            if (ms.isEmpty) Seq.empty else Seq(ms), limit)
         def series(sets: Seq[Seq[graft.promql.LabelMatcher]],
-                   lo: Long, hi: Long): Seq[Map[String, String]] =
-          bucket.seriesIn(lo, hi, sets)
+                   lo: Long, hi: Long, limit: Int): Seq[Map[String, String]] =
+          bucket.seriesIn(lo, hi, sets, limit)
       }))
     assert(withIntro.labelNames(Nil, jan1, at) ==
       migrated.labelNames(Nil, jan1, at))
@@ -1644,6 +1665,22 @@ class EtlSpec extends SparkSpec {
     assert(withIntro.series(setQ, jan1, at) == migrated.series(setQ, jan1, at))
     val (lim, trunc) = withIntro.series(setQ, jan1, at, limit = 2)
     assert(lim.size == 2 && trunc)
+    // r19: the limit is pushed INTO the refs DataFrame — a limited /series
+    // plans a GlobalLimit(limit+1) above the sort (top-K per partition +
+    // a bounded collect), never a full driver materialization. At a
+    // 100M-series open bucket a matcherless limited /series must not OOM
+    // the driver (ref truncates during materialization,
+    // search/materialize.go:53-58).
+    val sf = bucket.seriesFrame(jan1, at, Seq.empty, 2)
+    val limits = sf.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+    }
+    assert(limits.nonEmpty, "/series limit must appear in the plan")
+    assert(sf.count() <= 3, "bounded /series must collect <= limit+1 rows")
+    // introspection and scan backends agree on the limited SUBSET too
+    // (both sort by the canonical element-wise pair key)
+    assert(withIntro.series(setQ, jan1, at, limit = 2) ==
+      migrated.series(setQ, jan1, at, limit = 2))
     bucket.close()
   }
 

@@ -78,6 +78,31 @@ class LookAheadBufferSpec extends AnyFunSuite {
     assert(look.window == LookAheadBuffer.MinRefill)
   }
 
+  test("oversized bypass reads advance the sequentiality baseline") {
+    val L = 8 << 20
+    val (data, raw) = fixture(L)
+    val look = new LookAheadBuffer(1 << 20)
+    // dense forward scan alternating small chunks with chunks LARGER than
+    // the buffer: pre-r19 a bypass left the stale pre-bypass window as the
+    // baseline, so every following small read was judged non-sequential
+    // and the refill window never grew past the 64 KB floor (perf-only:
+    // bytes stayed exact, ranged-GET count exploded)
+    var pos = 0L
+    val small = new Array[Byte](300)
+    val big = new Array[Byte]((1 << 20) + 4096) // > bufBytes → bypass
+    while (pos + 300 + big.length <= L) {
+      look.readAt(raw, L, pos, small, 300)
+      expect(data, pos.toInt, 300, small)
+      pos += 300
+      look.readAt(raw, L, pos, big, big.length)
+      expect(data, pos.toInt, big.length, big)
+      pos += big.length
+    }
+    assert(look.window == 1 << 20,
+      s"a bypass-interleaved dense scan must keep the grown window, " +
+        s"got ${look.window}")
+  }
+
   test("fuzz: arbitrary read patterns are byte-exact against the backing file") {
     val L = 1 << 20
     val (data, raw) = fixture(L)

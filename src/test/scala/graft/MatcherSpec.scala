@@ -26,6 +26,31 @@ class MatcherSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("mapPredicate extracts set matches to IN (no per-row regex on refs scans)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Map("x" -> "a"), "a"), (Map("x" -> "b"), "b"),
+      (Map("x" -> "z"), "z"), (Map.empty[String, String], "none"))
+      .toDF("labels", "tag")
+    // r19: the refs-pruning map path compiles =~"a|b|c" through the SAME
+    // alternation→IN extraction as the column path (P3) — a cached
+    // million-ref scan must evaluate an isin, not an rlike per ref
+    val p = Matchers.mapPredicate(col("labels"), MatchRe("x", "a|b"))
+    val plan = df.filter(p).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("like"),
+      s"set-match regex leaked into the map path:\n$plan")
+    assert(df.filter(p).select("tag").as[String].collect().toSet == Set("a", "b"))
+    // negation + missing≡"": x!~"a|b" keeps z AND the label-less ref
+    val n = Matchers.mapPredicate(col("labels"), MatchNotRe("x", "a|b"))
+    assert(df.filter(n).select("tag").as[String].collect().toSet == Set("z", "none"))
+    // the empty alternative selects missing labels on the map path too
+    val e = Matchers.mapPredicate(col("labels"), MatchRe("x", "a|"))
+    assert(df.filter(e).select("tag").as[String].collect().toSet == Set("a", "none"))
+    // non-literal patterns still take the anchored regex
+    val r = Matchers.mapPredicate(col("labels"), MatchRe("x", "[ab]"))
+    assert(df.filter(r).select("tag").as[String].collect().toSet == Set("a", "b"))
+  }
+
   test("missing label ≡ empty string: eq-empty matches null and absent columns") {
     val df = Seq(("a", Some("x")), ("b", None), ("c", Some(""))).toDF("name", "lbl")
     // null and "" both match lbl=""

@@ -1924,6 +1924,142 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {__name__="nd", point="b"} NaN
       |""".stripMargin
 
+  /** r19 continuation tranche — the corpus corners the r18 adjudication
+    * listed as the remaining tail, plus the one-to-one duplicate-matching
+    * semantics pinned against upstream engine.go VectorBinop (rightSigs /
+    * matchedSigs): a duplicate on the HASHED (right) side errors even when
+    * its group never matches; duplicate LEFT series error only when two of
+    * them reach the same right sample; unmatched left duplicates pass
+    * silently. Also: at-modifier.test edges (@ with subquery offset, @ on
+    * aggregation/topk, @ end() on the range grid), name_label_dropping.test
+    * follow-ons (unary/math/range functions dropping vs keeping __name__),
+    * and native_histograms.test NHCB fraction/quantile boundary cases. */
+  private val continuationCorpus =
+    """
+      |load 5m
+      |  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+      |  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+      |  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+      |  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+      |  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+      |  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+      |  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+      |  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+      |
+      |load 5m
+      |  vector_matching_a{l="x"} 0+1x100
+      |
+      |# rhs duplicates per on(instance) group, lhs UNIQUE per group: the
+      |# right side is the hashed side, duplicates there must error
+      |eval_fail instant at 50m http_requests{group="production", job="api-server"} + on(instance) http_requests{group="canary"}
+      |  expected_fail_message duplicate series
+      |
+      |# lhs duplicates per group that MATCH a (unique) rhs sample: error
+      |eval_fail instant at 50m http_requests{group="production"} + on(instance) http_requests{group="canary", job="api-server"}
+      |  expected_fail_message duplicate series
+      |
+      |# rhs duplicates whose groups never match any lhs sample: upstream
+      |# hashes the rhs first and errors REGARDLESS of matching
+      |eval_fail instant at 50m vector_matching_a{l="x"} + on(instance) http_requests{group="canary"}
+      |  expected_fail_message duplicate series
+      |
+      |# lhs duplicates whose groups never match: NO error, empty result
+      |# (engine.go checks matchedSigs only after the rightSigs lookup)
+      |eval instant at 50m http_requests{group="production"} + on(instance) vector_matching_a{l="x"}
+      |
+      |clear
+      |
+      |load 10s
+      |  metric{job="1"} 0+1x1000
+      |  metric{job="2"} 0+2x1000
+      |
+      |eval instant at 10s topk(1, metric @ 100)
+      |  {__name__="metric", job="2"} 20
+      |
+      |eval instant at 10s metric @ 100 + metric @ 200
+      |  {job="1"} 30
+      |  {job="2"} 60
+      |
+      |# subquery offset composed with @: grid is (-10s, 90s], aligned steps
+      |# 0..90 -> values 0..9
+      |eval instant at 10s sum_over_time(metric{job="1"}[100s:10s] @ 100 offset 10s)
+      |  {job="1"} 45
+      |
+      |eval instant at 10s count_over_time(metric{job="1"}[1000s] @ 105)
+      |  {job="1"} 11
+      |
+      |# min is the t=10s inner step: its window (-10s,10s] sees values 0,1
+      |# and the counter zero-crossing clamp cuts the left extrapolation at
+      |# t=0 (first value 0 / slope 0.1), so that one rate is 1/20 = 0.05
+      |eval instant at 10s min_over_time(rate(metric{job="1"}[20s])[100s:10s] @ 100)
+      |  {job="1"} 0.05
+      |
+      |eval range from 10s to 30s step 10s timestamp(metric{job="1"} @ end())
+      |  {job="1"} 30 30 30
+      |
+      |eval instant at 10s avg(metric @ 100)
+      |  {} 15
+      |
+      |clear
+      |
+      |load 5m
+      |  metric{env="1"} 0 60 120
+      |  another_metric{env="1"} 60 120 180
+      |
+      |eval instant at 10m abs(-metric)
+      |  {env="1"} 120
+      |
+      |eval instant at 10m sqrt(metric{env="1"} - 56)
+      |  {env="1"} 8
+      |
+      |eval instant at 10m floor(metric / 7)
+      |  {env="1"} 17
+      |
+      |eval instant at 10m present_over_time(metric{env="1"}[10m])
+      |  {env="1"} 1
+      |
+      |eval instant at 10m changes(metric{env="1"}[10m])
+      |  {env="1"} 1
+      |
+      |eval instant at 10m resets(metric{env="1"}[10m])
+      |  {env="1"} 0
+      |
+      |eval instant at 10m idelta(metric{env="1"}[10m])
+      |  {env="1"} 60
+      |
+      |eval instant at 10m metric unless another_metric
+      |
+      |eval instant at 10m (metric)
+      |  {__name__="metric", env="1"} 120
+      |
+      |eval instant at 10m metric or vector(1)
+      |  {__name__="metric", env="1"} 120
+      |  {} 1
+      |
+      |clear
+      |
+      |load 5m
+      |  custom_buckets_histogram {{schema:-53 sum:5 count:4 custom_values:[5 10] buckets:[1 2 1]}}x10
+      |
+      |eval instant at 5m histogram_fraction(0, 10, custom_buckets_histogram)
+      |  {} 0.75
+      |
+      |eval instant at 5m histogram_fraction(5, 10, custom_buckets_histogram)
+      |  {} 0.5
+      |
+      |eval instant at 5m histogram_quantile(0.75, custom_buckets_histogram)
+      |  {} 10
+      |
+      |clear
+      |
+      |load 5m
+      |  ha{l="x"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  ha{l="y"} {{schema:0 count:2 sum:3 buckets:[1 1]}}
+      |
+      |eval instant at 1m histogram_avg(sum(ha))
+      |  {} 1.3333333333333333
+      |""".stripMargin
+
   private def run(name: String, corpus: String, minEvals: Int,
                   experimental: Boolean = false): Unit = {
     val segs = parseSegments(corpus)
@@ -1970,5 +2106,8 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   }
   test("upstream aggregators.test count_values/quantile/extreme-values tranche") {
     run("aggregators_edge", aggregatorsEdgeCorpus, 26)
+  }
+  test("upstream continuation: 1:1 dup matching, @-modifier, name-dropping, NHCB edges") {
+    run("continuation", continuationCorpus, 25)
   }
 }
