@@ -256,13 +256,7 @@ final class PromEngine(samples: DataFrame,
       val truncated = limit > 0 && got.size > limit
       return (if (truncated) got.take(limit) else got, truncated)
     }
-    // labels are the STRING columns: a native-histogram payload column (h,
-    // struct) is a sample value, not a label — it must not leak into the
-    // /series label sets (nor can it type-check inside the canonical key)
-    val lbls = samples.schema.fields.iterator
-      .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(_.name)
-      .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+    val lbls = labelColumns
     // canonical order = element-wise comparison of the sorted (name, value)
     // pairs — the SAME key the introspection backends sort by, so a limited
     // /series returns the same subset regardless of which backend answers.
@@ -281,11 +275,19 @@ final class PromEngine(samples: DataFrame,
     (out, truncated)
   }
 
+  /** Label columns of the wide samples schema: the STRING columns minus
+    * the sample/meta payload — a native-histogram column (h, struct) is a
+    * sample value and must not surface as a label name/value. */
+  private def labelColumns: Seq[String] = samples.schema.fields.iterator
+    .filter(_.dataType == org.apache.spark.sql.types.StringType)
+    .map(_.name)
+    .filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+
   def labelNames(matchers: Seq[LabelMatcher], mintMs: Long, maxtMs: Long): Seq[String] = {
     labelIntrospection.foreach { li =>
       return li.labelNames(matchers, mintMs, maxtMs).sorted
     }
-    val lbls = samples.columns.filterNot(Set("ts_ms", "value", "sample_id", "series_hash", "date")).toSeq
+    val lbls = labelColumns
     // footer fast path first (matcherless only): per-row-group statistics
     // prove which labels actually carry values INSIDE the interval (the
     // reference reads per-block schemas within range, search/search.go:294).
@@ -307,7 +309,7 @@ final class PromEngine(samples: DataFrame,
 
   def labelValues(label: String, matchers: Seq[LabelMatcher], mintMs: Long,
                   maxtMs: Long, limit: Int = 0): (Seq[String], Boolean) = {
-    if (!samples.columns.contains(label)) return (Seq.empty, false)
+    if (!labelColumns.contains(label)) return (Seq.empty, false)
     labelIntrospection.foreach { li =>
       val vals = li.labelValues(label, matchers, mintMs, maxtMs, limit)
       val truncated = limit > 0 && vals.size > limit

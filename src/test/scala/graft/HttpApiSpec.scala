@@ -100,6 +100,11 @@ class HttpApiSpec extends SparkSpec {
       // float queries over the same store keep the plain value encoding
       val cnt = get2(s"/api/v1/query?query=${enc("histogram_count(hreq)")}&time=1")
       assert(cnt.contains(""""value":[1,"4"]"""))
+      // r19: the histogram payload column is a sample VALUE, not a label —
+      // it must not surface from /labels, /label values or /series
+      assert(!get2("/api/v1/labels").contains("\"h\""))
+      assert(get2("/api/v1/label/h/values").contains(""""data":[]"""))
+      assert(!get2("/api/v1/series?match[]=hreq").contains("\"h\""))
     } finally api2.stop()
   }
 
