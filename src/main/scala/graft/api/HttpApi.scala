@@ -121,7 +121,13 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
     val ms = p.all("match[]").headOption.map(parseMatchers).getOrElse(Seq.empty)
     val names = engine.labelNames(ms,
       p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2))
-    envelopeRaw(s"[${names.map(jstr).mkString(",")}]", Seq.empty)
+    // limit applies to /labels too (ref api/http/query.go limit handling);
+    // label-NAME cardinality is tiny, so the take here is already bounded
+    val limit = p.get("limit").map(_.toInt).getOrElse(0)
+    val truncated = limit > 0 && names.size > limit
+    val out = if (truncated) names.take(limit) else names
+    envelopeRaw(s"[${out.map(jstr).mkString(",")}]",
+      if (truncated) Seq("results truncated due to limit") else Seq.empty)
   }
 
   private def labelValues(p: Params): String = {

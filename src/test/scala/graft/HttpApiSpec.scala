@@ -59,6 +59,10 @@ class HttpApiSpec extends SparkSpec {
   test("labels and label values endpoints") {
     val (_, names) = get("/api/v1/labels")
     assert(names.contains("__name__") && names.contains("uid"))
+    // limit applies to /labels too, with the truncation warning
+    val (_, lim) = get("/api/v1/labels?limit=1")
+    assert(lim.contains(""""data":["__name__"]""") &&
+      lim.contains("results truncated due to limit"))
     val (_, vals) = get("/api/v1/label/__name__/values")
     assert(vals.contains("click") && vals.contains("purchase"))
     val (_, none) = get("/api/v1/label/nope/values")

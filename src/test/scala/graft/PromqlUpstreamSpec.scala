@@ -2058,6 +2058,20 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 1m histogram_avg(sum(ha))
       |  {} 1.3333333333333333
+      |
+      |clear
+      |
+      |# stddev/stdvar: every observation at its bucket's GEOMETRIC midpoint
+      |# sqrt(lower*upper) (funcHistogramStdDev) — mids 2^-0.5, 2^0.5, 2^1.5
+      |# against mean 1.25
+      |load 5m
+      |  single_histogram {{schema:0 sum:5 count:4 buckets:[1 2 1]}}
+      |
+      |eval instant at 1m histogram_stdvar(single_histogram)
+      |  {} 0.7100243558256704
+      |
+      |eval instant at 1m histogram_stddev(single_histogram)
+      |  {} 0.842629429717281
       |""".stripMargin
 
   private def run(name: String, corpus: String, minEvals: Int,
