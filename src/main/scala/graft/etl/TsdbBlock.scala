@@ -132,12 +132,38 @@ object TsdbBlock {
     private var f = fetch0
     private var isWhole = whole
     private var fetched = 0L
+    // one cached contiguous TAIL window (offset tables + TOC), built LAZILY
+    // on the first read that lands in the tail region — an eager prefetch
+    // wasted the whole span on blocks whose dictionary resolves a matcher
+    // to nothing and never touch the postings offset table
+    private var winStart = -1L
+    private var win: Array[Byte] = _
+    private[TsdbBlock] var tailStart = -1L
     def fetch(pos: Long, n: Int): Array[Byte] = {
       require(pos >= 0 && n >= 0 && pos + n <= length,
         s"index read out of bounds ($pos+$n > $length)")
+      if (win == null && !isWhole && tailStart >= 0 && pos >= tailStart &&
+          length - tailStart <= 8L * 1024 * 1024) {
+        // first tail hit: one ranged GET covers the offset tables + TOC
+        // (Prometheus layout: … postings, label offset table, postings
+        // offset table, TOC) — every later offset-table section is served
+        // from it instead of two ranged reads per table, the metadata
+        // cold-start cost a 10k-block bucket pays per block
+        val span = (length - tailStart).toInt
+        win = fetch0(tailStart, span)
+        winStart = tailStart
+        fetched += span
+      }
+      if (win != null && pos >= winStart && pos + n <= winStart + win.length) {
+        val lo = (pos - winStart).toInt
+        return java.util.Arrays.copyOfRange(win, lo, lo + n)
+      }
       fetched += n
       f(pos, n)
     }
+    /** TOC parse memoized per view (a selective read resolves the TOC from
+      * several directions — dictionary, postings, series fetch). */
+    private[TsdbBlock] var tocCache: Array[Long] = _
     /** Whole-file fallback for NEAR-FULL selective reads: when the bytes a
       * read has already fetched plus the bytes it is ABOUT to fetch reach
       * half the file, one sequential whole-file GET beats dozens-to-hundreds
@@ -173,6 +199,7 @@ object TsdbBlock {
     * (symbols, series, label indices, label offset table, postings,
     * postings offset table). */
   private def tocOffsetsAt(ix: IndexReadAt): Array[Long] = {
+    if (ix.tocCache != null) return ix.tocCache
     require(ix.length > 5 + TocLen, s"index file too short (${ix.length} bytes)")
     val head = ix.fetch(0, 5)
     require(be32(head, 0) == IndexMagic,
@@ -182,7 +209,13 @@ object TsdbBlock {
     val tocOff = ix.length - TocLen
     val toc = ix.fetch(tocOff, TocLen)
     require(be32(toc, 48) == crc32c(toc, 0, 48), "index TOC CRC mismatch")
-    Array.tabulate(6)(i => be64(toc, 8 * i)) :+ tocOff
+    val out = Array.tabulate(6)(i => be64(toc, 8 * i)) :+ tocOff
+    ix.tocCache = out
+    // arm the lazy tail window: POT (always the last section) and, when the
+    // label offset table sits after the postings section (the upstream
+    // on-disk order), LOT too
+    ix.tailStart = if (out(3) > out(4)) out(3) else out(5)
+    out
   }
 
   private def tocOffsets(idx: Array[Byte]): Array[Long] =

@@ -328,7 +328,29 @@ object Parser {
           at = Some(
             if (tryKeyword("start")) { expect('('); expect(')'); AtStart }
             else if (tryKeyword("end")) { expect('('); expect(')'); AtEnd }
-            else AtTime(math.round(number() * 1000.0)))
+            else {
+              // upstream lexes Inf/NaN as number literals here and rejects
+              // them with "timestamp out of bounds for @ modifier"
+              // (promql/parser: |ts| ≤ MaxInt64 ms) — math.round would fold
+              // Inf to Long.MaxValue and NaN to 0 silently
+              val neg = tryConsume("-")
+              if (!neg) tryConsume("+")
+              skipWs()
+              val v =
+                if (!eof && peek.isLetter) { // Inf/NaN, case-insensitive
+                  val st = pos
+                  while (!eof && isIdent(in(pos))) pos += 1
+                  val id = in.substring(st, pos)
+                  if (id.equalsIgnoreCase("inf")) Double.PositiveInfinity
+                  else if (id.equalsIgnoreCase("nan")) Double.NaN
+                  else err(s"number expected for @ modifier, got '$id'")
+                } else number()
+              val ts = (if (neg) -v else v) * 1000.0
+              if (ts.isNaN || ts.isInfinite ||
+                  ts < Long.MinValue.toDouble || ts > Long.MaxValue.toDouble)
+                err(s"timestamp out of bounds for @ modifier: $ts")
+              AtTime(math.round(ts))
+            })
         } else go = false
       }
       (off, at)

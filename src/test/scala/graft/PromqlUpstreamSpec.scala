@@ -1997,6 +1997,16 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |eval range from 10s to 30s step 10s timestamp(metric{job="1"} @ end())
       |  {job="1"} 30 30 30
       |
+      |# at-modifier.test: non-finite @ timestamps are parse errors
+      |eval_fail instant at 10s metric @ Inf
+      |  expected_fail_message timestamp out of bounds
+      |
+      |eval_fail instant at 10s metric @ -Inf
+      |  expected_fail_message timestamp out of bounds
+      |
+      |eval_fail instant at 10s metric @ NaN
+      |  expected_fail_message timestamp out of bounds
+      |
       |eval instant at 10s avg(metric @ 100)
       |  {} 15
       |
