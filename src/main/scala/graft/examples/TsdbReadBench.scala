@@ -135,6 +135,21 @@ object TsdbReadBench {
     val slice2h = sliceMin(jan1 + day, jan1 + day + 2 * 3600000L - 1)
     val sliceSec = sliceMin(jan1 + day, jan1 + 2 * day - 1)
     val sliceFull = sliceMin(Long.MinValue, Long.MaxValue)
+    // bounded introspection at bucket scale: a LIMITED matcherless /series
+    // must collect ≤ limit+1 rows off the cached refs however many series
+    // the bucket holds (top-K plan, never a full driver materialization)
+    val seriesLimited = (1 to math.max(2, repeat)).map { _ =>
+      val t0 = System.nanoTime()
+      val got = bucket.seriesIn(limit = 1000)
+      require(got.size == 1001, s"series limit leaked: ${got.size}")
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val labelsSec = (1 to math.max(2, repeat)).map { _ =>
+      val t0 = System.nanoTime()
+      val names = bucket.labelNamesIn()
+      require(names == Seq("__name__", "uid"), s"labels: $names")
+      (System.nanoTime() - t0) / 1e9
+    }.min
     bucket.close()
 
     // streaming series-walk memory probe: consume one block's whole index
@@ -172,7 +187,8 @@ object TsdbReadBench {
       s""""blocks":$nBlocks,"samples":${nSeries.toLong * hours},""" +
       s""""write_sec":${f(writeSec)},""" +
       s""""open":{"open_sec":${f(openSec)},"slice_2h_sec":${f(slice2h)},""" +
-      s""""slice_sec":${f(sliceSec)},"slice_full_sec":${f(sliceFull)}},""" +
+      s""""slice_sec":${f(sliceSec)},"slice_full_sec":${f(sliceFull)},""" +
+      s""""series_limited_sec":${f(seriesLimited)},"labels_sec":${f(labelsSec)}},""" +
       s""""walk":{"entries":$walked,"index_mb":${f(idxBytes.length / 1048576.0)},""" +
       s""""peak_extra_heap_mb":${f(peakB / 1048576.0)}}$body}""")
     spark.stop()
