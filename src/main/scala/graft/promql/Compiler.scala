@@ -1317,6 +1317,23 @@ object Compiler {
   }
   private val compOps = Set("==", "!=", ">", "<", ">=", "<=")
 
+  /** Static PromQL expression TYPE: scalar-valued expressions are number
+    * literals, scalar(), time(), pi(), and arithmetic over scalars —
+    * everything else is an instant vector. The binop dispatch must use the
+    * static type, not the compiled frame's label columns: a vector whose
+    * labelset happens to be empty (`sum(v)`, `sum without(k) (v)`,
+    * `vector(1)`) is still a VECTOR — one series with signature {} that
+    * matches by signature (engine.go VectorBinop) — not a scalar broadcast.
+    * `sum(v) + metric` is therefore empty (sig {} never equals {env=…}),
+    * which the frame-shape dispatch silently turned into a broadcast. */
+  private def isScalarExpr(e: Expr): Boolean = e match {
+    case NumberLit(_)                  => true
+    case Call("scalar" | "time" | "pi", _) => true
+    case BinOp(op, l, r, _, _) if !Set("and", "or", "unless").contains(op) =>
+      isScalarExpr(l) && isScalarExpr(r)
+    case _                             => false
+  }
+
   private def compileBinOp(b: BinOp, ctx: Ctx): DataFrame = {
     val setOp = Set("and", "or", "unless").contains(b.op)
     val lhs = compile(b.lhs, ctx)
@@ -1362,7 +1379,7 @@ object Compiler {
       }
     }
 
-    (lLbls.isEmpty, rLbls.isEmpty) match {
+    (isScalarExpr(b.lhs), isScalarExpr(b.rhs)) match {
       case (true, true) => // scalar op scalar
         val r2 = rhs.withColumnRenamed("value", "rvalue")
         lhs.join(r2, Seq("step_ms"))
@@ -1372,6 +1389,13 @@ object Compiler {
       case (true, false) => vectorScalar(rhs, lhs, b, flip = true)
       case (false, false) =>
         val on = "step_ms" +: matchKeys(b, lLbls, rLbls)
+        // a key column absent from one side joins as NULL (absent ≡ absent
+        // under <=>, PromQL label-set matching — and an on() over a label
+        // neither side carries matches everything, like Prometheus)
+        def widenKeys(df: DataFrame): DataFrame =
+          on.tail.filterNot(df.columns.contains).foldLeft(df)(
+            (d, c) => d.withColumn(c, lit(null).cast("string")))
+        val lhsW = widenKeys(lhs); val rhsW = widenKeys(rhs)
         val gl = b.matching.exists(_.groupLeft)
         val gr = b.matching.exists(_.groupRight)
         // label retention: comparisons (filter form) and group_left keep the
@@ -1400,10 +1424,10 @@ object Compiler {
               lhs.columns.contains(OldName)) 1
           else if (gr && rhs.columns.contains(OldName)) 2
           else 0
-        val l2 = lhs.select((on.map(col) ++
+        val l2 = lhsW.select((on.map(col) ++
           (keepL.filterNot(on.contains)).map(col) ++
           (if (oldNameSide == 1) Seq(col(OldName)) else Nil) :+ col("value")): _*)
-        val r2 = rhs.select((on.map(col) ++
+        val r2 = rhsW.select((on.map(col) ++
           (keepR.filterNot(on.contains)).map(col) ++
           (if (oldNameSide == 2) Seq(col(OldName)) else Nil) :+
           col("value").as("rvalue")): _*)
@@ -1549,14 +1573,20 @@ object Compiler {
     if (compOps.contains(op)) (if (bool) when(c, 1.0).otherwise(0.0) else c.cast("double"))
     else c
 
-  /** default 1:1 matching: all shared labels except __name__;
-    * on(...)/ignoring(...) refine. */
+  /** Default 1:1 matching keys: the UNION of both sides' labels except
+    * __name__ — Prometheus hashes each series' FULL label set (engine.go
+    * signatureFunc: drop the name, drop `ignoring` labels), so a label
+    * present on one side only still participates (absent ≡ NULL, matched
+    * null-safely). Intersecting the frame columns instead — the previous
+    * behavior — silently cross-matched sides with disjoint label sets
+    * (`sum by (a) (l) + sum by (b) (r)` joined on step alone where
+    * Prometheus returns empty). on(...)/ignoring(...) refine. */
   private def matchKeys(b: BinOp, lLbls: Seq[String], rLbls: Seq[String]): Seq[String] = {
-    val shared = lLbls.intersect(rLbls).filterNot(_ == "__name__")
+    val all = (lLbls ++ rLbls).distinct.filterNot(_ == "__name__")
     b.matching match {
       case Some(Matching(true, ls, _, _, _))  => ls
-      case Some(Matching(false, ls, _, _, _)) => shared.filterNot(ls.contains)
-      case None                               => shared
+      case Some(Matching(false, ls, _, _, _)) => all.filterNot(ls.contains)
+      case None                               => all
     }
   }
 }

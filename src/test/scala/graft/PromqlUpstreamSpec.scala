@@ -2046,6 +2046,20 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |  {__name__="metric", env="1"} 120
       |  {} 1
       |
+      |# vector matching hashes each series' FULL label set minus __name__
+      |# (engine.go signatureFunc): disjoint label sets do NOT match — the
+      |# sides must not cross-join just because their frames share no
+      |# label columns
+      |eval instant at 10m sum by (env) (metric) + sum without (env) (another_metric)
+      |
+      |# ignoring the only differing label makes both signatures empty: match
+      |eval instant at 10m sum by (env) (metric) + ignoring(env) sum without (env) (another_metric)
+      |  {} 300
+      |
+      |# on() over a label neither side carries: absent == absent, match
+      |eval instant at 10m sum by (env) (metric) + on(nosuch) sum without (env) (another_metric)
+      |  {} 300
+      |
       |clear
       |
       |load 5m
