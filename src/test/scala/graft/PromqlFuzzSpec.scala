@@ -385,6 +385,111 @@ class PromqlFuzzSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("seeded 1:1 vector-matching fuzz vs a naive engine.go VectorBinop (duplicate errors included)") {
+    // The r19 rework of 1:1 matching (union-of-labels signatures, pre-join
+    // rhs dup guard, matched-only lhs sentinel, static coverage skip) is
+    // fuzzed here against a from-scratch transcription of Prometheus'
+    // VectorBinop loop: rightSigs duplicate → error regardless of matching;
+    // two lhs samples reaching one rhs sample → error; unmatched lhs
+    // duplicates pass silently; arithmetic keeps the signature labels,
+    // filter-form comparisons keep the full lhs labelset.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(191)
+    val T = 600000L
+    // all label sets over keys a, b with values v0/v1 or absent
+    val pool = for {
+      a <- Seq(None, Some("v0"), Some("v1"))
+      b <- Seq(None, Some("v0"), Some("v1"))
+    } yield (a.map("a" -> _).toMap ++ b.map("b" -> _).toMap)
+    val failures = (1 to 40).flatMap { i =>
+      val ls = rnd.shuffle(pool).take(1 + rnd.nextInt(4))
+      val rs = rnd.shuffle(pool).take(1 + rnd.nextInt(4))
+      val matching = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => "on(a) "
+        case 2 => "ignoring(a) "
+        case 3 => "on(a, b) "
+      }
+      val op = Seq("+", "*", ">")(rnd.nextInt(3))
+      val q = s"lm $op ${matching}rm"
+      val lVals = ls.zipWithIndex.map { case (m, k) => (m, 10.0 + k) }
+      val rVals = rs.zipWithIndex.map { case (m, k) => (m, 100.0 + k) }
+      val rows = (lVals.map { case (m, v) => ("lm", m, v) } ++
+        rVals.map { case (m, v) => ("rm", m, v) }).zipWithIndex.map {
+        case ((n, m, v), k) =>
+          (n, m.getOrElse("a", null), m.getOrElse("b", null), T, v, k.toLong)
+      }
+      val df = rows.toDF("__name__", "a", "b", "ts_ms", "value", "sample_id")
+        .withColumn("series_hash", col("sample_id"))
+
+      // --- naive engine.go VectorBinop (collections only)
+      def sig(m: Map[String, String]): Map[String, String] = matching.trim match {
+        case ""              => m
+        case "on(a)"         => m.filter(_._1 == "a")
+        case "ignoring(a)"   => m.filterNot(_._1 == "a")
+        case "on(a, b)"      => m
+      }
+      def naive(): Either[String, Set[(Map[String, String], Double)]] = {
+        val rightSigs = scala.collection.mutable.Map.empty[Map[String, String], Double]
+        for ((m, v) <- rVals) {
+          val s = sig(m)
+          if (rightSigs.contains(s)) return Left("right")
+          rightSigs(s) = v
+        }
+        val matched = scala.collection.mutable.Set.empty[Map[String, String]]
+        val out = scala.collection.mutable.Set.empty[(Map[String, String], Double)]
+        for ((m, lv) <- lVals) {
+          val s = sig(m)
+          rightSigs.get(s) match {
+            case Some(rv) =>
+              if (matched.contains(s)) return Left("left")
+              matched += s
+              op match {
+                case "+" => out += ((s, lv + rv))
+                case "*" => out += ((s, lv * rv))
+                case ">" => if (lv > rv) out += ((m + ("__name__" -> "lm"), lv))
+              }
+            case None => ()
+          }
+        }
+        Right(out.toSet)
+      }
+
+      // --- engine
+      val engine: Either[String, Set[(Map[String, String], Double)]] =
+        try {
+          val got = Compiler.compile(Parser.parse(q),
+            Compiler.Ctx(df, T, T, 1000L, 300000L)).collect().toSeq
+          Right(got.map { r =>
+            val lbls = Seq("__name__", "a", "b").flatMap(c =>
+              if (r.schema.fieldNames.contains(c))
+                Option(r.getAs[String](c)).map(c -> _)
+              else None).toMap
+            (lbls, r.getAs[Double]("value"))
+          }.toSet)
+        } catch {
+          case e: Throwable =>
+            val msg = String.valueOf(e.getMessage)
+            if (msg.contains("right hand-side")) Left("right")
+            else if (msg.contains("left hand-side")) Left("left")
+            else Left(s"other: ${msg.take(120)}")
+        }
+
+      (naive(), engine) match {
+        // when BOTH sides carry duplicates Prometheus deterministically
+        // reports the right side (it hashes the rhs first); our two guards
+        // evaluate in plan order, so either duplicate-rejection side is
+        // accepted — the error/success boundary is what must agree exactly
+        case (Left(a), Left(b))
+          if Set("left", "right")(a) && Set("left", "right")(b) => None
+        case (Right(a), Right(b)) if a == b => None
+        case (n, e) => Some(s"#$i  $q\n  L=$lVals\n  R=$rVals\n  naive =$n\n  engine=$e")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("NaN-laced windows: over_time family agrees with Prometheus-walk folds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
