@@ -15,14 +15,19 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  /** Print + persist the full line, then print `summary` as the FINAL
-    * stdout line: the full per-query line runs thousands of characters and
-    * the driver's bounded log tail truncates it mid-object (three rounds of
-    * `parsed: null`), so the last thing on stdout must be a short,
-    * self-contained JSON object. The complete line still lands in the
-    * `SPARK_GRAFT_BENCH_OUT` file (log tails get truncated, files don't). */
-  private def writeLine(line: String, summary: Option[String] = None): Unit = {
-    println(line)
+  /** Persist the full line to the `SPARK_GRAFT_BENCH_OUT` file, print
+    * `stdoutLine` (or the full line when absent), then print `summary` as
+    * the FINAL stdout line: the full per-query line runs thousands of
+    * characters and the driver's bounded log tail truncates it mid-object
+    * (three rounds of `parsed: null`), so the last thing on stdout must be
+    * a short, self-contained JSON object. stdout carries exactly ONE
+    * per-query map (`"queries"`, the confirmed sweep) — the raw
+    * pre-reconfirmation timings live only in the file's `queries_raw`, so a
+    * tail scrape can never mistake a cold re-run for a sweep value (the r19
+    * s5_reference_hist "regression" was exactly that misread). */
+  private def writeLine(line: String, stdoutLine: Option[String] = None,
+                        summary: Option[String] = None): Unit = {
+    println(stdoutLine.getOrElse(line))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -108,19 +113,26 @@ object Bench {
     val errObj = if (errors.isEmpty) ""
       else s""""errors":${errors.toSeq.sorted.map { case (k, v) =>
         "\"" + k + "\":" + jsonStr(v) }.mkString("{", ",", "}")},"""
+    // machine-load context: a shared box at load 3 inflates wall times ~20%
+    // uniformly (the r18→r19 cross-round forensics); stamping it makes
+    // cross-round comparisons self-explanatory
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val common = s""""reconfirmed":${reruns.keys.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      errObj + s""""load_avg":$loadAvg,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${obj(confirmed)},"queries_raw":${obj(raw)},""" +
-      s""""reconfirmed":${reruns.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      errObj +
-      s""""sf":"$sfDir"}"""
+      s""""queries":${obj(confirmed)},"queries_raw":${obj(raw)},$common"""
+    val stdoutLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${obj(confirmed)},$common"""
     val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n":${confirmed.size},$errObj"sf":"$sfDir"}"""
-    writeLine(line, Some(summary))
+      s""""n":${confirmed.size},$errObj"load_avg":$loadAvg,"sf":"$sfDir"}"""
+    writeLine(line, Some(stdoutLine), Some(summary))
     // self-documenting artifact: rewrite the auto section of BENCH_NOTES.md
     // with this sweep's self-defense report (raw vs confirmed per rerun
     // query), so the reconfirmation evidence never needs hand-editing
     try writeNotes(sfDir, confirmed.size, total, median, threshold,
-      raw.toMap, reruns.toMap)
+      raw.toMap, reruns.toMap, loadAvg)
     catch { case e: Exception => System.err.println(s"[bench] notes: $e") }
     spark.stop()
   }
@@ -130,7 +142,7 @@ object Bench {
 
   private def writeNotes(sfDir: String, n: Int, total: Double, median: Double,
                          threshold: Double, raw: Map[String, Double],
-                         reruns: Map[String, Double]): Unit = {
+                         reruns: Map[String, Double], loadAvg: Double): Unit = {
     def f(v: Double) = f"$v%.2f"
     val table =
       if (reruns.isEmpty) "No query exceeded the rerun threshold — the raw sweep stands.\n"
@@ -143,7 +155,8 @@ object Bench {
     // would eat them as margin markers
     val section =
       s"$AutoBegin\n## Auto: latest sweep self-defense report\n\n" +
-      s"Sweep of $n queries on `$sfDir`: **total ${f(total)} s confirmed**\n" +
+      s"Sweep of $n queries on `$sfDir` (1-min load avg ${f(loadAvg)} at " +
+      s"sweep end): **total ${f(total)} s confirmed**\n" +
       s"(sweep median ${f(median)} s; queries above max(2 s, 3×median) =\n" +
       s"${f(threshold)} s were re-run ×3 and the min reported).\n" +
       (if (reruns.isEmpty) "" else s"${reruns.size} reconfirmed:\n") +

@@ -112,7 +112,7 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
     if (sets.isEmpty) fail("no match[] argument")
     val (rows, truncated) = engine.series(sets,
       p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2),
-      p.get("limit").map(_.toInt).getOrElse(0))
+      p.limit())
     envelopeRaw(s"[${rows.map(labelsJson).mkString(",")}]",
       if (truncated) Seq("results truncated due to limit") else Seq.empty)
   }
@@ -123,7 +123,7 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
       p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2))
     // limit applies to /labels too (ref api/http/query.go limit handling);
     // label-NAME cardinality is tiny, so the take here is already bounded
-    val limit = p.get("limit").map(_.toInt).getOrElse(0)
+    val limit = p.limit()
     val truncated = limit > 0 && names.size > limit
     val out = if (truncated) names.take(limit) else names
     envelopeRaw(s"[${out.map(jstr).mkString(",")}]",
@@ -137,7 +137,7 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
     val ms = p.all("match[]").headOption.map(parseMatchers).getOrElse(Seq.empty)
     val (vals, truncated) = engine.labelValues(parts(3), ms,
       p.time("start").getOrElse(Long.MinValue / 2), p.time("end").getOrElse(Long.MaxValue / 2),
-      p.get("limit").map(_.toInt).getOrElse(0))
+      p.limit())
     envelopeRaw(s"[${vals.map(jstr).mkString(",")}]",
       if (truncated) Seq("results truncated due to limit") else Seq.empty)
   }
@@ -153,6 +153,18 @@ final class HttpApi(engine: PromEngine, port: Int = 0,
         if (s.forall(c => c.isDigit || c == '.' || c == '-')) (s.toDouble * 1000).toLong
         else java.time.Instant.parse(s).toEpochMilli
       } catch { case _: Exception => fail(s"invalid time '$s'") }
+    }
+    /** `limit` param, validated centrally for every introspection endpoint
+      * (Prometheus parseLimitParam): non-numeric → 400 bad_data (not a 500
+      * NumberFormatException), negative → 400 "limit must be non-negative";
+      * absent/0 = unlimited. */
+    def limit(): Int = get("limit") match {
+      case None => 0
+      case Some(s) =>
+        val n = try s.toInt
+          catch { case _: NumberFormatException =>
+            fail(s"limit must be a number: $s") }
+        if (n < 0) fail("limit must be non-negative") else n
     }
   }
 

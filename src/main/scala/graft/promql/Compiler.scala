@@ -1205,6 +1205,29 @@ object Compiler {
       df.drop(OldName).withColumnRenamed("__name__", OldName)
     else df
 
+  /** Static upper bound on the values a compiled frame's stashed [[OldName]]
+    * column can take; `None` = unbounded. A selector with an exact
+    * `__name__` matcher contributes exactly one name; regex / absent name
+    * matchers and `label_replace`/`label_join` (which can rewrite
+    * `__name__` data-dependently) make the bound unknown. Used by the
+    * vector-matching duplicate-guard skip: a side whose stash is provably
+    * single-valued cannot hold two rows differing only in the stashed name,
+    * so the per-(step, visible-labelset) uniqueness argument still holds. */
+  private def stashedNames(e: Expr): Option[Set[String]] = e match {
+    case Selector(Some(n), _, _, _, _) => Some(Set(n))
+    case Selector(None, ms, _, _, _) =>
+      ms.collectFirst { case MatchEq("__name__", v) => Set(v) }
+    case Call("label_replace" | "label_join", _) => None
+    case Call(_, args) =>
+      args.foldLeft(Option(Set.empty[String])) { (acc, a) =>
+        for (s1 <- acc; s2 <- stashedNames(a)) yield s1 ++ s2 }
+    case Subquery(inner, _, _, _, _) => stashedNames(inner)
+    case BinOp(_, l, r, _, _) =>
+      for (s1 <- stashedNames(l); s2 <- stashedNames(r)) yield s1 ++ s2
+    case _: Agg => Some(Set.empty) // aggregation output carries no stash
+    case _ => Some(Set.empty) // literals carry no stash
+  }
+
   /** Go log-family semantics over Spark's null-for-nonpositive log builtins:
     * x>0 delegates (Inf → Inf), ±0 → -Inf, negative/NaN → NaN. */
   private def goLog(f: Column => Column)(c: Column): Column =
@@ -1488,12 +1511,20 @@ object Compiler {
         // unnecessary and compiles to NOTHING. This keeps the default 1:1
         // binop (all labels shared, names stashed) zero-overhead; the
         // guards remain exactly where duplicates can exist: on()/ignoring()
-        // projections and name-keeping comparisons. (Series distinguished
-        // ONLY by a stashed __name__ escape this — upstream rejects such
-        // vectors as "same labelset" before any binop, so no silent
-        // multiplication is reachable through the gap.)
-        val lhsCovered = lLbls.forall(on.contains)
-        val rhsCovered = rLbls.forall(on.contains)
+        // projections and name-keeping comparisons. Series distinguished
+        // ONLY by a stashed __name__ WOULD escape this (the stash is not a
+        // visible label), so the skip additionally requires the stash be
+        // statically single-valued: an exact __name__ matcher under the
+        // side's function chain means every row stashes the same name and
+        // two key-sharing rows are again impossible. The common hot shape
+        // rate(a[5m]) / rate(b[5m]) stays zero-overhead; regex-name
+        // selectors (where upstream would reject the duplicate labelsets
+        // as "vector cannot contain metrics with the same labelset") keep
+        // their guards and error instead of silently multiplying rows.
+        def nameSafe(e: Expr, df: DataFrame): Boolean =
+          !df.columns.contains(OldName) || stashedNames(e).exists(_.size <= 1)
+        val lhsCovered = lLbls.forall(on.contains) && nameSafe(b.lhs, lhs)
+        val rhsCovered = rLbls.forall(on.contains) && nameSafe(b.rhs, rhs)
         val l2g = if (gr && !lhsCovered) uniqueGuard(l2) else l2
         val r2g =
           if (gl && !rhsCovered) uniqueGuard(r2)
@@ -1529,16 +1560,27 @@ object Compiler {
             val msg = "found duplicate series for the match group on the " +
               "left hand-side of the operation; many-to-many matching not " +
               "allowed: matching labels must be unique on one side"
-            // the raise rides a double-typed CASE on the count column, and
-            // the sentinel's OTHER value column must be non-null: downstream
-            // computes arith(value, rvalue), and NullPropagation soundly
-            // folds `raise + null` to null — erasing the error and LEAKING
-            // the sentinel row into the result (caught by the continuation
-            // tranche's dup-matching cases)
-            val raise = when(col("__graft_c") > 1,
-              raise_error(lit(msg)).cast("double")).otherwise(lit(0.0))
+            // the raise rides BOTH step_ms and value, each behind a CASE on
+            // the count column, because either alone can be optimized away:
+            //  - value alone: a consumer that never reads value (and/unless
+            //    select only step_ms+keys before distinct; a grouped
+            //    count(lit(1))) lets ColumnPruning erase the raise and leak
+            //    the null-keyed sentinel row into the result;
+            //  - step_ms alone: the filter-form comparison path filters on
+            //    arith(value, rvalue) — with literal 0.0s there the
+            //    predicate constant-folds to false and PruneFilters deletes
+            //    the whole sentinel branch before step_ms is ever read.
+            // step_ms is consumed by every join/grouping/output, value by
+            // every arithmetic/filter evaluation — at least one survives
+            // any downstream plan. The sentinel's rvalue stays non-null:
+            // NullPropagation soundly folds `raise + null` to null, erasing
+            // the error (caught by the continuation tranche's dup cases).
+            def raiseAs(t: org.apache.spark.sql.types.DataType) =
+              when(col("__graft_c") > 1, raise_error(lit(msg)).cast(t))
+                .otherwise(lit(0).cast(t))
             joined.unionByName(lDup.select(joined.schema.fields.toSeq.map { f =>
-              (if (f.name == "value") raise.cast(f.dataType)
+              (if (f.name == "value" || f.name == "step_ms")
+                 raiseAs(f.dataType)
                else if (f.name == "rvalue") lit(0.0).cast(f.dataType)
                else lit(null).cast(f.dataType)).as(f.name)
             }: _*))

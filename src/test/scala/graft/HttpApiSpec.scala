@@ -69,6 +69,23 @@ class HttpApiSpec extends SparkSpec {
     assert(none.contains(""""data":[]"""))
   }
 
+  test("invalid limit params are 400 bad_data, not 500 or silently unlimited") {
+    // Prometheus parseLimitParam: non-numeric and negative limits are
+    // client errors on every introspection endpoint
+    for (pq <- Seq("/api/v1/labels?limit=abc",
+                   "/api/v1/labels?limit=-1",
+                   s"/api/v1/series?match[]=purchase&limit=abc",
+                   s"/api/v1/series?match[]=purchase&limit=-2",
+                   "/api/v1/label/uid/values?limit=x",
+                   "/api/v1/label/uid/values?limit=-1")) {
+      val (code, body) = get(pq)
+      assert(code == 400 && body.contains("bad_data"), s"$pq -> $code $body")
+    }
+    // limit=0 stays "unlimited", like Prometheus
+    val (code, body) = get("/api/v1/labels?limit=0")
+    assert(code == 200 && !body.contains("truncated"))
+  }
+
   test("errors: bad promql and unknown params produce the error envelope") {
     val (code, body) = get("/api/v1/query?query=sum((")
     assert(code == 400 && body.startsWith("""{"status":"error""""))

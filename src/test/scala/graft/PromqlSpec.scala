@@ -438,6 +438,63 @@ class PromqlSpec extends SparkSpec {
     assert(ok == Set(("1", "gold", 10.0)))
   }
 
+  test("stashed-name duplicates cannot silently multiply through a binop") {
+    // abs() stashes __name__; m1/m2 then share the full VISIBLE labelset, so
+    // the static covered-skip must not compile their duplicate guard away
+    // (upstream rejects such vectors — silent row multiplication is the
+    // regression this pins).
+    val t = 5000L
+    val df = Seq(
+        ("m1", "j", t, 1.0, 1L),
+        ("m2", "j", t, 2.0, 2L),
+        ("rhs", "j", t, 10.0, 3L))
+      .toDF("__name__", "job", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"job"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val lhsDup = Compiler.compile(Parser.parse(
+      """abs({__name__=~"m1|m2"}) + {__name__="rhs"}"""), ctx)
+    val e1 = intercept[Exception](lhsDup.collect())
+    assert(msgs(e1).exists(m => m != null && m.contains("duplicate series")))
+    val rhsDup = Compiler.compile(Parser.parse(
+      """{__name__="rhs"} + abs({__name__=~"m1|m2"})"""), ctx)
+    val e2 = intercept[Exception](rhsDup.collect())
+    assert(msgs(e2).exists(m => m != null && m.contains("duplicate series")))
+    // exact-name stashes stay statically safe: the hot binop shape compiles
+    // with NO duplicate guard in the plan, and still executes
+    val hot = Compiler.compile(Parser.parse(
+      """rate({__name__="m1"}[1m]) / rate({__name__="m2"}[1m])"""), ctx)
+    val plan = hot.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_c") && !plan.contains("__graft_rc"))
+    hot.collect()
+  }
+
+  test("lhs duplicate sentinel survives key-only and filter-form consumers") {
+    val t = 5000L
+    val df = Seq(
+        ("l", "j", Some("1"), t, 1.0, 1L),
+        ("l", "j", Some("2"), t, 2.0, 2L),
+        ("r", "j", None: Option[String], t, 5.0, 3L),
+        ("x", "j", None: Option[String], t, 7.0, 4L))
+      .toDF("__name__", "job", "extra", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"job", $"extra"))
+    val ctx = Compiler.Ctx(df, 10000L, 10000L, 1000L, DAY)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // `and` reads only step_ms+keys off its rhs before distinct() — a
+    // value-column raise would be pruned away and the phantom row leaked
+    val e1 = intercept[Exception](Compiler.compile(Parser.parse(
+      """{__name__="x"} and on(job) ({__name__="l"} + on(job) {__name__="r"})"""),
+      ctx).collect())
+    assert(msgs(e1).exists(m => m != null && m.contains("left hand-side")))
+    // filter-form comparison: the predicate reads value — a step_ms-only
+    // raise would be lost to constant folding of the literal-0.0 predicate
+    val e2 = intercept[Exception](Compiler.compile(Parser.parse(
+      """{__name__="l"} > on(job) {__name__="r"}"""), ctx).collect())
+    assert(msgs(e2).exists(m => m != null && m.contains("left hand-side")))
+  }
+
   test("limitk / limit_ratio: deterministic hash-based series sampling") {
     val all = eval("""{uid!=""}""").count()
     assert(eval("""limitk(3, {uid!=""})""").count() == math.min(3L, all))
