@@ -275,6 +275,11 @@ final class PromEngine(samples: DataFrame,
     (out, truncated)
   }
 
+  /** Columns per `labelNames` fallback aggregate — large enough that any
+    * realistic schema fits in one pass, small enough that Janino compiles
+    * each batch without interpreted fallback. */
+  private val LabelNamesAggBatch = 1024
+
   /** Label columns of the wide samples schema: the STRING columns minus
     * the sample/meta payload — a native-histogram column (h, struct) is a
     * sample value and must not surface as a label name/value. */
@@ -301,9 +306,17 @@ final class PromEngine(samples: DataFrame,
       else None
     viaFooter.getOrElse {
       val m = Eval.select(rangedSamples(mintMs, maxtMs, Seq(matchers)), matchers, mintMs, maxtMs)
-      val counts = m.agg(count(col(lbls.head)).as(lbls.head),
-        lbls.tail.map(l => count(col(l)).as(l)): _*).collect()(0)
-      lbls.filter(l => counts.getAs[Long](l) > 0).sorted
+      // BATCHED count aggregate: a single aggregate over every label column
+      // is a codegen stress at the reference's own ≤32k-column schema cap
+      // (method-split churn, then interpreted fallback). Each batch's scan
+      // reads only its column slice (columnar pruning), so total I/O over
+      // all batches matches the one wide pass; job overhead is ~32 cheap
+      // aggregates at the ceiling, zero extra at typical (<1k) widths.
+      lbls.grouped(LabelNamesAggBatch).flatMap { batch =>
+        val counts = m.agg(count(col(batch.head)).as(batch.head),
+          batch.tail.map(l => count(col(l)).as(l)): _*).collect()(0)
+        batch.filter(l => counts.getAs[Long](l) > 0)
+      }.toSeq.sorted
     }
   }
 

@@ -262,6 +262,12 @@ object TsdbBlock {
     val c = new Cursor(buf, pos)
     val len = c.uvarint().toInt
     val contentStart = c.pos
+    // the len field is read BEFORE its CRC can vouch for it — bound it
+    // against the buffer before indexing, or a flipped bit turns into an
+    // arbitrary out-of-bounds access instead of a clean corruption error
+    require(len >= 0 && contentStart + len + 4 <= buf.length,
+      s"truncated/corrupt series entry at offset $absPos " +
+        s"(claims $len bytes, ${buf.length - contentStart} available)")
     require(be32(buf, contentStart + len) == crc32c(buf, contentStart, len),
       s"series entry CRC mismatch at offset $absPos")
     val nLbl = c.uvarint().toInt
@@ -334,7 +340,10 @@ object TsdbBlock {
         if (local + 8 > buf.length) postingListAt(ix, sorted(j))
         else {
           val len = be32(buf, local)
-          if (local + 8 + len > buf.length) postingListAt(ix, sorted(j))
+          // a corrupt NEGATIVE len must not sneak past the window check into
+          // a negative array index — route it to the exact-fetch path, whose
+          // bounds require turns it into a clean corruption error
+          if (len < 0 || local + 8 + len > buf.length) postingListAt(ix, sorted(j))
           else {
             require(be32(buf, local + 4 + len) == crc32c(buf, local + 4, len),
               s"postings list CRC mismatch at offset ${sorted(j)}")
@@ -651,6 +660,8 @@ object TsdbBlock {
     * querier, so a faithful block read must drop the covered samples. */
   def readTombstones(bytes: Array[Byte]): Map[Long, Seq[(Long, Long)]] = {
     if (bytes == null || bytes.length == 0) return Map.empty
+    require(bytes.length >= 9, // magic + version + CRC
+      s"truncated tombstones file (${bytes.length} bytes)")
     require(be32(bytes, 0) == TombstonesMagic,
       f"bad tombstones magic 0x${be32(bytes, 0)}%08x")
     require((bytes(4) & 0xFF) == 1, s"unsupported tombstones version ${bytes(4)}")
@@ -702,10 +713,16 @@ object TsdbBlock {
     readAt(offset, head, headLen)
     var dataLen = 0L; var shift = 0; var w = 0; var more = true
     while (more) {
+      require(w < headLen, s"truncated chunk length varint at offset $offset")
       val x = head(w).toLong & 0xFF; w += 1
       dataLen |= (x & 0x7F) << shift; shift += 7
       more = (x & 0x80) != 0
     }
+    // dataLen comes from an UNCHECKSUMMED varint (the CRC covers enc+data,
+    // not the length): bound it against the file before allocating, or a
+    // flipped bit becomes a negative/multi-GB allocation instead of an error
+    require(dataLen >= 0 && offset + w + 1 + dataLen + 4 <= fileLen,
+      s"corrupt chunk length $dataLen at offset $offset (segment is $fileLen bytes)")
     val body = new Array[Byte]((1 + dataLen + 4).toInt) // enc + data + crc
     readAt(offset + w, body, body.length)
     require(be32(body, 1 + dataLen.toInt) == crc32c(body, 0, 1 + dataLen.toInt),

@@ -202,6 +202,12 @@ object PromHistChunk {
     }
   }
 
+  /** Upper bound on buckets per histogram chunk: far above anything a real
+    * native histogram carries (sparse schemas top out at a few hundred
+    * buckets), small enough that a corrupt span-length field fails cleanly
+    * instead of materializing a multi-GB bucket array. */
+  private val MaxBuckets = 1 << 16
+
   private def readSpans(r: PromXorChunk.BitReader): Array[Int] = {
     val nSpans = readVarbitUint(r).toInt
     val buf = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -210,6 +216,10 @@ object PromHistChunk {
     while (s < nSpans) {
       val len = readVarbitUint(r).toInt
       cur += readVarbitInt(r).toInt
+      if (len < 0 || buf.size + len > MaxBuckets)
+        throw new IllegalArgumentException(
+          s"corrupt histogram chunk: span claims $len buckets " +
+            s"(${buf.size} so far, cap $MaxBuckets)")
       var k = 0
       while (k < len) { buf += cur; cur += 1; k += 1 }
       s += 1
@@ -490,6 +500,9 @@ object PromHistChunk {
     val cbArr: GenericArrayData =
       if (sch == CustomBucketsSchema) {
         val m = readVarbitUint(r).toInt
+        if (m < 0 || m > MaxBuckets)
+          throw new IllegalArgumentException(
+            s"corrupt histogram chunk: $m custom bucket bounds (cap $MaxBuckets)")
         val vals = new Array[Any](m)
         var k = 0
         while (k < m) { vals(k) = readCustomBound(r); k += 1 }

@@ -366,6 +366,9 @@ object PromXorChunk {
     // first pass: total sample count over surviving frames
     var off = 0; var total = 0
     while (off < bytes.length) {
+      if (off + 24 > bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated frame header at cell offset $off (${bytes.length} bytes)")
       val enc = readU32(bytes, off)
       if (enc != EncXor && enc != EncHistogram && enc != EncFloatHistogram)
         throw new IllegalArgumentException(
@@ -374,6 +377,12 @@ object PromXorChunk {
       val fmint = unzigzag(readU64(bytes, off + 4))
       val fmaxt = unzigzag(readU64(bytes, off + 12))
       val len = readU32(bytes, off + 20)
+      // a corrupt frame length would walk `off` backwards (infinite loop)
+      // or past the cell — fail cleanly instead. Valid chunk data always
+      // starts with the 2-byte sample count, so len < 2 is also corrupt.
+      if (len < 2 || off + 24 + len > bytes.length)
+        throw new IllegalArgumentException(
+          s"corrupt frame length $len at cell offset $off (${bytes.length} bytes)")
       if (fmaxt >= tMin && fmint <= tMax) total += sampleCount(bytes, off + 24)
       off += 24 + len
     }

@@ -157,4 +157,27 @@ class EvalSpec extends SparkSpec {
         .labelNames(Nil, 0L, Long.MaxValue / 2) == lbls.sorted)
     } finally spark.conf.unset("spark.hadoop.graft.test.marker")
   }
+
+  test("matcher-form labelNames batches the wide fallback aggregate (5k labels)") {
+    // a 5k-label schema (the reference caps shards at 32k columns) must not
+    // push one 5000-expression count aggregate through codegen in a single
+    // pass; the batched fallback answers correctly, and CODEGEN_ONLY proves
+    // every per-batch aggregate actually compiles (interpreted fallback
+    // would be the silent failure mode this pins)
+    val wide = 5000
+    val base = Seq(
+        ("m", "1", 1000L, 1.0, 1L),
+        ("m", "2", 2000L, 2.0, 2L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val cols = base.columns.map(col) ++ (0 until wide).map(i =>
+      (if (i == 7) $"uid" else lit(null).cast("string")).as(s"x$i"))
+    val df = base.select(cols.toSeq: _*)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val eng = new graft.api.PromEngine(df)
+      val names = eng.labelNames(Seq(MatchEq("__name__", "m")), 0L, Long.MaxValue / 2)
+      assert(names == Seq("__name__", "uid", "x7"))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
