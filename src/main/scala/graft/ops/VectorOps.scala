@@ -37,11 +37,23 @@ object VectorOps {
     s"list_transform($vExpr, x -> x / sqrt(list_dot_product($vExpr, $vExpr)))"
   def dotSql(a: String, b: String): String = s"list_dot_product($a, $b)"
 
-  /** Deterministic hyperplane weights: w(j,i) = lcg(j·dim+i)/65536 − 0.5.
-    * Exact in binary (power-of-two denominator) so literals round-trip
-    * identically through both engines' parsers. */
-  def planeWeight(j: Int, i: Int, dim: Int): Double =
-    ((1103515245L * (j * dim + i + 1) + 12345L) % 65536L).toDouble / 65536.0 - 0.5
+  /** Deterministic hyperplane weights: w(j,i) = mix(j·dim+i)/65536 − 0.5,
+    * where mix is a splitmix64-style finalizer. Exact in binary
+    * (power-of-two denominator) so literals round-trip identically through
+    * both engines' parsers — the oracle SQL embeds the same computed
+    * literals, so any change here stays engine-consistent by construction.
+    * The previous single-multiply LCG was an AFFINE map: plane j+1 equaled
+    * plane j plus a constant lattice shift, which correlated the planes and
+    * collapsed bucket entropy once more than ~8 planes were requested (the
+    * wide-signature scale path in PipelineScaleBench measured ~175× the
+    * uniform-bucket candidate count at 24 planes). */
+  def planeWeight(j: Int, i: Int, dim: Int): Double = {
+    var z = (j.toLong * dim + i + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z & 0xFFFFL).toDouble / 65536.0 - 0.5
+  }
 
   /** 8-bit LSH bucket id from the signs of 8 hyperplane projections. */
   def lshBucket(vCol: Column, dim: Int = 64, planes: Int = 8): Column = {

@@ -274,6 +274,7 @@ object Compiler {
     case Agg("sum" | "avg", _, None, inner) => inner match {
       case Selector(_, _, None, _, _) => true
       case _ => histServable(inner) }
+    case b: BinOp => histBinop(b)
     case _ => false
   }
 
@@ -985,6 +986,19 @@ object Compiler {
     case Selector(_, _, None, _, _) => true
     case Call("rate" | "increase" | "delta", _) => true
     case Agg("sum" | "avg", _, None, inner) => isHistArg(inner)
+    case b: BinOp => histBinop(b)
+    case _ => false
+  }
+
+  /** Histogram-typed binary arithmetic (promql native_histograms.test):
+    * `h + h` / `h - h` (bucket-wise FloatHistogram.Add/Sub), `h * s`,
+    * `s * h` and `h / s` (uniform scaling). `s / h` and every other
+    * operator stay float-typed / type errors, like upstream. */
+  private def histBinop(b: BinOp): Boolean = b match {
+    case BinOp("+" | "-", l, r, _, false) => isHistArg(l) && isHistArg(r)
+    case BinOp("*", l, r, _, false) =>
+      (isHistArg(l) && isScalarExpr(r)) || (isScalarExpr(l) && isHistArg(r))
+    case BinOp("/", l, r, _, false) => isHistArg(l) && isScalarExpr(r)
     case _ => false
   }
 
@@ -1041,6 +1055,67 @@ object Compiler {
             NativeHistograms.scale(col("__graft_h"), lit(1.0) / col("__graft_n")))
           .drop("__graft_n")
       }
+
+    // h * scalar / scalar * h / h ÷ scalar: uniform scaling of counts and
+    // sum (FloatHistogram.Mul/Div); the result drops __name__ like every
+    // arithmetic binop
+    case BinOp(op @ ("*" | "/"), lEx, rEx, _, false)
+        if hasHist(ctx) &&
+          ((isHistArg(lEx) && isScalarExpr(rEx)) ||
+           (op == "*" && isScalarExpr(lEx) && isHistArg(rEx))) =>
+      val (hEx, sEx) = if (isScalarExpr(rEx)) (lEx, rEx) else (rEx, lEx)
+      val h = dropName(histSelector(hEx, ctx, fn))
+      val s = compile(sEx, ctx).select(col("step_ms"), col("value").as("__graft_s"))
+      val factor = if (op == "*") col("__graft_s") else lit(1.0) / col("__graft_s")
+      h.join(s, Seq("step_ms"))
+        .withColumn("__graft_h", NativeHistograms.scale(col("__graft_h"), factor))
+        .drop("__graft_s")
+
+    // h + h / h - h: 1:1 vector matching (union-of-labels keys, null-safe,
+    // on()/ignoring() refine — same key rule as the float path), then a
+    // bucket-wise FloatHistogram.Add via the group-merge (schemas reconcile
+    // to the pair's minimum); subtraction is add of the (-1)-scaled rhs.
+    // Duplicate series on either side error like the float guards do.
+    case BinOp(op @ ("+" | "-"), lEx, rEx, matching, false)
+        if hasHist(ctx) && isHistArg(lEx) && isHistArg(rEx) =>
+      val l0 = histSelector(lEx, ctx, fn)
+      val r1 = histSelector(rEx, ctx, fn)
+      val r0 = if (op == "-") r1.withColumn("__graft_h",
+        NativeHistograms.scale(col("__graft_h"), lit(-1.0))) else r1
+      def lbls(df: DataFrame) = labelCols(df)
+        .filterNot(c => c.startsWith("__graft_") || c == "__name__")
+      val all = (lbls(l0) ++ lbls(r0)).distinct
+      val keys = matching match {
+        case Some(Matching(true, ls, false, false, _))  => ls
+        case Some(Matching(false, ls, false, false, _)) => all.filterNot(ls.contains)
+        case None => all
+        case _ => throw new ParseException(
+          "group_left/group_right histogram arithmetic is not supported")
+      }
+      val on = "step_ms" +: keys
+      def prep(df: DataFrame, side: String): DataFrame = {
+        val widened = keys.filterNot(df.columns.contains)
+          .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string")))
+          .select(on.map(col) :+ col("__graft_h"): _*)
+        val w = Window.partitionBy(on.map(col): _*)
+        widened.withColumn("__graft_c", count(lit(1)).over(w))
+          .withColumn(on.head, when(col("__graft_c") > 1, raise_error(lit(
+              s"found duplicate series for the match group on the $side " +
+                "hand-side of the operation; many-to-many matching not " +
+                "allowed: matching labels must be unique on one side"))
+            .cast(widened.schema(on.head).dataType)).otherwise(col(on.head)))
+          .drop("__graft_c")
+      }
+      // PromQL 1:1 is an INNER match: keep only (step, keys) present on both
+      def semiKeys(df: DataFrame, other: DataFrame): DataFrame = {
+        val (a, b) = (df.alias("gha"), other.select(on.map(col): _*).distinct().alias("ghb"))
+        a.join(b, on.map(c => col(s"gha.$c") <=> col(s"ghb.$c")).reduce(_ && _),
+          "left_semi")
+      }
+      val l2 = prep(l0, "left"); val r2 = prep(r0, "right")
+      NativeHistograms.merge(
+        semiKeys(l2, r2).unionByName(semiKeys(r2, l2)), on, hCol = "__graft_h")
+
     case _ => throw new ParseException(
       s"$fn requires a plain selector over native-histogram samples")
   }

@@ -569,6 +569,10 @@ object NativeHistograms {
       src.select(key :+ explode(col(s"__graft_hm.$field")).as("b"): _*)
         .groupBy(key :+ col("b.idx").as("__graft_idx"): _*)
         .agg(sum(col("b.c")).as("__graft_c"))
+        // compaction: a bucket whose counts cancel to exactly 0 is removed,
+        // like FloatHistogram.Compact — visible only under subtraction
+        // (positive addends never sum to 0), where upstream prunes too
+        .filter(col("__graft_c") =!= 0.0)
         .groupBy(key: _*)
         .agg(sort_array(collect_list(struct(
           col("__graft_idx").as("idx"), col("__graft_c").as("c")))).as(field))

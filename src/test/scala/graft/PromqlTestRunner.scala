@@ -230,7 +230,7 @@ trait PromqlTestRunner extends SparkSpec {
 
   protected val hType = "struct<cnt:double,hsum:double,sch:int,zthr:double," +
     "zcnt:double,pos:array<struct<idx:int,c:double>>," +
-    "neg:array<struct<idx:int,c:double>>>"
+    "neg:array<struct<idx:int,c:double>>,cb:array<double>>"
 
   protected def bucketArr(b: Seq[(Int, Double)]): org.apache.spark.sql.Column =
     if (b.isEmpty) array().cast("array<struct<idx:int,c:double>>")

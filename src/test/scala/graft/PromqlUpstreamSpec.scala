@@ -1305,8 +1305,14 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
     * quantile expectations follow Prometheus 3's EXPONENTIAL intra-bucket
     * interpolation (2^(idx-1+frac), the engine's pinned convention);
     * `+{{…}}xN` incremental-series notation is spelled out as explicit
-    * literals (the runner loads literal samples), and stddev/stdvar cases
-    * are not transcribed (expected constants not re-derived). */
+    * literals (the runner loads literal samples). The r20 tranche adds
+    * histogram binop arithmetic (h+h / h-h / h*s / s*h / h÷s, duplicate and
+    * group-modifier errors), mixed-schema sum and binop (schema 1 coarsens
+    * to 0), zero-bucket and negative-bucket quantiles, stddev/stdvar
+    * (geometric midpoints, expectations re-derived in float64), counter
+    * RESET handling in rate/increase (reset adds the pre-reset value;
+    * extrapolation to window bounds), a mid-series schema change under
+    * increase, and the mixed float+histogram aggregation drop. */
   private val nativeHistogramsCorpus =
     """
       |load 5m
@@ -1413,6 +1419,126 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |eval instant at 10m histogram_sum(rate(incr_histogram[10m]))
       |  {} 0.02
+      |
+      |clear
+      |
+      |load 5m
+      |  hb1 {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  hb2 {{schema:0 count:2 sum:3 buckets:[1 1]}}
+      |
+      |eval instant at 1m hb1 + hb2
+      |  {} {{schema:0 count:6 sum:8 buckets:[2 3 1]}}
+      |
+      |eval instant at 1m hb1 - hb2
+      |  {} {{schema:0 count:2 sum:2 buckets:[0 1 1]}}
+      |
+      |eval instant at 1m hb1 * 3
+      |  {} {{schema:0 count:12 sum:15 buckets:[3 6 3]}}
+      |
+      |eval instant at 1m 0.5 * hb1
+      |  {} {{schema:0 count:2 sum:2.5 buckets:[0.5 1 0.5]}}
+      |
+      |eval instant at 1m hb1 / 2
+      |  {} {{schema:0 count:2 sum:2.5 buckets:[0.5 1 0.5]}}
+      |
+      |eval instant at 1m histogram_count(hb1 + hb2)
+      |  {} 6
+      |
+      |eval instant at 1m histogram_sum(hb1 - hb2)
+      |  {} 2
+      |
+      |clear
+      |
+      |load 5m
+      |  hm{l="a"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  hm{l="b"} {{schema:1 count:3 sum:4 buckets:[1 1 1]}}
+      |
+      |eval instant at 1m sum(hm)
+      |  {} {{schema:0 count:7 sum:9 buckets:[2 4 1]}}
+      |
+      |eval instant at 1m hm{l="a"} + ignoring(l) hm{l="b"}
+      |  {} {{schema:0 count:7 sum:9 buckets:[2 4 1]}}
+      |
+      |eval_fail instant at 1m hm + ignoring(l) hm
+      |  expected_fail_message duplicate series
+      |
+      |eval_fail instant at 1m hm{l="a"} + on(l) group_left hm{l="b"}
+      |  expected_fail_message histogram arithmetic
+      |
+      |clear
+      |
+      |load 5m
+      |  hz {{schema:0 count:4 sum:2 z_bucket:2 z_bucket_w:0.5 buckets:[2]}}
+      |
+      |eval instant at 1m histogram_quantile(0.25, hz)
+      |  {} 0.25
+      |
+      |eval instant at 1m histogram_quantile(0.75, hz)
+      |  {} 0.7071067811865476
+      |
+      |eval instant at 1m histogram_fraction(0, 0.5, hz)
+      |  {} 0.5
+      |
+      |clear
+      |
+      |load 5m
+      |  hneg {{schema:0 count:2 sum:0 buckets:[1] n_buckets:[1]}}
+      |
+      |eval instant at 1m histogram_count(hneg)
+      |  {} 2
+      |
+      |eval instant at 1m histogram_quantile(0, hneg)
+      |  {} -1
+      |
+      |eval instant at 1m histogram_quantile(1, hneg)
+      |  {} 1
+      |
+      |eval instant at 1m histogram_stddev(hneg)
+      |  {} 0.7071067811865476
+      |
+      |clear
+      |
+      |load 5m
+      |  sh {{schema:0 sum:5 count:4 buckets:[1 2 1]}}
+      |
+      |eval instant at 1m histogram_stdvar(sh)
+      |  {} 0.7100243558256704
+      |
+      |eval instant at 1m histogram_stddev(sh)
+      |  {} 0.842629429717281
+      |
+      |clear
+      |
+      |load 1m
+      |  rh {{schema:0 count:1 sum:1 buckets:[1]}} {{schema:0 count:2 sum:2 buckets:[2]}} {{schema:0 count:3 sum:3 buckets:[3]}} {{schema:0 count:4 sum:4 buckets:[4]}} {{schema:0 count:5 sum:5 buckets:[5]}} {{schema:0 count:6 sum:6 buckets:[6]}} {{schema:0 count:1 sum:1 buckets:[1]}} {{schema:0 count:2 sum:2 buckets:[2]}} {{schema:0 count:3 sum:3 buckets:[3]}} {{schema:0 count:4 sum:4 buckets:[4]}} {{schema:0 count:5 sum:5 buckets:[5]}}
+      |
+      |eval instant at 10m histogram_count(increase(rh[10m]))
+      |  {} 10
+      |
+      |eval instant at 10m histogram_sum(increase(rh[10m]))
+      |  {} 10
+      |
+      |eval instant at 10m histogram_count(rate(rh[10m]))
+      |  {} 0.016666666666666666
+      |
+      |clear
+      |
+      |load 5m
+      |  ms {{schema:1 count:2 sum:2 buckets:[1 1]}} {{schema:1 count:2 sum:2 buckets:[1 1]}} {{schema:0 count:5 sum:6 buckets:[2 3]}}
+      |
+      |eval instant at 10m histogram_count(increase(ms[10m]))
+      |  {} 6
+      |
+      |eval instant at 10m histogram_sum(increase(ms[10m]))
+      |  {} 8
+      |
+      |clear
+      |
+      |load 5m
+      |  mx{t="f"} 3
+      |  mx{t="h"} {{schema:0 count:2 sum:3 buckets:[1 1]}}
+      |
+      |eval instant at 1m sum(mx)
       |""".stripMargin
 
   /** testdata/info.test — Prometheus' experimental info() corpus: the
@@ -2126,7 +2252,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   }
   test("upstream limit.test tranche") { run("limit", limitCorpus, 12) }
   test("upstream native_histograms.test tranche") {
-    run("native_histograms", nativeHistogramsCorpus, 25)
+    run("native_histograms", nativeHistogramsCorpus, 51)
   }
   test("upstream range_queries.test tranche") { run("range_queries", rangeQueriesCorpus, 14) }
   test("upstream info.test tranche (experimental info())") {
