@@ -49,7 +49,10 @@ object Aggregations {
     * no grouping would otherwise sort 10⁸ series in ONE window partition.
     * `ordering` must be a total order (tie-broken) for exactness; `saltOn`
     * must determine the row (any deterministic key columns). */
-  def limitByOrdering(vector: DataFrame, k: Int, grouping: Seq[Column],
+  /** `k` may be a literal or a PER-GROUP column (data-dependent parameters,
+    * e.g. `topk(scalar(q), v)` — functionally dependent on `grouping`, which
+    * the per-step scalar join guarantees). */
+  def limitByOrdering(vector: DataFrame, k: Column, grouping: Seq[Column],
                       ordering: Seq[Column], saltOn: Seq[Column]): DataFrame = {
     val salted = vector.withColumn("__graft_salt",
       pmod(xxhash64((lit(0L) +: saltOn): _*), lit(Salts)))
@@ -62,10 +65,14 @@ object Aggregations {
       .filter(col("__graft_rk") <= k).drop("__graft_rk")
   }
 
+  def limitByOrdering(vector: DataFrame, k: Int, grouping: Seq[Column],
+                      ordering: Seq[Column], saltOn: Seq[Column]): DataFrame =
+    limitByOrdering(vector, lit(k), grouping, ordering, saltOn)
+
   /** topk(k, v) by group: keep the k series with largest value per group.
     * Deterministic tie-break on the full series key. */
-  def topk(vector: DataFrame, k: Int, grouping: Seq[Column],
-           tieBreak: Seq[Column], desc: Boolean = true): DataFrame = {
+  def topk(vector: DataFrame, k: Column, grouping: Seq[Column],
+           tieBreak: Seq[Column], desc: Boolean): DataFrame = {
     // Prometheus ranks NaN below every real value for topk AND bottomk
     // (a NaN series only fills leftover slots); Spark's ordering puts NaN
     // greatest, so rank on an explicit isnan key first
@@ -74,6 +81,10 @@ object Aggregations {
       tieBreak.map(_.asc)
     limitByOrdering(vector, k, grouping, ordering, tieBreak :+ col("value"))
   }
+
+  def topk(vector: DataFrame, k: Int, grouping: Seq[Column],
+           tieBreak: Seq[Column], desc: Boolean = true): DataFrame =
+    topk(vector, lit(k), grouping, tieBreak, desc)
 
   def bottomk(vector: DataFrame, k: Int, grouping: Seq[Column],
               tieBreak: Seq[Column]): DataFrame =
@@ -117,5 +128,42 @@ object Aggregations {
         (col("__graft_v_lo") + col("__graft_frac") *
           (coalesce(col("__graft_v_hi"), col("__graft_v_lo")) - col("__graft_v_lo")))
           .as("value")): _*)
+  }
+
+  /** [[quantile]] with a PER-GROUP φ column (data-dependent parameters,
+    * e.g. `quantile(scalar(q), v)` — `phiCol` must be functionally
+    * dependent on `grouping`, which the per-step scalar join guarantees).
+    * Same exact interpolation; the out-of-range short-circuit becomes a
+    * per-group union because φ is only known at runtime. */
+  def quantileBy(vector: DataFrame, phiCol: Column, grouping: Seq[Column]): DataFrame = {
+    val counts = vector.groupBy((grouping :+ col("value")): _*)
+      .agg(count(lit(1)).as("__graft_cnt"), first(phiCol).as("__graft_phi"))
+    val phi = col("__graft_phi")
+    val bad = isnan(phi) || phi < 0.0 || phi > 1.0
+    val badGroups = counts.filter(bad).groupBy(grouping: _*)
+      .agg(first(phi).as("__graft_phi"))
+      .select((grouping :+
+        when(isnan(col("__graft_phi")), lit(Double.NaN))
+          .when(col("__graft_phi") < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.PositiveInfinity)).as("value")): _*)
+    val w = Window.partitionBy(grouping: _*).orderBy(col("value"))
+    val ranked = counts.filter(!bad)
+      .withColumn("__graft_cum", sum(col("__graft_cnt")).over(w))
+      .withColumn("__graft_n", sum(col("__graft_cnt"))
+        .over(Window.partitionBy(grouping: _*)))
+    val h = phi * (col("__graft_n") - 1)
+    val lo = floor(h).cast("long")
+    ranked
+      .filter(col("__graft_cum") > lo && col("__graft_cum") - col("__graft_cnt") <= lo + 1)
+      .groupBy(grouping: _*)
+      .agg(
+        min(when(col("__graft_cum") - col("__graft_cnt") <= lo, col("value"))).as("__graft_v_lo"),
+        max(when(col("__graft_cum") >= lo + 2, col("value"))).as("__graft_v_hi"),
+        first(h - floor(h)).as("__graft_frac"))
+      .select((grouping :+
+        (col("__graft_v_lo") + col("__graft_frac") *
+          (coalesce(col("__graft_v_hi"), col("__graft_v_lo")) - col("__graft_v_lo")))
+          .as("value")): _*)
+      .unionByName(badGroups)
   }
 }

@@ -1240,6 +1240,32 @@ object Compiler {
     * fold literal arithmetic — `quantile(1-0.2, …)`, `topk(2*2, …)` — the
     * forms its own test corpus uses. Data-dependent params (`scalar(foo)`)
     * stay unsupported: they would need per-step evaluation. */
+  /** Aggregation scalar parameter: a literal expression folds to a constant
+    * (Right — keeps the static fast paths), while an expression containing
+    * `scalar(...)` is DATA-DEPENDENT and compiles to a per-step scalar
+    * frame (Left) that the aggregation joins on step_ms — upstream
+    * evaluates `topk(scalar(q), v)` / `quantile(scalar(phi), v)` per step.
+    * A vector-typed parameter is a type error, like upstream. */
+  private def aggScalarParam(e: Expr, ctx: Ctx): Either[DataFrame, Double] = {
+    def hasScalarCall(x: Expr): Boolean = x match {
+      case Call("scalar", _) => true
+      case BinOp(_, l, r, _, _) => hasScalarCall(l) || hasScalarCall(r)
+      case Call(_, args) => args.exists(hasScalarCall)
+      case _ => false
+    }
+    if (!isScalarExpr(e)) {
+      val got = e match {
+        case _: StringLit => "string"
+        case _ => "instant vector"
+      }
+      throw new ParseException(
+        s"expected type scalar in aggregation parameter, got $got")
+    }
+    if (hasScalarCall(e))
+      Left(compile(e, ctx).select(col("step_ms"), col("value")))
+    else Right(scalarOf(e))
+  }
+
   private def scalarOf(e: Expr): Double = e match {
     case NumberLit(v) => v
     // scalar() takes an instant vector — over a literal it is an upstream
@@ -1332,15 +1358,36 @@ object Compiler {
       case "stddev" => child.groupBy(grp: _*).agg(Det.dstddevPop(col("value")).as("value"))
       case "stdvar" => child.groupBy(grp: _*).agg(Det.dvarPop(col("value")).as("value"))
       case "topk" | "bottomk" =>
-        val k = scalarOf(a.param.getOrElse(throw new ParseException("topk needs k"))).toInt
+        val p = a.param.getOrElse(throw new ParseException("topk needs k"))
         // salted partial top-k below the exact window — without it, topk with
         // no grouping sorts EVERY series of a step in one window partition
-        Aggregations.topk(child, k, grp, lbls.sorted.map(col),
-          desc = a.op == "topk")
+        aggScalarParam(p, ctx) match {
+          case Right(k) =>
+            Aggregations.topk(child, k.toInt, grp, lbls.sorted.map(col),
+              desc = a.op == "topk")
+          case Left(ks) => // data-dependent k, evaluated per step (upstream
+            // evaluates scalar params at every step of a range query)
+            val kCol = when(isnan(col("__graft_kparam")),
+                raise_error(lit("Parameter value is NaN"))
+                  .cast("long"))
+              .otherwise(col("__graft_kparam").cast("long"))
+            Aggregations.topk(
+              child.join(ks.withColumnRenamed("value", "__graft_kparam"),
+                Seq("step_ms")),
+              kCol, grp, lbls.sorted.map(col), desc = a.op == "topk")
+              .drop("__graft_kparam")
+        }
       case "quantile" =>
-        val phi = scalarOf(a.param.getOrElse(throw new ParseException("quantile needs φ")))
+        val p = a.param.getOrElse(throw new ParseException("quantile needs φ"))
         // hash-agg duplicate compression below the rank window (exact)
-        Aggregations.quantile(child, phi, grp)
+        aggScalarParam(p, ctx) match {
+          case Right(phi) => Aggregations.quantile(child, phi, grp)
+          case Left(ps) =>
+            Aggregations.quantileBy(
+              child.join(ps.withColumnRenamed("value", "__graft_phiparam"),
+                Seq("step_ms")),
+              col("__graft_phiparam"), grp)
+        }
       case "count_values" => // value string becomes a new label; count series
         val lbl = strOf(a.param.getOrElse(throw new ParseException("count_values needs a label")))
         // Prometheus renders the label with FormatFloat('f', -1): integers

@@ -734,7 +734,7 @@ class PromqlGoldenSpec extends PromqlTestRunner {
       |  {} NaN
       |
       |eval_fail instant at 100s topk("x", metric)
-      |  expected_fail_message scalar literal expected
+      |  expected_fail_message expected type scalar in aggregation parameter, got string
       |
       |eval_fail instant at 100s info(metric)
       |  expected_fail_message experimental

@@ -470,6 +470,34 @@ class PromqlSpec extends SparkSpec {
     hot.collect()
   }
 
+  test("topk/quantile accept data-dependent scalar(...) parameters per step") {
+    val df = Seq(
+        ("m", "a", 1000L, 10.0, 1L), ("m", "b", 1000L, 20.0, 2L),
+        ("m", "c", 1000L, 30.0, 3L),
+        ("m", "a", 2000L, 11.0, 4L), ("m", "b", 2000L, 21.0, 5L),
+        ("m", "c", 2000L, 31.0, 6L),
+        ("km", "k", 1000L, 1.0, 7L), ("km", "k", 2000L, 2.0, 8L),
+        ("qm", "q", 1000L, 0.5, 9L), ("qm", "q", 2000L, 1.5, 10L))
+      .toDF("__name__", "uid", "ts_ms", "value", "sample_id")
+      .withColumn("series_hash", xxhash64($"__name__", $"uid"))
+    val ctx = Compiler.Ctx(df, 1000L, 2000L, 1000L, DAY)
+    // k = scalar(km) is 1 at the first step, 2 at the second — evaluated
+    // per step like upstream (this was a loud-unsupported ParseException)
+    val tk = Compiler.compile(Parser.parse(
+        """topk(scalar({__name__="km"}), {__name__="m"})"""), ctx)
+      .select($"step_ms", $"uid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tk == Set((1000L, "c"), (2000L, "b"), (2000L, "c")))
+    // φ = scalar(qm): valid at step 1 (median), out-of-range at step 2 (+Inf)
+    val q = Compiler.compile(Parser.parse(
+        """quantile(scalar({__name__="qm"}), {__name__="m"})"""), ctx)
+      .select($"step_ms", $"value").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(q(1000L) == 20.0 && q(2000L).isPosInfinity)
+    // a vector-typed parameter stays a type error
+    val e = intercept[ParseException](Compiler.compile(Parser.parse(
+      """topk({__name__="km"}, {__name__="m"})"""), ctx))
+    assert(e.getMessage.contains("expected type scalar"))
+  }
+
   test("lhs duplicate sentinel survives key-only and filter-form consumers") {
     val t = 5000L
     val df = Seq(
