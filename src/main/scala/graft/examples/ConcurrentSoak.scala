@@ -277,6 +277,39 @@ object ConcurrentSoak {
       openShapes = r._1; openWall = r._2; openErrs = r._3
     }
 
+    // phase 4: CURATION + SERVING on one session — two registry curation
+    // queries (LSH near-dup dedup, bloom decontamination) cycle over the
+    // documents fixture while the SAME serving mix runs: the one-cluster
+    // "convert + curate + serve" deployment shape a real installation has.
+    // FAIR scheduling keeps the long curation jobs from starving the query
+    // pool; per-shape p50/p95 against phase 1 is the interference signal.
+    var curShapes = Map.empty[String, Seq[Double]]
+    var curWall = 0.0; var curErrs = 0L
+    val curCycles = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var curStop = false
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val haveDocs = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    if (migSeries > 0 && haveDocs) {
+      val curationQs = Seq("dd_minhash_lsh", "tx_bloom_decontam")
+      val curThread = new Thread(() => {
+        while (!curStop) curationQs.foreach { q =>
+          if (!curStop) {
+            try { graft.SparkEntry.queries(q)(spark, sfDir).count(); () }
+            catch { case _: Exception => () }
+            spark.catalog.clearCache() // registry persist() hygiene
+            curCycles.incrementAndGet()
+          }
+        }
+      })
+      curThread.setDaemon(true)
+      curThread.start()
+      val r = runMix()
+      curStop = true
+      curThread.join(180000L)
+      curShapes = r._1; curWall = r._2; curErrs = r._3
+    }
+
     def f(v: Double) = f"$v%.2f"
     def phaseJson(byShape: Map[String, Seq[Double]], wall: Double,
                   errs: Long): String = {
@@ -295,7 +328,10 @@ object ConcurrentSoak {
         s""""rounds":${migRoundsTotal.get()},"wall":${f(migWall)}},""" +
         s""""open_bucket":{"open_sec":${f(openSec)},"open_parses":$openParses,""" +
         s""""query_parses_delta":$openQueryParses,""" +
-        s""""phase":${phaseJson(openShapes, openWall, openErrs)}}"""
+        s""""phase":${phaseJson(openShapes, openWall, openErrs)}}""" +
+        (if (curShapes.isEmpty) ""
+         else s""","with_curation":{"cycles":${curCycles.get()},""" +
+           s""""phase":${phaseJson(curShapes, curWall, curErrs)}}""")
     println(s"""{"metric":"concurrent_soak","unit":"sec","threads":$threads,""" +
       s""""iters":$iters,"series":$nSeries,""" +
       s""""queries_only":${phaseJson(baseShapes, baseWall, baseErrs)}$mixJson}""")
