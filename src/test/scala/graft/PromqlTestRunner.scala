@@ -118,6 +118,10 @@ trait PromqlTestRunner extends SparkSpec {
   protected case class Segment(loaded: Seq[Loaded], evals: Seq[EvalCase],
                              ranges: Seq[RangeCase], fails: Seq[FailCase])
 
+  /** promqltest allows `at 0s`; PromQL durations are strictly positive. */
+  private def durOrZero(x: String): Long =
+    if (x == "0s" || x == "0") 0L else Parser.parseDuration(x)
+
   protected def parseSegments(text: String): Seq[Segment] = {
     val lines = text.linesIterator.map(_.stripTrailing()).filter(_.nonEmpty).toSeq
     var stepMs = 10000L
@@ -140,7 +144,7 @@ trait PromqlTestRunner extends SparkSpec {
       if (l.trim == "clear") { flush(); i += 1 }
       else if (l.startsWith("eval_fail instant at ")) {
         val rest = l.stripPrefix("eval_fail instant at ")
-        val at = Parser.parseDuration(rest.takeWhile(!_.isWhitespace))
+        val at = durOrZero(rest.takeWhile(!_.isWhitespace))
         val q = rest.dropWhile(!_.isWhitespace).trim
         var msg: Option[String] = None; var re: Option[String] = None
         i += 1
@@ -162,7 +166,7 @@ trait PromqlTestRunner extends SparkSpec {
         }
       } else if (l.startsWith("eval instant at ")) {
         val rest = l.stripPrefix("eval instant at ")
-        val at = Parser.parseDuration(rest.takeWhile(!_.isWhitespace))
+        val at = durOrZero(rest.takeWhile(!_.isWhitespace))
         val q = rest.dropWhile(!_.isWhitespace).trim
         val exp = scala.collection.mutable.ArrayBuffer[(Map[String, String], Double)]()
         val expH = scala.collection.mutable.ArrayBuffer[(Map[String, String], Hist)]()

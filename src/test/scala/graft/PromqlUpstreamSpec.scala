@@ -902,8 +902,27 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |eval instant at 30s count_over_time(metric[1000s])
       |  {} 3
       |
+      |eval instant at 30s count_over_time(metric[1s])
+      |  {} 1
+      |
       |eval range from 0s to 30s step 10s metric
       |  {__name__="metric"} 0 1 _ 2
+      |
+      |clear
+      |
+      |load 10s
+      |  metric 0
+      |
+      |eval instant at 0s metric
+      |  {__name__="metric"} 0
+      |
+      |eval instant at 150s metric
+      |  {__name__="metric"} 0
+      |
+      |eval instant at 299s metric
+      |  {__name__="metric"} 0
+      |
+      |eval instant at 300s metric
       |""".stripMargin
 
   /** testdata/selectors.test — fully-anchored regex matchers, the
@@ -2244,7 +2263,7 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
   test("upstream histograms.test tranche") { run("histograms", histogramsCorpus, 32) }
   test("upstream at_modifier.test tranche") { run("at_modifier", atModifierCorpus, 26) }
   test("upstream subquery.test tranche") { run("subquery", subqueryCorpus, 18) }
-  test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 8) }
+  test("upstream staleness.test tranche") { run("staleness", stalenessCorpus, 13) }
   test("upstream selectors.test tranche") { run("selectors", selectorsCorpus, 16) }
   test("upstream scalars + trig tranche") { run("scalars_trig", scalarsTrigCorpus, 28) }
   test("upstream name_label_dropping.test tranche (file the reference skips)") {
