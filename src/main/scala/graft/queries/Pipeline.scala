@@ -44,6 +44,30 @@ object Pipeline {
     VectorOps.dot(d, d)
   }
 
+  /** Nearest-centroid assignment as a map-side-combinable HASH AGGREGATE:
+    * `scored` is the corpus × broadcast-centroids explode carrying a score
+    * column `d` per (vec_id, cid); the best cid per vec_id is picked with
+    * max_by/min_by on a (d, cid) struct — the same (score, then lowest cid)
+    * tiebreak, and the same NaN placement, as the former row_number window,
+    * but partial aggregation collapses the k-way explode BEFORE the shuffle
+    * (k× fewer shuffled assignment rows, no sort). This is the stage that
+    * touches every corpus row, so it sets the IVF/SemDeDup/k-means scale
+    * shape. Measured at 1M vectors (PipelineScaleBench): ss_ivf_topk's
+    * wall/shuffle are unchanged — its cost lives in the candidate-fetch
+    * joins — but the assignment no longer contributes a corpus-sized sort,
+    * which is what matters when k grows past 16 toward real IVF cell
+    * counts (k=4096 would have sorted a 4096× explode). */
+  private def nearestCentroid(scored: org.apache.spark.sql.DataFrame,
+                              largest: Boolean,
+                              keep: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val best =
+      if (largest) max_by(col("cid"), struct(col("d"), (-col("cid")).as("t")))
+      else min_by(col("cid"), struct(col("d"), col("cid")))
+    scored.groupBy(col("vec_id"))
+      .agg(best.as("cell"), keep.map(c => first(col(c)).as(c)): _*)
+  }
+
   /** Product-quantization encode + ADC score, shared by ss_pq_topk /
     * ss_pq_recall: M=4 subspaces × 16 centroids (donor vectors 100..115),
     * per-subspace distances computed once for both the encoding argmin and
@@ -486,11 +510,11 @@ object Pipeline {
           t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("vn").as("vc"))
-        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
-        val asg = e.crossJoin(broadcast(cent))
-          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
-          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cid").as("cell"), col("vn"))
+        val asg = nearestCentroid(
+            e.crossJoin(broadcast(cent))
+              .withColumn("d", VectorOps.dot(col("vn"), col("vc"))),
+            largest = true, keep = Seq("vn"))
+          .select(col("vec_id"), col("cell"), col("vn"))
           .persist() // assignment feeds both self-join sides + the final projection
         val prior = asg.select(col("cell"), col("vec_id").as("prev_id"), col("vn").as("vb"))
         val mx = asg.select(col("cell"), col("vec_id"), col("vn").as("va"))
@@ -620,11 +644,11 @@ object Pipeline {
           .persist()
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("vn").as("vc"))
-        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
-        val asg = e.crossJoin(broadcast(cent))
-          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
-          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
+        val asg = nearestCentroid(
+            e.crossJoin(broadcast(cent))
+              .withColumn("d", VectorOps.dot(col("vn"), col("vc"))),
+            largest = true)
+          .select(col("vec_id"), col("cell"))
         val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cid"))
         val probe = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("vn").as("vq"))
@@ -689,12 +713,11 @@ object Pipeline {
           .persist()
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("vn").as("vc"))
-        val aw = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("cid"))
-        val asg = e.crossJoin(broadcast(cent))
-          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
-          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
+        val asg = nearestCentroid(
+            e.crossJoin(broadcast(cent))
+              .withColumn("d", VectorOps.dot(col("vn"), col("vc"))),
+            largest = true)
+          .select(col("vec_id"), col("cell"))
         val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cid"))
         val probe = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("vn").as("vq"))
@@ -821,11 +844,11 @@ object Pipeline {
           .persist() // corpus vectors feed assignment, probe, and the rerank
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("v").as("vc"))
-        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
-        val asg = e.crossJoin(broadcast(cent))
-          .withColumn("d", sqDist(col("v"), col("vc")))
-          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
+        val asg = nearestCentroid(
+            e.crossJoin(broadcast(cent))
+              .withColumn("d", sqDist(col("v"), col("vc"))),
+            largest = false)
+          .select(col("vec_id"), col("cell"))
         val pw = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
         val probe = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("v").as("vq"))
@@ -892,11 +915,11 @@ object Pipeline {
           .persist()
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"), col("vn").as("vc"))
-        val aw = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
-        val asg = e.crossJoin(broadcast(cent))
-          .withColumn("d", VectorOps.dot(col("vn"), col("vc")))
-          .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
-          .select(col("vec_id"), col("cid").as("cell"), col("vn"))
+        val asg = nearestCentroid(
+            e.crossJoin(broadcast(cent))
+              .withColumn("d", VectorOps.dot(col("vn"), col("vc"))),
+            largest = true, keep = Seq("vn"))
+          .select(col("vec_id"), col("cell"), col("vn"))
         asg.select(col("cell"), posexplode(col("vn")).as(Seq("dim", "x")))
           .groupBy(col("cell"), col("dim"))
           .agg(graft.functions.Det.dsum(col("x")).as("sum_x"), count(lit(1)).as("n"))
