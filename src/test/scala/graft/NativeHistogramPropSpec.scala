@@ -55,6 +55,39 @@ class NativeHistogramPropSpec extends SparkSpec {
     StructField("neg", bucketT),
     StructField("cb", ArrayType(DoubleType))))
 
+  test("merge add/sub invariants over 60 random histograms") {
+    // the machinery behind h+h / h-h binop arithmetic: doubling via the
+    // group merge must equal uniform scaling BIT-EXACTLY (c+c == 2c in
+    // IEEE), and subtracting a histogram from itself must compact to the
+    // zero histogram (a-a == 0 exactly; empty buckets pruned like
+    // FloatHistogram.Compact)
+    val hs = gen(7)
+    def row(i: Int, h: H, f: Double) =
+      Row(i, Row(h.cnt * f, h.cnt * 1.5 * f, h.sch, ZT, h.zcnt * f,
+        h.pos.map { case (x, c) => Row(x, c * f) },
+        h.neg.map { case (x, c) => Row(x, c * f) }, null))
+    val schema = StructType(Seq(StructField("id", IntegerType), StructField("h", hT)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+
+    val doubled = graft.promql.NativeHistograms.merge(
+        df(hs.zipWithIndex.flatMap { case (h, i) => Seq(row(i, h, 1.0), row(i, h, 1.0)) }),
+        Seq("id")).orderBy(col("id")).collect().toSeq
+    val scaled = df(hs.zipWithIndex.map { case (h, i) => row(i, h, 2.0) })
+      .orderBy(col("id")).collect().toSeq
+    assert(doubled == scaled, "merge-of-two != scale-by-2")
+
+    val cancelled = graft.promql.NativeHistograms.merge(
+        df(hs.zipWithIndex.flatMap { case (h, i) => Seq(row(i, h, 1.0), row(i, h, -1.0)) }),
+        Seq("id")).orderBy(col("id")).collect().toSeq
+    cancelled.foreach { r =>
+      val h = r.getStruct(1)
+      assert(h.getDouble(0) == 0.0 && h.getDouble(1) == 0.0 &&
+        h.getDouble(4) == 0.0 && h.getSeq[Row](5).isEmpty && h.getSeq[Row](6).isEmpty,
+        s"h - h did not compact to zero: $h")
+    }
+  }
+
   test("quantile/fraction invariants over 60 random histograms") {
     val hs = gen(42)
     val rows = hs.zipWithIndex.map { case (h, i) =>
