@@ -357,18 +357,28 @@ object ReferenceFormat {
     var off = 0
     def uv(): Long = {
       var v = 0L; var shift = 0; var x = 0L
-      do { x = bytes(off).toLong & 0xFF; off += 1; v |= (x & 0x7F) << shift; shift += 7 }
-      while ((x & 0x80) != 0)
+      do {
+        require(off < bytes.length, s"truncated stream.pb varint at $off")
+        x = bytes(off).toLong & 0xFF; off += 1; v |= (x & 0x7F) << shift; shift += 7
+      } while ((x & 0x80) != 0)
       v
+    }
+    // every length field is untrusted until bounds-checked: a flipped bit
+    // must become a clean corruption error, not an out-of-bounds access
+    def boundedLen(what: String): Int = {
+      val len = uv()
+      require(len >= 0 && off + len <= bytes.length,
+        s"corrupt stream.pb: $what claims $len bytes at $off (${bytes.length} total)")
+      len.toInt
     }
     val out = Map.newBuilder[String, String]
     while (off < bytes.length) {
       val tag = uv()
       require(tag == 0x0A, s"unexpected stream.pb tag $tag")
-      val end = { val len = uv().toInt; off + len }
+      val end = off + boundedLen("entry")
       var k = ""; var v = ""
       while (off < end) {
-        val t = uv(); val len = uv().toInt
+        val t = uv(); val len = boundedLen("field")
         val s = new String(bytes, off, len, "UTF-8"); off += len
         if (t == 0x0A) k = s else if (t == 0x12) v = s
       }

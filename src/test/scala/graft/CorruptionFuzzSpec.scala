@@ -177,6 +177,32 @@ class CorruptionFuzzSpec extends AnyFunSuite {
     assert(errs > 200, s"mutations barely bit ($errs/400)")
   }
 
+  test("stream.pb parse: 400 mutations fail cleanly or return the exact map") {
+    val lbls = Map("cluster" -> "fuzz", "replica" -> "r-0", "env" -> "prod")
+    val bytes = graft.etl.ReferenceFormat.streamProto(lbls)
+    assert(graft.etl.ReferenceFormat.parseStreamProto(bytes) == lbls)
+    var errs = 0; var benign = 0
+    for (i <- 1 to 400) {
+      val m = mutate(bytes)
+      try {
+        val got = graft.etl.ReferenceFormat.parseStreamProto(m)
+        // a flipped bit INSIDE a value's utf8 payload parses to a different
+        // string — unprotected by design (the layout has no checksum; the
+        // object store's integrity layer owns it). What must never happen:
+        // a crash class or an out-of-bounds access dressed as success.
+        benign += 1
+        assert(got.size <= lbls.size + 1, s"mutation #$i: phantom entries $got")
+      } catch {
+        case t: Throwable =>
+          assert(!pathological(t), s"mutation #$i: crash class ${t.getClass}")
+          assert(t.isInstanceOf[IllegalArgumentException],
+            s"mutation #$i: uncontrolled error ${t.getClass}: ${t.getMessage}")
+          errs += 1
+      }
+    }
+    info(s"stream.pb lane: $errs clean errors, $benign tolerated parses")
+  }
+
   test("raw frame decoders: 1500 mutations terminate with bounded allocations") {
     val (_, seg, golden) = fixture
     // a multi-frame cell exactly as the reference-layout parquet stores it:
