@@ -494,6 +494,43 @@ object Pipeline {
         "AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2 " +
         s"WHERE ${VectorOps.dotSql("a.vn", "b.vn")} >= 0.35e0 ORDER BY id1, id2")),
 
+    // The SCALE variant of the blocked near-dup above, with both knobs
+    // turned for million-to-billion-row corpora (PipelineScaleBench: 27
+    // candidates/vector at 1M): a 24-plane signature shrinks the candidate
+    // set ~301·n²/2²⁴, and the probe explode ships bare (id, probe) pairs —
+    // vectors are fetched per-CANDIDATE afterwards (the dd_minhash_lsh
+    // verify shape), so the 301× explode shuffles 16-byte rows, never
+    // 512-byte vectors. A pair collides on exactly one probe (see
+    // VectorOps.probeMasks), so no dedup pass; the oracle states the same
+    // semantics directly as a ≤2-bit Hamming predicate over 24-bit buckets.
+    Q("dd_embed_cosine_wide",
+      t => {
+        val e = VectorOps.withNormalized(
+          t.embeddings.select(col("vec_id"), VectorOps.vec(col("embedding")).as("v")))
+          .withColumn("bucket", VectorOps.lshBucket(col("v"), 64, 24))
+          .select(col("vec_id"), col("vn"), col("bucket"))
+          .persist() // probe sides + both candidate fetches read this
+        val masks = VectorOps.probeMasks(24, 2)
+        val a = e.select(col("vec_id").as("id1"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+        val b = e.select(col("vec_id").as("id2"), col("bucket").as("probe"))
+        a.join(b, Seq("probe")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"))
+          .join(e.select(col("vec_id").as("id1"), col("vn").as("va")), "id1")
+          .join(e.select(col("vec_id").as("id2"), col("vn").as("vb")), "id2")
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")))
+          .filter(col("cos") >= 0.35e0)
+          .select(col("id1"), col("id2"), col("cos"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"e AS (SELECT vec_id, ${VectorOps.normalizedSql("v")} AS vn, " +
+        s"${VectorOps.lshBucketSql("v", 64, 24)} AS bucket FROM raw) " +
+        s"SELECT a.vec_id AS id1, b.vec_id AS id2, ${VectorOps.dotSql("a.vn", "b.vn")} AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 2 " +
+        s"WHERE ${VectorOps.dotSql("a.vn", "b.vn")} >= 0.35e0 ORDER BY id1, id2")),
+
     // ----------------------------------------------- dedup: semantic (SemDeDup)
     // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
     // near-dup only WITHIN each cluster — the trick that turns O(n²) semantic
