@@ -181,6 +181,7 @@ object PipelineScaleBench {
         failures += s"dd_minhash_lsh found too few planted dups: $minhashRows"
     }
     if (phase("dd_cluster")) timed("dd_cluster")(q("dd_cluster", dirB))
+    if (phase("dd_cluster_wide")) timed("dd_cluster_wide")(q("dd_cluster_wide", dirB))
     if (phase("ss_ivf_topk")) timed("ss_ivf_topk")(q("ss_ivf_topk", dirA))
     if (phase("dd_embed_cosine_8bit_small"))
       timed("dd_embed_cosine_8bit_small")(q("dd_embed_cosine", dirB))

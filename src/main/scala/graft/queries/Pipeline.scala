@@ -146,8 +146,8 @@ object Pipeline {
     * work spreads over 12×16 finer buckets. At extreme scale the remaining
     * lever is a hot-bucket posting-list cap (as in dd_ngram_jaccard).
     * A pair colliding in several bands appears once per band → distinct. */
-  private def simhashBandPairs(sig: org.apache.spark.sql.DataFrame) = {
-    val bands = 12; val w = 4
+  private def simhashBandPairs(sig: org.apache.spark.sql.DataFrame,
+                               bands: Int = 12, w: Int = 4) = {
     def bandKeys(h: org.apache.spark.sql.Column) =
       (0 until bands).map(j => shiftright(h, j * w).bitwiseAND(lit((1L << w) - 1)))
     val banded = sig.select(col("lang"), col("source"), col("doc_id"), col("simhash"),
@@ -371,6 +371,36 @@ object Pipeline {
         "pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sg a JOIN sg b " +
         "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 10), " +
+        "ed AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS is_canonical " +
+        "FROM reach GROUP BY id ORDER BY doc_id")),
+
+    // The SCALE variant of dd_cluster: 2 bands × 24 bits over the 48-bit
+    // simhash — exact for Hamming ≤ 1 (pigeonhole: 2 bands > 1 differing
+    // bit), the near-identical clustering bar production simhash dedup runs
+    // at corpus scale. Candidate pairs fall from ~n²/32 per block (the
+    // 12×4-bit dist≤10-exact shape above — 807 s at 1M docs,
+    // PipelineScaleBench) to ~2·n²/2²⁴ random collisions; a dist>1 pair
+    // that happens to collide on one band is removed by the exact
+    // post-filter, so the result is exactly the dist≤1 clustering.
+    Q("dd_cluster_wide",
+      t => {
+        val pairs = simhashBandPairs(simhashSig(t), bands = 2, w = 24)
+          .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 1)
+          .select(col("id1").as("src"), col("id2").as("dst"))
+        GraphOps.connectedComponents(
+            t.documents.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("root").as("cluster"))
+          .withColumn("is_canonical", col("doc_id") === col("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH RECURSIVE ${TextOps.simhashSql}, " +
+        "sg AS (SELECT d.doc_id, d.lang, d.source, sim.simhash FROM documents d JOIN sim ON d.doc_id = sim.doc_id), " +
+        "pr AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sg a JOIN sg b " +
+        "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 1), " +
         "ed AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr), " +
         "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.dst, reach.r FROM reach JOIN ed e ON e.src = reach.id) " +
