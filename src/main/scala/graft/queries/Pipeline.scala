@@ -136,30 +136,64 @@ object Pipeline {
         graft.functions.SimHash48(split(lower(trim(col("text"))), "\\s+")).as("simhash"))
       .persist() // both sides of the band join read this
 
-  /** Candidate pairs for Hamming-distance ≤ 10 near-dup, by LSH banding:
-    * split the 48-bit simhash into 12 bands of 4 bits — any pair within
-    * distance 10 < 12 differs in at most 10 bands, so (pigeonhole) agrees on
-    * at least one FULL band and collides in that band's equi-join. Exact
-    * superset of the former (lang,source) block cross-join's qualifying pairs,
-    * but the join key space is (lang, source, band, 4 bits): a dominant block
-    * (en/web ≈ whole corpus) no longer degenerates to all-pairs on one task —
-    * work spreads over 12×16 finer buckets. At extreme scale the remaining
-    * lever is a hot-bucket posting-list cap (as in dd_ngram_jaccard).
-    * A pair colliding in several bands appears once per band → distinct. */
+  /** Candidate pairs for Hamming-distance ≤ `maxDist` near-dup, by LSH
+    * banding: split the 48-bit simhash into 12 bands of 4 bits — any pair
+    * within distance 10 < 12 differs in at most 10 bands, so (pigeonhole)
+    * agrees on at least one FULL band and collides in that band's equi-join.
+    * Exact superset of the former (lang,source) block cross-join's qualifying
+    * pairs, but the join key space is (lang, source, band, 4 bits): a dominant
+    * block (en/web ≈ whole corpus) no longer degenerates to all-pairs on one
+    * task — work spreads over 12×16 finer buckets.
+    *
+    * The Hamming check runs INSIDE the bucket, before any exchange of pair
+    * rows: each (lang, source, band, bkey) bucket is grouped once and
+    * [[graft.functions.HammingNearPairs]] emits only qualifying pairs from a
+    * generated xor+popcount loop. The former formulation — bucket SELF-JOIN,
+    * then `bit_count <= maxDist` — enumerated every random band collision
+    * (~4·n²/2¹⁶, the floor that made the registered dd_cluster take 807 s at
+    * 1M docs in r20's PipelineScaleBench) as a materialized SortMergeJoin
+    * row; callers then re-filtered the same Hamming bound AFTER the
+    * distinct, so collisions also rode the distinct's exchange. Pair set is
+    * unchanged (see HammingNearPairs' exactness note; distinct∘filter ≡
+    * filter∘distinct for a row-value predicate). A pair colliding in several
+    * bands is emitted once per band → distinct (over near-dup pairs only).
+    * Returns (id1, id2, dist) with id1 < id2. */
   private def simhashBandPairs(sig: org.apache.spark.sql.DataFrame,
+                               maxDist: Int,
                                bands: Int = 12, w: Int = 4) = {
     def bandKeys(h: org.apache.spark.sql.Column) =
       (0 until bands).map(j => shiftright(h, j * w).bitwiseAND(lit((1L << w) - 1)))
     val banded = sig.select(col("lang"), col("source"), col("doc_id"), col("simhash"),
       posexplode(array(bandKeys(col("simhash")): _*)).as(Seq("band", "bkey")))
-    val a = banded.select(col("lang"), col("source"), col("band"), col("bkey"),
-      col("doc_id").as("id1"), col("simhash").as("h1"))
-    val b = banded.select(col("lang"), col("source"), col("band"), col("bkey"),
-      col("doc_id").as("id2"), col("simhash").as("h2"))
-    a.join(b, Seq("lang", "source", "band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("h1"), col("h2"))
-      .distinct()
+    val pairs =
+      if (w <= 8) {
+        // coarse bands (few, HUGE buckets — the 12×4-bit dist≤10 shape):
+        // group each bucket once and run the generated pair loop
+        banded
+          .groupBy(col("lang"), col("source"), col("band"), col("bkey"))
+          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("__graft_ms"))
+          .select(explode(graft.functions.HammingNearPairs(col("__graft_ms"), maxDist))
+            .as("__graft_p"))
+          .select(col("__graft_p.id1").as("id1"), col("__graft_p.id2").as("id2"),
+            col("__graft_p.dist").as("dist"))
+      } else {
+        // wide bands (2^w-sized key space — the 2×24-bit dist≤1 shape):
+        // buckets hold ~1 member each, so there is no enumeration blow-up to
+        // short-circuit and the equi-join (which AQE broadcasts when the
+        // banded side is small, zero exchanges) beats grouping millions of
+        // 1-element buckets through collect_list's sort-based fallback —
+        // measured 5.6 s vs 31.7 s at 1M docs (OPTIMIZATION_r21.md)
+        val a = banded.select(col("lang"), col("source"), col("band"), col("bkey"),
+          col("doc_id").as("id1"), col("simhash").as("h1"))
+        val b = banded.select(col("lang"), col("source"), col("band"), col("bkey"),
+          col("doc_id").as("id2"), col("simhash").as("h2"))
+        a.join(b, Seq("lang", "source", "band", "bkey"))
+          .filter(col("id1") < col("id2") &&
+            bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxDist)
+          .select(col("id1"), col("id2"),
+            bit_count(col("h1").bitwiseXOR(col("h2"))).as("dist"))
+      }
+    pairs.distinct()
   }
 
   def entries: Seq[Q] = Seq(
@@ -273,11 +307,31 @@ object Pipeline {
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
-        val j = TextOps.jaccard(col("s1"), col("s2"))
-        cands
-          .join(sets.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
-          .join(sets.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
-          .withColumn("jacc", j).filter(col("jacc") >= 0.5e0)
+        // candidates-then-fetch, heavy bytes move ONCE: the former two
+        // shuffle joins re-shuffled the WHOLE hashed-shingle table per side
+        // (5.6 GB at 5M docs, r20 PipelineScaleBench). Candidate pairs are
+        // tiny (~0.05/doc), so unpivot them to (doc_id, id1, id2, side) and
+        // BROADCAST that against the persisted sets — the shingle table is
+        // never exchanged; only the ~2 rows/pair that matched ship into the
+        // per-pair regroup. Inner-join/group equivalence: both candidate ids
+        // come from `bands` ⊆ `sets`, so every pair gets exactly one row per
+        // side and exactly one group — the same (id1, id2, s1, s2) rows the
+        // two-join form produced.
+        val sides = cands.select(col("id1"), col("id2"),
+          explode(array(
+            struct(col("id1").as("doc_id"), lit(1).as("side")),
+            struct(col("id2").as("doc_id"), lit(2).as("side")))).as("s"))
+          .select(col("s.doc_id").as("doc_id"), col("id1"), col("id2"),
+            col("s.side").as("side"))
+        val pairs = sets.join(broadcast(sides), Seq("doc_id"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("s1"),
+            first(when(col("side") === 2, col("hs")), ignoreNulls = true).as("s2"))
+        pairs
+          .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+          .withColumn("jacc", col("inter").cast("double") /
+            (size(col("s1")) + size(col("s2")) - col("inter")))
+          .filter(col("jacc") >= 0.5e0)
           .select(col("id1"), col("id2"), col("jacc"))
           .orderBy(col("id1"), col("id2"))
       },
@@ -337,9 +391,7 @@ object Pipeline {
 
     Q("dd_simhash_pairs",  // Hamming-banded near-dup candidates (exact result)
       t => {
-        simhashBandPairs(simhashSig(t))
-          .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))))
-          .filter(col("dist") <= 10)
+        simhashBandPairs(simhashSig(t), maxDist = 10)
           .select(col("id1"), col("id2"), col("dist"))
           .orderBy(col("id1"), col("id2"))
       },
@@ -357,8 +409,7 @@ object Pipeline {
     // DuckDB oracle computes the same fixpoint with a recursive CTE.
     Q("dd_cluster",
       t => {
-        val pairs = simhashBandPairs(simhashSig(t))
-          .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 10)
+        val pairs = simhashBandPairs(simhashSig(t), maxDist = 10)
           .select(col("id1").as("src"), col("id2").as("dst"))
         GraphOps.connectedComponents(
             t.documents.select(col("doc_id").as("id")), pairs)
@@ -387,8 +438,7 @@ object Pipeline {
     // post-filter, so the result is exactly the dist≤1 clustering.
     Q("dd_cluster_wide",
       t => {
-        val pairs = simhashBandPairs(simhashSig(t), bands = 2, w = 24)
-          .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 1)
+        val pairs = simhashBandPairs(simhashSig(t), maxDist = 1, bands = 2, w = 24)
           .select(col("id1").as("src"), col("id2").as("dst"))
         GraphOps.connectedComponents(
             t.documents.select(col("doc_id").as("id")), pairs)
@@ -415,8 +465,7 @@ object Pipeline {
     // through as keep=true.
     Q("dd_keep_best",
       t => {
-        val pairs = simhashBandPairs(simhashSig(t))
-          .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 10)
+        val pairs = simhashBandPairs(simhashSig(t), maxDist = 10)
           .select(col("id1").as("src"), col("id2").as("dst"))
         val clusters = GraphOps.connectedComponents(
             t.documents.select(col("doc_id").as("id")), pairs)
