@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the reference's hand-rolled page IO (search/constraint.go, locate/bucket.go).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = Tables.rel(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -26,6 +26,19 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Resolved-relation cache: one `spark.read.parquet` per (session, path)
+    * per JVM — the catalog role a metastore plays in production. Resolving a
+    * parquet relation costs a file listing + footer schema read
+    * (~0.1–0.5 s of driver work); a 138-query sweep re-paid it per query
+    * per table. Only METADATA (file list + schema) is memoized: every
+    * action still scans the parquet files — no rows, results or
+    * intermediates are cached, so bench/oracle runs compute from the
+    * inputs exactly as before (the data dirs are read-only fixtures). */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def rel(spark: SparkSession, path: String): DataFrame =
+    relCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+
   /** Normalize an events-shaped `ts` column to TimestampType (LTZ) whatever
     * physical form the driver wrote this round — the single copy both the
     * batch catalog and the streaming source go through:
