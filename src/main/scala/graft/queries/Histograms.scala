@@ -84,14 +84,23 @@ object Histograms {
       col("event_type").as("evt"),
       (tsMs - pmod(tsMs, lit(HOUR))).as("hr"),
       round(col("value") * 100.0).cast("long").as("obs"))
-    val idx = when(col("obs") === 1L, 0)
+    // one events scan for BOTH aggregates (r21): group once at (evt, hr,
+    // idx) grain — zero/negative observations fold into idx −1 — then pb
+    // filters the positive buckets and hs re-aggregates the tiny grouped
+    // frame to (evt, hr). The former two sibling aggregations each scanned
+    // and shuffled the events table; integer sums re-associate exactly.
+    val idx = when(col("obs") === 0L, -1)
+      .when(col("obs") < 0L, -2) // negatives: counted in cnt/usum, never zc
+      .when(col("obs") === 1L, 0)
       .otherwise(length(conv((col("obs") - 1L).cast("string"), 10, 2))).cast("int")
-    val pb = e.filter(col("obs") > 0L)
-      .groupBy(col("evt"), col("hr"), idx.as("idx"))
-      .agg(count(lit(1)).as("c"))
-    val hs = e.groupBy(col("evt"), col("hr")).agg(
-      count(lit(1)).as("cnt"), sum(col("obs")).as("usum"),
-      sum(when(col("obs") === 0L, 1L).otherwise(0L)).as("zc"))
+    val g = e.groupBy(col("evt"), col("hr"), idx.as("idx"))
+      .agg(count(lit(1)).as("c"), sum(col("obs")).as("s"))
+      .persist() // two consumers; grouped frame is (evt × hr × ~12 idx) tiny
+    val pb = g.filter(col("idx") >= 0)
+      .select(col("evt"), col("hr"), col("idx"), col("c"))
+    val hs = g.groupBy(col("evt"), col("hr")).agg(
+      sum(col("c")).as("cnt"), sum(col("s")).as("usum"),
+      sum(when(col("idx") === -1, col("c")).otherwise(0L)).as("zc"))
     val wHr = Window.partitionBy(col("evt")).orderBy(col("hr"))
     val cumScal = hs.select(col("evt"), col("hr"),
       sum(col("cnt")).over(wHr).as("ccnt"),

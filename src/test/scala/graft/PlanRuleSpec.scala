@@ -123,14 +123,18 @@ class PlanRuleSpec extends SparkSpec {
     val ann = Registry.all.find(_.name == "ss_brute_topk").get
       .fn(spark, sf()).queryExecution.executedPlan.toString
     assert(ann.contains("BroadcastNestedLoopJoin") || ann.contains("BroadcastHashJoin"), ann.take(2000))
-    // near-dup pair generation must be a hash join on blocking keys — an
-    // all-pairs BroadcastNestedLoopJoin would be O(n²) at any scale
+    // near-dup pair generation must stay blocked — an all-pairs
+    // BroadcastNestedLoopJoin would be O(n²) at any scale. dd_embed_cosine
+    // blocks via the probe equi-join; dd_simhash_pairs (r21) generates pairs
+    // INSIDE each grouped band bucket via the codegen'd hamming_near_pairs
+    // loop — no join at all.
     Seq("dd_embed_cosine", "dd_simhash_pairs").foreach { qn =>
       val p = Registry.all.find(_.name == qn).get
         .fn(spark, sf()).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$qn:\n${p.take(2000)}")
       assert(!p.contains("CartesianProduct"), s"$qn:\n${p.take(2000)}")
-      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"$qn:\n${p.take(2000)}")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("hamming_near_pairs"), s"$qn:\n${p.take(2000)}")
     }
     // corpus-hygiene plans: the benchmark shingle set and the unigram vocab
     // are the SMALL sides — both must broadcast, never shuffle the corpus.
