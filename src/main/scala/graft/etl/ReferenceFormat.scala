@@ -359,15 +359,20 @@ object ReferenceFormat {
       var v = 0L; var shift = 0; var x = 0L
       do {
         require(off < bytes.length, s"truncated stream.pb varint at $off")
+        // shift cap: a ≥10-byte varint would wrap `<< shift` (shift mod 64)
+        // and could assemble a value that defeats the bounds check below
+        require(shift < 64, s"corrupt stream.pb: oversized varint at $off")
         x = bytes(off).toLong & 0xFF; off += 1; v |= (x & 0x7F) << shift; shift += 7
       } while ((x & 0x80) != 0)
       v
     }
     // every length field is untrusted until bounds-checked: a flipped bit
-    // must become a clean corruption error, not an out-of-bounds access
+    // must become a clean corruption error, not an out-of-bounds access.
+    // Overflow-safe form: `off + len` wraps negative for a near-MaxLong
+    // varint and would pass `<= bytes.length` (ADVICE r20 #3)
     def boundedLen(what: String): Int = {
       val len = uv()
-      require(len >= 0 && off + len <= bytes.length,
+      require(len >= 0 && len <= bytes.length - off,
         s"corrupt stream.pb: $what claims $len bytes at $off (${bytes.length} total)")
       len.toInt
     }

@@ -265,7 +265,10 @@ object TsdbBlock {
     // the len field is read BEFORE its CRC can vouch for it — bound it
     // against the buffer before indexing, or a flipped bit turns into an
     // arbitrary out-of-bounds access instead of a clean corruption error
-    require(len >= 0 && contentStart + len + 4 <= buf.length,
+    // overflow-safe form: `contentStart + len + 4 <= buf.length` wraps
+    // negative for an adversarial near-MaxInt len and would pass — subtract
+    // on the known-small side instead (ADVICE r20 #3)
+    require(len >= 0 && len <= buf.length - contentStart - 4,
       s"truncated/corrupt series entry at offset $absPos " +
         s"(claims $len bytes, ${buf.length - contentStart} available)")
     require(be32(buf, contentStart + len) == crc32c(buf, contentStart, len),
@@ -720,8 +723,11 @@ object TsdbBlock {
     }
     // dataLen comes from an UNCHECKSUMMED varint (the CRC covers enc+data,
     // not the length): bound it against the file before allocating, or a
-    // flipped bit becomes a negative/multi-GB allocation instead of an error
-    require(dataLen >= 0 && offset + w + 1 + dataLen + 4 <= fileLen,
+    // flipped bit becomes a negative/multi-GB allocation instead of an
+    // error. Overflow-safe form: `offset + w + 1 + dataLen + 4` wraps
+    // negative for a huge 8-byte varint and would pass the `<= fileLen`
+    // comparison — keep the untrusted value alone on one side (ADVICE r20 #3)
+    require(dataLen >= 0 && dataLen <= fileLen - offset - w - 5,
       s"corrupt chunk length $dataLen at offset $offset (segment is $fileLen bytes)")
     val body = new Array[Byte]((1 + dataLen + 4).toInt) // enc + data + crc
     readAt(offset + w, body, body.length)

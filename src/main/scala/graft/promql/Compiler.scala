@@ -47,7 +47,16 @@ object Compiler {
                          * `--enable-feature=promql-experimental-functions`
                          * flag: off by default, and the function errors
                          * loudly rather than silently differing. */
-                       experimentalFunctions: Boolean = false) {
+                       experimentalFunctions: Boolean = false,
+                       /** The UNFILTERED samples frame, set when `samples`
+                         * has been restricted to one sample type at the
+                         * serving boundary (float/histogram split). Scalar
+                         * subexpressions inside histogram arithmetic —
+                         * `h * scalar(float_metric)` — must evaluate over
+                         * the full frame: under the histogram-side filter
+                         * the float metric has zero rows and the parameter
+                         * silently becomes NaN (ADVICE r20 #1). */
+                       fullSamples: Option[DataFrame] = None) {
     def nSteps: Long = (endMs - startMs) / stepMs
     /** Top-level query bounds: what `@ start()` / `@ end()` resolve to —
       * stable under the offset / subquery grid rewrites that shift
@@ -232,9 +241,11 @@ object Compiler {
       // in the model), so nested-schema pruning reads one double instead of
       // the whole bucket struct; the hist side reads `h` regardless
       val fDf = compile(e,
-        ctx.copy(samples = ctx.samples.filter(col("h").getField("cnt").isNull)))
+        ctx.copy(samples = ctx.samples.filter(col("h").getField("cnt").isNull),
+          fullSamples = Some(ctx.samples)))
       val hDf = histSelector(e,
-          ctx.copy(samples = ctx.samples.filter(col("h").isNotNull)), "query")
+          ctx.copy(samples = ctx.samples.filter(col("h").isNotNull),
+            fullSamples = Some(ctx.samples)), "query")
         .filter(col("__graft_h").isNotNull)
         .withColumn("value", lit(1.0)) // serving placeholder; __graft_h is the result
       val keyCols = (fDf.columns.toSet intersect hDf.columns.toSet)
@@ -1065,7 +1076,13 @@ object Compiler {
            (op == "*" && isScalarExpr(lEx) && isHistArg(rEx))) =>
       val (hEx, sEx) = if (isScalarExpr(rEx)) (lEx, rEx) else (rEx, lEx)
       val h = dropName(histSelector(hEx, ctx, fn))
-      val s = compile(sEx, ctx).select(col("step_ms"), col("value").as("__graft_s"))
+      // data-dependent scalar params (scalar(float_metric)) evaluate over
+      // the UNFILTERED frame: at the serving boundary this ctx's samples
+      // are restricted to histogram rows, under which the float metric has
+      // zero rows and the factor would silently be NaN (ADVICE r20 #1)
+      val sCtx = ctx.copy(samples = ctx.fullSamples.getOrElse(ctx.samples),
+        fullSamples = None)
+      val s = compile(sEx, sCtx).select(col("step_ms"), col("value").as("__graft_s"))
       val factor = if (op == "*") col("__graft_s") else lit(1.0) / col("__graft_s")
       h.join(s, Seq("step_ms"))
         .withColumn("__graft_h", NativeHistograms.scale(col("__graft_h"), factor))
@@ -1325,6 +1342,13 @@ object Compiler {
     case Subquery(inner, _, _, _, _) => stashedNames(inner)
     case BinOp(_, l, r, _, _) =>
       for (s1 <- stashedNames(l); s2 <- stashedNames(r)) yield s1 ++ s2
+    // passthrough aggregations keep their input rows' stash column intact
+    // (topk/bottomk/limitk/limit_ratio select rows, they don't re-key), so
+    // the bound is the child's; value-aggregating ops drop the stash
+    // (ADVICE r20 #2: `topk(3, abs({__name__=~"a|b"})) + rhs` must not skip
+    // the duplicate guard)
+    case Agg("topk" | "bottomk" | "limitk" | "limit_ratio", _, _, inner) =>
+      stashedNames(inner)
     case _: Agg => Some(Set.empty) // aggregation output carries no stash
     case _ => Some(Set.empty) // literals carry no stash
   }

@@ -468,6 +468,17 @@ class PromqlSpec extends SparkSpec {
     val plan = hot.queryExecution.optimizedPlan.toString
     assert(!plan.contains("__graft_c") && !plan.contains("__graft_rc"))
     hot.collect()
+    // passthrough aggregations (topk/bottomk/limitk/limit_ratio) keep the
+    // child's stash rows intact, so the skip must use the CHILD's stash
+    // bound — upstream raises duplicate-series here too (ADVICE r20 #2)
+    val topkDup = Compiler.compile(Parser.parse(
+      """topk(3, abs({__name__=~"m1|m2"})) + {__name__="rhs"}"""), ctx)
+    val e3 = intercept[Exception](topkDup.collect())
+    assert(msgs(e3).exists(m => m != null && m.contains("duplicate series")))
+    // stash-dropping aggregations stay statically safe (sum re-keys rows)
+    Compiler.compile(Parser.parse(
+      """sum by (job) (abs({__name__=~"m1|m2"})) + {__name__="rhs"}"""), ctx)
+      .collect()
   }
 
   test("topk/quantile accept data-dependent scalar(...) parameters per step") {

@@ -1468,6 +1468,25 @@ class PromqlUpstreamSpec extends PromqlTestRunner {
       |
       |clear
       |
+      |# data-dependent scalar factor: scalar(float_metric) must evaluate
+      |# over the FULL frame, not the histogram-filtered serving split —
+      |# under the filter fs has zero rows and the factor silently became
+      |# NaN (ADVICE r20 #1)
+      |load 5m
+      |  hs1 {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
+      |  fs1 3
+      |
+      |eval instant at 1m hs1 * scalar(fs1)
+      |  {} {{schema:0 count:12 sum:15 buckets:[3 6 3]}}
+      |
+      |eval instant at 1m scalar(fs1) * hs1
+      |  {} {{schema:0 count:12 sum:15 buckets:[3 6 3]}}
+      |
+      |eval instant at 1m hs1 / scalar(fs1 - 1)
+      |  {} {{schema:0 count:2 sum:2.5 buckets:[0.5 1 0.5]}}
+      |
+      |clear
+      |
       |load 5m
       |  hm{l="a"} {{schema:0 count:4 sum:5 buckets:[1 2 1]}}
       |  hm{l="b"} {{schema:1 count:3 sum:4 buckets:[1 1 1]}}
