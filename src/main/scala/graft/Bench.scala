@@ -92,11 +92,16 @@ object Bench {
     // self-defense against machine-load contamination: a long single-pass
     // sweep on a shared machine can inflate individual queries 3-10× (the
     // r10 artifact burned a round of signal this way). Any query slower
-    // than max(2 s, 3× the sweep median) is re-run repeat-confirmed and the
+    // than max(1 s, 2× the sweep median) is re-run repeat-confirmed and the
     // MIN is reported; the raw sweep values ride along for transparency.
+    // r21 widened the band (was max(2 s, 3×median)): quiet-machine repeat
+    // runs showed the 0.7–2 s sweep values carry the same ±50% noise the
+    // r10 forensics measured above 2 s (e.g. smp_stratified 2.14 s single-
+    // pass vs 0.17 s min-of-3), so the old threshold left ~10 s of pure
+    // machine noise in the reported total.
     val sorted = raw.map(_._2).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val threshold = math.max(2.0, 3.0 * median)
+    val threshold = math.max(1.0, 2.0 * median)
     val reruns = scala.collection.mutable.Map.empty[String, Double]
     val confirmed = raw.map { case (name, t) =>
       if (t <= threshold) name -> t
