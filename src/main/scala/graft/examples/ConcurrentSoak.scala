@@ -286,6 +286,10 @@ object ConcurrentSoak {
     var curShapes = Map.empty[String, Seq[Double]]
     var curWall = 0.0; var curErrs = 0L
     val curCycles = new java.util.concurrent.atomic.AtomicLong()
+    // r20 VERDICT order #3 / r21 #8: curation failures must be COUNTED, not
+    // swallowed — a soak whose curation thread silently errored every cycle
+    // would otherwise report a clean phase 4
+    val curFails = new java.util.concurrent.atomic.AtomicLong()
     @volatile var curStop = false
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val haveDocs = java.nio.file.Files.exists(
@@ -296,7 +300,10 @@ object ConcurrentSoak {
         while (!curStop) curationQs.foreach { q =>
           if (!curStop) {
             try { graft.SparkEntry.queries(q)(spark, sfDir).count(); () }
-            catch { case _: Exception => () }
+            catch { case e: Exception =>
+              curFails.incrementAndGet()
+              System.err.println(s"[soak] curation $q failed: ${e.toString.take(200)}")
+            }
             spark.catalog.clearCache() // registry persist() hygiene
             curCycles.incrementAndGet()
           }
@@ -331,10 +338,15 @@ object ConcurrentSoak {
         s""""phase":${phaseJson(openShapes, openWall, openErrs)}}""" +
         (if (curShapes.isEmpty) ""
          else s""","with_curation":{"cycles":${curCycles.get()},""" +
+           s""""cur_errors":${curFails.get()},""" +
            s""""phase":${phaseJson(curShapes, curWall, curErrs)}}""")
     println(s"""{"metric":"concurrent_soak","unit":"sec","threads":$threads,""" +
       s""""iters":$iters,"series":$nSeries,""" +
       s""""queries_only":${phaseJson(baseShapes, baseWall, baseErrs)}$mixJson}""")
     spark.stop()
+    if (curFails.get() > 0) {
+      System.err.println(s"[soak] FAIL: ${curFails.get()} curation errors in phase 4")
+      sys.exit(1)
+    }
   }
 }

@@ -68,13 +68,14 @@ object Profile {
       val plan = df.queryExecution.executedPlan // force analysis+optimize+plan
       val t2 = System.nanoTime()
       val n = df.count()
-      val dt = (System.nanoTime() - t0) / 1e9
+      val t3 = System.nanoTime() // end-of-exec BEFORE cache clear (r21 ADVICE)
+      val dt = (t3 - t0) / 1e9
       spark.catalog.clearCache()
       Thread.sleep(200)
       val js = listener.jobs.values.toArray(Array.empty[listener.J]).sortBy(_.id).toSeq
       println(f"PROFILE $name run $r: $n rows in $dt%.3f s " +
         f"(construct ${(t1 - t0) / 1e9}%.3f, plan ${(t2 - t1) / 1e9}%.3f, " +
-        f"exec ${(System.nanoTime() - t2) / 1e9 - 0.2}%.3f), ${js.size} jobs")
+        f"exec ${(t3 - t2) / 1e9}%.3f), ${js.size} jobs")
       if (dt < best) { best = dt; bestJobs = js }
     }
     println(f"PROFILE $name BEST ${best}%.3f s, ${bestJobs.size} jobs:")

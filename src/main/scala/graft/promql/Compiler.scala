@@ -289,6 +289,41 @@ object Compiler {
     case _ => false
   }
 
+  /** Compiled-plan cache — the prepared-statement role (r21 VERDICT order
+    * #4): compiling a PromQL expression is pure driver-side Catalyst
+    * analysis over deep windowed plans (~1 s for the rate family; no
+    * actions run inside compile), and a serving process re-evaluating the
+    * same expression re-pays it on every invocation. ONLY the logical plan
+    * (a DataFrame, i.e. metadata) is memoized — every action still scans
+    * the inputs. The key captures the full semantic context: the parsed
+    * expression (structural case-class equality) and every Ctx field, with
+    * each DataFrame keyed by REFERENCE identity — a rebuilt source frame,
+    * even a logically identical one, misses and compiles fresh, so a hit
+    * can never alias two different sources (the oracle gate recompiles
+    * fresh semantics whenever its inputs are rebuilt). Bounded: cleared
+    * past 512 entries (fuzz suites compile thousands of one-shot exprs). */
+  private final class DfRef(val df: DataFrame) {
+    override def equals(o: Any): Boolean = o match {
+      case r: DfRef => r.df eq df
+      case _ => false
+    }
+    override def hashCode: Int = System.identityHashCode(df)
+  }
+  private def ctxKey(ctx: Ctx): Any = (
+    ctx.startMs, ctx.endMs, ctx.stepMs, ctx.lookbackMs,
+    ctx.anchorStartMs, ctx.anchorEndMs, ctx.noStepSubqueryIntervalMs,
+    ctx.experimentalFunctions,
+    new DfRef(ctx.samples), ctx.fullSamples.map(new DfRef(_)),
+    ctx.layers.toSeq.sortBy(_._1).map { case (k, v) => (k, new DfRef(v)) },
+    ctx.histLayers.toSeq.sortBy(_._1).map { case (k, v) => (k, new DfRef(v)) })
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Expr, Any), DataFrame]()
+
+  def compileCached(expr: Expr, ctx: Ctx): DataFrame = {
+    if (planCache.size > 512) planCache.clear()
+    planCache.computeIfAbsent((expr, ctxKey(ctx)), _ => compile(expr, ctx))
+  }
+
   def compile(expr: Expr, ctx: Ctx): DataFrame = expr match {
     case NumberLit(v) => ctx.grid.withColumn("value", lit(v))
     case StringLit(_) => throw new ParseException("bare string is not a query")

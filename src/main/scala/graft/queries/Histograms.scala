@@ -78,7 +78,20 @@ object Histograms {
     * oracle can mirror the rate arithmetic in plain SQL. Bucket arrays are
     * densified over the hour spine so every sample contains every bucket
     * seen so far. */
+  // memoized per (session, dir): the frame is ~40 plan nodes deep (windows,
+  // spine join) and feeds the compiled-plan cache, which keys sources by
+  // identity — plan metadata only, rows recompute from parquet every action.
+  // The inner grouped frame `g` rides along so each invocation can re-mark
+  // it cached after the harness' clearCache (two consumers per build).
+  private val cumHistCache =
+    new java.util.concurrent.ConcurrentHashMap[Tables, (DataFrame, DataFrame)]()
   private def cumulativeHists(t: Tables): DataFrame = {
+    val (g, res) = cumHistCache.computeIfAbsent(t, buildCumulativeHists)
+    if (g.storageLevel == org.apache.spark.storage.StorageLevel.NONE) g.persist()
+    res
+  }
+
+  private def buildCumulativeHists(t: Tables): (DataFrame, DataFrame) = {
     val tsMs = unix_millis(col("ts"))
     val e = t.events.select(
       col("event_type").as("evt"),
@@ -95,7 +108,7 @@ object Histograms {
       .otherwise(length(conv((col("obs") - 1L).cast("string"), 10, 2))).cast("int")
     val g = e.groupBy(col("evt"), col("hr"), idx.as("idx"))
       .agg(count(lit(1)).as("c"), sum(col("obs")).as("s"))
-      .persist() // two consumers; grouped frame is (evt × hr × ~12 idx) tiny
+    g.persist() // two consumers; grouped frame is (evt × hr × ~12 idx) tiny
     val pb = g.filter(col("idx") >= 0)
       .select(col("evt"), col("hr"), col("idx"), col("c"))
     val hs = g.groupBy(col("evt"), col("hr")).agg(
@@ -118,7 +131,7 @@ object Histograms {
       .agg(sort_array(collect_list(struct(col("idx"),
         col("cum").cast("double").as("c")))).as("pos"))
     val empty = array().cast("array<struct<idx:int,c:double>>")
-    cumScal.join(cumBuckets, Seq("evt", "hr"), "left")
+    val res = cumScal.join(cumBuckets, Seq("evt", "hr"), "left")
       .select(lit("obs").as("__name__"), col("evt"),
         col("hr").as("ts_ms"), col("ccnt").cast("double").as("value"),
         col("hr").as("sample_id"),
@@ -130,6 +143,7 @@ object Histograms {
           col("czc").cast("double").as("zcnt"),
           coalesce(col("pos"), empty).as("pos"), empty.as("neg"),
           lit(null).cast("array<double>").as("cb")).as("h"))
+    (g, res)
   }
 
   def entries: Seq[Q] = Seq(
@@ -223,7 +237,7 @@ object Histograms {
         // cache — Verify/Bench clear it after the query
         val cum = cumulativeHists(t).persist()
         def ev(q: String, as: String) =
-          Compiler.compile(Parser.parse(q), Compiler.Ctx(cum, ti, ti, 1000L))
+          Compiler.compileCached(Parser.parse(q), Compiler.Ctx(cum, ti, ti, 1000L))
             .select(col("evt"), col("step_ms"), col("value").as(as))
         ev("histogram_count(rate(obs[4h]))", "rcnt")
           .join(ev("histogram_sum(rate(obs[4h]))", "rsum"), Seq("evt", "step_ms"))
@@ -281,7 +295,7 @@ object Histograms {
         }
         val layers = Map(res -> graft.etl.Downsample.openLayer(spark, s"$out/hl"))
         def ev(q: String, as: String) =
-          Compiler.compile(Parser.parse(q),
+          Compiler.compileCached(Parser.parse(q),
             Compiler.Ctx(cum, start, end, step, histLayers = layers))
             .select(col("evt"), col("step_ms"), col("value").as(as))
         ev("histogram_count(rate(obs[2d]))", "rcnt")

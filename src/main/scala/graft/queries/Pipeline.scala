@@ -196,6 +196,57 @@ object Pipeline {
     pairs.distinct()
   }
 
+  /** Candidates-then-fetch for dd_minhash_lsh: attach both shingle sets to
+    * each candidate pair without ever exchanging the shingle table.
+    *
+    * Unpivots the pair list to (doc_id, id1, id2, side) — 2 rows/pair — and
+    * joins it at `sets`. SIZE-DISPATCHED (r21 VERDICT wrong-list #5): the
+    * unconditional `broadcast(sides)` was data-dependent — a degenerate
+    * corpus of near-identical docs produces quadratic candidates and the
+    * broadcast THROWS at Spark's 8 GB / 512M-row relation cap where the old
+    * shuffle joins degraded gracefully. Candidate count is known cheaply
+    * (the list is persisted and ~2 rows/pair · 28 B), so: under
+    * `spark.graft.lsh.broadcastMaxCands` (default 5M pairs ≈ 10M side rows
+    * ≈ a few hundred MB built) keep the broadcast; past it, pre-filter
+    * `sets` with a Bloom filter over the candidate doc_ids (guide §3.2 — no
+    * false negatives, so the inner join's result is identical) and let the
+    * join shuffle only the matched ~2·cands rows plus false positives.
+    * Both branches produce the same (id1, id2, s1, s2) frame: each
+    * candidate id exists exactly once in `sets` (ids came from bands ⊆
+    * sets), so every pair regroups from exactly its two side rows. */
+  private[graft] def lshPairFetch(sets: org.apache.spark.sql.DataFrame,
+                                    cands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val candsP = cands.persist()
+    val nCands = candsP.count()
+    val maxBcast = sets.sparkSession.conf
+      .getOption("spark.graft.lsh.broadcastMaxCands").map(_.toLong)
+      .getOrElse(5000000L)
+    val sides = candsP.select(col("id1"), col("id2"),
+      explode(array(
+        struct(col("id1").as("doc_id"), lit(1).as("side")),
+        struct(col("id2").as("doc_id"), lit(2).as("side")))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("id1"), col("id2"),
+        col("s.side").as("side"))
+    val joined =
+      if (nCands <= maxBcast) sets.join(broadcast(sides), Seq("doc_id"))
+      else {
+        import org.apache.spark.sql.graftshim
+        val est = math.max(1024L, 2L * nCands) // ≥ distinct candidate ids
+        val bits = math.min(10L * est, 1L << 33) // ~10 bits/item ≈ 1% fpp
+        val bloom = candsP
+          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+          .agg(graftshim.bloomFilterAgg(xxhash64(col("doc_id")), est, bits))
+          .head().getAs[Array[Byte]](0)
+        sets.filter(graftshim.bloomMightContain(bloom, xxhash64(col("doc_id"))))
+          .join(sides, Seq("doc_id"))
+      }
+    joined
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("s1"),
+        first(when(col("side") === 2, col("hs")), ignoreNulls = true).as("s2"))
+  }
+
   def entries: Seq[Q] = Seq(
 
     // -------------------------------------------------------- dedup: exact
@@ -224,8 +275,8 @@ object Pipeline {
       t => {
         val toks = split(lower(trim(col("text"))), "\\s+")
         val nTok = size(toks)
-        val nStop = size(expr(
-          s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN (${STOP.map(s => s"'$s'").mkString(", ")}))"))
+        val nStop = graft.functions.CountInSet(
+          split(lower(trim(col("text"))), "\\s+"), STOP) // codegen'd stopword count
         val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
         t.documents.select(
             col("doc_id"),
@@ -248,8 +299,8 @@ object Pipeline {
     Q("tx_langid",  // n-gram/stopword-ratio language heuristic
       t => {
         val nTok = size(split(lower(trim(col("text"))), "\\s+"))
-        val nStop = size(expr(
-          s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN (${STOP.map(s => s"'$s'").mkString(", ")}))"))
+        val nStop = graft.functions.CountInSet(
+          split(lower(trim(col("text"))), "\\s+"), STOP) // codegen'd stopword count
         t.documents.select(col("doc_id"),
             (nStop.cast("double") / nTok).as("en_score"))
           .withColumn("pred_lang", when(col("en_score") > 0.03e0, "en").otherwise("unknown"))
@@ -317,17 +368,7 @@ object Pipeline {
         // come from `bands` ⊆ `sets`, so every pair gets exactly one row per
         // side and exactly one group — the same (id1, id2, s1, s2) rows the
         // two-join form produced.
-        val sides = cands.select(col("id1"), col("id2"),
-          explode(array(
-            struct(col("id1").as("doc_id"), lit(1).as("side")),
-            struct(col("id2").as("doc_id"), lit(2).as("side")))).as("s"))
-          .select(col("s.doc_id").as("doc_id"), col("id1"), col("id2"),
-            col("s.side").as("side"))
-        val pairs = sets.join(broadcast(sides), Seq("doc_id"))
-          .groupBy(col("id1"), col("id2"))
-          .agg(first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("s1"),
-            first(when(col("side") === 2, col("hs")), ignoreNulls = true).as("s2"))
-        pairs
+        lshPairFetch(sets, cands)
           .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
           .withColumn("jacc", col("inter").cast("double") /
             (size(col("s1")) + size(col("s2")) - col("inter")))
@@ -471,8 +512,8 @@ object Pipeline {
             t.documents.select(col("doc_id").as("id")), pairs)
           .select(col("id").as("doc_id"), col("root").as("cluster"))
         val nTok = size(split(lower(trim(col("text"))), "\\s+"))
-        val nStop = size(expr(
-          s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN (${STOP.map(s => s"'$s'").mkString(", ")}))"))
+        val nStop = graft.functions.CountInSet(
+          split(lower(trim(col("text"))), "\\s+"), STOP) // codegen'd stopword count
         val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
         val qual = t.documents.select(col("doc_id"),
           (lit(0.5e0) * (nStop.cast("double") / nTok) +
@@ -1084,8 +1125,8 @@ object Pipeline {
       t => {
         val toks = split(lower(trim(col("text"))), "\\s+")
         val nTok = size(toks).cast("long")
-        val nStop = size(expr(
-          s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN (${STOP.map(s => s"'$s'").mkString(", ")}))"))
+        val nStop = graft.functions.CountInSet(
+          split(lower(trim(col("text"))), "\\s+"), STOP) // codegen'd stopword count
         val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
         t.documents
           .select(col("doc_id"), nTok.as("n_tok"),
@@ -1141,8 +1182,8 @@ object Pipeline {
         val toksLower = split(lower(trim(col("text"))), "\\s+")
         val nTok = size(toksLower).cast("long")
         val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
-        val nAlphaWord = size(expr(
-          "filter(split(trim(text), '\\\\s+'), x -> x rlike '[A-Za-z]')"))
+        val nAlphaWord = graft.functions.CountAlphaTokens(
+          split(trim(col("text")), "\\s+")) // codegen'd has-ASCII-letter count
         t.documents
           .select(col("doc_id"), nTok.as("n_tok"),
             meanWordLen.as("mean_wlen"),
@@ -1179,8 +1220,8 @@ object Pipeline {
         val toksLower = split(lower(trim(col("text"))), "\\s+")
         val nTok = size(toksLower).cast("long")
         val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
-        val nAlphaWord = size(expr(
-          "filter(split(trim(text), '\\\\s+'), x -> x rlike '[A-Za-z]')"))
+        val nAlphaWord = graft.functions.CountAlphaTokens(
+          split(trim(col("text")), "\\s+")) // codegen'd has-ASCII-letter count
         val f = t.documents.select(col("doc_id"), nTok.as("n_tok"),
           meanWordLen.as("mean_wlen"),
           (nAlphaWord.cast("double") / nTok).as("alpha_word_ratio"),

@@ -22,7 +22,12 @@ object Tsdb {
   private val TI   = T0 + 14 * DAY             // instant-query time
   private val LB   = DAY                       // lookback for the sparse fixture
 
-  private def samples(t: Tables): DataFrame = TimeSeriesModel.samples(t.events)
+  // memoized per (session, dir) so repeat invocations hand the SAME frame
+  // object to the compiled-plan cache (identity-keyed); plan metadata only
+  private val samplesCache =
+    new java.util.concurrent.ConcurrentHashMap[Tables, DataFrame]()
+  private def samples(t: Tables): DataFrame =
+    samplesCache.computeIfAbsent(t, t => TimeSeriesModel.samples(t.events))
 
   /** Deterministically DENSIFIED `purchase` series for the downsample-layer
     * oracles: each base sample's rank expands to 120 twelve-minute ticks,
@@ -955,7 +960,7 @@ object Tsdb {
             graft.etl.Downsample.layer(s, 3600000L), s"$d/l1h")
         }
         val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
-        Compiler.compile(Parser.parse("increase(purchase[1d])"),
+        Compiler.compileCached(Parser.parse("increase(purchase[1d])"),
             Compiler.Ctx(s, start, end, step, LB, layers = layers))
           .select(col("uid"), col("step_ms"), col("value"))
           .orderBy(col("uid"), col("step_ms"))
@@ -1003,7 +1008,7 @@ object Tsdb {
             graft.etl.Downsample.layer(s, 3600000L), s"$d/l1h")
         }
         val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
-        Compiler.compile(
+        Compiler.compileCached(
             Parser.parse("sum_over_time(purchase[1d]) / count_over_time(purchase[1d])"),
             Compiler.Ctx(s, start, end, step, LB, layers = layers))
           .select(col("uid"), col("step_ms"), col("value"))
@@ -1041,7 +1046,7 @@ object Tsdb {
             graft.etl.Downsample.layer(dense, 3600000L), s"$d/l1h")
         }
         val layers = Map(3600000L -> graft.etl.Downsample.openLayer(spark, s"$out/l1h"))
-        Compiler.compile(Parser.parse("increase(purchase[4d])"),
+        Compiler.compileCached(Parser.parse("increase(purchase[4d])"),
             Compiler.Ctx(dense, start, end, step, LB, layers = layers))
           .select(col("uid"), col("step_ms"), col("value"))
           .orderBy(col("uid"), col("step_ms"))
@@ -1079,7 +1084,7 @@ object Tsdb {
         }
         val chunked = graft.etl.Ingest.openChunkedSamples(spark, out)
         val layers = graft.etl.Downsample.discoverLayers(spark, out)
-        Compiler.compile(Parser.parse("increase(purchase[1d])"),
+        Compiler.compileCached(Parser.parse("increase(purchase[1d])"),
             Compiler.Ctx(chunked, start, end, step, LB, layers = layers))
           .select(col("uid"), col("step_ms"), col("value"))
           .orderBy(col("uid"), col("step_ms"))
@@ -1096,7 +1101,7 @@ object Tsdb {
     // parser+compiler end-to-end under the oracle gate: the engine's answer
     // for a PromQL string must hash-match the hand-written SQL semantics
     Q("promql_at_modifier",  // @ pins the eval instant; broadcast to all steps
-      t => Compiler.compile(Parser.parse(
+      t => Compiler.compileCached(Parser.parse(
           s"""last_over_time({__name__="purchase"}[1d] @ ${TI / 1000})"""),
           Compiler.Ctx(samples(t), TI, TI + 2000L, 1000L, LB))
         .select(col("step_ms"), col("__name__"), col("uid"), col("value"))
@@ -1110,7 +1115,7 @@ object Tsdb {
         "ORDER BY step_ms, uid")),
 
     Q("promql_irate",  // last-pair instant rate with counter-reset correction
-      t => Compiler.compile(Parser.parse("""irate({__name__="purchase"}[1d])"""),
+      t => Compiler.compileCached(Parser.parse("""irate({__name__="purchase"}[1d])"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
         .select(col("uid"), col("value")).orderBy(col("uid")),
       Some(s"WITH $S_CTE, " +
@@ -1124,7 +1129,7 @@ object Tsdb {
 
     // `or` with differing label sets: full-label-set matching keeps both sides
     Q("promql_or_labelsets",
-      t => Compiler.compile(Parser.parse(
+      t => Compiler.compileCached(Parser.parse(
           """sum by (uid) ({__name__="purchase"}) or sum by (__name__) ({__name__="view"})"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
         .select(col("uid"), col("__name__"), col("value"))
@@ -1140,14 +1145,14 @@ object Tsdb {
         "ORDER BY uid, __name__")),
 
     Q("promql_sum_by",
-      t => Compiler.compile(Parser.parse("""sum by (__name__) ({uid!=""})"""),
+      t => Compiler.compileCached(Parser.parse("""sum by (__name__) ({uid!=""})"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
         .select(col("__name__"), col("value")).orderBy(col("__name__")),
       Some(s"WITH $S_CTE, ${vCte()} SELECT __name__, $DSUM AS value FROM v " +
         "GROUP BY __name__ ORDER BY __name__")),
 
     Q("promql_binop_on",
-      t => Compiler.compile(
+      t => Compiler.compileCached(
           Parser.parse("""{__name__="purchase"} / on(uid) {__name__="view"}"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
         .select(col("uid"), col("value")).orderBy(col("uid")),
@@ -1157,7 +1162,7 @@ object Tsdb {
         "SELECT p.uid, p.value / w.value AS value FROM p JOIN w USING (uid) ORDER BY uid")),
 
     Q("promql_topk",
-      t => Compiler.compile(Parser.parse("""topk(3, {__name__=~".+"})"""),
+      t => Compiler.compileCached(Parser.parse("""topk(3, {__name__=~".+"})"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
         .select(col("__name__"), col("uid"), col("value"))
         .orderBy(col("value").desc, col("__name__"), col("uid")),
@@ -1167,7 +1172,7 @@ object Tsdb {
 
     Q("promql_rate_range", {
       val (start, end, step, rng) = (T0 + 9 * DAY, T0 + 19 * DAY, 21600000L, 21600000L)
-      (t: Tables) => Compiler.compile(Parser.parse("rate(purchase[6h])"),
+      (t: Tables) => Compiler.compileCached(Parser.parse("rate(purchase[6h])"),
           Compiler.Ctx(samples(t), start, end, step, LB))
         .select(col("uid"), col("step_ms"), col("value"))
         .orderBy(col("uid"), col("step_ms"))
@@ -1200,7 +1205,7 @@ object Tsdb {
       }),
 
     Q("promql_timestamp",  // sample's own time, not the eval step's
-      t => Compiler.compile(Parser.parse("""timestamp({__name__="purchase"})"""),
+      t => Compiler.compileCached(Parser.parse("""timestamp({__name__="purchase"})"""),
           Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
         .select(col("uid"), col("value")).orderBy(col("uid")),
       Some(s"WITH $S_CTE, ${vCte()} SELECT uid, " +
@@ -1212,7 +1217,7 @@ object Tsdb {
     Q("promql_ts_of_extremes", {
       t => {
         def run(q: String, as: String) =
-          Compiler.compile(Parser.parse(q), Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
+          Compiler.compileCached(Parser.parse(q), Compiler.Ctx(samples(t), TI, TI, 1000L, LB))
             .select(col("uid"), col("value").as(as))
         run("""ts_of_max_over_time({__name__="purchase"}[1d])""", "ts_max")
           .join(run("""ts_of_min_over_time({__name__="purchase"}[1d])""", "ts_min"), Seq("uid"))
@@ -1238,7 +1243,7 @@ object Tsdb {
     Q("promql_subquery", {
       val ti = T0 + 19 * DAY                   // ti % 6h == 0
       val rng = 21600000L                      // inner rate window, 6h
-      (t: Tables) => Compiler.compile(
+      (t: Tables) => Compiler.compileCached(
           Parser.parse("max_over_time(rate(purchase[6h])[20h:6h])"),
           Compiler.Ctx(samples(t), ti, ti, 1000L, LB))
         .select(col("uid"), col("value")).orderBy(col("uid"))

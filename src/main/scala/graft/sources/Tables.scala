@@ -20,7 +20,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  def events: DataFrame = Tables.normalizeTs(table("events"))
+  /** Memoized like [[Tables.rel]] so repeat invocations hand back the SAME
+    * DataFrame object — the PromQL compiled-plan cache keys source frames
+    * by reference identity, and a fresh `withColumn` copy per call would
+    * defeat it (plan metadata only; rows always re-scan). */
+  def events: DataFrame = Tables.eventsCache.computeIfAbsent(
+    (spark, s"$dir/events.parquet"),
+    _ => Tables.normalizeTs(table("events")))
   lazy val documents: DataFrame  = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
 }
@@ -38,6 +44,17 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def rel(spark: SparkSession, path: String): DataFrame =
     relCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+  private[sources] val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The caches hold resolved file lists: correct ONLY because the served
+    * dirs are immutable fixtures (r21 ADVICE). A writer that rewrites a
+    * table dir in-process must call this or it would serve a stale listing.
+    * Also the session-teardown hook for long multi-session JVMs (tests). */
+  def invalidate(path: String): Unit = {
+    relCache.keySet.removeIf(_._2 == path)
+    eventsCache.keySet.removeIf(_._2 == path)
+  }
 
   /** Normalize an events-shaped `ts` column to TimestampType (LTZ) whatever
     * physical form the driver wrote this round — the single copy both the
