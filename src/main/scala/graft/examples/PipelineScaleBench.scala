@@ -71,8 +71,19 @@ object PipelineScaleBench {
     val nVecs = if (args.length > 1) args(1).toInt else 1000000
     val nClusterDocs = if (args.length > 2) args(2).toInt else 1000000
     val nSmallVecs = if (args.length > 3) args(3).toInt else 32768
+    // Scale-adaptive partitioning (guide §2.2/§9): the former fixed
+    // shuffle.partitions=32 sized reduce partitions at data-size/32 — at
+    // 5M docs dd_ngram_jaccard's ~13 GB posting-list exchange meant ~420 MB
+    // of sort state per task × 32 concurrent tasks on one 8 GB heap =
+    // UNABLE_TO_ACQUIRE_MEMORY (measured, r22). 256 initial partitions cap
+    // per-task state at ~50 MB there, and AQE coalescing folds small
+    // shuffles back down (advisory 64 MB), so tiny stages don't pay 256
+    // tasks. This is the bench harness config, not a query change; the
+    // driver-contract Bench at sf0.1 keeps partitions = cpus.
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", "256")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -89,8 +100,16 @@ object PipelineScaleBench {
     // extra variant token → shingle-jaccard ≈ 0.85). Everything is hash
     // expressions: the generator is itself distributed, zero driver loops.
     def writeDocs(dir: String, n: Long): Unit = {
-      val seed = when(pmod(col("id"), lit(20)) <= 1,
+      val seed0 = when(pmod(col("id"), lit(20)) <= 1,
         col("id") - pmod(col("id"), lit(20))).otherwise(col("id"))
+      // benchmark-contamination plants (r22, for the hygiene family): per
+      // 1000 ids, id%1000==2/502 are HELD-OUT docs (sources src0/src1 — the
+      // names tx_contamination/tx_bloom_decontam treat as the benchmark)
+      // and id%1000==3/503 are TRAINING docs with the identical text (same
+      // seed ⇒ every 8-gram overlaps). Disjoint from the %20 near-dup
+      // scheme (2, 3 mod 20 are plain ids there).
+      val seed = when(pmod(col("id"), lit(1000)).isin(3, 503), col("id") - 1)
+        .otherwise(seed0)
       spark.range(n)
         .withColumn("seed", seed)
         .withColumn("nw", (pmod(hash(col("seed")), lit(41)) + lit(40)).cast("int"))
@@ -103,8 +122,10 @@ object PipelineScaleBench {
         .select(col("id").as("doc_id"), col("text"),
           element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
             (pmod(hash(col("id"), lit(7)), lit(4)) + 1).cast("int")).as("lang"),
-          element_at(array(lit("web"), lit("wiki"), lit("news")),
-            (pmod(hash(col("id"), lit(13)), lit(3)) + 1).cast("int")).as("source"),
+          when(pmod(col("id"), lit(1000)) === 2, lit("src0"))
+            .when(pmod(col("id"), lit(1000)) === 502, lit("src1"))
+            .otherwise(element_at(array(lit("web"), lit("wiki"), lit("news")),
+              (pmod(hash(col("id"), lit(13)), lit(3)) + 1).cast("int"))).as("source"),
           length(col("text")).cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
@@ -173,6 +194,39 @@ object PipelineScaleBench {
     }
     def q(name: String, dir: String): DataFrame = graft.SparkEntry.queries(name)(spark, dir)
 
+    // noop-sink variant (guide §1.4) for the r22 phases: count() lets the
+    // optimizer PRUNE derived columns and whole subtrees — tx_quality's
+    // entire expression stack and dd_line_dedup's reassembly vanish under
+    // count(), so those walls would measure the scan, not the operator.
+    // The noop write computes every column of every row. Row counts for
+    // assertions come from an untimed count() afterwards (per-query
+    // persists are still cached then; metrics are recorded before it).
+    // The r21-comparable phases above keep count() so their cross-round
+    // rows stay like-for-like.
+    def timedNoop(name: String, needRows: Boolean = false,
+                  maxResultMb: Double = 256.0)(df: => DataFrame): Long = {
+      spark.catalog.clearCache()
+      listener.reset()
+      val t0 = System.nanoTime()
+      val d = df // construction (incl. any bloom/count dispatch) is timed
+      d.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val resMb = listener.resultBytes.get / 1e6
+      if (resMb > maxResultMb)
+        failures += f"$name: $resMb%.1f MB returned to the driver (cap $maxResultMb)"
+      results(name) = Map(
+        "sec" -> math.rint(sec * 100) / 100,
+        "shuffle_read_mb" -> math.rint(listener.shuffleRead.get / 1e4) / 100,
+        "shuffle_write_mb" -> math.rint(listener.shuffleWrite.get / 1e4) / 100,
+        "peak_task_rows" -> listener.peakTaskRecords.get,
+        "driver_result_mb" -> math.rint(resMb * 100) / 100)
+      val rows = if (needRows) d.count() else -1L
+      if (needRows) results(name) = results(name) + ("rows" -> rows)
+      println(s"[pipescale] $name: ${results(name)}")
+      rows
+    }
+
     // ------------------------------------------------ registry entries
     if (phase("tx_unigram_freq")) timed("tx_unigram_freq")(q("tx_unigram_freq", dirA))
     if (phase("dd_minhash_lsh")) {
@@ -185,6 +239,86 @@ object PipelineScaleBench {
     if (phase("ss_ivf_topk")) timed("ss_ivf_topk")(q("ss_ivf_topk", dirA))
     if (phase("dd_embed_cosine_8bit_small"))
       timed("dd_embed_cosine_8bit_small")(q("dd_embed_cosine", dirB))
+
+    // --------------------------- hygiene family at corpus scale (r21 #5)
+    // tx_contamination / tx_bloom_decontam: the benchmark side is the
+    // planted src0/src1 slice (~nDocs/500 docs); the train side must stay
+    // map-side up to the per-doc hit count — assert the shuffle moves hit
+    // rows (~overlapping docs × shingles), never the exploded train corpus
+    // (~60·nDocs rows ≈ 25 B each). dd_line_dedup: the C4 segment-dedup
+    // window legitimately shuffles every segment ONCE — assert it stays
+    // within a small multiple of the corpus bytes and that no task sees a
+    // super-linear row count (skew canary).
+    if (phase("tx_contamination")) {
+      val rows = timedNoop("tx_contamination", needRows = true)(q("tx_contamination", dirA))
+      if (rows < nDocs / 1000)
+        failures += s"tx_contamination missed planted contaminated docs: $rows"
+      val shuf = listener.shuffleWrite.get
+      if (shuf > 16L * nDocs) // exploded train side would be ~1.5 KB/doc
+        failures += s"tx_contamination shuffled the train corpus: $shuf B"
+    }
+    if (phase("tx_bloom_decontam")) {
+      val rows = timedNoop("tx_bloom_decontam", needRows = true)(q("tx_bloom_decontam", dirA))
+      if (rows < nDocs / 2) // returns every train doc with its flag
+        failures += s"tx_bloom_decontam lost train docs: $rows"
+      val shuf = listener.shuffleWrite.get
+      if (shuf > 16L * nDocs)
+        failures += s"tx_bloom_decontam shuffled past the bloom prefilter: $shuf B"
+    }
+    if (phase("dd_line_dedup")) {
+      val rows = timedNoop("dd_line_dedup", needRows = true)(q("dd_line_dedup", dirA))
+      if (rows != nDocs)
+        failures += s"dd_line_dedup row count: $rows != $nDocs"
+      val corpusBytes = 450L * nDocs // ~60 words × ~7 chars
+      if (listener.shuffleWrite.get > 8L * corpusBytes)
+        failures += s"dd_line_dedup shuffle super-linear: ${listener.shuffleWrite.get} B"
+      if (listener.peakTaskRecords.get > math.max(4L * 8 * nDocs / 32, 1L << 22))
+        failures += s"dd_line_dedup skewed task: ${listener.peakTaskRecords.get} rows"
+    }
+    if (phase("dd_ngram_jaccard")) {
+      timedNoop("dd_ngram_jaccard")(q("dd_ngram_jaccard", dirA))
+      val corpusBytes = 450L * nDocs
+      if (listener.shuffleWrite.get > 16L * corpusBytes)
+        failures += s"dd_ngram_jaccard shuffle super-linear: ${listener.shuffleWrite.get} B"
+    }
+    // per-task CPU probes for the codegen'd token counters (r21 #3): pure
+    // map-side queries, so the noop wall IS the per-task expression cost.
+    // The *_hof twins run the r21 interpreted-lambda formulation (bench-only
+    // baseline; the registry runs the codegen form) — same split/trim/lower
+    // inputs, so the wall delta isolates the counting expressions.
+    if (phase("tx_quality")) timedNoop("tx_quality")(q("tx_quality", dirA))
+    if (phase("tx_gopher_filter")) timedNoop("tx_gopher_filter")(q("tx_gopher_filter", dirA))
+    val STOP_IN = Seq("the", "a", "and", "of", "to", "in", "is")
+      .map(s => s"'$s'").mkString(", ")
+    if (phase("tx_quality_hof")) timedNoop("tx_quality_hof") {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val nTok = size(toks)
+      val nStop = size(expr(
+        s"filter(split(lower(trim(text)), '\\\\s+'), x -> x IN ($STOP_IN))"))
+      val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      Tables(spark, dirA).documents.select(
+          col("doc_id"), nTok.cast("long").as("n_tok"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          (nAlpha.cast("double") / length(col("text"))).as("alpha_ratio"))
+        .withColumn("quality",
+          lit(0.5e0) * col("stop_ratio") + lit(0.5e0) * col("alpha_ratio"))
+        .orderBy(col("doc_id")) // registry twin has the same sort
+    }
+    if (phase("tx_gopher_filter_hof")) timedNoop("tx_gopher_filter_hof") {
+      val toksLower = split(lower(trim(col("text"))), "\\s+")
+      val nTok = size(toksLower).cast("long")
+      val meanWordLen = length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double") / nTok
+      val nAlphaWord = size(expr(
+        "filter(split(trim(text), '\\\\s+'), x -> x rlike '[A-Za-z]')"))
+      Tables(spark, dirA).documents.select(
+          col("doc_id"), nTok.as("n_tok"), meanWordLen.as("mean_wlen"),
+          (nAlphaWord.cast("double") / nTok).as("alpha_word_ratio"),
+          (size(array_distinct(toksLower)).cast("double") / nTok).as("ttr"))
+        .withColumn("keep",
+          col("n_tok") >= 10L && col("mean_wlen") >= 3.0e0 && col("mean_wlen") <= 10.0e0 &&
+            col("alpha_word_ratio") > 0.8e0 && col("ttr") > 0.2e0)
+        .orderBy(col("doc_id")) // registry twin has the same sort
+    }
 
     // candidate-pair probe for dd_minhash_lsh: the band self-join BEFORE the
     // jaccard verify — the count that must stay sub-quadratic

@@ -91,6 +91,45 @@ case class CountAlphaTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of ASCII letters in a string — exactly
+  * `length(regexp_replace(s, '[^A-Za-z]', ''))`: the replace keeps only
+  * A–Za–z chars and length() counts chars; each surviving char is one
+  * ASCII byte, and (UTF-8 again) an A–Za–z byte value occurs only as that
+  * standalone char — so the count is a byte scan, no regex pass. */
+case class CountAlphaChars(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "count_alpha_chars"
+
+  override def nullSafeEval(in: Any): Any =
+    CountAlphaChars.compute(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CountAlphaChars.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountAlphaChars {
+  /** Static entry point shared by eval and generated code. */
+  def compute(s: UTF8String): Int = {
+    val b = s.getBytes
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) n += 1
+      i += 1
+    }
+    n
+  }
+
+  def apply(text: Column): Column =
+    graftshim.toColumn(CountAlphaChars(graftshim.toExpression(text)))
+}
+
 object CountAlphaTokens {
   /** Static entry point shared by eval and generated code. */
   def compute(toks: ArrayData): Int = {

@@ -277,7 +277,7 @@ object Pipeline {
         val nTok = size(toks)
         val nStop = graft.functions.CountInSet(
           split(lower(trim(col("text"))), "\\s+"), STOP) // codegen'd stopword count
-        val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val nAlpha = graft.functions.CountAlphaChars(col("text")) // codegen'd alpha-char count
         t.documents.select(
             col("doc_id"),
             nTok.cast("long").as("n_tok"),
@@ -514,7 +514,7 @@ object Pipeline {
         val nTok = size(split(lower(trim(col("text"))), "\\s+"))
         val nStop = graft.functions.CountInSet(
           split(lower(trim(col("text"))), "\\s+"), STOP) // codegen'd stopword count
-        val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val nAlpha = graft.functions.CountAlphaChars(col("text")) // codegen'd alpha-char count
         val qual = t.documents.select(col("doc_id"),
           (lit(0.5e0) * (nStop.cast("double") / nTok) +
             lit(0.5e0) * (nAlpha.cast("double") / length(col("text")))).as("quality"))
@@ -589,6 +589,16 @@ object Pipeline {
     // `id1 < id2` theta join was a BroadcastNestedLoopJoin — O(n²) rows at any
     // scale, the one plan here that could never finish at 100 TB. The oracle
     // mirrors the same blocking, so the gate checks identical semantics.
+    //
+    // DECLARED FLOOR (the 100 TB default story, SURVEY §2.11): this
+    // registered 8-bit shape keeps a ~37·n²/256 candidate floor — ~453k
+    // candidate pairs at 32k vectors (PipelineScaleBench), quadratic past
+    // that. It stays registered at these parameters because its results are
+    // oracle-declared; a 100 TB deployment runs `dd_embed_cosine_wide`
+    // (below) — same operator, 24-plane signature and candidates-then-fetch,
+    // ~27 candidates/vector at 1M with headroom to billions by adding
+    // planes. The two entries are the documented small-corpus/corpus-scale
+    // pair, not alternatives.
     Q("dd_embed_cosine",
       t => {
         val e = VectorOps.withNormalized(

@@ -45,6 +45,15 @@ class TokenCountsSpec extends SparkSpec {
     assert(got.agg(sum("c")).head.getLong(0) > 0)
   }
 
+  test("CountAlphaChars ≡ length(regexp_replace(s, '[^A-Za-z]', ''))") {
+    val df = corpus.toDF("text")
+    val got = df.select(
+      graft.functions.CountAlphaChars(col("text")).as("c"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("e"))
+    assert(got.filter(col("c") =!= col("e")).count() === 0)
+    assert(got.agg(sum("c")).head.getLong(0) > 0)
+  }
+
   test("null input propagates like size(filter(null)) with sizeOfNull off") {
     val df = Seq[Option[String]](None, Some("the fox")).toDF("text")
     val got = df.select(
