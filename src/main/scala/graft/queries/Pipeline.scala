@@ -391,20 +391,36 @@ object Pipeline {
     Q("dd_ngram_jaccard",
       t => {
         val sets = TextOps.shingleHashSets(t.documents).withColumn("nsh", size(col("hs")))
+        // dictionary-encode the (lang, source) block key before the explode
+        // (guide §2.3 "narrower types / shuffle keys"): the domain is tiny
+        // (distinct + row_number, broadcast back), and the posting exchange
+        // below is the query's dominant cost at corpus scale — ~60 exploded
+        // rows/doc that each carried both label strings (~64 B/row unsafe)
+        // now carry a 4-byte ls_id (~28 B/row), and the window/join sort
+        // compares two fixed-width ints instead of two strings + a long.
+        // Exact: row_number ids are injective over the distinct pairs, so
+        // (ls_id, shh) equality ⟺ (lang, source, shh) equality; docs with a
+        // NULL lang/source never produced a pair in the equality self-join
+        // (NULL === NULL is NULL) and are dropped by the inner dictionary
+        // join before shuffling — same output rows either way.
+        val dims = sets.select(col("lang"), col("source")).distinct()
+          .withColumn("ls_id", row_number().over(org.apache.spark.sql.expressions
+            .Window.orderBy(col("lang"), col("source"))))
         // hot-shingle cap: a shingle appearing in >1000 docs of a block is
         // boilerplate, not signal, and its posting list alone would emit
         // ~df^2/2 candidate pairs — the one remaining quadratic term at
-        // corpus scale. The window shares the (lang, source, shh) shuffle
-        // with the self-join below; the oracle applies the same cap.
+        // corpus scale. The window shares the (ls_id, shh) shuffle with the
+        // self-join below; the oracle applies the same cap.
         val capped = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang"), col("source"), col("shh"))
-        val inv = sets.select(col("lang"), col("source"), col("doc_id"), col("nsh"),
-            explode(col("hs")).as("shh")) // long join key: cheap shuffle
+          .partitionBy(col("ls_id"), col("shh"))
+        val inv = sets.join(broadcast(dims), Seq("lang", "source"))
+          .select(col("ls_id"), col("doc_id"), col("nsh"),
+            explode(col("hs")).as("shh")) // fixed-width keys: cheap shuffle
           .withColumn("__df", count(lit(1)).over(capped))
           .filter(col("__df") <= 1000).drop("__df")
           .persist() // self-joined below: cache, don't re-shingle both sides
         val shared = inv.as("a").join(inv.as("b"),
-            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.ls_id") === col("b.ls_id") &&
               col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id"), col("b.doc_id"), col("a.nsh"), col("b.nsh"))
           .agg(count(lit(1)).as("inter"))
